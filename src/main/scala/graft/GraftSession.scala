@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Canonical session config for every entry point (Verify, Bench,
+  * tests). Keeps the contract in one place:
+  *
+  *  - UTC session time zone — the corpus timestamps are naive
+  *    (parquet isAdjustedToUTC=false), and the reference's day-first
+  *    `dd/MM/yyyy` format is TZ-hostile (SURVEY §1.2).
+  *  - `legacy.parquet.nanosAsLong` — `events.ts` is INT64
+  *    TIMESTAMP(NANOS); Spark has no nanosecond timestamp type, so it
+  *    is read as a long and truncated to microseconds in
+  *    [[Tables.events]].
+  *  - shuffle partitions sized to the local core count (not 200) and
+  *    AQE on, so local plans mirror what a sized cluster would run.
+  */
+object GraftSession {
+  def builder(cpus: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "127.0.0.1")
+
+  def get(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
+    val spark = builder(cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

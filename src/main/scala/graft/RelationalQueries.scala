@@ -1,0 +1,371 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.operators.Relational
+
+/** The relational query surface mapped onto the testdata corpus.
+  *
+  * Each query re-expresses one operator row of SURVEY.md §2 (the
+  * reference's fuel pipeline) against the TPC-H-ish tables: `events`
+  * plays the `prices` stream (user_id ~ stationcode, event_type ~
+  * fueltype, value ~ price, ts ~ lastupdated) and `customer` plays the
+  * `stations` dimension. The fuel-domain modules under `graft.queries`
+  * hold the same logic over the reference's own schema.
+  */
+object RelationalQueries {
+
+  /** Money/measure columns are 2-dp decimals stored as doubles.
+    * Aggregating them as doubles is partition-order-dependent (partial
+    * sums associate differently run to run), so any rounded result
+    * sits a ULP away from flipping at a .xx5 boundary. All sums here
+    * go through exact decimal arithmetic — order-independent, and
+    * bit-identical to the DuckDB oracle — then cast to double.
+    */
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Exact decimal mean rounded to `scale`: sum exactly, divide once. */
+  private def decAvg(c: Column, scale: Int): Column =
+    round(sum(dec(c)).cast("double") / count(lit(1)), scale)
+
+  /** SURVEY §2 A1 (`DataAnalysis.py:70-82`): running mean per group
+    * over the whole stream history, rounded to 2 dp. Partial/final
+    * hash aggregation — one shuffle of ≤|event_type| pre-aggregated
+    * rows per map partition.
+    */
+  private def barAvg(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(decAvg(col("value"), 2).as("avg_value"))
+
+  /** SURVEY §2 A2 (`DataCleaning.py:23`): scalar max event time. */
+  private def maxTs(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).agg(max("ts").as("max_ts"))
+
+  /** SURVEY §2 A3: latest row per (user, type) via single-shuffle
+    * `max_by` (see [[Relational.latestPerGroup]]); ties broken by
+    * event_id — the deterministic stand-in for pandas input order.
+    */
+  private def latestPerGroup(s: SparkSession, d: String): DataFrame =
+    Relational.latestPerGroup(
+      Tables.events(s, d),
+      groupCols = Seq("user_id", "event_type"),
+      orderCols = Seq("ts", "event_id"),
+      payloadCols = Seq("event_id", "ts", "value"))
+
+  /** SURVEY §2 St2 batch form: keyed first-wins dedup. */
+  private def firstPerGroup(s: SparkSession, d: String): DataFrame =
+    Relational.firstPerGroup(
+      Tables.events(s, d),
+      groupCols = Seq("user_id"),
+      orderCols = Seq("ts", "event_id"),
+      payloadCols = Seq("event_id", "event_type", "ts"))
+
+  /** SURVEY §2 A4: grouped ordered string aggregation. */
+  private def stringAgg(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .withColumn("info", concat(col("event_type"), lit(": "), col("value").cast("string")))
+    Relational.groupedStringAgg(ev, Seq("user_id"), col("info"), "<br>", "infos")
+  }
+
+  /** The flagship query — SURVEY §3 entry point 1 ("Q-map",
+    * `DataAnalysis.py:91-138`): latest-per-group, broadcast left
+    * outer join onto the dimension, conditional string projection,
+    * grouped ordered string agg. The aggregated `latest` side is
+    * bounded by |users|×|types| so it broadcasts; the dimension scan
+    * never shuffles.
+    */
+  def flagshipProfile(s: SparkSession, d: String): DataFrame = {
+    val latest = Relational.latestPerGroup(
+      Tables.events(s, d),
+      groupCols = Seq("user_id", "event_type"),
+      orderCols = Seq("ts", "event_id"),
+      payloadCols = Seq("value"))
+    val cust = Tables.customer(s, d)
+    val info = when(col("value").isNotNull,
+        concat(col("event_type"), lit(": "), col("value").cast("string")))
+      .otherwise(lit(""))
+    cust.join(broadcast(latest), cust("c_custkey") === latest("user_id"), "left_outer")
+      .withColumn("info", info)
+      .groupBy("c_custkey", "c_name", "c_mktsegment")
+      .agg(concat_ws("<br>", sort_array(collect_list(col("info")))).as("events_info"))
+  }
+
+  /** SURVEY §2 St3: retention window anchored at observed max ts. */
+  private def retention(s: SparkSession, d: String): DataFrame =
+    Relational.retentionFilter(Tables.events(s, d), "ts", days = 7)
+      .select("event_id", "user_id", "event_type", "value", "ts")
+
+  /** SURVEY §2 St1 batch form: strictly-greater watermark gate. */
+  private def watermark(s: SparkSession, d: String): DataFrame =
+    Relational.watermarkGate(
+        Tables.events(s, d), "ts", lit("2024-01-20 00:00:00").cast("timestamp_ntz"))
+      .select("event_id", "ts")
+
+  /** SURVEY §2 P4/P10: conditional projection + default-fill shape. */
+  private def conditionalProjection(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      when(col("o_orderstatus") === "O",
+          concat_ws("/", col("o_orderstatus"), col("o_orderpriority")))
+        .otherwise(col("o_orderstatus")).as("status_info"))
+
+  /** SURVEY §2 P5/P6: zero-filter + casts, pushed into the scan. */
+  private def zeroFilter(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_discount") =!= 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_discount"), col("l_quantity").cast("int").as("qty_int"))
+
+  /** SURVEY §2 P7/P8: the reference's dd/MM/yyyy HH:mm:ss timestamp
+    * round-trip (`DataCleaning.py:71-79`) — format out, parse back.
+    */
+  private def tsRoundtrip(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id"),
+      date_format(col("ts"), "dd/MM/yyyy HH:mm:ss").as("ts_str"),
+      to_timestamp(date_format(col("ts"), "dd/MM/yyyy HH:mm:ss"), "dd/MM/yyyy HH:mm:ss")
+        .cast("timestamp_ntz").as("ts_trunc"))
+
+  /** SURVEY §2 O1 + top-k: TakeOrderedAndProject, no global sort. */
+  private def topOrders(s: SparkSession, d: String): DataFrame =
+    Relational.topK(Tables.orders(s, d), 10,
+        col("o_totalprice").desc, col("o_orderkey").asc)
+      .select("o_orderkey", "o_totalprice")
+
+  /** TPC-H Q1 shape: wide partial/final aggregation over the fact
+    * table with the filter pushed to the parquet scan.
+    */
+  private def discounted: Column =
+    dec(col("l_extendedprice")) * (lit(1) - col("l_discount")).cast(DecimalType(4, 2))
+
+  private def pricingSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("2000-12-01 00:00:00").cast("timestamp_ntz"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        round(sum(discounted), 2).cast("double").as("sum_disc_price"),
+        round(sum(discounted * (lit(1) + col("l_tax")).cast(DecimalType(4, 2))), 2)
+          .cast("double").as("sum_charge"),
+        decAvg(col("l_quantity"), 4).as("avg_qty"),
+        decAvg(col("l_extendedprice"), 4).as("avg_price"),
+        decAvg(col("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** TPC-H Q3 shape: selective dimension filter, two joins, grouped
+    * revenue. Customer side is filtered then broadcast.
+    */
+  private def shippingPriority(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(discounted), 2).cast("double").as("revenue"))
+      .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+  }
+
+  /** TPC-H Q5 shape: star join region→nation→customer→orders→lineitem
+    * with the small dimension chain broadcast end-to-end.
+    */
+  private def regionRevenue(s: SparkSession, d: String): DataFrame = {
+    val dims = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+    val ord = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(dims), ord("o_custkey") === dims("c_custkey"))
+      .groupBy("r_name")
+      .agg(round(sum(discounted), 2).cast("double").as("revenue"))
+  }
+
+  /** Set ops — EXCEPT: users who clicked but never purchased. */
+  private def exceptUsers(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    ev.filter(col("event_type") === "click").select("user_id").distinct()
+      .except(ev.filter(col("event_type") === "purchase").select("user_id").distinct())
+  }
+
+  /** Set ops — INTERSECT: users who both signed up and purchased. */
+  private def intersectUsers(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    ev.filter(col("event_type") === "signup").select("user_id").distinct()
+      .intersect(ev.filter(col("event_type") === "purchase").select("user_id").distinct())
+  }
+
+  /** Window frame: per-user running sum in event-time order. */
+  private def runningSum(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d).select(
+      col("event_id"), col("user_id"),
+      sum(dec(col("value"))).over(w).cast("double").as("running_value"))
+  }
+
+  /** Window analytic: lag delta per (user, type). */
+  private def lagDelta(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      round(col("value") - lag("value", 1).over(w), 2).as("delta"))
+  }
+
+  /** Anti join: customers with no events (dimension rows without
+    * facts — the orphan-key semantics of SURVEY §6).
+    */
+  private def antiJoin(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    val ev = Tables.events(s, d).select(col("user_id"))
+    cust.join(ev, cust("c_custkey") === ev("user_id"), "left_anti")
+      .select("c_custkey", "c_name")
+  }
+
+  /** Semi join: customers with at least one event. */
+  private def semiJoin(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    val ev = Tables.events(s, d).select(col("user_id"))
+    cust.join(ev, cust("c_custkey") === ev("user_id"), "left_semi")
+      .select("c_custkey", "c_name")
+  }
+
+  /** DISTINCT — partial/final hash aggregate, no sort. */
+  private def distinctTypes(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select("event_type").distinct()
+
+  private val latestSql =
+    """SELECT user_id, event_type, event_id, ts, value FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) t WHERE rn = 1""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_bar_avg", barAvg, Some(
+      """SELECT event_type,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 2) AS avg_value
+        |FROM events GROUP BY event_type""".stripMargin),
+      headline = true),
+    QueryDef("q_max_ts", maxTs, Some(
+      "SELECT max(ts) AS max_ts FROM events")),
+    QueryDef("q_latest_per_group", latestPerGroup, Some(latestSql), headline = true),
+    QueryDef("q_first_per_group", firstPerGroup, Some(
+      """SELECT user_id, event_id, event_type, ts FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events) t WHERE rn = 1""".stripMargin)),
+    QueryDef("q_string_agg", stringAgg, Some(
+      """SELECT user_id,
+        |  string_agg(event_type || ': ' || CAST(value AS VARCHAR), '<br>'
+        |             ORDER BY event_type || ': ' || CAST(value AS VARCHAR)) AS infos
+        |FROM events GROUP BY user_id""".stripMargin)),
+    QueryDef("q_flagship_profile", flagshipProfile, Some(
+      """WITH latest AS (
+        |  SELECT user_id, event_type, value FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events) t WHERE rn = 1)
+        |SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+        |  string_agg(
+        |    CASE WHEN l.value IS NOT NULL
+        |         THEN l.event_type || ': ' || CAST(l.value AS VARCHAR) ELSE '' END,
+        |    '<br>' ORDER BY
+        |    CASE WHEN l.value IS NOT NULL
+        |         THEN l.event_type || ': ' || CAST(l.value AS VARCHAR) ELSE '' END
+        |  ) AS events_info
+        |FROM customer c LEFT JOIN latest l ON c.c_custkey = l.user_id
+        |GROUP BY c.c_custkey, c.c_name, c.c_mktsegment""".stripMargin),
+      headline = true),
+    QueryDef("q_retention_window", retention, Some(
+      """SELECT event_id, user_id, event_type, value, ts FROM events
+        |WHERE ts > (SELECT max(ts) FROM events) - INTERVAL 7 DAY""".stripMargin)),
+    QueryDef("q_watermark_gate", watermark, Some(
+      "SELECT event_id, ts FROM events WHERE ts > TIMESTAMP '2024-01-20 00:00:00'")),
+    QueryDef("q_conditional_projection", conditionalProjection, Some(
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderstatus = 'O'
+        |       THEN o_orderstatus || '/' || o_orderpriority
+        |       ELSE o_orderstatus END AS status_info
+        |FROM orders""".stripMargin)),
+    QueryDef("q_zero_filter", zeroFilter, Some(
+      """SELECT l_orderkey, l_linenumber, l_discount,
+        |  CAST(l_quantity AS INTEGER) AS qty_int
+        |FROM lineitem WHERE l_discount <> 0""".stripMargin)),
+    QueryDef("q_ts_roundtrip", tsRoundtrip, Some(
+      """SELECT event_id,
+        |  strftime(ts, '%d/%m/%Y %H:%M:%S') AS ts_str,
+        |  strptime(strftime(ts, '%d/%m/%Y %H:%M:%S'), '%d/%m/%Y %H:%M:%S') AS ts_trunc
+        |FROM events""".stripMargin)),
+    QueryDef("q_top_orders", topOrders, Some(
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10")),
+    QueryDef("q1_pricing_summary", pricingSummary, Some(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS sum_disc_price,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) * CAST(1 + l_tax AS DECIMAL(4,2))), 2) AS DOUBLE) AS sum_charge,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_price,
+        |  round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_disc,
+        |  CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin),
+      headline = true),
+    QueryDef("q3_shipping_priority", shippingPriority, Some(
+      """SELECT l_orderkey,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority""".stripMargin),
+      headline = true),
+    QueryDef("q5_region_revenue", regionRevenue, Some(
+      """SELECT r_name,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue
+        |FROM region, nation, customer, orders, lineitem
+        |WHERE r_regionkey = n_regionkey AND n_nationkey = c_nationkey
+        |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |GROUP BY r_name""".stripMargin),
+      headline = true),
+    QueryDef("q_except_users", exceptUsers, Some(
+      """SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        |EXCEPT
+        |SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'""".stripMargin)),
+    QueryDef("q_intersect_users", intersectUsers, Some(
+      """SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+        |INTERSECT
+        |SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'""".stripMargin)),
+    QueryDef("q_running_sum", runningSum, Some(
+      """SELECT event_id, user_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+        |FROM events""".stripMargin),
+      headline = true),
+    QueryDef("q_lag_delta", lagDelta, Some(
+      """SELECT event_id, user_id, event_type,
+        |  round(value - lag(value, 1) OVER (
+        |    PARTITION BY user_id, event_type ORDER BY ts, event_id), 2) AS delta
+        |FROM events""".stripMargin)),
+    QueryDef("q_anti_join", antiJoin, Some(
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)""".stripMargin)),
+    QueryDef("q_semi_join", semiJoin, Some(
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)""".stripMargin)),
+    QueryDef("q_distinct_types", distinctTypes, Some(
+      "SELECT DISTINCT event_type FROM events")))
+}

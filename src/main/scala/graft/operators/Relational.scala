@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Generic relational/stream-shaped operators, re-expressed Spark-first.
+  *
+  * Each mirrors an operator of the reference pipeline (SURVEY.md §2):
+  * the reference computes these record-at-a-time in pandas
+  * (`DataAnalysis.py`, `DataCleaning.py`); here they are declarative
+  * `DataFrame` transformations so Catalyst plans distributed execution
+  * (partial/final aggregation, broadcast joins, pushdown) for free.
+  *
+  * Scale notes are attached per operator — the design point is a
+  * 1000-executor cluster over ~100 TB, not local mode.
+  */
+object Relational {
+
+  /** Latest row per group — SURVEY §2 A3, the core query of the
+    * reference (`DataAnalysis.py:108-109`: sort + groupby().last()).
+    *
+    * Implemented as `max_by(struct(payload), struct(orderCols))`
+    * rather than `row_number() === 1`: a single hash aggregation with
+    * a map-side partial (one shuffle of *pre-aggregated* groups),
+    * instead of a full-width shuffle + per-partition sort that the
+    * window form costs. At 100 TB the partial aggregation collapses
+    * each map partition to ≤|groups| rows before the exchange.
+    *
+    * Ties on `orderCols` must be broken deterministically by the
+    * caller (append a unique tiebreak column, e.g. an event id) —
+    * pandas `.last()` breaks ties by input order, which has no
+    * distributed equivalent (SURVEY §7 hard part 2).
+    */
+  def latestPerGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCols: Seq[String],
+      payloadCols: Seq[String]): DataFrame = {
+    val ord = struct(orderCols.map(col): _*)
+    val payload = struct(payloadCols.map(col): _*)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(max_by(payload, ord).as("__latest"))
+      .select(groupCols.map(col) ++ payloadCols.map(c => col(s"__latest.$c")): _*)
+  }
+
+  /** First row per group — SURVEY §2 St2 batch form (keyed first-wins
+    * dedup, `main.py:72-76`). Same single-shuffle `min_by` shape as
+    * [[latestPerGroup]].
+    */
+  def firstPerGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCols: Seq[String],
+      payloadCols: Seq[String]): DataFrame = {
+    val ord = struct(orderCols.map(col): _*)
+    val payload = struct(payloadCols.map(col): _*)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(min_by(payload, ord).as("__first"))
+      .select(groupCols.map(col) ++ payloadCols.map(c => col(s"__first.$c")): _*)
+  }
+
+  /** Data-driven retention window — SURVEY §2 St3
+    * (`DataCleaning.py:15-39`): keep rows whose event time is within
+    * `days` of the max *observed* event time (anchored at data, not
+    * wall clock).
+    *
+    * The scalar max is computed as a 1-row aggregate and broadcast
+    * (`crossJoin(broadcast(...))`), so the filter itself stays inside
+    * the scan stage — no shuffle of the fact table, and Catalyst
+    * keeps column pruning intact. Two passes over the input are
+    * inherent to the semantics (whole-input agg feeds a filter).
+    */
+  def retentionFilter(df: DataFrame, tsCol: String, days: Int): DataFrame = {
+    val anchor = df.agg(max(col(tsCol)).as("__max_ts"))
+    df.crossJoin(broadcast(anchor))
+      .filter(col(tsCol) > col("__max_ts") - expr(s"INTERVAL $days DAYS"))
+      .drop("__max_ts")
+  }
+
+  /** High-water-mark gate, batch form — SURVEY §2 St1
+    * (`main.py:45-51`): emit only rows *strictly newer* than the
+    * watermark; ties at the watermark are dropped (the reference's
+    * `>` semantics, pinned by tests).
+    */
+  def watermarkGate(df: DataFrame, tsCol: String, watermark: Column): DataFrame =
+    df.filter(col(tsCol) > watermark)
+
+  /** Grouped ordered string aggregation — SURVEY §2 A4
+    * (`DataAnalysis.py:122-123`: groupby + "<br>".join). pandas
+    * preserves encounter order, which is partition-dependent in a
+    * distributed engine, so the spec here is: sort the collected
+    * values lexicographically (`sort_array`) before joining —
+    * deterministic under any partitioning (SURVEY §7 hard part 3).
+    */
+  def groupedStringAgg(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: Column,
+      sep: String,
+      as: String): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(concat_ws(sep, sort_array(collect_list(valueCol))).as(as))
+
+  /** Deterministic global top-k. Spark plans `orderBy.limit(k)` as
+    * TakeOrderedAndProject: per-partition heaps of size k, then a
+    * k-row merge on the driver — no global sort, no full shuffle.
+    * `orderCols` must be a total order (include a unique key) for
+    * determinism.
+    */
+  def topK(df: DataFrame, k: Int, orderCols: Column*): DataFrame =
+    df.orderBy(orderCols: _*).limit(k)
+}
