@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+import graft.functions.Det
 import graft.operators.Relational
 
 /** The relational query surface mapped onto the testdata corpus.
@@ -27,9 +28,13 @@ object RelationalQueries {
     */
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
 
-  /** Exact decimal mean rounded to `scale`: sum exactly, divide once. */
+  /** Exact decimal mean rounded to `scale`: sum exactly, divide once,
+    * then [[Det.round]] (Spark `round(double)` rounds the shortest
+    * decimal repr; DuckDB rounds the value — they diverge at .xx5
+    * boundaries).
+    */
   private def decAvg(c: Column, scale: Int): Column =
-    round(sum(dec(c)).cast("double") / count(lit(1)), scale)
+    Det.round(sum(dec(c)).cast("double") / count(lit(1)), scale)
 
   /** SURVEY §2 A1 (`DataAnalysis.py:70-82`): running mean per group
     * over the whole stream history, rounded to 2 dp. Partial/final
@@ -219,7 +224,7 @@ object RelationalQueries {
       .orderBy(col("ts"), col("event_id"))
     Tables.events(s, d).select(
       col("event_id"), col("user_id"), col("event_type"),
-      round(col("value") - lag("value", 1).over(w), 2).as("delta"))
+      Det.round(col("value") - lag("value", 1).over(w), 2).as("delta"))
   }
 
   /** Anti join: customers with no events (dimension rows without
@@ -253,7 +258,7 @@ object RelationalQueries {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_bar_avg", barAvg, Some(
       """SELECT event_type,
-        |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 2) AS avg_value
+        |  floor(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) * 100.0 + 0.5) / 100.0 AS avg_value
         |FROM events GROUP BY event_type""".stripMargin),
       headline = true),
     QueryDef("q_max_ts", maxTs, Some(
@@ -314,9 +319,9 @@ object RelationalQueries {
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
         |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS sum_disc_price,
         |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) * CAST(1 + l_tax AS DECIMAL(4,2))), 2) AS DOUBLE) AS sum_charge,
-        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
-        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_price,
-        |  round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_disc,
+        |  floor(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
+        |  floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) * 10000.0 + 0.5) / 10000.0 AS avg_price,
+        |  floor(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
         |  CAST(count(*) AS BIGINT) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin),
@@ -357,8 +362,8 @@ object RelationalQueries {
       headline = true),
     QueryDef("q_lag_delta", lagDelta, Some(
       """SELECT event_id, user_id, event_type,
-        |  round(value - lag(value, 1) OVER (
-        |    PARTITION BY user_id, event_type ORDER BY ts, event_id), 2) AS delta
+        |  floor((value - lag(value, 1) OVER (
+        |    PARTITION BY user_id, event_type ORDER BY ts, event_id)) * 100.0 + 0.5) / 100.0 AS delta
         |FROM events""".stripMargin)),
     QueryDef("q_anti_join", antiJoin, Some(
       """SELECT c_custkey, c_name FROM customer c

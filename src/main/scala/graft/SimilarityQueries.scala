@@ -1,8 +1,58 @@
 package graft
 
-/** Similarity-search query surface over `embeddings` — filled in
-  * alongside `graft.operators.Similarity`.
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Similarity-search query surface over `embeddings` (64-dim
+  * `array<float>`): brute-force cosine top-k baseline plus
+  * LSH-blocked near-duplicate pairs. Cosines are computed in double
+  * with a sequential fold and rounded to 6 dp before any ranking or
+  * thresholding, so results are bit-stable across engines and
+  * partitionings (the DuckDB oracle mirrors the same element order).
   */
 object SimilarityQueries {
-  def defs: Seq[QueryDef] = Seq.empty
+
+  private def knn(s: SparkSession, d: String): DataFrame = {
+    val em = Tables.embeddings(s, d)
+    Similarity.bruteForceKnn(
+      queries = em.filter(col("vec_id") < 10),
+      corpus = em,
+      queryId = "vec_id", corpusId = "vec_id",
+      queryVec = "embedding", corpusVec = "embedding",
+      k = 5)
+  }
+
+  private def embedNeardup(s: SparkSession, d: String): DataFrame =
+    Similarity.cosineNearDupPairs(
+      Tables.embeddings(s, d), "vec_id", "embedding",
+      blockCol = col("label"), threshold = 0.3)
+
+  /** DuckDB double-precision cosine with the same sequential
+    * summation order as [[Similarity.cosine]]'s fold.
+    */
+  private def duckCos(a: String, b: String) =
+    s"""(list_sum([$a[i]::DOUBLE * $b[i]::DOUBLE for i in range(1, len($a) + 1)])
+       | / (sqrt(list_sum([$a[i]::DOUBLE * $a[i]::DOUBLE for i in range(1, len($a) + 1)]))
+       |  * sqrt(list_sum([$b[i]::DOUBLE * $b[i]::DOUBLE for i in range(1, len($b) + 1)]))))""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_knn_cosine", knn, Some(
+      s"""WITH scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    floor((${duckCos("q.embedding", "c.embedding")}) * 1000000.0 + 0.5) / 1000000.0 AS sim
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+         |SELECT query_id, neighbor_id, sim, rank FROM (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 5""".stripMargin),
+      headline = true),
+    QueryDef("q_embed_neardup", embedNeardup, Some(
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  floor((${duckCos("a.embedding", "b.embedding")}) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE floor((${duckCos("a.embedding", "b.embedding")}) * 1000000.0 + 0.5) / 1000000.0 >= 0.3""".stripMargin)))
 }

@@ -1,8 +1,163 @@
 package graft
 
-/** Text-analysis / dedup query surface over `documents` — filled in
-  * alongside `graft.operators.{TextAnalysis, Dedup}`.
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, TextAnalysis}
+
+/** Text-analysis / dedup / multimodal query surface over `documents`
+  * — the training-data-pipeline operators (builder prompt; SURVEY §7
+  * "beyond-reference capability extensions").
+  *
+  * DuckDB oracles replicate every deterministic computation exactly
+  * (same token split, same integer counts, same double expression
+  * order). xxhash64-based signatures (minhash/simhash/fingerprint)
+  * have no DuckDB twin — those get rows-only driver checks plus
+  * property specs in ScalaTest cross-validating against exact
+  * Jaccard.
   */
 object TextQueries {
-  def defs: Seq[QueryDef] = Seq.empty
+
+  /** DuckDB fragment for whitespace tokens of `e`, empties removed —
+    * must stay in lockstep with [[TextAnalysis.tokens]].
+    */
+  private def duckToks(e: String) =
+    s"list_filter(regexp_split_to_array(trim($e), '\\s+'), x -> len(x) > 0)"
+
+  private def exactDedup(s: SparkSession, d: String): DataFrame =
+    Dedup.exact(Tables.documents(s, d), "doc_id", "text")
+
+  private def textStats(s: SparkSession, d: String): DataFrame = {
+    val t = col("text")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextAnalysis.charCount(t).as("n_chars_calc"),
+      TextAnalysis.tokenCount(t).as("n_tokens"),
+      TextAnalysis.bpeTokenCount(t).as("n_bpe_tokens"),
+      TextAnalysis.avgTokenLen(t).as("avg_token_len"),
+      TextAnalysis.punctRatio(t).as("punct_ratio"),
+      TextAnalysis.stopwordRatio(t).as("stopword_ratio"))
+  }
+
+  private def qualityScore(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+
+  private def langIdQ(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextAnalysis.langId(col("text")).as("lang_pred"))
+
+  private def fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fp"))
+
+  private def minhashNeardup(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text",
+      k = 3, n = 64, bands = 16, threshold = 0.5)
+
+  private def simhashNeardup(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashCandidates(Tables.documents(s, d), "doc_id", "text",
+      maxHamming = 3)
+
+  private def ngramJaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+      block = lit(1), k = 3, threshold = 0.5)
+
+  private def multimodalMeta(s: SparkSession, d: String): DataFrame = {
+    val bin = col("text").cast("binary")
+    val meta = Multimodal.decodeImageMeta(bin)
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      meta.getField("n_bytes").as("n_bytes"),
+      meta.getField("width").as("width"),
+      meta.getField("height").as("height"))
+  }
+
+  private val statsSql = {
+    val toks = duckToks("text")
+    s"""SELECT doc_id,
+       |  length(text) AS n_chars_calc,
+       |  len($toks) AS n_tokens,
+       |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+       |  floor(CAST(list_sum(list_transform($toks, t -> len(t))) AS DOUBLE)
+       |        / greatest(len($toks), 1) * 10000.0 + 0.5) / 10000.0 AS avg_token_len,
+       |  floor(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+       |        / greatest(length(text), 1) * 10000.0 + 0.5) / 10000.0 AS punct_ratio,
+       |  floor(CAST(len(list_filter($toks,
+       |          t -> list_contains(['the','a','an','and','of','to','in','is','it','for'], t))) AS DOUBLE)
+       |        / greatest(len($toks), 1) * 10000.0 + 0.5) / 10000.0 AS stopword_ratio
+       |FROM documents""".stripMargin
+  }
+
+  private val qualitySql = {
+    val toks = duckToks("text")
+    s"""SELECT doc_id,
+       |  floor((0.3 * least(CAST(len($toks) AS DOUBLE) / 100.0, 1.0)
+       |      + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+       |                     / greatest(length(text), 1))
+       |      + 0.4 * least((CAST(list_sum(list_transform($toks, t -> len(t))) AS DOUBLE)
+       |                     / greatest(len($toks), 1)) / 8.0, 1.0)) * 10000.0 + 0.5) / 10000.0 AS quality
+       |FROM documents""".stripMargin
+  }
+
+  private val langIdSql = {
+    val toks = duckToks("lower(text)")
+    def score(markers: Seq[String]) =
+      s"len(list_filter($toks, t -> list_contains([${markers.map("'" + _ + "'").mkString(",")}], t)))"
+    val Seq(en, de, es, fr) = TextAnalysis.langMarkers.map(m => score(m._2))
+    s"""SELECT doc_id,
+       |  CASE WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) > 0 THEN 'zh'
+       |       WHEN $en >= $de AND $en >= $es AND $en >= $fr AND $en > 0 THEN 'en'
+       |       WHEN $de >= $es AND $de >= $fr AND $de > 0 THEN 'de'
+       |       WHEN $es >= $fr AND $es > 0 THEN 'es'
+       |       WHEN $fr > 0 THEN 'fr'
+       |       ELSE 'und' END AS lang_pred
+       |FROM documents""".stripMargin
+  }
+
+  private val ngramJaccardSql = {
+    val toks = duckToks("text")
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len($toks) < 3 THEN [array_to_string($toks, ' ')]
+       |         ELSE list_distinct(list_transform(range(len($toks) - 2),
+       |                i -> $toks[i+1] || ' ' || $toks[i+2] || ' ' || $toks[i+3]))
+       |    END AS grams
+       |  FROM documents),
+       |toks AS (SELECT doc_id, unnest(grams) AS tok FROM sh),
+       |sizes AS (SELECT doc_id, len(grams) AS n FROM sh),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_inter
+       |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, jaccard FROM (
+       |  SELECT id_a, id_b,
+       |    floor(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) * 10000.0 + 0.5) / 10000.0 AS jaccard
+       |  FROM inter
+       |  JOIN sizes sa ON id_a = sa.doc_id
+       |  JOIN sizes sb ON id_b = sb.doc_id) t
+       |WHERE jaccard >= 0.5""".stripMargin
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_doc_exact_dedup", exactDedup, Some(
+      """SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_copies,
+        |  min(doc_id) AS canonical_id
+        |FROM documents GROUP BY md5(text)""".stripMargin)),
+    QueryDef("q_text_stats", textStats, Some(statsSql), headline = true),
+    QueryDef("q_quality_score", qualityScore, Some(qualitySql)),
+    QueryDef("q_lang_id", langIdQ, Some(langIdSql)),
+    QueryDef("q_doc_fingerprint", fingerprint, None),
+    QueryDef("q_minhash_neardup", minhashNeardup, None, headline = true),
+    QueryDef("q_simhash_neardup", simhashNeardup, None),
+    QueryDef("q_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
+    QueryDef("q_multimodal_meta", multimodalMeta, Some(
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
+        |  CAST((octet_length(encode(text)) * 7) % 480 + 1 AS BIGINT) AS height
+        |FROM documents""".stripMargin)))
 }

@@ -1,0 +1,205 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Det
+
+/** Deduplication operators for training-data pipelines, from exact to
+  * approximate. The scale discipline throughout: never compare all
+  * pairs — hash/bucket first so candidate generation is an equi-join
+  * Catalyst can shuffle-partition (or broadcast), then verify only
+  * candidates.
+  *
+  *  - exact: hash group-by — one shuffle of (hash, id), map-side
+  *    partial aggregation.
+  *  - MinHash + LSH: shingle → signature → band buckets → equi-join.
+  *  - SimHash: 64-bit near-dup signature, bucket by band.
+  *  - n-gram Jaccard: exact verification on candidate pairs.
+  *  - embedding cosine: see [[Similarity]].
+  */
+object Dedup {
+
+  /** Token shingles of size `k` (contiguous token windows) — the
+    * standard near-dup unit. Pure per-row array ops, codegen'd.
+    */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    when(size(toks) < k, array(concat_ws(" ", toks)))
+      .otherwise(
+        array_distinct(
+          transform(
+            sequence(lit(0), size(toks) - k),
+            i => concat_ws(" ", slice(toks, i + lit(1), lit(k))))))
+  }
+
+  /** Exact dedup: group identical content by md5. Returns one row per
+    * distinct content with the group size and the kept (minimum) id.
+    * At 100 TB this shuffles only `(16-byte hash, id)` pairs, never
+    * the documents themselves.
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(
+        count(lit(1)).as("n_copies"),
+        min(col(idCol)).as("canonical_id"))
+
+  /** MinHash signature: `n` permutations `(a_i·h + b_i) mod p` over
+    * (xxhash64 mod p) shingle hashes, min per permutation, with
+    * p = 2^31-1 so products stay inside a 64-bit long under ANSI
+    * arithmetic. Deterministic constants from a splitmix-style
+    * recurrence (no RNG at plan time). Per-row cost O(n·|shingles|),
+    * no shuffle.
+    */
+  def minhashSignature(text: Column, k: Int, n: Int): Column = {
+    val p = lit(2147483647L) // 2^31 - 1 (Mersenne; keeps a·h+b < 2^62 under ANSI)
+    val hashes = transform(shingles(text, k), s => pmod(xxhash64(s), p))
+    val coefs = minhashCoefs(n)
+    array(coefs.map { case (a, b) =>
+      array_min(transform(hashes, h => pmod(h * lit(a) + lit(b), p)))
+    }: _*)
+  }
+
+  /** Deterministic odd multipliers/offsets < 2^61-1 (splitmix64 on a
+    * fixed seed, reduced mod p; `a` forced odd so it's invertible).
+    */
+  private[graft] def minhashCoefs(n: Int): Seq[(Long, Long)] = {
+    val p = 2147483647L
+    var x = 0x9E3779B97F4A7C15L
+    def next(): Long = {
+      x += 0x9E3779B97F4A7C15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      java.lang.Math.floorMod(z, p)
+    }
+    Seq.fill(n)((next() | 1L, next()))
+  }
+
+  /** LSH band keys from a minhash signature: `bands` hashes, each
+    * over `rows = n/bands` consecutive signature entries. Docs
+    * sharing any band key are near-dup candidates.
+    */
+  def lshBands(sig: Column, bands: Int, rows: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => struct(
+        b.as("band"),
+        xxhash64(concat_ws(",",
+          transform(slice(sig, b * lit(rows) + 1, lit(rows)), c => c.cast("string")))).as("bucket")))
+
+  /** Candidate near-dup pairs via MinHash LSH, verified with the
+    * signature-estimated Jaccard. The explode produces `bands` rows
+    * per doc of only `(band, bucket, id, signature)` — the join that
+    * follows is an equi-join on (band, bucket), so Catalyst
+    * hash-partitions buckets across the cluster; no cross product
+    * ever materializes. `estJaccard` = fraction of agreeing minhashes.
+    */
+  def minhashCandidates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      n: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    val rows = n / bands
+    val sigs = docs.select(
+        col(idCol).as("doc_id"),
+        minhashSignature(col(textCol), k, n).as("sig"))
+      .withColumn("band", explode(lshBands(col("sig"), bands, rows)))
+      .select(col("doc_id"), col("sig"), col("band.band"), col("band.bucket"))
+    val a = sigs.as("a")
+    val b = sigs.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        round(
+          size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y), x => x))
+            .cast("double") / n, 4).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** SimHash-64: per token, xxhash64 votes ±1 on each of 64 bits;
+    * sign of the vote sum sets the bit. Near-dups differ in few bits
+    * (Hamming distance). Composed from higher-order functions — the
+    * 64-lane vote is a per-row loop the codegen unrolls; no shuffle.
+    */
+  def simhash64(text: Column): Column = {
+    val hashes = transform(TextAnalysis.tokens(text), t => xxhash64(t))
+    val votes = transform(
+      sequence(lit(0), lit(63)),
+      bit => size(filter(hashes, h => call_function("shiftright", h, bit).bitwiseAND(1) === 1)) * 2
+        - size(hashes))
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)), (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L),
+      (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup candidate pairs: block on 4×16-bit bands (any
+    * shared band → candidate; a pair within Hamming distance ≤ 3 of
+    * 64 bits must agree on ≥1 of 4 bands), verify by Hamming
+    * distance. Same equi-join discipline as MinHash LSH.
+    */
+  def simhashCandidates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = docs.select(col(idCol).as("doc_id"), simhash64(col(textCol)).as("sig"))
+    val banded = sigs.withColumn("band", explode(sequence(lit(0), lit(3))))
+      .withColumn("bucket", call_function("shiftright", col("sig"), col("band") * 16).bitwiseAND(0xFFFFL))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        hamming64(col("a.sig"), col("b.sig")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard similarity for candidate pairs already
+    * restricted by a blocking key — the verification stage after LSH
+    * (or any cheap blocker). Shuffles exploded (shingle, id) pairs;
+    * the join is an equi-join on the blocking key + shingle.
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      block: Column,
+      k: Int,
+      threshold: Double): DataFrame = {
+    val sh = docs.select(
+      block.as("block"),
+      col(idCol).as("doc_id"),
+      shingles(col(textCol), k).as("sh"))
+    val sizes = sh.select(col("block"), col("doc_id"), size(col("sh")).as("n"))
+    val toks = sh.select(col("block"), col("doc_id"), explode(col("sh")).as("tok"))
+    val inter = toks.as("a")
+      .join(toks.as("b"),
+        col("a.block") === col("b.block") &&
+        col("a.tok") === col("b.tok") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        Det.round(col("n_inter").cast("double") /
+          (col("sa.n") + col("sb.n") - col("n_inter")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Det
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — broadcast the (small) query
+  * set against the corpus, so the corpus never shuffles for the
+  * scoring pass. Scale path: LSH / IVF bucketing so only a fraction
+  * of the corpus is scored per query.
+  */
+object Similarity {
+
+  /** Cosine similarity of two equal-length vectors, computed in
+    * double with a single left-to-right fold — sequential order makes
+    * the result bit-reproducible across engines and partitionings.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dbl(c: Column): Column = transform(c, x => x.cast("double"))
+    val da = dbl(a)
+    val db = dbl(b)
+    val dot = aggregate(zip_with(da, db, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val na = aggregate(transform(da, x => x * x), lit(0.0), (acc, x) => acc + x)
+    val nb = aggregate(transform(db, x => x * x), lit(0.0), (acc, x) => acc + x)
+    dot / (sqrt(na) * sqrt(nb))
+  }
+
+  /** Brute-force cosine top-k: for each query vector, the `k` nearest
+    * corpus vectors. The query side is broadcast (it must be small —
+    * that is the contract of brute force); scoring happens inside the
+    * corpus scan stage. Ranking uses rounded similarity (6 dp) with
+    * id tiebreak so results are engine- and partitioning-stable.
+    *
+    * The per-query top-k is a window `row_number`; the shuffle it
+    * costs carries only (query_id, corpus_id, sim) triples, never
+    * vectors.
+    */
+  def bruteForceKnn(
+      queries: DataFrame,
+      corpus: DataFrame,
+      queryId: String,
+      corpusId: String,
+      queryVec: String,
+      corpusVec: String,
+      k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
+    val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"))
+    val joined = c.crossJoin(broadcast(q))
+    val scored = (if (excludeSelf) joined.filter(col("query_id") =!= col("neighbor_id")) else joined)
+      .select(col("query_id"), col("neighbor_id"),
+        Det.round(cosine(col("__qv"), col("__cv")), 6).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Random-hyperplane LSH bucket for a vector: `nBits` sign bits of
+    * dot products with deterministic pseudo-random hyperplanes
+    * (splitmix64-derived ±1 components — cheap, no stored planes).
+    * Vectors in the same bucket are near-duplicate candidates.
+    */
+  def rhpBucket(vec: Column, dim: Int, nBits: Int): Column = {
+    val planes = rhpPlanes(dim, nBits)
+    val bits = planes.zipWithIndex.map { case (plane, i) =>
+      val comps = array(plane.map(s => lit(s.toDouble)): _*)
+      val dot = aggregate(
+        zip_with(vec, comps, (x, c) => x.cast("double") * c),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Deterministic ±1 hyperplane components (splitmix64, fixed seed). */
+  private[graft] def rhpPlanes(dim: Int, nBits: Int): Seq[Seq[Int]] = {
+    var x = 0x243F6A8885A308D3L
+    def next(): Long = {
+      x += 0x9E3779B97F4A7C15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    Seq.fill(nBits)(Seq.fill(dim)(if (next() >= 0) 1 else -1))
+  }
+
+  /** Embedding near-duplicate pairs: LSH-bucket (or any blocking
+    * column) then exact cosine ≥ threshold within buckets — the
+    * equi-join-on-bucket discipline again: no global cross product.
+    */
+  def cosineNearDupPairs(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      blockCol: Column,
+      threshold: Double): DataFrame = {
+    val v = vecs.select(col(idCol).as("vec_id"), col(vecCol).as("v"), blockCol.as("block"))
+    v.as("a").join(v.as("b"),
+        col("a.block") === col("b.block") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        Det.round(cosine(col("a.v"), col("b.v")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+}

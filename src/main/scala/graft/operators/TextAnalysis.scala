@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.functions.Det
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * tokenization, quality scoring, language ID, token counting.
+  *
+  * All are composed from codegen'd built-ins (`split`, higher-order
+  * array functions, `regexp_extract_all`) — no UDFs — so they stay
+  * inside whole-stage codegen and scale linearly with input bytes:
+  * per-row work only, no shuffle, fully pushdown-compatible.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, empties removed (leading/trailing/multiple
+    * whitespace would otherwise produce "" entries from `split`).
+    */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: alpha runs, digit runs, and single
+    * non-alphanumeric glyphs each count as one token — the usual
+    * cheap proxy for LLM token budgets when no tokenizer is at hand.
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  def charCount(text: Column): Column = length(text)
+
+  /** Ratio of punctuation/symbol chars to total chars, 4 dp. */
+  def punctRatio(text: Column): Column =
+    Det.round(
+      size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double") /
+        greatest(length(text), lit(1)), 4)
+
+  /** Mean token length in chars, 4 dp (integer sums, one division —
+    * deterministic across engines).
+    */
+  def avgTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    Det.round(
+      aggregate(transform(toks, t => length(t)), lit(0), (acc, x) => acc + x)
+        .cast("double") / greatest(size(toks), lit(1)), 4)
+  }
+
+  /** Fraction of tokens that are common-English stopwords, 4 dp. */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = englishStopwords): Column = {
+    val toks = tokens(text)
+    val sw = array(stopwords.map(lit): _*)
+    Det.round(
+      size(filter(toks, t => array_contains(sw, t))).cast("double") /
+        greatest(size(toks), lit(1)), 4)
+  }
+
+  val englishStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "for")
+
+  /** Heuristic document quality score in [0,1], 4 dp: length target,
+    * low punctuation, plausible mean token length. Weights are fixed
+    * spec, not tuned — the point is the deterministic, engine-portable
+    * shape (every term derives from exact integer counts).
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val lenTerm = least(nTok / lit(100.0), lit(1.0))
+    val punctTerm = lit(1.0) -
+      size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double") /
+        greatest(length(text), lit(1))
+    val awl = aggregate(transform(toks, t => length(t)), lit(0), (acc, x) => acc + x)
+      .cast("double") / greatest(size(toks), lit(1))
+    val awlTerm = least(awl / lit(8.0), lit(1.0))
+    Det.round(lit(0.3) * lenTerm + lit(0.3) * punctTerm + lit(0.4) * awlTerm, 4)
+  }
+
+  /** Marker tokens per language for [[langId]]. CJK is handled by
+    * codepoint class, not markers.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "in", "to", "that", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "es" -> Seq("el", "la", "los", "las", "es", "y", "que", "una"),
+    "fr" -> Seq("le", "les", "des", "est", "et", "dans", "une", "pour"))
+
+  /** N-gram/stopword-marker language ID. Scores each candidate by
+    * marker-token hits; CJK text short-circuits to "zh" on codepoint
+    * presence; ties resolve in fixed `langMarkers` order, unknown
+    * when nothing scores. Deterministic and SQL-expressible, so the
+    * DuckDB oracle can replicate it exactly.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    def score(markers: Seq[String]): Column =
+      size(filter(toks, t => array_contains(array(markers.map(lit): _*), t)))
+    val scores = langMarkers.map { case (lang, m) => lang -> score(m) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scores.foldRight(lit("und")) { case ((lang, s), rest) =>
+      when(s === best && best > 0, lit(lang)).otherwise(rest)
+    }
+    when(size(regexp_extract_all(text, lit("[\\u4e00-\\u9fff]"), lit(0))) > 0, lit("zh"))
+      .otherwise(pick)
+  }
+
+  /** Polynomial rolling-hash fingerprint over whitespace tokens —
+    * content-defined, whitespace-normalization-invariant:
+    * `h = (h·31 + (xxhash64(token) mod p)) mod p` folded left in
+    * token order, p = 2^31-1 so every step fits a long under ANSI
+    * arithmetic (no silent wraparound). Distributed cost: per-row.
+    */
+  def fingerprint(text: Column): Column = {
+    val p = lit(2147483647L) // 2^31 - 1
+    aggregate(
+      tokens(text),
+      lit(0L),
+      (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), p), p))
+  }
+}
