@@ -1,0 +1,56 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Warehouse sinks and table lifecycle (SURVEY.md §2 S8–S10).
+  *
+  * The reference's warehouse is SQLite with per-message single-row
+  * inserts (`DataIngesting.py:48-64`); the engine's is partitioned
+  * parquet with batched appends — same contents, scale-sane writes.
+  * Surrogate `id` uses `monotonically_increasing_id()`: unique and
+  * ascending per partition but NOT densely sequential — the
+  * documented semantic difference from SQLite AUTOINCREMENT.
+  */
+object Warehouse {
+
+  /** S8 — DDL lifecycle: `DROP TABLE IF EXISTS` + `CREATE TABLE` ≡
+    * overwrite; the append path is the steady-state ingest.
+    */
+  def overwrite(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  def append(df: DataFrame, path: String): Unit =
+    df.write.mode("append").parquet(path)
+
+  /** Attach the surrogate id column (documented non-dense). */
+  def withSurrogateId(df: DataFrame): DataFrame =
+    df.withColumn("id", monotonically_increasing_id())
+
+  /** S10 — content-based router: the reference dispatches each
+    * message by key presence (`'code' in data`,
+    * `DataIngesting.py:55-64`). Set-oriented form: two filtered
+    * projections of one mixed frame — a single scan feeding two
+    * sinks, no per-record branching.
+    */
+  def route(mixed: DataFrame): (DataFrame, DataFrame) = {
+    val stations = mixed.filter(col("code").isNotNull)
+    val prices = mixed.filter(col("code").isNull && col("stationcode").isNotNull)
+    (stations, prices)
+  }
+
+  /** Streaming ingest: one `foreachBatch` writing both routed halves
+    * — two sinks, one source pass per micro-batch (S9's streaming
+    * form with real batching instead of row-at-a-time inserts).
+    */
+  def routedSink(stationsPath: String, pricesPath: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val (stations, prices) = route(batch)
+    append(stations.drop("stationcode", "fueltype", "price", "lastupdated"), stationsPath)
+    append(prices.drop("brandid", "stationid", "brand", "code", "name",
+      "address", "location_latitude", "location_longitude"), pricesPath)
+  }
+
+  def readTable(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Dedup-family semantics: exact grouping, MinHash estimate quality
+  * vs exact Jaccard, SimHash locality, candidate recall on planted
+  * near-duplicates.
+  */
+class DedupSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat sleeps on the warm mat near the door"
+
+  // base, a near-duplicate (one token changed), and two unrelated docs
+  private lazy val docs = Seq(
+    (1L, base),
+    (2L, base.replace("warm", "cold")),
+    (3L, "completely different content about spark query engines and distributed shuffles at scale"),
+    (4L, "yet another unrelated document mentioning embeddings vectors and cosine similarity search"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups identical content, keeps min id") {
+    val dup = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
+    val got = Dedup.exact(dup, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("n_copies"), r.getAs[Long]("canonical_id"))).toSet
+    assert(got === Set((2L, 1L), (1L, 3L)))
+  }
+
+  test("minhash candidates find the planted near-dup pair and nothing else") {
+    val got = Dedup.minhashCandidates(docs, "doc_id", "text", k = 3, n = 64,
+      bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L)))
+  }
+
+  test("minhash estimate tracks exact jaccard within 0.15 on the near-dup pair") {
+    val est = Dedup.minhashCandidates(docs, "doc_id", "text", threshold = 0.0)
+      .filter(col("id_a") === 1 && col("id_b") === 2)
+      .select("est_jaccard").collect().head.getDouble(0)
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", lit(1), k = 3, threshold = 0.0)
+      .filter(col("id_a") === 1 && col("id_b") === 2)
+      .select("jaccard").collect().head.getDouble(0)
+    assert(math.abs(est - exact) < 0.15, s"est=$est exact=$exact")
+  }
+
+  test("simhash: near-dups are close in Hamming space, unrelated docs are far") {
+    val sigs = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(2L)) <= 8, "near-dup pair should be close")
+    assert(ham(sigs(1L), sigs(3L)) > 8, "unrelated docs should be far")
+  }
+
+  test("ngram jaccard: identical docs = 1.0; disjoint docs filtered out") {
+    val two = Seq((1L, base), (2L, base), (3L, "zzz yyy xxx www vvv")).toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardPairs(two, "doc_id", "text", lit(1), k = 3, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got === Map((1L, 2L) -> 1.0))
+  }
+
+  test("corpus recall: minhash finds all 25 planted pairs that exact jaccard>=0.5 finds (sf0.001)") {
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+    val exact = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", lit(1), k = 3, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = Dedup.minhashCandidates(corpus, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert((exact -- mh).isEmpty, s"missed: ${(exact -- mh).take(5)}")
+  }
+
+  test("fingerprint is whitespace-normalization-invariant but content-sensitive") {
+    val df = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "  alpha   beta\tgamma "),
+      (3L, "alpha beta delta")).toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) === fps(2L))
+    assert(fps(1L) !== fps(3L))
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.fuel.{FuelCleaning, FuelModel}
+
+/** Unit coverage for the cleaning rules (SURVEY.md §2 P2–P8),
+  * including the intended semantics of the reference's two bugs
+  * (§2.10: zero-price drop; type errors take the drop path).
+  */
+class FuelCleaningSpec extends SparkSpecBase {
+
+  private def priceDf(rows: Seq[(String, String, String, String)])  = {
+    val data = rows.zipWithIndex.map { case ((sc, ft, p, ts), i) =>
+      Row(sc, ft, p, ts, i.toLong)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data), FuelModel.rawPriceSchema)
+  }
+
+  test("valid record passes with typed columns") {
+    val split = FuelCleaning.cleanPrices(priceDf(Seq(
+      ("972", "U91", "181.5", "05/10/2023 08:19:59"))))
+    val r = split.valid.collect().head
+    assert(r.getAs[String]("stationcode") === "972")
+    assert(r.getAs[Double]("price") === 181.5)
+    assert(r.getAs[java.sql.Timestamp]("lastupdated").toString === "2023-10-05 08:19:59.0")
+    assert(split.rejected.count() === 0)
+  }
+
+  test("missing / empty fields reject with reasons") {
+    val split = FuelCleaning.cleanPrices(priceDf(Seq(
+      (null, "U91", "181.5", "05/10/2023 08:19:59"),
+      ("972", "", "181.5", "05/10/2023 08:19:59"),
+      ("972", "U91", null, "05/10/2023 08:19:59"))))
+    assert(split.valid.count() === 0)
+    val reasons = split.rejected.select("_reject_reason").collect().map(_.getString(0)).toSet
+    assert(reasons === Set("missing stationcode", "missing fueltype", "missing price"))
+  }
+
+  test("zero price drops silently — NOT a dead letter (intended semantics of bug 1)") {
+    val split = FuelCleaning.cleanPrices(priceDf(Seq(
+      ("972", "U91", "0", "05/10/2023 08:19:59"),
+      ("972", "U91", "0.0", "05/10/2023 08:19:59"))))
+    assert(split.valid.count() === 0)
+    assert(split.rejected.count() === 0)
+  }
+
+  test("unparseable price / timestamp take the reject path (intended semantics of bug 2)") {
+    val split = FuelCleaning.cleanPrices(priceDf(Seq(
+      ("972", "U91", "not-a-number", "05/10/2023 08:19:59"),
+      ("972", "U91", "181.5", "2023-10-05 08:19:59"), // ISO, wrong format
+      ("972", "U91", "181.5", "32/13/2023 08:19:59")))) // impossible date
+    assert(split.valid.count() === 0)
+    val reasons = split.rejected.select("_reject_reason").collect().map(_.getString(0))
+    assert(reasons.count(_ == "invalid price") === 1)
+    assert(reasons.count(_ == "invalid lastupdated format") === 2)
+  }
+
+  test("day-first parsing: 05/10/2023 is October 5th, not May 10th") {
+    val split = FuelCleaning.cleanPrices(priceDf(Seq(
+      ("972", "U91", "181.5", "05/10/2023 00:00:00"))))
+    val ts = split.valid.collect().head.getAs[java.sql.Timestamp]("lastupdated")
+    assert(ts.toString.startsWith("2023-10-05"))
+  }
+
+  private def stationDf(rows: Seq[Row]) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), FuelModel.rawStationSchema)
+
+  test("station default-fill: empty brandid <- brand, empty stationid <- code") {
+    val split = FuelCleaning.cleanStations(stationDf(Seq(
+      Row("", "", "United", "972", "United Umina", "307 Ocean Beach Rd", "-33.51", "151.31"))))
+    val r = split.valid.collect().head
+    assert(r.getAs[String]("brandid") === "United")
+    assert(r.getAs[String]("stationid") === "972")
+    assert(r.getAs[Double]("location_latitude") === -33.51)
+  }
+
+  test("station with bad coordinates rejects") {
+    val split = FuelCleaning.cleanStations(stationDf(Seq(
+      Row("b", "s", "United", "972", "N", "A", "not-a-lat", "151.31"))))
+    assert(split.valid.count() === 0)
+    assert(split.rejected.collect().head.getAs[String]("_reject_reason")
+      === "invalid location_latitude")
+  }
+
+  test("nested API envelope explodes to flat rows (P1)") {
+    val json = """{"stations":[{"brandid":"b","stationid":"s","brand":"United",
+      "code":"972","name":"N","address":"A",
+      "location":{"latitude":-33.5,"longitude":151.3}}],
+      "prices":[{"stationcode":"972","fueltype":"U91","price":181.5,
+      "lastupdated":"05/10/2023 08:19:59"},
+      {"stationcode":"973","fueltype":"E10","price":175.0,
+      "lastupdated":"05/10/2023 09:00:00"}]}""".replaceAll("\n\\s*", "")
+    import spark.implicits._
+    val env = spark.read.schema(FuelModel.apiEnvelopeSchema).json(Seq(json).toDS())
+    val p = FuelCleaning.explodePrices(env)
+    assert(p.count() === 2)
+    assert(p.columns.contains("seq")) // posexplode: input-order sequence
+    val s = FuelCleaning.explodeStations(env)
+    val sr = s.collect().head
+    assert(sr.getAs[Double]("location_latitude") === -33.5)
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+
+/** Operator unit semantics: ties, boundaries, orphan keys
+  * (SURVEY.md §7 hard parts 1, 2, 6).
+  */
+class RelationalOpsSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("latestPerGroup: max event time wins; ties break by seq (pandas input-order equivalent)") {
+    val df = Seq(
+      ("a", ts("2023-10-05 10:00:00"), 1L, 10.0),
+      ("a", ts("2023-10-05 12:00:00"), 2L, 20.0), // tie on ts…
+      ("a", ts("2023-10-05 12:00:00"), 3L, 30.0), // …this one is later in input
+      ("b", ts("2023-10-05 09:00:00"), 4L, 40.0))
+      .toDF("key", "ts", "seq", "value")
+    val got = Relational.latestPerGroup(df, Seq("key"), Seq("ts", "seq"), Seq("value"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got === Map("a" -> 30.0, "b" -> 40.0))
+  }
+
+  test("firstPerGroup: min event time wins; ties break by seq") {
+    val df = Seq(
+      ("a", ts("2023-10-05 10:00:00"), 2L, 10.0),
+      ("a", ts("2023-10-05 10:00:00"), 1L, 20.0),
+      ("a", ts("2023-10-05 08:00:00"), 3L, 30.0))
+      .toDF("key", "ts", "seq", "value")
+    val got = Relational.firstPerGroup(df, Seq("key"), Seq("ts", "seq"), Seq("value"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got === Map("a" -> 30.0))
+  }
+
+  test("retentionFilter: strictly-greater cut anchored at observed max (St3)") {
+    val df = Seq(
+      ("old", ts("2023-09-01 00:00:00")),
+      ("boundary", ts("2023-09-23 12:00:00")), // exactly max - 30d → dropped (strict >)
+      ("kept", ts("2023-09-23 12:00:01")),
+      ("max", ts("2023-10-23 12:00:00")))
+      .toDF("tag", "ts")
+    val got = Relational.retentionFilter(df, "ts", 30)
+      .select("tag").collect().map(_.getString(0)).toSet
+    assert(got === Set("kept", "max"))
+  }
+
+  test("watermarkGate: strictly newer only — ties at the watermark drop (St1)") {
+    val df = Seq(
+      ("at", ts("2023-10-05 10:00:00")),
+      ("after", ts("2023-10-05 10:00:01")))
+      .toDF("tag", "ts")
+    val got = Relational.watermarkGate(df, "ts", lit(ts("2023-10-05 10:00:00")))
+      .select("tag").collect().map(_.getString(0)).toSet
+    assert(got === Set("after"))
+  }
+
+  test("groupedStringAgg: deterministic sorted order regardless of partitioning") {
+    val df = Seq(("g", "b"), ("g", "c"), ("g", "a")).toDF("k", "v").repartition(3)
+    val got = Relational.groupedStringAgg(df, Seq("k"), col("v"), "<br>", "agg")
+      .collect().head.getString(1)
+    assert(got === "a<br>b<br>c")
+  }
+
+  test("topK is deterministic under total order") {
+    val df = (1 to 100).map(i => (i.toLong, (i % 7).toDouble)).toDF("id", "v")
+    val got = Relational.topK(df, 5, col("v").desc, col("id").asc)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    // v=6.0 for ids 6,13,20,27,34,… → first five by id
+    assert(got === Seq(6L, 13L, 20L, 27L, 34L))
+  }
+}

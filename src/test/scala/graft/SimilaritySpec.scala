@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Cosine/KNN semantics: known-value cosine, top-k ordering, self
+  * exclusion, LSH bucket locality.
+  */
+class SimilaritySpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  test("cosine: known values (orthogonal=0, identical=1, opposite=-1)") {
+    val df = Seq(
+      (Seq(1f, 0f), Seq(0f, 1f), 0.0),
+      (Seq(1f, 2f), Seq(1f, 2f), 1.0),
+      (Seq(1f, 0f), Seq(-1f, 0f), -1.0),
+      (Seq(3f, 4f), Seq(4f, 3f), 24.0 / 25.0))
+      .toDF("a", "b", "want")
+    val got = df.select(Similarity.cosine(col("a"), col("b")).as("cos"), col("want")).collect()
+    got.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("bruteForceKnn: correct neighbors, ranked, self excluded") {
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f)),
+      (1L, Seq(0.9f, 0.1f, 0f)), // closest to 0
+      (2L, Seq(0.5f, 0.5f, 0f)),
+      (3L, Seq(0f, 0f, 1f)))     // orthogonal to 0
+      .toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceKnn(
+      vecs.filter(col("vec_id") === 0), vecs, "vec_id", "vec_id",
+      "embedding", "embedding", k = 2)
+      .orderBy("rank").collect()
+    assert(got.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(1L, 2L))
+    assert(got.map(_.getAs[Int]("rank")).toSeq === Seq(1, 2))
+    assert(got.head.getAs[Double]("sim") > 0.99)
+  }
+
+  test("knn on corpus: k rows per query, sims within [-1,1], descending per query") {
+    val em = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val knn = Similarity.bruteForceKnn(
+      em.filter(col("vec_id") < 5), em, "vec_id", "vec_id",
+      "embedding", "embedding", k = 5).cache()
+    assert(knn.count() === 25)
+    assert(knn.filter(col("sim") > 1.0 || col("sim") < -1.0).count() === 0)
+    val perQuery = knn.groupBy("query_id").agg(count(lit(1)).as("n"))
+      .collect().map(_.getLong(1)).toSet
+    assert(perQuery === Set(5L))
+  }
+
+  test("rhp bucket: identical vectors share a bucket, opposite vectors never do") {
+    val df = Seq(
+      (1L, Seq.fill(8)(1f)),
+      (2L, Seq.fill(8)(1f)),
+      (3L, Seq.fill(8)(-1f)))
+      .toDF("vec_id", "v")
+    val b = df.select(col("vec_id"), Similarity.rhpBucket(col("v"), 8, 16).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b(1L) === b(2L))
+    assert(b(1L) !== b(3L)) // all 16 sign bits flip for the negated vector
+  }
+
+  test("cosineNearDupPairs respects blocking and threshold") {
+    val df = Seq(
+      (1L, Seq(1f, 0f), 0),
+      (2L, Seq(0.99f, 0.01f), 0),  // same block, near-dup of 1
+      (3L, Seq(1f, 0f), 1),        // identical to 1 but different block
+      (4L, Seq(0f, 1f), 0))        // same block, orthogonal
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.cosineNearDupPairs(df, "vec_id", "embedding", col("label"), 0.95)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L)))
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.fuel.FuelModel.PriceRecord
+import graft.streaming.StreamOps
+
+/** Streaming semantics pinned with MemoryStream fixtures
+  * (SURVEY.md §2.7, §5): the strict high-water-mark gate (St1 —
+  * strictly-greater, tie-drop, late-drop), first-wins dedup (St2),
+  * and the complete-mode aggregation (St4/St5) matching its batch
+  * twin.
+  */
+class StreamingSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private def pr(sc: String, ft: String, p: Double, t: String, seq: Long) =
+    PriceRecord(sc, ft, p, ts(t), seq)
+
+  test("St1 hwmGate: emits once, drops ties and late arrivals across micro-batches") {
+    val input = MemoryStream[PriceRecord](spark)
+    val gated = StreamOps.hwmGate(input.toDS())
+    val q = gated.writeStream
+      .format("memory").queryName("hwm_out").outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: two records, one tie (same ts, later seq) → tie drops
+      input.addData(
+        pr("972", "U91", 10.0, "2023-10-05 10:00:00", 1),
+        pr("972", "U91", 11.0, "2023-10-05 10:00:00", 2), // tie at HWM → drop
+        pr("972", "U91", 12.0, "2023-10-05 11:00:00", 3))
+      q.processAllAvailable()
+      // batch 2: late record (ts <= HWM) → drop; newer → emit
+      input.addData(
+        pr("972", "U91", 13.0, "2023-10-05 10:30:00", 4), // late → drop
+        pr("972", "U91", 14.0, "2023-10-05 12:00:00", 5)) // newer → emit
+      q.processAllAvailable()
+      val got = spark.table("hwm_out").collect()
+        .map(r => (r.getAs[Double]("price"))).toSet
+      assert(got === Set(10.0, 12.0, 14.0))
+    } finally q.stop()
+  }
+
+  test("St1 hwmGate: independent watermarks per (station, fueltype) key") {
+    val input = MemoryStream[PriceRecord](spark)
+    val gated = StreamOps.hwmGate(input.toDS())
+    val q = gated.writeStream
+      .format("memory").queryName("hwm_keys").outputMode(OutputMode.Append).start()
+    try {
+      input.addData(pr("A", "U91", 1.0, "2023-10-05 10:00:00", 1))
+      q.processAllAvailable()
+      // Other key at an older ts still emits — marks are per key.
+      input.addData(pr("B", "U91", 2.0, "2023-10-05 09:00:00", 2))
+      q.processAllAvailable()
+      assert(spark.table("hwm_keys").count() === 2)
+    } finally q.stop()
+  }
+
+  test("St2 firstWins: each station code emitted at most once across batches") {
+    val input = MemoryStream[(String, String)](spark)
+    val deduped = StreamOps.firstWins(input.toDF().toDF("code", "name"), Seq("code"))
+    val q = deduped.writeStream
+      .format("memory").queryName("st2_out").outputMode(OutputMode.Append).start()
+    try {
+      input.addData(("972", "first"), ("973", "x"))
+      q.processAllAvailable()
+      input.addData(("972", "second"), ("974", "y"))
+      q.processAllAvailable()
+      val got = spark.table("st2_out").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(got.keySet === Set("972", "973", "974"))
+      assert(got("972") === "first")
+    } finally q.stop()
+  }
+
+  test("St4/St5 complete-mode Q-bar equals its batch twin on the same data") {
+    val input = MemoryStream[PriceRecord](spark)
+    val live = StreamOps.qBarStream(input.toDF())
+    val q = live.writeStream
+      .format("memory").queryName("qbar_live").outputMode(OutputMode.Complete).start()
+    try {
+      val data = Seq(
+        pr("A", "U91", 100.0, "2023-10-05 10:00:00", 1),
+        pr("A", "U91", 110.0, "2023-10-05 11:00:00", 2),
+        pr("B", "E10", 90.0, "2023-10-05 10:00:00", 3))
+      input.addData(data: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("qbar_live").collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val batch = graft.fuel.FuelQueries.qBar(data.toDF())
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(streamed === batch)
+      assert(streamed === Map("U91" -> 105.0, "E10" -> 90.0))
+    } finally q.stop()
+  }
+
+  test("streaming latest-per-group (A3) tracks the newest record per key") {
+    val input = MemoryStream[PriceRecord](spark)
+    val latest = StreamOps.latestPricesStream(input.toDF())
+    val q = latest.writeStream
+      .format("memory").queryName("latest_live").outputMode(OutputMode.Complete).start()
+    try {
+      input.addData(
+        pr("A", "U91", 100.0, "2023-10-05 10:00:00", 1),
+        pr("A", "U91", 120.0, "2023-10-05 12:00:00", 2))
+      q.processAllAvailable()
+      input.addData(pr("A", "U91", 110.0, "2023-10-05 11:00:00", 3)) // older → ignored
+      q.processAllAvailable()
+      val got = spark.table("latest_live").collect()
+      assert(got.length === 1)
+      assert(got.head.getAs[Double]("price") === 120.0)
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+
+/** Tokenization edge cases, language-ID markers, quality score
+  * determinism.
+  */
+class TextAnalysisSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T =
+    Seq(text).toDF("text").select(c.as("v")).collect().head.getAs[T]("v")
+
+  test("tokens: empty, blank, and multi-space inputs") {
+    assert(one[Int](TextAnalysis.tokenCount(col("text")), "") === 0)
+    assert(one[Int](TextAnalysis.tokenCount(col("text")), "   ") === 0)
+    assert(one[Int](TextAnalysis.tokenCount(col("text")), " a  b\t c ") === 3)
+  }
+
+  test("bpe-ish token count: splits alpha runs, digit runs, single symbols") {
+    assert(one[Int](TextAnalysis.bpeTokenCount(col("text")), "hello world42!") === 4)
+    // hello | world | 42 | !
+  }
+
+  test("punct ratio and avg token length") {
+    assert(one[Double](TextAnalysis.punctRatio(col("text")), "ab!?") === 0.5)
+    assert(one[Double](TextAnalysis.avgTokenLen(col("text")), "ab abcd") === 3.0)
+  }
+
+  test("langId: marker-based detection picks the dominant language") {
+    assert(one[String](TextAnalysis.langId(col("text")), "the cat is in the house") === "en")
+    assert(one[String](TextAnalysis.langId(col("text")), "der hund ist nicht da und") === "de")
+    assert(one[String](TextAnalysis.langId(col("text")), "el perro es la casa y que") === "es")
+    assert(one[String](TextAnalysis.langId(col("text")), "le chien est dans les rues") === "fr")
+    assert(one[String](TextAnalysis.langId(col("text")), "你好世界") === "zh")
+    assert(one[String](TextAnalysis.langId(col("text")), "xyzzy plugh") === "und")
+  }
+
+  test("quality score is in [0,1] and rewards longer well-formed text") {
+    val short = one[Double](TextAnalysis.qualityScore(col("text")), "hi")
+    val long = one[Double](TextAnalysis.qualityScore(col("text")),
+      Seq.fill(120)("reasonable").mkString(" "))
+    assert(short >= 0.0 && short <= 1.0)
+    assert(long >= 0.0 && long <= 1.0)
+    assert(long > short)
+  }
+
+  test("stopword ratio") {
+    assert(one[Double](TextAnalysis.stopwordRatio(col("text")), "the cat and the dog") === 0.6)
+  }
+}
