@@ -45,20 +45,19 @@ object Dedup {
         min(col(idCol)).as("canonical_id"))
 
   /** MinHash signature: `n` permutations `(a_i·h + b_i) mod p` over
-    * (xxhash64 mod p) shingle hashes, min per permutation, with
-    * p = 2^31-1 so products stay inside a 64-bit long under ANSI
-    * arithmetic. Deterministic constants from a splitmix-style
-    * recurrence (no RNG at plan time). Per-row cost O(n·|shingles|),
-    * no shuffle.
+    * (xxhash64 mod p) shingle hashes, min per permutation, p = 2^31-1.
+    * Deterministic constants from a splitmix-style recurrence (no RNG
+    * at plan time). The permutation loop runs in the native
+    * [[graft.functions.MinHashSigExpr]]: the composed
+    * `transform`/`array_min` form made Catalyst re-inline the whole
+    * shingle+hash subtree into each of the `n` branches (654 s at
+    * sf0.1); the expression takes the hash array once and loops —
+    * same math, same results. Per-row cost O(n·|shingles|), no
+    * shuffle.
     */
-  def minhashSignature(text: Column, k: Int, n: Int): Column = {
-    val p = lit(2147483647L) // 2^31 - 1 (Mersenne; keeps a·h+b < 2^62 under ANSI)
-    val hashes = transform(shingles(text, k), s => pmod(xxhash64(s), p))
-    val coefs = minhashCoefs(n)
-    array(coefs.map { case (a, b) =>
-      array_min(transform(hashes, h => pmod(h * lit(a) + lit(b), p)))
-    }: _*)
-  }
+  def minhashSignature(text: Column, k: Int, n: Int): Column =
+    graft.functions.HashExprs.minhashSig(
+      transform(shingles(text, k), s => xxhash64(s)), n)
 
   /** Deterministic odd multipliers/offsets < 2^61-1 (splitmix64 on a
     * fixed seed, reduced mod p; `a` forced odd so it's invertible).
@@ -126,20 +125,13 @@ object Dedup {
 
   /** SimHash-64: per token, xxhash64 votes ±1 on each of 64 bits;
     * sign of the vote sum sets the bit. Near-dups differ in few bits
-    * (Hamming distance). Composed from higher-order functions — the
-    * 64-lane vote is a per-row loop the codegen unrolls; no shuffle.
+    * (Hamming distance). The 64-lane vote runs in the native
+    * [[graft.functions.SimHash64Expr]] — one generated-code pass over
+    * the token hashes; no shuffle.
     */
-  def simhash64(text: Column): Column = {
-    val hashes = transform(TextAnalysis.tokens(text), t => xxhash64(t))
-    val votes = transform(
-      sequence(lit(0), lit(63)),
-      bit => size(filter(hashes, h => call_function("shiftright", h, bit).bitwiseAND(1) === 1)) * 2
-        - size(hashes))
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)), (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
-      lit(0L),
-      (acc, x) => acc.bitwiseOR(x))
-  }
+  def simhash64(text: Column): Column =
+    graft.functions.HashExprs.simhash64(
+      transform(TextAnalysis.tokens(text), t => xxhash64(t)))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
