@@ -249,6 +249,90 @@ object RelationalQueries {
   private def distinctTypes(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).select("event_type").distinct()
 
+  /** SURVEY §2 A5 — Q-line shape: the full per-group time series
+    * (ordering is presentational; event_id gives a total order).
+    */
+  private def lineSeries(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select("event_type", "ts", "value", "event_id")
+      .orderBy("event_type", "ts", "event_id")
+
+  /** ROLLUP — hierarchical totals (region → nation → grand total),
+    * one pass of partial/final aggregation over the expanded
+    * grouping sets.
+    */
+  private def rollupRevenue(s: SparkSession, d: String): DataFrame = {
+    val dims = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey", "r_name", "n_name")
+    val ord = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(dims), ord("o_custkey") === dims("c_custkey"))
+      .select(col("r_name"), col("n_name"), discounted.as("disc"))
+      // `.rollup` on join-derived columns trips Spark's ambiguous-
+      // self-join false positive (reproduced on a minimal
+      // join+rollup); the SQL surface plans the identical Expand +
+      // aggregate without it.
+      .createOrReplaceTempView("graft_rollup_src")
+    s.sql(
+      """SELECT r_name, n_name,
+        |  CAST(round(sum(disc), 2) AS DOUBLE) AS revenue
+        |FROM graft_rollup_src GROUP BY ROLLUP (r_name, n_name)""".stripMargin)
+  }
+
+  /** COUNT(DISTINCT) — Catalyst's expand + two-phase aggregation. */
+  private def distinctCount(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(count_distinct(col("user_id")).as("users"))
+
+  /** PIVOT — wide per-user mean value by event type (fixed column
+    * set so schema is static and oracle-comparable).
+    */
+  private def pivotAvg(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(decAvg(col("value"), 2))
+
+  /** As-of join ([[Relational.asofJoin]]): for every purchase, the
+    * latest click by the same user at or before the purchase time —
+    * the canonical event-attribution query Spark has no native
+    * operator for. DuckDB's native ASOF JOIN is the oracle.
+    */
+  private def asofClickBeforePurchase(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val probe = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+    val build = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    Relational.asofJoin(probe, build,
+        probeKey = "p_user", buildKey = "user_id",
+        probeTs = "purchase_ts", buildTs = "ts",
+        buildPayload = Seq("event_id", "ts", "value"),
+        buildTieBreak = "event_id")
+      .select(col("purchase_id"), col("p_user"), col("purchase_ts"),
+        col("event_id").as("click_id"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+  }
+
+  /** SURVEY §2 P11 — the typed `Dataset[T]` encoder boundary: object
+    * filter/map through case-class encoders, back to a frame. (The
+    * deserialize/serialize hop is the documented cost of typed ops —
+    * used where compile-time field checks matter, not in hot paths.)
+    */
+  private def typedBoundary(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select("event_id", "event_type", "value").as[Ev]
+      .filter(_.value > 30.0)
+      .map(e => Ev(e.event_id, e.event_type, e.value * 2))
+      .toDF()
+  }
+
   private val latestSql =
     """SELECT user_id, event_type, event_id, ts, value FROM (
       |  SELECT *, row_number() OVER (
@@ -372,5 +456,37 @@ object RelationalQueries {
       """SELECT c_custkey, c_name FROM customer c
         |WHERE EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)""".stripMargin)),
     QueryDef("q_distinct_types", distinctTypes, Some(
-      "SELECT DISTINCT event_type FROM events")))
+      "SELECT DISTINCT event_type FROM events")),
+    QueryDef("q_line_series", lineSeries, Some(
+      "SELECT event_type, ts, value, event_id FROM events ORDER BY event_type, ts, event_id")),
+    QueryDef("q_rollup_revenue", rollupRevenue, Some(
+      """SELECT r_name, n_name,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue
+        |FROM region, nation, customer, orders, lineitem
+        |WHERE r_regionkey = n_regionkey AND n_nationkey = c_nationkey
+        |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin)),
+    QueryDef("q_distinct_count", distinctCount, Some(
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS users
+        |FROM events GROUP BY event_type""".stripMargin)),
+    QueryDef("q_pivot_avg", pivotAvg, Some {
+      val cell = (t: String) =>
+        s"""floor(CAST(sum(CASE WHEN event_type = '$t' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+           |        / count(CASE WHEN event_type = '$t' THEN 1 END) * 100.0 + 0.5) / 100.0 AS "$t"""".stripMargin
+      s"""SELECT user_id,
+         |  ${Seq("click", "error", "purchase", "signup", "view").map(cell).mkString(",\n  ")}
+         |FROM events GROUP BY user_id""".stripMargin
+    }),
+    QueryDef("q_asof_join", asofClickBeforePurchase, Some(
+      """SELECT p.event_id AS purchase_id, p.user_id AS p_user, p.ts AS purchase_ts,
+        |  c.event_id AS click_id, c.ts AS click_ts, c.value AS click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND c.ts <= p.ts""".stripMargin),
+      headline = true),
+    QueryDef("q_typed_boundary", typedBoundary, Some(
+      "SELECT event_id, event_type, value * 2 AS value FROM events WHERE value > 30.0")))
 }
+
+/** Typed row for the `Dataset[T]` encoder-boundary query (P11). */
+final case class Ev(event_id: Long, event_type: String, value: Double)

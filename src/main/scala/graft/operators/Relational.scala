@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Generic relational/stream-shaped operators, re-expressed Spark-first.
@@ -109,4 +110,56 @@ object Relational {
     */
   def topK(df: DataFrame, k: Int, orderCols: Column*): DataFrame =
     df.orderBy(orderCols: _*).limit(k)
+
+  /** As-of join — an operator Spark lacks natively: for every probe
+    * row, the single build row with the greatest `buildTs <= probeTs`
+    * within the same key (left outer: unmatched probes keep nulls).
+    *
+    * Implemented by composition (preference (a) of the build plan):
+    * tag and union both sides, then one pass of
+    * `last_value(ignoreNulls)` over a window ordered by
+    * `(ts, tag, tieBreak)` — build rows (tag 0) sort before probe
+    * rows at equal ts, so `<=` semantics fall out of the frame. Cost:
+    * ONE shuffle of the union by key + per-partition sort — the same
+    * price as a sort-merge join, with no range-explosion, at any
+    * scale. Build-side ties at equal ts resolve to the max
+    * `buildTieBreak` (deterministic).
+    *
+    * `probe`/`build` must not share column names other than the join
+    * key columns passed here.
+    */
+  def asofJoin(
+      probe: DataFrame,
+      build: DataFrame,
+      probeKey: String,
+      buildKey: String,
+      probeTs: String,
+      buildTs: String,
+      buildPayload: Seq[String],
+      buildTieBreak: String): DataFrame = {
+    val payload = struct(buildPayload.map(col): _*)
+    val b = build.select(
+      col(buildKey).as("__key"),
+      col(buildTs).as("__ts"),
+      lit(0).as("__tag"),
+      col(buildTieBreak).cast("long").as("__tie"),
+      payload.as("__payload"))
+    val probeCols = probe.columns
+    val p = probe.select(
+      (Seq(col(probeKey).as("__key"), col(probeTs).as("__ts"),
+        lit(1).as("__tag"), lit(Long.MaxValue).as("__tie"),
+        lit(null).cast(b.schema("__payload").dataType).as("__payload"))
+        ++ probeCols.map(col)): _*)
+    val unioned = p.unionByName(b.select(
+      (Seq(col("__key"), col("__ts"), col("__tag"), col("__tie"), col("__payload"))
+        ++ probeCols.map(c => lit(null).cast(probe.schema(c).dataType).as(c))): _*))
+    val w = Window.partitionBy("__key")
+      .orderBy(col("__ts"), col("__tag"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("__asof", last("__payload", ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .select(probeCols.map(col) ++
+        buildPayload.map(c => col(s"__asof.$c")): _*)
+  }
 }
