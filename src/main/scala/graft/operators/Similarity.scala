@@ -90,6 +90,50 @@ object Similarity {
     Seq.fill(nBits)(Seq.fill(dim)(if (next() >= 0) 1 else -1))
   }
 
+  /** The ANN scale path: LSH-bucketed top-k. The corpus is bucketed
+    * once by [[rhpBucket]]; each query probes its own bucket plus all
+    * buckets within Hamming distance `probeHamming` (bit flips), so
+    * only ~`(1+nBits)/2^nBits` of the corpus is scored per query
+    * instead of all of it. Candidate generation is an equi-join on
+    * the bucket id — at 100 TB the corpus bucketing is a one-off
+    * (and persistable); per-query work is bounded by bucket size.
+    *
+    * Trades recall for cost like any ANN index; [[bruteForceKnn]] is
+    * the exact baseline the recall is measured against in the specs.
+    */
+  def lshKnn(
+      queries: DataFrame,
+      corpus: DataFrame,
+      queryId: String,
+      corpusId: String,
+      queryVec: String,
+      corpusVec: String,
+      k: Int,
+      dim: Int,
+      nBits: Int = 8,
+      probeHamming: Int = 1,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(probeHamming <= 1, "multi-probe beyond Hamming 1 not implemented")
+    val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"))
+      .withColumn("__bucket", rhpBucket(col("__cv"), dim, nBits))
+    val q0 = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
+      .withColumn("__b0", rhpBucket(col("__qv"), dim, nBits))
+    val probes =
+      if (probeHamming == 0) q0.withColumn("__bucket", col("__b0"))
+      else q0.withColumn("__bucket",
+        explode(concat(array(col("__b0")),
+          transform(sequence(lit(0), lit(nBits - 1)),
+            i => col("__b0").bitwiseXOR(call_function("shiftleft", lit(1L), i))))))
+    val joined = c.join(broadcast(probes.drop("__b0")), Seq("__bucket"))
+    val scored = (if (excludeSelf) joined.filter(col("query_id") =!= col("neighbor_id")) else joined)
+      .select(col("query_id"), col("neighbor_id"),
+        Det.round(cosine(col("__qv"), col("__cv")), 6).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Embedding near-duplicate pairs: LSH-bucket (or any blocking
     * column) then exact cosine ≥ threshold within buckets — the
     * equi-join-on-bucket discipline again: no global cross product.

@@ -62,6 +62,35 @@ class SimilaritySpec extends SparkSpecBase {
     assert(b(1L) !== b(3L)) // all 16 sign bits flip for the negated vector
   }
 
+  test("lshKnn (ANN scale path): high recall where true near-neighbors exist") {
+    // Clustered corpus: 40 centers x 8 members with small noise —
+    // members of a cluster sit at cos ~0.95+ of each other. (On
+    // uniform-random vectors the honest recall of ANY sublinear ANN
+    // is poor because 'nearest' neighbors are nearly orthogonal;
+    // recall is measured where the concept is meaningful.)
+    val rnd = new scala.util.Random(7)
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat).toSeq
+    }
+    val centers = Array.fill(40)(Array.fill(16)(rnd.nextGaussian()))
+    val vecs = (0 until 320).map { i =>
+      val c = centers(i % 40)
+      (i.toLong, unit(c.map(x => x + 0.15 * rnd.nextGaussian())))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val qs = df.filter(col("vec_id") < 40)
+    def pairs(r: org.apache.spark.sql.DataFrame) =
+      r.select("query_id", "neighbor_id").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val bf = pairs(Similarity.bruteForceKnn(qs, df, "vec_id", "vec_id",
+      "embedding", "embedding", k = 5))
+    val lsh = pairs(Similarity.lshKnn(qs, df, "vec_id", "vec_id",
+      "embedding", "embedding", k = 5, dim = 16, nBits = 8, probeHamming = 1))
+    val recall = (bf & lsh).size.toDouble / bf.size
+    assert(recall >= 0.8, s"recall=$recall")
+  }
+
   test("cosineNearDupPairs respects blocking and threshold") {
     val df = Seq(
       (1L, Seq(1f, 0f), 0),
