@@ -16,18 +16,15 @@ import graft.functions.Det
 object Similarity {
 
   /** Cosine similarity of two equal-length vectors, computed in
-    * double with a single left-to-right fold — sequential order makes
-    * the result bit-reproducible across engines and partitionings.
+    * double with ascending element order — sequential order makes the
+    * result bit-reproducible across engines and partitionings.
+    * Runs in the native [[graft.functions.CosineSimExpr]] (one
+    * generated-code pass for dot + both norms; the composed
+    * `aggregate(zip_with(...))` form costs three traversals with
+    * boxed lambda dispatch).
     */
-  def cosine(a: Column, b: Column): Column = {
-    def dbl(c: Column): Column = transform(c, x => x.cast("double"))
-    val da = dbl(a)
-    val db = dbl(b)
-    val dot = aggregate(zip_with(da, db, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val na = aggregate(transform(da, x => x * x), lit(0.0), (acc, x) => acc + x)
-    val nb = aggregate(transform(db, x => x * x), lit(0.0), (acc, x) => acc + x)
-    dot / (sqrt(na) * sqrt(nb))
-  }
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineExpr.cosine(a, b)
 
   /** Brute-force cosine top-k: for each query vector, the `k` nearest
     * corpus vectors. The query side is broadcast (it must be small —
