@@ -24,6 +24,18 @@ object SimilarityQueries {
       k = 5)
   }
 
+  /** ANN scale path (rows-only driver check — deterministic planes,
+    * no SQL twin): same query shape as [[knn]] through the
+    * LSH-bucketed index.
+    */
+  private def lshKnnQ(s: SparkSession, d: String): DataFrame = {
+    val em = Tables.embeddings(s, d)
+    Similarity.lshKnn(
+      em.filter(col("vec_id") < 10), em,
+      "vec_id", "vec_id", "embedding", "embedding",
+      k = 5, dim = 64, nBits = 8, probeHamming = 1)
+  }
+
   private def embedNeardup(s: SparkSession, d: String): DataFrame =
     Similarity.cosineNearDupPairs(
       Tables.embeddings(s, d), "vec_id", "embedding",
@@ -49,6 +61,7 @@ object SimilarityQueries {
          |  FROM scored) t
          |WHERE rank <= 5""".stripMargin),
       headline = true),
+    QueryDef("q_lsh_knn", lshKnnQ, None),
     QueryDef("q_embed_neardup", embedNeardup, Some(
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |  floor((${duckCos("a.embedding", "b.embedding")}) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim

@@ -36,6 +36,12 @@ object FuelPipeline {
     println(s"[pipeline] warehouse prices rows=${stored.count()}")
     println(s"[pipeline] live qbar:")
     spark.table("fuel_qbar_live").orderBy("fueltype").show(20, truncate = false)
+    // One-shot runs may finish before the 1 s live-map trigger fires
+    // with the warehouse in place; report the standing query straight
+    // off the warehouse (what the live view converges to).
+    val qmap = FuelQueries.qMap(
+      spark.read.parquet(s"$warehouseDir/stations"), stored)
+    println(s"[pipeline] qmap rows=${qmap.count()}")
     spark.stop()
   }
 
@@ -86,6 +92,29 @@ object FuelPipeline {
     val live = StreamOps.liveView(
       StreamOps.qBarStream(prices.valid), "fuel_qbar_live", 1000L)
 
-    Seq(ingestPrices, ingestStations, live)
+    // Live Q-map: the flagship join needs the *current* station
+    // dimension per tick, so it runs as a per-micro-batch batch query
+    // (stream→foreachBatch→FuelQueries.qMap against the warehouse
+    // dimension) — the streaming twin of the dashboard's 1 s
+    // recompute, but incremental on the stream side.
+    val liveMap = prices.valid.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        val sp = spark
+        val stationsNow =
+          try Warehouse.readTable(sp, s"$warehouseDir/stations")
+          catch { case _: Throwable => null }
+        val pricesNow =
+          try Warehouse.readTable(sp, s"$warehouseDir/prices")
+          catch { case _: Throwable => null }
+        if (stationsNow != null && pricesNow != null)
+          FuelQueries.qMap(stationsNow, pricesNow)
+            .createOrReplaceTempView("fuel_qmap_live")
+      }
+      .queryName("qmap_live")
+      .trigger(Trigger.ProcessingTime(1000L))
+      .start()
+
+    Seq(ingestPrices, ingestStations, live, liveMap)
   }
 }

@@ -111,6 +111,28 @@ object Relational {
   def topK(df: DataFrame, k: Int, orderCols: Column*): DataFrame =
     df.orderBy(orderCols: _*).limit(k)
 
+  /** Skew salting: split hot grouping keys across `buckets` shuffle
+    * partitions. Phase 1 aggregates on (key, salt) — the hot key's
+    * rows spread over `buckets` reducers; phase 2 merges the per-salt
+    * partials (tiny input: ≤ buckets rows per key). Use for algebraic
+    * aggregates when AQE's skew handling isn't enough (extreme
+    * single-key skew in a groupBy, which AQE only fixes for joins).
+    *
+    * Example: `saltedAgg(df, Seq("k"), 8, sum(col("v")).as("s"),
+    * fin = sum(col("s")).as("s"))`.
+    */
+  def saltedAgg(
+      df: DataFrame,
+      groupCols: Seq[String],
+      buckets: Int,
+      partial: Column,
+      fin: Column): DataFrame =
+    df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
+      .groupBy((groupCols.map(col) :+ col("__salt")): _*)
+      .agg(partial)
+      .groupBy(groupCols.map(col): _*)
+      .agg(fin)
+
   /** As-of join — an operator Spark lacks natively: for every probe
     * row, the single build row with the greatest `buildTs <= probeTs`
     * within the same key (left outer: unmatched probes keep nulls).

@@ -23,6 +23,14 @@ object Warehouse {
   def append(df: DataFrame, path: String): Unit =
     df.write.mode("append").parquet(path)
 
+  /** Partitioned append — the 100 TB shape: facts land partitioned by
+    * a low-cardinality natural pruning key (event date for streams),
+    * so every retention/range query prunes partitions at plan time
+    * instead of scanning history.
+    */
+  def appendPartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("append").partitionBy(partitionCols: _*).parquet(path)
+
   /** Attach the surrogate id column (documented non-dense). */
   def withSurrogateId(df: DataFrame): DataFrame =
     df.withColumn("id", monotonically_increasing_id())
