@@ -319,6 +319,15 @@ object RelationalQueries {
         col("value").as("click_value"))
   }
 
+  /** JSON scalar surface (SURVEY §2.8 — the reference's only JSON ops
+    * are whole-record to/from_json): typed extraction from the
+    * semi-structured `props` column.
+    */
+  private def jsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+
   /** SURVEY §2 P11 — the typed `Dataset[T]` encoder boundary: object
     * filter/map through case-class encoders, back to a frame. (The
     * deserialize/serialize hop is the documented cost of typed ops —
@@ -485,7 +494,11 @@ object RelationalQueries {
         |  ON p.user_id = c.user_id AND c.ts <= p.ts""".stripMargin),
       headline = true),
     QueryDef("q_typed_boundary", typedBoundary, Some(
-      "SELECT event_id, event_type, value * 2 AS value FROM events WHERE value > 30.0")))
+      "SELECT event_id, event_type, value * 2 AS value FROM events WHERE value > 30.0")),
+    QueryDef("q_json_extract", jsonExtract, Some(
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+        |FROM events""".stripMargin)))
 }
 
 /** Typed row for the `Dataset[T]` encoder-boundary query (P11). */

@@ -34,6 +34,18 @@ object HashExprs {
   /** Column API: simhash-64 from an `array<long>` of token hashes. */
   def simhash64(hashes: Column): Column =
     Bridge.column(SimHash64Expr(Bridge.expression(hashes)))
+
+  /** Expose the native expressions to the SQL surface:
+    * `graft_minhash_sig(array<long>)`, `graft_simhash64(array<long>)`,
+    * `graft_cosine(array<float|double>, array<float|double>)`.
+    */
+  def registerSql(spark: org.apache.spark.sql.SparkSession, minhashN: Int = 64): Unit = {
+    val coefs = graft.operators.Dedup.minhashCoefs(minhashN)
+    Bridge.registerFunction(spark, "graft_minhash_sig")(es =>
+      MinHashSigExpr(es.head, coefs.map(_._1).toArray, coefs.map(_._2).toArray))
+    Bridge.registerFunction(spark, "graft_simhash64")(es => SimHash64Expr(es.head))
+    Bridge.registerFunction(spark, "graft_cosine")(es => CosineSimExpr(es(0), es(1)))
+  }
 }
 
 /** `sig[j] = min_h (a_j·(h mod p) + b_j) mod p` over the input hash

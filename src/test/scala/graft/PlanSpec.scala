@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.fuel.{FuelCleaning, FuelQueries}
+
+/** Physical-plan goldens (SURVEY.md §4): the plans we *want*, pinned —
+  * broadcast join for Q-map, partial+final hash aggregation for
+  * Q-bar, filter/column pushdown into the parquet scans, and
+  * whole-stage codegen in the hot paths. A plan regression (e.g. a
+  * broadcast silently degrading to sort-merge, or pushdown lost
+  * behind a cast) fails here before it costs anything at scale.
+  */
+class PlanSpec extends SparkSpecBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private lazy val prices =
+    FuelCleaning.cleanPrices(spark.read.json(resource("/fuel/prices.jsonl"))).valid
+  private lazy val stations =
+    FuelCleaning.cleanStations(spark.read.json(resource("/fuel/stations.jsonl"))).valid
+
+  test("Q-map plans a broadcast left-outer hash join (dimension preserved)") {
+    val plan = planOf(FuelQueries.qMap(stations, prices))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(600))
+    assert(plan.contains("LeftOuter"), plan.take(600))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("Q-bar plans partial+final hash aggregation, no sort") {
+    val plan = planOf(FuelQueries.qBar(prices))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(600))
+    assert(!plan.contains("SortAggregate"))
+  }
+
+  test("q1 pushes the shipdate filter and prunes columns at the parquet scan") {
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, sf)
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), scan.take(800))
+    // Projection pruning: unused columns must not be read.
+    assert(!scan.contains("l_comment") && !scan.contains("l_suppkey"))
+  }
+
+  test("flagship reads only the needed event columns") {
+    val df = SparkEntry.queries("q_flagship_profile")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    // events.props is never referenced and must be pruned from the scan
+    assert(!plan.contains("props"))
+  }
+
+  test("zero-filter predicate reaches the scan") {
+    val df = SparkEntry.queries("q_zero_filter")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_discount"), plan.take(800))
+  }
+
+  test("hot paths run inside whole-stage codegen") {
+    val df = SparkEntry.queries("q_bar_avg")(spark, sf)
+    df.collect() // materialize the AQE final plan first
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // formatted mode marks codegen'd operators with `[codegen id : N]`
+    assert(plan.contains("[codegen id :"), plan.take(800))
+  }
+
+  test("top-k plans TakeOrderedAndProject, not a global sort") {
+    val df = SparkEntry.queries("q_top_orders")(spark, sf)
+    val plan = planOf(df)
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(600))
+  }
+}

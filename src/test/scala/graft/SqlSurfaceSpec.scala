@@ -1,0 +1,43 @@
+package graft
+
+import graft.functions.HashExprs
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** The SQL entry point: native graft expressions registered as SQL
+  * functions must agree with their Column-API twins.
+  */
+class SqlSurfaceSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  test("graft_cosine / graft_simhash64 / graft_minhash_sig usable from spark.sql") {
+    HashExprs.registerSql(spark)
+    val cos = spark.sql(
+      """SELECT graft_cosine(
+        |  array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)),
+        |  array(CAST(4.0 AS FLOAT), CAST(3.0 AS FLOAT))) AS c""".stripMargin)
+      .collect().head.getDouble(0)
+    assert(math.abs(cos - 24.0 / 25.0) < 1e-12)
+
+    Seq((1L, "alpha beta gamma")).toDF("id", "text").createOrReplaceTempView("sql_docs")
+    val viaSql = spark.sql(
+      """SELECT graft_simhash64(transform(split(trim(text), '\\s+'), t -> xxhash64(t))) AS sig,
+        |       graft_minhash_sig(transform(split(trim(text), '\\s+'), t -> xxhash64(t))) AS mh
+        |FROM sql_docs""".stripMargin).collect().head
+    val viaCol = Seq("alpha beta gamma").toDF("text")
+      .select(
+        Dedup.simhash64(col("text")).as("sig"),
+        HashExprs.minhashSig(transform(split(trim(col("text")), "\\s+"), t => xxhash64(t)), 64).as("mh"))
+      .collect().head
+    assert(viaSql.getLong(0) === viaCol.getLong(0))
+    assert(viaSql.getSeq[Long](1) === viaCol.getSeq[Long](1))
+  }
+
+  test("SQL surface runs a full query (spark.sql over temp views)") {
+    Tables.events(spark, "/root/testdata/sf0.001").createOrReplaceTempView("sql_events")
+    val n = spark.sql(
+      "SELECT event_type, count(*) AS n FROM sql_events GROUP BY event_type").count()
+    assert(n === 5)
+  }
+}
