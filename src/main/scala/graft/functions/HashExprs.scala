@@ -35,6 +35,10 @@ object HashExprs {
   def simhash64(hashes: Column): Column =
     Bridge.column(SimHash64Expr(Bridge.expression(hashes)))
 
+  /** Column API: distinct k-gram shingle hashes from token hashes. */
+  def shingleHashes(tokenHashes: Column, k: Int): Column =
+    Bridge.column(ShingleHashExpr(Bridge.expression(tokenHashes), k))
+
   /** Expose the native expressions to the SQL surface:
     * `graft_minhash_sig(array<long>)`, `graft_simhash64(array<long>)`,
     * `graft_cosine(array<float|double>, array<float|double>)`.
@@ -134,5 +138,57 @@ object SimHash64Expr {
       j += 1
     }
     sig
+  }
+}
+
+/** k-gram shingle hashes combined numerically from token hashes —
+  * replaces building every shingle *string* (`concat_ws` per window,
+  * the dominant cost of the signature pass at scale) with a
+  * polynomial combine over the already-computed token hashes:
+  * `h(i..i+k-1) = fold(h*PRIME + tok)`. Output is distinct (set
+  * semantics, matching `shingles`' `array_distinct`); inputs shorter
+  * than k yield the single whole-input combine.
+  */
+case class ShingleHashExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashExpr.compute(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleHashExpr.compute($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleHashExpr {
+  private final val Prime = 1099511628211L // FNV-64 prime
+
+  def compute(tokenHashes: ArrayData, k: Int): ArrayData = {
+    val m = tokenHashes.numElements()
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    if (m < k) {
+      var h = 0L
+      var i = 0
+      while (i < m) { h = h * Prime + tokenHashes.getLong(i); i += 1 }
+      out.add(h)
+    } else {
+      var i = 0
+      while (i + k <= m) {
+        var h = 0L
+        var j = i
+        while (j < i + k) { h = h * Prime + tokenHashes.getLong(j); j += 1 }
+        out.add(h)
+        i += 1
+      }
+    }
+    val arr = new Array[Long](out.size())
+    val it = out.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    new GenericArrayData(arr)
   }
 }

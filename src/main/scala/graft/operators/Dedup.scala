@@ -55,9 +55,11 @@ object Dedup {
     * same math, same results. Per-row cost O(n·|shingles|), no
     * shuffle.
     */
-  def minhashSignature(text: Column, k: Int, n: Int): Column =
+  def minhashSignature(text: Column, k: Int, n: Int): Column = {
+    val tokenHashes = transform(TextAnalysis.tokens(text), t => xxhash64(t))
     graft.functions.HashExprs.minhashSig(
-      transform(shingles(text, k), s => xxhash64(s)), n)
+      graft.functions.HashExprs.shingleHashes(tokenHashes, k), n)
+  }
 
   /** Deterministic odd multipliers/offsets < 2^61-1 (splitmix64 on a
     * fixed seed, reduced mod p; `a` forced odd so it's invertible).
