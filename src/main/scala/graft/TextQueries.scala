@@ -66,6 +66,13 @@ object TextQueries {
     Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
       block = lit(1), k = 3, threshold = 0.5)
 
+  /** End-to-end dedup: docs in → near-dup-free docs out (rows-only
+    * driver check; deterministic keeper = component min id).
+    */
+  private def dedupDocs(s: SparkSession, d: String): DataFrame =
+    Dedup.dropNearDuplicates(Tables.documents(s, d), "doc_id", "text")
+      .select("doc_id", "lang", "source", "n_chars")
+
   private def multimodalMeta(s: SparkSession, d: String): DataFrame = {
     val bin = col("text").cast("binary")
     val meta = Multimodal.decodeImageMeta(bin)
@@ -154,6 +161,7 @@ object TextQueries {
     QueryDef("q_minhash_neardup", minhashNeardup, None, headline = true),
     QueryDef("q_simhash_neardup", simhashNeardup, None),
     QueryDef("q_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
+    QueryDef("q_dedup_docs", dedupDocs, None),
     QueryDef("q_multimodal_meta", multimodalMeta, Some(
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

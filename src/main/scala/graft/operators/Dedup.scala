@@ -163,6 +163,53 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Min-label propagation over an undirected pair list: every id
+    * converges to the minimum id reachable within `maxIter` hops —
+    * the connected-components step that turns pairwise near-dup
+    * candidates into dedup groups. Each iteration is one equi-join +
+    * min-aggregation (both shuffle only (id, label) pairs); near-dup
+    * components are tiny, so a small fixed `maxIter` converges in
+    * practice and bounds the cost at scale.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 5): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+    var i = 0
+    while (i < maxIter) {
+      val viaNeighbors = edges
+        .join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("component"))
+      labels = labels.select(col("id"), col("component"))
+        .union(viaNeighbors)
+        .groupBy("id")
+        .agg(min("component").as("component"))
+      i += 1
+    }
+    labels
+  }
+
+  /** The end-to-end dedup operator: remove exact and near duplicates,
+    * keeping the minimum-id document of every duplicate group.
+    * Candidates come from MinHash LSH (plus exact-hash groups, which
+    * LSH already subsumes at est 1.0); groups are closed over
+    * [[connectedComponents]] so chains a~b~c collapse to one keeper.
+    */
+  def dropNearDuplicates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      n: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashCandidates(docs, idCol, textCol, k, n, bands, threshold)
+    val comp = connectedComponents(pairs)
+    val losers = comp.filter(col("id") =!= col("component")).select(col("id"))
+    docs.join(losers, docs(idCol) === losers("id"), "left_anti")
+  }
+
   /** Exact n-gram Jaccard similarity for candidate pairs already
     * restricted by a blocking key — the verification stage after LSH
     * (or any cheap blocker). Shuffles exploded (shingle, id) pairs;

@@ -72,6 +72,37 @@ class DedupSpec extends SparkSpecBase {
     assert((exact -- mh).isEmpty, s"missed: ${(exact -- mh).take(5)}")
   }
 
+  test("connectedComponents collapses chains to the min id") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("dropNearDuplicates keeps one doc per duplicate group (chains included)") {
+    val chain = Seq(
+      (1L, base),
+      (2L, base.replace("warm", "cold")),               // ~ 1
+      (3L, base.replace("warm", "cold").replace("dog", "pup")), // ~ 2 (chain)
+      (4L, "entirely distinct content on the topic of distributed query planning"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dropNearDuplicates(chain, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(1L) && kept.contains(4L))
+    assert(!kept.contains(2L))
+  }
+
+  test("corpus dedup: removes every non-representative of each dup component (sf0.001)") {
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+    val total = corpus.count()
+    val pairs = Dedup.minhashCandidates(corpus, "doc_id", "text", threshold = 0.5)
+    val comp = Dedup.connectedComponents(pairs)
+    val losers = comp.filter(col("id") =!= col("component")).count()
+    val kept = Dedup.dropNearDuplicates(corpus, "doc_id", "text").count()
+    assert(losers > 0)
+    assert(kept === total - losers)
+  }
+
   test("fingerprint is whitespace-normalization-invariant but content-sensitive") {
     val df = Seq(
       (1L, "alpha beta gamma"),
