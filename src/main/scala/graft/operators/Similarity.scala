@@ -131,6 +131,90 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) index: a coarse quantizer of `nCentroids`
+    * cluster centers (deterministic init from evenly-strided corpus
+    * vectors, refined by `lloydIters` rounds of Lloyd's algorithm —
+    * each round is one broadcast-scored assignment plus one
+    * element-wise mean aggregation), and the corpus partitioned by
+    * nearest centroid. Build is a one-off, persistable at scale.
+    */
+  def ivfIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCentroids: Int,
+      lloydIters: Int = 2): (DataFrame, DataFrame) = {
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+    // Deterministic seed centroids: every (N/nCentroids)-th vector by id rank.
+    val ranked = c.withColumn("__rn",
+      row_number().over(Window.orderBy(col("vec_id"))))
+    val total = c.count()
+    val stride = math.max(1L, total / nCentroids)
+    var centroids = ranked
+      .filter((col("__rn") - 1) % stride === 0 && col("__rn") <= stride * nCentroids)
+      .select(((col("__rn") - 1) / stride).cast("int").as("centroid_id"),
+        transform(col("v"), x => x.cast("double")).as("cv"))
+    var iter = 0
+    while (iter < lloydIters) {
+      val assigned = assign(c, centroids)
+      // Element-wise mean per cluster: explode positions, average,
+      // rebuild the array ordered by position.
+      centroids = assigned
+        .join(c, "vec_id")
+        .select(col("centroid_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("centroid_id", "pos")
+        .agg(avg(col("x").cast("double")).as("m"))
+        .groupBy("centroid_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("centroid_id"), transform(col("pm"), p => p.getField("m")).as("cv"))
+      iter += 1
+    }
+    (assign(c, centroids), centroids)
+  }
+
+  /** Nearest centroid per corpus vector (broadcast-scored). */
+  private def assign(c: DataFrame, centroids: DataFrame): DataFrame =
+    c.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("centroid_id"), cosine(col("v"), col("cv")).as("s"))
+      .groupBy("vec_id")
+      .agg(max_by(col("centroid_id"), struct(col("s"), -col("centroid_id"))).as("centroid_id"))
+
+  /** IVF-probed top-k: score each query against the centroids, keep
+    * the `nProbe` best cells, then score only corpus vectors assigned
+    * to those cells — candidate generation is an equi-join on
+    * centroid_id, per-query work bounded by the probed cells' sizes.
+    */
+  def ivfKnn(
+      queries: DataFrame,
+      index: DataFrame,
+      centroids: DataFrame,
+      corpus: DataFrame,
+      queryId: String,
+      corpusId: String,
+      queryVec: String,
+      corpusVec: String,
+      k: Int,
+      nProbe: Int = 3,
+      excludeSelf: Boolean = true): DataFrame = {
+    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("__qv"), col("centroid_id"),
+        cosine(col("__qv"), col("cv")).as("cs"))
+      .withColumn("__pr", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cs").desc, col("centroid_id"))))
+      .filter(col("__pr") <= nProbe)
+      .select(col("query_id"), col("__qv"), col("centroid_id"))
+    val cand = index.join(broadcast(probes), Seq("centroid_id"))
+      .join(corpus.select(col(corpusId).as("vec_id"), col(corpusVec).as("__cv")), Seq("vec_id"))
+    val scored = (if (excludeSelf) cand.filter(col("query_id") =!= col("vec_id")) else cand)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        Det.round(cosine(col("__qv"), col("__cv")), 6).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Embedding near-duplicate pairs: LSH-bucket (or any blocking
     * column) then exact cosine ≥ threshold within buckets — the
     * equi-join-on-bucket discipline again: no global cross product.

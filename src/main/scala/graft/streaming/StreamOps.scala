@@ -104,6 +104,27 @@ object StreamOps {
       .select(col("stationcode"), col("fueltype"),
         col("latest.price"), col("latest.lastupdated"))
 
+  /** Event-time windowed aggregation with watermark eviction — the
+    * bounded-state form of the reference's unbounded running
+    * aggregates (SURVEY §7 hard part 5): state for a window is
+    * dropped once the watermark passes its end, so executor state is
+    * O(windows in flight), not O(stream history). Late rows beyond
+    * `lateness` are dropped (append mode) — the engine-level twin of
+    * the reference's source-side watermark drop (St7).
+    */
+  def windowedAvg(
+      prices: DataFrame,
+      tsCol: String,
+      windowLen: String,
+      lateness: String): DataFrame =
+    prices
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowLen), col("fueltype"))
+      .agg(round(avg("price"), 2).as("avg_price"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("fueltype"), col("avg_price"))
+
   /** Fan-out helper — two independent sinks over one source stream
     * (SURVEY §2 S7: warehouse consumer + dashboard consumer).
     */

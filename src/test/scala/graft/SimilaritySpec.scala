@@ -91,6 +91,34 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall >= 0.8, s"recall=$recall")
   }
 
+  test("ivfKnn (IVF scale path): high recall on clustered data, bounded probe cost") {
+    val rnd = new scala.util.Random(11)
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat).toSeq
+    }
+    val centers = Array.fill(20)(Array.fill(16)(rnd.nextGaussian()))
+    val vecs = (0 until 200).map { i =>
+      val c = centers(i % 20)
+      (i.toLong, unit(c.map(x => x + 0.12 * rnd.nextGaussian())))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val (index, centroids) = Similarity.ivfIndex(df, "vec_id", "embedding",
+      nCentroids = 20, lloydIters = 2)
+    assert(index.count() === 200)
+    assert(index.select("vec_id").distinct().count() === 200)
+    val qs = df.filter(col("vec_id") < 30)
+    def pairs(r: org.apache.spark.sql.DataFrame) =
+      r.select("query_id", "neighbor_id").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val bf = pairs(Similarity.bruteForceKnn(qs, df, "vec_id", "vec_id",
+      "embedding", "embedding", k = 5))
+    val ivf = pairs(Similarity.ivfKnn(qs, index, centroids, df,
+      "vec_id", "vec_id", "embedding", "embedding", k = 5, nProbe = 3))
+    val recall = (bf & ivf).size.toDouble / bf.size
+    assert(recall >= 0.8, s"recall=$recall")
+  }
+
   test("cosineNearDupPairs respects blocking and threshold") {
     val df = Seq(
       (1L, Seq(1f, 0f), 0),

@@ -98,6 +98,33 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("windowed avg with watermark: windows close and late data drops (bounded state)") {
+    val input = MemoryStream[PriceRecord](spark)
+    val agg = StreamOps.windowedAvg(input.toDF(), "lastupdated", "1 hour", "30 minutes")
+    val q = agg.writeStream
+      .format("memory").queryName("win_out").outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        pr("A", "U91", 100.0, "2023-10-05 10:10:00", 1),
+        pr("A", "U91", 120.0, "2023-10-05 10:20:00", 2))
+      q.processAllAvailable()
+      // advance watermark way past the 10:00 window's end
+      input.addData(pr("A", "U91", 50.0, "2023-10-05 13:00:00", 3))
+      q.processAllAvailable()
+      // late row for the closed 10:00 window → dropped
+      input.addData(pr("A", "U91", 999.0, "2023-10-05 10:30:00", 4))
+      q.processAllAvailable()
+      // close the 13:00 window so it emits too
+      input.addData(pr("A", "U91", 60.0, "2023-10-05 15:00:00", 5))
+      q.processAllAvailable()
+      val rows = spark.table("win_out").collect()
+        .map(r => r.getAs[java.sql.Timestamp]("window_start").toString -> r.getAs[Double]("avg_price"))
+        .toMap
+      assert(rows("2023-10-05 10:00:00.0") === 110.0) // 999.0 never made it in
+      assert(rows("2023-10-05 13:00:00.0") === 50.0)
+    } finally q.stop()
+  }
+
   test("streaming latest-per-group (A3) tracks the newest record per key") {
     val input = MemoryStream[PriceRecord](spark)
     val latest = StreamOps.latestPricesStream(input.toDF())
