@@ -319,6 +319,40 @@ object RelationalQueries {
         col("value").as("click_value"))
   }
 
+  /** TPC-H Q6 shape: highly selective range predicates, all pushed
+    * into the scan, one global aggregate — the pushdown showcase.
+    */
+  private def forecastRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+        && col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+        && col("l_discount").between(0.02, 0.06)
+        && col("l_quantity") < 24)
+      .agg(round(sum(dec(col("l_extendedprice")) * col("l_discount").cast(DecimalType(4, 2))), 2)
+        .cast("double").as("revenue"))
+
+  /** HAVING — post-aggregation filter on the aggregate itself. */
+  private def bigOrders(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(sum(dec(col("l_quantity"))).as("__qty"))
+      .filter(col("__qty") > 120)
+      .select(col("l_orderkey"), col("__qty").cast("double").as("total_qty"))
+
+  /** Scalar subquery shape: customers whose spend exceeds the global
+    * mean spend — the whole-input aggregate feeds a filter, computed
+    * once and broadcast (same pattern as the retention window).
+    */
+  private def aboveAvgSpenders(s: SparkSession, d: String): DataFrame = {
+    val spend = Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(sum(dec(col("o_totalprice"))).cast("double").as("spend"))
+    val mean = spend.agg((sum("spend") / count(lit(1))).as("__mean"))
+    spend.crossJoin(broadcast(mean))
+      .filter(col("spend") > col("__mean"))
+      .select("o_custkey", "spend")
+  }
+
   /** JSON scalar surface (SURVEY §2.8 — the reference's only JSON ops
     * are whole-record to/from_json): typed extraction from the
     * semi-structured `props` column.
@@ -495,6 +529,22 @@ object RelationalQueries {
       headline = true),
     QueryDef("q_typed_boundary", typedBoundary, Some(
       "SELECT event_id, event_type, value * 2 AS value FROM events WHERE value > 30.0")),
+    QueryDef("q6_forecast_revenue", forecastRevenue, Some(
+      """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24""".stripMargin)),
+    QueryDef("q_having_big_orders", bigOrders, Some(
+      """SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM lineitem GROUP BY l_orderkey
+        |HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 120""".stripMargin)),
+    QueryDef("q_scalar_subquery", aboveAvgSpenders, Some(
+      """WITH spend AS (
+        |  SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT o_custkey, spend FROM spend
+        |WHERE spend > (SELECT sum(spend) / count(*) FROM spend)""".stripMargin)),
     QueryDef("q_json_extract", jsonExtract, Some(
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
