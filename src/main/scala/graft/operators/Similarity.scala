@@ -51,11 +51,21 @@ object Similarity {
     val scored = (if (excludeSelf) joined.filter(col("query_id") =!= col("neighbor_id")) else joined)
       .select(col("query_id"), col("neighbor_id"),
         Det.round(cosine(col("__qv"), col("__cv")), 6).as("sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKPerQuery(scored, k)
   }
+
+  /** Per-query top-k via the bounded-heap aggregate
+    * ([[graft.functions.TopKExpr]]): partial aggregation ships at
+    * most k pairs per (partition, query) — a window `row_number`
+    * would shuffle and sort every scored pair. Output order/ties are
+    * identical to `Window.orderBy(sim.desc, id.asc)`.
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(graft.functions.TopKExpr.topK(col("sim"), col("neighbor_id"), k).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__t")))
+      .select(col("query_id"), col("__t.id").as("neighbor_id"),
+        col("__t.score").as("sim"), (col("__pos") + 1).cast("int").as("rank"))
 
   /** Random-hyperplane LSH bucket for a vector: `nBits` sign bits of
     * dot products with deterministic pseudo-random hyperplanes
@@ -125,10 +135,7 @@ object Similarity {
     val scored = (if (excludeSelf) joined.filter(col("query_id") =!= col("neighbor_id")) else joined)
       .select(col("query_id"), col("neighbor_id"),
         Det.round(cosine(col("__qv"), col("__cv")), 6).as("sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKPerQuery(scored, k)
   }
 
   /** IVF (inverted-file) index: a coarse quantizer of `nCentroids`
@@ -209,10 +216,7 @@ object Similarity {
     val scored = (if (excludeSelf) cand.filter(col("query_id") =!= col("vec_id")) else cand)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         Det.round(cosine(col("__qv"), col("__cv")), 6).as("sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKPerQuery(scored, k)
   }
 
   /** Embedding near-duplicate pairs: LSH-bucket (or any blocking

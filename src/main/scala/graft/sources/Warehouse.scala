@@ -31,6 +31,27 @@ object Warehouse {
   def appendPartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode("append").partitionBy(partitionCols: _*).parquet(path)
 
+  /** Bucketed managed table: pre-hash-partitioned (and optionally
+    * sorted) on the join/group key, so repeated joins and
+    * aggregations on that key run with NO exchange — each bucket
+    * pair joins co-located. This is the steady-state layout for fact
+    * tables that join on the same key query after query (prices on
+    * stationcode, lineitem on orderkey): pay the shuffle once at
+    * write time, never again at read time.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCols: Seq[String],
+      nBuckets: Int,
+      sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
   /** Attach the surrogate id column (documented non-dense). */
   def withSurrogateId(df: DataFrame): DataFrame =
     df.withColumn("id", monotonically_increasing_id())
