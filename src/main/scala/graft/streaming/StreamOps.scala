@@ -125,6 +125,27 @@ object StreamOps {
         col("window.end").as("window_end"),
         col("fueltype"), col("avg_price"))
 
+  /** Stream-stream equi-join with watermarks (the streaming form of
+    * J1 when the dimension itself is a stream): both sides buffer
+    * state only within their watermark + the join's event-time bound,
+    * so state is evicted as time advances — the unbounded-state-free
+    * version of joining two live feeds.
+    */
+  def streamStreamJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftTs: String,
+      rightTs: String,
+      joinExpr: org.apache.spark.sql.Column,
+      lateness: String,
+      maxDelay: String): DataFrame = {
+    val l = left.withWatermark(leftTs, lateness)
+    val r = right.withWatermark(rightTs, lateness)
+    l.join(r, joinExpr
+      && col(rightTs) >= col(leftTs) - expr(s"INTERVAL $maxDelay")
+      && col(rightTs) <= col(leftTs) + expr(s"INTERVAL $maxDelay"))
+  }
+
   /** Fan-out helper — two independent sinks over one source stream
     * (SURVEY §2 S7: warehouse consumer + dashboard consumer).
     */

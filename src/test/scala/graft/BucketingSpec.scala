@@ -34,6 +34,21 @@ class BucketingSpec extends SparkSpecBase {
     }
   }
 
+  test("partitioned table: partition filter prunes at plan time") {
+    val sf = "/root/testdata/sf0.001"
+    val path = "/tmp/graft-warehouse/part_events"
+    Warehouse.appendPartitioned(
+      Tables.events(spark, sf).withColumn("day", to_date(col("ts"))),
+      path, Seq("day"))
+    val q = spark.read.parquet(path).filter(col("day") === "2024-01-05")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("day"), plan.take(800))
+    assert(q.count() > 0)
+    // prune actually reduces the scanned partitions
+    val all = spark.read.parquet(path).count()
+    assert(q.count() < all)
+  }
+
   test("aggregation on the bucket key also skips the exchange") {
     val sf = "/root/testdata/sf0.001"
     Warehouse.writeBucketed(Tables.lineitem(spark, sf),

@@ -67,6 +67,32 @@ class RelationalOpsSpec extends SparkSpecBase {
     assert(got === "a<br>b<br>c")
   }
 
+  test("saltedAgg: two-phase salted sum equals the plain groupBy sum") {
+    val df = (1 to 1000).map(i => (if (i % 10 == 0) "hot" else s"k${i % 7}", i.toLong))
+      .toDF("k", "v")
+    val plain = df.groupBy("k").agg(sum("v").as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Relational.saltedAgg(df, Seq("k"), buckets = 8,
+      partial = sum(col("v")).as("s"), fin = sum(col("s")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted === plain)
+  }
+
+  test("asofJoin: latest build row at or before each probe ts; unmatched keeps nulls") {
+    val probe = Seq((1L, "u1", ts("2023-10-05 10:00:00")), (2L, "u2", ts("2023-10-05 09:00:00")))
+      .toDF("probe_id", "p_key", "p_ts")
+    val build = Seq(
+      ("u1", ts("2023-10-05 08:00:00"), 100L, 1.0),
+      ("u1", ts("2023-10-05 10:00:00"), 101L, 2.0), // equal ts → included (<=)
+      ("u1", ts("2023-10-05 11:00:00"), 102L, 3.0), // after probe → excluded
+      ("u3", ts("2023-10-05 08:00:00"), 103L, 4.0))
+      .toDF("b_key", "b_ts", "b_id", "b_val")
+    val got = Relational.asofJoin(probe, build, "p_key", "b_key", "p_ts", "b_ts",
+      buildPayload = Seq("b_id", "b_val"), buildTieBreak = "b_id")
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    assert(got === Map(1L -> Some(101L), 2L -> None))
+  }
+
   test("topK is deterministic under total order") {
     val df = (1 to 100).map(i => (i.toLong, (i % 7).toDouble)).toDF("id", "v")
     val got = Relational.topK(df, 5, col("v").desc, col("id").asc)

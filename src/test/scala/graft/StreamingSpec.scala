@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, expr}
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.fuel.FuelModel.PriceRecord
@@ -122,6 +123,32 @@ class StreamingSpec extends SparkSpecBase {
         .toMap
       assert(rows("2023-10-05 10:00:00.0") === 110.0) // 999.0 never made it in
       assert(rows("2023-10-05 13:00:00.0") === 50.0)
+    } finally q.stop()
+  }
+
+  test("stream-stream join with watermarks matches within the time bound") {
+    val prices = MemoryStream[PriceRecord](spark)
+    val quotes = MemoryStream[PriceRecord](spark)
+    val joined = StreamOps.streamStreamJoin(
+      prices.toDF().select(col("stationcode").as("p_code"), col("lastupdated").as("p_ts"),
+        col("price").as("p_price")),
+      quotes.toDF().select(col("stationcode").as("q_code"), col("lastupdated").as("q_ts"),
+        col("price").as("q_price")),
+      "p_ts", "q_ts",
+      col("p_code") === col("q_code"),
+      lateness = "10 minutes", maxDelay = "1 hour")
+    val q = joined.writeStream
+      .format("memory").queryName("ss_join").outputMode(OutputMode.Append).start()
+    try {
+      prices.addData(pr("A", "U91", 1.0, "2023-10-05 10:00:00", 1))
+      quotes.addData(
+        pr("A", "U91", 2.0, "2023-10-05 10:30:00", 2), // within 1h → joins
+        pr("A", "U91", 3.0, "2023-10-05 12:30:00", 3), // outside bound → no
+        pr("B", "U91", 4.0, "2023-10-05 10:00:00", 4)) // other key → no
+      q.processAllAvailable()
+      val got = spark.table("ss_join").collect()
+        .map(r => (r.getAs[Double]("p_price"), r.getAs[Double]("q_price"))).toSet
+      assert(got === Set((1.0, 2.0)))
     } finally q.stop()
   }
 
