@@ -127,6 +127,26 @@ object FuelCleaning {
     */
   def pricesToWire(clean: DataFrame): DataFrame =
     clean.withColumn("lastupdated", date_format(col("lastupdated"), TsFormat))
+
+  /** Parse raw JSON wire messages with a corrupt-record column
+    * (SURVEY §1.4): malformed JSON lands in `_corrupt` instead of
+    * killing the consumer — the dead-letter path for *unparseable*
+    * messages, before field-level validation even starts. (The
+    * reference's handler crashes the consumer thread on these —
+    * §2.10 bug 2.)
+    */
+  def parseWire(raw: DataFrame, jsonCol: String,
+      schema: org.apache.spark.sql.types.StructType): CleanSplit = {
+    val withCorrupt = schema.add("_corrupt", "string")
+    val parsed = raw.select(
+      from_json(col(jsonCol), withCorrupt,
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt")).as("r"))
+      .select("r.*")
+    CleanSplit(
+      parsed.filter(col("_corrupt").isNull).drop("_corrupt"),
+      parsed.filter(col("_corrupt").isNotNull)
+        .withColumn("_reject_reason", lit("malformed json")))
+  }
 }
 
 /** Valid stream + dead letters (with `_reject_reason`). */

@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: image/audio/video travel as opaque
   * `binary` columns plus typed metadata structs. The Spark-side
@@ -31,6 +33,41 @@ object Multimodal {
       n.as("n_bytes"),
       (pmod(n, lit(640L)) + 1).as("width"),
       (pmod(n * 7, lit(480L)) + 1).as("height"))
+  }
+
+  /** Partition-batched decode plumbing — the Scala twin of a
+    * `mapInPandas` decode stage: rows stream through `mapPartitions`
+    * so a real codec would amortize per-batch setup (model load,
+    * codec context) across the partition, and the binary payload
+    * never leaves the executor. The decode function itself is a STUB
+    * (deterministic fake); swapping in a real decoder changes only
+    * `decodeOne`. Output schema = input + `decoded struct<n_bytes
+    * bigint, width bigint, height bigint>`.
+    */
+  def decodeBatch(
+      df: DataFrame,
+      bytesCol: String)(
+      decodeOne: Array[Byte] => (Long, Long, Long) = stubDecode): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("decoded", StructType(Seq(
+        StructField("n_bytes", LongType, nullable = false),
+        StructField("width", LongType, nullable = false),
+        StructField("height", LongType, nullable = false)))))
+    val idx = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { rows =>
+      // per-partition setup for a real codec would go here
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](idx)
+        val (n, w, h) = decodeOne(bytes)
+        Row.fromSeq(row.toSeq :+ Row(n, w, h))
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** The deterministic fake decoder (mirrors [[decodeImageMeta]]). */
+  def stubDecode(bytes: Array[Byte]): (Long, Long, Long) = {
+    val n = bytes.length.toLong
+    (n, n % 640 + 1, (n * 7) % 480 + 1)
   }
 
   /** STUB video frame-sample plan: byte offsets of every `everyN`-th

@@ -86,6 +86,29 @@ class FuelCleaningSpec extends SparkSpecBase {
       === "invalid location_latitude")
   }
 
+  test("parseWire: malformed JSON takes the corrupt-record dead-letter path") {
+    import spark.implicits._
+    val raw = Seq(
+      """{"stationcode":"972","fueltype":"U91","price":"181.5","lastupdated":"05/10/2023 08:19:59","seq":1}""",
+      """not json at all{{{""").toDF("payload")
+    val split = graft.fuel.FuelCleaning.parseWire(raw, "payload", FuelModel.rawPriceSchema)
+    assert(split.valid.count() === 1)
+    assert(split.valid.collect().head.getAs[String]("stationcode") === "972")
+    assert(split.rejected.count() === 1)
+    assert(split.rejected.collect().head.getAs[String]("_reject_reason") === "malformed json")
+  }
+
+  test("decodeBatch (mapPartitions plumbing): stub decode over binary column") {
+    import spark.implicits._
+    val df = Seq((1L, "hello world")).toDF("doc_id", "text")
+      .withColumn("bytes", org.apache.spark.sql.functions.col("text").cast("binary"))
+    val out = graft.operators.Multimodal.decodeBatch(df, "bytes")()
+    val r = out.select("decoded.*").collect().head
+    assert(r.getAs[Long]("n_bytes") === 11L)
+    assert(r.getAs[Long]("width") === 12L)  // 11 % 640 + 1
+    assert(r.getAs[Long]("height") === 78L) // 77 % 480 + 1
+  }
+
   test("nested API envelope explodes to flat rows (P1)") {
     val json = """{"stations":[{"brandid":"b","stationid":"s","brand":"United",
       "code":"972","name":"N","address":"A",
