@@ -48,6 +48,30 @@ object StreamOps {
         })
   }
 
+  /** The reference-exact GLOBAL high-water-mark (one mark for the
+    * whole stream, `main.py:45-51`) — inherently sequential, so this
+    * parity-only variant funnels through a single state key; use
+    * [[hwmGate]] (per-key marks) for anything that must scale.
+    */
+  def hwmGateGlobal(prices: Dataset[PriceRecord]): Dataset[PriceRecord] = {
+    import prices.sparkSession.implicits._
+    prices
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Int, rows: Iterator[PriceRecord], state: GroupState[Timestamp]) => {
+          val hwm = state.getOption
+          val sorted = rows.toSeq.sortBy(p => (p.lastupdated.getTime, p.seq))
+          val emitted = sorted.iterator.scanLeft((hwm, Option.empty[PriceRecord])) {
+            case ((mark, _), p) =>
+              if (mark.forall(m => p.lastupdated.after(m)))
+                (Some(p.lastupdated), Some(p))
+              else (mark, None)
+          }.toSeq
+          emitted.lastOption.flatMap(_._1).foreach(state.update)
+          emitted.iterator.flatMap(_._2)
+        })
+  }
+
   /** St2 — keyed first-wins dedup (`main.py:72-76`): emit each
     * station code at most once for the lifetime of the query.
     * `dropDuplicates` state never expires, exactly like the

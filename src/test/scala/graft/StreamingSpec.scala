@@ -61,6 +61,22 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("St1 hwmGateGlobal: ONE mark across all keys (reference-exact semantics)") {
+    val input = MemoryStream[PriceRecord](spark)
+    val gated = StreamOps.hwmGateGlobal(input.toDS())
+    val q = gated.writeStream
+      .format("memory").queryName("hwm_global").outputMode(OutputMode.Append).start()
+    try {
+      input.addData(pr("A", "U91", 1.0, "2023-10-05 10:00:00", 1))
+      q.processAllAvailable()
+      // different key but older than the GLOBAL mark → dropped
+      input.addData(pr("B", "U91", 2.0, "2023-10-05 09:00:00", 2))
+      q.processAllAvailable()
+      val got = spark.table("hwm_global").collect().map(_.getAs[Double]("price")).toSet
+      assert(got === Set(1.0))
+    } finally q.stop()
+  }
+
   test("St2 firstWins: each station code emitted at most once across batches") {
     val input = MemoryStream[(String, String)](spark)
     val deduped = StreamOps.firstWins(input.toDF().toDF("code", "name"), Seq("code"))
