@@ -353,6 +353,30 @@ object RelationalQueries {
       .select("o_custkey", "spend")
   }
 
+  /** Exact percentiles (linear interpolation — same arithmetic as
+    * DuckDB's `quantile_cont`, so hash-exact). Spark's `percentile`
+    * is the exact sort-based form; `percentile_approx` (KLL-ish
+    * sketch) is the scale path when exactness isn't required.
+    */
+  private def percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        Det.round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        Det.round(expr("percentile(value, 0.9)"), 4).as("p90"))
+
+  /** GROUPING SETS via the SQL surface: arbitrary grouping lattice in
+    * one Expand pass.
+    */
+  private def groupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d).createOrReplaceTempView("graft_gs_events")
+    s.sql(
+      """SELECT event_type, user_id,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM graft_gs_events
+        |GROUP BY GROUPING SETS ((event_type), (user_id), ())""".stripMargin)
+  }
+
   /** JSON scalar surface (SURVEY §2.8 — the reference's only JSON ops
     * are whole-record to/from_json): typed extraction from the
     * semi-structured `props` column.
@@ -545,6 +569,15 @@ object RelationalQueries {
         |  FROM orders GROUP BY o_custkey)
         |SELECT o_custkey, spend FROM spend
         |WHERE spend > (SELECT sum(spend) / count(*) FROM spend)""".stripMargin)),
+    QueryDef("q_percentiles", percentiles, Some(
+      """SELECT event_type,
+        |  floor(quantile_cont(value, 0.5) * 10000.0 + 0.5) / 10000.0 AS p50,
+        |  floor(quantile_cont(value, 0.9) * 10000.0 + 0.5) / 10000.0 AS p90
+        |FROM events GROUP BY event_type""".stripMargin)),
+    QueryDef("q_grouping_sets", groupingSets, Some(
+      """SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n
+        |FROM events
+        |GROUP BY GROUPING SETS ((event_type), (user_id), ())""".stripMargin)),
     QueryDef("q_json_extract", jsonExtract, Some(
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val

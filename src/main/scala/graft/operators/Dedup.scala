@@ -105,6 +105,7 @@ object Dedup {
       n: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
+    require(n % bands == 0, s"signature length $n must divide into $bands bands")
     val rows = n / bands
     val sigs = docs.select(
         col(idCol).as("doc_id"),
