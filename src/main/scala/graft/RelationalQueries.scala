@@ -365,6 +365,17 @@ object RelationalQueries {
         Det.round(expr("percentile(value, 0.5)"), 4).as("p50"),
         Det.round(expr("percentile(value, 0.9)"), 4).as("p90"))
 
+  /** HLL sketch distinct count — the 100 TB form of
+    * [[distinctCount]]: mergeable fixed-size sketches instead of an
+    * expanded exact-distinct shuffle. Hash-based and order-
+    * insensitive, so deterministic (rows-only driver check; the
+    * approximation has no SQL twin).
+    */
+  private def approxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"))
+
   /** GROUPING SETS via the SQL surface: arbitrary grouping lattice in
     * one Expand pass.
     */
@@ -569,6 +580,7 @@ object RelationalQueries {
         |  FROM orders GROUP BY o_custkey)
         |SELECT o_custkey, spend FROM spend
         |WHERE spend > (SELECT sum(spend) / count(*) FROM spend)""".stripMargin)),
+    QueryDef("q_approx_distinct", approxDistinct, None),
     QueryDef("q_percentiles", percentiles, Some(
       """SELECT event_type,
         |  floor(quantile_cont(value, 0.5) * 10000.0 + 0.5) / 10000.0 AS p50,
