@@ -20,9 +20,10 @@ import graft.streaming.StreamOps
   *
   * Usage: `runMain graft.fuel.FuelPipeline <pricesDir> <stationsDir>
   * <warehouseDir>` — reads any *.jsonl placed in the source dirs,
-  * processes each file exactly once (file-source offsets = the
-  * reference's high-water-mark St1, done by the engine), stops when
-  * idle.
+  * processes each file exactly once (file-source offsets +
+  * checkpoints under `<warehouseDir>/_checkpoints` = the reference's
+  * high-water-mark St1, done by the engine, durable across
+  * restarts), stops when idle.
   */
 object FuelPipeline {
 
@@ -72,6 +73,7 @@ object FuelPipeline {
         Warehouse.append(Warehouse.withSurrogateId(batch), s"$warehouseDir/prices")
       }
       .queryName("ingest_prices")
+      .option("checkpointLocation", s"$warehouseDir/_checkpoints/ingest_prices")
       .trigger(Trigger.ProcessingTime(1000L))
       .start()
 
@@ -84,6 +86,7 @@ object FuelPipeline {
         Warehouse.append(Warehouse.withSurrogateId(batch), s"$warehouseDir/stations")
       }
       .queryName("ingest_stations")
+      .option("checkpointLocation", s"$warehouseDir/_checkpoints/ingest_stations")
       .trigger(Trigger.ProcessingTime(1000L))
       .start()
 
@@ -112,6 +115,7 @@ object FuelPipeline {
             .createOrReplaceTempView("fuel_qmap_live")
       }
       .queryName("qmap_live")
+      .option("checkpointLocation", s"$warehouseDir/_checkpoints/qmap_live")
       .trigger(Trigger.ProcessingTime(1000L))
       .start()
 
