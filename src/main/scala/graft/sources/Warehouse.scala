@@ -18,10 +18,10 @@ object Warehouse {
     * overwrite; the append path is the steady-state ingest.
     */
   def overwrite(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite").parquet(path)
+    df.write.mode("overwrite").option("compression", "zstd").parquet(path)
 
   def append(df: DataFrame, path: String): Unit =
-    df.write.mode("append").parquet(path)
+    df.write.mode("append").option("compression", "zstd").parquet(path)
 
   /** Partitioned append — the 100 TB shape: facts land partitioned by
     * a low-cardinality natural pruning key (event date for streams),
