@@ -84,9 +84,11 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** Deterministic ±1 hyperplane components (splitmix64, fixed seed). */
-  private[graft] def rhpPlanes(dim: Int, nBits: Int): Seq[Seq[Int]] = {
-    var x = 0x243F6A8885A308D3L
+  /** Deterministic ±1 hyperplane components (splitmix64; `seed`
+    * selects the hash table — each LSH table uses independent planes).
+    */
+  private[graft] def rhpPlanes(dim: Int, nBits: Int, seed: Long = 0x243F6A8885A308D3L): Seq[Seq[Int]] = {
+    var x = seed
     def next(): Long = {
       x += 0x9E3779B97F4A7C15L
       var z = x
@@ -95,6 +97,54 @@ object Similarity {
       z ^ (z >>> 31)
     }
     Seq.fill(nBits)(Seq.fill(dim)(if (next() >= 0) 1 else -1))
+  }
+
+  /** Seeded variant of [[rhpBucket]] for multi-table LSH. */
+  def rhpBucketSeeded(vec: Column, dim: Int, nBits: Int, seed: Long): Column = {
+    val planes = rhpPlanes(dim, nBits, seed)
+    val bits = planes.zipWithIndex.map { case (plane, i) =>
+      val comps = array(plane.map(s => lit(s.toDouble)): _*)
+      val dot = aggregate(
+        zip_with(vec, comps, (x, c) => x.cast("double") * c),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Multi-table LSH top-k — the standard recall lever: `nTables`
+    * independent hash tables; a corpus vector is a candidate if it
+    * collides with the query in ANY table (collision prob
+    * `1-(1-p^nBits)^nTables`). Candidate generation stays an
+    * equi-join on (table, bucket) with the query probes broadcast;
+    * pairs dedup before scoring so each candidate is scored once.
+    */
+  def lshKnnMultiTable(
+      queries: DataFrame,
+      corpus: DataFrame,
+      queryId: String,
+      corpusId: String,
+      queryVec: String,
+      corpusVec: String,
+      k: Int,
+      dim: Int,
+      nBits: Int = 8,
+      nTables: Int = 4,
+      excludeSelf: Boolean = true): DataFrame = {
+    def buckets(vec: Column) = array((0 until nTables).map { t =>
+      struct(lit(t).as("t"),
+        rhpBucketSeeded(vec, dim, nBits, 0x9E3779B97F4A7C15L * (t + 1)).as("b"))
+    }: _*)
+    val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"))
+      .withColumn("__tb", explode(buckets(col("__cv"))))
+    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
+      .withColumn("__tb", explode(buckets(col("__qv"))))
+    val joined = c.join(broadcast(q), Seq("__tb")).drop("__tb")
+    val cand = (if (excludeSelf) joined.filter(col("query_id") =!= col("neighbor_id")) else joined)
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = cand.select(col("query_id"), col("neighbor_id"),
+      Det.round(cosine(col("__qv"), col("__cv")), 6).as("sim"))
+    topKPerQuery(scored, k)
   }
 
   /** The ANN scale path: LSH-bucketed top-k. The corpus is bucketed

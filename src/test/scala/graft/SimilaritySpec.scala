@@ -91,6 +91,34 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall >= 0.8, s"recall=$recall")
   }
 
+  test("lshKnnMultiTable: more tables, more recall (vs single-table, same bits)") {
+    val rnd = new scala.util.Random(13)
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat).toSeq
+    }
+    val centers = Array.fill(30)(Array.fill(16)(rnd.nextGaussian()))
+    val vecs = (0 until 240).map { i =>
+      val c = centers(i % 30)
+      (i.toLong, unit(c.map(x => x + 0.2 * rnd.nextGaussian())))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val qs = df.filter(col("vec_id") < 30)
+    def pairs(r: org.apache.spark.sql.DataFrame) =
+      r.select("query_id", "neighbor_id").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val bf = pairs(Similarity.bruteForceKnn(qs, df, "vec_id", "vec_id",
+      "embedding", "embedding", k = 5))
+    val one = pairs(Similarity.lshKnn(qs, df, "vec_id", "vec_id",
+      "embedding", "embedding", k = 5, dim = 16, nBits = 10, probeHamming = 0))
+    val multi = pairs(Similarity.lshKnnMultiTable(qs, df, "vec_id", "vec_id",
+      "embedding", "embedding", k = 5, dim = 16, nBits = 10, nTables = 6))
+    val rOne = (bf & one).size.toDouble / bf.size
+    val rMulti = (bf & multi).size.toDouble / bf.size
+    assert(rMulti >= rOne, s"multi=$rMulti single=$rOne")
+    assert(rMulti >= 0.7, s"multi=$rMulti")
+  }
+
   test("ivfKnn (IVF scale path): high recall on clustered data, bounded probe cost") {
     val rnd = new scala.util.Random(11)
     def unit(v: Array[Double]) = {
