@@ -223,10 +223,16 @@ object Dedup {
       block: Column,
       k: Int,
       threshold: Double): DataFrame = {
+    // Shingles travel as 64-bit hashes (ShingleHashExpr), not
+    // strings: the exploded (block, doc_id, shingle) relation and the
+    // equi-join shuffle shrink to fixed-width rows. Hash collisions
+    // would perturb the count with probability ~|shingles|²/2^64 —
+    // negligible against the exact-string form.
     val sh = docs.select(
       block.as("block"),
       col(idCol).as("doc_id"),
-      shingles(col(textCol), k).as("sh"))
+      graft.functions.HashExprs.shingleHashes(
+        transform(TextAnalysis.tokens(col(textCol)), t => xxhash64(t)), k).as("sh"))
     val sizes = sh.select(col("block"), col("doc_id"), size(col("sh")).as("n"))
     val toks = sh.select(col("block"), col("doc_id"), explode(col("sh")).as("tok"))
     val inter = toks.as("a")
