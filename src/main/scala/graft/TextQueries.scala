@@ -66,6 +66,27 @@ object TextQueries {
     Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
       block = lit(1), k = 3, threshold = 0.5)
 
+  /** Token-window chunking: one row per (doc, chunk). */
+  private def docChunks(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.chunks(col("text"), chunkSize = 32, overlap = 8))
+          .as(Seq("chunk_id", "chunk_text")))
+      .withColumn("n_chunk_tokens", TextAnalysis.tokenCount(col("chunk_text")))
+
+  /** Digit-run redaction over the text column. */
+  private def redact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextAnalysis.redactDigits(col("text")).as("redacted"))
+
+  /** Deterministic 90/10 train/validation split. */
+  private def trainSplit(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      when(TextAnalysis.splitBucket(col("doc_id")) < 90, "train")
+        .otherwise("valid").as("split"))
+
   /** End-to-end dedup: docs in → near-dup-free docs out (rows-only
     * driver check; deterministic keeper = component min id).
     */
@@ -162,6 +183,22 @@ object TextQueries {
     QueryDef("q_simhash_neardup", simhashNeardup, None),
     QueryDef("q_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     QueryDef("q_dedup_docs", dedupDocs, None),
+    QueryDef("q_doc_chunks", docChunks, Some {
+      val toks = duckToks("text")
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents)
+         |SELECT doc_id,
+         |  CAST(i // 24 AS INTEGER) AS chunk_id,
+         |  array_to_string(toks[i+1 : i+32], ' ') AS chunk_text,
+         |  CAST(len(toks[i+1 : i+32]) AS INTEGER) AS n_chunk_tokens
+         |FROM t, unnest(range(0, greatest(len(toks), 1), 24)) AS u(i)""".stripMargin
+    }),
+    QueryDef("q_redact", redact, Some(
+      "SELECT doc_id, regexp_replace(text, '[0-9]+', '#', 'g') AS redacted FROM documents")),
+    QueryDef("q_train_split", trainSplit, Some(
+      """SELECT doc_id,
+        |  CASE WHEN ((doc_id * 2654435761) % 2147483647) % 100 < 90
+        |       THEN 'train' ELSE 'valid' END AS split
+        |FROM documents""".stripMargin)),
     QueryDef("q_multimodal_meta", multimodalMeta, Some(
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

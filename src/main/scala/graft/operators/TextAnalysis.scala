@@ -106,6 +106,35 @@ object TextAnalysis {
       .otherwise(pick)
   }
 
+  /** Token-window chunking with overlap — the standard long-document
+    * split for context-bounded training: windows of `size` tokens
+    * advancing by `size - overlap`. Returns an array of chunk
+    * strings; explode it for one-row-per-chunk. Pure per-row array
+    * ops: chunking 100 TB is a map-only pass.
+    */
+  def chunks(text: Column, chunkSize: Int, overlap: Int): Column = {
+    require(overlap < chunkSize, "overlap must be smaller than chunk size")
+    val step = chunkSize - overlap
+    val toks = tokens(text)
+    transform(
+      sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(step)),
+      start => concat_ws(" ", slice(toks, start + 1, lit(chunkSize))))
+  }
+
+  /** Pattern redaction (PII-scrub shape): every digit run replaced by
+    * a mask. Codegen'd regexp, map-only.
+    */
+  def redactDigits(text: Column, mask: String = "#"): Column =
+    regexp_replace(text, "[0-9]+", mask)
+
+  /** Deterministic train/validation split by multiplicative hashing
+    * of the id — pure 64-bit integer arithmetic, so any engine
+    * computes the same assignment (no RNG, no salt files).
+    * Returns the bucket in [0, 100).
+    */
+  def splitBucket(id: Column): Column =
+    pmod(pmod(id * lit(2654435761L), lit(2147483647L)), lit(100))
+
   /** Polynomial rolling-hash fingerprint over whitespace tokens —
     * content-defined, whitespace-normalization-invariant:
     * `h = (h·31 + (xxhash64(token) mod p)) mod p` folded left in
