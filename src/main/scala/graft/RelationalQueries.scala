@@ -353,6 +353,29 @@ object RelationalQueries {
       .select("o_custkey", "spend")
   }
 
+  /** Sessionization: group each user's events into sessions separated
+    * by >30-minute gaps. Batch form: per-user `lag` flags session
+    * starts, a running sum numbers them, one aggregation per session
+    * — two window passes + one aggregation over the same (user, ts)
+    * sort order, so Catalyst reuses a single shuffle+sort. The
+    * streaming twin is [[graft.streaming.StreamOps]]' session_window.
+    */
+  private def sessionize(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    def epUs(c: Column) = unix_micros(c.cast("timestamp"))
+    val newSession = when(
+      epUs(col("ts")) - epUs(lag(col("ts"), 1).over(byUser)) > 1800000000L
+        || lag(col("ts"), 1).over(byUser).isNull, 1).otherwise(0)
+    Tables.events(s, d)
+      .withColumn("session_id",
+        sum(newSession).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(
+        min("ts").as("session_start"),
+        max("ts").as("session_end"),
+        count(lit(1)).as("n_events"))
+  }
+
   /** Exact percentiles (linear interpolation — same arithmetic as
     * DuckDB's `quantile_cont`, so hash-exact). Spark's `percentile`
     * is the exact sort-based form; `percentile_approx` (KLL-ish
@@ -580,6 +603,25 @@ object RelationalQueries {
         |  FROM orders GROUP BY o_custkey)
         |SELECT o_custkey, spend FROM spend
         |WHERE spend > (SELECT sum(spend) / count(*) FROM spend)""".stripMargin)),
+    QueryDef("q_sessionize", sessionize, Some(
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |numbered AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(new_session) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM numbered GROUP BY user_id, session_id""".stripMargin),
+      headline = true),
     QueryDef("q_approx_distinct", approxDistinct, None),
     QueryDef("q_percentiles", percentiles, Some(
       """SELECT event_type,

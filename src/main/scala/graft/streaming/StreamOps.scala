@@ -149,6 +149,27 @@ object StreamOps {
         col("window.end").as("window_end"),
         col("fueltype"), col("avg_price"))
 
+  /** Streaming sessionization: `session_window` merges events within
+    * `gap` into one growing window per key; a session closes (and its
+    * aggregate emits, append mode) once the watermark passes its end.
+    * The streaming twin of the batch lag/running-sum sessionizer in
+    * `RelationalQueries.sessionize`.
+    */
+  def sessionized(
+      events: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      gap: String,
+      lateness: String): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   /** Stream-stream equi-join with watermarks (the streaming form of
     * J1 when the dimension itself is a stream): both sides buffer
     * state only within their watermark + the join's event-time bound,

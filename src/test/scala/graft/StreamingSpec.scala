@@ -142,6 +142,29 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming sessionization: gap merges within, splits across; closes on watermark") {
+    val input = MemoryStream[PriceRecord](spark)
+    val sess = StreamOps.sessionized(input.toDF(),
+      tsCol = "lastupdated", keyCol = "stationcode",
+      gap = "30 minutes", lateness = "10 minutes")
+    val q = sess.writeStream
+      .format("memory").queryName("sess_out").outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        pr("A", "U91", 1.0, "2023-10-05 10:00:00", 1),
+        pr("A", "U91", 2.0, "2023-10-05 10:20:00", 2), // within gap → same session
+        pr("A", "U91", 3.0, "2023-10-05 12:00:00", 3)) // >30 min later → new session
+      q.processAllAvailable()
+      input.addData(pr("A", "U91", 4.0, "2023-10-05 15:00:00", 4)) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("sess_out").collect()
+        .map(r => r.getAs[java.sql.Timestamp]("session_start").toString -> r.getAs[Long]("n_events"))
+        .toMap
+      assert(rows("2023-10-05 10:00:00.0") === 2L)
+      assert(rows("2023-10-05 12:00:00.0") === 1L)
+    } finally q.stop()
+  }
+
   test("stream-stream join with watermarks matches within the time bound") {
     val prices = MemoryStream[PriceRecord](spark)
     val quotes = MemoryStream[PriceRecord](spark)
