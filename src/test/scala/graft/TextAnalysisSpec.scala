@@ -51,4 +51,33 @@ class TextAnalysisSpec extends SparkSpecBase {
   test("stopword ratio") {
     assert(one[Double](TextAnalysis.stopwordRatio(col("text")), "the cat and the dog") === 0.6)
   }
+
+  test("chunks: exact windows, overlap, shorter tail, tiny input") {
+    def chunksOf(text: String, size: Int, overlap: Int): Seq[String] =
+      one[scala.collection.Seq[String]](TextAnalysis.chunks(col("text"), size, overlap), text).toSeq
+    // 5 tokens, size 3, overlap 1 → starts 0,2,4
+    assert(chunksOf("a b c d e", 3, 1) === Seq("a b c", "c d e", "e"))
+    // input shorter than one window → single chunk
+    assert(chunksOf("a b", 5, 2) === Seq("a b"))
+    // single token
+    assert(chunksOf("a", 3, 1) === Seq("a"))
+  }
+
+  test("redactDigits masks every digit run") {
+    assert(one[String](TextAnalysis.redactDigits(col("text")),
+      "call 555 at 10am room42") === "call # at #am room#")
+  }
+
+  test("splitBucket: deterministic, in range, ~90/10 at corpus scale") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), TextAnalysis.splitBucket(col("doc_id")).as("b"))
+    val buckets = docs.agg(min("b"), max("b")).collect().head
+    assert(buckets.getLong(0) >= 0 && buckets.getLong(1) < 100)
+    val trainFrac = docs.filter(col("b") < 90).count().toDouble / docs.count()
+    assert(trainFrac > 0.8 && trainFrac < 0.97, s"trainFrac=$trainFrac")
+    // determinism: recompute equals itself
+    val again = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), TextAnalysis.splitBucket(col("doc_id")).as("b2"))
+    assert(docs.join(again, "doc_id").filter(col("b") =!= col("b2")).count() === 0)
+  }
 }
