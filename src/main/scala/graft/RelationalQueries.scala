@@ -331,6 +331,22 @@ object RelationalQueries {
       .agg(round(sum(dec(col("l_extendedprice")) * col("l_discount").cast(DecimalType(4, 2))), 2)
         .cast("double").as("revenue"))
 
+  /** TPC-H Q17 shape — correlated per-group threshold: lineitems
+    * whose quantity is below 20% of their part's average quantity.
+    * The per-part average is a derived aggregate joined back (the
+    * decorrelated plan Catalyst would produce for the correlated
+    * subquery), computed exactly (decimal sum / count) so the
+    * threshold compare is engine-portable.
+    */
+  private def smallQuantityRevenue(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val avgQty = li.groupBy(col("l_partkey").as("__pk"))
+      .agg((sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("__avg_qty"))
+    li.join(avgQty, col("l_partkey") === col("__pk"))
+      .filter(col("l_quantity") < lit(0.2) * col("__avg_qty"))
+      .agg(round(sum(dec(col("l_extendedprice"))), 2).cast("double").as("yearly_loss"))
+  }
+
   /** HAVING — post-aggregation filter on the aggregate itself. */
   private def bigOrders(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -593,6 +609,14 @@ object RelationalQueries {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24""".stripMargin)),
+    QueryDef("q17_small_quantity", smallQuantityRevenue, Some(
+      """WITH a AS (
+        |  SELECT l_partkey AS pk,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS yearly_loss
+        |FROM lineitem JOIN a ON l_partkey = a.pk
+        |WHERE l_quantity < 0.2 * avg_qty""".stripMargin)),
     QueryDef("q_having_big_orders", bigOrders, Some(
       """SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
         |FROM lineitem GROUP BY l_orderkey
