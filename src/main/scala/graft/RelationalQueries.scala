@@ -347,6 +347,117 @@ object RelationalQueries {
       .agg(round(sum(dec(col("l_extendedprice"))), 2).cast("double").as("yearly_loss"))
   }
 
+  /** TPC-H Q7 shape — bidirectional two-nation trade volume: both
+    * dimension chains (supplier→nation, customer→orders) filter to
+    * the two nations BEFORE the fact join, so the broadcast inner
+    * joins prune the lineitem stream early; the OR'd pair predicate
+    * only runs on surviving rows.
+    */
+  private def nationVolume(s: SparkSession, d: String): DataFrame = {
+    val nats = Seq("NATION_1", "NATION_2")
+    val sn = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      .filter(col("supp_nation").isin(nats: _*))
+    val cn = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      .filter(col("cust_nation").isin(nats: _*))
+    val li = Tables.lineitem(s, d)
+    val ord = Tables.orders(s, d)
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cn), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2")
+        || (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(round(sum(discounted), 2).cast("double").as("revenue"))
+  }
+
+  /** TPC-H Q2 shape — argmax-by-equality via decorrelated aggregate:
+    * suppliers whose balance equals their nation's maximum. Unlike
+    * top-1-per-group (which [[graft.plans.RewriteTopOnePerGroup]]
+    * rewrites), equality-with-aggregate keeps ALL tied rows — the
+    * exact semantics of Q2's `= (SELECT min(...))` correlated
+    * subquery after Catalyst decorrelates it into this join.
+    */
+  private def topAcctbalSupplier(s: SparkSession, d: String): DataFrame = {
+    val sup = Tables.supplier(s, d)
+    val mx = sup.groupBy(col("s_nationkey").as("__nk"))
+      .agg(max("s_acctbal").as("__mx"))
+    sup.join(broadcast(mx),
+        col("s_nationkey") === col("__nk") && col("s_acctbal") === col("__mx"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "n_name", "s_acctbal")
+  }
+
+  /** TPC-H Q20 shape — IN over an aggregated-HAVING subquery:
+    * suppliers that shipped >100 total quantity of some part. Plans
+    * as aggregate → distinct keys → left-semi join; the semi side is
+    * bounded by |suppliers| so it broadcasts.
+    */
+  private def heavySuppliers(s: SparkSession, d: String): DataFrame = {
+    val heavy = Tables.lineitem(s, d)
+      .groupBy("l_suppkey", "l_partkey")
+      .agg(sum(dec(col("l_quantity"))).as("__qty"))
+      .filter(col("__qty") > 100)
+      .select("l_suppkey").distinct()
+    val sup = Tables.supplier(s, d)
+    sup.join(broadcast(heavy), sup("s_suppkey") === heavy("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name")
+  }
+
+  /** TPC-H Q10 shape — returned-item revenue ranking: selective
+    * returnflag filter on the fact scan, grouped customer revenue,
+    * bounded top-k (TakeOrderedAndProject — never a global sort).
+    */
+  private def returnedRevenue(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+    val ord = Tables.orders(s, d)
+    val cust = Tables.customer(s, d).select("c_custkey", "c_name")
+    val grouped = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy("c_custkey", "c_name")
+      .agg(round(sum(discounted), 2).cast("double").as("revenue"))
+    Relational.topK(grouped, 20, col("revenue").desc, col("c_custkey").asc)
+      .select("c_custkey", "c_name", "revenue")
+  }
+
+  /** TPC-H Q14 shape — conditional-aggregate ratio over a broadcast
+    * dimension join: promo revenue share. Both sums are exact
+    * decimals; the single double division happens once at the end in
+    * a fixed expression order (the oracle mirrors it token-for-token).
+    */
+  private def promoShare(s: SparkSession, d: String): DataFrame = {
+    val pt = Tables.part(s, d).select("p_partkey", "p_type")
+    Tables.lineitem(s, d)
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .agg(Det.round(
+        sum(when(col("p_type") === "PROMO", discounted)).cast("double") * 100.0 /
+          sum(discounted).cast("double"), 4).as("promo_share"))
+  }
+
+  /** TPC-H Q19 shape — disjunctive multi-column predicates across a
+    * join: each OR branch constrains both part (brand, size) and
+    * lineitem (quantity) columns. Catalyst extracts the common
+    * `p_size/l_quantity` bounds for scan-level pushdown and leaves
+    * the residual OR above the broadcast hash join.
+    */
+  private def brandBuckets(s: SparkSession, d: String): DataFrame = {
+    val pt = Tables.part(s, d).select("p_partkey", "p_brand", "p_size")
+    Tables.lineitem(s, d)
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15)
+          && col("l_quantity").between(1, 11))
+          || (col("p_brand") === "Brand#2" && col("p_size").between(1, 25)
+            && col("l_quantity").between(10, 20))
+          || (col("p_brand") === "Brand#3" && col("p_size").between(1, 35)
+            && col("l_quantity").between(20, 30)))
+      .agg(round(sum(discounted), 2).cast("double").as("revenue"))
+  }
+
   /** HAVING — post-aggregation filter on the aggregate itself. */
   private def bigOrders(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -617,6 +728,57 @@ object RelationalQueries {
         |SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS yearly_loss
         |FROM lineitem JOIN a ON l_partkey = a.pk
         |WHERE l_quantity < 0.2 * avg_qty""".stripMargin)),
+    QueryDef("q7_nation_volume", nationVolume, Some(
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        |   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+        |GROUP BY 1, 2, 3""".stripMargin)),
+    QueryDef("q2_top_acctbal_supplier", topAcctbalSupplier, Some(
+      """WITH m AS (
+        |  SELECT s_nationkey AS nk, max(s_acctbal) AS mx
+        |  FROM supplier GROUP BY s_nationkey)
+        |SELECT s_suppkey, s_name, n_name, s_acctbal
+        |FROM supplier
+        |JOIN m ON s_nationkey = nk AND s_acctbal = mx
+        |JOIN nation ON n_nationkey = s_nationkey""".stripMargin)),
+    QueryDef("q20_heavy_suppliers", heavySuppliers, Some(
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 100)""".stripMargin)),
+    QueryDef("q10_returned_revenue", returnedRevenue, Some(
+      """SELECT c.c_custkey, c.c_name,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer c ON o_custkey = c.c_custkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c.c_custkey, c.c_name
+        |ORDER BY revenue DESC, c.c_custkey
+        |LIMIT 20""".stripMargin)),
+    QueryDef("q14_promo_share", promoShare, Some(
+      """SELECT floor(
+        |    CAST(sum(CASE WHEN p_type = 'PROMO'
+        |             THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) END) AS DOUBLE)
+        |    * 100.0
+        |    / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE)
+        |    * 10000.0 + 0.5) / 10000.0 AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin)),
+    QueryDef("q19_brand_buckets", brandBuckets, Some(
+      """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin)),
     QueryDef("q_having_big_orders", bigOrders, Some(
       """SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
         |FROM lineitem GROUP BY l_orderkey

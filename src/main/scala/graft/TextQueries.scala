@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Packing, Relational, Sampling, TextAnalysis}
 
 /** Text-analysis / dedup / multimodal query surface over `documents`
   * — the training-data-pipeline operators (builder prompt; SURVEY §7
@@ -104,6 +104,40 @@ object TextQueries {
       meta.getField("height").as("height"))
   }
 
+  /** Sequence packing: assign each doc to a fixed-256-token training
+    * sequence (concat-then-chunk rule; [[Packing.concatChunkPack]]'s
+    * two-pass distributed prefix sum — no single-partition window).
+    */
+  private def packSequences(s: SparkSession, d: String): DataFrame =
+    Packing.concatChunkPack(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", TextAnalysis.tokenCount(col("text")), budget = 256)
+      .select("doc_id", "n_tokens", "seq_id")
+
+  /** Exact-quota 20% stratified sample by language
+    * ([[Sampling.stratifiedSample]]): hash-ranked, integer-quota, so
+    * the selected set is engine-reproducible.
+    */
+  private def stratifiedSample(s: SparkSession, d: String): DataFrame =
+    Sampling.stratifiedSample(
+        Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        strata = Seq("lang"), id = "doc_id", num = 1, den = 5)
+      .select("doc_id", "lang")
+
+  /** Corpus token-frequency top-k: explode → partial/final count →
+    * bounded top-k (TakeOrderedAndProject). The explode multiplies
+    * rows but map-side partial aggregation collapses them before the
+    * shuffle, so the exchange carries ≤ |vocab| rows per partition.
+    */
+  private def tokenTopK(s: SparkSession, d: String): DataFrame = {
+    val counted = Tables.documents(s, d)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+    Relational.topK(counted, 100, col("n").desc, col("token").asc)
+      .select("token", "n")
+  }
+
   private val statsSql = {
     val toks = duckToks("text")
     s"""SELECT doc_id,
@@ -199,6 +233,28 @@ object TextQueries {
         |  CASE WHEN ((doc_id * 2654435761) % 2147483647) % 100 < 90
         |       THEN 'train' ELSE 'valid' END AS split
         |FROM documents""".stripMargin)),
+    QueryDef("q_pack_sequences", packSequences, Some {
+      val toks = duckToks("text")
+      s"""SELECT doc_id, len($toks) AS n_tokens,
+         |  CAST((sum(len($toks)) OVER (ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |        - len($toks)) // 256 AS BIGINT) AS seq_id
+         |FROM documents""".stripMargin
+    }),
+    QueryDef("q_stratified_sample", stratifiedSample, Some(
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY (doc_id * 2654435761) % 2147483647, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents) t
+        |WHERE rn * 5 <= n""".stripMargin)),
+    QueryDef("q_token_topk", tokenTopK, Some {
+      val toks = duckToks("text")
+      s"""SELECT token, CAST(count(*) AS BIGINT) AS n
+         |FROM (SELECT unnest($toks) AS token FROM documents)
+         |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin
+    }),
     QueryDef("q_multimodal_meta", multimodalMeta, Some(
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

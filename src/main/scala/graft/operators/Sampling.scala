@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines. No RNG state:
+  * every decision derives from a multiplicative hash of the row id,
+  * so any engine (and any re-run over re-partitioned data) selects
+  * the identical row set — the property that makes dataset releases
+  * reproducible.
+  */
+object Sampling {
+
+  /** 31-bit multiplicative hash of a non-negative id (Knuth's 2654435761,
+    * reduced mod the Mersenne prime 2^31-1). Stays in positive long
+    * range for ids < 2^32, so ANSI arithmetic never overflows.
+    */
+  def idHash(id: Column): Column =
+    pmod(id.cast("long") * lit(2654435761L), lit(2147483647L))
+
+  /** Bernoulli-style fixed-rate sample: keeps rows whose hash falls
+    * in the lowest `num/den` fraction of hash space. Map-only (no
+    * shuffle) — the 100 TB form.
+    */
+  def hashSample(df: DataFrame, id: String, num: Int, den: Int): DataFrame = {
+    require(num > 0 && den > 0 && num <= den, "need 0 < num <= den")
+    df.filter(idHash(col(id)) * den < lit(2147483647L) * num)
+  }
+
+  /** Exact-quota stratified sample: within each stratum, rank rows by
+    * id hash and keep the first `floor(num/den * stratum_size)`.
+    * Guarantees per-stratum proportions exactly (a plain hash filter
+    * only hits them in expectation), at the cost of one shuffle on
+    * the stratum key plus a per-stratum sort — the same cost profile
+    * as any grouped window, and skew-safe as long as no single
+    * stratum exceeds a task's spill budget.
+    *
+    * The quota compare `rn * den <= n * num` is pure integer
+    * arithmetic — no float rounding to diverge between engines.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      strata: Seq[String],
+      id: String,
+      num: Int,
+      den: Int): DataFrame = {
+    require(num > 0 && den > 0 && num <= den, "need 0 < num <= den")
+    val part = Window.partitionBy(strata.map(col): _*)
+    val w = part.orderBy(idHash(col(id)), col(id))
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(part))
+      .filter(col("__rn") * den <= col("__n") * num)
+      .drop("__rn", "__n")
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Packing, Sampling}
+
+/** Sequence packing and deterministic sampling semantics. */
+class PackingSamplingSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  test("concatChunkPack: seq_id = floor(global start offset / budget), id order") {
+    // tokens: 3,4,5,2,6 -> starts 0,3,7,12,14 -> budget 5 -> seq 0,0,1,2,2
+    val df = Seq((10L, 3), (11L, 4), (12L, 5), (13L, 2), (14L, 6))
+      .toDF("id", "ntok")
+    val got = Packing.concatChunkPack(df, "id", col("ntok"), budget = 5)
+      .select("id", "seq_id").as[(Long, Long)].collect().toMap
+    assert(got === Map(10L -> 0L, 11L -> 0L, 12L -> 1L, 13L -> 2L, 14L -> 2L))
+  }
+
+  test("concatChunkPack: bucketed two-pass equals single-partition window oracle") {
+    val df = (0L until 500L).map(i => (i * 7 % 997, (i % 13 + 1).toInt))
+      .toDF("id", "ntok") // non-contiguous, shuffled ids
+    val got = Packing.concatChunkPack(df, "id", col("ntok"), budget = 37, buckets = 8)
+      .select("id", "seq_id").as[(Long, Long)].collect().toMap
+    // naive oracle: global sort + running sum on the driver
+    val rows = df.as[(Long, Int)].collect().sortBy(_._1)
+    var acc = 0L
+    val want = rows.map { case (id, n) =>
+      val s = acc; acc += n; id -> s / 37
+    }.toMap
+    assert(got === want)
+  }
+
+  test("concatChunkPack: empty input and single row") {
+    val empty = Seq.empty[(Long, Int)].toDF("id", "ntok")
+    assert(Packing.concatChunkPack(empty, "id", col("ntok"), 10).count() === 0)
+    val one = Seq((42L, 3)).toDF("id", "ntok")
+    val got = Packing.concatChunkPack(one, "id", col("ntok"), 10)
+      .select("seq_id").as[Long].collect()
+    assert(got === Array(0L))
+  }
+
+  test("hashSample: deterministic across runs and repartitioning; rate ~ num/den") {
+    val df = (0L until 2000L).toDF("id")
+    val a = Sampling.hashSample(df, "id", 1, 5).as[Long].collect().toSet
+    val b = Sampling.hashSample(df.repartition(13), "id", 1, 5)
+      .as[Long].collect().toSet
+    assert(a === b)
+    assert(math.abs(a.size - 400) < 80) // within ±20% of expectation
+  }
+
+  test("stratifiedSample: exact floor(num/den * stratum size) per stratum") {
+    val df = (0L until 300L).map(i => (i, s"s${i % 3}")).toDF("id", "lang")
+      .union(Seq((1000L, "tiny"), (1001L, "tiny")).toDF("id", "lang"))
+    val got = Sampling.stratifiedSample(df, Seq("lang"), "id", 1, 5)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    // 100 rows per big stratum -> exactly 20; 2-row stratum -> floor(2/5)=0
+    assert(got === Map("s0" -> 20L, "s1" -> 20L, "s2" -> 20L))
+  }
+
+  test("stratifiedSample: selection is hash-determined, not input-order-determined") {
+    val df = (0L until 100L).map(i => (i, "x")).toDF("id", "lang")
+    val a = Sampling.stratifiedSample(df, Seq("lang"), "id", 1, 4)
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.stratifiedSample(df.orderBy(desc("id")), Seq("lang"), "id", 1, 4)
+      .select("id").as[Long].collect().toSet
+    assert(a === b)
+    assert(a.size === 25)
+  }
+}
