@@ -458,6 +458,226 @@ object RelationalQueries {
       .agg(round(sum(discounted), 2).cast("double").as("revenue"))
   }
 
+  /** TPC-H Q4 shape — EXISTS as a left-semi join with a compound
+    * (equi + range) condition: orders with at least one lineitem
+    * shipped >365 days after the order date. The semi join probes
+    * each order at most once regardless of how many lineitems match
+    * — no fact-side blowup, no distinct.
+    */
+  private def priorityCheck(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+    ord.join(li,
+        ord("o_orderkey") === li("l_orderkey")
+          && li("l_shipdate") > ord("o_orderdate") + expr("INTERVAL 365 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** TPC-H Q9 shape — nation/year profit rollup where the part
+    * predicate contributes no output columns, so it plans as a
+    * broadcast left-semi filter on the fact scan instead of a full
+    * join (half the build-side memory, same rows).
+    */
+  private def nationProfit(s: SparkSession, d: String): DataFrame = {
+    val pt = Tables.part(s, d)
+      .filter(col("p_name").contains("widget")).select("p_partkey")
+    val sn = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    Tables.lineitem(s, d)
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name"), year(col("l_shipdate")).as("o_year"))
+      .agg(round(sum(discounted), 2).cast("double").as("profit"))
+  }
+
+  /** TPC-H Q8 shape — market share: one nation's fraction of regional
+    * revenue per year. Two conditional sums in a single aggregation
+    * pass; the region membership is a semi filter (no payload), the
+    * supplier-nation tag a broadcast join.
+    */
+  private def marketShare(s: SparkSession, d: String): DataFrame = {
+    val asiaCust = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .select("c_custkey")
+    val sn = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val ord = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(Det.round(
+        sum(when(col("supp_nation") === "NATION_5", discounted)).cast("double") /
+          sum(discounted).cast("double"), 4).as("mkt_share"))
+  }
+
+  /** TPC-H Q11 shape — scalar subquery in HAVING: parts whose revenue
+    * exceeds 1/10000 of global revenue. The compare is pure decimal
+    * (`part_sum * 10000 > total`) — no float threshold to diverge
+    * between engines — and the one-row global total broadcasts.
+    */
+  private def importantParts(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val total = li.agg(sum(discounted).as("__tot"))
+    li.groupBy("l_partkey")
+      .agg(sum(discounted).as("__val"))
+      .crossJoin(broadcast(total))
+      .filter(col("__val") * 10000 > col("__tot"))
+      .select(col("l_partkey"),
+        round(col("__val"), 2).cast("double").as("part_value"))
+  }
+
+  /** TPC-H Q12 shape — two conditional counts in one pass over a
+    * fact-fact equi-join (no second scan, no pivot shuffle).
+    */
+  private def priorityLineCounts(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+        && col("l_shipdate") < lit("1999-01-01 00:00:00").cast("timestamp_ntz"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_linestatus")
+      .agg(
+        sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+  }
+
+  /** TPC-H Q13 shape — order-count distribution: left outer join with
+    * the selective predicate in the ON clause (a WHERE would silently
+    * turn the join inner and drop zero-order customers), then a
+    * second aggregation over the first's output.
+    */
+  private def custDistribution(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderstatus") =!= "P")
+      .select("o_custkey", "o_orderkey")
+    Tables.customer(s, d)
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** TPC-H Q15 shape — argmax over an aggregated view: the quarter's
+    * top-revenue supplier(s), ties kept. The revenue view is computed
+    * once; the max is a one-row broadcast equality probe against it
+    * (Catalyst reuses the exchange for both consumers).
+    */
+  private def topSupplier(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1999-01-01 00:00:00").cast("timestamp_ntz")
+        && col("l_shipdate") < lit("1999-04-01 00:00:00").cast("timestamp_ntz"))
+      .groupBy("l_suppkey")
+      .agg(round(sum(discounted), 2).cast("double").as("total_revenue"))
+    val mx = rev.agg(max("total_revenue").as("__mx"))
+    Tables.supplier(s, d)
+      .join(broadcast(rev), col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(mx), col("total_revenue") === col("__mx"))
+      .select("s_suppkey", "s_name", "total_revenue")
+  }
+
+  /** TPC-H Q16 shape — NOT IN as a left-anti join (safe here: the
+    * subquery key is non-nullable) feeding a COUNT(DISTINCT) over
+    * part attributes. The anti side is tiny and broadcasts.
+    */
+  private def partSupplierCounts(s: SparkSession, d: String): DataFrame = {
+    val bad = Tables.supplier(s, d)
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    val pt = Tables.part(s, d)
+      .filter(col("p_brand") =!= "Brand#1"
+        && col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    Tables.lineitem(s, d).select("l_partkey", "l_suppkey")
+      .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  /** TPC-H Q18 shape — IN over a grouped-HAVING subquery, then top-k:
+    * orders whose total quantity clears a threshold. The heavy-order
+    * set is the aggregate's output (bounded, broadcastable) and the
+    * final ranking is TakeOrderedAndProject, never a global sort.
+    */
+  private def largeOrders(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(sum(dec(col("l_quantity"))).as("__q"))
+      .filter(col("__q") > 300)
+    val cust = Tables.customer(s, d).select("c_custkey", "c_name")
+    val joined = Tables.orders(s, d)
+      .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"),
+        col("__q").cast("double").as("total_qty"))
+    Relational.topK(joined, 100, col("o_totalprice").desc, col("o_orderkey").asc)
+  }
+
+  /** TPC-H Q21 shape — EXISTS + NOT EXISTS self-correlation: the sole
+    * late supplier in multi-supplier finished orders. Both
+    * correlations become order-key joins (semi for EXISTS, anti for
+    * NOT EXISTS) against deduplicated per-order supplier sets — the
+    * fact table is scanned, tagged once with lateness, and reused;
+    * no per-row subquery execution anywhere.
+    */
+  private def waitingSupplier(s: SparkSession, d: String): DataFrame = {
+    def tagged = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 365 DAYS"))
+      .select("l_orderkey", "l_suppkey", "late")
+    val l1 = tagged.filter(col("late"))
+    val others = tagged
+      .select(col("l_orderkey").as("o2_key"), col("l_suppkey").as("o2_supp"))
+      .distinct()
+    val lateOthers = tagged.filter(col("late"))
+      .select(col("l_orderkey").as("o3_key"), col("l_suppkey").as("o3_supp"))
+      .distinct()
+    val cand = l1
+      .join(others,
+        col("l_orderkey") === col("o2_key") && col("l_suppkey") =!= col("o2_supp"),
+        "left_semi")
+      .join(lateOthers,
+        col("l_orderkey") === col("o3_key") && col("l_suppkey") =!= col("o3_supp"),
+        "left_anti")
+    val grouped = cand
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+    Relational.topK(grouped, 100, col("numwait").desc, col("s_name").asc)
+  }
+
+  /** TPC-H Q22 shape — above-average balance AND no orders: the mean
+    * compare is decimal-exact (`bal * n > total`, no float division),
+    * the NOT EXISTS a shuffle-free-on-the-small-side anti join.
+    */
+  private def inactiveRich(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    val stats = cust.filter(col("c_acctbal") > 0)
+      .agg(sum(dec(col("c_acctbal"))).as("__tot"), count(lit(1)).as("__cnt"))
+    cust.crossJoin(broadcast(stats))
+      .filter(dec(col("c_acctbal")) * col("__cnt") > col("__tot"))
+      .join(Tables.orders(s, d).select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("numcust"),
+        sum(dec(col("c_acctbal"))).cast("double").as("totacctbal"))
+  }
+
   /** HAVING — post-aggregation filter on the aggregate itself. */
   private def bigOrders(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -779,6 +999,115 @@ object RelationalQueries {
         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin)),
+    QueryDef("q4_priority_check", priorityCheck, Some(
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey
+        |    AND l_shipdate > o_orderdate + INTERVAL 365 DAY)
+        |GROUP BY 1""".stripMargin)),
+    QueryDef("q9_nation_profit", nationProfit, Some(
+      """SELECT n_name, year(l_shipdate) AS o_year,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS profit
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%')
+        |GROUP BY 1, 2""".stripMargin)),
+    QueryDef("q8_market_share", marketShare, Some(
+      """SELECT year(o_orderdate) AS o_year,
+        |  floor(
+        |    CAST(sum(CASE WHEN sn.n_name = 'NATION_5'
+        |             THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) END) AS DOUBLE)
+        |    / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE)
+        |    * 10000.0 + 0.5) / 10000.0 AS mkt_share
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE o_custkey IN (
+        |  SELECT c_custkey FROM customer
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN region ON cn.n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA')
+        |GROUP BY 1""".stripMargin)),
+    QueryDef("q11_important_parts", importantParts, Some(
+      """SELECT l_partkey,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS part_value
+        |FROM lineitem
+        |GROUP BY l_partkey
+        |HAVING sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) * 10000 >
+        |  (SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) FROM lineitem)""".stripMargin)),
+    QueryDef("q12_priority_line_counts", priorityLineCounts, Some(
+      """SELECT l_linestatus,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+        |GROUP BY 1""".stripMargin)),
+    QueryDef("q13_cust_distribution", custDistribution, Some(
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderstatus <> 'P'
+        |  GROUP BY c_custkey) t
+        |GROUP BY 1""".stripMargin)),
+    QueryDef("q15_top_supplier", topSupplier, Some(
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1999-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""".stripMargin)),
+    QueryDef("q16_part_supplier_counts", partSupplierCounts, Some(
+      """SELECT p_brand, p_type, p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1'
+        |  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3""".stripMargin)),
+    QueryDef("q18_large_orders", largeOrders, Some(
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(q AS DOUBLE) AS total_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS q
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300) big
+        |  ON o_orderkey = big.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
+    QueryDef("q21_waiting_supplier", waitingSupplier, Some(
+      """SELECT s_name, count(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+        |JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE l1.l_shipdate > o_orderdate + INTERVAL 365 DAY
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o_orderdate + INTERVAL 365 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin)),
+    QueryDef("q22_inactive_rich", inactiveRich, Some(
+      """WITH s AS (
+        |  SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS tot, count(*) AS cnt
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_nationkey, count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer, s
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * cnt > tot
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1""".stripMargin)),
     QueryDef("q_having_big_orders", bigOrders, Some(
       """SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
         |FROM lineitem GROUP BY l_orderkey
