@@ -52,6 +52,13 @@ def cell_eq(a, b) -> bool:
             return False
     except (TypeError, ValueError):
         pass
+    # Driver-strictness: int vs float is a dtype mismatch even when values
+    # are numerically equal (the driver hashes dtype-tagged values, so
+    # 3448 != 3448.0). bool is an int subclass in Python — exempt it.
+    a_int = isinstance(a, int) and not isinstance(a, bool)
+    b_int = isinstance(b, int) and not isinstance(b, bool)
+    if (a_int and isinstance(b, float)) or (b_int and isinstance(a, float)):
+        return False
     if isinstance(a, float) and isinstance(b, float):
         return repr(a) == repr(b) or (math.isnan(a) and math.isnan(b))
     if isinstance(a, (list, tuple)) or isinstance(b, (list, tuple)):

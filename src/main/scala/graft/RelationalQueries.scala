@@ -77,11 +77,13 @@ object RelationalQueries {
   }
 
   /** The flagship query — SURVEY §3 entry point 1 ("Q-map",
-    * `DataAnalysis.py:91-138`): latest-per-group, broadcast left
-    * outer join onto the dimension, conditional string projection,
-    * grouped ordered string agg. The aggregated `latest` side is
-    * bounded by |users|×|types| so it broadcasts; the dimension scan
-    * never shuffles.
+    * `DataAnalysis.py:91-138`): latest-per-group, left outer join
+    * onto the dimension, conditional string projection, grouped
+    * ordered string agg. The aggregated `latest` side grows with
+    * |users|×|types| — i.e. with the data — so it is NOT broadcast-
+    * pinned: AQE broadcasts while it's small and falls back to a
+    * shuffle join at scale. (Contrast `FuelQueries.qMap`, where the
+    * dimension is physically bounded and the hint is pinned.)
     */
   def flagshipProfile(s: SparkSession, d: String): DataFrame = {
     val latest = Relational.latestPerGroup(
@@ -93,7 +95,7 @@ object RelationalQueries {
     val info = when(col("value").isNotNull,
         concat(col("event_type"), lit(": "), col("value").cast("string")))
       .otherwise(lit(""))
-    cust.join(broadcast(latest), cust("c_custkey") === latest("user_id"), "left_outer")
+    cust.join(latest, cust("c_custkey") === latest("user_id"), "left_outer")
       .withColumn("info", info)
       .groupBy("c_custkey", "c_name", "c_mktsegment")
       .agg(concat_ws("<br>", sort_array(collect_list(col("info")))).as("events_info"))
@@ -626,9 +628,13 @@ object RelationalQueries {
   /** TPC-H Q21 shape — EXISTS + NOT EXISTS self-correlation: the sole
     * late supplier in multi-supplier finished orders. Both
     * correlations become order-key joins (semi for EXISTS, anti for
-    * NOT EXISTS) against deduplicated per-order supplier sets — the
-    * fact table is scanned, tagged once with lateness, and reused;
-    * no per-row subquery execution anywhere.
+    * NOT EXISTS) against deduplicated per-order supplier sets; no
+    * per-row subquery execution anywhere. `tagged` is a def, so the
+    * lineitem⋈orders subtree appears three times in the logical plan
+    * — collapsing the triple scan to one relies on Catalyst/AQE
+    * exchange reuse (ReuseExchange), which these shapes usually but
+    * not provably hit; materialize (persist/checkpoint) if a plan
+    * audit shows the scan tripled.
     */
   private def waitingSupplier(s: SparkSession, d: String): DataFrame = {
     def tagged = Tables.lineitem(s, d)
@@ -1041,8 +1047,8 @@ object RelationalQueries {
         |  (SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) FROM lineitem)""".stripMargin)),
     QueryDef("q12_priority_line_counts", priorityLineCounts, Some(
       """SELECT l_linestatus,
-        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'

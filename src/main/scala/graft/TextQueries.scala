@@ -62,9 +62,13 @@ object TextQueries {
     Dedup.simhashCandidates(Tables.documents(s, d), "doc_id", "text",
       maxHamming = 3)
 
+  /** Default geometric double-blocking (lossless at threshold 0.5):
+    * candidates are bounded to docs within ~4× of each other's
+    * shingle count instead of the whole corpus.
+    */
   private def ngramJaccard(s: SparkSession, d: String): DataFrame =
     Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
-      block = lit(1), k = 3, threshold = 0.5)
+      block = None, k = 3, threshold = 0.5)
 
   /** Token-window chunking: one row per (doc, chunk). */
   private def docChunks(s: SparkSession, d: String): DataFrame =
@@ -182,6 +186,9 @@ object TextQueries {
 
   private val ngramJaccardSql = {
     val toks = duckToks("text")
+    // Mirrors the operator's geometric double-block: g =
+    // floor(log2(len(grams))) via binary-string length (integer-exact,
+    // same as Spark's bin()); each doc joins from buckets {g, g+1}.
     s"""WITH sh AS (
        |  SELECT doc_id,
        |    CASE WHEN len($toks) < 3 THEN [array_to_string($toks, ' ')]
@@ -189,11 +196,17 @@ object TextQueries {
        |                i -> $toks[i+1] || ' ' || $toks[i+2] || ' ' || $toks[i+3]))
        |    END AS grams
        |  FROM documents),
-       |toks AS (SELECT doc_id, unnest(grams) AS tok FROM sh),
+       |blocked AS (
+       |  SELECT doc_id, grams, unnest([g, g + 1]) AS blk
+       |  FROM (SELECT doc_id, grams,
+       |          length(printf('%b', greatest(len(grams), 1))) - 1 AS g FROM sh)),
+       |toks AS (SELECT blk, doc_id, unnest(grams) AS tok FROM blocked),
        |sizes AS (SELECT doc_id, len(grams) AS n FROM sh),
        |inter AS (
-       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_inter
-       |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(count(DISTINCT a.tok) AS BIGINT) AS n_inter
+       |  FROM toks a JOIN toks b
+       |    ON a.blk = b.blk AND a.tok = b.tok AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT id_a, id_b, jaccard FROM (
        |  SELECT id_a, id_b,
@@ -230,7 +243,7 @@ object TextQueries {
       "SELECT doc_id, regexp_replace(text, '[0-9]+', '#', 'g') AS redacted FROM documents")),
     QueryDef("q_train_split", trainSplit, Some(
       """SELECT doc_id,
-        |  CASE WHEN ((doc_id * 2654435761) % 2147483647) % 100 < 90
+        |  CASE WHEN (((doc_id % 2147483647) * 2654435761) % 2147483647) % 100 < 90
         |       THEN 'train' ELSE 'valid' END AS split
         |FROM documents""".stripMargin)),
     QueryDef("q_pack_sequences", packSequences, Some {
@@ -245,7 +258,7 @@ object TextQueries {
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang,
         |    row_number() OVER (PARTITION BY lang
-        |      ORDER BY (doc_id * 2654435761) % 2147483647, doc_id) AS rn,
+        |      ORDER BY ((doc_id % 2147483647) * 2654435761) % 2147483647, doc_id) AS rn,
         |    count(*) OVER (PARTITION BY lang) AS n
         |  FROM documents) t
         |WHERE rn * 5 <= n""".stripMargin)),

@@ -186,6 +186,10 @@ object Dedup {
         .union(viaNeighbors)
         .groupBy("id")
         .agg(min("component").as("component"))
+        // Truncate lineage each round: without this, iteration i
+        // re-derives iterations 0..i-1 (and re-runs the upstream
+        // candidate join i times) every time `labels` is evaluated.
+        .localCheckpoint()
       i += 1
     }
     labels
@@ -211,16 +215,26 @@ object Dedup {
     docs.join(losers, docs(idCol) === losers("id"), "left_anti")
   }
 
-  /** Exact n-gram Jaccard similarity for candidate pairs already
-    * restricted by a blocking key — the verification stage after LSH
-    * (or any cheap blocker). Shuffles exploded (shingle, id) pairs;
-    * the join is an equi-join on the blocking key + shingle.
+  /** Exact n-gram Jaccard similarity over blocked candidate pairs.
+    * Shuffles exploded (block, shingle, id) rows; the join is an
+    * equi-join on the blocking key + shingle — never all pairs.
+    *
+    * Blocking: with `block = Some(c)` pairs are restricted to docs
+    * sharing the caller's key (the verification stage after LSH or a
+    * domain blocker). With `block = None` (requires `threshold >=
+    * 0.5`) each doc lands in TWO geometric size buckets — `g =
+    * floor(log2(|shingles|))` and `g+1`. Jaccard ≥ 0.5 forces
+    * |B| ≤ 2·|A|, i.e. adjacent buckets, so every above-threshold
+    * pair shares a bucket: the default blocking is lossless while
+    * bounding candidates to docs within ~4× of each other's size.
+    * Intersections count DISTINCT shingles so a pair sharing both
+    * buckets isn't double-counted.
     */
   def ngramJaccardPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      block: Column,
+      block: Option[Column],
       k: Int,
       threshold: Double): DataFrame = {
     // Shingles travel as 64-bit hashes (ShingleHashExpr), not
@@ -228,20 +242,33 @@ object Dedup {
     // equi-join shuffle shrink to fixed-width rows. Hash collisions
     // would perturb the count with probability ~|shingles|²/2^64 —
     // negligible against the exact-string form.
-    val sh = docs.select(
-      block.as("block"),
+    val base = docs.select(
       col(idCol).as("doc_id"),
+      block.getOrElse(lit(0L)).cast("long").as("__blk"),
       graft.functions.HashExprs.shingleHashes(
         transform(TextAnalysis.tokens(col(textCol)), t => xxhash64(t)), k).as("sh"))
-    val sizes = sh.select(col("block"), col("doc_id"), size(col("sh")).as("n"))
-    val toks = sh.select(col("block"), col("doc_id"), explode(col("sh")).as("tok"))
+    val blocked = block match {
+      case Some(_) => base.withColumn("blocks", array(col("__blk")))
+      case None =>
+        require(threshold >= 0.5,
+          s"default geometric blocking is lossless only for threshold >= 0.5 (got $threshold); pass an explicit block")
+        // floor(log2(n)) via binary-string length: integer-exact on
+        // both Spark and the DuckDB oracle (no float log at bucket
+        // boundaries). |sh| >= 1 always (short inputs yield one gram).
+        val g = (length(bin(greatest(size(col("sh")), lit(1)))) - 1).cast("long")
+        base.withColumn("blocks", array(g, g + 1))
+    }
+    val sizes = blocked.select(col("doc_id"), size(col("sh")).as("n"))
+    val toks = blocked
+      .select(explode(col("blocks")).as("block"), col("doc_id"), col("sh"))
+      .select(col("block"), col("doc_id"), explode(col("sh")).as("tok"))
     val inter = toks.as("a")
       .join(toks.as("b"),
         col("a.block") === col("b.block") &&
         col("a.tok") === col("b.tok") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("n_inter"))
+      .agg(count_distinct(col("a.tok")).as("n_inter"))
     inter
       .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))

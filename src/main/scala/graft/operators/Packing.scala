@@ -47,12 +47,20 @@ object Packing {
       budget: Int,
       buckets: Int = 0): DataFrame = {
     require(budget > 0, "budget must be positive")
+    require(!df.columns.contains("n_tokens") && !df.columns.contains("seq_id"),
+      "input must not already contain the output columns n_tokens/seq_id")
     val spark = df.sparkSession
     val nb =
       if (buckets > 0) buckets
       else spark.sessionState.conf.numShufflePartitions
 
-    val base = df.withColumn("n_tokens", ntok)
+    // Null token counts pack as 0; a null id has no position in the
+    // layout order — fail loudly instead of NPE-ing on the driver or
+    // silently dropping the row in the bucket join.
+    val base = df
+      .withColumn("__idchk",
+        assert_true(col(id).isNotNull, lit(s"concatChunkPack: null $id")))
+      .withColumn("n_tokens", coalesce(ntok.cast("long"), lit(0L)))
 
     // Deterministic ordered bucketing: bucket i holds ids in
     // [min + i*span, min + (i+1)*span). Pure arithmetic on the id, so
@@ -83,8 +91,11 @@ object Packing {
       .zip(totals)
       .map { case ((_, off), (b, _)) => (b, off) }
       .toMap
+    // __-prefixed like every other internal column, so a user frame
+    // that already has bkt/off columns can't collide or be clobbered.
     val offsetDf = spark.createDataFrame(
-      offsets.toSeq.map { case (b, off) => BucketOffset(b, off) })
+        offsets.toSeq.map { case (b, off) => BucketOffset(b, off) })
+      .select(col("bkt").as("__obkt"), col("off").as("__ooff"))
 
     // Pass 2: local running sum per bucket + broadcast base offset.
     val w = Window
@@ -92,12 +103,12 @@ object Packing {
       .orderBy(col(id))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     bucketed
-      .join(broadcast(offsetDf), col("__bkt") === col("bkt"))
+      .join(broadcast(offsetDf), col("__bkt") === col("__obkt"))
       .withColumn(
         "__start",
-        col("off") + sum(col("n_tokens").cast("long")).over(w) - col("n_tokens"))
+        col("__ooff") + sum(col("n_tokens")).over(w) - col("n_tokens"))
       .withColumn("seq_id", floor(col("__start") / lit(budget.toLong)))
-      .drop("__bkt", "bkt", "off", "__start")
+      .drop("__bkt", "__obkt", "__ooff", "__start", "__idchk")
   }
 }
 

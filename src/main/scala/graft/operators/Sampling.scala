@@ -12,12 +12,15 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** 31-bit multiplicative hash of a non-negative id (Knuth's 2654435761,
-    * reduced mod the Mersenne prime 2^31-1). Stays in positive long
-    * range for ids < 2^32, so ANSI arithmetic never overflows.
+  /** 31-bit multiplicative hash of an id (Knuth's 2654435761, reduced
+    * mod the Mersenne prime p = 2^31-1). The id is reduced mod p
+    * BEFORE the multiply: (id mod p)·m ≤ (2^31-2)·2654435761 < 2^63,
+    * so ANSI arithmetic never overflows for any long id — and since
+    * (id mod p)·m ≡ id·m (mod p), the hash value is unchanged from
+    * the unreduced form wherever that form didn't overflow.
     */
   def idHash(id: Column): Column =
-    pmod(id.cast("long") * lit(2654435761L), lit(2147483647L))
+    pmod(pmod(id.cast("long"), lit(2147483647L)) * lit(2654435761L), lit(2147483647L))
 
   /** Bernoulli-style fixed-rate sample: keeps rows whose hash falls
     * in the lowest `num/den` fraction of hash space. Map-only (no

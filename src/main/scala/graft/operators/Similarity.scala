@@ -189,11 +189,15 @@ object Similarity {
   }
 
   /** IVF (inverted-file) index: a coarse quantizer of `nCentroids`
-    * cluster centers (deterministic init from evenly-strided corpus
-    * vectors, refined by `lloydIters` rounds of Lloyd's algorithm —
-    * each round is one broadcast-scored assignment plus one
-    * element-wise mean aggregation), and the corpus partitioned by
-    * nearest centroid. Build is a one-off, persistable at scale.
+    * cluster centers (deterministic pseudo-random init: the k corpus
+    * vectors with the smallest `xxhash64(vec_id)` — a distributed
+    * TakeOrdered, bounded k per partition, no global window — refined
+    * by `lloydIters` rounds of Lloyd's algorithm: each round is one
+    * broadcast-scored assignment plus one element-wise mean
+    * aggregation), and the corpus partitioned by nearest centroid.
+    * Centroid ids are the seed vectors' own ids (unique, not dense —
+    * they are only ever used as join/group keys). Build is a one-off,
+    * persistable at scale.
     */
   def ivfIndex(
       corpus: DataFrame,
@@ -202,14 +206,10 @@ object Similarity {
       nCentroids: Int,
       lloydIters: Int = 2): (DataFrame, DataFrame) = {
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
-    // Deterministic seed centroids: every (N/nCentroids)-th vector by id rank.
-    val ranked = c.withColumn("__rn",
-      row_number().over(Window.orderBy(col("vec_id"))))
-    val total = c.count()
-    val stride = math.max(1L, total / nCentroids)
-    var centroids = ranked
-      .filter((col("__rn") - 1) % stride === 0 && col("__rn") <= stride * nCentroids)
-      .select(((col("__rn") - 1) / stride).cast("int").as("centroid_id"),
+    var centroids = c
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(nCentroids)
+      .select(col("vec_id").as("centroid_id"),
         transform(col("v"), x => x.cast("double")).as("cv"))
     var iter = 0
     while (iter < lloydIters) {

@@ -130,10 +130,12 @@ object TextAnalysis {
   /** Deterministic train/validation split by multiplicative hashing
     * of the id — pure 64-bit integer arithmetic, so any engine
     * computes the same assignment (no RNG, no salt files).
-    * Returns the bucket in [0, 100).
+    * Returns the bucket in [0, 100). Delegates to [[Sampling.idHash]]
+    * (id reduced mod p before the multiply: overflow-free for any
+    * long id, same value as the unreduced form for ids < 2^31-1).
     */
   def splitBucket(id: Column): Column =
-    pmod(pmod(id * lit(2654435761L), lit(2147483647L)), lit(100))
+    pmod(Sampling.idHash(id), lit(100))
 
   /** Polynomial rolling-hash fingerprint over whitespace tokens —
     * content-defined, whitespace-normalization-invariant:

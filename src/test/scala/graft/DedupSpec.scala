@@ -41,7 +41,7 @@ class DedupSpec extends SparkSpecBase {
     val est = Dedup.minhashCandidates(docs, "doc_id", "text", threshold = 0.0)
       .filter(col("id_a") === 1 && col("id_b") === 2)
       .select("est_jaccard").collect().head.getDouble(0)
-    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", lit(1), k = 3, threshold = 0.0)
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", Some(lit(1)), k = 3, threshold = 0.0)
       .filter(col("id_a") === 1 && col("id_b") === 2)
       .select("jaccard").collect().head.getDouble(0)
     assert(math.abs(est - exact) < 0.15, s"est=$est exact=$exact")
@@ -57,14 +57,14 @@ class DedupSpec extends SparkSpecBase {
 
   test("ngram jaccard: identical docs = 1.0; disjoint docs filtered out") {
     val two = Seq((1L, base), (2L, base), (3L, "zzz yyy xxx www vvv")).toDF("doc_id", "text")
-    val got = Dedup.ngramJaccardPairs(two, "doc_id", "text", lit(1), k = 3, threshold = 0.5)
+    val got = Dedup.ngramJaccardPairs(two, "doc_id", "text", Some(lit(1)), k = 3, threshold = 0.5)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     assert(got === Map((1L, 2L) -> 1.0))
   }
 
   test("corpus recall: minhash finds all 25 planted pairs that exact jaccard>=0.5 finds (sf0.001)") {
     val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
-    val exact = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", lit(1), k = 3, threshold = 0.5)
+    val exact = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", Some(lit(1)), k = 3, threshold = 0.5)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val mh = Dedup.minhashCandidates(corpus, "doc_id", "text", threshold = 0.5)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -77,6 +77,27 @@ class DedupSpec extends SparkSpecBase {
     val comp = Dedup.connectedComponents(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("connectedComponents truncates lineage per iteration (no upstream join replay)") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs, maxIter = 5)
+    // The returned frame must be a checkpointed scan, not a 5-deep
+    // join tree: evaluating it (or iterating further) must not replay
+    // the candidate-pair join once per iteration.
+    val plan = comp.queryExecution.optimizedPlan.toString()
+    assert(!plan.contains("Join"), s"expected checkpointed plan, got:\n$plan")
+  }
+
+  test("default geometric double-block is lossless vs all-pairs at threshold 0.5 (sf0.001)") {
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+    def pairSet(block: Option[org.apache.spark.sql.Column]) =
+      Dedup.ngramJaccardPairs(corpus, "doc_id", "text", block, k = 3, threshold = 0.5)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val allPairs = pairSet(Some(lit(1)))
+    val blocked = pairSet(None)
+    assert(allPairs.nonEmpty)
+    assert(blocked === allPairs)
   }
 
   test("dropNearDuplicates keeps one doc per duplicate group (chains included)") {
