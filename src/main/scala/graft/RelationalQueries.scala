@@ -1020,7 +1020,8 @@ object RelationalQueries {
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
         |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%')
-        |GROUP BY 1, 2""".stripMargin)),
+        |GROUP BY 1, 2""".stripMargin),
+      headline = true),
     QueryDef("q8_market_share", marketShare, Some(
       """SELECT year(o_orderdate) AS o_year,
         |  floor(
@@ -1059,7 +1060,8 @@ object RelationalQueries {
         |  FROM customer LEFT JOIN orders
         |    ON c_custkey = o_custkey AND o_orderstatus <> 'P'
         |  GROUP BY c_custkey) t
-        |GROUP BY 1""".stripMargin)),
+        |GROUP BY 1""".stripMargin),
+      headline = true),
     QueryDef("q15_top_supplier", topSupplier, Some(
       """WITH rev AS (
         |  SELECT l_suppkey,
@@ -1088,7 +1090,8 @@ object RelationalQueries {
         |      HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300) big
         |  ON o_orderkey = big.l_orderkey
         |JOIN customer ON o_custkey = c_custkey
-        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin),
+      headline = true),
     QueryDef("q21_waiting_supplier", waitingSupplier, Some(
       """SELECT s_name, count(*) AS numwait
         |FROM lineitem l1
@@ -1103,7 +1106,8 @@ object RelationalQueries {
         |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
         |      AND l3.l_shipdate > o_orderdate + INTERVAL 365 DAY)
         |GROUP BY s_name
-        |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin)),
+        |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin),
+      headline = true),
     QueryDef("q22_inactive_rich", inactiveRich, Some(
       """WITH s AS (
         |  SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS tot, count(*) AS cnt

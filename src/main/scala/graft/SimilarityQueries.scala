@@ -67,5 +67,6 @@ object SimilarityQueries {
          |  floor((${duckCos("a.embedding", "b.embedding")}) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
          |FROM embeddings a JOIN embeddings b
          |  ON a.label = b.label AND a.vec_id < b.vec_id
-         |WHERE floor((${duckCos("a.embedding", "b.embedding")}) * 1000000.0 + 0.5) / 1000000.0 >= 0.3""".stripMargin)))
+         |WHERE floor((${duckCos("a.embedding", "b.embedding")}) * 1000000.0 + 0.5) / 1000000.0 >= 0.3""".stripMargin),
+      headline = true))
 }

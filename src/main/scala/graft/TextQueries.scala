@@ -229,7 +229,7 @@ object TextQueries {
     QueryDef("q_minhash_neardup", minhashNeardup, None, headline = true),
     QueryDef("q_simhash_neardup", simhashNeardup, None),
     QueryDef("q_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
-    QueryDef("q_dedup_docs", dedupDocs, None),
+    QueryDef("q_dedup_docs", dedupDocs, None, headline = true),
     QueryDef("q_doc_chunks", docChunks, Some {
       val toks = duckToks("text")
       s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents)

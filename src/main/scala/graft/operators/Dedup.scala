@@ -169,16 +169,35 @@ object Dedup {
     * the connected-components step that turns pairwise near-dup
     * candidates into dedup groups. Each iteration is one equi-join +
     * min-aggregation (both shuffle only (id, label) pairs); near-dup
-    * components are tiny, so a small fixed `maxIter` converges in
-    * practice and bounds the cost at scale.
+    * components are tiny, so convergence is typically 1-2 hops.
+    *
+    * Stops as soon as the labels reach a fixpoint: propagation is
+    * monotone (a label only ever decreases), so the labels changed
+    * iff their sum changed — one scalar aggregate per iteration over
+    * the already-checkpointed label frame, in place of `maxIter`
+    * unconditional rounds. `maxIter` stays as the upper bound for
+    * pathological chain components.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 5): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // Materialize the pair list ONCE: `pairs` is typically the
+    // upstream LSH candidate join — without this, the loop below (and
+    // the label init) would re-run that join once per iteration. The
+    // edge list is tiny relative to the corpus (near-dup pairs only),
+    // so the checkpoint is cheap at any scale.
+    val p = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .localCheckpoint()
+    val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
+      .localCheckpoint()
+    // DECIMAL sum: component ids are arbitrary longs; a long sum
+    // could overflow under ANSI on a large id domain.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var i = 0
-    while (i < maxIter) {
+    var converged = false
+    while (i < maxIter && !converged) {
       val viaNeighbors = edges
         .join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("id"), col("component"))
@@ -187,9 +206,12 @@ object Dedup {
         .groupBy("id")
         .agg(min("component").as("component"))
         // Truncate lineage each round: without this, iteration i
-        // re-derives iterations 0..i-1 (and re-runs the upstream
-        // candidate join i times) every time `labels` is evaluated.
+        // re-derives iterations 0..i-1 every time `labels` is
+        // evaluated.
         .localCheckpoint()
+      val s = labelSum(labels)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       i += 1
     }
     labels
