@@ -19,7 +19,8 @@ final case class QueryDef(
 /** Aggregates every query family exposed through [[SparkEntry]]. */
 object QueryCatalog {
   def all: Seq[QueryDef] =
-    RelationalQueries.defs ++ TextQueries.defs ++ SimilarityQueries.defs
+    RelationalQueries.defs ++ TextQueries.defs ++ SimilarityQueries.defs ++
+      StreamingQueries.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,192 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Driver-checkable streaming rows (SURVEY §2.7): each query runs a
+  * REAL Structured Streaming query — file source over the events
+  * parquet, watermarks / stateful operators, memory-sink snapshot
+  * after `processAllAvailable` — and returns the emitted rows as a
+  * batch frame for `Verify` to dump against the DuckDB oracle.
+  *
+  * Determinism contract: the whole corpus arrives in ONE micro-batch
+  * (a single parquet file, no `maxFilesPerTrigger`), so
+  *  - nothing is late (the watermark is still at its floor during
+  *    batch 0), and
+  *  - append-mode emission is exactly "finalized by the terminal
+  *    watermark": after the data batch, the watermark advances to
+  *    `max(ts) - lateness` (millisecond precision) and the closing
+  *    no-data micro-batch flushes every window/session whose end is
+  *    ≤ that mark. Both facts are SQL-expressible, which is what
+  *    makes these streaming paths oracle-checkable at all.
+  *
+  * The memory sink is the snapshot harness (bounded: emitted
+  * aggregates, not the stream); production sinks are the parquet /
+  * foreachBatch paths in `Warehouse` / `FuelPipeline`.
+  */
+object StreamingQueries {
+
+  /** Typed row for the stateful gate (ts as instant-typed Timestamp —
+    * the encoder boundary; converted back to ntz on output).
+    */
+  final case class EvRec(
+      user_id: Long,
+      event_type: String,
+      event_id: Long,
+      ts: Timestamp,
+      value: Double)
+
+  /** File-stream over the events parquet with the same
+    * TIMESTAMP(NANOS) → µs-ntz conversion as [[Tables.events]].
+    */
+  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    // Glob form: the file-stream source requires a directory basePath;
+    // the corpus table is a single file, so glob it under its parent.
+    s.readStream.schema(schema).parquet(s"$d/*events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+  }
+
+  private val snapN = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Run a streaming frame to completion (all source data + closing
+    * no-data watermark batches) and return the memory-sink snapshot.
+    */
+  private def snapshot(df: DataFrame, mode: OutputMode): DataFrame = {
+    val s = df.sparkSession
+    val name = s"graft_stream_snap_${snapN.incrementAndGet()}"
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(name)
+  }
+
+  /** St4/A3 streaming twin, driver-checked: complete-mode
+    * latest-per-group over the event stream — the same single-shuffle
+    * `max_by` plan as the batch query, incrementally maintained.
+    */
+  private def streamLatest(s: SparkSession, d: String): DataFrame =
+    snapshot(
+      eventsStream(s, d)
+        .groupBy("user_id", "event_type")
+        .agg(max_by(
+          struct(col("event_id"), col("ts"), col("value")),
+          struct(col("ts"), col("event_id"))).as("__l"))
+        .select(col("user_id"), col("event_type"),
+          col("__l.event_id").as("event_id"), col("__l.ts").as("ts"),
+          col("__l.value").as("value")),
+      OutputMode.Complete())
+
+  /** St1 streaming twin, driver-checked: per-key high-water-mark gate
+    * through `flatMapGroupsWithState` — emit iff strictly newer than
+    * the key's mark, ties dropped, (ts, event_id) arrival order.
+    * With one input batch this emits exactly the first event_id of
+    * every distinct (key, ts) — the SQL the oracle states.
+    */
+  private def streamHwmGate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val gated = eventsStream(s, d)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts").cast("timestamp").as("ts"), col("value"))
+      .as[EvRec]
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: (Long, String), rows: Iterator[EvRec], state: GroupState[Timestamp]) => {
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var mark = state.getOption
+          val out = sorted.flatMap { e =>
+            if (mark.forall(m => e.ts.after(m))) { mark = Some(e.ts); Some(e) }
+            else None
+          }
+          mark.foreach(state.update)
+          out.iterator
+        })
+    snapshot(gated.toDF(), OutputMode.Append())
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+      .select("user_id", "event_type", "event_id", "ts", "value")
+  }
+
+  /** Windowed aggregation with watermark eviction, driver-checked:
+    * append-mode tumbling 1 h count per event_type, 30 min lateness.
+    * Emitted = windows finalized by the terminal watermark.
+    */
+  private def streamWindowClose(s: SparkSession, d: String): DataFrame =
+    snapshot(
+      eventsStream(s, d)
+        // Watermarks require instant-typed event time (ntz
+        // unsupported); session tz is UTC so the wall values are
+        // unchanged through the round trip.
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n")),
+      OutputMode.Append())
+      .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+        col("window.end").cast("timestamp_ntz").as("window_end"),
+        col("event_type"), col("n"))
+
+  /** Streaming sessionization, driver-checked: `session_window` with
+    * a 30 min gap; a session's end is its last event + gap, and it
+    * emits (append mode) once the terminal watermark passes that end.
+    */
+  private def streamSessionClose(s: SparkSession, d: String): DataFrame =
+    snapshot(
+      eventsStream(s, d)
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withWatermark("ts", "30 minutes")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events")),
+      OutputMode.Append())
+      .select(col("user_id"),
+        col("session_window.start").cast("timestamp_ntz").as("session_start"),
+        col("session_window.end").cast("timestamp_ntz").as("session_end"),
+        col("n_events"))
+
+  // Terminal watermark in DuckDB terms: Spark tracks per-batch max
+  // event time in MILLISECONDS, so the mark is ms-truncated max(ts)
+  // minus the lateness.
+  private val wmSql =
+    "SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 30 MINUTE AS w FROM events"
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_stream_latest", streamLatest, Some(
+      """SELECT user_id, event_type, event_id, ts, value FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t WHERE rn = 1""".stripMargin)),
+    QueryDef("q_stream_hwm_gate", streamHwmGate, Some(
+      """SELECT user_id, event_type, event_id, ts, value FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id, event_type, ts ORDER BY event_id) AS rn
+        |  FROM events) t WHERE rn = 1""".stripMargin)),
+    QueryDef("q_stream_window_close", streamWindowClose, Some(
+      s"""WITH wm AS ($wmSql)
+         |SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+         |  time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
+         |  event_type, CAST(count(*) AS BIGINT) AS n
+         |FROM events, wm
+         |GROUP BY 1, 2, 3
+         |HAVING window_end <= (SELECT w FROM wm)""".stripMargin)),
+    QueryDef("q_stream_session_close", streamSessionClose, Some(
+      s"""WITH wm AS ($wmSql),
+         |flagged AS (
+         |  SELECT user_id, ts,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_s
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |numbered AS (
+         |  SELECT user_id, ts,
+         |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         |      ROWS UNBOUNDED PRECEDING) AS session_id
+         |  FROM flagged)
+         |SELECT user_id, min(ts) AS session_start,
+         |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+         |  CAST(count(*) AS BIGINT) AS n_events
+         |FROM numbered
+         |GROUP BY user_id, session_id
+         |HAVING session_end <= (SELECT w FROM wm)""".stripMargin)))
+}

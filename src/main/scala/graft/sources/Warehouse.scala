@@ -82,4 +82,73 @@ object Warehouse {
 
   def readTable(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  // ---- JDBC parity (SURVEY §1.4; reference S9, DataIngesting.py:48-52) ----
+  //
+  // The reference ingests into SQLite over a JDBC-shaped API with one
+  // INSERT per message. The engine's JDBC sink keeps the contract
+  // (same rows land in the same relational table) but writes
+  // set-oriented: each partition opens ONE connection and streams
+  // `batchsize`-row batched inserts — at 100 TB the knobs that matter
+  // are `numPartitions` (concurrent connections; cap it or a
+  // 1000-executor write becomes a connection storm against one
+  // database) and `batchsize` (rows per round-trip).
+
+  private def jdbcProps(driver: Option[String]): java.util.Properties = {
+    val p = new java.util.Properties()
+    driver.foreach(p.setProperty("driver", _))
+    p
+  }
+
+  /** S9 steady-state ingest into a relational table. `maxConnections`
+    * coalesces (never shuffles) the frame so at most that many
+    * concurrent connections hit the database regardless of cluster
+    * size.
+    */
+  def appendJdbc(
+      df: DataFrame,
+      url: String,
+      table: String,
+      driver: Option[String] = None,
+      maxConnections: Int = 8,
+      batchSize: Int = 1000): Unit =
+    df.coalesce(maxConnections)
+      .write.mode("append")
+      .option("batchsize", batchSize.toString)
+      .jdbc(url, table, jdbcProps(driver))
+
+  /** S8 DDL lifecycle over JDBC: DROP + CREATE + load ≡ overwrite. */
+  def overwriteJdbc(
+      df: DataFrame,
+      url: String,
+      table: String,
+      driver: Option[String] = None,
+      maxConnections: Int = 8,
+      batchSize: Int = 1000): Unit =
+    df.coalesce(maxConnections)
+      .write.mode("overwrite")
+      .option("batchsize", batchSize.toString)
+      .jdbc(url, table, jdbcProps(driver))
+
+  /** JDBC read-back. With a numeric `partitionCol` + bounds the scan
+    * splits into `numPartitions` range predicates executed in
+    * parallel (the distributed-read shape); without, it is a single
+    * connection — fine for dimensions, wrong for facts.
+    */
+  def readJdbc(
+      spark: SparkSession,
+      url: String,
+      table: String,
+      driver: Option[String] = None,
+      partitionCol: Option[String] = None,
+      lowerBound: Long = 0L,
+      upperBound: Long = Long.MaxValue,
+      numPartitions: Int = 8): DataFrame =
+    partitionCol match {
+      case Some(c) =>
+        spark.read.jdbc(url, table, c, lowerBound, upperBound, numPartitions,
+          jdbcProps(driver))
+      case None =>
+        spark.read.jdbc(url, table, jdbcProps(driver))
+    }
 }
