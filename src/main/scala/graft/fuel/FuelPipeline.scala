@@ -53,6 +53,12 @@ object FuelPipeline {
     * from (snapshot file, position) for tie-breaking, and feed the
     * same cleaning pipeline. `from_json`+`explode` IS the engine's
     * `pd.json_normalize` (SURVEY §1.4).
+    *
+    * Live fetch: `sources.Rest.snapshotToLanding` (OAuth2 client-
+    * credentials GET, `DataGathering.py:5-39`) drops each periodic
+    * snapshot into `envelopeDir` as one atomically-renamed file — the
+    * file source's unit of exactly-once — closing the loop from the
+    * real API to this stream without a custom source.
     */
   def envelopeStreams(spark: SparkSession, envelopeDir: String): (DataFrame, DataFrame) = {
     val raw = spark.readStream
