@@ -229,6 +229,28 @@ object RelationalQueries {
       Det.round(col("value") - lag("value", 1).over(w), 2).as("delta"))
   }
 
+  /** Distribution + navigation window functions in one pass:
+    * quartile (`ntile`), `percent_rank`, `cume_dist` per event type
+    * ordered by value, and `first_value` per user in event time.
+    * Both orderings carry `event_id` as the unique tiebreak —
+    * without it, ntile/first_value are partition-order-dependent and
+    * no cross-engine check is possible. percent_rank/cume_dist are
+    * single IEEE divisions of exact integers (same double in every
+    * engine). One shuffle per distinct partitioning (two total).
+    */
+  private def windowRanks(s: SparkSession, d: String): DataFrame = {
+    val byVal = Window.partitionBy("event_type")
+      .orderBy(col("value"), col("event_id"))
+    val byTime = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d).select(
+      col("event_id"), col("event_type"), col("user_id"),
+      ntile(4).over(byVal).as("quartile"),
+      percent_rank().over(byVal).as("pct_rank"),
+      cume_dist().over(byVal).as("cume"),
+      first_value(col("value")).over(byTime).as("first_user_value"))
+  }
+
   /** Anti join: customers with no events (dimension rows without
     * facts — the orphan-key semantics of SURVEY §6).
     */
@@ -903,6 +925,15 @@ object RelationalQueries {
         |  floor((value - lag(value, 1) OVER (
         |    PARTITION BY user_id, event_type ORDER BY ts, event_id)) * 100.0 + 0.5) / 100.0 AS delta
         |FROM events""".stripMargin)),
+    QueryDef("q_window_ranks", windowRanks, Some(
+      """SELECT event_id, event_type, user_id,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume,
+        |  first_value(value) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS first_user_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""".stripMargin)),
     QueryDef("q_anti_join", antiJoin, Some(
       """SELECT c_custkey, c_name FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)""".stripMargin)),

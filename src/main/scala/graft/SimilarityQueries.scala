@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.Similarity
+import graft.operators.{Embeddings, Similarity}
 
 /** Similarity-search query surface over `embeddings` (64-dim
   * `array<float>`): brute-force cosine top-k baseline plus
@@ -49,7 +49,46 @@ object SimilarityQueries {
        | / (sqrt(list_sum([$a[i]::DOUBLE * $a[i]::DOUBLE for i in range(1, len($a) + 1)]))
        |  * sqrt(list_sum([$b[i]::DOUBLE * $b[i]::DOUBLE for i in range(1, len($b) + 1)]))))""".stripMargin
 
+  /** Vector transforms flattened to one row per (vector, dim) so the
+    * driver's scalar-cell compare covers every component: L2-norm,
+    * normalized value (6 dp), int8 quantized value, dequant scale.
+    * The vector is staged once per projection (higher-order-subtree
+    * re-inline trap), then the two arrays are zipped and exploded in
+    * lockstep.
+    */
+  private def embedQuant(s: SparkSession, d: String): DataFrame = {
+    val staged = Tables.embeddings(s, d).select(
+      col("vec_id"),
+      Embeddings.l2Normalize(col("embedding")).as("nv"),
+      Embeddings.quantizeInt8(col("embedding")).as("qv"),
+      Embeddings.dequantScale(col("embedding")).as("dq_scale"))
+    staged
+      .select(col("vec_id"), col("dq_scale"),
+        posexplode(arrays_zip(col("nv"), col("qv"))).as(Seq("dim", "z")))
+      .select(col("vec_id"), col("dim").cast("int").as("dim"),
+        col("z.nv").as("nval"), col("z.qv").as("qval"), col("dq_scale"))
+  }
+
+  private val embedQuantSql = {
+    val sq = "list_sum([embedding[j]::DOUBLE * embedding[j]::DOUBLE for j in range(1, len(embedding) + 1)])"
+    s"""WITH staged AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt($sq) AS nrm,
+       |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS amax
+       |  FROM embeddings)
+       |SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
+       |  CASE WHEN nrm > 0
+       |       THEN floor(embedding[i]::DOUBLE / nrm * 1000000.0 + 0.5) / 1000000.0
+       |       ELSE 0.0 END AS nval,
+       |  CAST(CASE WHEN amax > 0
+       |       THEN floor(embedding[i]::DOUBLE / amax * 127.0 + 0.5)
+       |       ELSE 0 END AS INTEGER) AS qval,
+       |  floor(amax / 127.0 * 1000000000.0 + 0.5) / 1000000000.0 AS dq_scale
+       |FROM staged, unnest(range(1, len(embedding) + 1)) AS u(i)""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_embed_quant", embedQuant, Some(embedQuantSql)),
     QueryDef("q_knn_cosine", knn, Some(
       s"""WITH scored AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

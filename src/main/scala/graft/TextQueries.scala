@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Packing, Relational, Sampling, TextAnalysis}
+import graft.operators.{Dedup, Keywords, Multimodal, Packing, Relational, Sampling, TextAnalysis, Urls}
 
 /** Text-analysis / dedup / multimodal query surface over `documents`
   * — the training-data-pipeline operators (builder prompt; SURVEY §7
@@ -142,6 +142,149 @@ object TextQueries {
       .select("token", "n")
   }
 
+  /** Gopher-style repetition signals. The token array is staged ONCE
+    * in a projection before the n-gram measures reference it
+    * (Catalyst re-inlines a higher-order subtree per reference —
+    * CLAUDE.md trap; `wordNgrams` references its input n+2 times).
+    */
+  private def repetition(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), TextAnalysis.tokens(col("text")).as("__toks"))
+      .select(
+        col("doc_id"),
+        TextAnalysis.dupTokenFraction(col("text")).as("dup_token_frac"),
+        TextAnalysis.dupNgramFraction(col("__toks"), 2).as("dup_2gram_frac"),
+        TextAnalysis.dupNgramFraction(col("__toks"), 3).as("dup_3gram_frac"))
+
+  /** Intra-doc line dedup. The corpus is single-line, so the query
+    * first folds each doc into 8-token lines (same regex both
+    * engines), then dedups repeated lines keeping first occurrence —
+    * the boilerplate scrub as a round-trip the oracle can diff.
+    */
+  private def dedupLinesQ(s: SparkSession, d: String): DataFrame = {
+    val lined = regexp_replace(col("text"), "((?:\\S+ ){7}\\S+) ", "$1\n")
+    Tables.documents(s, d)
+      .select(col("doc_id"), lined.as("__t"))
+      .select(
+        col("doc_id"),
+        size(TextAnalysis.lines(col("__t"))).as("n_lines"),
+        size(array_distinct(TextAnalysis.lines(col("__t")))).as("n_uniq_lines"),
+        TextAnalysis.dedupLines(col("__t")).as("dedup_text"))
+  }
+
+  /** URL canonicalization + dedup. The corpus has no URL column, so
+    * the query manufactures deterministically-messy URLs (case,
+    * default port, utm params, fragments, trailing slash — keyed off
+    * doc_id residues, path collides on doc_id % 50) and the oracle
+    * manufactures the identical strings; what's under test is the
+    * normalizer chain + the dedup aggregation.
+    */
+  private def urlDedup(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val url = concat(
+      when(pmod(id, lit(2)) === 0, lit("https://")).otherwise(lit("HTTPS://")),
+      when(pmod(id, lit(3)) === 0, upper(col("source"))).otherwise(col("source")),
+      lit(".example.com"),
+      when(pmod(id, lit(5)) === 0, lit(":443")).otherwise(lit("")),
+      lit("/docs/"), pmod(id, lit(50)).cast("string"),
+      when(pmod(id, lit(4)) === 0, lit("/?utm_campaign=x&ref=1")).otherwise(lit("")),
+      when(pmod(id, lit(7)) === 0, lit("#frag")).otherwise(lit("")))
+    Urls.dedupByUrl(
+      Tables.documents(s, d).select(id, url.as("url")), "doc_id", "url")
+  }
+
+  /** Top-3 TF-IDF keywords per doc (exact-rational IDF — see
+    * [[Keywords.tfIdfTopK]]).
+    */
+  private def tfidfKeywords(s: SparkSession, d: String): DataFrame =
+    Keywords.tfIdfTopK(
+      Tables.documents(s, d).select(col("doc_id"), col("text")),
+      "doc_id", "text", k = 3)
+
+  private val repetitionSql = {
+    val toks = duckToks("text")
+    def rep(arr: String) =
+      s"""floor((len($arr) - len(list_distinct($arr)))::DOUBLE
+         |  / greatest(len($arr), 1) * 10000.0 + 0.5) / 10000.0""".stripMargin
+    def grams(n: Int) = {
+      val parts = (1 to n).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+      s"CASE WHEN len(t) < $n THEN [] ELSE list_transform(range(len(t) - ${n - 1}), i -> $parts) END"
+    }
+    s"""WITH staged AS (SELECT doc_id, $toks AS t FROM documents)
+       |SELECT doc_id,
+       |  ${rep("t")} AS dup_token_frac,
+       |  ${rep(grams(2))} AS dup_2gram_frac,
+       |  ${rep(grams(3))} AS dup_3gram_frac
+       |FROM staged""".stripMargin
+  }
+
+  private val dedupLinesSql = {
+    val ls = "string_split(t, chr(10))"
+    val nonEmpty = s"list_filter($ls, l -> len(trim(l)) > 0)"
+    s"""WITH lined AS (
+       |  SELECT doc_id,
+       |    regexp_replace(text, '((?:\\S+ ){7}\\S+) ', '\\1' || chr(10), 'g') AS t
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len($nonEmpty) AS INTEGER) AS n_lines,
+       |  CAST(len(list_distinct($nonEmpty)) AS INTEGER) AS n_uniq_lines,
+       |  array_to_string(
+       |    list_filter($ls, (l, i) -> list_position($ls, l) = i),
+       |    chr(10)) AS dedup_text
+       |FROM lined""".stripMargin
+  }
+
+  private val urlDedupSql =
+    """WITH urls AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTPS://' END)
+      |    || (CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END)
+      |    || '.example.com'
+      |    || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
+      |    || '/docs/' || CAST(doc_id % 50 AS VARCHAR)
+      |    || (CASE WHEN doc_id % 4 = 0 THEN '/?utm_campaign=x&ref=1' ELSE '' END)
+      |    || (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) AS url
+      |  FROM documents),
+      |norm AS (
+      |  SELECT doc_id,
+      |    regexp_replace(
+      |      regexp_replace(
+      |        lower(regexp_extract(regexp_replace(url, '#.*', ''),
+      |                             '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', 0)),
+      |        ':(80|443)$', '')
+      |      || regexp_replace(
+      |           regexp_replace(
+      |             regexp_replace(
+      |               regexp_replace(regexp_replace(url, '#.*', ''),
+      |                              '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', ''),
+      |               '(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*&?', '', 'g'),
+      |             '\?&', '?', 'g'),
+      |           '[?&]+$', '', 'g'),
+      |    '/+$', '', 'g') AS norm_url
+      |  FROM urls)
+      |SELECT norm_url, min(doc_id) AS canonical_id,
+      |  CAST(count(*) AS BIGINT) AS n_copies
+      |FROM norm GROUP BY 1""".stripMargin
+
+  private val tfidfSql = {
+    val toks = duckToks("text")
+    s"""WITH tok AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+       |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+       |       FROM tok GROUP BY 1, 2),
+       |dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+       |    floor(CAST(tf.tf * n.n_docs AS DOUBLE) / dfq.df * 10000.0 + 0.5)
+       |      / 10000.0 AS score
+       |  FROM tf JOIN dfq USING (token) CROSS JOIN n)
+       |SELECT doc_id, token, tf, df, score, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY score DESC, token) AS INTEGER) AS rank
+       |  FROM scored) t
+       |WHERE rank <= 3""".stripMargin
+  }
+
   private val statsSql = {
     val toks = duckToks("text")
     s"""SELECT doc_id,
@@ -239,6 +382,10 @@ object TextQueries {
          |  CAST(len(toks[i+1 : i+32]) AS INTEGER) AS n_chunk_tokens
          |FROM t, unnest(range(0, greatest(len(toks), 1), 24)) AS u(i)""".stripMargin
     }),
+    QueryDef("q_repetition", repetition, Some(repetitionSql)),
+    QueryDef("q_dedup_lines", dedupLinesQ, Some(dedupLinesSql)),
+    QueryDef("q_url_dedup", urlDedup, Some(urlDedupSql)),
+    QueryDef("q_tfidf_keywords", tfidfKeywords, Some(tfidfSql)),
     QueryDef("q_redact", redact, Some(
       "SELECT doc_id, regexp_replace(text, '[0-9]+', '#', 'g') AS redacted FROM documents")),
     QueryDef("q_train_split", trainSplit, Some(

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.functions.Det
+
+/** Vector-column transforms for embedding pipelines: L2
+  * normalization (pre-compute for cosine = dot) and symmetric int8
+  * quantization (4× storage cut for ANN indexes — the standard
+  * compression before IVF/PQ at corpus scale).
+  *
+  * All per-row higher-order array expressions — map-only at any
+  * scale. Double math uses the same sequential fold order as
+  * `Similarity.cosine` and rounds through [[Det.round]], so the
+  * DuckDB oracle reproduces every cell bit-exactly. Callers should
+  * stage the vector column once per projection (Catalyst re-inlines
+  * a higher-order subtree per reference).
+  */
+object Embeddings {
+
+  /** Sequential-fold sum of squares → L2 norm (fold order matters:
+    * FP addition is non-associative, and the oracle mirrors this
+    * exact left-to-right order).
+    */
+  def l2Norm(vec: Column): Column =
+    sqrt(aggregate(vec, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  /** Unit-L2 vector, each component rounded to `scale` dp; the zero
+    * vector maps to zeros (not NaN/Inf).
+    */
+  def l2Normalize(vec: Column, scale: Int = 6): Column = {
+    val n = l2Norm(vec)
+    when(n > 0, transform(vec, x => Det.round(x.cast("double") / n, scale)))
+      .otherwise(transform(vec, _ => lit(0.0)))
+  }
+
+  /** max |x_i| — the symmetric-quantization range. Fold with
+    * `greatest` (order-independent, unlike sums).
+    */
+  def absMax(vec: Column): Column =
+    aggregate(vec, lit(0.0), (acc, x) => greatest(acc, abs(x.cast("double"))))
+
+  /** Symmetric int8 quantization: `q_i = round_half_up(x_i / amax
+    * * 127)` in [-127, 127] (ints, byte-ranged — kept INT so both
+    * engines agree on dtype). Zero vector quantizes to zeros.
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val m = absMax(vec)
+    when(m > 0,
+      transform(vec, x => floor(x.cast("double") / m * 127.0 + 0.5).cast("int")))
+      .otherwise(transform(vec, _ => lit(0)))
+  }
+
+  /** Dequantization scale (`amax / 127`), rounded to `scale` dp:
+    * `x_i ≈ q_i * scale`.
+    */
+  def dequantScale(vec: Column, scale: Int = 9): Column =
+    Det.round(absMax(vec) / 127.0, scale)
+}

@@ -137,6 +137,66 @@ object TextAnalysis {
   def splitBucket(id: Column): Column =
     pmod(Sampling.idHash(id), lit(100))
 
+  // ---- Repetition signals (Gopher-style quality filters) ----
+  //
+  // The published web-corpus quality rules (Rae et al. 2021 §A1.1)
+  // filter on how much of a document is self-repeated: duplicate
+  // lines, duplicate n-grams. All four measures below are pure
+  // per-row array arithmetic over exact integer counts — map-only,
+  // codegen'd, engine-portable (the DuckDB oracle mirrors each
+  // expression 1:1).
+
+  /** Non-empty lines of `text` (split on '\n'). */
+  def lines(text: Column): Column =
+    filter(split(text, "\n"), l => length(trim(l)) > 0)
+
+  /** Fraction of array elements that repeat an earlier element,
+    * 4 dp: `(n - n_distinct) / n`. 0 for the empty array.
+    */
+  def repeatFraction(arr: Column): Column =
+    Det.round(
+      (size(arr) - size(array_distinct(arr))).cast("double") /
+        greatest(size(arr), lit(1)), 4)
+
+  /** Fraction of lines that duplicate an earlier line. */
+  def dupLineFraction(text: Column): Column = repeatFraction(lines(text))
+
+  /** Fraction of tokens that repeat an earlier token. */
+  def dupTokenFraction(text: Column): Column = repeatFraction(tokens(text))
+
+  /** Space-joined word n-grams over a token array; empty when the
+    * doc has fewer than `n` tokens.
+    *
+    * Takes the token ARRAY (not the text): callers should stage the
+    * array once in a projection — Catalyst re-inlines a higher-order
+    * subtree per reference (CLAUDE.md trap), and this expression
+    * references it n+2 times.
+    */
+  def wordNgrams(toks: Column, n: Int): Column = {
+    require(n >= 1, "n-gram size must be >= 1")
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+  }
+
+  /** Fraction of word n-grams that repeat an earlier n-gram — the
+    * Gopher "duplicate n-gram fraction" shape.
+    */
+  def dupNgramFraction(toks: Column, n: Int): Column =
+    repeatFraction(wordNgrams(toks, n))
+
+  /** Intra-document line dedup: drop every line that repeats an
+    * earlier line (the boilerplate-nav / repeated-footer scrub),
+    * preserving first-occurrence order. Per-row array ops — a
+    * 100 TB scrub is map-only.
+    */
+  def dedupLines(text: Column): Column = {
+    val ls = split(text, "\n")
+    array_join(
+      filter(ls, (l, i) => array_position(ls, l) === i + 1), "\n")
+  }
+
   /** Polynomial rolling-hash fingerprint over whitespace tokens —
     * content-defined, whitespace-normalization-invariant:
     * `h = (h·31 + (xxhash64(token) mod p)) mod p` folded left in

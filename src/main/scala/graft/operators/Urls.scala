@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization + dedup — the first pass of every web-crawl
+  * training pipeline: the same page arrives under scheme/host case
+  * variants, tracking parameters, fragments, default ports, and
+  * trailing slashes; normalize first or exact-dedup undercounts.
+  *
+  * Pure codegen'd `regexp_replace`/`regexp_extract` chains (no UDF):
+  * normalizing 100 TB of URLs is a map-only pass, and the dedup is
+  * one hash aggregation on the normalized key. Every regex is
+  * mirrored verbatim in the DuckDB oracle (`TextQueries`), which is
+  * what keeps the cross-engine check exact.
+  */
+object Urls {
+
+  /** scheme://authority prefix (no path/query/fragment). */
+  private val HeadRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
+
+  /** Canonical form:
+    *  1. fragment stripped (`#...`);
+    *  2. scheme + authority lowercased; explicit default ports
+    *     (`:80`, `:443`) dropped;
+    *  3. tracking params removed (`utm_*`, `fbclid`, `gclid`), with
+    *     separator cleanup (`?&` → `?`, dangling `?`/`&` dropped);
+    *  4. trailing slashes stripped.
+    * Path and non-tracking query params keep their case (per RFC 3986
+    * only scheme/host are case-insensitive).
+    */
+  def normalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val head   = regexp_extract(noFrag, HeadRe, 0)
+    val tail   = regexp_replace(noFrag, HeadRe, "")
+    val headN  = regexp_replace(lower(head), ":(80|443)$", "")
+    val tailP  = regexp_replace(tail, "(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*&?", "")
+    val tailN  = regexp_replace(regexp_replace(tailP, "\\?&", "?"), "[?&]+$", "")
+    regexp_replace(concat(headN, tailN), "/+$", "")
+  }
+
+  /** Exact dedup on the canonical URL: one row per normalized URL
+    * with its copy count and the smallest id as the deterministic
+    * canonical representative. Single hash-shuffle on the normalized
+    * key (map-side partial agg collapses copies before the exchange).
+    */
+  def dedupByUrl(df: DataFrame, idCol: String, urlCol: String): DataFrame =
+    df.select(col(idCol), normalizeUrl(col(urlCol)).as("norm_url"))
+      .groupBy("norm_url")
+      .agg(
+        min(col(idCol)).as("canonical_id"),
+        count(lit(1)).as("n_copies"))
+}
