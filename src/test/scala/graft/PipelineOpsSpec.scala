@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Embeddings, Keywords, TextAnalysis, Urls}
+
+/** Edge cases for the round-3 training-pipeline operators:
+  * repetition signals, line dedup, URL canonicalization, TF-IDF
+  * keyword extraction, and embedding vector transforms.
+  */
+class PipelineOpsSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T =
+    Seq(text).toDF("text").select(c.as("v")).collect().head.getAs[T]("v")
+
+  // ---- Repetition signals ----
+
+  test("repeat fractions: empty doc, all-unique, all-duplicate") {
+    assert(one[Double](TextAnalysis.dupTokenFraction(col("text")), "") === 0.0)
+    assert(one[Double](TextAnalysis.dupTokenFraction(col("text")), "a b c d") === 0.0)
+    // "a a a a": 3 of 4 tokens repeat an earlier one
+    assert(one[Double](TextAnalysis.dupTokenFraction(col("text")), "a a a a") === 0.75)
+  }
+
+  test("dup n-gram fraction: short doc yields empty gram set, repeats detected") {
+    val toks = TextAnalysis.tokens(col("text"))
+    // 2 tokens < n=3 → no 3-grams → fraction 0
+    assert(one[Double](TextAnalysis.dupNgramFraction(toks, 3), "a b") === 0.0)
+    // "a b a b a b" → 2-grams: [a b, b a, a b, b a, a b] → 5 grams, 2 distinct
+    assert(one[Double](TextAnalysis.dupNgramFraction(toks, 2), "a b a b a b") === 0.6)
+  }
+
+  test("dup line fraction and dedupLines keep first occurrence order") {
+    val txt = "nav bar\nbody one\nnav bar\nbody two\nnav bar"
+    assert(one[Double](TextAnalysis.dupLineFraction(col("text")), txt) === 0.4)
+    assert(one[String](TextAnalysis.dedupLines(col("text")), txt) ===
+      "nav bar\nbody one\nbody two")
+    // blank lines don't count toward the line set
+    assert(one[Double](TextAnalysis.dupLineFraction(col("text")), "a\n\n  \na") === 0.5)
+  }
+
+  // ---- URL canonicalization ----
+
+  test("normalizeUrl: case, default ports, tracking params, fragment, slash") {
+    def n(u: String): String = one[String](Urls.normalizeUrl(col("text")), u)
+    // scheme+host lowercased, :443 dropped, utm stripped, fragment gone, trailing slash gone
+    assert(n("HTTPS://Ex.COM:443/A/?utm_source=x#f") === "https://ex.com/A")
+    // path case preserved; non-default port kept
+    assert(n("http://ex.com:8080/Path/") === "http://ex.com:8080/Path")
+    // tracking param in the middle: separators repaired
+    assert(n("https://ex.com/p?utm_x=1&q=2") === "https://ex.com/p?q=2")
+    assert(n("https://ex.com/p?q=2&fbclid=abc") === "https://ex.com/p?q=2")
+    // only tracking params → bare path
+    assert(n("https://ex.com/p?gclid=z&utm_a=b") === "https://ex.com/p")
+    // :80 only stripped from the authority, not a path segment
+    assert(n("http://ex.com:80/a:80") === "http://ex.com/a:80")
+    // idempotent on already-canonical input
+    assert(n("https://ex.com/a?q=1") === "https://ex.com/a?q=1")
+  }
+
+  test("dedupByUrl collapses variants to min-id canonical with counts") {
+    val df = Seq(
+      (10L, "https://ex.com/a/"),
+      (3L, "HTTPS://EX.com:443/a"),
+      (7L, "https://ex.com/a?utm_q=1"),
+      (5L, "https://ex.com/b")).toDF("id", "url")
+    val out = Urls.dedupByUrl(df, "id", "url")
+      .orderBy("norm_url").collect()
+    assert(out.length === 2)
+    assert(out(0).getString(0) === "https://ex.com/a")
+    assert(out(0).getLong(1) === 3L && out(0).getLong(2) === 3L)
+    assert(out(1).getString(0) === "https://ex.com/b")
+    assert(out(1).getLong(1) === 5L && out(1).getLong(2) === 1L)
+  }
+
+  // ---- TF-IDF keywords ----
+
+  test("tfIdfTopK ranks rarer terms higher; ties break on token asc") {
+    val docs = Seq(
+      (1L, "apple apple banana shared"),
+      (2L, "cherry shared shared"),
+      (3L, "banana cherry shared")).toDF("doc_id", "text")
+    val out = Keywords.tfIdfTopK(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rank").collect()
+    // doc 1: apple tf=2 df=1 → score 6.0; banana tf=1 df=2 → 1.5; shared tf=1 df=3 → 1.0
+    assert(out(0).getAs[String]("token") === "apple")
+    assert(out(0).getAs[Double]("score") === 6.0)
+    assert(out(1).getAs[String]("token") === "banana")
+    // doc 3: banana and cherry both tf=1 df=2 score 1.5 → tie broken alphabetically
+    val d3 = out.filter(_.getLong(0) == 3L).map(_.getAs[String]("token")).toSeq
+    assert(d3 === Seq("banana", "cherry"))
+    // every doc emits at most k rows
+    assert(out.count(_.getLong(0) == 2L) === 2)
+  }
+
+  // ---- Embedding transforms ----
+
+  test("l2Normalize: unit norm, zero vector maps to zeros") {
+    val df = Seq(
+      (1L, Array(3.0f, 4.0f)),
+      (2L, Array(0.0f, 0.0f))).toDF("id", "embedding")
+    val rows = df.select(col("id"),
+        Embeddings.l2Normalize(col("embedding")).as("nv"))
+      .orderBy("id").collect()
+    assert(rows(0).getAs[scala.collection.Seq[Double]]("nv").toSeq === Seq(0.6, 0.8))
+    assert(rows(1).getAs[scala.collection.Seq[Double]]("nv").toSeq === Seq(0.0, 0.0))
+  }
+
+  test("quantizeInt8: symmetric range, zero vector, dequant round-trip error bound") {
+    val df = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f)),
+      (2L, Array(0.0f, 0.0f, 0.0f))).toDF("id", "embedding")
+    val rows = df.select(col("id"),
+        Embeddings.quantizeInt8(col("embedding")).as("qv"),
+        Embeddings.dequantScale(col("embedding")).as("sc"))
+      .orderBy("id").collect()
+    val q = rows(0).getAs[scala.collection.Seq[Int]]("qv").toSeq
+    assert(q === Seq(127, -63, 32)) // -0.5/1*127 = -63.5 → floor(-63) half-up
+    assert(q.forall(v => v >= -127 && v <= 127))
+    val sc = rows(0).getAs[Double]("sc")
+    // round-trip error within one quantization step
+    val orig = Seq(1.0, -0.5, 0.25)
+    q.zip(orig).foreach { case (qi, x) => assert(math.abs(qi * sc - x) <= sc) }
+    assert(rows(1).getAs[scala.collection.Seq[Int]]("qv").toSeq === Seq(0, 0, 0))
+    assert(rows(1).getAs[Double]("sc") === 0.0)
+  }
+}
