@@ -251,6 +251,26 @@ object RelationalQueries {
       first_value(col("value")).over(byTime).as("first_user_value"))
   }
 
+  /** Interval join of events against an overlapping tier table
+    * (12 tiers, stride 40, width 60 — most values match 1-2 tiers)
+    * through [[Relational.rangeJoin]]'s bucketed equi-join, then a
+    * per-tier rollup. Value sums go through DECIMAL (CLAUDE.md
+    * invariant — `value` carries 2 dp so the cast is exact).
+    */
+  private def rangeJoinQ(s: SparkSession, d: String): DataFrame = {
+    val tiers = s.range(0, 12).select(
+      col("id").cast("int").as("tier_id"),
+      (col("id") * 40.0).as("lo"),
+      (col("id") * 40.0 + 60.0).as("hi"))
+    Relational.rangeJoin(
+        Tables.events(s, d).select(col("event_id"), col("value")), "value",
+        tiers, "lo", "hi", bucketWidth = 50.0)
+      .groupBy("tier_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+  }
+
   /** Anti join: customers with no events (dimension rows without
     * facts — the orphan-key semantics of SURVEY §6).
     */
@@ -934,6 +954,14 @@ object RelationalQueries {
         |    PARTITION BY user_id ORDER BY ts, event_id) AS first_user_value
         |FROM events
         |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""".stripMargin)),
+    QueryDef("q_range_join", rangeJoinQ, Some(
+      """WITH tiers AS (
+        |  SELECT CAST(i AS INTEGER) AS tier_id, i * 40.0 AS lo, i * 40.0 + 60.0 AS hi
+        |  FROM range(0, 12) t(i))
+        |SELECT tier_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events JOIN tiers ON value >= lo AND value < hi
+        |GROUP BY tier_id""".stripMargin)),
     QueryDef("q_anti_join", antiJoin, Some(
       """SELECT c_custkey, c_name FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)""".stripMargin)),

@@ -84,6 +84,35 @@ object TextQueries {
       col("doc_id"),
       TextAnalysis.redactDigits(col("text")).as("redacted"))
 
+  /** Typed PII scrub. The corpus carries no real PII, so the query
+    * plants a deterministic email + phone + IPv4 (keyed off doc_id)
+    * in front of each doc and scrubs the result; the oracle plants
+    * the identical strings and applies the identical regex chain.
+    */
+  private def piiRedact(s: SparkSession, d: String): DataFrame = {
+    val planted = concat(
+      lit("contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.org or +61 2 "),
+      (pmod(col("doc_id"), lit(9000)) + 1000).cast("string"),
+      lit(" 1234 at 192.168."),
+      pmod(col("doc_id"), lit(256)).cast("string"),
+      lit(".7 re: "), col("text"))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextAnalysis.redactPii(planted).as("pii_redacted"))
+  }
+
+  /** Training-mixture sampling: named sources kept at 9/10, 1/2,
+    * 1/10; every other source at the 1/4 default — all map-only
+    * hash-threshold decisions (see [[Sampling.mixtureSample]]).
+    */
+  private def mixtureSampleQ(s: SparkSession, d: String): DataFrame =
+    Sampling.mixtureSample(
+      Tables.documents(s, d).select(col("doc_id"), col("source")),
+      "source", "doc_id",
+      rates = Seq(("src0", 9, 10), ("src1", 1, 2), ("src2", 1, 10)),
+      default = Some((1, 4)))
+
   /** Deterministic 90/10 train/validation split. */
   private def trainSplit(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
@@ -388,6 +417,28 @@ object TextQueries {
     QueryDef("q_tfidf_keywords", tfidfKeywords, Some(tfidfSql)),
     QueryDef("q_redact", redact, Some(
       "SELECT doc_id, regexp_replace(text, '[0-9]+', '#', 'g') AS redacted FROM documents")),
+    QueryDef("q_pii_redact", piiRedact, Some(
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        'contact user' || CAST(doc_id AS VARCHAR)
+        |          || '@mail.example.org or +61 2 '
+        |          || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+        |          || ' 1234 at 192.168.'
+        |          || CAST(doc_id % 256 AS VARCHAR) || '.7 re: ' || text,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\+?[0-9][0-9 -]{5,}[0-9]', '<PHONE>', 'g') AS pii_redacted
+        |FROM documents""".stripMargin)),
+    QueryDef("q_mixture_sample", mixtureSampleQ, Some(
+      """SELECT doc_id, source FROM documents
+        |WHERE (((doc_id % 2147483647) * 2654435761) % 2147483647)
+        |    * (CASE source WHEN 'src0' THEN 10 WHEN 'src1' THEN 2
+        |                   WHEN 'src2' THEN 10 ELSE 4 END)
+        |  < CAST(2147483647 AS BIGINT)
+        |    * (CASE source WHEN 'src0' THEN 9 WHEN 'src1' THEN 1
+        |                   WHEN 'src2' THEN 1 ELSE 1 END)""".stripMargin)),
     QueryDef("q_train_split", trainSplit, Some(
       """SELECT doc_id,
         |  CASE WHEN (((doc_id % 2147483647) * 2654435761) % 2147483647) % 100 < 90

@@ -184,4 +184,45 @@ object Relational {
       .select(probeCols.map(col) ++
         buildPayload.map(c => col(s"__asof.$c")): _*)
   }
+
+  /** Interval (range) join: facts row matches ranges row when
+    * `lo <= value < hi`. Spark plans a raw range predicate as
+    * BroadcastNestedLoopJoin — O(|facts|·|ranges|) work per task and
+    * a full broadcast of one side; at 100 TB that is the classic
+    * accidental cross join. This operator turns it into an EQUI-join:
+    * each fact maps to one bucket of width `bucketWidth`; each range
+    * is replicated to the buckets it overlaps (ceil(span/width) + 1
+    * rows); the bucket equi-join shuffles both sides by bucket (AQE
+    * may still broadcast a small ranges side), and the exact
+    * predicate filters within the bucket pairs.
+    *
+    * Replication factor is bounded by the widest range:
+    * pick `bucketWidth` ≈ the typical range span so most ranges land
+    * in ≤2 buckets. Ranges with `hi <= lo` match nothing (empty
+    * interval) and are dropped up front.
+    *
+    * `facts` and `ranges` must not share column names; `__bkt` must
+    * not pre-exist in either.
+    */
+  def rangeJoin(
+      facts: DataFrame,
+      valueCol: String,
+      ranges: DataFrame,
+      loCol: String,
+      hiCol: String,
+      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(!facts.columns.contains("__bkt") && !ranges.columns.contains("__bkt"),
+      "__bkt is reserved by rangeJoin")
+    val w = lit(bucketWidth)
+    val fb = facts.withColumn("__bkt", floor(col(valueCol) / w).cast("long"))
+    val rb = ranges
+      .filter(col(loCol) < col(hiCol))
+      .withColumn("__bkt", explode(sequence(
+        floor(col(loCol) / w).cast("long"),
+        floor(col(hiCol) / w).cast("long"))))
+    fb.join(rb, Seq("__bkt"))
+      .filter(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
+      .drop("__bkt")
+  }
 }

@@ -56,4 +56,36 @@ object Sampling {
       .filter(col("__rn") * den <= col("__n") * num)
       .drop("__rn", "__n")
   }
+
+  /** Training-mixture sampling: each source (group) is kept at its
+    * own rate — the standard way a pretraining corpus re-weights
+    * web/books/code/wiki slices into a target mixture. `rates` maps
+    * group value → (num, den); groups absent from `rates` fall back
+    * to `default` (drop-all when None).
+    *
+    * Same hash-threshold decision as [[hashSample]], so it is
+    * map-only (no shuffle — filtering 100 TB is a scan), fully
+    * deterministic, and composable: a row kept at rate 1/2 is a
+    * subset of the rows kept at 3/4 (nested samples for scaling-law
+    * runs come free).
+    */
+  def mixtureSample(
+      df: DataFrame,
+      groupCol: String,
+      id: String,
+      rates: Seq[(String, Int, Int)],
+      default: Option[(Int, Int)] = None): DataFrame = {
+    (rates.map { case (_, n, d) => (n, d) } ++ default).foreach { case (n, d) =>
+      require(n >= 0 && d > 0 && n <= d, "need 0 <= num <= den, den > 0")
+    }
+    val p = lit(2147483647L)
+    val h = idHash(col(id))
+    val fallback = default
+      .map { case (n, d) => (h * d) < (p * n) }
+      .getOrElse(lit(false))
+    val keep = rates.foldRight(fallback) { case ((g, n, d), acc) =>
+      when(col(groupCol) === g, (h * d) < (p * n)).otherwise(acc)
+    }
+    df.filter(keep)
+  }
 }

@@ -127,6 +127,37 @@ object TextAnalysis {
   def redactDigits(text: Column, mask: String = "#"): Column =
     regexp_replace(text, "[0-9]+", mask)
 
+  // ---- Typed PII redaction ----
+  //
+  // Replacement tokens (not bare masks) follow the published corpus
+  // scrubs: downstream filters count `<EMAIL>`/`<IP>`/`<PHONE>`
+  // occurrences per doc as a quality signal. Every pattern is plain
+  // regex — codegen'd, map-only, and expressible identically in
+  // RE2 (DuckDB) and java.util.regex, which keeps the oracle exact.
+  // Compose email → IP → phone: emails and IPs contain digit runs
+  // the looser phone pattern would otherwise swallow.
+
+  /** `local@domain.tld` → token. */
+  def redactEmails(text: Column, token: String = "<EMAIL>"): Column =
+    regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", token)
+
+  /** Dotted-quad IPv4 → token (word-bounded so version strings like
+    * `1.2.3.4.5` still match their first quad — acceptable recall
+    * for a scrub; precision comes from the bounds).
+    */
+  def redactIpv4(text: Column, token: String = "<IP>"): Column =
+    regexp_replace(text, "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b", token)
+
+  /** Phone-shaped runs (optional `+`, then ≥7 digits allowing
+    * space/dash separators) → token.
+    */
+  def redactPhones(text: Column, token: String = "<PHONE>"): Column =
+    regexp_replace(text, "\\+?[0-9][0-9 -]{5,}[0-9]", token)
+
+  /** Full PII scrub in the canonical order. */
+  def redactPii(text: Column): Column =
+    redactPhones(redactIpv4(redactEmails(text)))
+
   /** Deterministic train/validation split by multiplicative hashing
     * of the id — pure 64-bit integer arithmetic, so any engine
     * computes the same assignment (no RNG, no salt files).

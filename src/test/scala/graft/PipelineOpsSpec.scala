@@ -95,6 +95,61 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(out.count(_.getLong(0) == 2L) === 2)
   }
 
+  // ---- PII redaction ----
+
+  test("redactPii: email, IPv4, phone each tokenized; plain digits untouched") {
+    def r(t: String): String = one[String](TextAnalysis.redactPii(col("text")), t)
+    assert(r("mail a.b+c@ex-mail.org now") === "mail <EMAIL> now")
+    assert(r("host 10.0.255.1 up") === "host <IP> up")
+    assert(r("call +61 2 9999 1234 today") === "call <PHONE> today")
+    assert(r("tel 555-867-5309.") === "tel <PHONE>.")
+    // short digit runs are not phones; years survive
+    assert(r("in 2024 we saw 42 cases") === "in 2024 we saw 42 cases")
+    // composition order: the IP is not half-eaten by the phone rule
+    assert(r("a@b.co 1.2.3.4 +1 234 567 8901") === "<EMAIL> <IP> <PHONE>")
+  }
+
+  // ---- Mixture sampling ----
+
+  test("mixtureSample: per-group rates, default fallback, nesting") {
+    import graft.operators.Sampling
+    val df = (0L until 400L).map(i => (i, s"src${i % 4}")).toDF("id", "src")
+    val out = Sampling.mixtureSample(df, "src", "id",
+      rates = Seq(("src0", 1, 1), ("src1", 0, 1)), default = Some((1, 2)))
+    val bySrc = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("src0") === 100)        // rate 1 keeps everything
+    assert(!bySrc.contains("src1"))      // rate 0 drops everything
+    // default 1/2 applied to src2/src3: near half, not exact (hash threshold)
+    assert(bySrc("src2") > 30 && bySrc("src2") < 70)
+    // no-default drops unlisted groups entirely
+    val strict = Sampling.mixtureSample(df, "src", "id", Seq(("src0", 1, 1)))
+    assert(strict.select("src").distinct().collect().map(_.getString(0)).toSeq === Seq("src0"))
+    // nesting: a 1/4 sample is a subset of the 1/2 sample of the same group
+    val half = Sampling.mixtureSample(df, "src", "id", Seq(("src2", 1, 2)))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val quarter = Sampling.mixtureSample(df, "src", "id", Seq(("src2", 1, 4)))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(quarter.subsetOf(half))
+  }
+
+  // ---- Range join ----
+
+  test("rangeJoin: boundary inclusivity, overlaps, empty ranges, multi-bucket spans") {
+    import graft.operators.Relational
+    val facts = Seq((1L, 0.0), (2L, 9.99), (3L, 10.0), (4L, 25.0), (5L, 99.9))
+      .toDF("fid", "v")
+    val ranges = Seq(
+      (10, 0.0, 10.0),    // [0,10): fids 1,2
+      (20, 10.0, 30.0),   // [10,30): fids 3,4
+      (30, 20.0, 120.0),  // [20,120): fids 4,5 — spans many buckets
+      (40, 50.0, 50.0))   // empty interval: matches nothing
+      .toDF("rid", "lo", "hi")
+    val out = Relational.rangeJoin(facts, "v", ranges, "lo", "hi", bucketWidth = 10.0)
+      .select("fid", "rid").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(out === Set((1L, 10), (2L, 10), (3L, 20), (4L, 20), (4L, 30), (5L, 30)))
+  }
+
   // ---- Embedding transforms ----
 
   test("l2Normalize: unit norm, zero vector maps to zeros") {
