@@ -668,18 +668,25 @@ object RelationalQueries {
   }
 
   /** TPC-H Q21 shape — EXISTS + NOT EXISTS self-correlation: the sole
-    * late supplier in multi-supplier finished orders. Both
-    * correlations become order-key joins (semi for EXISTS, anti for
-    * NOT EXISTS) against deduplicated per-order supplier sets; no
-    * per-row subquery execution anywhere. `tagged` is a def, so the
-    * lineitem⋈orders subtree appears three times in the logical plan
-    * — collapsing the triple scan to one relies on Catalyst/AQE
-    * exchange reuse (ReuseExchange), which these shapes usually but
-    * not provably hit; materialize (persist/checkpoint) if a plan
-    * audit shows the scan tripled.
+    * late supplier in multi-supplier finished orders, in ONE pass
+    * over lineitem. The two correlated subqueries collapse into
+    * per-order counts: a late supplier on order O qualifies iff O has
+    * >1 distinct suppliers (EXISTS another) and exactly 1 late
+    * supplier (NOT EXISTS another late — itself being the one).
+    * Plan: lineitem⋈orders once, partial-agg to (order, supplier,
+    * late), then per-order counts as a window over that aggregate —
+    * one linear DAG, exactly one lineitem scan. A previous form
+    * instantiated the lineitem⋈orders subtree three times (semi +
+    * anti against dedup'd sets); the plan audit showed ReuseExchange
+    * did NOT collapse them (7 scans), so at 100 TB this form does
+    * 3× less scan + join work.
+    *
+    * `numwait` counts qualifying LINE ITEMS per supplier (not
+    * orders), matching the previous semi/anti formulation and the
+    * oracle SQL.
     */
   private def waitingSupplier(s: SparkSession, d: String): DataFrame = {
-    def tagged = Tables.lineitem(s, d)
+    val tagged = Tables.lineitem(s, d)
       .select("l_orderkey", "l_suppkey", "l_shipdate")
       .join(Tables.orders(s, d)
           .filter(col("o_orderstatus") === "F")
@@ -688,24 +695,25 @@ object RelationalQueries {
       .withColumn("late",
         col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 365 DAYS"))
       .select("l_orderkey", "l_suppkey", "late")
-    val l1 = tagged.filter(col("late"))
-    val others = tagged
-      .select(col("l_orderkey").as("o2_key"), col("l_suppkey").as("o2_supp"))
-      .distinct()
-    val lateOthers = tagged.filter(col("late"))
-      .select(col("l_orderkey").as("o3_key"), col("l_suppkey").as("o3_supp"))
-      .distinct()
-    val cand = l1
-      .join(others,
-        col("l_orderkey") === col("o2_key") && col("l_suppkey") =!= col("o2_supp"),
-        "left_semi")
-      .join(lateOthers,
-        col("l_orderkey") === col("o3_key") && col("l_suppkey") =!= col("o3_supp"),
-        "left_anti")
+    val perSupp = tagged
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max(col("late")).as("late"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("n_late_lines"))
+    // Per-order counts as an unordered window over the (order,
+    // supplier) aggregate — a single linear DAG (referencing perSupp
+    // twice would re-instantiate the scan subtree; ReuseExchange is
+    // not guaranteed under AQE). Group sizes are per-order supplier
+    // counts — bounded, no skew risk.
+    val w = Window.partitionBy("l_orderkey")
+    val cand = perSupp
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("n_late_supp",
+        sum(when(col("late"), 1L).otherwise(0L)).over(w))
+      .filter(col("late") && col("n_supp") > 1 && col("n_late_supp") === 1)
     val grouped = cand
       .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
       .groupBy("s_name")
-      .agg(count(lit(1)).as("numwait"))
+      .agg(sum(col("n_late_lines")).as("numwait"))
     Relational.topK(grouped, 100, col("numwait").desc, col("s_name").asc)
   }
 
