@@ -969,7 +969,8 @@ object RelationalQueries {
         |SELECT tier_id, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events JOIN tiers ON value >= lo AND value < hi
-        |GROUP BY tier_id""".stripMargin)),
+        |GROUP BY tier_id""".stripMargin),
+      headline = true),
     QueryDef("q_anti_join", antiJoin, Some(
       """SELECT c_custkey, c_name FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)""".stripMargin)),

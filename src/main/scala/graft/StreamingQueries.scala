@@ -145,6 +145,31 @@ object StreamingQueries {
         col("session_window.end").cast("timestamp_ntz").as("session_end"),
         col("n_events"))
 
+  /** Stream-stream inner join, driver-checked: clicks joined to the
+    * same user's purchases within the following 10 minutes — the
+    * attribution-window shape. Both sides are watermarked streams
+    * (the event-time bound is what lets Spark evict join state);
+    * with one input batch every match emits in batch 0, so the
+    * emitted pair set equals the batch join the oracle states. The
+    * pair stream is snapshotted raw, then compacted per user in
+    * batch (output discipline, not streaming semantics).
+    */
+  private def streamStreamJoinQ(s: SparkSession, d: String): DataFrame = {
+    def side(t: String, p: String): DataFrame =
+      eventsStream(s, d)
+        .filter(col("event_type") === t)
+        .select(col("user_id").as(s"${p}_user"), col("event_id").as(s"${p}_id"),
+          col("ts").cast("timestamp").as(s"${p}_ts"))
+        .withWatermark(s"${p}_ts", "30 minutes")
+    val joined = side("click", "a").join(side("purchase", "b"),
+      col("a_user") === col("b_user") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 10 MINUTES"))
+    snapshot(joined, OutputMode.Append())
+      .groupBy(col("a_user").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   // Terminal watermark in DuckDB terms: Spark tracks per-batch max
   // event time in MILLISECONDS, so the mark is ms-truncated max(ts)
   // minus the lateness.
@@ -162,6 +187,13 @@ object StreamingQueries {
         |  SELECT *, row_number() OVER (
         |    PARTITION BY user_id, event_type, ts ORDER BY event_id) AS rn
         |  FROM events) t WHERE rn = 1""".stripMargin)),
+    QueryDef("q_stream_join", streamStreamJoinQ, Some(
+      """SELECT a.user_id, CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND a.event_type = 'click' AND b.event_type = 'purchase'
+        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+        |GROUP BY a.user_id""".stripMargin)),
     QueryDef("q_stream_window_close", streamWindowClose, Some(
       s"""WITH wm AS ($wmSql)
          |SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,

@@ -414,7 +414,7 @@ object TextQueries {
     QueryDef("q_repetition", repetition, Some(repetitionSql)),
     QueryDef("q_dedup_lines", dedupLinesQ, Some(dedupLinesSql)),
     QueryDef("q_url_dedup", urlDedup, Some(urlDedupSql)),
-    QueryDef("q_tfidf_keywords", tfidfKeywords, Some(tfidfSql)),
+    QueryDef("q_tfidf_keywords", tfidfKeywords, Some(tfidfSql), headline = true),
     QueryDef("q_redact", redact, Some(
       "SELECT doc_id, regexp_replace(text, '[0-9]+', '#', 'g') AS redacted FROM documents")),
     QueryDef("q_pii_redact", piiRedact, Some(
