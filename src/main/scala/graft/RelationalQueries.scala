@@ -271,6 +271,20 @@ object RelationalQueries {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
   }
 
+  /** Skew-salted fact⋈dim join (8 salt buckets) rolled up per
+    * market segment. The oracle states the UNSALTED join — what's
+    * checked is exactly the operator's contract: salting never
+    * changes results, only the shuffle layout under a hot key.
+    */
+  private def saltedJoinQ(s: SparkSession, d: String): DataFrame =
+    Relational.saltedJoin(
+        Tables.events(s, d).select(col("user_id"), col("value")),
+        Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
+        "user_id", "c_custkey", buckets = 8)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+
   /** Anti join: customers with no events (dimension rows without
     * facts — the orphan-key semantics of SURVEY §6).
     */
@@ -962,6 +976,11 @@ object RelationalQueries {
         |    PARTITION BY user_id ORDER BY ts, event_id) AS first_user_value
         |FROM events
         |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""".stripMargin)),
+    QueryDef("q_salted_join", saltedJoinQ, Some(
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin)),
     QueryDef("q_range_join", rangeJoinQ, Some(
       """WITH tiers AS (
         |  SELECT CAST(i AS INTEGER) AS tier_id, i * 40.0 AS lo, i * 40.0 + 60.0 AS hi

@@ -133,6 +133,43 @@ object Relational {
       .groupBy(groupCols.map(col): _*)
       .agg(fin)
 
+  /** Skew-salted inner equi-join: the fact side gets a random-ish
+    * salt in [0, buckets); the dimension side is replicated `buckets`
+    * times (explode over the salt range); the join key becomes
+    * (key, salt), so a hot key's fact rows spread across `buckets`
+    * reducers instead of melting one task.
+    *
+    * This is the MANUAL fallback for when AQE's skew-join split
+    * (`spark.sql.adaptive.skewJoin`) can't fire: AQE only splits
+    * sort-merge join partitions, only post-shuffle, and not when the
+    * skewed side feeds another co-partitioned operator. Cost: the
+    * dim side shuffles `buckets`× its size — only salt joins whose
+    * dim side is far smaller than the fact skew (the usual case:
+    * hot-key fact skew against a modest dimension).
+    *
+    * Results are identical to `facts.join(dim, factKey === dimKey)`:
+    * every fact row still meets every matching dim row exactly once
+    * (it meets only the replica carrying its own salt).
+    *
+    * `facts`/`dim` must not share column names; `__salt` is reserved.
+    */
+  def saltedJoin(
+      facts: DataFrame,
+      dim: DataFrame,
+      factKey: String,
+      dimKey: String,
+      buckets: Int): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    require(!facts.columns.contains("__salt") && !dim.columns.contains("__salt"),
+      "__salt is reserved by saltedJoin")
+    val f = facts.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
+    val d = dim.withColumn("__salt",
+      explode(sequence(lit(0L), lit(buckets - 1L))))
+    f.join(d, f(factKey) === d(dimKey) && f("__salt") === d("__salt"))
+      .drop("__salt")
+  }
+
   /** As-of join — an operator Spark lacks natively: for every probe
     * row, the single build row with the greatest `buildTs <= probeTs`
     * within the same key (left outer: unmatched probes keep nulls).

@@ -93,6 +93,22 @@ class RelationalOpsSpec extends SparkSpecBase {
     assert(got === Map(1L -> Some(101L), 2L -> None))
   }
 
+  test("saltedJoin: planted hot key and duplicate dim keys match the plain join") {
+    // 90% of facts hit one key; dim carries a duplicate key so each
+    // fact must meet BOTH matching dim rows exactly once.
+    val facts = (1L to 1000L)
+      .map(i => (if (i % 10 == 0) i % 7 else 42L, i))
+      .toDF("fk", "fid")
+    val dim = (Seq.tabulate(7)(k => (k.toLong, s"d$k")) ++ Seq((42L, "hot"), (42L, "hot2")))
+      .toDF("dk", "tag")
+    val plain = facts.join(dim, col("fk") === col("dk"))
+      .groupBy("tag").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Relational.saltedJoin(facts, dim, "fk", "dk", buckets = 8)
+      .groupBy("tag").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted === plain)
+    assert(salted("hot") === 900L && salted("hot2") === 900L)
+  }
+
   test("topK is deterministic under total order") {
     val df = (1 to 100).map(i => (i.toLong, (i % 7).toDouble)).toDF("id", "v")
     val got = Relational.topK(df, 5, col("v").desc, col("id").asc)
