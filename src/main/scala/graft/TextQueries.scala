@@ -127,6 +127,35 @@ object TextQueries {
     Dedup.dropNearDuplicates(Tables.documents(s, d), "doc_id", "text")
       .select("doc_id", "lang", "source", "n_chars")
 
+  /** Quality-weighted corpus sample: survival probability = the
+    * (Det-rounded, hence engine-exact) quality score.
+    */
+  private def weightedSampleQ(s: SparkSession, d: String): DataFrame =
+    Sampling.weightedSample(
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality")),
+      "doc_id", col("quality"))
+
+  /** Frame-sample + resize plan over the media envelope (STUB decode
+    * — deterministic fake dims; the exploded offset/resize plumbing
+    * is the real Spark shape a demuxer feeds).
+    */
+  private def multimodalFrames(s: SparkSession, d: String): DataFrame = {
+    val bin = col("text").cast("binary")
+    val resized = Multimodal.resizeMeta(Multimodal.decodeImageMeta(bin), 224)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        Multimodal.sampleFrameOffsets(bin, frameBytes = 32, everyN = 4).as("__offs"),
+        resized.getField("width").as("r_width"),
+        resized.getField("height").as("r_height"))
+      .select(col("doc_id"),
+        posexplode(col("__offs")).as(Seq("frame_idx", "byte_offset")),
+        col("r_width"), col("r_height"))
+      .select(col("doc_id"), col("frame_idx").cast("int").as("frame_idx"),
+        col("byte_offset"), col("r_width"), col("r_height"))
+  }
+
   private def multimodalMeta(s: SparkSession, d: String): DataFrame = {
     val bin = col("text").cast("binary")
     val meta = Multimodal.decodeImageMeta(bin)
@@ -471,5 +500,24 @@ object TextQueries {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
         |  CAST((octet_length(encode(text)) * 7) % 480 + 1 AS BIGINT) AS height
-        |FROM documents""".stripMargin)))
+        |FROM documents""".stripMargin)),
+    QueryDef("q_weighted_sample", weightedSampleQ, Some(
+      s"""WITH q AS ($qualitySql)
+         |SELECT doc_id, quality FROM q
+         |WHERE (((doc_id % 2147483647) * 2654435761) % 2147483647)
+         |    < quality * 2147483647.0""".stripMargin)),
+    QueryDef("q_multimodal_frames", multimodalFrames, Some(
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n,
+        |    CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS w,
+        |    CAST((octet_length(encode(text)) * 7) % 480 + 1 AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(i AS INTEGER) AS frame_idx,
+        |  CAST(i * 128 AS BIGINT) AS byte_offset,
+        |  CAST((w * 224) // greatest(w, h) AS BIGINT) AS r_width,
+        |  CAST((h * 224) // greatest(w, h) AS BIGINT) AS r_height
+        |FROM dims,
+        |  unnest(range(0, (greatest(n // 32, 1) - 1) // 4 + 1)) AS u(i)""".stripMargin)))
 }

@@ -57,6 +57,19 @@ object Sampling {
       .drop("__rn", "__n")
   }
 
+  /** Weight-proportional Bernoulli sampling: keep each row with
+    * probability `weight` (clamped to [0,1]) — quality-weighted
+    * corpus selection, where a 0.9-quality doc is 3× likelier to
+    * survive than a 0.3 one. Deterministic (hash threshold, no RNG)
+    * and map-only. The compare is exact cross-engine when `weight`
+    * is itself engine-exact (e.g. a Det-rounded score): hash and
+    * threshold are both exactly-representable doubles.
+    */
+  def weightedSample(df: DataFrame, id: String, weight: Column): DataFrame = {
+    val w = least(greatest(weight.cast("double"), lit(0.0)), lit(1.0))
+    df.filter(idHash(col(id)).cast("double") < w * lit(2147483647.0))
+  }
+
   /** Training-mixture sampling: each source (group) is kept at its
     * own rate — the standard way a pretraining corpus re-weights
     * web/books/code/wiki slices into a target mixture. `rates` maps

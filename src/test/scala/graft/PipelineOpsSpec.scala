@@ -133,6 +133,21 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(quarter.subsetOf(half))
   }
 
+  test("weightedSample: weight 0 drops all, 1 keeps all, survival is monotone in weight") {
+    import graft.operators.Sampling
+    val df = (0L until 500L).map(i => (i, i)).toDF("id", "x")
+    assert(Sampling.weightedSample(df.withColumn("w", lit(0.0)), "id", col("w")).count() === 0)
+    assert(Sampling.weightedSample(df.withColumn("w", lit(1.0)), "id", col("w")).count() === 500)
+    // out-of-range weights clamp rather than misbehave
+    assert(Sampling.weightedSample(df.withColumn("w", lit(7.5)), "id", col("w")).count() === 500)
+    val at03 = Sampling.weightedSample(df.withColumn("w", lit(0.3)), "id", col("w"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val at06 = Sampling.weightedSample(df.withColumn("w", lit(0.6)), "id", col("w"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(at03.subsetOf(at06))
+    assert(at03.size > 75 && at03.size < 225) // ~150 expected
+  }
+
   // ---- Range join ----
 
   test("rangeJoin: boundary inclusivity, overlaps, empty ranges, multi-bucket spans") {
