@@ -87,7 +87,21 @@ object SimilarityQueries {
        |FROM staged, unnest(range(1, len(embedding) + 1)) AS u(i)""".stripMargin
   }
 
+  /** K-means (the IVF quantizer surfaced as clustering): 8 clusters,
+    * 2 Lloyd rounds, output cluster sizes. Rows-only: Lloyd means
+    * average doubles whose partial-sum order is engine/partition
+    * dependent, so cell-exact cross-engine assignment is not a sound
+    * contract — recall/assignment quality is spec-pinned instead
+    * (`SimilaritySpec`).
+    */
+  private def kmeansSizes(s: SparkSession, d: String): DataFrame = {
+    val (assignments, _) = Similarity.ivfIndex(
+      Tables.embeddings(s, d), "vec_id", "embedding", nCentroids = 8)
+    assignments.groupBy("centroid_id").agg(count(lit(1)).as("n_vectors"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_kmeans_sizes", kmeansSizes, None),
     QueryDef("q_embed_quant", embedQuant, Some(embedQuantSql)),
     QueryDef("q_knn_cosine", knn, Some(
       s"""WITH scored AS (

@@ -127,6 +127,26 @@ object TextQueries {
     Dedup.dropNearDuplicates(Tables.documents(s, d), "doc_id", "text")
       .select("doc_id", "lang", "source", "n_chars")
 
+  /** Exact heavy hitters: tokens above 0.5% of all token
+    * occurrences. The token-count aggregate is checkpointed once
+    * (vocabulary-sized — bounded relative to the corpus) because
+    * BOTH the filter side and the grand total derive from it;
+    * without the checkpoint each use re-runs the corpus scan + agg
+    * (column pruning makes the two exchanges differ, so
+    * ReuseExchange cannot collapse them). The threshold compare
+    * `200·n > total` is pure integer arithmetic.
+    */
+  private def heavyHitters(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(s, d)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    counts
+      .crossJoin(broadcast(counts.agg(sum(col("n")).as("__tot"))))
+      .filter(col("n") * 200 > col("__tot"))
+      .select(col("token"), col("n"))
+  }
+
   /** Quality-weighted corpus sample: survival probability = the
     * (Det-rounded, hence engine-exact) quality score.
     */
@@ -501,6 +521,13 @@ object TextQueries {
         |  CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
         |  CAST((octet_length(encode(text)) * 7) % 480 + 1 AS BIGINT) AS height
         |FROM documents""".stripMargin)),
+    QueryDef("q_heavy_hitters", heavyHitters, Some {
+      val toks = duckToks("text")
+      s"""WITH tok AS (SELECT unnest($toks) AS token FROM documents),
+         |c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1)
+         |SELECT token, n FROM c
+         |WHERE n * 200 > (SELECT sum(n) FROM c)""".stripMargin
+    }),
     QueryDef("q_weighted_sample", weightedSampleQ, Some(
       s"""WITH q AS ($qualitySql)
          |SELECT doc_id, quality FROM q
