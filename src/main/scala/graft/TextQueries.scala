@@ -127,6 +127,46 @@ object TextQueries {
     Dedup.dropNearDuplicates(Tables.documents(s, d), "doc_id", "text")
       .select("doc_id", "lang", "source", "n_chars")
 
+  /** Decontamination over the deterministic 90/10 split: how much of
+    * each validation doc's 8-gram mass the train side already
+    * contains ([[Dedup.contamination]]). Planted near-dup pairs that
+    * straddle the split surface at contamination ≈ 1.
+    */
+  private def contaminationQ(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .withColumn("__b", TextAnalysis.splitBucket(col("doc_id")))
+    Dedup.contamination(
+      base.filter(col("__b") < 90).select("doc_id", "text"),
+      base.filter(col("__b") >= 90).select("doc_id", "text"),
+      "doc_id", "text", n = 8)
+  }
+
+  private val contaminationSql = {
+    val toks = duckToks("text")
+    val gram8 = (1 to 8).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+    """WITH split AS (
+      |  SELECT doc_id,
+      |    ((((doc_id % 2147483647) * 2654435761) % 2147483647) % 100) AS b,
+      |    TOKS AS t
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, b,
+      |    CASE WHEN len(t) < 8 THEN []
+      |         ELSE list_distinct(list_transform(range(len(t) - 7), i -> GRAM8))
+      |    END AS grams
+      |  FROM split),
+      |tg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE b < 90),
+      |eg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE b >= 90)
+      |SELECT eg.doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_grams,
+      |  CAST(sum(CASE WHEN tg.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+      |  floor(CAST(sum(CASE WHEN tg.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*) * 10000.0 + 0.5) / 10000.0 AS contamination
+      |FROM eg LEFT JOIN tg ON eg.gram = tg.gram
+      |GROUP BY eg.doc_id""".stripMargin
+      .replace("TOKS", toks).replace("GRAM8", gram8)
+  }
+
   /** Exact heavy hitters: tokens above 0.5% of all token
     * occurrences. The token-count aggregate is checkpointed once
     * (vocabulary-sized — bounded relative to the corpus) because
@@ -521,6 +561,7 @@ object TextQueries {
         |  CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
         |  CAST((octet_length(encode(text)) * 7) % 480 + 1 AS BIGINT) AS height
         |FROM documents""".stripMargin)),
+    QueryDef("q_contamination", contaminationQ, Some(contaminationSql)),
     QueryDef("q_heavy_hitters", heavyHitters, Some {
       val toks = duckToks("text")
       s"""WITH tok AS (SELECT unnest($toks) AS token FROM documents),

@@ -299,4 +299,47 @@ object Dedup {
           (col("sa.n") + col("sb.n") - col("n_inter")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Train/eval decontamination: for each eval doc, the fraction of
+    * its distinct word `n`-grams that appear ANYWHERE in the train
+    * corpus — the published benchmark-leakage check (an eval doc
+    * with high containment was memorized verbatim or near-verbatim
+    * by the training set and must be dropped from one side).
+    *
+    * Shape: both corpora explode to distinct (id, gram-hash) rows;
+    * the train side collapses to a DISTINCT 8-byte hash set (grams
+    * never shuffle as strings); one left equi-join on the hash +
+    * one per-doc aggregation. Everything is key-partitioned — no
+    * broadcast of anything corpus-sized, no all-pairs. 64-bit gram
+    * hashing accepts the same negligible collision odds as the
+    * shingle join in [[ngramJaccardPairs]] (~n²/2⁶⁵ false hits).
+    *
+    * Eval docs with fewer than `n` tokens have no grams and drop
+    * from the output (no measurable containment either way).
+    *
+    * Returns (id, n_grams, n_hit, contamination∈[0,1] at 4 dp).
+    */
+  def contamination(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8): DataFrame = {
+    def gramHashes(df: DataFrame): DataFrame =
+      df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+        .select(col(idCol),
+          explode(array_distinct(TextAnalysis.wordNgrams(col("__toks"), n))).as("__gram"))
+        .select(col(idCol), xxhash64(col("__gram")).as("__gh"))
+    val trainSet = gramHashes(train)
+      .select("__gh").distinct()
+      .withColumn("__hit", lit(1L))
+    gramHashes(eval)
+      .join(trainSet, Seq("__gh"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .withColumn("contamination",
+        Det.round(col("n_hit").cast("double") / col("n_grams"), 4))
+  }
 }

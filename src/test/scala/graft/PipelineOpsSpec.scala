@@ -165,6 +165,27 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(out === Set((1L, 10), (2L, 10), (3L, 20), (4L, 20), (4L, 30), (5L, 30)))
   }
 
+  // ---- Decontamination ----
+
+  test("contamination: verbatim copy scores 1, disjoint 0, partial in between; short docs drop") {
+    import graft.operators.Dedup
+    val trainTxt = (1 to 20).map(i => s"tr$i").mkString(" ")
+    val train = Seq((1L, trainTxt)).toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, trainTxt),                                          // verbatim → 1.0
+      (11L, (1 to 20).map(i => s"ev$i").mkString(" ")),         // disjoint → 0.0
+      // first 8 tokens shared → 1 contaminated gram of 6
+      (12L, ((1 to 8).map(i => s"tr$i") ++ (1 to 5).map(i => s"x$i")).mkString(" ")),
+      (13L, "too short")                                        // < n tokens → dropped
+    ).toDF("doc_id", "text")
+    val got = Dedup.contamination(train, eval, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(10L) === ((13L, 13L, 1.0)))
+    assert(got(11L) === ((13L, 0L, 0.0)))
+    assert(got(12L) === ((6L, 1L, 0.1667)))
+    assert(!got.contains(13L))
+  }
+
   // ---- Embedding transforms ----
 
   test("l2Normalize: unit norm, zero vector maps to zeros") {
