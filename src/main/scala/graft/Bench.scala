@@ -34,14 +34,23 @@ object Bench {
     }
 
     val results = SparkEntry.benchNames.map { name =>
-      val times = (1 to 2).map { _ =>
+      // A failed run must not produce a time: a fast failure would
+      // win the min over the real measurement. No successful run →
+      // rethrow so the bench never publishes a number for a broken
+      // query.
+      var lastErr: Throwable = null
+      val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try runOnce(name)
-        catch { case e: Throwable =>
+        try {
+          runOnce(name)
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          lastErr = e
+          None
         }
-        (System.nanoTime() - t0) / 1e9
       }
+      if (times.isEmpty) throw lastErr
       name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

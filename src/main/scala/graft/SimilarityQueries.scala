@@ -57,11 +57,15 @@ object SimilarityQueries {
     * lockstep.
     */
   private def embedQuant(s: SparkSession, d: String): DataFrame = {
-    val staged = Tables.embeddings(s, d).select(
+    val pre = Tables.embeddings(s, d).select(
+      col("vec_id"), col("embedding"),
+      Embeddings.l2Norm(col("embedding")).as("__n"),
+      Embeddings.absMax(col("embedding")).as("__m"))
+    val staged = pre.select(
       col("vec_id"),
-      Embeddings.l2Normalize(col("embedding")).as("nv"),
-      Embeddings.quantizeInt8(col("embedding")).as("qv"),
-      Embeddings.dequantScale(col("embedding")).as("dq_scale"))
+      Embeddings.l2Normalize(col("embedding"), col("__n")).as("nv"),
+      Embeddings.quantizeInt8(col("embedding"), col("__m")).as("qv"),
+      Embeddings.dequantScale(col("__m")).as("dq_scale"))
     staged
       .select(col("vec_id"), col("dq_scale"),
         posexplode(arrays_zip(col("nv"), col("qv"))).as(Seq("dim", "z")))

@@ -95,7 +95,10 @@ object StreamingQueries {
       .groupByKey(e => (e.user_id, e.event_type))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (_: (Long, String), rows: Iterator[EvRec], state: GroupState[Timestamp]) => {
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          // Full-precision order: getTime() is ms-truncated while the
+          // gate compares full Timestamps — sorting by it alone would
+          // misorder same-ms/different-µs events and drop the second.
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
           var mark = state.getOption
           val out = sorted.flatMap { e =>
             if (mark.forall(m => e.ts.after(m))) { mark = Some(e.ts); Some(e) }
@@ -205,14 +208,14 @@ object StreamingQueries {
     QueryDef("q_stream_session_close", streamSessionClose, Some(
       s"""WITH wm AS ($wmSql),
          |flagged AS (
-         |  SELECT user_id, ts,
+         |  SELECT user_id, ts, event_id,
          |    CASE WHEN lag(ts) OVER w IS NULL
          |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_s
          |  FROM events
          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
          |numbered AS (
          |  SELECT user_id, ts,
-         |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
          |      ROWS UNBOUNDED PRECEDING) AS session_id
          |  FROM flagged)
          |SELECT user_id, min(ts) AS session_start,

@@ -29,12 +29,17 @@ object Embeddings {
 
   /** Unit-L2 vector, each component rounded to `scale` dp; the zero
     * vector maps to zeros (not NaN/Inf).
+    *
+    * `norm` must be the STAGED [[l2Norm]] of `vec` (computed once in
+    * a prior projection). Folding the norm inside the per-element
+    * lambda would re-evaluate the O(d) aggregate for every component
+    * — O(d²) per row (higher-order lambdas are interpreted with no
+    * subexpression elimination), the same re-inline trap that made
+    * minhash 654 s.
     */
-  def l2Normalize(vec: Column, scale: Int = 6): Column = {
-    val n = l2Norm(vec)
-    when(n > 0, transform(vec, x => Det.round(x.cast("double") / n, scale)))
+  def l2Normalize(vec: Column, norm: Column, scale: Int = 6): Column =
+    when(norm > 0, transform(vec, x => Det.round(x.cast("double") / norm, scale)))
       .otherwise(transform(vec, _ => lit(0.0)))
-  }
 
   /** max |x_i| — the symmetric-quantization range. Fold with
     * `greatest` (order-independent, unlike sums).
@@ -45,17 +50,18 @@ object Embeddings {
   /** Symmetric int8 quantization: `q_i = round_half_up(x_i / amax
     * * 127)` in [-127, 127] (ints, byte-ranged — kept INT so both
     * engines agree on dtype). Zero vector quantizes to zeros.
+    *
+    * `amax` must be the STAGED [[absMax]] of `vec` — see
+    * [[l2Normalize]] for why it cannot be folded in here.
     */
-  def quantizeInt8(vec: Column): Column = {
-    val m = absMax(vec)
-    when(m > 0,
-      transform(vec, x => floor(x.cast("double") / m * 127.0 + 0.5).cast("int")))
+  def quantizeInt8(vec: Column, amax: Column): Column =
+    when(amax > 0,
+      transform(vec, x => floor(x.cast("double") / amax * 127.0 + 0.5).cast("int")))
       .otherwise(transform(vec, _ => lit(0)))
-  }
 
   /** Dequantization scale (`amax / 127`), rounded to `scale` dp:
-    * `x_i ≈ q_i * scale`.
+    * `x_i ≈ q_i * scale`. Takes the staged [[absMax]].
     */
-  def dequantScale(vec: Column, scale: Int = 9): Column =
-    Det.round(absMax(vec) / 127.0, scale)
+  def dequantScale(amax: Column, scale: Int = 9): Column =
+    Det.round(amax / 127.0, scale)
 }

@@ -57,10 +57,13 @@ object Packing {
     // Null token counts pack as 0; a null id has no position in the
     // layout order — fail loudly instead of NPE-ing on the driver or
     // silently dropping the row in the bucket join.
+    // The guard must live inside a column the plan actually uses —
+    // an unreferenced assert_true column is pruned by Catalyst before
+    // it evaluates (verified: the optimized plan drops it entirely).
     val base = df
-      .withColumn("__idchk",
-        assert_true(col(id).isNotNull, lit(s"concatChunkPack: null $id")))
-      .withColumn("n_tokens", coalesce(ntok.cast("long"), lit(0L)))
+      .withColumn("n_tokens",
+        when(col(id).isNotNull, coalesce(ntok.cast("long"), lit(0L)))
+          .otherwise(raise_error(lit(s"concatChunkPack: null $id")).cast("long")))
 
     // Deterministic ordered bucketing: bucket i holds ids in
     // [min + i*span, min + (i+1)*span). Pure arithmetic on the id, so
@@ -108,7 +111,7 @@ object Packing {
         "__start",
         col("__ooff") + sum(col("n_tokens")).over(w) - col("n_tokens"))
       .withColumn("seq_id", floor(col("__start") / lit(budget.toLong)))
-      .drop("__bkt", "__obkt", "__ooff", "__start", "__idchk")
+      .drop("__bkt", "__obkt", "__ooff", "__start")
   }
 }
 

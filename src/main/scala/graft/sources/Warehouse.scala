@@ -101,9 +101,13 @@ object Warehouse {
   }
 
   /** S9 steady-state ingest into a relational table. `maxConnections`
-    * coalesces (never shuffles) the frame so at most that many
-    * concurrent connections hit the database regardless of cluster
-    * size.
+    * REPARTITIONS (one shuffle) so at most that many concurrent
+    * connections hit the database regardless of cluster size.
+    * Repartition, not coalesce: coalesce propagates as a narrow
+    * dependency and would collapse the ENTIRE upstream computation —
+    * scan, transforms and all — to `maxConnections` tasks; the
+    * shuffle is the price of keeping upstream parallelism while
+    * bottlenecking only the write.
     */
   def appendJdbc(
       df: DataFrame,
@@ -112,12 +116,14 @@ object Warehouse {
       driver: Option[String] = None,
       maxConnections: Int = 8,
       batchSize: Int = 1000): Unit =
-    df.coalesce(maxConnections)
+    df.repartition(maxConnections)
       .write.mode("append")
       .option("batchsize", batchSize.toString)
       .jdbc(url, table, jdbcProps(driver))
 
-  /** S8 DDL lifecycle over JDBC: DROP + CREATE + load ≡ overwrite. */
+  /** S8 DDL lifecycle over JDBC: DROP + CREATE + load ≡ overwrite.
+    * Repartition rather than coalesce — see [[appendJdbc]].
+    */
   def overwriteJdbc(
       df: DataFrame,
       url: String,
@@ -125,7 +131,7 @@ object Warehouse {
       driver: Option[String] = None,
       maxConnections: Int = 8,
       batchSize: Int = 1000): Unit =
-    df.coalesce(maxConnections)
+    df.repartition(maxConnections)
       .write.mode("overwrite")
       .option("batchsize", batchSize.toString)
       .jdbc(url, table, jdbcProps(driver))

@@ -59,6 +59,15 @@ class PackingSamplingSpec extends SparkSpecBase {
     assert(got === Map("s0" -> 20L, "s1" -> 20L, "s2" -> 20L))
   }
 
+  test("concatChunkPack: null id fails loudly instead of silently dropping the row") {
+    val df = Seq((Some(1L), 10L), (None, 5L), (Some(3L), 7L))
+      .toDF("doc_id", "ntok")
+    val ex = intercept[Exception] {
+      Packing.concatChunkPack(df, "doc_id", col("ntok"), budget = 16).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("stratifiedSample: selection is hash-determined, not input-order-determined") {
     val df = (0L until 100L).map(i => (i, "x")).toDF("id", "lang")
     val a = Sampling.stratifiedSample(df, Seq("lang"), "id", 1, 4)

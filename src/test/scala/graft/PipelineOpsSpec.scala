@@ -192,8 +192,10 @@ class PipelineOpsSpec extends SparkSpecBase {
     val df = Seq(
       (1L, Array(3.0f, 4.0f)),
       (2L, Array(0.0f, 0.0f))).toDF("id", "embedding")
-    val rows = df.select(col("id"),
-        Embeddings.l2Normalize(col("embedding")).as("nv"))
+    val rows = df.select(col("id"), col("embedding"),
+        Embeddings.l2Norm(col("embedding")).as("__n"))
+      .select(col("id"),
+        Embeddings.l2Normalize(col("embedding"), col("__n")).as("nv"))
       .orderBy("id").collect()
     assert(rows(0).getAs[scala.collection.Seq[Double]]("nv").toSeq === Seq(0.6, 0.8))
     assert(rows(1).getAs[scala.collection.Seq[Double]]("nv").toSeq === Seq(0.0, 0.0))
@@ -203,9 +205,11 @@ class PipelineOpsSpec extends SparkSpecBase {
     val df = Seq(
       (1L, Array(1.0f, -0.5f, 0.25f)),
       (2L, Array(0.0f, 0.0f, 0.0f))).toDF("id", "embedding")
-    val rows = df.select(col("id"),
-        Embeddings.quantizeInt8(col("embedding")).as("qv"),
-        Embeddings.dequantScale(col("embedding")).as("sc"))
+    val rows = df.select(col("id"), col("embedding"),
+        Embeddings.absMax(col("embedding")).as("__m"))
+      .select(col("id"),
+        Embeddings.quantizeInt8(col("embedding"), col("__m")).as("qv"),
+        Embeddings.dequantScale(col("__m")).as("sc"))
       .orderBy("id").collect()
     val q = rows(0).getAs[scala.collection.Seq[Int]]("qv").toSeq
     assert(q === Seq(127, -63, 32)) // -0.5/1*127 = -63.5 → floor(-63) half-up

@@ -95,8 +95,8 @@ class RestSourceSpec extends SparkSpecBase with BeforeAndAfterAll {
     val path = Rest.snapshotToLanding(s"$base/fuel/prices", cfg, dir, "snap_0001.json")
     val df = spark.read.option("multiLine", "true").json(path)
     assert(df.selectExpr("size(prices)").head.getInt(0) === 2)
-    assert(!java.nio.file.Files.list(java.nio.file.Paths.get(dir))
-      .iterator().hasNext == false) // landing dir non-empty
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "snap_0001.json"))) // landed under its final name
   }
 
   test("paged fetch distributes over executors, one row per page") {
