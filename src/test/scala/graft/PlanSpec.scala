@@ -73,4 +73,19 @@ class PlanSpec extends SparkSpecBase {
     val plan = planOf(df)
     assert(plan.contains("TakeOrderedAndProject"), plan.take(600))
   }
+
+  test("range join plans a bucket equi-join, never a nested-loop/cartesian join") {
+    val plan = planOf(SparkEntry.queries("q_range_join")(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
+  test("contamination and Q21 stay equi-joins with single fact subtrees") {
+    val cont = planOf(SparkEntry.queries("q_contamination")(spark, sf))
+    assert(!cont.contains("BroadcastNestedLoopJoin") && !cont.contains("CartesianProduct"),
+      cont.take(800))
+    // Q21's one-pass rewrite: exactly one lineitem scan in the plan.
+    val q21 = planOf(SparkEntry.queries("q21_waiting_supplier")(spark, sf))
+    assert("lineitem".r.findAllIn(q21).size === 1, q21.take(800))
+  }
 }
