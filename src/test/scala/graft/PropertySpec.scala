@@ -104,4 +104,60 @@ class PropertySpec extends SparkSpecBase {
       cands.length == 1 && cands.head.getDouble(2) == 1.0
     })
   }
+
+  test("prop: saltedJoin ≡ plain join under random keys and any bucket count") {
+    val gen = for {
+      facts <- Gen.listOfN(60, Gen.choose(0L, 5L))
+      dims <- Gen.listOfN(10, Gen.choose(0L, 7L)) // dup + orphan dim keys
+      buckets <- Gen.choose(1, 16)
+    } yield (facts, dims, buckets)
+    check(Prop.forAll(gen) { case (facts, dims, buckets) =>
+      val f = facts.zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("fk", "fid")
+      val d = dims.zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("dk", "did")
+      val plain = f.join(d, col("fk") === col("dk"))
+        .select("fid", "did").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val salted = Relational.saltedJoin(f, d, "fk", "dk", buckets)
+        .select("fid", "did").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      plain == salted
+    })
+  }
+
+  test("prop: rangeJoin ≡ raw range-predicate join for any bucket width") {
+    val gen = for {
+      vals <- Gen.listOfN(40, Gen.choose(0, 1000))
+      ranges <- Gen.listOfN(8, for {
+        lo <- Gen.choose(-100, 900); span <- Gen.choose(-10, 400)
+      } yield (lo.toDouble, (lo + span).toDouble)) // includes empty intervals
+      width <- Gen.oneOf(7.0, 50.0, 333.0)
+    } yield (vals, ranges, width)
+    check(Prop.forAll(gen) { case (vals, ranges, width) =>
+      val f = vals.zipWithIndex.map { case (v, i) => (i.toLong, v / 2.0) }.toDF("fid", "v")
+      val r = ranges.zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+        .toDF("rid", "lo", "hi")
+      val plain = f.join(r, col("v") >= col("lo") && col("v") < col("hi"))
+        .select("fid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+      val bucketed = Relational.rangeJoin(f, "v", r, "lo", "hi", width)
+        .select("fid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+      plain == bucketed
+    })
+  }
+
+  test("prop: normalizeUrl is idempotent") {
+    import graft.operators.Urls
+    val genUrl = for {
+      scheme <- Gen.oneOf("http", "HTTPS", "https")
+      host <- Gen.oneOf("Ex.COM", "a.b.example.org", "X.io")
+      port <- Gen.oneOf("", ":80", ":443", ":8080")
+      path <- Gen.oneOf("", "/A/b", "/docs/7", "/p/")
+      query <- Gen.oneOf("", "?q=1", "?utm_a=b", "?utm_a=b&q=2", "?q=2&gclid=x&r=3")
+      frag <- Gen.oneOf("", "#f", "#sec:2")
+    } yield s"$scheme://$host$port$path$query$frag"
+    check(Prop.forAll(genUrl) { u =>
+      val once = Seq(u).toDF("url").select(Urls.normalizeUrl(col("url")).as("n"))
+        .collect().head.getString(0)
+      val twice = Seq(once).toDF("url").select(Urls.normalizeUrl(col("url")).as("n"))
+        .collect().head.getString(0)
+      once == twice
+    })
+  }
 }
