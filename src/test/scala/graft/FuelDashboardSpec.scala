@@ -1,0 +1,49 @@
+package graft
+
+import graft.fuel.{FuelCleaning, FuelDashboard}
+
+/** The dashboard twin renders the golden corpus into a
+  * self-contained HTML file whose numbers match the BASELINE
+  * standing-query values.
+  */
+class FuelDashboardSpec extends SparkSpecBase {
+
+  private lazy val prices =
+    FuelCleaning.cleanPrices(spark.read.json(resource("/fuel/prices.jsonl"))).valid
+  private lazy val stations =
+    FuelCleaning.cleanStations(spark.read.json(resource("/fuel/stations.jsonl"))).valid
+
+  test("renders self-contained HTML with golden qBar values, legend, and station table") {
+    val html = FuelDashboard.render(prices, stations, maxStations = 5, generatedAt = "test")
+    // Self-contained: no external fetches.
+    assert(!html.contains("http://") && !html.contains("https://cdn"))
+    // Bar values = qBar golden (BASELINE.md): E10 average present with 2 dp.
+    val e10 = fuel.FuelQueries.qBar(prices)
+      .filter(org.apache.spark.sql.functions.col("fueltype") === "E10")
+      .collect().head.getDouble(1)
+    assert(html.contains(f"$e10%.2f"))
+    // All three sections and both chart SVGs render.
+    assert(html.contains("Average price per fuel type"))
+    assert(html.contains("Price over time"))
+    assert(html.contains("Latest prices per station"))
+    assert("<svg".r.findAllIn(html).size >= 3) // bar + line + legend marks
+    // Multi-series line: legend present (>= 2 fuel types in corpus).
+    assert(html.contains("class=\"legend\""))
+    // Station table capped as asked.
+    assert("<tr><td>".r.findAllIn(html).size === 5)
+    // Dark mode ships as its own stepped palette, not an auto-flip.
+    assert(html.contains("prefers-color-scheme: dark") && html.contains("#3987e5"))
+  }
+
+  test("writeAtomic publishes whole files under the final name") {
+    val dir = java.nio.file.Files.createTempDirectory("dash").toString
+    val p = s"$dir/index.html"
+    FuelDashboard.writeAtomic(p, "<html>v1</html>")
+    FuelDashboard.writeAtomic(p, "<html>v2</html>")
+    val content = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)))
+    assert(content === "<html>v2</html>")
+    // no temp leftovers: exactly the published file remains
+    val listing = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    try assert(listing.count() === 1) finally listing.close()
+  }
+}
