@@ -29,8 +29,9 @@ object FuelPipeline {
 
   def main(args: Array[String]): Unit = {
     val Array(pricesDir, stationsDir, warehouseDir) = args.take(3)
+    val dashboardPath = args.lift(3)
     val spark = graft.GraftSession.get()
-    val qs = start(spark, pricesDir, stationsDir, warehouseDir)
+    val qs = start(spark, pricesDir, stationsDir, warehouseDir, dashboardPath)
     qs.foreach(_.processAllAvailable())
     qs.foreach(_.stop())
     val stored = spark.read.parquet(s"$warehouseDir/prices")
@@ -40,9 +41,18 @@ object FuelPipeline {
     // One-shot runs may finish before the 1 s live-map trigger fires
     // with the warehouse in place; report the standing query straight
     // off the warehouse (what the live view converges to).
-    val qmap = FuelQueries.qMap(
-      spark.read.parquet(s"$warehouseDir/stations"), stored)
+    val storedStations = spark.read.parquet(s"$warehouseDir/stations")
+    val qmap = FuelQueries.qMap(storedStations, stored)
     println(s"[pipeline] qmap rows=${qmap.count()}")
+    // One-shot runs can drain before the live-map tick sees a
+    // populated warehouse; publish the converged dashboard here (the
+    // same render the per-tick republish produces once data exists).
+    dashboardPath.foreach { p =>
+      FuelDashboard.writeAtomic(p, FuelDashboard.render(
+        stored, storedStations,
+        generatedAt = java.time.Instant.now().toString))
+      println(s"[pipeline] dashboard -> $p")
+    }
     spark.stop()
   }
 
@@ -84,7 +94,8 @@ object FuelPipeline {
       spark: SparkSession,
       pricesDir: String,
       stationsDir: String,
-      warehouseDir: String): Seq[org.apache.spark.sql.streaming.StreamingQuery] = {
+      warehouseDir: String,
+      dashboardPath: Option[String] = None): Seq[org.apache.spark.sql.streaming.StreamingQuery] = {
 
     val rawPrices = spark.readStream
       .schema(FuelModel.rawPriceSchema)
@@ -143,9 +154,18 @@ object FuelPipeline {
         val pricesNow =
           try Warehouse.readTable(sp, s"$warehouseDir/prices")
           catch { case _: Throwable => null }
-        if (stationsNow != null && pricesNow != null)
+        if (stationsNow != null && pricesNow != null) {
           FuelQueries.qMap(stationsNow, pricesNow)
             .createOrReplaceTempView("fuel_qmap_live")
+          // Live dashboard: atomically republish the static-HTML twin
+          // each tick — the engine-side equivalent of the reference's
+          // Dash interval callback (`DataAnalysis.py:73-89`).
+          dashboardPath.foreach { p =>
+            FuelDashboard.writeAtomic(p, FuelDashboard.render(
+              pricesNow, stationsNow,
+              generatedAt = java.time.Instant.now().toString))
+          }
+        }
       }
       .queryName("qmap_live")
       .option("checkpointLocation", s"$warehouseDir/_checkpoints/qmap_live")
