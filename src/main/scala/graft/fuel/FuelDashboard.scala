@@ -24,14 +24,17 @@ import org.apache.spark.sql.functions._
   * Charts follow the data-viz method: one measure over categories →
   * single-hue bars (category identity lives on the axis); the
   * multi-series line gets fixed-order categorical hues + a legend
-  * (never cycled, capped at 8); text wears text tokens, never series
+  * (never cycled; capped at the 8 validated slots with a "+N more
+  * not shown" legend note, axis scaled to plotted series only);
+  * text wears text tokens, never series
   * color; native SVG `<title>` tooltips are the dependency-free
   * hover layer; light/dark both ship via `prefers-color-scheme`.
   */
 object FuelDashboard {
 
   /** Fixed categorical order (validated default palette; light/dark
-    * steps of the same hues). Series beyond 8 fold into "Other".
+    * steps of the same hues). Series beyond 8 are cut with a legend
+    * note — never a generated 9th hue.
     */
   private val SeriesLight = Seq(
     "#2a78d6", "#eb6834", "#1baf7a", "#eda100",
@@ -44,7 +47,10 @@ object FuelDashboard {
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       .replace("\"", "&quot;")
 
-  private def fmt(d: Double): String = f"$d%.2f"
+  // Locale-pinned: the f interpolator is locale-dependent (decimal
+  // comma on e.g. de JVMs) — determinism is the repo invariant.
+  private def fmt(d: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
 
   /** Horizontal single-hue bar chart (rounded data-end, 2px gaps via
     * stroke-free spacing, direct value labels in text ink).
@@ -69,7 +75,12 @@ object FuelDashboard {
   /** Multi-series line chart: fixed-order hues, 2px lines, legend
     * with colored marks and text-ink labels, per-vertex tooltips.
     */
-  private def svgLine(series: Seq[(String, Seq[(Long, Double)])]): String = {
+  private def svgLine(allSeries: Seq[(String, Seq[(Long, Double)])]): String = {
+    // Cap at the validated 8-slot palette; the axis scales to the
+    // PLOTTED series only (a dropped series must not stretch the
+    // range), and the legend names how many were cut.
+    val series = allSeries.take(SeriesLight.size)
+    val dropped = allSeries.size - series.size
     val pts = series.flatMap(_._2)
     if (pts.isEmpty) return "<p class=\"muted\">no data</p>"
     val w = 560; val h = 200; val pad = 30
@@ -80,7 +91,7 @@ object FuelDashboard {
     val axes =
       s"""<line x1="$pad" y1="${h - pad}" x2="${w - pad}" y2="${h - pad}" class="axis"/>
          |<text x="$pad" y="${h - 8}" class="lbl">${fmt(y0)}–${fmt(y1)}</text>""".stripMargin
-    val lines = series.take(SeriesLight.size).zipWithIndex.map { case ((name, ps), i) =>
+    val lines = series.zipWithIndex.map { case ((name, ps), i) =>
       val path = ps.sortBy(_._1)
         .map { case (t, v) => s"${sx(t)},${sy(v)}" }.mkString(" ")
       val dots = ps.map { case (t, v) =>
@@ -88,9 +99,10 @@ object FuelDashboard {
       }.mkString
       s"""<polyline points="$path" fill="none" stroke-width="2" class="s$i"/>$dots"""
     }.mkString("\n")
-    val legend = series.take(SeriesLight.size).zipWithIndex.map { case ((name, _), i) =>
+    val more = if (dropped > 0) s"""<span class="key muted">+$dropped more not shown</span>""" else ""
+    val legend = series.zipWithIndex.map { case ((name, _), i) =>
       s"""<span class="key"><svg width="10" height="10"><rect width="10" height="10" rx="2" class="s$i"/></svg> ${esc(name)}</span>"""
-    }.mkString(" ")
+    }.mkString(" ") + more
     s"""<svg viewBox="0 0 $w $h" role="img" aria-label="price over time per fuel type">$axes$lines</svg>
        |<div class="legend">$legend</div>""".stripMargin
   }
@@ -145,12 +157,16 @@ object FuelDashboard {
 
   /** Render from the warehouse frames. `maxStations` caps the table
     * (LIMIT pushed into the plan, not a driver-side cut).
+    * `precomputedQMap` lets a caller that already ran the flagship
+    * join (the pipeline's live view) reuse it instead of paying the
+    * broadcast join + string-agg twice per tick.
     */
   def render(
       prices: DataFrame,
       stations: DataFrame,
       maxStations: Int = 20,
-      generatedAt: String = "n/a"): String = {
+      generatedAt: String = "n/a",
+      precomputedQMap: Option[DataFrame] = None): String = {
     val bar = FuelQueries.qBar(prices)
       .orderBy("fueltype")
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toSeq
@@ -166,7 +182,8 @@ object FuelDashboard {
       .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getDouble(2)))
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (ft, xs) => ft -> xs.map(x => (x._2, x._3)).toSeq }
-    val stationRows = FuelQueries.qMap(stations, prices)
+    val stationRows = precomputedQMap
+      .getOrElse(FuelQueries.qMap(stations, prices))
       .orderBy("name").limit(maxStations)
       .select(col("name"), col("brand"),
         regexp_replace(col("fuelinfo_agg"), "<br>", "; ").as("prices"))
@@ -193,10 +210,12 @@ object FuelDashboard {
   def main(args: Array[String]): Unit = {
     val Array(warehouseDir, outPath) = args.take(2)
     val spark = SparkSession.getActiveSession.getOrElse(graft.GraftSession.get())
-    val prices = spark.read.parquet(s"$warehouseDir/prices")
-    val stations = spark.read.parquet(s"$warehouseDir/stations")
-    writeAtomic(outPath, render(prices, stations,
-      generatedAt = java.time.Instant.now().toString))
-    println(s"[dashboard] wrote $outPath")
+    try {
+      val prices = spark.read.parquet(s"$warehouseDir/prices")
+      val stations = spark.read.parquet(s"$warehouseDir/stations")
+      writeAtomic(outPath, render(prices, stations,
+        generatedAt = java.time.Instant.now().toString))
+      println(s"[dashboard] wrote $outPath")
+    } finally spark.stop()
   }
 }

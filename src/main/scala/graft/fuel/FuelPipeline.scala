@@ -155,15 +155,22 @@ object FuelPipeline {
           try Warehouse.readTable(sp, s"$warehouseDir/prices")
           catch { case _: Throwable => null }
         if (stationsNow != null && pricesNow != null) {
-          FuelQueries.qMap(stationsNow, pricesNow)
-            .createOrReplaceTempView("fuel_qmap_live")
+          val qm = FuelQueries.qMap(stationsNow, pricesNow)
+          qm.createOrReplaceTempView("fuel_qmap_live")
           // Live dashboard: atomically republish the static-HTML twin
           // each tick — the engine-side equivalent of the reference's
-          // Dash interval callback (`DataAnalysis.py:73-89`).
+          // Dash interval callback (`DataAnalysis.py:73-89`). The
+          // flagship join is reused, not recomputed; a failed publish
+          // is best-effort (same posture as the readTable guards) —
+          // it must not kill the streaming query.
           dashboardPath.foreach { p =>
-            FuelDashboard.writeAtomic(p, FuelDashboard.render(
+            try FuelDashboard.writeAtomic(p, FuelDashboard.render(
               pricesNow, stationsNow,
-              generatedAt = java.time.Instant.now().toString))
+              generatedAt = java.time.Instant.now().toString,
+              precomputedQMap = Some(qm)))
+            catch { case e: Throwable =>
+              System.err.println(s"[pipeline] dashboard publish failed: ${e.getMessage}")
+            }
           }
         }
       }

@@ -59,6 +59,14 @@ class PackingSamplingSpec extends SparkSpecBase {
     assert(got === Map("s0" -> 20L, "s1" -> 20L, "s2" -> 20L))
   }
 
+  test("idHash: extreme ids never overflow under ANSI; hash stays in 31-bit range") {
+    val df = Seq(Long.MaxValue, Long.MaxValue - 1, 0L, 1L, 4294967296L, 2147483647L)
+      .toDF("id")
+    val hashes = df.select(Sampling.idHash(col("id")).as("h"))
+      .collect().map(_.getLong(0))
+    assert(hashes.forall(h => h >= 0 && h < 2147483647L))
+  }
+
   test("concatChunkPack: null id fails loudly instead of silently dropping the row") {
     val df = Seq((Some(1L), 10L), (None, 5L), (Some(3L), 7L))
       .toDF("doc_id", "ntok")
