@@ -271,6 +271,23 @@ object RelationalQueries {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
   }
 
+  /** Skew-salted two-phase aggregation (8 salt buckets): per-type
+    * event counts and DECIMAL value sums through
+    * [[Relational.saltedAgg]]. The oracle states the plain groupBy —
+    * the operator's contract is result-identity; only the shuffle
+    * layout changes under a hot key.
+    */
+  private def saltedAggQ(s: SparkSession, d: String): DataFrame =
+    Relational.saltedAgg(
+      Tables.events(s, d)
+        .select(col("event_type"), col("value").cast("decimal(18,2)").as("v")),
+      Seq("event_type"), buckets = 8,
+      partial = struct(count(lit(1)).as("n"), sum(col("v")).as("sv")).as("p"),
+      fin = struct(sum(col("p.n")).as("n"), sum(col("p.sv")).as("sv")).as("f"))
+      .select(col("event_type"),
+        col("f.n").as("n"),
+        col("f.sv").cast("double").as("sum_value"))
+
   /** Skew-salted fact⋈dim join (8 salt buckets) rolled up per
     * market segment. The oracle states the UNSALTED join — what's
     * checked is exactly the operator's contract: salting never
@@ -976,6 +993,10 @@ object RelationalQueries {
         |    PARTITION BY user_id ORDER BY ts, event_id) AS first_user_value
         |FROM events
         |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""".stripMargin)),
+    QueryDef("q_salted_agg", saltedAggQ, Some(
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin)),
     QueryDef("q_salted_join", saltedJoinQ, Some(
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
