@@ -561,7 +561,7 @@ object TextQueries {
         |  CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
         |  CAST((octet_length(encode(text)) * 7) % 480 + 1 AS BIGINT) AS height
         |FROM documents""".stripMargin)),
-    QueryDef("q_contamination", contaminationQ, Some(contaminationSql)),
+    QueryDef("q_contamination", contaminationQ, Some(contaminationSql), headline = true),
     QueryDef("q_heavy_hitters", heavyHitters, Some {
       val toks = duckToks("text")
       s"""WITH tok AS (SELECT unnest($toks) AS token FROM documents),
