@@ -107,11 +107,17 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     require(n % bands == 0, s"signature length $n must divide into $bands bands")
     val rows = n / bands
+    // Materialize the banded signatures ONCE: the LSH bucket join is
+    // a self-join, and referencing the same DataFrame twice
+    // re-instantiates the whole signature subtree per side (the scan
+    // + shingle + minhash pass would run 2× — val sharing does not
+    // dedupe plans). The checkpoint is |docs|×bands compact rows.
     val sigs = docs.select(
         col(idCol).as("doc_id"),
         minhashSignature(col(textCol), k, n).as("sig"))
       .withColumn("band", explode(lshBands(col("sig"), bands, rows)))
       .select(col("doc_id"), col("sig"), col("band.band"), col("band.bucket"))
+      .localCheckpoint()
     val a = sigs.as("a")
     val b = sigs.as("b")
     a.join(b,
