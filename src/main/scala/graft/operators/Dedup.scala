@@ -156,8 +156,11 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
     val sigs = docs.select(col(idCol).as("doc_id"), simhash64(col(textCol)).as("sig"))
+    // Materialized once: the self-join would otherwise run the
+    // SimHash vote pass on both sides (see minhashCandidates).
     val banded = sigs.withColumn("band", explode(sequence(lit(0), lit(3))))
       .withColumn("bucket", call_function("shiftright", col("sig"), col("band") * 16).bitwiseAND(0xFFFFL))
+      .localCheckpoint()
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b,
@@ -286,8 +289,13 @@ object Dedup {
         val g = (length(bin(greatest(size(col("sh")), lit(1)))) - 1).cast("long")
         base.withColumn("blocks", array(g, g + 1))
     }
-    val sizes = blocked.select(col("doc_id"), size(col("sh")).as("n"))
-    val toks = blocked
+    // Materialized once: `blocked` feeds the self-join's BOTH sides
+    // plus the size lookup — three instantiations of the shingle
+    // pass otherwise (see minhashCandidates). One compact row per
+    // doc (hash array, no strings).
+    val blockedOnce = blocked.localCheckpoint()
+    val sizes = blockedOnce.select(col("doc_id"), size(col("sh")).as("n"))
+    val toks = blockedOnce
       .select(explode(col("blocks")).as("block"), col("doc_id"), col("sh"))
       .select(col("block"), col("doc_id"), explode(col("sh")).as("tok"))
     val inter = toks.as("a")

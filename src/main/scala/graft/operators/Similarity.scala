@@ -292,6 +292,10 @@ object Similarity {
       vecCol: String,
       blockCol: Column,
       threshold: Double): DataFrame = {
+    // Deliberately NOT checkpointed (unlike the Dedup self-joins):
+    // the per-side work here is just a scan + a cheap block column,
+    // and materializing a full copy of the vector corpus costs about
+    // what the second scan does — measured neutral-to-negative.
     val v = vecs.select(col(idCol).as("vec_id"), col(vecCol).as("v"), blockCol.as("block"))
     v.as("a").join(v.as("b"),
         col("a.block") === col("b.block") && col("a.vec_id") < col("b.vec_id"))
