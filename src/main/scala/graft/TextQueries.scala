@@ -113,6 +113,12 @@ object TextQueries {
       rates = Seq(("src0", 9, 10), ("src1", 1, 2), ("src2", 1, 10)),
       default = Some((1, 4)))
 
+  /** Deterministic epoch ordering ([[Sampling.epochOrder]]): every
+    * doc's position in the reproducible hash-shuffled read order.
+    */
+  private def epochShuffle(s: SparkSession, d: String): DataFrame =
+    Sampling.epochOrder(Tables.documents(s, d).select(col("doc_id")), "doc_id")
+
   /** Deterministic 90/10 train/validation split. */
   private def trainSplit(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
@@ -519,6 +525,13 @@ object TextQueries {
         |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |      '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
         |    '\+?[0-9][0-9 -]{5,}[0-9]', '<PHONE>', 'g') AS pii_redacted
+        |FROM documents""".stripMargin)),
+    QueryDef("q_epoch_shuffle", epochShuffle, Some(
+      """SELECT doc_id,
+        |  ((doc_id % 2147483647) * 2654435761) % 2147483647 AS shuffle_key,
+        |  CAST(row_number() OVER (
+        |    ORDER BY ((doc_id % 2147483647) * 2654435761) % 2147483647, doc_id)
+        |    - 1 AS BIGINT) AS epoch_pos
         |FROM documents""".stripMargin)),
     QueryDef("q_mixture_sample", mixtureSampleQ, Some(
       """SELECT doc_id, source FROM documents

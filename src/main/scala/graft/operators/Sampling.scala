@@ -57,6 +57,46 @@ object Sampling {
       .drop("__rn", "__n")
   }
 
+  /** Deterministic epoch ordering: each row's position in the
+    * hash-of-id shuffled read order — the reproducible "shuffle" a
+    * training run consumes, identical on every engine and rerun.
+    *
+    * The global rank is computed WITHOUT a single-partition window
+    * (the classic scale-killer): hash keys are uniform in
+    * [0, 2³¹-1), so bucketing by key range gives ORDERED buckets —
+    * position = (rows in lower buckets) + (rank within bucket).
+    * One groupBy for the ≤`buckets` bucket counts (driver-side
+    * prefix sum over that bounded list), one per-bucket window.
+    * Same two-pass prefix-sum shape as `Packing.concatChunkPack`.
+    *
+    * Returns the input plus `shuffle_key` and `epoch_pos` (0-based).
+    * `__bkt`/`__off` must not pre-exist in the input.
+    */
+  def epochOrder(df: DataFrame, id: String, buckets: Int = 64): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    require(!df.columns.contains("__bkt") && !df.columns.contains("__off"),
+      "__bkt/__off are reserved by epochOrder")
+    val p = 2147483647L
+    val keyed = df
+      .withColumn("shuffle_key", idHash(col(id)))
+      .withColumn("__bkt", (col("shuffle_key") * buckets / p).cast("int"))
+    val counts = keyed.groupBy("__bkt").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until buckets).scanLeft(0L) {
+      case (acc, b) => acc + counts.getOrElse(b, 0L)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = (0 until buckets).map(b => (b, offsets(b))).toDF("__bkt", "__off")
+    val w = Window.partitionBy("__bkt")
+      .orderBy(col("shuffle_key"), col(id))
+    keyed
+      .join(broadcast(offDf), Seq("__bkt"))
+      .withColumn("epoch_pos",
+        col("__off") + row_number().over(w) - 1)
+      .drop("__bkt", "__off")
+  }
+
   /** Weight-proportional Bernoulli sampling: keep each row with
     * probability `weight` (clamped to [0,1]) — quality-weighted
     * corpus selection, where a 0.9-quality doc is 3× likelier to

@@ -59,6 +59,19 @@ class PackingSamplingSpec extends SparkSpecBase {
     assert(got === Map("s0" -> 20L, "s1" -> 20L, "s2" -> 20L))
   }
 
+  test("epochOrder: positions are a 0..n-1 permutation, invariant to bucket count and input order") {
+    val df = (0L until 300L).map(i => Tuple1(i * 7 + 3)).toDF("id")
+    def positions(d: org.apache.spark.sql.DataFrame, buckets: Int): Map[Long, Long] =
+      Sampling.epochOrder(d, "id", buckets).select("id", "epoch_pos")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val p64 = positions(df, 64)
+    assert(p64.values.toSeq.sorted === (0L until 300L))
+    // one bucket = plain global rank; many buckets must agree exactly
+    assert(positions(df, 1) === p64)
+    // input partitioning/order must not matter
+    assert(positions(df.repartition(7).orderBy(desc("id")), 64) === p64)
+  }
+
   test("idHash: extreme ids never overflow under ANSI; hash stays in 31-bit range") {
     val df = Seq(Long.MaxValue, Long.MaxValue - 1, 0L, 1L, 4294967296L, 2147483647L)
       .toDF("id")
