@@ -183,10 +183,9 @@ object TextQueries {
     * `200·n > total` is pure integer arithmetic.
     */
   private def heavyHitters(s: SparkSession, d: String): DataFrame = {
-    val counts = Tables.documents(s, d)
+    val counts = graft.operators.Materialize(Tables.documents(s, d)
       .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
-      .groupBy("token").agg(count(lit(1)).as("n"))
-      .localCheckpoint()
+      .groupBy("token").agg(count(lit(1)).as("n")))
     counts
       .crossJoin(broadcast(counts.agg(sum(col("n")).as("__tot"))))
       .filter(col("n") * 200 > col("__tot"))
@@ -379,9 +378,11 @@ object TextQueries {
       |      || regexp_replace(
       |           regexp_replace(
       |             regexp_replace(
-      |               regexp_replace(regexp_replace(url, '#.*', ''),
-      |                              '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', ''),
-      |               '(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*&?', '', 'g'),
+      |               regexp_replace(
+      |                 regexp_replace(regexp_replace(url, '#.*', ''),
+      |                                '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', ''),
+      |                 '([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*', '\1', 'g'),
+      |               '&&+', '&', 'g'),
       |             '\?&', '?', 'g'),
       |           '[?&]+$', '', 'g'),
       |    '/+$', '', 'g') AS norm_url

@@ -111,13 +111,13 @@ object Dedup {
     // a self-join, and referencing the same DataFrame twice
     // re-instantiates the whole signature subtree per side (the scan
     // + shingle + minhash pass would run 2× — val sharing does not
-    // dedupe plans). The checkpoint is |docs|×bands compact rows.
-    val sigs = docs.select(
+    // dedupe plans). The cut is |docs|×bands compact rows; strategy
+    // (and the executor-loss trade-off) in [[Materialize]].
+    val sigs = Materialize(docs.select(
         col(idCol).as("doc_id"),
         minhashSignature(col(textCol), k, n).as("sig"))
       .withColumn("band", explode(lshBands(col("sig"), bands, rows)))
-      .select(col("doc_id"), col("sig"), col("band.band"), col("band.bucket"))
-      .localCheckpoint()
+      .select(col("doc_id"), col("sig"), col("band.band"), col("band.bucket")))
     val a = sigs.as("a")
     val b = sigs.as("b")
     a.join(b,
@@ -158,9 +158,8 @@ object Dedup {
     val sigs = docs.select(col(idCol).as("doc_id"), simhash64(col(textCol)).as("sig"))
     // Materialized once: the self-join would otherwise run the
     // SimHash vote pass on both sides (see minhashCandidates).
-    val banded = sigs.withColumn("band", explode(sequence(lit(0), lit(3))))
-      .withColumn("bucket", call_function("shiftright", col("sig"), col("band") * 16).bitwiseAND(0xFFFFL))
-      .localCheckpoint()
+    val banded = Materialize(sigs.withColumn("band", explode(sequence(lit(0), lit(3))))
+      .withColumn("bucket", call_function("shiftright", col("sig"), col("band") * 16).bitwiseAND(0xFFFFL)))
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b,
@@ -192,13 +191,11 @@ object Dedup {
     // upstream LSH candidate join — without this, the loop below (and
     // the label init) would re-run that join once per iteration. The
     // edge list is tiny relative to the corpus (near-dup pairs only),
-    // so the checkpoint is cheap at any scale.
-    val p = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .localCheckpoint()
+    // so the cut is cheap at any scale.
+    val p = Materialize(pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
     val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
-      .localCheckpoint()
+    var labels = Materialize(edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id")))
     // DECIMAL sum: component ids are arbitrary longs; a long sum
     // could overflow under ANSI on a large id domain.
     def labelSum(df: DataFrame): java.math.BigDecimal =
@@ -210,14 +207,12 @@ object Dedup {
       val viaNeighbors = edges
         .join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("id"), col("component"))
-      labels = labels.select(col("id"), col("component"))
+      // Cut lineage each round: without this, iteration i re-derives
+      // iterations 0..i-1 every time `labels` is evaluated.
+      labels = Materialize(labels.select(col("id"), col("component"))
         .union(viaNeighbors)
         .groupBy("id")
-        .agg(min("component").as("component"))
-        // Truncate lineage each round: without this, iteration i
-        // re-derives iterations 0..i-1 every time `labels` is
-        // evaluated.
-        .localCheckpoint()
+        .agg(min("component").as("component")))
       val s = labelSum(labels)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
@@ -293,7 +288,7 @@ object Dedup {
     // plus the size lookup — three instantiations of the shingle
     // pass otherwise (see minhashCandidates). One compact row per
     // doc (hash array, no strings).
-    val blockedOnce = blocked.localCheckpoint()
+    val blockedOnce = Materialize(blocked)
     val sizes = blockedOnce.select(col("doc_id"), size(col("sh")).as("n"))
     val toks = blockedOnce
       .select(explode(col("blocks")).as("block"), col("doc_id"), col("sh"))

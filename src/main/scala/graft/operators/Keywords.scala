@@ -50,9 +50,8 @@ object Keywords {
     // aggregate and the score join — two instantiations of the
     // explode + count pass otherwise (val sharing does not dedupe
     // plans). One compact row per (doc, distinct token).
-    val tf = tok.groupBy(col(idCol), col("token"))
-      .agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+    val tf = Materialize(tok.groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf")))
     val docFreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs")) // 1 row — broadcast
     val scored = tf.join(docFreq, "token")

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Plan-materialization boundary used by the multi-reference operators
+  * (MinHash/SimHash banding, n-gram blocking, TF-IDF, heavy hitters,
+  * connected components). Referencing one `val df` from N places does
+  * NOT dedupe the plan — Catalyst re-inlines the subtree N times and
+  * `ReuseExchange` rarely rescues it once column pruning differentiates
+  * the exchanges — so these operators cut the plan here and compute the
+  * shared subtree exactly once.
+  *
+  * The strategy is configurable via `spark.graft.materialize` because
+  * the right trade-off differs by deployment:
+  *
+  *  - `local` (default): `localCheckpoint()` — fastest on a single node
+  *    and on clusters without a checkpoint dir, but the materialized
+  *    blocks live ONLY on executors with no lineage to rebuild them: an
+  *    executor loss (or dynamic-allocation decommission) mid-job fails
+  *    the query. Fine for local[] and static short-lived clusters.
+  *  - `persist`: `persist(MEMORY_AND_DISK)` + eager count — keeps
+  *    lineage, so lost blocks are recomputed instead of failing the
+  *    job. The right mode for long multi-stage jobs at the 100 TB
+  *    design point with dynamic allocation.
+  *  - `reliable`: `checkpoint()` to the SparkContext checkpoint dir
+  *    (caller must `setCheckpointDir` to HDFS/object storage) —
+  *    survives executor loss without recompute; pay the write.
+  *
+  * All three are EAGER — building one of these operator plans runs the
+  * shared-subtree job as a side effect. That is deliberate: the cut is
+  * what guarantees single execution of an expensive pass.
+  */
+object Materialize {
+  val ConfKey = "spark.graft.materialize"
+
+  def apply(df: DataFrame): DataFrame =
+    df.sparkSession.conf.getOption(ConfKey).getOrElse("local") match {
+      case "persist" =>
+        val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+        p.count() // eager: the cut must run once, now, not per reference
+        p
+      case "reliable" => df.checkpoint()
+      case _          => df.localCheckpoint()
+    }
+}

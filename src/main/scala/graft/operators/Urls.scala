@@ -23,8 +23,11 @@ object Urls {
     *  1. fragment stripped (`#...`);
     *  2. scheme + authority lowercased; explicit default ports
     *     (`:80`, `:443`) dropped;
-    *  3. tracking params removed (`utm_*`, `fbclid`, `gclid`), with
-    *     separator cleanup (`?&` → `?`, dangling `?`/`&` dropped);
+    *  3. tracking params removed (`utm_*`, `fbclid`, `gclid`) —
+    *     anchored to a `?`/`&` separator so params that merely end
+    *     in a tracking name (`myfbclid=1`) are untouched — with
+    *     separator cleanup (`&&`→`&`, `?&` → `?`, dangling `?`/`&`
+    *     dropped);
     *  4. trailing slashes stripped.
     * Path and non-tracking query params keep their case (per RFC 3986
     * only scheme/host are case-insensitive).
@@ -34,8 +37,10 @@ object Urls {
     val head   = regexp_extract(noFrag, HeadRe, 0)
     val tail   = regexp_replace(noFrag, HeadRe, "")
     val headN  = regexp_replace(lower(head), ":(80|443)$", "")
-    val tailP  = regexp_replace(tail, "(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*&?", "")
-    val tailN  = regexp_replace(regexp_replace(tailP, "\\?&", "?"), "[?&]+$", "")
+    val tailP  = regexp_replace(tail, "([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*", "$1")
+    val tailN  = regexp_replace(
+      regexp_replace(regexp_replace(tailP, "&&+", "&"), "\\?&", "?"),
+      "[?&]+$", "")
     regexp_replace(concat(headN, tailN), "/+$", "")
   }
 

@@ -27,11 +27,19 @@ import org.apache.spark.sql.functions._
   */
 object Rest {
 
+  /** `legacyGetToken = true` reproduces the reference's nonstandard
+    * token request (GET with `grant_type` in the query string,
+    * `DataGathering.py:6-17`) for APIs that expect exactly that; the
+    * default is the RFC 6749 §4.4 POST + form-encoded body, which is
+    * what real providers accept and keeps grant params out of server
+    * access logs.
+    */
   final case class OAuth2Config(
       tokenUrl: String,
       clientId: String,
       clientSecret: String,
-      extraHeaders: Map[String, String] = Map.empty)
+      extraHeaders: Map[String, String] = Map.empty,
+      legacyGetToken: Boolean = false)
 
   private def newClient(): HttpClient =
     HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(10)).build()
@@ -49,18 +57,40 @@ object Rest {
     resp.body()
   }
 
-  /** Client-credentials token fetch (`DataGathering.py:6-17`): Basic
-    * auth from id:secret, `grant_type=client_credentials` as a query
-    * param, `access_token` out of the JSON body. The token is an
+  private def postForm(
+      client: HttpClient,
+      url: String,
+      headers: Map[String, String],
+      form: String): String = {
+    val b = HttpRequest.newBuilder(URI.create(url))
+      .POST(HttpRequest.BodyPublishers.ofString(form))
+      .timeout(Duration.ofSeconds(30))
+      .header("Content-Type", "application/x-www-form-urlencoded")
+    headers.foreach { case (k, v) => b.header(k, v) }
+    val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+    require(resp.statusCode() / 100 == 2,
+      s"POST $url -> HTTP ${resp.statusCode()}: ${resp.body().take(200)}")
+    resp.body()
+  }
+
+  /** Client-credentials token fetch: Basic auth from id:secret,
+    * `grant_type=client_credentials` POSTed as a form body (RFC 6749
+    * §4.4), `access_token` out of the JSON body. The token is an
     * opaque string — extracted structurally (no full JSON mapper
     * needed on the driver; the payload contract is one scalar field).
+    * Set [[OAuth2Config.legacyGetToken]] for the reference API's
+    * query-param GET variant (`DataGathering.py:6-17`).
     */
   def fetchToken(cfg: OAuth2Config, client: HttpClient = newClient()): String = {
     val basic = Base64.getEncoder.encodeToString(
       s"${cfg.clientId}:${cfg.clientSecret}".getBytes(StandardCharsets.UTF_8))
-    val sep = if (cfg.tokenUrl.contains("?")) "&" else "?"
-    val body = get(client, s"${cfg.tokenUrl}${sep}grant_type=client_credentials",
-      Map("Authorization" -> s"Basic $basic", "Accept" -> "application/json"))
+    val headers =
+      Map("Authorization" -> s"Basic $basic", "Accept" -> "application/json")
+    val body =
+      if (cfg.legacyGetToken) {
+        val sep = if (cfg.tokenUrl.contains("?")) "&" else "?"
+        get(client, s"${cfg.tokenUrl}${sep}grant_type=client_credentials", headers)
+      } else postForm(client, cfg.tokenUrl, headers, "grant_type=client_credentials")
     extractToken(body).getOrElse(
       throw new IllegalStateException(s"no access_token in: ${body.take(200)}"))
   }

@@ -50,10 +50,12 @@ class JdbcWarehouseSpec extends SparkSpecBase {
     assert(part.agg(sum("id")).head.getLong(0) === (0L until 40L).sum)
   }
 
-  test("append caps connections via coalesce, not a shuffle") {
+  test("append caps connections via repartition to maxConnections") {
     val wide = prices(0, 32).repartition(16)
-    // The sink coalesces to maxConnections partitions; verify the
-    // rows all land exactly once even through the narrowing.
+    // The sink repartitions to maxConnections partitions (repartition,
+    // not coalesce — see Warehouse scaladoc: coalesce would fuse the
+    // narrowing into upstream stages and shrink THEIR parallelism);
+    // verify the rows all land exactly once through the renarrowing.
     Warehouse.overwriteJdbc(prices(0, 0), url, "prices_conn", driver)
     Warehouse.appendJdbc(wide, url, "prices_conn", driver, maxConnections = 2)
     assert(Warehouse.readJdbc(spark, url, "prices_conn", driver).count() === 32)

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Materialize}
+
+/** The materialization boundary ([[graft.operators.Materialize]]) must
+  * be semantically invisible: every strategy returns the same rows, and
+  * the operators built on it are strategy-agnostic.
+  */
+class MaterializeSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog tonight"),
+    (2L, "the quick brown fox jumps over the lazy dog today"),
+    (3L, "completely unrelated text about spark physical planning"),
+    (4L, "the quick brown fox jumps over the lazy dog tonight")
+  ).toDF("doc_id", "text")
+
+  private def candidates(): Set[(Long, Long)] =
+    Dedup.minhashCandidates(docs, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+  test("persist strategy returns the same candidate pairs as local") {
+    val base = candidates()
+    assert(base.contains((1L, 4L))) // exact dup pair must survive any mode
+    spark.conf.set(Materialize.ConfKey, "persist")
+    try assert(candidates() === base)
+    finally spark.conf.unset(Materialize.ConfKey)
+  }
+
+  test("reliable strategy checkpoints to the configured dir") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val base = candidates()
+    spark.conf.set(Materialize.ConfKey, "reliable")
+    try assert(candidates() === base)
+    finally spark.conf.unset(Materialize.ConfKey)
+  }
+
+  test("unknown strategy falls back to local") {
+    spark.conf.set(Materialize.ConfKey, "definitely-not-a-mode")
+    try assert(Materialize(docs).count() === 4L)
+    finally spark.conf.unset(Materialize.ConfKey)
+  }
+}

@@ -54,6 +54,11 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(n("https://ex.com/p?q=2&fbclid=abc") === "https://ex.com/p?q=2")
     // only tracking params → bare path
     assert(n("https://ex.com/p?gclid=z&utm_a=b") === "https://ex.com/p")
+    // param name merely ENDING in a tracking name is not a tracking param
+    assert(n("https://ex.com/p?myfbclid=1") === "https://ex.com/p?myfbclid=1")
+    assert(n("https://ex.com/p?xgclid=1&q=2") === "https://ex.com/p?xgclid=1&q=2")
+    // consecutive tracking params in the middle: separators repaired
+    assert(n("https://ex.com/p?a=1&utm_x=2&utm_y=3&b=4") === "https://ex.com/p?a=1&b=4")
     // :80 only stripped from the authority, not a path segment
     assert(n("http://ex.com:80/a:80") === "http://ex.com/a:80")
     // idempotent on already-canonical input

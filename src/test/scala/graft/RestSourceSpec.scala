@@ -30,10 +30,24 @@ class RestSourceSpec extends SparkSpecBase with BeforeAndAfterAll {
 
   override def beforeAll(): Unit = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    // RFC 6749 §4.4 contract: POST + form-encoded grant in the body.
     server.createContext("/oauth/token", (ex: HttpExchange) => {
       val auth = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
+      val ctype = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      if (ex.getRequestMethod == "POST"
+          && auth == "Basic aWQtMTIzOnNlY3JldC00NTY=" // base64("id-123:secret-456")
+          && ctype.startsWith("application/x-www-form-urlencoded")
+          && body.contains("grant_type=client_credentials"))
+        respond(ex, 200, s"""{"token_type":"Bearer","access_token":"$token"}""")
+      else respond(ex, 401, """{"error":"bad credentials"}""")
+    })
+    // The reference API's nonstandard variant: GET, grant in the query.
+    server.createContext("/oauth/legacy-token", (ex: HttpExchange) => {
+      val auth = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
       val grant = Option(ex.getRequestURI.getQuery).getOrElse("")
-      if (auth == "Basic aWQtMTIzOnNlY3JldC00NTY=" // base64("id-123:secret-456")
+      if (ex.getRequestMethod == "GET"
+          && auth == "Basic aWQtMTIzOnNlY3JldC00NTY="
           && grant.contains("grant_type=client_credentials"))
         respond(ex, 200, s"""{"token_type":"Bearer","access_token":"$token"}""")
       else respond(ex, 401, """{"error":"bad credentials"}""")
@@ -73,6 +87,16 @@ class RestSourceSpec extends SparkSpecBase with BeforeAndAfterAll {
 
   test("token fetch: basic-auth client credentials -> access_token") {
     assert(Rest.fetchToken(cfg) === token)
+  }
+
+  test("legacy GET token mode targets the reference's query-param flow") {
+    val legacy = cfg.copy(
+      tokenUrl = s"$base/oauth/legacy-token", legacyGetToken = true)
+    assert(Rest.fetchToken(legacy) === token)
+    // and the RFC endpoint rejects the legacy-shaped request
+    val e = intercept[IllegalArgumentException](
+      Rest.fetchToken(cfg.copy(legacyGetToken = true)))
+    assert(e.getMessage.contains("401"))
   }
 
   test("token fetch fails loudly on bad credentials") {
