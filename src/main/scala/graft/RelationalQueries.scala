@@ -320,6 +320,22 @@ object RelationalQueries {
       .select("c_custkey", "c_name")
   }
 
+  /** Bloom-prefiltered selective semi join
+    * ([[graft.operators.BloomJoin]]): lineitems restricted to a
+    * ~2%-selective part subset, then aggregated. The bloom probe drops
+    * non-matching lineitems at the scan (before the join exchange);
+    * the exact semi join removes bloom false positives, so the result
+    * is identical to the plain `IN` subquery the oracle runs.
+    */
+  private def bloomSemiJoinQ(s: SparkSession, d: String): DataFrame =
+    graft.operators.BloomJoin.semiJoin(
+        Tables.lineitem(s, d), col("l_partkey"),
+        Tables.part(s, d).filter(col("p_size") === 1), col("p_partkey"),
+        expectedItems = 1 << 16)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+
   /** DISTINCT — partial/final hash aggregate, no sort. */
   private def distinctTypes(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).select("event_type").distinct()
@@ -1017,6 +1033,12 @@ object RelationalQueries {
     QueryDef("q_semi_join", semiJoin, Some(
       """SELECT c_custkey, c_name FROM customer c
         |WHERE EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)""".stripMargin)),
+    QueryDef("q_bloom_semi_join", bloomSemiJoinQ, Some(
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 1)
+        |GROUP BY l_returnflag""".stripMargin)),
     QueryDef("q_distinct_types", distinctTypes, Some(
       "SELECT DISTINCT event_type FROM events")),
     QueryDef("q_line_series", lineSeries, Some(
