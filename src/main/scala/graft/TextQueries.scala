@@ -133,6 +133,25 @@ object TextQueries {
     Dedup.dropNearDuplicates(Tables.documents(s, d), "doc_id", "text")
       .select("doc_id", "lang", "source", "n_chars")
 
+  /** The streaming near-dup gate replayed over the documents table in
+    * two deterministic micro-batches (doc_id parity): first-wins
+    * across batches, chain collapse within — table-backed state, the
+    * same signature math as `q_dedup_docs`. Rows-only driver check
+    * (accepted set is minhash-dependent, not SQL-expressible).
+    */
+  private def streamNeardup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_ndgate_state").toString
+    val a0 = graft.streaming.NearDupGate.acceptBatch(
+      docs.filter(col("doc_id") % 2 === 0), 0L, "doc_id", "text", stateDir)
+    // acceptBatch commits batch-0 state eagerly (its write is an
+    // action), so batch 1 sees it through the table, not lineage.
+    val a1 = graft.streaming.NearDupGate.acceptBatch(
+      docs.filter(col("doc_id") % 2 =!= 0), 1L, "doc_id", "text", stateDir)
+    a0.union(a1).select("doc_id")
+  }
+
   /** Decontamination over the deterministic 90/10 split: how much of
     * each validation doc's 8-gram mass the train side already
     * contains ([[Dedup.contamination]]). Planted near-dup pairs that
@@ -498,6 +517,7 @@ object TextQueries {
     QueryDef("q_simhash_neardup", simhashNeardup, None),
     QueryDef("q_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     QueryDef("q_dedup_docs", dedupDocs, None, headline = true),
+    QueryDef("q_stream_neardup", streamNeardup, None),
     QueryDef("q_doc_chunks", docChunks, Some {
       val toks = duckToks("text")
       s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents)

@@ -104,20 +104,49 @@ object Dedup {
       k: Int = 3,
       n: Int = 64,
       bands: Int = 16,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5): DataFrame =
+    candidatesFromBandedSigs(
+      bandedSignatures(docs, idCol, textCol, k, n, bands), n, threshold)
+
+  /** Banded MinHash signatures — `bands` rows per doc of
+    * `(doc_id, sig, band, bucket)`; the shared first pass of
+    * [[minhashCandidates]] and the incremental/streaming gate
+    * ([[graft.streaming.NearDupGate]]).
+    *
+    * Materialized ONCE: every consumer joins this frame against
+    * itself or state, and referencing the same DataFrame twice
+    * re-instantiates the whole signature subtree per side (the scan
+    * + shingle + minhash pass would run 2× — val sharing does not
+    * dedupe plans). The cut is |docs|×bands compact rows; strategy
+    * (and the executor-loss trade-off) in [[Materialize]].
+    */
+  def bandedSignatures(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      n: Int = 64,
+      bands: Int = 16): DataFrame = {
     require(n % bands == 0, s"signature length $n must divide into $bands bands")
     val rows = n / bands
-    // Materialize the banded signatures ONCE: the LSH bucket join is
-    // a self-join, and referencing the same DataFrame twice
-    // re-instantiates the whole signature subtree per side (the scan
-    // + shingle + minhash pass would run 2× — val sharing does not
-    // dedupe plans). The cut is |docs|×bands compact rows; strategy
-    // (and the executor-loss trade-off) in [[Materialize]].
-    val sigs = Materialize(docs.select(
+    Materialize(docs.select(
         col(idCol).as("doc_id"),
         minhashSignature(col(textCol), k, n).as("sig"))
       .withColumn("band", explode(lshBands(col("sig"), bands, rows)))
       .select(col("doc_id"), col("sig"), col("band.band"), col("band.bucket")))
+  }
+
+  /** Signature-estimated Jaccard: fraction of agreeing minhash lanes. */
+  private[graft] def estJaccard(a: Column, b: Column, n: Int): Column =
+    round(
+      size(filter(zip_with(a, b, (x, y) => x === y), x => x))
+        .cast("double") / n, 4)
+
+  /** LSH bucket self-join over [[bandedSignatures]] output: candidate
+    * pairs sharing any (band, bucket), verified by estimated Jaccard.
+    */
+  private[graft] def candidatesFromBandedSigs(
+      sigs: DataFrame, n: Int, threshold: Double): DataFrame = {
     val a = sigs.as("a")
     val b = sigs.as("b")
     a.join(b,
@@ -125,9 +154,7 @@ object Dedup {
         col("a.bucket") === col("b.bucket") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        round(
-          size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y), x => x))
-            .cast("double") / n, 4).as("est_jaccard"))
+        estJaccard(col("a.sig"), col("b.sig"), n).as("est_jaccard"))
       .distinct()
       .filter(col("est_jaccard") >= threshold)
   }
@@ -199,7 +226,11 @@ object Dedup {
     // DECIMAL sum: component ids are arbitrary longs; a long sum
     // could overflow under ANSI on a large id domain.
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
+      // sum over an EMPTY label frame is SQL NULL (no pairs at all —
+      // e.g. a clean streaming micro-batch): treat as zero so the
+      // fixpoint check still terminates instead of NPEing.
+      Option(df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var i = 0
     var converged = false
