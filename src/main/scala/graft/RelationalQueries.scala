@@ -336,6 +336,18 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n"),
         sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
 
+  /** Z-order (Morton) key over two event dimensions
+    * ([[graft.operators.Layout]]): the exact integer bit-interleave
+    * the clustered-layout writer sorts by, oracle-checked bit-for-bit
+    * (the DuckDB expression is generated from the same loop).
+    */
+  private def zorderKeyQ(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id"),
+      graft.operators.Layout.interleaveBits(
+        Seq(pmod(col("user_id"), lit(1024L)), pmod(col("event_id"), lit(1024L))),
+        bits = 10).as("zkey"))
+
   /** DISTINCT — partial/final hash aggregate, no sort. */
   private def distinctTypes(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).select("event_type").distinct()
@@ -1033,6 +1045,11 @@ object RelationalQueries {
     QueryDef("q_semi_join", semiJoin, Some(
       """SELECT c_custkey, c_name FROM customer c
         |WHERE EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)""".stripMargin)),
+    QueryDef("q_zorder_key", zorderKeyQ, Some(
+      s"""SELECT event_id,
+         |  ${graft.operators.Layout.interleaveBitsSql(
+               Seq("user_id % 1024", "event_id % 1024"), bits = 10)} AS zkey
+         |FROM events""".stripMargin)),
     QueryDef("q_bloom_semi_join", bloomSemiJoinQ, Some(
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
