@@ -199,27 +199,40 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Min-label propagation over an undirected pair list: every id
-    * converges to the minimum id reachable within `maxIter` hops —
-    * the connected-components step that turns pairwise near-dup
-    * candidates into dedup groups. Each iteration is one equi-join +
-    * min-aggregation (both shuffle only (id, label) pairs); near-dup
-    * components are tiny, so convergence is typically 1-2 hops.
+  /** Connected components over an undirected near-dup pair list —
+    * the step that turns pairwise candidates into dedup groups, with
+    * every member labeled by its component's minimum id.
     *
-    * Stops as soon as the labels reach a fixpoint: propagation is
-    * monotone (a label only ever decreases), so the labels changed
-    * iff their sum changed — one scalar aggregate per iteration over
-    * the already-checkpointed label frame, in place of `maxIter`
-    * unconditional rounds. `maxIter` stays as the upper bound for
-    * pathological chain components.
+    * Adaptive execution: the pair list is materialized once (it is
+    * typically the upstream LSH candidate join — without the cut the
+    * label loop would re-run that join per iteration), which makes
+    * counting it free. At or below `driverMaxEdges` pairs the exact
+    * component closure runs as union-find on the driver — near-dup
+    * edge lists are tiny relative to the corpus, and the distributed
+    * loop's per-iteration jobs cost more than the whole graph —
+    * then returns as a local relation downstream joins broadcast.
+    * Above the bound (dup-heavy corpora at the 100 TB design point)
+    * the distributed min-label loop below takes over; the default
+    * bound (4M pairs ≈ 64 MB of longs) is a driver-memory cap,
+    * caller-tunable.
+    *
+    * Distributed path: min-label propagation — every id converges to
+    * the minimum id reachable within `maxIter` hops; each iteration
+    * is one equi-join + min-aggregation (both shuffle only (id,
+    * label) pairs). Stops as soon as the labels reach a fixpoint:
+    * propagation is monotone (a label only ever decreases), so the
+    * labels changed iff their sum changed — one scalar aggregate per
+    * iteration over the already-cut label frame, in place of
+    * `maxIter` unconditional rounds. `maxIter` stays as the upper
+    * bound for pathological chain components (the driver path has no
+    * hop bound — it computes the true closure).
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 5): DataFrame = {
-    // Materialize the pair list ONCE: `pairs` is typically the
-    // upstream LSH candidate join — without this, the loop below (and
-    // the label init) would re-run that join once per iteration. The
-    // edge list is tiny relative to the corpus (near-dup pairs only),
-    // so the cut is cheap at any scale.
+  def connectedComponents(
+      pairs: DataFrame,
+      maxIter: Int = 5,
+      driverMaxEdges: Long = 1L << 22): DataFrame = {
     val p = Materialize(pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+    if (p.count() <= driverMaxEdges) return driverComponents(p)
     val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
     var labels = Materialize(edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id")))
@@ -250,6 +263,35 @@ object Dedup {
       i += 1
     }
     labels
+  }
+
+  /** Exact component closure on the driver: union-find with path
+    * compression, union by MIN root — so every root IS its
+    * component's minimum id, matching the distributed loop's label
+    * contract. Input is the materialized (src, dst) pair frame,
+    * pre-bounded by the caller. Output is a local relation (sorted by
+    * id for determinism) that downstream anti-joins broadcast.
+    */
+  private def driverComponents(p: DataFrame): DataFrame = {
+    val spark = p.sparkSession
+    import spark.implicits._
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    p.collect().foreach { row =>
+      val a = row.getLong(0); val b = row.getLong(1)
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra < rb) parent(rb) = ra
+      else if (rb < ra) parent(ra) = rb
+    }
+    spark.createDataset(parent.keys.toSeq.sorted.map(id => (id, find(id))))
+      .toDF("id", "component")
   }
 
   /** The end-to-end dedup operator: remove exact and near duplicates,

@@ -79,9 +79,24 @@ class DedupSpec extends SparkSpecBase {
     assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("distributed loop matches the driver union-find fast path") {
+    // Deterministic pseudo-random graph with chains, stars, and
+    // singleton pairs — big enough to exercise multi-hop merging.
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .toDF("id_a", "id_b")
+    def labels(viaDriver: Boolean) = Dedup.connectedComponents(
+        pairs, maxIter = 20, driverMaxEdges = if (viaDriver) Long.MaxValue else 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(viaDriver = true) === labels(viaDriver = false))
+  }
+
   test("connectedComponents truncates lineage per iteration (no upstream join replay)") {
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
-    val comp = Dedup.connectedComponents(pairs, maxIter = 5)
+    // driverMaxEdges = 0 forces the distributed loop this spec pins.
+    val comp = Dedup.connectedComponents(pairs, maxIter = 5, driverMaxEdges = 0L)
     // The returned frame must be a checkpointed scan, not a 5-deep
     // join tree: evaluating it (or iterating further) must not replay
     // the candidate-pair join once per iteration.
