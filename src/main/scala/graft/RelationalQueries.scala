@@ -348,6 +348,29 @@ object RelationalQueries {
         Seq(pmod(col("user_id"), lit(1024L)), pmod(col("event_id"), lit(1024L))),
         bits = 10).as("zkey"))
 
+  /** End-to-end layout + zone-map path: events z-ordered on
+    * (user_id, value) ([[graft.operators.Layout.zorderBy]]), a
+    * manifest built over the files, then a 2-D range read through
+    * file-level pruning ([[graft.sources.Manifest.prunedRead]]) and
+    * aggregated. The oracle is the plain range filter — pruning must
+    * be invisible in the result.
+    */
+  private def manifestPrunedQ(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_zlayout").toString
+    graft.operators.Layout.zorderBy(
+        Tables.events(s, d).select("event_id", "user_id", "event_type", "value"),
+        Seq("user_id", "value"), numPartitions = 16)
+      .write.mode("overwrite").parquet(dir)
+    val manifest = graft.sources.Manifest.build(s, dir, Seq("user_id", "value"))
+    graft.sources.Manifest.prunedRead(s, manifest, Map(
+        "user_id" -> (lit(100L), lit(200L)),
+        "value" -> (lit(50.0), lit(100.0))))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+  }
+
   /** DISTINCT — partial/final hash aggregate, no sort. */
   private def distinctTypes(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).select("event_type").distinct()
@@ -1050,6 +1073,12 @@ object RelationalQueries {
          |  ${graft.operators.Layout.interleaveBitsSql(
                Seq("user_id % 1024", "event_id % 1024"), bits = 10)} AS zkey
          |FROM events""".stripMargin)),
+    QueryDef("q_manifest_pruned", manifestPrunedQ, Some(
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE user_id BETWEEN 100 AND 200 AND value BETWEEN 50.0 AND 100.0
+        |GROUP BY event_type""".stripMargin)),
     QueryDef("q_bloom_semi_join", bloomSemiJoinQ, Some(
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

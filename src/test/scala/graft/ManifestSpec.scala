@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Layout
+import graft.sources.Manifest
+
+/** Zone-map manifest: stats correctness, file-level pruning (with and
+  * without a clustered layout), the no-match fast path, and result
+  * equivalence vs a full scan.
+  */
+class ManifestSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private def grid = (0L until 64L).flatMap(a => (0L until 64L).map(b => (a, b)))
+    .toDF("a", "b")
+
+  private def writeZ(dir: String): Unit =
+    Layout.zorderBy(grid, Seq("a", "b"), numPartitions = 16, bits = 6)
+      .write.mode("overwrite").parquet(dir)
+
+  test("manifest rows cover every file with exact min/max and counts") {
+    val dir = java.nio.file.Files.createTempDirectory("mani_data").toString
+    writeZ(dir)
+    val m = Manifest.build(spark, dir, Seq("a", "b"))
+    assert(m.count() === 16L)
+    assert(m.agg(sum("n_rows")).head.getLong(0) === 64L * 64L)
+    // global extrema must survive the per-file stats
+    assert(m.agg(min("min_a"), max("max_a")).head ===
+      org.apache.spark.sql.Row(0L, 63L))
+  }
+
+  test("pruned read admits few files on z-layout and returns exact rows") {
+    val dir = java.nio.file.Files.createTempDirectory("mani_data").toString
+    writeZ(dir)
+    val m = Manifest.build(spark, dir, Seq("a", "b"))
+    val ranges = Map(
+      "a" -> (lit(8L), lit(15L)),
+      "b" -> (lit(16L), lit(23L)))
+    val pruned = Manifest.prunedRead(spark, m, ranges)
+    // exactness: same rows as the unpruned filter
+    val full = spark.read.parquet(dir)
+      .filter(col("a").between(8, 15) && col("b").between(16, 23))
+    assert(pruned.count() === 64L)
+    assert(pruned.as[(Long, Long)].collect().toSet ===
+      full.as[(Long, Long)].collect().toSet)
+    // and the scan really is file-pruned: few admitted files
+    val admitted = pruned.select(input_file_name()).distinct().count()
+    assert(admitted <= 4L, s"expected <=4 admitted files, got $admitted")
+  }
+
+  test("a predicate outside every zone reads zero files, correct schema") {
+    val dir = java.nio.file.Files.createTempDirectory("mani_data").toString
+    writeZ(dir)
+    val m = Manifest.build(spark, dir, Seq("a"))
+    val out = Manifest.prunedRead(spark, m, Map("a" -> (lit(1000L), lit(2000L))))
+    assert(out.columns.toSeq === Seq("a", "b"))
+    assert(out.count() === 0L)
+  }
+
+  test("write/read round-trip: persisted manifest drives the same pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("mani_data").toString
+    val mdir = java.nio.file.Files.createTempDirectory("mani_meta").toString
+    writeZ(dir)
+    Manifest.write(spark, dir, Seq("a", "b"), mdir)
+    val m = spark.read.parquet(mdir)
+    val out = Manifest.prunedRead(spark, m,
+      Map("a" -> (lit(0L), lit(7L)), "b" -> (lit(0L), lit(7L))))
+    assert(out.count() === 64L)
+  }
+}
