@@ -456,6 +456,40 @@ object TextQueries {
        |FROM documents""".stripMargin
   }
 
+  /** Composite Gopher-rule gate over the documents table. */
+  private def qualityGateQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.qualityGate(Tables.documents(s, d), "doc_id", "text")
+
+  private val qualityGateSql = {
+    val toks = duckToks("text")
+    def r4(e: String) = s"floor(($e) * 10000.0 + 0.5) / 10000.0"
+    val awl = r4(s"""CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
+                    |      / greatest(len(t), 1)""".stripMargin)
+    val pr = r4(s"""CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+                   |      / greatest(length(text), 1)""".stripMargin)
+    val sr = r4(s"""CAST(len(list_filter(t,
+                   |        x -> list_contains(['the','a','an','and','of','to','in','is','it','for'], x))) AS DOUBLE)
+                   |      / greatest(len(t), 1)""".stripMargin)
+    val dtf = r4("CAST(len(t) - len(list_distinct(t)) AS DOUBLE) / greatest(len(t), 1)")
+    // Rule order matches the Spark array: alphabetical.
+    s"""WITH staged AS (SELECT doc_id, $toks AS t, text FROM documents),
+       |sig AS (SELECT doc_id, len(t) AS n_tok,
+       |  $awl AS awl, $pr AS pr, $sr AS sr, $dtf AS dtf
+       |FROM staged)
+       |SELECT doc_id,
+       |  COALESCE(array_to_string(list_filter([
+       |    CASE WHEN n_tok < 10 OR n_tok > 5000 THEN 'length' END,
+       |    CASE WHEN pr > 0.2 THEN 'punctuation' END,
+       |    CASE WHEN dtf > 0.3 THEN 'repetition' END,
+       |    CASE WHEN sr < 0.05 THEN 'stopwords' END,
+       |    CASE WHEN awl < 2.0 OR awl > 12.0 THEN 'token_len' END],
+       |    x -> x IS NOT NULL), ','), '') AS failed_rules,
+       |  CASE WHEN n_tok >= 10 AND n_tok <= 5000 AND pr <= 0.2 AND dtf <= 0.3
+       |            AND sr >= 0.05 AND awl >= 2.0 AND awl <= 12.0
+       |       THEN 1 ELSE 0 END AS pass
+       |FROM sig""".stripMargin
+  }
+
   private val langIdSql = {
     val toks = duckToks("lower(text)")
     def score(markers: Seq[String]) =
@@ -511,6 +545,7 @@ object TextQueries {
         |FROM documents GROUP BY md5(text)""".stripMargin)),
     QueryDef("q_text_stats", textStats, Some(statsSql), headline = true),
     QueryDef("q_quality_score", qualityScore, Some(qualitySql)),
+    QueryDef("q_quality_gate", qualityGateQ, Some(qualityGateSql)),
     QueryDef("q_lang_id", langIdQ, Some(langIdSql)),
     QueryDef("q_doc_fingerprint", fingerprint, None),
     QueryDef("q_minhash_neardup", minhashNeardup, None, headline = true),

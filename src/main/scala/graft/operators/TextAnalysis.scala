@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Det
@@ -216,6 +216,53 @@ object TextAnalysis {
     */
   def dupNgramFraction(toks: Column, n: Int): Column =
     repeatFraction(wordNgrams(toks, n))
+
+  /** Gopher-style composite quality gate (the Rae et al. 2021 §A1.1
+    * rule-list shape; thresholds are fixed spec, not tuned): each doc
+    * gets the sorted list of failed rules and a pass verdict.
+    *
+    *  - `length`: token count outside [10, 5000]
+    *  - `token_len`: mean token length outside [2, 12]
+    *  - `punctuation`: symbol-to-char ratio > 0.2
+    *  - `stopwords`: stopword ratio < 0.05 (no connective tissue —
+    *    the classic lists-and-logs filter)
+    *  - `repetition`: duplicate-token fraction > 0.3
+    *
+    * One map-only pass: the token array is staged in its own
+    * projection and every signal reads the staged attribute (Catalyst
+    * re-inlines a higher-order subtree once per REFERENCE — the
+    * CLAUDE.md trap; five signals would tokenize five times).
+    * `failed_rules` is emitted as a comma-joined string and `pass` as
+    * 0/1 so the cross-engine hash never depends on array/bool
+    * encodings.
+    */
+  def qualityGate(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col("__toks")
+    val nTok = size(t)
+    val awl = Det.round(
+      aggregate(transform(t, x => length(x)), lit(0), (acc, x) => acc + x)
+        .cast("double") / greatest(nTok, lit(1)), 4)
+    val pr = punctRatio(col(textCol))
+    val sw = array(englishStopwords.map(lit): _*)
+    val sr = Det.round(
+      size(filter(t, x => array_contains(sw, x))).cast("double") /
+        greatest(nTok, lit(1)), 4)
+    val dtf = repeatFraction(t)
+    val rules: Seq[(String, Column)] = Seq(
+      "length" -> (nTok < 10 || nTok > 5000),
+      "punctuation" -> (pr > 0.2),
+      "repetition" -> (dtf > 0.3),
+      "stopwords" -> (sr < 0.05),
+      "token_len" -> (awl < 2.0 || awl > 12.0))
+    val failed = filter(
+      array(rules.map { case (name, bad) =>
+        when(bad, lit(name)).otherwise(lit(null).cast("string"))
+      }: _*), x => x.isNotNull)
+    docs.withColumn("__toks", tokens(col(textCol)))
+      .select(col(idCol),
+        concat_ws(",", failed).as("failed_rules"),
+        when(size(failed) === 0, lit(1)).otherwise(lit(0)).as("pass"))
+  }
 
   /** Intra-document line dedup: drop every line that repeats an
     * earlier line (the boilerplate-nav / repeated-footer scrub),

@@ -41,6 +41,21 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(one[Double](TextAnalysis.dupLineFraction(col("text")), "a\n\n  \na") === 0.5)
   }
 
+  test("qualityGate: rules fire independently and compose into pass") {
+    val docs = Seq(
+      // ≥10 tokens, stopword-rich, varied → passes every rule
+      (1L, "the cat and the dog ran to the house of cards in town is it for real"),
+      // repetitive AND stopword-free → two failures, alphabetical order
+      (2L, Seq.fill(12)("spam").mkString(" ")),
+      // too short AND stopword-free
+      (3L, "short text")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.qualityGate(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(out(1L) === ("", 1))
+    assert(out(2L) === ("repetition,stopwords", 0))
+    assert(out(3L) === ("length,stopwords", 0))
+  }
+
   // ---- URL canonicalization ----
 
   test("normalizeUrl: case, default ports, tracking params, fragment, slash") {
