@@ -371,6 +371,21 @@ object RelationalQueries {
         sum(dec(col("value"))).cast("double").as("sum_value"))
   }
 
+  /** Mergeable-sketch serving path ([[graft.operators.Sketches]]):
+    * per-(event_type, day) HLL partials — the table an ingest job
+    * would persist — merged down to distinct users per event_type.
+    * Rows-only driver check (Datasketches HLL ≠ DuckDB's estimator);
+    * merge ≡ direct sketch is spec-pinned instead.
+    */
+  private def hllMergeQ(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .withColumn("day", to_date(col("ts")))
+    graft.operators.Sketches.hllMerge(
+      graft.operators.Sketches.hllPartials(
+        ev, Seq("event_type"), "day", "user_id"),
+      Seq("event_type"))
+  }
+
   /** DISTINCT — partial/final hash aggregate, no sort. */
   private def distinctTypes(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).select("event_type").distinct()
@@ -1073,6 +1088,7 @@ object RelationalQueries {
          |  ${graft.operators.Layout.interleaveBitsSql(
                Seq("user_id % 1024", "event_id % 1024"), bits = 10)} AS zkey
          |FROM events""".stripMargin)),
+    QueryDef("q_hll_merge", hllMergeQ, None),
     QueryDef("q_manifest_pruned", manifestPrunedQ, Some(
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
