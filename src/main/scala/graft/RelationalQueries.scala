@@ -1094,13 +1094,15 @@ object RelationalQueries {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events
         |WHERE user_id BETWEEN 100 AND 200 AND value BETWEEN 50.0 AND 100.0
-        |GROUP BY event_type""".stripMargin)),
+        |GROUP BY event_type""".stripMargin),
+      headline = true),
     QueryDef("q_bloom_semi_join", bloomSemiJoinQ, Some(
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 1)
-        |GROUP BY l_returnflag""".stripMargin)),
+        |GROUP BY l_returnflag""".stripMargin),
+      headline = true),
     QueryDef("q_distinct_types", distinctTypes, Some(
       "SELECT DISTINCT event_type FROM events")),
     QueryDef("q_line_series", lineSeries, Some(

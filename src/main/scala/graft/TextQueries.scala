@@ -545,7 +545,7 @@ object TextQueries {
         |FROM documents GROUP BY md5(text)""".stripMargin)),
     QueryDef("q_text_stats", textStats, Some(statsSql), headline = true),
     QueryDef("q_quality_score", qualityScore, Some(qualitySql)),
-    QueryDef("q_quality_gate", qualityGateQ, Some(qualityGateSql)),
+    QueryDef("q_quality_gate", qualityGateQ, Some(qualityGateSql), headline = true),
     QueryDef("q_lang_id", langIdQ, Some(langIdSql)),
     QueryDef("q_doc_fingerprint", fingerprint, None),
     QueryDef("q_minhash_neardup", minhashNeardup, None, headline = true),
