@@ -1,8 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.classic.ClassicConversions._
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.Bridge
 
@@ -91,13 +92,38 @@ object BloomJoin {
       fpp: Double = 0.01): DataFrame =
     fact.where(mightContain(buildFilter(build, buildKey, expectedItems, fpp), factKey))
 
+  /** In-plan variant of [[prefilter]]: the bloom build runs as an
+    * uncorrelated scalar subquery inside the ONE query plan — no
+    * driver-side action at operator-construction time, no filter
+    * bytes through the driver except the subquery result Spark itself
+    * materializes (this is exactly the shape the optimizer's injected
+    * runtime filters take). Prefer this form inside larger pipelines;
+    * [[prefilter]] remains for callers that want to build once and
+    * reuse the filter across many queries.
+    */
+  def prefilterLazy(
+      fact: DataFrame,
+      factKey: Column,
+      build: DataFrame,
+      buildKey: Column,
+      expectedItems: Long,
+      fpp: Double = 0.01): DataFrame = {
+    val bits = optimalNumBits(expectedItems, fpp)
+    val agg = build.agg(bloomAgg(buildKey, expectedItems, bits).as("bf"))
+    val sub = ScalarSubquery(agg.queryExecution.analyzed)
+    fact.where(Bridge.column(
+      new BloomFilterMightContain(sub, Bridge.expression(xxhash64(factKey)))))
+  }
+
   /** Exact left-semi join accelerated by the bloom prefilter: map-side
     * bloom probe drops non-matching fact rows before the exchange, the
     * semi join removes the false positives. Result ≡
     * `fact.join(build, factKey === buildKey, "left_semi")`.
     *
-    * The build side is evaluated twice (bloom build + join build) —
-    * keep it a cheap scan/filter, or [[Materialize]] it first.
+    * Uses the in-plan subquery form ([[prefilterLazy]]) so the whole
+    * thing is one lazy plan. The build side is evaluated twice (bloom
+    * build + join build) — keep it a cheap scan/filter, or
+    * [[Materialize]] it first.
     */
   def semiJoin(
       fact: DataFrame,
@@ -106,6 +132,6 @@ object BloomJoin {
       buildKey: Column,
       expectedItems: Long,
       fpp: Double = 0.01): DataFrame =
-    prefilter(fact, factKey, build, buildKey, expectedItems, fpp)
+    prefilterLazy(fact, factKey, build, buildKey, expectedItems, fpp)
       .join(build, factKey === buildKey, "left_semi")
 }

@@ -37,6 +37,19 @@ class BloomJoinSpec extends SparkSpecBase {
     assert(preIds.size < 1000)       // and it actually pruned
   }
 
+  test("lazy scalar-subquery prefilter matches the eager literal form") {
+    val eager = BloomJoin.prefilter(
+      fact, col("key"), dim, col("dkey"), expectedItems = 1024)
+      .select("id").as[Long].collect().toSet
+    val lazyForm = BloomJoin.prefilterLazy(
+      fact, col("key"), dim, col("dkey"), expectedItems = 1024)
+      .select("id").as[Long].collect().toSet
+    assert(lazyForm === eager)
+    val trueIds = fact.join(dim, col("key") === col("dkey"), "left_semi")
+      .select("id").as[Long].collect().toSet
+    assert(trueIds.subsetOf(lazyForm))
+  }
+
   test("empty build side yields zero rows, not a crash") {
     val out = BloomJoin.semiJoin(
       fact, col("key"), dim.filter(col("dkey") < 0), col("dkey"),
