@@ -386,6 +386,26 @@ object RelationalQueries {
       Seq("event_type"))
   }
 
+  /** Mergeable-histogram quantile serving
+    * ([[graft.operators.Sketches]]): per-(event_type, day) equi-width
+    * bin vectors merged per type, p50/p95/p99 read off the cumulative
+    * histogram. Merge is element-wise addition — exact algebra — so
+    * unlike HLL the whole path is oracle-checkable; [0, 512)×32 bins
+    * keeps every edge dyadic (width 16.0), engine-exact.
+    */
+  private def histQuantileQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Sketches
+    val ev = Tables.events(s, d).withColumn("day", to_date(col("ts")))
+    val merged = Sketches.histogramMerge(
+      Sketches.histogramPartials(
+        ev, Seq("event_type"), "day", "value", lo = 0.0, hi = 512.0, bins = 32),
+      Seq("event_type"), bins = 32)
+    merged.select(col("event_type"),
+      Sketches.histogramQuantile(col("hist"), 0.0, 512.0, 32, 0.5).as("p50"),
+      Sketches.histogramQuantile(col("hist"), 0.0, 512.0, 32, 0.95).as("p95"),
+      Sketches.histogramQuantile(col("hist"), 0.0, 512.0, 32, 0.99).as("p99"))
+  }
+
   /** DISTINCT — partial/final hash aggregate, no sort. */
   private def distinctTypes(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).select("event_type").distinct()
@@ -1089,6 +1109,32 @@ object RelationalQueries {
                Seq("user_id % 1024", "event_id % 1024"), bits = 10)} AS zkey
          |FROM events""".stripMargin)),
     QueryDef("q_hll_merge", hllMergeQ, None),
+    QueryDef("q_hist_quantile", histQuantileQ, Some {
+      def p(q: String) =
+        s"(min(CASE WHEN cum >= ceil($q * total) THEN bin END) + 1) * 16.0"
+      s"""WITH binned AS (
+         |  SELECT event_type,
+         |    least(greatest(CAST(floor((value - 0.0) / 512.0 * 32) AS INTEGER), 0), 31) AS bin
+         |  FROM events),
+         |counts AS (SELECT event_type, bin, count(*) AS n FROM binned GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT event_type, CAST(i AS INTEGER) AS bin
+         |  FROM (SELECT DISTINCT event_type FROM events)
+         |  CROSS JOIN (SELECT unnest(range(32)) AS i)),
+         |hist AS (
+         |  SELECT g.event_type, g.bin, COALESCE(c.n, 0) AS n
+         |  FROM grid g LEFT JOIN counts c USING (event_type, bin)),
+         |cum AS (
+         |  SELECT event_type, bin,
+         |    sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         |    sum(n) OVER (PARTITION BY event_type) AS total
+         |  FROM hist)
+         |SELECT event_type,
+         |  0.0 + ${p("0.5")} AS p50,
+         |  0.0 + ${p("0.95")} AS p95,
+         |  0.0 + ${p("0.99")} AS p99
+         |FROM cum GROUP BY event_type""".stripMargin
+    }),
     QueryDef("q_manifest_pruned", manifestPrunedQ, Some(
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Mergeable-sketch pattern for distinct counting at warehouse scale.
@@ -42,4 +42,72 @@ object Sketches {
   def hllMerge(partials: DataFrame, groupCols: Seq[String]): DataFrame =
     partials.groupBy(groupCols.map(col): _*)
       .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("approx_distinct"))
+
+  // ---- Mergeable equi-width histograms (quantile serving) ----
+  //
+  // The quantile sibling of the HLL pattern: per-slice bin-count
+  // vectors whose merge is element-wise addition — EXACT sketch
+  // algebra (unlike HLL there is no estimator state; merged partials
+  // equal the direct histogram by arithmetic identity), so the whole
+  // path is oracle-checkable. Quantiles read off the cumulative
+  // histogram with bin-width resolution: error bounded by
+  // (hi-lo)/bins, fixed a priori — the right trade when the domain is
+  // known (prices, latencies, scores).
+
+  /** Bin index in [0, bins): equi-width over [lo, hi], out-of-domain
+    * values clamped into the edge bins. Pure arithmetic — both
+    * engines compute identical IEEE doubles, so bin assignment is
+    * engine-exact.
+    */
+  def histBin(v: Column, lo: Double, hi: Double, bins: Int): Column =
+    least(greatest(
+      floor((v - lit(lo)) / lit(hi - lo) * bins).cast("int"), lit(0)),
+      lit(bins - 1))
+
+  /** One `bins`-length count vector per (groupCols..., sliceCol) cell:
+    * the persistable build pass. Single shuffle; the bin is staged
+    * once and the vector is `bins` conditional counts in one
+    * aggregate.
+    */
+  def histogramPartials(
+      df: DataFrame,
+      groupCols: Seq[String],
+      sliceCol: String,
+      valueCol: String,
+      lo: Double,
+      hi: Double,
+      bins: Int = 32): DataFrame =
+    df.withColumn("__bin", histBin(col(valueCol), lo, hi, bins))
+      .groupBy((groupCols :+ sliceCol).map(col): _*)
+      .agg(array((0 until bins).map(i =>
+        count(when(col("__bin") === i, 1))): _*).as("hist"))
+
+  /** Element-wise sum of slice vectors per group — the serving-path
+    * merge, exact by construction.
+    */
+  def histogramMerge(
+      partials: DataFrame, groupCols: Seq[String], bins: Int = 32): DataFrame =
+    partials.groupBy(groupCols.map(col): _*)
+      .agg(array((0 until bins).map(i =>
+        sum(element_at(col("hist"), i + 1))): _*).as("hist"))
+
+  /** Quantile `q` from a merged histogram: the UPPER edge of the
+    * first bin where the cumulative count reaches `ceil(q·total)` —
+    * deterministic, resolution (hi-lo)/bins. NULL for an empty
+    * histogram. O(bins²) per group row — group cardinality, not data
+    * volume.
+    */
+  def histogramQuantile(
+      hist: Column, lo: Double, hi: Double, bins: Int, q: Double): Column = {
+    val total = aggregate(hist, lit(0L), (a, x) => a + x)
+    val target = ceil(lit(q) * total).cast("long")
+    val idx = element_at(
+      filter(
+        sequence(lit(0), lit(bins - 1)),
+        i => aggregate(slice(hist, lit(1), i + 1), lit(0L), (a, x) => a + x)
+          >= target),
+      1)
+    when(total === 0, lit(null).cast("double"))
+      .otherwise(lit(lo) + (idx + 1).cast("double") * lit((hi - lo) / bins))
+  }
 }

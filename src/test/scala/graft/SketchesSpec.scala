@@ -41,6 +41,49 @@ class SketchesSpec extends SparkSpecBase {
     }
   }
 
+  test("histogram merge equals the direct histogram (exact algebra)") {
+    val vals = df.withColumnRenamed("member", "v")
+    val merged = Sketches.histogramMerge(
+      Sketches.histogramPartials(vals, Seq("grp"), "slice", "v", 0.0, 2048.0, 16),
+      Seq("grp"), 16)
+      .as[(String, Seq[Long])].collect().toMap
+    val direct = vals.withColumn("__bin",
+        Sketches.histBin(col("v"), 0.0, 2048.0, 16))
+      .groupBy("grp")
+      .agg(array((0 until 16).map(i =>
+        count(when(col("__bin") === i, 1))): _*).as("hist"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(merged === direct)
+    merged.values.foreach(h => assert(h.sum === 4000L))
+  }
+
+  test("histogram quantile lands within one bin width of the exact percentile") {
+    val vals = df.withColumnRenamed("member", "v")
+    val merged = Sketches.histogramMerge(
+      Sketches.histogramPartials(vals, Seq("grp"), "slice", "v", 0.0, 2048.0, 64),
+      Seq("grp"), 64)
+    val est = merged.select(col("grp"),
+      Sketches.histogramQuantile(col("hist"), 0.0, 2048.0, 64, 0.5).as("p50"))
+      .as[(String, Double)].collect().toMap
+    val exact = vals.groupBy("grp")
+      .agg(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY v)").as("p50"))
+      .as[(String, Double)].collect().toMap
+    val width = 2048.0 / 64
+    exact.foreach { case (g, x) =>
+      assert(math.abs(est(g) - x) <= width, s"$g: est ${est(g)} vs exact $x")
+    }
+  }
+
+  test("histogram quantile of an empty histogram is NULL; clamping catches outliers") {
+    val empty = Seq(Seq.empty[Long]).toDF("hist")
+      .select(Sketches.histogramQuantile(col("hist"), 0.0, 10.0, 4, 0.5).as("q"))
+    assert(empty.head.isNullAt(0))
+    val out = Seq((1L, 0, -50.0), (2L, 0, 999.0)).toDF("id", "s", "v")
+    val h = Sketches.histogramPartials(out, Seq.empty, "s", "v", 0.0, 10.0, 4)
+      .select("hist").as[Seq[Long]].head
+    assert(h === Seq(1L, 0L, 0L, 1L)) // clamped into the edge bins
+  }
+
   test("a partial sketch is KBs regardless of slice row count") {
     val sizes = Sketches.hllPartials(df, Seq("grp"), "slice", "member")
       .select(length(col("sketch")).as("len")).as[Int].collect()
