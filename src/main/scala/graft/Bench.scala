@@ -11,10 +11,11 @@ package graft
   * headline set at the target SF (JIT + codegen caches, parquet
   * footers, OS page cache — a warm-up at a smaller SF leaves the
   * target files cold, which round 2 showed adds up to 0.5 s of
-  * first-touch noise to whichever query runs first), then two timed
-  * runs per query, reporting the minimum. Min-of-2 reads through
-  * one-off scheduler/GC hiccups that a single sample can't; the
-  * reported number is steady-state plan execution.
+  * first-touch noise to whichever query runs first), then three timed
+  * runs per query, reporting the minimum. Min-of-3 reads through
+  * one-off scheduler/GC hiccups that a single sample can't (round 4
+  * measured 10-30% run-to-run spread on untouched queries at
+  * min-of-2); the reported number is steady-state plan execution.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -39,7 +40,7 @@ object Bench {
       // rethrow so the bench never publishes a number for a broken
       // query.
       var lastErr: Throwable = null
-      val times = (1 to 2).flatMap { _ =>
+      val times = (1 to 3).flatMap { _ =>
         val t0 = System.nanoTime()
         try {
           runOnce(name)
