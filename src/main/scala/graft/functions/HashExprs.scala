@@ -41,7 +41,10 @@ object HashExprs {
 
   /** Expose the native expressions to the SQL surface:
     * `graft_minhash_sig(array<long>)`, `graft_simhash64(array<long>)`,
-    * `graft_cosine(array<float|double>, array<float|double>)`.
+    * `graft_cosine(array<float|double>, array<float|double>)`,
+    * `graft_zorder(int/long...)` (Morton key, 16 bits per dimension),
+    * `graft_bloom_agg(xxhash64(key), items, bits)` (aggregate) and
+    * `graft_might_contain(bloom, xxhash64(key))` (probe).
     */
   def registerSql(spark: org.apache.spark.sql.SparkSession, minhashN: Int = 64): Unit = {
     val coefs = graft.operators.Dedup.minhashCoefs(minhashN)
@@ -49,6 +52,35 @@ object HashExprs {
       MinHashSigExpr(es.head, coefs.map(_._1).toArray, coefs.map(_._2).toArray))
     Bridge.registerFunction(spark, "graft_simhash64")(es => SimHash64Expr(es.head))
     Bridge.registerFunction(spark, "graft_cosine")(es => CosineSimExpr(es(0), es(1)))
+    // Registry builders must return a CONCRETE catalyst tree — going
+    // through the Column API would leave UnresolvedFunction nodes the
+    // analyzer never revisits (codegen then dies on them).
+    Bridge.registerFunction(spark, "graft_zorder")(es => zorderExpr(es, bits = 16))
+    Bridge.registerFunction(spark, "graft_bloom_agg")(es =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        es(0), es(1), es(2)))
+    Bridge.registerFunction(spark, "graft_might_contain")(es =>
+      new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        es(0), es(1)))
+  }
+
+  /** Expression-level twin of
+    * [[graft.operators.Layout.interleaveBits]] (same bit layout, spec
+    * pins equality) for the SQL registry.
+    */
+  private def zorderExpr(es: Seq[Expression], bits: Int): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      BitwiseAnd, BitwiseOr, Cast, Literal, ShiftLeft, ShiftRight}
+    require(es.nonEmpty && bits * es.size <= 63,
+      s"graft_zorder: need 1..${63 / bits} args at $bits bits")
+    val d = es.size
+    es.zipWithIndex.flatMap { case (e, j) =>
+      (0 until bits).map { i =>
+        ShiftLeft(
+          BitwiseAnd(ShiftRight(Cast(e, LongType), Literal(i)), Literal(1L)),
+          Literal(i * d + j))
+      }
+    }.reduce[Expression]((a, b) => BitwiseOr(a, b))
   }
 }
 

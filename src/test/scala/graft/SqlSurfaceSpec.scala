@@ -34,6 +34,25 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(viaSql.getSeq[Long](1) === viaCol.getSeq[Long](1))
   }
 
+  test("graft_zorder / graft_bloom_agg / graft_might_contain from spark.sql") {
+    HashExprs.registerSql(spark)
+    // Morton key agrees with the Column API (16 bits/dim)
+    val viaSql = spark.sql("SELECT graft_zorder(5L, 9L) AS z").head.getLong(0)
+    val viaCol = Seq((5L, 9L)).toDF("a", "b")
+      .select(graft.operators.Layout.interleaveBits(
+        Seq(col("a"), col("b")), 16).as("z")).head.getLong(0)
+    assert(viaSql === viaCol)
+    // bloom agg + probe round-trip through pure SQL (scalar subquery —
+    // the foldability shape BloomFilterMightContain requires)
+    spark.range(0, 50).selectExpr("id * 3 AS k").createOrReplaceTempView("sql_keys")
+    val hits = spark.sql(
+      """SELECT count(*) AS n FROM range(0, 150) r
+        |WHERE graft_might_contain(
+        |  (SELECT graft_bloom_agg(xxhash64(k), 64L, 4096L) FROM sql_keys),
+        |  xxhash64(r.id)) AND r.id % 3 = 0""".stripMargin).head.getLong(0)
+    assert(hits === 50L) // all true members admitted (no false negatives)
+  }
+
   test("SQL surface runs a full query (spark.sql over temp views)") {
     Tables.events(spark, "/root/testdata/sf0.001").createOrReplaceTempView("sql_events")
     val n = spark.sql(
