@@ -1104,14 +1104,21 @@ object RelationalQueries {
       """SELECT c_custkey, c_name FROM customer c
         |WHERE EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)""".stripMargin)),
     QueryDef("q_zorder_key", zorderKeyQ, Some(
+      // ((x % m) + m) % m mirrors Spark's pmod (DuckDB % follows the
+      // dividend's sign; ids are non-negative today, but the mirror
+      // must not depend on that).
       s"""SELECT event_id,
          |  ${graft.operators.Layout.interleaveBitsSql(
-               Seq("user_id % 1024", "event_id % 1024"), bits = 10)} AS zkey
+               Seq("((user_id % 1024) + 1024) % 1024",
+                 "((event_id % 1024) + 1024) % 1024"), bits = 10)} AS zkey
          |FROM events""".stripMargin)),
     QueryDef("q_hll_merge", hllMergeQ, None),
     QueryDef("q_hist_quantile", histQuantileQ, Some {
+      // total=0 guard mirrors Spark's histogramQuantile NULL (without
+      // it, cum=0 >= ceil(q*0)=0 matches bin 0 and yields 16.0).
       def p(q: String) =
-        s"(min(CASE WHEN cum >= ceil($q * total) THEN bin END) + 1) * 16.0"
+        s"""CASE WHEN max(total) = 0 THEN NULL
+           |       ELSE (min(CASE WHEN cum >= ceil($q * total) THEN bin END) + 1) * 16.0 END""".stripMargin
       s"""WITH binned AS (
          |  SELECT event_type,
          |    least(greatest(CAST(floor((value - 0.0) / 512.0 * 32) AS INTEGER), 0), 31) AS bin

@@ -461,12 +461,15 @@ object TextQueries {
     TextAnalysis.qualityGate(Tables.documents(s, d), "doc_id", "text")
 
   private val qualityGateSql = {
-    val toks = duckToks("text")
+    // COALESCEs mirror the Spark side exactly: NULL text = empty doc
+    // (fails length/stopwords/token_len), and DuckDB's list_sum over
+    // an empty list is NULL where Spark's aggregate starts at 0.
+    val toks = duckToks("COALESCE(text, '')")
     def r4(e: String) = s"floor(($e) * 10000.0 + 0.5) / 10000.0"
-    val awl = r4(s"""CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
+    val awl = r4(s"""CAST(COALESCE(list_sum(list_transform(t, x -> len(x))), 0) AS DOUBLE)
                     |      / greatest(len(t), 1)""".stripMargin)
-    val pr = r4(s"""CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
-                   |      / greatest(length(text), 1)""".stripMargin)
+    val pr = r4(s"""CAST(len(regexp_extract_all(COALESCE(text, ''), '[^A-Za-z0-9\\s]')) AS DOUBLE)
+                   |      / greatest(length(COALESCE(text, '')), 1)""".stripMargin)
     val sr = r4(s"""CAST(len(list_filter(t,
                    |        x -> list_contains(['the','a','an','and','of','to','in','is','it','for'], x))) AS DOUBLE)
                    |      / greatest(len(t), 1)""".stripMargin)

@@ -70,7 +70,11 @@ object BloomJoin {
       expectedItems: Long,
       fpp: Double = 0.01): Column = {
     val bits = optimalNumBits(expectedItems, fpp)
-    val bytes = build.agg(bloomAgg(buildKey, expectedItems, bits).as("bf"))
+    // NULL build keys must not enter the filter: xxhash64(NULL) is the
+    // SEED, so an un-filtered NULL would admit every NULL-keyed fact
+    // row — but NULL never equals anything in the exact join.
+    val bytes = build.where(buildKey.isNotNull)
+      .agg(bloomAgg(buildKey, expectedItems, bits).as("bf"))
       .head.getAs[Array[Byte]]("bf")
     // Empty build side → aggregate yields NULL: a filter that can
     // never match, which `mightContain(NULL, _)` encodes as NULL
@@ -109,7 +113,9 @@ object BloomJoin {
       expectedItems: Long,
       fpp: Double = 0.01): DataFrame = {
     val bits = optimalNumBits(expectedItems, fpp)
-    val agg = build.agg(bloomAgg(buildKey, expectedItems, bits).as("bf"))
+    // same NULL-key discipline as buildFilter
+    val agg = build.where(buildKey.isNotNull)
+      .agg(bloomAgg(buildKey, expectedItems, bits).as("bf"))
     val sub = ScalarSubquery(agg.queryExecution.analyzed)
     fact.where(Bridge.column(
       new BloomFilterMightContain(sub, Bridge.expression(xxhash64(factKey)))))

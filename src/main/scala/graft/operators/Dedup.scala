@@ -231,7 +231,13 @@ object Dedup {
       pairs: DataFrame,
       maxIter: Int = 5,
       driverMaxEdges: Long = 1L << 22): DataFrame = {
-    val p = Materialize(pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+    // Normalize: long ids on both paths (the driver path reads them
+    // as longs), and NULL endpoints dropped up front — the
+    // distributed loop's equi-join would silently drop them anyway,
+    // and a null must not unbox to component 0 on the driver.
+    val p = Materialize(pairs
+      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull))
     if (p.count() <= driverMaxEdges) return driverComponents(p)
     val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
     var labels = Materialize(edges.select(col("src").as("id")).distinct()
@@ -253,10 +259,13 @@ object Dedup {
         .select(edges("src").as("id"), col("component"))
       // Cut lineage each round: without this, iteration i re-derives
       // iterations 0..i-1 every time `labels` is evaluated.
+      val prev = labels
       labels = Materialize(labels.select(col("id"), col("component"))
         .union(viaNeighbors)
         .groupBy("id")
         .agg(min("component").as("component")))
+      // persist mode: superseded labels would otherwise stay pinned
+      Materialize.release(prev)
       val s = labelSum(labels)
       converged = s.compareTo(prevSum) == 0
       prevSum = s

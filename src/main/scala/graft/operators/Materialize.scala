@@ -19,10 +19,14 @@ import org.apache.spark.storage.StorageLevel
   *    blocks live ONLY on executors with no lineage to rebuild them: an
   *    executor loss (or dynamic-allocation decommission) mid-job fails
   *    the query. Fine for local[] and static short-lived clusters.
-  *  - `persist`: `persist(MEMORY_AND_DISK)` + eager count — keeps
+  *  - `persist`: `persist(MEMORY_AND_DISK)` + eager count, returned
+  *    through an RDD-scan wrapper — the LOGICAL plan is cut (no
+  *    per-iteration plan nesting in loops) while the RDD keeps its
   *    lineage, so lost blocks are recomputed instead of failing the
   *    job. The right mode for long multi-stage jobs at the 100 TB
-  *    design point with dynamic allocation.
+  *    design point with dynamic allocation. Iterative callers should
+  *    [[release]] superseded frames or the pinned blocks accumulate
+  *    for the session.
   *  - `reliable`: `checkpoint()` to the SparkContext checkpoint dir
   *    (caller must `setCheckpointDir` to HDFS/object storage) —
   *    survives executor loss without recompute; pay the write.
@@ -34,13 +38,35 @@ import org.apache.spark.storage.StorageLevel
 object Materialize {
   val ConfKey = "spark.graft.materialize"
 
+  private def mode(df: DataFrame): String =
+    df.sparkSession.conf.getOption(ConfKey).getOrElse("local")
+
+  // wrapper frame -> the persisted frame whose blocks back it; weak
+  // keys so abandoned frames don't pin the map entries.
+  private val backing = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[DataFrame, DataFrame]())
+
   def apply(df: DataFrame): DataFrame =
-    df.sparkSession.conf.getOption(ConfKey).getOrElse("local") match {
+    mode(df) match {
       case "persist" =>
         val p = df.persist(StorageLevel.MEMORY_AND_DISK)
         p.count() // eager: the cut must run once, now, not per reference
-        p
+        // LogicalRDD wrapper: downstream plans see a leaf scan (flat
+        // plans in loops) but reads serve from the cached blocks and a
+        // lost block recomputes through the RDD's own lineage.
+        val wrapped = df.sparkSession.createDataFrame(p.rdd, p.schema)
+        backing.put(wrapped, p)
+        wrapped
       case "reliable" => df.checkpoint()
       case _          => df.localCheckpoint()
     }
+
+  /** Drop the cached blocks behind a frame this loop iteration has
+    * superseded. Only acts on `persist`-mode frames (a
+    * localCheckpoint's blocks are its ONLY copy — unpersisting them
+    * would kill later reads — and `reliable` checkpoints live on
+    * stable storage); safe to call on any Materialize output.
+    */
+  def release(df: DataFrame): Unit =
+    Option(backing.remove(df)).foreach(_.unpersist(false))
 }

@@ -237,12 +237,17 @@ object TextAnalysis {
     * encodings.
     */
   def qualityGate(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // NULL text must FAIL the gate, not sail through it: un-coalesced,
+    // every rule condition is NULL, the failed array filters empty and
+    // pass flips to 1. Treat NULL as the empty document (fails length/
+    // stopwords/token_len); the oracle coalesces identically.
+    val txt = coalesce(col(textCol), lit(""))
     val t = col("__toks")
     val nTok = size(t)
     val awl = Det.round(
       aggregate(transform(t, x => length(x)), lit(0), (acc, x) => acc + x)
         .cast("double") / greatest(nTok, lit(1)), 4)
-    val pr = punctRatio(col(textCol))
+    val pr = punctRatio(txt)
     val sw = array(englishStopwords.map(lit): _*)
     val sr = Det.round(
       size(filter(t, x => array_contains(sw, x))).cast("double") /
@@ -258,7 +263,7 @@ object TextAnalysis {
       array(rules.map { case (name, bad) =>
         when(bad, lit(name)).otherwise(lit(null).cast("string"))
       }: _*), x => x.isNotNull)
-    docs.withColumn("__toks", tokens(col(textCol)))
+    docs.withColumn("__toks", tokens(txt))
       .select(col(idCol),
         concat_ws(",", failed).as("failed_rules"),
         when(size(failed) === 0, lit(1)).otherwise(lit(0)).as("pass"))

@@ -4,11 +4,14 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Small-files compaction — the maintenance half of every streaming
-  * sink. Micro-batch writers (foreachBatch partitions, the near-dup
-  * gate's batch_id commits, file-stream sinks) land files far below
-  * the row-group/HDFS-block sweet spot; a directory of 50k tiny files
+/** Small-files compaction — the maintenance half of a micro-batch
+  * writer. foreachBatch outputs and batch_id-partitioned commits (the
+  * near-dup gate's state leaves) land files far below the
+  * row-group/HDFS-block sweet spot; a directory of 50k tiny files
   * costs a task launch and a footer read each, per query, forever.
+  * (NOT for `writeStream.format("parquet")` sink directories — those
+  * carry a `_spark_metadata` transaction log that rewriting would
+  * orphan; the subdirectory guard below rejects them.)
   * Compaction rewrites the directory into ~`targetBytes` files,
   * optionally re-sorted so parquet min/max stays tight (pair with
   * [[graft.operators.Layout.zorderBy]] / [[Manifest]] — rebuild the
@@ -19,8 +22,10 @@ import org.apache.spark.sql.functions._
   * Rename is atomic per step on HDFS-like stores; a reader can race
   * the swap window — this is exactly the gap table formats close with
   * manifest pointers, and why [[Manifest]]-routed readers re-list
-  * after a compaction epoch. A leftover tmp from a crashed run is
-  * cleared on the next call (crash-idempotent).
+  * after a compaction epoch. Crash recovery on the next call: a
+  * leftover tmp is cleared, and a crash INSIDE the swap window (data
+  * staged aside, replacement not yet published) is rolled back by
+  * restoring `.compact-old` before anything else runs.
   *
   * Flat directories only: a dynamic-partitioned layout compacts
   * per-partition (call this on each leaf).
@@ -50,6 +55,11 @@ object Compact {
     require(targetBytes > 0, "targetBytes must be positive")
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val old = new Path(dir + ".compact-old")
+    // Crashed mid-swap last time (dir staged aside, new dir never
+    // published): roll the stage-aside back before touching anything.
+    if (!fs.exists(path) && fs.exists(old))
+      require(fs.rename(old, path), s"could not roll back staged $old")
     require(
       !fs.listStatus(path).exists(_.isDirectory),
       s"$dir has subdirectories — compact partitioned layouts per leaf")
@@ -58,7 +68,6 @@ object Compact {
     val parts = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
 
     val tmp = new Path(dir + ".compact-tmp")
-    val old = new Path(dir + ".compact-old")
     fs.delete(tmp, true); fs.delete(old, true) // clear crashed leftovers
 
     val df = spark.read.parquet(dir)

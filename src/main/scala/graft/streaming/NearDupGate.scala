@@ -94,7 +94,11 @@ object NearDupGate {
     val taintedComps = comp.join(crossDup, "id").select("component").distinct()
     val chainRejected = comp.join(taintedComps, "component").select(col("id"))
     val intraLosers = comp.filter(col("id") =!= col("component")).select(col("id"))
-    val rejected = crossDup.union(intraLosers).union(chainRejected).distinct()
+    // Materialized: `rejected` anchors BOTH the accepted output and
+    // the state write — un-cut, each would re-run the crossDup join
+    // against the full state table (the gate's most expensive join).
+    val rejected = graft.operators.Materialize(
+      crossDup.union(intraLosers).union(chainRejected).distinct())
     val accepted = batch.join(rejected, batch(idCol) === rejected("id"), "left_anti")
     sigs.join(rejected, sigs("doc_id") === rejected("id"), "left_anti")
       .withColumn("batch_id", lit(batchId))

@@ -65,6 +65,23 @@ class BloomJoinSpec extends SparkSpecBase {
     assert(out === Set(3L))
   }
 
+  test("a NULL key on the BUILD side does not admit null-keyed fact rows") {
+    // xxhash64(NULL) is the seed: un-filtered, one null build key would
+    // put the seed in the filter and every null fact key would probe
+    // true. NULL = NULL is never a join match, so both must drop.
+    val dimWithNull = Seq(Some(3L), None).toDF("dkey")
+    val factWithNull = Seq(Some(3L), None, Some(7L)).toDF("key")
+      .withColumn("id", col("key"))
+    val pre = BloomJoin.prefilter(
+      factWithNull, col("key"), dimWithNull, col("dkey"), expectedItems = 64)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(pre === Set(3L))
+    val semi = BloomJoin.semiJoin(
+      factWithNull, col("key"), dimWithNull, col("dkey"), expectedItems = 64)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(semi === Set(3L))
+  }
+
   test("probe runs before the join in the physical plan") {
     // Parquet-backed fact: over a LocalRelation the optimizer folds
     // the probe away at plan time (ConvertToLocalRelation), which

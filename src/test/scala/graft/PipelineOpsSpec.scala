@@ -56,6 +56,15 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(out(3L) === ("length,stopwords", 0))
   }
 
+  test("qualityGate fails NULL text as an empty document, never passes it") {
+    val docs = Seq((1L, Option.empty[String]), (2L, Some("   ")))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.qualityGate(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(out(1L) === ("length,stopwords,token_len", 0))
+    assert(out(2L) === out(1L)) // NULL ≡ whitespace-only ≡ empty
+  }
+
   // ---- URL canonicalization ----
 
   test("normalizeUrl: case, default ports, tracking params, fragment, slash") {
