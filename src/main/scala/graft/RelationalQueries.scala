@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.Det
-import graft.operators.Relational
+import graft.operators.{Cdc, Relational}
 
 /** The relational query surface mapped onto the testdata corpus.
   *
@@ -954,6 +954,67 @@ object RelationalQueries {
       .toDF()
   }
 
+  /** CDC merge — the reference's REPLACE-INTO re-ingest
+    * (`DataIngesting.py:48-64`) as a set-oriented delta apply:
+    * `events` plays the change log over the `customer` base (last
+    * change per key wins; clicks delete, everything else upserts the
+    * balance). See [[graft.operators.Cdc.applyChanges]] for the
+    * one-full-outer-join scale shape.
+    */
+  private def mergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.customer(s, d)
+      .select("c_custkey", "c_name", "c_acctbal")
+    val changes = Tables.events(s, d).select(
+      col("user_id").as("c_custkey"),
+      col("ts"), col("event_id"),
+      when(col("event_type") === "click", lit("D")).otherwise(lit("U")).as("op"),
+      col("value").as("new_bal"))
+    Cdc.applyChanges(base, changes,
+        keyCols = Seq("c_custkey"), orderCols = Seq("ts", "event_id"),
+        opCol = "op", updateCols = Map("c_acctbal" -> "new_bal"))
+      .select(col("c_custkey"),
+        coalesce(col("c_name"), lit("(new)")).as("name"),
+        col("c_acctbal").as("bal"))
+  }
+
+  /** Gap-filled daily series: per-user daily mean, resampled to every
+    * day in range with forward fill ([[Relational.gapFillDays]]).
+    */
+  private def gapFill(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+      .agg(decAvg(col("value"), 2).as("avg_value"))
+    // DATE columns hash differently across engines (date32 vs
+    // timestamp) — serve the day as a timestamp like every other
+    // temporal output in the catalog.
+    Relational.gapFillDays(daily, Seq("user_id"), "day", "avg_value")
+      .withColumn("day", col("day").cast("timestamp_ntz"))
+  }
+
+  /** Top-3 events by value per type via the bounded-heap aggregate
+    * ([[Relational.topKPerGroup]]) — ships ≤3 pairs per partition per
+    * group instead of window-sorting every event.
+    */
+  private def topKPerGroupQ(s: SparkSession, d: String): DataFrame =
+    Relational.topKPerGroup(Tables.events(s, d),
+        groupCols = Seq("event_type"),
+        scoreCol = col("value"), idCol = col("event_id"), k = 3)
+      .withColumnRenamed("rank", "rk")
+      .withColumnRenamed("id", "event_id")
+      .withColumnRenamed("score", "value")
+
+  /** Wide-to-long unpivot (melt) — the inverse of [[pivotAvg]]'s
+    * pivot; Spark's native `unpivot` plans a single Expand (one pass,
+    * no join/union of N scans).
+    */
+  private def unpivotQ(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        col("p_retailprice").as("retailprice"),
+        col("p_size").cast("double").as("size"))
+      .unpivot(Array(col("p_partkey")),
+        Array(col("retailprice"), col("size")), "measure", "val")
+
   private val latestSql =
     """SELECT user_id, event_type, event_id, ts, value FROM (
       |  SELECT *, row_number() OVER (
@@ -1407,7 +1468,48 @@ object RelationalQueries {
     QueryDef("q_json_extract", jsonExtract, Some(
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
-        |FROM events""".stripMargin)))
+        |FROM events""".stripMargin)),
+    QueryDef("q_merge_upsert", mergeUpsert, Some(
+      """WITH latest AS (
+        |  SELECT user_id, op, new_bal FROM (
+        |    SELECT user_id,
+        |      CASE WHEN event_type = 'click' THEN 'D' ELSE 'U' END AS op,
+        |      value AS new_bal,
+        |      row_number() OVER (
+        |        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events) t WHERE rn = 1)
+        |SELECT COALESCE(c.c_custkey, l.user_id) AS c_custkey,
+        |  COALESCE(c.c_name, '(new)') AS name,
+        |  CASE WHEN l.user_id IS NOT NULL THEN l.new_bal ELSE c.c_acctbal END AS bal
+        |FROM customer c FULL OUTER JOIN latest l ON c.c_custkey = l.user_id
+        |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin)),
+    QueryDef("q_gap_fill", gapFill, Some(
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    floor(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) * 100.0 + 0.5) / 100.0 AS avg_value
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+        |days AS (
+        |  SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM bounds),
+        |spine AS (
+        |  SELECT user_id, day
+        |  FROM (SELECT DISTINCT user_id FROM daily) CROSS JOIN days)
+        |SELECT s.user_id, CAST(s.day AS TIMESTAMP) AS day,
+        |  last_value(d.avg_value IGNORE NULLS) OVER (
+        |    PARTITION BY s.user_id ORDER BY s.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_value
+        |FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day""".stripMargin)),
+    QueryDef("q_topk_per_group", topKPerGroupQ, Some(
+      """SELECT event_type, CAST(rn AS INTEGER) AS rk, event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (
+        |      PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+        |  FROM events) t WHERE rn <= 3""".stripMargin)),
+    QueryDef("q_unpivot", unpivotQ, Some(
+      """SELECT p_partkey, 'retailprice' AS measure, p_retailprice AS val FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS val FROM part""".stripMargin)))
 }
 
 /** Typed row for the `Dataset[T]` encoder-boundary query (P11). */

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture apply: merge a change stream onto a base
+  * snapshot (the warehouse MERGE / upsert the reference approximates
+  * with per-row REPLACE INTO — `DataIngesting.py:48-64` re-ingests the
+  * station dimension wholesale; at warehouse scale the idiom is a
+  * keyed delta apply).
+  *
+  * Semantics (SCD type 1): the change log carries `(key, order, op,
+  * new values)` rows; per key the LAST change (by `orderCols`) wins.
+  * `op = "D"` deletes the key; any other op upserts — updating the
+  * mapped columns of an existing base row, or inserting a new row
+  * (unmapped base columns stay NULL on inserts). Base rows with no
+  * change pass through untouched. Output schema = base schema.
+  *
+  * Scale shape: change compaction is the single-shuffle `max_by` of
+  * [[Relational.latestPerGroup]] (map-side partial collapses each
+  * partition to ≤|keys| rows), and the apply is ONE full-outer
+  * equi-join on the key — both exchanges hash on the same key, so the
+  * compacted side's partitioning is reused by the join. No broadcast
+  * assumption (a day's delta can be as big as the base), no driver
+  * materialization, no window over the base.
+  */
+object Cdc {
+
+  /** @param keyCols    join key, same column names on both sides
+    * @param orderCols  change-log ordering; the max wins per key
+    * @param opCol      change column holding "D" for delete, anything
+    *                   else for upsert
+    * @param updateCols base column -> change column carrying its new
+    *                   value on upsert
+    */
+  def applyChanges(
+      base: DataFrame,
+      changes: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[String],
+      opCol: String,
+      updateCols: Map[String, String]): DataFrame = {
+    val payloadCols = (updateCols.values.toSeq :+ opCol).distinct
+    val compacted = Relational.latestPerGroup(changes, keyCols, orderCols, payloadCols)
+    val chg = compacted.select(
+      (keyCols.map(k => col(k).as(s"__chg_$k")) ++
+        payloadCols.map(p => col(p).as(s"__chg_$p"))): _*)
+    val on = keyCols.map(k => base(k) === chg(s"__chg_$k")).reduce(_ && _)
+    val joined = base.join(chg, on, "full_outer")
+    val isChange = chg(s"__chg_$opCol").isNotNull
+    val outCols = base.columns.toSeq.map { bc =>
+      if (keyCols.contains(bc)) coalesce(base(bc), chg(s"__chg_$bc")).as(bc)
+      else updateCols.get(bc) match {
+        case Some(cc) => when(isChange, chg(s"__chg_$cc")).otherwise(base(bc)).as(bc)
+        case None     => base(bc).as(bc)
+      }
+    }
+    joined
+      .filter(chg(s"__chg_$opCol").isNull || chg(s"__chg_$opCol") =!= "D")
+      .select(outCols: _*)
+  }
+}

@@ -222,6 +222,66 @@ object Relational {
         buildPayload.map(c => col(s"__asof.$c")): _*)
   }
 
+  /** Time-series gap fill: complete a per-key daily series over the
+    * observed date range and forward-fill missing values — the
+    * resample/ffill step every dashboard series needs (pandas does it
+    * with `asfreq`/`ffill`; there is no Spark builtin).
+    *
+    * `daily` holds one row per (key, day) with observations; output
+    * has one row per (key, day) for EVERY day in [min(day), max(day)]
+    * — missing days get the most recent prior value (NULL before the
+    * key's first observation).
+    *
+    * Scale shape: the spine is GENERATED (distinct keys × a
+    * `sequence()` explode of the global bounds — never a shuffle of
+    * the facts); the bounds aggregate is one row, broadcast; the fill
+    * is a per-key window ordered by day — partition size = days in
+    * range, bounded a priori, so no skew risk. One shuffle for the
+    * spine join + one sort for the window.
+    */
+  def gapFillDays(
+      daily: DataFrame,
+      keyCols: Seq[String],
+      dayCol: String,
+      valueCol: String): DataFrame = {
+    val bounds = daily.agg(min(col(dayCol)).as("__lo"), max(col(dayCol)).as("__hi"))
+    val spine = daily.select(keyCols.map(col): _*).distinct()
+      .crossJoin(broadcast(bounds))
+      .withColumn(dayCol, explode(sequence(col("__lo"), col("__hi"), expr("INTERVAL 1 DAY"))))
+      .drop("__lo", "__hi")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(dayCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, keyCols :+ dayCol, "left")
+      .withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
+  }
+
+  /** Top-k rows per group via the bounded-heap aggregate
+    * ([[graft.functions.TopKExpr]]): one hash aggregation whose
+    * map-side partial ships at most k `(score, id)` pairs per group
+    * per partition — instead of the window `row_number() <= k` form,
+    * which shuffles and sorts EVERY row. Ordering: score descending,
+    * id ascending on ties (a total order when ids are unique).
+    *
+    * Output: groupCols..., `rank` (1-based), `id`, `score`. Payload
+    * beyond the id rides back via a self-join on the id when needed —
+    * still cheaper at scale than the full-width window shuffle.
+    */
+  def topKPerGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      scoreCol: Column,
+      idCol: Column,
+      k: Int): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.TopKExpr.topK(scoreCol, idCol, k).as("__top"))
+      .select((groupCols.map(col) :+ posexplode(col("__top"))): _*)
+      .select(
+        (groupCols.map(col) ++ Seq(
+          (col("pos") + 1).cast("int").as("rank"),
+          col("col.id").as("id"),
+          col("col.score").as("score"))): _*)
+
   /** Interval (range) join: facts row matches ranges row when
     * `lo <= value < hi`. Spark plans a raw range predicate as
     * BroadcastNestedLoopJoin — O(|facts|·|ranges|) work per task and

@@ -1,0 +1,109 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Cdc, Relational}
+
+/** CDC apply semantics (update / delete / insert / passthrough /
+  * last-change-wins) and the gap-fill + top-k-per-group operators.
+  */
+class CdcSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val base = Seq(
+    (1L, "alice", 10.0),
+    (2L, "bob", 20.0),
+    (3L, "carol", 30.0))
+    .toDF("k", "name", "bal")
+
+  test("applyChanges: update, delete, insert, passthrough in one merge") {
+    val changes = Seq(
+      (1L, 1L, "U", 11.0),  // update alice
+      (2L, 2L, "D", 0.0),   // delete bob
+      (9L, 3L, "U", 99.0))  // insert new key 9
+      .toDF("k", "seq", "op", "new_bal")
+    val got = Cdc.applyChanges(base, changes,
+        keyCols = Seq("k"), orderCols = Seq("seq"),
+        opCol = "op", updateCols = Map("bal" -> "new_bal"))
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getDouble(2)))
+      .toSet
+    assert(got === Set(
+      (1L, Some("alice"), 11.0),  // updated
+      (3L, Some("carol"), 30.0),  // passthrough
+      (9L, None, 99.0)))          // inserted; unmapped base col NULL
+  }
+
+  test("applyChanges: last change per key wins, regardless of log order") {
+    val changes = Seq(
+      (1L, 5L, "U", 50.0),  // later…
+      (1L, 2L, "D", 0.0),   // …than this delete, so the key survives
+      (1L, 3L, "U", 30.0))
+      .toDF("k", "seq", "op", "new_bal")
+    val got = Cdc.applyChanges(base, changes,
+        Seq("k"), Seq("seq"), "op", Map("bal" -> "new_bal"))
+      .filter($"k" === 1L).collect()
+    assert(got.length === 1 && got.head.getDouble(2) === 50.0)
+  }
+
+  test("applyChanges: delete-then-nothing removes; delete of absent key is a no-op") {
+    val changes = Seq(
+      (3L, 1L, "D", 0.0),
+      (7L, 1L, "D", 0.0)) // key 7 not in base
+      .toDF("k", "seq", "op", "new_bal")
+    val got = Cdc.applyChanges(base, changes,
+        Seq("k"), Seq("seq"), "op", Map("bal" -> "new_bal"))
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 2L))
+  }
+
+  test("applyChanges: output schema equals base schema") {
+    val changes = Seq((1L, 1L, "U", 11.0)).toDF("k", "seq", "op", "new_bal")
+    val out = Cdc.applyChanges(base, changes,
+      Seq("k"), Seq("seq"), "op", Map("bal" -> "new_bal"))
+    assert(out.columns.toSeq === base.columns.toSeq)
+  }
+
+  test("gapFillDays: fills missing days forward; NULL before first observation") {
+    val daily = Seq(
+      ("a", "2024-01-01", 1.0),
+      ("a", "2024-01-04", 4.0),
+      ("b", "2024-01-03", 3.0))
+      .toDF("key", "day", "v")
+      .withColumn("day", col("day").cast("date"))
+    val got = Relational.gapFillDays(daily, Seq("key"), "day", "v")
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, Option(r.get(2))))
+      .toSet
+    assert(got === Set(
+      ("a", "2024-01-01", Some(1.0)),
+      ("a", "2024-01-02", Some(1.0)), // filled forward
+      ("a", "2024-01-03", Some(1.0)),
+      ("a", "2024-01-04", Some(4.0)),
+      ("b", "2024-01-01", None),      // before b's first observation
+      ("b", "2024-01-02", None),
+      ("b", "2024-01-03", Some(3.0)),
+      ("b", "2024-01-04", Some(3.0)))) // filled to the global max day
+  }
+
+  test("topKPerGroup: bounded heap matches window row_number semantics incl. ties") {
+    val df = Seq(
+      ("x", 1L, 5.0), ("x", 2L, 9.0), ("x", 3L, 9.0), ("x", 4L, 1.0),
+      ("y", 5L, 2.0))
+      .toDF("g", "id", "score")
+    val got = Relational.topKPerGroup(df, Seq("g"), col("score"), col("id"), 2)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // score desc, id asc on ties: x -> (9.0, id 2), (9.0, id 3); y has 1 row
+    assert(got === Set(
+      ("x", 1, 2L, 9.0),
+      ("x", 2, 3L, 9.0),
+      ("y", 1, 5L, 2.0)))
+  }
+}
