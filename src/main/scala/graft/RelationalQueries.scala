@@ -406,6 +406,21 @@ object RelationalQueries {
       Sketches.histogramQuantile(col("hist"), 0.0, 512.0, 32, 0.99).as("p99"))
   }
 
+  /** Theta-sketch audience algebra ([[graft.operators.Sketches]]):
+    * per-(event_type, day) theta partials — the persistable slice
+    * table — answering "users who clicked AND purchased / clicked
+    * only / purchased only" by sketch intersection/difference, with
+    * NO join or re-scan of the raw history. Rows-only driver check
+    * (approximate); estimate-vs-exact is spec-pinned (`SketchesSpec`).
+    */
+  private def thetaAudienceQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Sketches
+    val ev = Tables.events(s, d).withColumn("day", to_date(col("ts")))
+    Sketches.thetaOverlap(
+      Sketches.thetaPartials(ev, Seq("event_type"), "day", "user_id"),
+      "event_type", "click", "purchase")
+  }
+
   /** DISTINCT — partial/final hash aggregate, no sort. */
   private def distinctTypes(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).select("event_type").distinct()
@@ -1174,6 +1189,7 @@ object RelationalQueries {
                  "((event_id % 1024) + 1024) % 1024"), bits = 10)} AS zkey
          |FROM events""".stripMargin)),
     QueryDef("q_hll_merge", hllMergeQ, None),
+    QueryDef("q_theta_audience", thetaAudienceQ, None),
     QueryDef("q_hist_quantile", histQuantileQ, Some {
       // total=0 guard mirrors Spark's histogramQuantile NULL (without
       // it, cum=0 >= ceil(q*0)=0 matches bin 0 and yields 16.0).

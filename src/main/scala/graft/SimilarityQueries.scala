@@ -104,8 +104,23 @@ object SimilarityQueries {
     assignments.groupBy("centroid_id").agg(count(lit(1)).as("n_vectors"))
   }
 
+  /** SemDeDup over the embedding corpus: 8 clusters (≈ the corpus's
+    * planted label structure), cosine ≥ 0.8 within clusters, keep the
+    * min id per duplicate component. The corpus plants 4× duplicate
+    * groups, so any threshold in [0.5, 0.9] keeps exactly |corpus|/4
+    * — 0.8 sits mid-band, insensitive to clustering jitter. Rows-only
+    * like [[kmeansSizes]] (the clustering is FP-dependent); keeper
+    * semantics are spec-pinned on planted duplicates
+    * (`SimilaritySpec`).
+    */
+  private def semdedupQ(s: SparkSession, d: String): DataFrame =
+    Similarity.semDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+        nClusters = 8, threshold = 0.8)
+      .select("vec_id", "label")
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_kmeans_sizes", kmeansSizes, None),
+    QueryDef("q_semdedup", semdedupQ, None),
     QueryDef("q_embed_quant", embedQuant, Some(embedQuantSql)),
     QueryDef("q_knn_cosine", knn, Some(
       s"""WITH scored AS (

@@ -211,6 +211,28 @@ object TextQueries {
       .select(col("token"), col("n"))
   }
 
+  /** Count-min-sketch frequency serving
+    * ([[graft.operators.Sketches]]): per-source CMS partials over the
+    * token stream — the persistable slice table — merged (bounded:
+    * one blob per source) and point-queried for the exact top-20
+    * tokens. Rows-only driver check (CMS has no SQL twin); the
+    * never-underestimates / eps·N bound is spec-pinned
+    * (`SketchesSpec`).
+    */
+  private def cmsTokensQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Sketches
+    val toks = Tables.documents(s, d)
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+    val cms = Sketches.cmsMerge(Sketches.cmsPartials(toks, "source", "token"))
+    // probe set: exact top-20 tokens — a bounded driver list
+    val top = toks.groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(20)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    import s.implicits._
+    top.toSeq.map { case (t, n) => (t, n, cms.estimateCount(t)) }
+      .toDF("token", "exact_n", "cms_est")
+  }
+
   /** Quality-weighted corpus sample: survival probability = the
     * (Det-rounded, hence engine-exact) quality score.
     */
@@ -641,6 +663,7 @@ object TextQueries {
          |SELECT token, n FROM c
          |WHERE n * 200 > (SELECT sum(n) FROM c)""".stripMargin
     }),
+    QueryDef("q_cms_tokens", cmsTokensQ, None),
     QueryDef("q_weighted_sample", weightedSampleQ, Some(
       s"""WITH q AS ($qualitySql)
          |SELECT doc_id, quality FROM q

@@ -282,6 +282,39 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Semantic dedup (the SemDeDup recipe, Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embeddings, then drop
+    * near-duplicates WITHIN each cluster — the clustering bounds the
+    * pairwise stage to cluster-sized blocks, so the corpus never
+    * self-joins globally (the same blocking discipline as every other
+    * dedup path here; cluster count is the block-size knob).
+    *
+    * Keeper semantics match the engine's text dedup
+    * ([[Dedup.dropNearDuplicates]]): cosine-≥-threshold pairs feed
+    * [[Dedup.connectedComponents]] and each component keeps its
+    * minimum id — deterministic given the (deterministic) Lloyd
+    * clustering, and consistent with the rest of the dedup family
+    * rather than the paper's random-keeper choice.
+    *
+    * Returns the kept rows of `corpus` (schema unchanged).
+    */
+  def semDedup(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nClusters: Int,
+      threshold: Double,
+      lloydIters: Int = 2): DataFrame = {
+    val (assignments, _) = ivfIndex(corpus, idCol, vecCol, nClusters, lloydIters)
+    val clustered = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .join(assignments, "vec_id")
+    val pairs = cosineNearDupPairs(clustered, "vec_id", "v", col("centroid_id"), threshold)
+    val losers = Dedup.connectedComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id"))
+    corpus.join(losers, corpus(idCol) === losers("id"), "left_anti")
+  }
+
   /** Embedding near-duplicate pairs: LSH-bucket (or any blocking
     * column) then exact cosine ≥ threshold within buckets — the
     * equi-join-on-bucket discipline again: no global cross product.

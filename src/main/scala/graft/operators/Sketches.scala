@@ -43,7 +43,91 @@ object Sketches {
     partials.groupBy(groupCols.map(col): _*)
       .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("approx_distinct"))
 
-  // ---- Mergeable equi-width histograms (quantile serving) ----
+  // ---- Theta sketches (distinct-count SET ALGEBRA) ----
+  //
+  // HLL answers "how many distinct", but only for unions. Theta
+  // sketches (Datasketches) additionally support INTERSECTION and
+  // DIFFERENCE — "users who did A and B", "users who did A but never
+  // B" — served from per-slice sketches without ever re-scanning or
+  // joining the raw history. Same build/persist/merge lifecycle as
+  // [[hllPartials]]; everything runs in-plan on Spark's native
+  // theta_* functions (mergeable partials, no driver state).
+
+  /** One theta sketch per (groupCols..., sliceCol) cell — the
+    * persistable build pass. `lgK` 12 ≈ 3% relative error.
+    */
+  def thetaPartials(
+      df: DataFrame,
+      groupCols: Seq[String],
+      sliceCol: String,
+      valueCol: String,
+      lgK: Int = 12): DataFrame =
+    df.groupBy((groupCols :+ sliceCol).map(col): _*)
+      .agg(theta_sketch_agg(col(valueCol), lit(lgK)).as("sketch"))
+
+  /** Per-group distinct estimates from persisted partials (union
+    * merge — the serving path, scans only sketches).
+    */
+  def thetaMerge(partials: DataFrame, groupCols: Seq[String]): DataFrame =
+    partials.groupBy(groupCols.map(col): _*)
+      .agg(theta_sketch_estimate(theta_union_agg(col("sketch"), lit(12)))
+        .cast("long").as("approx_distinct"))
+
+  /** Set algebra between two groups' audiences: distinct-count
+    * estimates of A∩B, A\B, B\A — each group's slices union-merged,
+    * then one scalar intersection/difference over the two 1-row
+    * sketches (the crossJoin is 1×1).
+    */
+  def thetaOverlap(
+      partials: DataFrame,
+      groupCol: String,
+      groupA: String,
+      groupB: String): DataFrame = {
+    val a = partials.filter(col(groupCol) === groupA)
+      .agg(theta_union_agg(col("sketch"), lit(12)).as("__sa"))
+    val b = partials.filter(col(groupCol) === groupB)
+      .agg(theta_union_agg(col("sketch"), lit(12)).as("__sb"))
+    a.crossJoin(b).select(
+      theta_sketch_estimate(theta_intersection(col("__sa"), col("__sb")))
+        .cast("long").as("both"),
+      theta_sketch_estimate(theta_difference(col("__sa"), col("__sb")))
+        .cast("long").as("only_a"),
+      theta_sketch_estimate(theta_difference(col("__sb"), col("__sa")))
+        .cast("long").as("only_b"))
+  }
+
+  // ---- Count-min sketch (frequency serving) ----
+  //
+  // The frequency sibling: per-slice CMS blobs answer "how often did
+  // item X occur" with bounded overestimate (err ≤ eps·N at the given
+  // confidence, never under). Build is Spark's native
+  // `count_min_sketch` aggregate per slice; serving merges the
+  // (bounded: one ~KB blob per slice) sketch table on the driver —
+  // the same bounded-collect pattern as [[graft.operators.BloomJoin]]
+  // — and answers point queries in O(depth).
+
+  /** One CMS blob per slice — the persistable build pass. */
+  def cmsPartials(
+      df: DataFrame,
+      sliceCol: String,
+      valueCol: String,
+      eps: Double = 0.0001,
+      confidence: Double = 0.99,
+      seed: Int = 42): DataFrame =
+    df.groupBy(col(sliceCol))
+      .agg(count_min_sketch(col(valueCol), lit(eps), lit(confidence), lit(seed))
+        .as("sketch"))
+
+  /** Merge persisted CMS partials into one queryable sketch. Driver-
+    * bounded by construction: the input is the sketch TABLE (one row
+    * per slice), never the raw data.
+    */
+  def cmsMerge(partials: DataFrame): org.apache.spark.util.sketch.CountMinSketch =
+    partials.select(col("sketch")).collect()
+      .map(r => org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        r.getAs[Array[Byte]](0)))
+      .reduce { (x, y) => x.mergeInPlace(y); x }
+
   //
   // The quantile sibling of the HLL pattern: per-slice bin-count
   // vectors whose merge is element-wise addition — EXACT sketch

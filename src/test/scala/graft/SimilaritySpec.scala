@@ -158,4 +158,33 @@ class SimilaritySpec extends SparkSpecBase {
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === Set((1L, 2L)))
   }
+
+  test("semDedup: planted near-duplicate groups collapse to min id; singletons survive") {
+    val rnd = new scala.util.Random(7)
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat).toSeq
+    }
+    // 3 well-separated cluster centers; each contributes one
+    // near-duplicate pair (tiny jitter) and one genuinely distinct
+    // member (large jitter, below the 0.995 duplicate threshold).
+    val centers = Array.fill(3)(Array.fill(16)(rnd.nextGaussian()))
+    val rows = centers.zipWithIndex.flatMap { case (c, ci) =>
+      val base = 10L * ci
+      Seq(
+        (base + 0, unit(c.map(x => x + 0.001 * rnd.nextGaussian()))),
+        (base + 1, unit(c.map(x => x + 0.001 * rnd.nextGaussian()))), // dup of base+0
+        (base + 2, unit(c.map(x => x + 0.8 * rnd.nextGaussian()))))   // distinct
+    }.toSeq
+    val df = rows.toDF("vec_id", "embedding")
+    val kept = Similarity.semDedup(df, "vec_id", "embedding",
+        nClusters = 3, threshold = 0.995)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // each group's min id (0, 10, 20) survives; its jittered twin
+    // (1, 11, 21) drops; the distinct member (2, 12, 22) survives.
+    assert(kept === Set(0L, 2L, 10L, 12L, 20L, 22L), s"kept=$kept")
+    // dropped ids really do have a kept near-duplicate: recompute
+    val dropped = rows.map(_._1).toSet -- kept
+    assert(dropped === Set(1L, 11L, 21L))
+  }
 }

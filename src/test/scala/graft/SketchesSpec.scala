@@ -84,6 +84,55 @@ class SketchesSpec extends SparkSpecBase {
     assert(h === Seq(1L, 0L, 0L, 1L)) // clamped into the edge bins
   }
 
+  test("theta merge equals direct sketch; union estimate within 5% of exact") {
+    val merged = Sketches.thetaMerge(
+      Sketches.thetaPartials(df, Seq("grp"), "slice", "member"), Seq("grp"))
+      .as[(String, Long)].collect().toMap
+    val direct = df.groupBy("grp")
+      .agg(theta_sketch_estimate(theta_sketch_agg(col("member"), lit(12)))
+        .cast("long").as("approx_distinct"))
+      .as[(String, Long)].collect().toMap
+    assert(merged === direct)
+    val exact = df.groupBy("grp").agg(count_distinct(col("member")).as("n"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (g, n) =>
+      assert(math.abs(merged(g) - n).toDouble / n < 0.05,
+        s"$g: est ${merged(g)} vs exact $n")
+    }
+  }
+
+  test("theta set algebra: intersection and differences within 5% of exact") {
+    val parts = Sketches.thetaPartials(df, Seq("grp"), "slice", "member")
+    val got = Sketches.thetaOverlap(parts, "grp", "g1", "g2")
+      .as[(Long, Long, Long)].head()
+    def members(g: String) = df.filter(col("grp") === g)
+      .select("member").as[Long].collect().toSet
+    val (a, b) = (members("g1"), members("g2"))
+    def close(est: Long, exact: Int) =
+      assert(math.abs(est - exact).toDouble / math.max(exact, 1) < 0.05,
+        s"est $est vs exact $exact")
+    close(got._1, (a & b).size)
+    close(got._2, (a -- b).size)
+    close(got._3, (b -- a).size)
+  }
+
+  test("CMS merged estimates never underestimate and respect the eps bound") {
+    val toks = df.select(col("slice"),
+      concat(lit("m"), col("member")).as("token"))
+    val cms = Sketches.cmsMerge(
+      Sketches.cmsPartials(toks, "slice", "token", eps = 0.0001))
+    val exact = toks.groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(50)
+      .as[(String, Long)].collect()
+    val total = toks.count()
+    exact.foreach { case (t, n) =>
+      val est = cms.estimateCount(t)
+      assert(est >= n, s"$t: CMS must never underestimate ($est < $n)")
+      assert(est <= n + (0.0001 * total).ceil.toLong + 1,
+        s"$t: est $est exceeds eps bound over exact $n")
+    }
+  }
+
   test("a partial sketch is KBs regardless of slice row count") {
     val sizes = Sketches.hllPartials(df, Seq("grp"), "slice", "member")
       .select(length(col("sketch")).as("len")).as[Int].collect()
