@@ -211,6 +211,23 @@ object TextQueries {
       .select(col("token"), col("n"))
   }
 
+  /** Exact-substring dedup stats ([[Dedup.duplicateSpans]]): per doc,
+    * the merged duplicated-span count and character mass (0 for clean
+    * docs) at gram length 30 — integer outputs, fully oracle-checked
+    * against the same gram/rank/island pipeline in SQL.
+    */
+  private def dupSpansQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val stats = Dedup.duplicateSpans(docs, "doc_id", "text", l = 30)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum((col("span_end") - col("span_start")).cast("long")).as("dup_chars"))
+    docs.select(col("doc_id")).join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
+  }
+
   /** Count-min-sketch frequency serving
     * ([[graft.operators.Sketches]]): per-source CMS partials over the
     * token stream — the persistable slice table — merged (bounded:
@@ -664,6 +681,42 @@ object TextQueries {
          |WHERE n * 200 > (SELECT sum(n) FROM c)""".stripMargin
     }),
     QueryDef("q_cms_tokens", cmsTokensQ, None),
+    QueryDef("q_dup_spans", dupSpansQ, Some(
+      """WITH grams AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+        |    md5(substr(text, CAST(i AS INTEGER) + 1, 30)) AS h
+        |  FROM documents,
+        |    unnest(range(0, greatest(length(text) - 30 + 1, 0))) AS u(i)),
+        |marked AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos,
+        |      count(*) OVER (PARTITION BY h) AS c,
+        |      row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        |    FROM grams) t
+        |  WHERE c > 1 AND rn > 1),
+        |islands AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN max(pos + 30) OVER w IS NULL OR pos > max(pos + 30) OVER w
+        |         THEN 1 ELSE 0 END AS newi
+        |  FROM marked
+        |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |numbered AS (
+        |  SELECT doc_id, pos,
+        |    sum(newi) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        |  FROM islands),
+        |spans AS (
+        |  SELECT doc_id, min(pos) AS s, max(pos) + 30 AS e
+        |  FROM numbered GROUP BY doc_id, isl),
+        |stats AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |    CAST(sum(e - s) AS BIGINT) AS dup_chars
+        |  FROM spans GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(st.n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(COALESCE(st.dup_chars, 0) AS BIGINT) AS dup_chars
+        |FROM documents d LEFT JOIN stats st ON d.doc_id = st.doc_id""".stripMargin)),
     QueryDef("q_weighted_sample", weightedSampleQ, Some(
       s"""WITH q AS ($qualitySql)
          |SELECT doc_id, quality FROM q

@@ -391,6 +391,103 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  // ---- Exact-substring dedup (Lee et al. 2022, arXiv:2107.06499) ----
+  //
+  // Doc-level dedup (MinHash/SimHash above) misses the common failure
+  // mode of web corpora: long VERBATIM spans (boilerplate, quoted
+  // articles, license blocks) embedded in otherwise-distinct
+  // documents. The exact-substring pass finds every character span of
+  // length >= l that occurs more than once ANYWHERE in the corpus
+  // (across or within documents) and keeps exactly one copy — the
+  // globally first occurrence by (doc_id, pos).
+  //
+  // Shape: every position contributes one (gram-hash, doc, pos) row
+  // — grams themselves never shuffle, only 16-byte hashes; duplicate
+  // marking is ONE shuffle by hash (count + first-occurrence rank in
+  // the same window partition); overlapping marked grams merge into
+  // maximal spans with a per-doc window (partition size is bounded by
+  // document length, not corpus size). Honest cost note: the
+  // all-positions explosion is ~32 bytes per input character — the
+  // exactness anchor, priced like the suffix-array pass of the paper.
+  // At full corpus scale run it AFTER the doc-level MinHash pass has
+  // collapsed whole-doc duplicates, or on winnowed fingerprints
+  // ([[TextAnalysis.fingerprint]]) when approximate spans suffice.
+
+  /** Maximal duplicated spans per document: `(doc_id, span_start,
+    * span_end)` (char offsets, 0-based, end exclusive), where every
+    * position in the span is covered by some length-`l` gram that
+    * occurs at least twice in the corpus. The first occurrence of
+    * each gram (min doc_id, then min pos) is never marked, so one
+    * copy of every repeated string survives.
+    */
+  def duplicateSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      l: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .filter(length(col(textCol)) >= l)
+      .select(col(idCol).as("doc_id"),
+        explode(sequence(lit(0), length(col(textCol)) - l)).as("pos"),
+        col(textCol).as("__t"))
+      .select(col("doc_id"), col("pos"),
+        md5(col("__t").substr(col("pos") + 1, lit(l)).cast("binary")).as("__h"))
+    // count + first-occurrence rank share ONE shuffle by gram hash
+    val byHash = Window.partitionBy("__h")
+    val marked = grams
+      .select(col("doc_id"), col("pos"),
+        count(lit(1)).over(byHash).as("__c"),
+        row_number().over(byHash.orderBy("doc_id", "pos")).as("__rn"))
+      .filter(col("__c") > 1 && col("__rn") > 1)
+      .select("doc_id", "pos")
+    // merge overlapping [pos, pos+l) intervals: island detection over
+    // the per-doc position sequence (same shape as sessionization)
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val prevMaxEnd = max(col("pos") + l)
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    marked
+      .withColumn("__new", when(prevMaxEnd.isNull || col("pos") > prevMaxEnd, 1).otherwise(0))
+      .withColumn("__isl", sum(col("__new"))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "__isl")
+      .agg(min(col("pos")).as("span_start"), (max(col("pos")) + l).as("span_end"))
+      .select("doc_id", "span_start", "span_end")
+  }
+
+  /** Remove every duplicated span from the corpus text (keeping the
+    * globally first occurrence of each repeated string): the cleaned
+    * corpus, schema unchanged. Span application is a per-row
+    * `aggregate` fold over the doc's sorted spans — O(|spans|) string
+    * builds per doc, no further shuffle beyond [[duplicateSpans]].
+    */
+  def removeDuplicateSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      l: Int): DataFrame = {
+    val spans = duplicateSpans(docs, idCol, textCol, l)
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(
+        col("span_start").as("s"), col("span_end").as("e")))).as("__spans"))
+    val t = col(textCol)
+    val cleaned = aggregate(
+      col("__spans"),
+      struct(lit(0).as("prev"), lit("").as("acc")),
+      (st, sp) => struct(
+        sp.getField("e").as("prev"),
+        concat(st.getField("acc"),
+          t.substr(st.getField("prev") + 1,
+            sp.getField("s") - st.getField("prev"))).as("acc")),
+      st => concat(st.getField("acc"),
+        t.substr(st.getField("prev") + 1, length(t) - st.getField("prev"))))
+    val out = docs.join(spans, docs(idCol) === spans("doc_id"), "left")
+      .withColumn("__cleaned",
+        when(col("__spans").isNull, t).otherwise(cleaned))
+    out.select(docs.columns.map(c =>
+      (if (c == textCol) col("__cleaned") else docs(c)).as(c)): _*)
+  }
+
   /** Train/eval decontamination: for each eval doc, the fraction of
     * its distinct word `n`-grams that appear ANYWHERE in the train
     * corpus — the published benchmark-leakage check (an eval doc

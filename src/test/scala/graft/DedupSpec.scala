@@ -139,6 +139,51 @@ class DedupSpec extends SparkSpecBase {
     assert(kept === total - losers)
   }
 
+  test("duplicateSpans: repeated block marked everywhere but its first occurrence; merged maximal") {
+    // a 40-char block planted in docs 1, 2 and twice in doc 3;
+    // surrounding text is unique per doc.
+    val block = "0123456789abcdefghijklmnopqrstuvwxyzABCD" // len 40
+    val df = Seq(
+      (1L, s"first document unique prefix $block unique suffix one"),
+      (2L, s"second doc other opening $block and a different tail"),
+      (3L, s"third $block middle words $block end"),
+      (4L, "fourth document with no repeated content at all here"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(df, "doc_id", "text", l = 20)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val byDoc = spans.groupBy(_._1)
+    // doc 1 holds the first occurrence -> nothing marked
+    assert(!byDoc.contains(1L))
+    assert(!byDoc.contains(4L))
+    // docs 2 and 3: every occurrence covered (3 has two disjoint spans)
+    assert(byDoc(2L).length === 1)
+    assert(byDoc(3L).length === 2)
+    val texts = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    spans.foreach { case (id, s, e) =>
+      assert(texts(id).substring(s, e).contains(block),
+        s"span [$s,$e) of doc $id should cover the planted block")
+    }
+  }
+
+  test("removeDuplicateSpans: cleaned text drops the marked spans, keeps everything else") {
+    val block = "0123456789abcdefghijklmnopqrstuvwxyzABCD"
+    val df = Seq(
+      (1L, s"first document unique prefix $block unique suffix one"),
+      (2L, s"second doc other opening $block and a different tail"),
+      (4L, "fourth document with no repeated content at all here"))
+      .toDF("doc_id", "text")
+    val cleaned = Dedup.removeDuplicateSpans(df, "doc_id", "text", l = 20)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cleaned(1L) === df.collect().find(_.getLong(0) == 1L).get.getString(1)) // first copy kept
+    assert(!cleaned(2L).contains(block))
+    assert(cleaned(2L).startsWith("second doc o")) // unique head survives
+    assert(cleaned(2L).endsWith("different tail") || cleaned(2L).endsWith("tail"))
+    assert(cleaned(4L) === "fourth document with no repeated content at all here")
+    // schema preserved
+    val out = Dedup.removeDuplicateSpans(df, "doc_id", "text", l = 20)
+    assert(out.columns.toSeq === df.columns.toSeq)
+  }
+
   test("fingerprint is whitespace-normalization-invariant but content-sensitive") {
     val df = Seq(
       (1L, "alpha beta gamma"),
