@@ -212,9 +212,18 @@ object Dedup {
     * loop's per-iteration jobs cost more than the whole graph —
     * then returns as a local relation downstream joins broadcast.
     * Above the bound (dup-heavy corpora at the 100 TB design point)
-    * the distributed min-label loop below takes over; the default
-    * bound (4M pairs ≈ 64 MB of longs) is a driver-memory cap,
-    * caller-tunable.
+    * the distributed min-label loop below takes over. The default
+    * bound (1M pairs) is a DRIVER-HEAP cap, caller-tunable: the
+    * union-find map holds up to 2 boxed entries per edge at ~50 B
+    * each (~100–200 MB at the default), and the edges stream in via
+    * `toLocalIterator` so no collected row array sits next to it.
+    *
+    * Id types: any orderable id column works (string/UUID doc ids
+    * included — "minimum id" is the type's own ordering). Integral
+    * ids additionally get a cast-to-long fast path on the driver and
+    * an exact monotone label-sum fixpoint check in the distributed
+    * loop; other types use an exact changed-label count (one extra
+    * (id,label) join per iteration).
     *
     * Distributed path: min-label propagation — every id converges to
     * the minimum id reachable within `maxIter` hops; each iteration
@@ -230,15 +239,25 @@ object Dedup {
   def connectedComponents(
       pairs: DataFrame,
       maxIter: Int = 5,
-      driverMaxEdges: Long = 1L << 22): DataFrame = {
-    // Normalize: long ids on both paths (the driver path reads them
-    // as longs), and NULL endpoints dropped up front — the
-    // distributed loop's equi-join would silently drop them anyway,
-    // and a null must not unbox to component 0 on the driver.
+      driverMaxEdges: Long = 1L << 20): DataFrame = {
+    import org.apache.spark.sql.types._
+    val idType = pairs.schema(pairs.columns.indexOf("id_a")).dataType
+    val integral = idType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    // Integral ids normalize to long so both endpoints agree on one
+    // type; other types pass through untouched (a blanket long cast
+    // would throw CAST_INVALID_INPUT on string ids under ANSI). NULL
+    // endpoints drop up front — the distributed loop's equi-join
+    // would silently drop them anyway, and a null must not unbox to
+    // component 0 on the driver.
+    val endpoint = (c: String) => if (integral) col(c).cast("long") else col(c)
     val p = Materialize(pairs
-      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .select(endpoint("id_a").as("src"), endpoint("id_b").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull))
-    if (p.count() <= driverMaxEdges) return driverComponents(p)
+    val driverable = integral || idType == StringType
+    if (driverable && p.count() <= driverMaxEdges) return driverComponents(p, idType)
     val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
     var labels = Materialize(edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id")))
@@ -250,7 +269,13 @@ object Dedup {
       // fixpoint check still terminates instead of NPEing.
       Option(df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO)
-    var prevSum = labelSum(labels)
+    // Non-numeric labels have no monotone sum: exact fixpoint =
+    // no label changed vs the previous round (equi-join on id over
+    // two already-materialized leaf scans).
+    def changedLabels(cur: DataFrame, prev: DataFrame): Long =
+      cur.as("c").join(prev.as("p"), col("c.id") === col("p.id"))
+        .filter(col("c.component") =!= col("p.component")).count()
+    var prevSum = if (integral) labelSum(labels) else java.math.BigDecimal.ZERO
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
@@ -264,11 +289,16 @@ object Dedup {
         .union(viaNeighbors)
         .groupBy("id")
         .agg(min("component").as("component")))
+      converged =
+        if (integral) {
+          val s = labelSum(labels)
+          val eq = s.compareTo(prevSum) == 0
+          prevSum = s
+          eq
+        } else changedLabels(labels, prev) == 0
       // persist mode: superseded labels would otherwise stay pinned
+      // (released only after the fixpoint check, which reads `prev`)
       Materialize.release(prev)
-      val s = labelSum(labels)
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
       i += 1
     }
     labels
@@ -277,30 +307,49 @@ object Dedup {
   /** Exact component closure on the driver: union-find with path
     * compression, union by MIN root — so every root IS its
     * component's minimum id, matching the distributed loop's label
-    * contract. Input is the materialized (src, dst) pair frame,
-    * pre-bounded by the caller. Output is a local relation (sorted by
-    * id for determinism) that downstream anti-joins broadcast.
+    * contract. Works for any orderable id type (long fast path for
+    * integral ids, generic ordering otherwise). Input is the
+    * materialized (src, dst) pair frame, pre-bounded by the caller
+    * and streamed in partition-by-partition (`toLocalIterator`) so
+    * the union-find map is the only edge-proportional driver
+    * allocation. Output is a local relation (sorted by id for
+    * determinism) that downstream anti-joins broadcast.
     */
-  private def driverComponents(p: DataFrame): DataFrame = {
+  private def driverComponents(
+      p: DataFrame, idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
     val spark = p.sparkSession
-    import spark.implicits._
-    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-    def find(x: Long): Long = {
+    // Ordering must match Spark's own `min` semantics for the type —
+    // integral/long and UTF8 string cover every realistic doc id;
+    // anything else routes through the distributed loop (see caller)
+    // or lands here only via an explicit driverMaxEdges override.
+    val ord: Ordering[Any] = (idType match {
+      case ByteType | ShortType | IntegerType | LongType => Ordering.Long.on[Any](_.asInstanceOf[Long])
+      case StringType => Ordering.String.on[Any](_.asInstanceOf[String])
+      case other => throw new IllegalArgumentException(
+        s"driver union-find supports integral and string ids, got $other — " +
+          "use the distributed loop (driverMaxEdges = 0) for this id type")
+    })
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
       var r = x
       while (parent(r) != r) r = parent(r)
       var c = x
       while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
       r
     }
-    p.collect().foreach { row =>
-      val a = row.getLong(0); val b = row.getLong(1)
+    p.toLocalIterator().asScala.foreach { row =>
+      val a = row.get(0); val b = row.get(1)
       parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
       val ra = find(a); val rb = find(b)
-      if (ra < rb) parent(rb) = ra
-      else if (rb < ra) parent(ra) = rb
+      if (ord.lt(ra, rb)) parent(rb) = ra
+      else if (ord.lt(rb, ra)) parent(ra) = rb
     }
-    spark.createDataset(parent.keys.toSeq.sorted.map(id => (id, find(id))))
-      .toDF("id", "component")
+    val outType = if (idType == StringType) StringType else LongType
+    val rows = parent.keys.toSeq.sorted(ord).map(id => org.apache.spark.sql.Row(id, find(id)))
+    spark.createDataFrame(rows.asJava,
+      StructType(Seq(StructField("id", outType), StructField("component", outType))))
   }
 
   /** The end-to-end dedup operator: remove exact and near duplicates,
@@ -403,15 +452,21 @@ object Dedup {
   //
   // Shape: every position contributes one (gram-hash, doc, pos) row
   // — grams themselves never shuffle, only 16-byte hashes; duplicate
-  // marking is ONE shuffle by hash (count + first-occurrence rank in
-  // the same window partition); overlapping marked grams merge into
-  // maximal spans with a per-doc window (partition size is bounded by
-  // document length, not corpus size). Honest cost note: the
-  // all-positions explosion is ~32 bytes per input character — the
-  // exactness anchor, priced like the suffix-array pass of the paper.
-  // At full corpus scale run it AFTER the doc-level MinHash pass has
-  // collapsed whole-doc duplicates, or on winnowed fingerprints
-  // ([[TextAnalysis.fingerprint]]) when approximate spans suffice.
+  // marking is a per-hash AGGREGATE (count + min-occurrence, both
+  // with map-side partials, so a boilerplate gram that appears 10⁶–
+  // 10⁸ times collapses to one partial per mapper before the
+  // shuffle) joined back to the positions — never a per-hash sort: a
+  // `row_number() over partitionBy(hash)` would funnel every
+  // occurrence of a hot gram into one sorted task, and AQE skew-join
+  // handles the residual join fan-out instead. Overlapping marked
+  // grams merge into maximal spans with a per-doc window (partition
+  // size is bounded by document length, not corpus size). Honest
+  // cost note: the all-positions explosion is ~32 bytes per input
+  // character — the exactness anchor, priced like the suffix-array
+  // pass of the paper. At full corpus scale run it AFTER the
+  // doc-level MinHash pass has collapsed whole-doc duplicates, or on
+  // winnowed fingerprints ([[TextAnalysis.fingerprint]]) when
+  // approximate spans suffice.
 
   /** Maximal duplicated spans per document: `(doc_id, span_start,
     * span_end)` (char offsets, 0-based, end exclusive), where every
@@ -433,13 +488,22 @@ object Dedup {
         col(textCol).as("__t"))
       .select(col("doc_id"), col("pos"),
         md5(col("__t").substr(col("pos") + 1, lit(l)).cast("binary")).as("__h"))
-    // count + first-occurrence rank share ONE shuffle by gram hash
-    val byHash = Window.partitionBy("__h")
-    val marked = grams
-      .select(col("doc_id"), col("pos"),
-        count(lit(1)).over(byHash).as("__c"),
-        row_number().over(byHash.orderBy("doc_id", "pos")).as("__rn"))
-      .filter(col("__c") > 1 && col("__rn") > 1)
+    // Duplicate marking WITHOUT a per-hash sort: count + first
+    // occurrence are one hash aggregate (struct min orders by
+    // (doc_id, pos) — partial aggregation collapses hot grams
+    // map-side), inner-joined back to the positions to drop the one
+    // first occurrence. The join still keys on the gram hash, but a
+    // hot key streams through a hash probe (no sort buffer) and AQE
+    // splits it if it dominates.
+    val firsts = grams
+      .groupBy(col("__h"))
+      .agg(count(lit(1)).as("__c"),
+        min(struct(col("doc_id"), col("pos"))).as("__first"))
+      .filter(col("__c") > 1)
+      .select(col("__h"), col("__first"))
+    val marked = grams.join(firsts, Seq("__h"))
+      .filter(col("doc_id") =!= col("__first.doc_id") ||
+        col("pos") =!= col("__first.pos"))
       .select("doc_id", "pos")
     // merge overlapping [pos, pos+l) intervals: island detection over
     // the per-doc position sequence (same shape as sessionization)

@@ -21,12 +21,24 @@ import graft.operators.Dedup
   * batch [[Dedup.minhashCandidates]] against a parquet state table,
   * partitioned by batch id.
   *
-  * Semantics (≡ batch [[Dedup.dropNearDuplicates]] replayed in batch
-  * order): a doc is rejected iff it near-matches an accepted doc from
-  * an earlier batch, or it belongs to an intra-batch duplicate
-  * component and either is not the component's min-id keeper or its
-  * component touches an earlier accepted doc (chains collapse to the
-  * FIRST keeper, exactly like connected components in the batch op).
+  * Semantics (batch [[Dedup.dropNearDuplicates]] replayed in batch
+  * order, with one declared approximation): a doc is rejected iff it
+  * near-matches an accepted doc from an earlier batch, or it belongs
+  * to an intra-batch duplicate component and either is not the
+  * component's min-id keeper or its component touches an earlier
+  * accepted doc (chains collapse to the FIRST keeper, exactly like
+  * connected components in the batch op).
+  *
+  * Accepted-only state approximation: rejected docs' signatures are
+  * NOT written to state, so transitive chains truncate at batch
+  * boundaries — a later doc that near-matches only a REJECTED doc
+  * (not that doc's accepted keeper) is accepted, where whole-corpus
+  * batch CC would have merged all three into one component and
+  * rejected it. This is the standard streaming-dedup trade (state
+  * stays proportional to the KEPT corpus, not the raw stream); for
+  * chain-exact semantics run the batch op over the accumulated
+  * corpus, or persist rejected signatures tagged with their keeper
+  * id at ~raw-stream state cost.
   *
   * Exactly-once: state and output are written with dynamic partition
   * overwrite keyed by `batch_id`, so a replayed micro-batch (failure

@@ -104,6 +104,27 @@ class DedupSpec extends SparkSpecBase {
     assert(!plan.contains("Join"), s"expected checkpointed plan, got:\n$plan")
   }
 
+  test("connectedComponents handles string ids on both paths (no long cast)") {
+    val pairs = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("id_a", "id_b")
+    def labels(viaDriver: Boolean) = Dedup.connectedComponents(
+        pairs, maxIter = 10, driverMaxEdges = if (viaDriver) Long.MaxValue else 0L)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val expect = Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x")
+    assert(labels(viaDriver = true) === expect)
+    assert(labels(viaDriver = false) === expect)
+  }
+
+  test("dropNearDuplicates works with string doc ids end to end") {
+    val chain = Seq(
+      ("docA", base),
+      ("docB", base.replace("warm", "cold")),
+      ("docZ", "entirely distinct content on the topic of distributed query planning"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dropNearDuplicates(chain, "doc_id", "text")
+      .select("doc_id").as[String].collect().toSet
+    assert(kept === Set("docA", "docZ"))
+  }
+
   test("default geometric double-block is lossless vs all-pairs at threshold 0.5 (sf0.001)") {
     val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
     def pairSet(block: Option[org.apache.spark.sql.Column]) =
@@ -163,6 +184,32 @@ class DedupSpec extends SparkSpecBase {
       assert(texts(id).substring(s, e).contains(block),
         s"span [$s,$e) of doc $id should cover the planted block")
     }
+  }
+
+  test("duplicateSpans survives a hyper-frequent gram (planted 30-gram x100k) without a per-hash sort") {
+    val boiler = "THE-SAME-30-CHAR-BOILERPLATE!!" // exactly l chars
+    assert(boiler.length === 30)
+    // unique 11-char prefix per doc ("u%09d-"): the only duplicated
+    // l=30 gram is the pure-boilerplate one at pos 11 — 100k
+    // occurrences of ONE gram hash, the web-corpus hot-key shape.
+    val docs = spark.range(100000).select(
+      col("id").as("doc_id"),
+      concat(format_string("u%09d-", col("id")), lit(boiler)).as("text"))
+    val spans = Dedup.duplicateSpans(docs, "doc_id", "text", l = 30)
+    // Duplicate marking must be aggregate+join, never a Window over
+    // the gram hash — that would funnel all 100k occurrences into a
+    // single sorted partition at corpus scale.
+    val plan = spans.queryExecution.optimizedPlan.toString()
+    assert(!plan.contains("windowspecdefinition(__h"),
+      s"per-gram-hash window found in plan:\n$plan")
+    val got = spans.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    // every doc except the global first occurrence (doc 0) carries
+    // exactly one span covering the boilerplate [11, 41); the start
+    // may reach back into the prefix where zero-padded ids share
+    // suffixes ("…0005-THE-SAME…" repeats every 10k docs).
+    assert(got.length === 99999)
+    assert(got.map(_._1).distinct.length === 99999)
+    assert(got.forall { case (id, s, e) => id > 0L && s <= 11 && e == 41 })
   }
 
   test("removeDuplicateSpans: cleaned text drops the marked spans, keeps everything else") {

@@ -40,6 +40,26 @@ class MaterializeSpec extends SparkSpecBase {
     finally spark.conf.unset(Materialize.ConfKey)
   }
 
+  test("persist mode: iterative CC releases superseded label frames (no cache leak)") {
+    // A long chain forces several distributed min-label iterations
+    // (driverMaxEdges = 0 disables the driver fast path). Each
+    // iteration Materializes a new label frame and must release the
+    // previous one — a leak here only shows on long jobs, as pinned
+    // blocks accumulating per iteration.
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    spark.conf.set(Materialize.ConfKey, "persist")
+    try {
+      val before = spark.sparkContext.getPersistentRDDs.size
+      val labels = Dedup.connectedComponents(chain, maxIter = 8, driverMaxEdges = 0L)
+      assert(labels.select("component").distinct().count() >= 1L)
+      val after = spark.sparkContext.getPersistentRDDs.size
+      // Live frames: the materialized pair list + the final labels.
+      // Superseded per-iteration label frames must all be unpersisted.
+      assert(after - before <= 2,
+        s"persistent RDDs grew by ${after - before} — superseded CC label frames leaked")
+    } finally spark.conf.unset(Materialize.ConfKey)
+  }
+
   test("unknown strategy falls back to local") {
     spark.conf.set(Materialize.ConfKey, "definitely-not-a-mode")
     try assert(Materialize(docs).count() === 4L)
