@@ -173,6 +173,52 @@ object StreamingQueries {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** One CDC change row for the MemoryStream replay. */
+  final case class CdcChange(
+      c_custkey: Long,
+      ts: Timestamp,
+      event_id: Long,
+      op: String,
+      new_bal: Double)
+
+  /** Streaming CDC twin of `q_merge_upsert`, driver-checked: the
+    * events change log replays through the REAL `writeStream` +
+    * `foreachBatch` path ([[graft.streaming.CdcStream]]) in two
+    * micro-batches split by event-id PARITY — an adversarial split
+    * that scatters timestamps across batches, so only the ord-gated
+    * apply (stale changes rejected against the stored per-key order)
+    * converges to the batch merge. The oracle is the same SQL as the
+    * batch query: end state ≡ one-shot merge of the full log.
+    */
+  private def streamCdc(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = Tables.customer(s, d).select("c_custkey", "c_name", "c_acctbal")
+    val changes = Tables.events(s, d).select(
+        col("user_id").as("c_custkey"),
+        col("ts").cast("timestamp").as("ts"),
+        col("event_id"),
+        when(col("event_type") === "click", lit("D")).otherwise(lit("U")).as("op"),
+        col("value").as("new_bal"))
+      .as[CdcChange].collect()
+    val (b0, b1) = changes.partition(_.event_id % 2 == 0)
+    val tableDir = java.nio.file.Files.createTempDirectory("graft_cdc_table").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdc_ckpt").toString
+    val input = MemoryStream[CdcChange](s)
+    val q = graft.streaming.CdcStream.stream(
+      input.toDF(), tableDir, ckpt, base,
+      keyCols = Seq("c_custkey"), orderCols = Seq("ts", "event_id"),
+      opCol = "op", updateCols = Map("c_acctbal" -> "new_bal"))
+    try {
+      input.addData(b0.toSeq); q.processAllAvailable()
+      input.addData(b1.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    graft.streaming.CdcStream.readTable(s, tableDir)
+      .select(col("c_custkey"),
+        coalesce(col("c_name"), lit("(new)")).as("name"),
+        col("c_acctbal").as("bal"))
+  }
+
   // Terminal watermark in DuckDB terms: Spark tracks per-batch max
   // event time in MILLISECONDS, so the mark is ms-truncated max(ts)
   // minus the lateness.
@@ -205,6 +251,20 @@ object StreamingQueries {
          |FROM events, wm
          |GROUP BY 1, 2, 3
          |HAVING window_end <= (SELECT w FROM wm)""".stripMargin)),
+    QueryDef("q_stream_cdc", streamCdc, Some(
+      """WITH latest AS (
+        |  SELECT user_id, op, new_bal FROM (
+        |    SELECT user_id,
+        |      CASE WHEN event_type = 'click' THEN 'D' ELSE 'U' END AS op,
+        |      value AS new_bal,
+        |      row_number() OVER (
+        |        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events) t WHERE rn = 1)
+        |SELECT COALESCE(c.c_custkey, l.user_id) AS c_custkey,
+        |  COALESCE(c.c_name, '(new)') AS name,
+        |  CASE WHEN l.user_id IS NOT NULL THEN l.new_bal ELSE c.c_acctbal END AS bal
+        |FROM customer c FULL OUTER JOIN latest l ON c.c_custkey = l.user_id
+        |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin)),
     QueryDef("q_stream_session_close", streamSessionClose, Some(
       s"""WITH wm AS ($wmSql),
          |flagged AS (

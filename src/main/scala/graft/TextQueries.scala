@@ -279,14 +279,26 @@ object TextQueries {
         col("byte_offset"), col("r_width"), col("r_height"))
   }
 
+  /** REAL image decode roundtrip: render one genuine PNG per doc
+    * (dims + constant gray fill derived deterministically from the
+    * doc, so the DuckDB oracle can PREDICT the decoded values), then
+    * decode actual PNG bytes with `javax.imageio` in the batched
+    * `mapPartitions` path. The output dims/px_mean come from parsing
+    * real image bytes — the oracle only knows them because the test
+    * images were rendered to spec.
+    */
   private def multimodalMeta(s: SparkSession, d: String): DataFrame = {
-    val bin = col("text").cast("binary")
-    val meta = Multimodal.decodeImageMeta(bin)
-    Tables.documents(s, d).select(
+    val docs = Tables.documents(s, d).select(
       col("doc_id"),
-      meta.getField("n_bytes").as("n_bytes"),
-      meta.getField("width").as("width"),
-      meta.getField("height").as("height"))
+      (length(col("text")) % 64 + 16).cast("int").as("__w"),
+      ((length(col("text")) * 7) % 48 + 16).cast("int").as("__h"),
+      pmod(col("doc_id"), lit(256L)).cast("int").as("__g"))
+    Multimodal.decodeBatch(
+        Multimodal.withTestPng(docs, "__w", "__h", "__g"), "img")()
+      .select(col("doc_id"),
+        col("decoded.width").as("width"),
+        col("decoded.height").as("height"),
+        col("decoded.px_mean").as("px_mean"))
   }
 
   /** Sequence packing: assign each doc to a fixed-256-token training
@@ -666,11 +678,13 @@ object TextQueries {
          |FROM (SELECT unnest($toks) AS token FROM documents)
          |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin
     }),
+    // The oracle predicts what the real javax.imageio decode must
+    // read back from the rendered PNGs (dims + constant-fill mean).
     QueryDef("q_multimodal_meta", multimodalMeta, Some(
       """SELECT doc_id,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
-        |  CAST((octet_length(encode(text)) * 7) % 480 + 1 AS BIGINT) AS height
+        |  CAST(length(text) % 64 + 16 AS BIGINT) AS width,
+        |  CAST((length(text) * 7) % 48 + 16 AS BIGINT) AS height,
+        |  CAST(doc_id % 256 AS BIGINT) AS px_mean
         |FROM documents""".stripMargin)),
     QueryDef("q_contamination", contaminationQ, Some(contaminationSql), headline = true),
     QueryDef("q_heavy_hitters", heavyHitters, Some {

@@ -6,17 +6,22 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: image/audio/video travel as opaque
-  * `binary` columns plus typed metadata structs. The Spark-side
-  * contract — schema, partitioning, batch shape — is real; the codec
-  * step is STUBBED with a deterministic fake (this container ships no
-  * image/audio libraries). A production build swaps
-  * [[decodeImageMeta]]'s body for a real decoder behind the same
-  * column signature (e.g. a vectorized UDF or `mapPartitions` over
-  * the binary column); nothing downstream changes.
+  * `binary` columns plus typed metadata structs; all bucketing and
+  * joining happens on the compact metadata, so shuffles carry payload
+  * bytes only when a repartition explicitly asks for it.
   *
-  * Scale notes: binary payloads never act as join/group keys — all
-  * bucketing happens on the compact metadata struct, so shuffles
-  * carry bytes only when a repartition explicitly asks for it.
+  * The image decode path is REAL: [[imageioDecode]] parses actual
+  * PNG/JPEG/BMP/GIF bytes with the JDK's `javax.imageio` (no native
+  * codecs required) inside the batched `mapPartitions` stage —
+  * dimensions and pixel statistics come from the decoded raster, not
+  * from byte-length arithmetic. [[stubDecode]] remains as the
+  * declared FALLBACK for payloads with no JVM codec (video
+  * containers, audio) — same column contract, deterministic fake
+  * values — so the plumbing stays testable on any payload.
+  *
+  * Scale notes: decode is map-only (no shuffle); per-partition codec
+  * setup amortizes across the partition's rows, and the binary
+  * column never leaves the executor.
   */
 object Multimodal {
 
@@ -24,8 +29,10 @@ object Multimodal {
   def asMedia(content: Column, mime: Column): Column =
     struct(content.as("bytes"), mime.as("mime"))
 
-  /** STUB image decode — deterministic fake dimensions derived from
-    * the byte length. Real implementation: decode header bytes.
+  /** STUB image decode for non-image payloads — deterministic fake
+    * dimensions derived from the byte length, same shape as the real
+    * decoder's output. Kept for payloads `javax.imageio` cannot read
+    * (and as the engine-portable column form usable in pure SQL).
     */
   def decodeImageMeta(bytes: Column): Column = {
     val n = octet_length(bytes).cast("long")
@@ -35,39 +42,114 @@ object Multimodal {
       (pmod(n * 7, lit(480L)) + 1).as("height"))
   }
 
-  /** Partition-batched decode plumbing — the Scala twin of a
-    * `mapInPandas` decode stage: rows stream through `mapPartitions`
-    * so a real codec would amortize per-batch setup (model load,
-    * codec context) across the partition, and the binary payload
-    * never leaves the executor. The decode function itself is a STUB
-    * (deterministic fake); swapping in a real decoder changes only
-    * `decodeOne`. Output schema = input + `decoded struct<n_bytes
-    * bigint, width bigint, height bigint>`.
+  /** Partition-batched decode — the Scala twin of a `mapInPandas`
+    * decode stage: rows stream through `mapPartitions` so the codec
+    * amortizes per-batch setup across the partition, and the binary
+    * payload never leaves the executor. The default decoder is the
+    * REAL [[imageioDecode]]; pass [[stubDecode]] for non-image
+    * payloads. Output schema = input + `decoded struct<n_bytes
+    * bigint, width bigint, height bigint, px_mean bigint>`.
     */
   def decodeBatch(
       df: DataFrame,
       bytesCol: String)(
-      decodeOne: Array[Byte] => (Long, Long, Long) = stubDecode): DataFrame = {
+      decodeOne: Array[Byte] => (Long, Long, Long, Long) = imageioDecode): DataFrame = {
     val outSchema = StructType(df.schema.fields :+
       StructField("decoded", StructType(Seq(
         StructField("n_bytes", LongType, nullable = false),
         StructField("width", LongType, nullable = false),
-        StructField("height", LongType, nullable = false)))))
+        StructField("height", LongType, nullable = false),
+        StructField("px_mean", LongType, nullable = false)))))
     val idx = df.schema.fieldIndex(bytesCol)
     df.mapPartitions { rows =>
-      // per-partition setup for a real codec would go here
+      // per-partition setup for a heavier codec would go here
       rows.map { row =>
         val bytes = row.getAs[Array[Byte]](idx)
-        val (n, w, h) = decodeOne(bytes)
-        Row.fromSeq(row.toSeq :+ Row(n, w, h))
+        val (n, w, h, m) = decodeOne(bytes)
+        Row.fromSeq(row.toSeq :+ Row(n, w, h, m))
       }
     }(RowEncoder.encoderFor(outSchema))
   }
 
-  /** The deterministic fake decoder (mirrors [[decodeImageMeta]]). */
-  def stubDecode(bytes: Array[Byte]): (Long, Long, Long) = {
+  /** REAL image decode via the JDK's `javax.imageio` — dimensions
+    * read from the decoded image, `px_mean` = integer mean of the
+    * red channel over the full raster (exact for constant-fill test
+    * images; a cheap corruption/brightness screen for real ones).
+    * Throws with a clear message on undecodable bytes — route known
+    * non-image payloads through [[stubDecode]] instead.
+    */
+  def imageioDecode(bytes: Array[Byte]): (Long, Long, Long, Long) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null,
+      "imageioDecode: bytes are not a JVM-decodable image (png/jpeg/bmp/gif) — " +
+        "use stubDecode for non-image payloads")
+    val w = img.getWidth
+    val h = img.getHeight
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { sum += (img.getRGB(x, y) >>> 16) & 0xFF; x += 1 }
+      y += 1
+    }
+    (bytes.length.toLong, w.toLong, h.toLong, sum / (w.toLong * h.toLong))
+  }
+
+  /** The deterministic fake decoder (mirrors [[decodeImageMeta]]) —
+    * the declared fallback for payloads without a JVM codec.
+    */
+  def stubDecode(bytes: Array[Byte]): (Long, Long, Long, Long) = {
     val n = bytes.length.toLong
-    (n, n % 640 + 1, (n * 7) % 480 + 1)
+    (n, n % 640 + 1, (n * 7) % 480 + 1, (n * 13) % 256)
+  }
+
+  /** Encode one REAL grayscale PNG (`gray` ∈ 0..255 fills every
+    * channel of every pixel) — the deterministic test-image
+    * generator for the decode path: constant fill makes the decoded
+    * `px_mean` exactly `gray`, so an external oracle can predict the
+    * decoded values while the values themselves still come from
+    * parsing genuine PNG bytes.
+    */
+  def encodePng(w: Int, h: Int, gray: Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"PNG dims must be positive, got ${w}x$h")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val c = ((gray & 0xFF) << 16) | ((gray & 0xFF) << 8) | (gray & 0xFF)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, c); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Attach a real PNG per row (`mapPartitions`, map-only), with
+    * dimensions and fill taken from integer columns — test/bench
+    * scaffolding for the decode path when the corpus has no image
+    * payloads of its own.
+    */
+  def withTestPng(
+      df: DataFrame,
+      widthCol: String,
+      heightCol: String,
+      grayCol: String,
+      out: String = "img"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField(out, BinaryType))
+    val wi = df.schema.fieldIndex(widthCol)
+    val hi = df.schema.fieldIndex(heightCol)
+    val gi = df.schema.fieldIndex(grayCol)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val png = encodePng(
+          row.getAs[Number](wi).intValue(),
+          row.getAs[Number](hi).intValue(),
+          row.getAs[Number](gi).intValue())
+        Row.fromSeq(row.toSeq :+ png)
+      }
+    }(RowEncoder.encoderFor(outSchema))
   }
 
   /** STUB video frame-sample plan: byte offsets of every `everyN`-th
@@ -82,8 +164,8 @@ object Multimodal {
       i => i * frameBytes)
   }
 
-  /** STUB resize: output metadata for a target box preserving the
-    * fake aspect ratio (integer math only — engine-portable).
+  /** Resize plan: output metadata for a target box preserving the
+    * aspect ratio (integer math only — engine-portable).
     */
   def resizeMeta(meta: Column, maxSide: Int): Column = {
     val w = meta.getField("width")

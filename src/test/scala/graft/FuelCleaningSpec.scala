@@ -98,15 +98,40 @@ class FuelCleaningSpec extends SparkSpecBase {
     assert(split.rejected.collect().head.getAs[String]("_reject_reason") === "malformed json")
   }
 
-  test("decodeBatch (mapPartitions plumbing): stub decode over binary column") {
+  test("decodeBatch (mapPartitions plumbing): stub fallback over non-image binary column") {
     import spark.implicits._
     val df = Seq((1L, "hello world")).toDF("doc_id", "text")
       .withColumn("bytes", org.apache.spark.sql.functions.col("text").cast("binary"))
-    val out = graft.operators.Multimodal.decodeBatch(df, "bytes")()
+    val out = graft.operators.Multimodal.decodeBatch(df, "bytes")(
+      graft.operators.Multimodal.stubDecode)
     val r = out.select("decoded.*").collect().head
     assert(r.getAs[Long]("n_bytes") === 11L)
     assert(r.getAs[Long]("width") === 12L)  // 11 % 640 + 1
     assert(r.getAs[Long]("height") === 78L) // 77 % 480 + 1
+  }
+
+  test("decodeBatch default decodes REAL PNG bytes (dims + raster mean from javax.imageio)") {
+    import spark.implicits._
+    val df = Seq((1L, 20, 10, 37), (2L, 33, 48, 200)).toDF("doc_id", "w", "h", "g")
+    val out = graft.operators.Multimodal.decodeBatch(
+      graft.operators.Multimodal.withTestPng(df, "w", "h", "g"), "img")()
+    val got = out.select("doc_id", "decoded.width", "decoded.height", "decoded.px_mean")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === Set((1L, 20L, 10L, 37L), (2L, 33L, 48L, 200L)))
+    // the decoded n_bytes is the true PNG size, not the raster size —
+    // proof the bytes really are an encoded image, not a fake
+    val n = out.select("decoded.n_bytes").collect().map(_.getLong(0))
+    assert(n.forall(_ > 8L)) // beyond the PNG magic alone
+    // and the bytes carry the PNG signature
+    val sig = out.select("img").collect().map(_.getAs[Array[Byte]](0).take(4))
+    assert(sig.forall(s => (s(0) & 0xFF) == 0x89 && s(1) == 'P' && s(2) == 'N' && s(3) == 'G'))
+  }
+
+  test("imageioDecode rejects non-image bytes with a clear error") {
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Multimodal.imageioDecode("not an image".getBytes)
+    }
+    assert(e.getMessage.contains("stubDecode"))
   }
 
   test("nested API envelope explodes to flat rows (P1)") {
