@@ -1498,7 +1498,8 @@ object RelationalQueries {
         |  COALESCE(c.c_name, '(new)') AS name,
         |  CASE WHEN l.user_id IS NOT NULL THEN l.new_bal ELSE c.c_acctbal END AS bal
         |FROM customer c FULL OUTER JOIN latest l ON c.c_custkey = l.user_id
-        |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin)),
+        |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin),
+      headline = true),
     QueryDef("q_gap_fill", gapFill, Some(
       """WITH daily AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day,
@@ -1515,13 +1516,15 @@ object RelationalQueries {
         |  last_value(d.avg_value IGNORE NULLS) OVER (
         |    PARTITION BY s.user_id ORDER BY s.day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_value
-        |FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day""".stripMargin)),
+        |FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day""".stripMargin),
+      headline = true),
     QueryDef("q_topk_per_group", topKPerGroupQ, Some(
       """SELECT event_type, CAST(rn AS INTEGER) AS rk, event_id, value FROM (
         |  SELECT event_type, event_id, value,
         |    row_number() OVER (
         |      PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
-        |  FROM events) t WHERE rn <= 3""".stripMargin)),
+        |  FROM events) t WHERE rn <= 3""".stripMargin),
+      headline = true),
     QueryDef("q_unpivot", unpivotQ, Some(
       """SELECT p_partkey, 'retailprice' AS measure, p_retailprice AS val FROM part
         |UNION ALL

@@ -120,7 +120,7 @@ object SimilarityQueries {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_kmeans_sizes", kmeansSizes, None),
-    QueryDef("q_semdedup", semdedupQ, None),
+    QueryDef("q_semdedup", semdedupQ, None, headline = true),
     QueryDef("q_embed_quant", embedQuant, Some(embedQuantSql)),
     QueryDef("q_knn_cosine", knn, Some(
       s"""WITH scored AS (

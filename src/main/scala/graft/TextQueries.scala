@@ -730,7 +730,8 @@ object TextQueries {
         |SELECT d.doc_id,
         |  CAST(COALESCE(st.n_spans, 0) AS BIGINT) AS n_spans,
         |  CAST(COALESCE(st.dup_chars, 0) AS BIGINT) AS dup_chars
-        |FROM documents d LEFT JOIN stats st ON d.doc_id = st.doc_id""".stripMargin)),
+        |FROM documents d LEFT JOIN stats st ON d.doc_id = st.doc_id""".stripMargin),
+      headline = true),
     QueryDef("q_weighted_sample", weightedSampleQ, Some(
       s"""WITH q AS ($qualitySql)
          |SELECT doc_id, quality FROM q

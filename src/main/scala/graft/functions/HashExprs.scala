@@ -39,6 +39,14 @@ object HashExprs {
   def shingleHashes(tokenHashes: Column, k: Int): Column =
     Bridge.column(ShingleHashExpr(Bridge.expression(tokenHashes), k))
 
+  /** Column API: per-position `l`-char-gram hashes of a string
+    * (rolling hash — one O(|text|) pass; the composed
+    * `md5(substr(...))` -per-position form is O(|text|·l) substring
+    * builds plus 32-byte hex keys on every downstream shuffle).
+    */
+  def charGramHashes(text: Column, l: Int): Column =
+    Bridge.column(CharGramHashExpr(Bridge.expression(text), l))
+
   /** Expose the native expressions to the SQL surface:
     * `graft_minhash_sig(array<long>)`, `graft_simhash64(array<long>)`,
     * `graft_cosine(array<float|double>, array<float|double>)`,
@@ -194,6 +202,65 @@ case class ShingleHashExpr(child: Expression, k: Int)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Per-position `l`-char-gram hashes of a string in ONE rolling pass:
+  * `poly(i) = Σ s[i+j]·B^(l-1-j) (mod 2^64)` maintained by the
+  * standard Rabin–Karp update, finalized through a splitmix64-style
+  * mixer so the output disperses like a general-purpose hash. 64-bit
+  * collisions mark a false duplicate gram with probability ~n²/2⁶⁵
+  * over n corpus grams — the same odds the shingle join accepts, and
+  * the price of replacing a per-position md5 (O(l) work and a 32-byte
+  * hex key each) with O(1) work and an 8-byte key. Inputs shorter
+  * than `l` yield an empty array.
+  */
+case class CharGramHashExpr(child: Expression, l: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    CharGramHashExpr.compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], l)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CharGramHashExpr.compute($c, $l);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CharGramHashExpr {
+  private final val B = 1099511628211L // FNV-64 prime as the poly base
+
+  private def mix(v: Long): Long = {
+    var z = v + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  def compute(s: org.apache.spark.unsafe.types.UTF8String, l: Int): ArrayData = {
+    // char-level grams (matching substr/length semantics, which the
+    // DuckDB oracle shares) — one decode pass, then O(1) per position
+    val str = s.toString
+    val n = str.length
+    if (n < l) return new GenericArrayData(Array.empty[Long])
+    var pow = 1L
+    var i = 0
+    while (i < l - 1) { pow *= B; i += 1 }
+    val out = new Array[Long](n - l + 1)
+    var h = 0L
+    i = 0
+    while (i < l) { h = h * B + str.charAt(i); i += 1 }
+    out(0) = mix(h)
+    i = 1
+    while (i + l <= n) {
+      h = (h - str.charAt(i - 1) * pow) * B + str.charAt(i + l - 1)
+      out(i) = mix(h)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 object ShingleHashExpr {

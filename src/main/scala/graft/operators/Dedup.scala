@@ -481,13 +481,16 @@ object Dedup {
       textCol: String,
       l: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // One rolling-hash pass per doc (native CharGramHashExpr):
+    // O(|text|) hashing instead of O(|text|·l) substring builds, and
+    // 8-byte gram keys on the duplicate-marking shuffle instead of
+    // 32-byte md5 hex (the hash only partitions grams — any
+    // collision-negligible hash yields the same spans).
     val grams = docs
       .filter(length(col(textCol)) >= l)
       .select(col(idCol).as("doc_id"),
-        explode(sequence(lit(0), length(col(textCol)) - l)).as("pos"),
-        col(textCol).as("__t"))
-      .select(col("doc_id"), col("pos"),
-        md5(col("__t").substr(col("pos") + 1, lit(l)).cast("binary")).as("__h"))
+        posexplode(graft.functions.HashExprs.charGramHashes(col(textCol), l))
+          .as(Seq("pos", "__h")))
     // Duplicate marking WITHOUT a per-hash sort: count + first
     // occurrence are one hash aggregate (struct min orders by
     // (doc_id, pos) — partial aggregation collapses hot grams

@@ -66,27 +66,32 @@ object Sketches {
       .agg(theta_sketch_agg(col(valueCol), lit(lgK)).as("sketch"))
 
   /** Per-group distinct estimates from persisted partials (union
-    * merge — the serving path, scans only sketches).
+    * merge — the serving path, scans only sketches). `lgK` must
+    * match the build ([[thetaPartials]]): a union at a smaller lgK
+    * silently DOWNSAMPLES the partials, losing the accuracy the
+    * build paid for.
     */
-  def thetaMerge(partials: DataFrame, groupCols: Seq[String]): DataFrame =
+  def thetaMerge(partials: DataFrame, groupCols: Seq[String], lgK: Int = 12): DataFrame =
     partials.groupBy(groupCols.map(col): _*)
-      .agg(theta_sketch_estimate(theta_union_agg(col("sketch"), lit(12)))
+      .agg(theta_sketch_estimate(theta_union_agg(col("sketch"), lit(lgK)))
         .cast("long").as("approx_distinct"))
 
   /** Set algebra between two groups' audiences: distinct-count
     * estimates of A∩B, A\B, B\A — each group's slices union-merged,
     * then one scalar intersection/difference over the two 1-row
-    * sketches (the crossJoin is 1×1).
+    * sketches (the crossJoin is 1×1). `lgK` must match the build
+    * (see [[thetaMerge]]).
     */
   def thetaOverlap(
       partials: DataFrame,
       groupCol: String,
       groupA: String,
-      groupB: String): DataFrame = {
+      groupB: String,
+      lgK: Int = 12): DataFrame = {
     val a = partials.filter(col(groupCol) === groupA)
-      .agg(theta_union_agg(col("sketch"), lit(12)).as("__sa"))
+      .agg(theta_union_agg(col("sketch"), lit(lgK)).as("__sa"))
     val b = partials.filter(col(groupCol) === groupB)
-      .agg(theta_union_agg(col("sketch"), lit(12)).as("__sb"))
+      .agg(theta_union_agg(col("sketch"), lit(lgK)).as("__sb"))
     a.crossJoin(b).select(
       theta_sketch_estimate(theta_intersection(col("__sa"), col("__sb")))
         .cast("long").as("both"),
@@ -101,17 +106,29 @@ object Sketches {
   // The frequency sibling: per-slice CMS blobs answer "how often did
   // item X occur" with bounded overestimate (err ≤ eps·N at the given
   // confidence, never under). Build is Spark's native
-  // `count_min_sketch` aggregate per slice; serving merges the
-  // (bounded: one ~KB blob per slice) sketch table on the driver —
-  // the same bounded-collect pattern as [[graft.operators.BloomJoin]]
-  // — and answers point queries in O(depth).
+  // `count_min_sketch` aggregate per slice; serving merges the sketch
+  // table on the driver — the same bounded-collect pattern as
+  // [[graft.operators.BloomJoin]] — and answers point queries in
+  // O(depth).
+  //
+  // SIZE the eps to the slice count: a blob is
+  // `width·depth·8 B` long counters with `width = ceil(2/eps)` and
+  // `depth = ceil(log2(1/(1-confidence)))` (Spark's CountMinSketch
+  // arithmetic) — at the default (eps 1e-3, confidence .99: width
+  // 2 000, depth 7) ≈ 112 KB per slice, so a thousand slices collect
+  // ~112 MB on the driver. eps 1e-4 is 10× that (~1.1 MB/blob) —
+  // only pair it with few slices, or merge in-plan before
+  // collecting.
 
-  /** One CMS blob per slice — the persistable build pass. */
+  /** One CMS blob per slice — the persistable build pass. Blob size
+    * = `ceil(2/eps)·ceil(log2(1/(1-confidence)))·8 B` (see object
+    * note); the default is ~112 KB.
+    */
   def cmsPartials(
       df: DataFrame,
       sliceCol: String,
       valueCol: String,
-      eps: Double = 0.0001,
+      eps: Double = 0.001,
       confidence: Double = 0.99,
       seed: Int = 42): DataFrame =
     df.groupBy(col(sliceCol))
@@ -120,13 +137,17 @@ object Sketches {
 
   /** Merge persisted CMS partials into one queryable sketch. Driver-
     * bounded by construction: the input is the sketch TABLE (one row
-    * per slice), never the raw data.
+    * per slice, blob size per [[cmsPartials]]), never the raw data.
     */
-  def cmsMerge(partials: DataFrame): org.apache.spark.util.sketch.CountMinSketch =
-    partials.select(col("sketch")).collect()
+  def cmsMerge(partials: DataFrame): org.apache.spark.util.sketch.CountMinSketch = {
+    val blobs = partials.select(col("sketch")).collect()
+    require(blobs.nonEmpty,
+      "cmsMerge: no CMS partials to merge — nothing was sketched (empty slice table)")
+    blobs
       .map(r => org.apache.spark.util.sketch.CountMinSketch.readFrom(
         r.getAs[Array[Byte]](0)))
       .reduce { (x, y) => x.mergeInPlace(y); x }
+  }
 
   //
   // The quantile sibling of the HLL pattern: per-slice bin-count

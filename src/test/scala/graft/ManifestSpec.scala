@@ -59,6 +59,24 @@ class ManifestSpec extends SparkSpecBase {
     assert(out.count() === 0L)
   }
 
+  test("compact → prunedRead: stale manifest fails fast with a rebuild instruction") {
+    val dir = java.nio.file.Files.createTempDirectory("mani_data").toString
+    writeZ(dir)
+    val m = graft.operators.Materialize(Manifest.build(spark, dir, Seq("a", "b")))
+    // the rewrite the manifest doesn't know about
+    graft.sources.Compact.compact(spark, dir, targetBytes = 1L << 20)
+    val ranges = Map("a" -> (lit(8L), lit(15L)), "b" -> (lit(16L), lit(23L)))
+    // never a FileNotFoundException mid-job: the consult detects the
+    // rewrite BEFORE scheduling any data task
+    val e = intercept[IllegalStateException] {
+      Manifest.prunedRead(spark, m, ranges).count()
+    }
+    assert(e.getMessage.contains("STALE") && e.getMessage.contains("rebuild"))
+    // opt-in recovery: re-catalog in place and return exact rows
+    val rebuilt = Manifest.prunedRead(spark, m, ranges, onStale = "rebuild")
+    assert(rebuilt.count() === 64L)
+  }
+
   test("write/read round-trip: persisted manifest drives the same pruning") {
     val dir = java.nio.file.Files.createTempDirectory("mani_data").toString
     val mdir = java.nio.file.Files.createTempDirectory("mani_meta").toString

@@ -139,4 +139,62 @@ class SketchesSpec extends SparkSpecBase {
     // dense lgK=12 HLL serializes at ~4.1 KB, row count notwithstanding
     assert(sizes.nonEmpty && sizes.forall(_ <= 8192))
   }
+
+  test("CMS default blob size matches the documented arithmetic (~112 KB)") {
+    val toks = df.select(col("slice"), concat(lit("m"), col("member")).as("token"))
+    val sizes = Sketches.cmsPartials(toks, "slice", "token")
+      .select(length(col("sketch")).as("len")).as[Int].collect()
+    // width = ceil(2/eps) = 2000, depth = ceil(log2(1/(1-conf))) = 7,
+    // 8-byte long counters → 112 KB + small header; NOT "one ~KB blob"
+    val expected = 2000 * 7 * 8
+    assert(sizes.nonEmpty && sizes.forall(s => s >= expected && s <= expected + 4096),
+      s"blob sizes ${sizes.distinct.toSeq} vs documented ~$expected")
+  }
+
+  test("cmsMerge on an empty slice table fails with a clear message, not empty.reduce") {
+    val empty = df.filter(lit(false))
+      .select(col("slice"), col("member").cast("string").as("token"))
+    val e = intercept[IllegalArgumentException] {
+      Sketches.cmsMerge(Sketches.cmsPartials(empty, "slice", "token"))
+    }
+    assert(e.getMessage.contains("no CMS partials"))
+  }
+
+  test("thetaMerge/thetaOverlap honor a non-default lgK (no silent downsample)") {
+    // lgK 16 partials merged at lgK 16: estimates stay exact-mode for
+    // this cardinality (1777 distinct < 2^16 nominal entries)
+    val parts = Sketches.thetaPartials(df, Seq("grp"), "slice", "member", lgK = 16)
+    val merged = Sketches.thetaMerge(parts, Seq("grp"), lgK = 16)
+      .as[(String, Long)].collect().toMap
+    val exact = df.groupBy("grp").agg(count_distinct(col("member")).as("n"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (g, n) =>
+      assert(math.abs(merged(g) - n).toDouble / n < 0.02,
+        s"$g: est ${merged(g)} vs exact $n at lgK 16")
+    }
+    val ov = Sketches.thetaOverlap(parts, "grp", "g1", "g2", lgK = 16)
+    assert(ov.columns.toSeq === Seq("both", "only_a", "only_b"))
+  }
+
+  test("theta overlap on the events corpus lands within 3 sigma of the exact SQL counts (sf0.001)") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_type"), col("ts").cast("date").as("day"), col("user_id"))
+    val parts = Sketches.thetaPartials(ev, Seq("event_type"), "day", "user_id")
+    val got = Sketches.thetaOverlap(parts, "event_type", "click", "purchase")
+      .as[(Long, Long, Long)].head()
+    def users(t: String) = ev.filter(col("event_type") === t)
+      .select("user_id").as[Long].collect().toSet
+    val (a, b) = (users("click"), users("purchase"))
+    // published theta RSE at lgK 12 is 1/sqrt(2^12) ≈ 1.5625%; 3σ ≈
+    // 4.69% of the estimated set's size (exact-mode sketches — small
+    // corpora — land at 0)
+    def within3Sigma(est: Long, exact: Int): Unit = {
+      val sigma3 = 3.0 / math.sqrt(1 << 12) * math.max(exact, 1)
+      assert(math.abs(est - exact) <= math.max(sigma3, 1.0),
+        s"est $est vs exact $exact (3 sigma = $sigma3)")
+    }
+    within3Sigma(got._1, (a & b).size)
+    within3Sigma(got._2, (a -- b).size)
+    within3Sigma(got._3, (b -- a).size)
+  }
 }
