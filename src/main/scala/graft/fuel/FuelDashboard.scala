@@ -101,7 +101,7 @@ object FuelDashboard {
     }.mkString("\n")
     val more = if (dropped > 0) s"""<span class="key muted">+$dropped more not shown</span>""" else ""
     val legend = series.zipWithIndex.map { case ((name, _), i) =>
-      s"""<span class="key"><svg width="10" height="10"><rect width="10" height="10" rx="2" class="s$i"/></svg> ${esc(name)}</span>"""
+      s"""<span class="key" data-series="s$i" role="button" tabindex="0" title="click to toggle"><svg width="10" height="10"><rect width="10" height="10" rx="2" class="s$i"/></svg> ${esc(name)}</span>"""
     }.mkString(" ") + more
     s"""<svg viewBox="0 0 $w $h" role="img" aria-label="price over time per fuel type">$axes$lines</svg>
        |<div class="legend">$legend</div>""".stripMargin
@@ -113,18 +113,26 @@ object FuelDashboard {
     s"<table><thead><tr>$th</tr></thead><tbody>$trs</tbody></table>"
   }
 
-  /** Assemble the full document. All inputs are already chart-sized. */
+  /** Assemble the full document. All inputs are already chart-sized.
+    * `refreshSecs > 0` adds a meta-refresh: with the pipeline
+    * atomically republishing the file per micro-batch, the browser
+    * polls its way to the same live-updating view the reference's
+    * Dash interval callback produces — still zero dependencies.
+    */
   def html(
       bar: Seq[(String, Double)],
       line: Seq[(String, Seq[(Long, Double)])],
       stationHeader: Seq[String],
       stationRows: Seq[Seq[String]],
-      generatedAt: String): String = {
+      generatedAt: String,
+      refreshSecs: Int = 0): String = {
     val seriesCssLight = SeriesLight.zipWithIndex
       .map { case (c, i) => s".s$i{fill:$c;stroke:$c}" }.mkString
     val seriesCssDark = SeriesDark.zipWithIndex
       .map { case (c, i) => s".s$i{fill:$c;stroke:$c}" }.mkString
-    s"""<!doctype html><html><head><meta charset="utf-8">
+    val refresh =
+      if (refreshSecs > 0) s"""<meta http-equiv="refresh" content="$refreshSecs">""" else ""
+    s"""<!doctype html><html><head><meta charset="utf-8">$refresh
        |<title>graft fuel dashboard</title>
        |<style>
        |body{color-scheme:light;background:#fcfcfb;color:#0b0b0b;
@@ -135,6 +143,8 @@ object FuelDashboard {
        |.bar{fill:#2a78d6}.axis{stroke:#d8d7d2;stroke-width:1}
        |$seriesCssLight
        |.legend{margin-top:.3rem}.key{margin-right:.8rem;white-space:nowrap}
+       |.key[data-series]{cursor:pointer}.key.off{opacity:.35}
+       |#stfilter{font:inherit;padding:2px 6px}
        |table{border-collapse:collapse;width:100%;font-size:12px}
        |td,th{border-bottom:1px solid #e5e4df;padding:3px 6px;text-align:left}
        |@media (prefers-color-scheme: dark){
@@ -151,7 +161,28 @@ object FuelDashboard {
        |<h2>Price over time</h2>
        |${svgLine(line)}
        |<h2>Latest prices per station</h2>
+       |<p><input id="stfilter" type="search" placeholder="filter stations…" aria-label="filter stations"></p>
        |${tableHtml(stationHeader, stationRows)}
+       |<script>
+       |// Browser-side interactivity, dependency-free (the Dash-app
+       |// behaviors that matter: series toggling + table filtering).
+       |document.querySelectorAll('.key[data-series]').forEach(function (k) {
+       |  k.addEventListener('click', function () {
+       |    var cls = k.dataset.series;
+       |    var off = k.classList.toggle('off');
+       |    document.querySelectorAll('svg .' + cls).forEach(function (el) {
+       |      el.style.visibility = off ? 'hidden' : 'visible';
+       |    });
+       |  });
+       |});
+       |var f = document.getElementById('stfilter');
+       |if (f) f.addEventListener('input', function () {
+       |  var q = f.value.toLowerCase();
+       |  document.querySelectorAll('tbody tr').forEach(function (tr) {
+       |    tr.style.display = tr.textContent.toLowerCase().indexOf(q) >= 0 ? '' : 'none';
+       |  });
+       |});
+       |</script>
        |</body></html>""".stripMargin
   }
 
@@ -166,7 +197,8 @@ object FuelDashboard {
       stations: DataFrame,
       maxStations: Int = 20,
       generatedAt: String = "n/a",
-      precomputedQMap: Option[DataFrame] = None): String = {
+      precomputedQMap: Option[DataFrame] = None,
+      refreshSecs: Int = 0): String = {
     val bar = FuelQueries.qBar(prices)
       .orderBy("fueltype")
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toSeq
@@ -188,7 +220,8 @@ object FuelDashboard {
       .select(col("name"), col("brand"),
         regexp_replace(col("fuelinfo_agg"), "<br>", "; ").as("prices"))
       .collect().map(r => Seq(r.getString(0), r.getString(1), r.getString(2))).toSeq
-    html(bar, line, Seq("station", "brand", "latest prices"), stationRows, generatedAt)
+    html(bar, line, Seq("station", "brand", "latest prices"), stationRows, generatedAt,
+      refreshSecs)
   }
 
   /** Atomic publish: write to a temp sibling, then rename — readers

@@ -167,7 +167,10 @@ object FuelPipeline {
             try FuelDashboard.writeAtomic(p, FuelDashboard.render(
               pricesNow, stationsNow,
               generatedAt = java.time.Instant.now().toString,
-              precomputedQMap = Some(qm)))
+              precomputedQMap = Some(qm),
+              // browser polls the republished file ≈ the Dash
+              // interval callback's live refresh
+              refreshSecs = 2))
             catch { case e: Throwable =>
               System.err.println(s"[pipeline] dashboard publish failed: ${e.getMessage}")
             }

@@ -135,18 +135,22 @@ object Sketches {
       .agg(count_min_sketch(col(valueCol), lit(eps), lit(confidence), lit(seed))
         .as("sketch"))
 
-  /** Merge persisted CMS partials into one queryable sketch. Driver-
-    * bounded by construction: the input is the sketch TABLE (one row
-    * per slice, blob size per [[cmsPartials]]), never the raw data.
+  /** Merge persisted CMS partials into one queryable sketch — IN
+    * PLAN: the union runs as partial/final aggregation on the
+    * executors ([[graft.functions.CmsUnionExpr]]; CMS union is
+    * cell-wise addition, so the merge tree is associative), and only
+    * the single merged blob reaches the driver — never one blob per
+    * slice (a thousand slices at the default config would otherwise
+    * collect ~112 MB).
     */
   def cmsMerge(partials: DataFrame): org.apache.spark.util.sketch.CountMinSketch = {
-    val blobs = partials.select(col("sketch")).collect()
-    require(blobs.nonEmpty,
+    val merged = partials
+      .agg(graft.functions.CmsUnionExpr.cmsUnion(col("sketch")).as("merged"))
+      .head.getAs[Array[Byte]]("merged")
+    require(merged != null,
       "cmsMerge: no CMS partials to merge — nothing was sketched (empty slice table)")
-    blobs
-      .map(r => org.apache.spark.util.sketch.CountMinSketch.readFrom(
-        r.getAs[Array[Byte]](0)))
-      .reduce { (x, y) => x.mergeInPlace(y); x }
+    org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(merged))
   }
 
   //

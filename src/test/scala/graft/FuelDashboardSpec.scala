@@ -35,6 +35,22 @@ class FuelDashboardSpec extends SparkSpecBase {
     assert(html.contains("prefers-color-scheme: dark") && html.contains("#3987e5"))
   }
 
+  test("interactivity ships dependency-free: series toggles, table filter, optional live refresh") {
+    val html = FuelDashboard.render(prices, stations, maxStations = 5, generatedAt = "test")
+    // legend keys are toggle targets wired by the inline script
+    assert(html.contains("data-series=\"s0\""))
+    assert(html.contains("classList.toggle"))
+    // client-side station filter input + handler
+    assert(html.contains("id=\"stfilter\"") && html.contains("addEventListener('input'"))
+    // still fully self-contained (no external script/src fetches)
+    assert(!html.contains("src=") && !html.contains("http://"))
+    // no refresh by default; per-tick republish opts into browser polling
+    assert(!html.contains("http-equiv"))
+    val live = FuelDashboard.render(prices, stations, maxStations = 5,
+      generatedAt = "test", refreshSecs = 2)
+    assert(live.contains("""<meta http-equiv="refresh" content="2">"""))
+  }
+
   test("writeAtomic publishes whole files under the final name") {
     val dir = java.nio.file.Files.createTempDirectory("dash").toString
     val p = s"$dir/index.html"

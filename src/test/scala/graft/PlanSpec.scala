@@ -88,4 +88,35 @@ class PlanSpec extends SparkSpecBase {
     val q21 = planOf(SparkEntry.queries("q21_waiting_supplier")(spark, sf))
     assert("lineitem".r.findAllIn(q21).size === 1, q21.take(800))
   }
+
+  test("CDC merge: exactly one full-outer equi-join, no window over the base") {
+    val plan = planOf(SparkEntry.queries("q_merge_upsert")(spark, sf))
+    assert(plan.contains("FullOuter"), plan.take(800))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+    // compaction is the max_by aggregate, not a row_number window
+    assert(!plan.contains("row_number"), plan.take(800))
+    assert(plan.contains("max_by"), plan.take(800))
+  }
+
+  test("heap top-k-per-group plans the bounded aggregate, not a window sort") {
+    val plan = planOf(SparkEntry.queries("q_topk_per_group")(spark, sf))
+    // TypedImperativeAggregate executes as ObjectHashAggregate with
+    // partial/final phases — ≤k pairs per group cross the exchange
+    assert(plan.contains("ObjectHashAggregate"), plan.take(800))
+    assert(!plan.contains("Window"), plan.take(800))
+  }
+
+  test("gap fill: per-key bounded windows only (no global orderBy window)") {
+    val plan = planOf(SparkEntry.queries("q_gap_fill")(spark, sf))
+    // every windowspec must carry a partition key — an empty
+    // partitionBy would serialize the whole spine through one task
+    val specs = "windowspecdefinition\\(([^,]*)".r.findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(specs.nonEmpty, plan.take(800))
+    assert(specs.forall(s => s.contains("user_id")), s"window specs: $specs")
+  }
+
+  test("exact-substring dedup: no per-gram-hash window anywhere in the executed plan") {
+    val plan = planOf(SparkEntry.queries("q_dup_spans")(spark, sf))
+    assert(!plan.contains("windowspecdefinition(__h"), plan.take(800))
+  }
 }
