@@ -119,6 +119,33 @@ object TextQueries {
   private def epochShuffle(s: SparkSession, d: String): DataFrame =
     Sampling.epochOrder(Tables.documents(s, d).select(col("doc_id")), "doc_id")
 
+  /** Temperature-smoothed (α = 1/2) language mixture
+    * ([[Sampling.sqrtTemperatureSample]]): sampled per-language sizes
+    * ∝ sqrt(original) — large languages damped, smallest kept whole —
+    * decided in exact integer arithmetic (h²·n < minN·M²), so the
+    * oracle reproduces every boundary row.
+    */
+  private def temperatureSampleQ(s: SparkSession, d: String): DataFrame =
+    Sampling.sqrtTemperatureSample(
+        Tables.documents(s, d).select(col("doc_id"), col("lang")), "lang", "doc_id")
+      .select("doc_id", "lang")
+
+  /** Cross-corpus line dedup ([[Dedup.dedupCorpusLines]]) over a
+    * deterministically line-structured corpus: each doc becomes
+    * 60-char-prefix line + a planted shared boilerplate line + the
+    * full text — so the banner survives only in the globally first
+    * doc, and prefix lines dedup exactly where near-dup docs share
+    * their opening.
+    */
+  private def corpusLineDedupQ(s: SparkSession, d: String): DataFrame = {
+    val banner = "graft cookie banner: accept all cookies to continue"
+    val lined = Tables.documents(s, d).select(
+      col("doc_id"),
+      concat(substring(col("text"), 1, 60), lit("\n"), lit(banner),
+        lit("\n"), col("text")).as("text"))
+    Dedup.dedupCorpusLines(lined, "doc_id", "text")
+  }
+
   /** Deterministic 90/10 train/validation split. */
   private def trainSplit(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
@@ -737,6 +764,40 @@ object TextQueries {
          |SELECT doc_id, quality FROM q
          |WHERE (((doc_id % 2147483647) * 2654435761) % 2147483647)
          |    < quality * 2147483647.0""".stripMargin)),
+    QueryDef("q_temperature_sample", temperatureSampleQ, Some(
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |mn AS (SELECT min(n) AS mn FROM c)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN c USING (lang) CROSS JOIN mn
+        |WHERE CAST(((d.doc_id % 2147483647) * 2654435761) % 2147483647 AS HUGEINT)
+        |    * CAST(((d.doc_id % 2147483647) * 2654435761) % 2147483647 AS HUGEINT)
+        |    * n
+        |  < CAST(mn AS HUGEINT) * 2147483647 * 2147483647""".stripMargin)),
+    QueryDef("q_corpus_line_dedup", corpusLineDedupQ, Some(
+      """WITH lined AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 60) || chr(10) ||
+        |    'graft cookie banner: accept all cookies to continue' || chr(10) ||
+        |    text AS text
+        |  FROM documents),
+        |src AS (SELECT doc_id, str_split(text, chr(10)) AS ls FROM lined),
+        |lines AS (SELECT doc_id, CAST(u.i AS INTEGER) - 1 AS idx, ls[CAST(u.i AS INTEGER)] AS l
+        |  FROM src, unnest(range(1, len(ls) + 1)) AS u(i)),
+        |marked AS (SELECT doc_id, idx FROM (
+        |    SELECT doc_id, idx,
+        |      count(*) OVER (PARTITION BY l) AS c,
+        |      row_number() OVER (PARTITION BY l ORDER BY doc_id, idx) AS rn
+        |    FROM lines WHERE length(l) >= 5) t
+        |  WHERE c > 1 AND rn > 1),
+        |kept AS (
+        |  SELECT li.doc_id, li.idx, li.l
+        |  FROM lines li LEFT JOIN marked m ON li.doc_id = m.doc_id AND li.idx = m.idx
+        |  WHERE m.doc_id IS NULL)
+        |SELECT l2.doc_id, COALESCE(k.text, '') AS text
+        |FROM lined l2 LEFT JOIN (
+        |  SELECT doc_id, string_agg(l, chr(10) ORDER BY idx) AS text
+        |  FROM kept GROUP BY doc_id) k
+        |  USING (doc_id)""".stripMargin)),
     QueryDef("q_multimodal_frames", multimodalFrames, Some(
       """WITH dims AS (
         |  SELECT doc_id,

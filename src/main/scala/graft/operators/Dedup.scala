@@ -555,6 +555,57 @@ object Dedup {
       (if (c == textCol) col("__cleaned") else docs(c)).as(c)): _*)
   }
 
+  /** Cross-corpus LINE dedup — the CCNet-style boilerplate scrub:
+    * a line that occurs verbatim in more than one place ANYWHERE in
+    * the corpus (nav bars, cookie banners, license footers) keeps
+    * only its globally first occurrence (min doc id, then line
+    * index); every other copy is dropped from its document. The
+    * corpus-level sibling of [[TextAnalysis.dedupLines]] (intra-doc)
+    * and the line-granular sibling of [[duplicateSpans]].
+    *
+    * Lines shorter than `minLineLen` chars never participate (too
+    * generic to be meaningful boilerplate — and blank separators
+    * must survive).
+    *
+    * Scale shape: lines travel as 8-byte xxhash64 keys; duplicate
+    * marking is the same hot-key-safe aggregate+join as
+    * [[duplicateSpans]] (map-side partials absorb a cookie banner
+    * that appears 10⁸ times — no per-line sort); the drop set
+    * returns to each doc as one (doc, line-index array) row, so
+    * document text itself never shuffles. Hash collisions merge two
+    * distinct lines' occurrence sets with probability ~n²/2⁶⁴ —
+    * the standing 64-bit trade.
+    */
+  def dedupCorpusLines(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLineLen: Int = 5): DataFrame = {
+    val lines = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("idx", "l")))
+      .filter(length(col("l")) >= minLineLen)
+      .select(col("doc_id"), col("idx"), xxhash64(col("l")).as("__h"))
+    val firsts = lines.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__c"),
+        min(struct(col("doc_id"), col("idx"))).as("__first"))
+      .filter(col("__c") > 1)
+      .select(col("__h"), col("__first"))
+    val marked = lines.join(firsts, Seq("__h"))
+      .filter(col("doc_id") =!= col("__first.doc_id") ||
+        col("idx") =!= col("__first.idx"))
+      .select("doc_id", "idx")
+    val drops = marked.groupBy(col("doc_id"))
+      .agg(collect_list(col("idx")).as("__drop"))
+    val t = col(textCol)
+    val cleaned = array_join(
+      filter(split(t, "\n"), (l, i) => !array_contains(col("__drop"), i)), "\n")
+    val out = docs.join(drops, docs(idCol) === drops("doc_id"), "left")
+      .withColumn("__cleaned", when(col("__drop").isNull, t).otherwise(cleaned))
+    out.select(docs.columns.map(c =>
+      (if (c == textCol) col("__cleaned") else docs(c)).as(c)): _*)
+  }
+
   /** Train/eval decontamination: for each eval doc, the fraction of
     * its distinct word `n`-grams that appear ANYWHERE in the train
     * corpus — the published benchmark-leakage check (an eval doc

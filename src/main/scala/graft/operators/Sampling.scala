@@ -141,4 +141,31 @@ object Sampling {
     }
     df.filter(keep)
   }
+
+  /** Temperature-smoothed mixture sampling at α = 1/2: sampled
+    * per-source sizes become proportional to `sqrt(n_source)` — the
+    * published smoothing for multilingual/multi-source pretraining
+    * mixes (large sources are damped, the SMALLEST source is kept
+    * whole; rarer slices thus gain relative share without
+    * duplication). Per-source keep rate `r_g = sqrt(minN / n_g)`,
+    * decided by the same deterministic id hash as [[hashSample]].
+    *
+    * Exactness trick: `h < r_g·M ⟺ h²·n_g < minN·M²` (h ≥ 0), so
+    * the decision is pure integer arithmetic in DECIMAL(38) —
+    * `h² < 2⁶²`, times a count — and NO floating `pow`/`sqrt` whose
+    * last-ulp differences between engines would flip boundary rows.
+    * Cost: one tiny per-source count aggregate (|sources| rows,
+    * broadcast back), then a map-only filter — filtering 100 TB
+    * stays a scan.
+    */
+  def sqrtTemperatureSample(df: DataFrame, groupCol: String, id: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val minN = counts.agg(min(col("__n")).as("__minn"))
+    val m = lit(2147483647L).cast("decimal(38,0)")
+    val h = idHash(col(id)).cast("decimal(38,0)")
+    df.join(broadcast(counts), Seq(groupCol))
+      .crossJoin(broadcast(minN)) // 1-row scalar anchor
+      .filter(h * h * col("__n") < col("__minn") * m * m)
+      .drop("__n", "__minn")
+  }
 }

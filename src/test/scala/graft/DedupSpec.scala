@@ -231,6 +231,27 @@ class DedupSpec extends SparkSpecBase {
     assert(out.columns.toSeq === df.columns.toSeq)
   }
 
+  test("dedupCorpusLines: shared boilerplate survives only in its first occurrence") {
+    val banner = "SHARED COOKIE BANNER LINE"
+    val df = Seq(
+      (1L, s"doc one unique opening\n$banner\ndoc one unique closing"),
+      (2L, s"doc two other opening\n$banner\ndoc two other closing"),
+      (3L, s"$banner\ndoc three body"),
+      (4L, "no boilerplate here at all\nju\nst original lines"))
+      .toDF("doc_id", "text")
+    val cleaned = Dedup.dedupCorpusLines(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cleaned(1L).contains(banner)) // global first occurrence kept
+    assert(!cleaned(2L).contains(banner))
+    assert(!cleaned(3L).contains(banner))
+    assert(cleaned(2L) === "doc two other opening\ndoc two other closing")
+    assert(cleaned(3L) === "doc three body")
+    // short lines ("ju" < minLineLen) never participate
+    assert(cleaned(4L) === "no boilerplate here at all\nju\nst original lines")
+    // schema preserved
+    assert(Dedup.dedupCorpusLines(df, "doc_id", "text").columns.toSeq === df.columns.toSeq)
+  }
+
   test("fingerprint is whitespace-normalization-invariant but content-sensitive") {
     val df = Seq(
       (1L, "alpha beta gamma"),

@@ -41,6 +41,29 @@ class PackingSamplingSpec extends SparkSpecBase {
     assert(got === Array(0L))
   }
 
+  test("sqrtTemperatureSample: sampled sizes track sqrt(n), smallest source kept whole") {
+    import spark.implicits._
+    // skewed sources: 400 / 100 / 25 rows
+    val df = ((1L to 400L).map(i => (i, "web")) ++
+      (401L to 500L).map(i => (i, "books")) ++
+      (501L to 525L).map(i => (i, "code"))).toDF("id", "src")
+    val kept = graft.operators.Sampling.sqrtTemperatureSample(df, "src", "id")
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    // smallest source survives in full
+    assert(kept("code") === 25L)
+    // others land near sqrt(minN * n): sqrt(25*400)=100, sqrt(25*100)=50
+    // (hash-Bernoulli, so allow sampling slack)
+    assert(math.abs(kept("web") - 100L) <= 25, s"web kept ${kept("web")}")
+    assert(math.abs(kept("books") - 50L) <= 18, s"books kept ${kept("books")}")
+    // deterministic: second run selects the identical rows
+    val a = graft.operators.Sampling.sqrtTemperatureSample(df, "src", "id")
+      .select("id").as[Long].collect().toSet
+    val b = graft.operators.Sampling.sqrtTemperatureSample(
+        df.repartition(7), "src", "id")
+      .select("id").as[Long].collect().toSet
+    assert(a === b)
+  }
+
   test("hashSample: deterministic across runs and repartitioning; rate ~ num/den") {
     val df = (0L until 2000L).toDF("id")
     val a = Sampling.hashSample(df, "id", 1, 5).as[Long].collect().toSet

@@ -83,6 +83,32 @@ class PropertySpec extends SparkSpecBase {
     })
   }
 
+  test("prop: CharGramHashExpr rolling hashes equal the direct per-position recompute") {
+    // The rolling update h' = (h - s[i]·B^(l-1))·B + s[i+l] is the
+    // subtle arithmetic; pin it against the naive O(n·l) per-window
+    // fold on random strings (incl. repeats and non-ASCII chars).
+    val genStr = Gen.listOfN(40,
+      Gen.oneOf(('a' to 'e') ++ Seq(' ', 'é', '中'))).map(_.mkString)
+    check(Prop.forAll(genStr, Gen.choose(1, 8)) { (s, l) =>
+      val got = graft.functions.CharGramHashExpr
+        .compute(org.apache.spark.unsafe.types.UTF8String.fromString(s), l)
+        .toLongArray().toSeq
+      val B = 1099511628211L
+      def mix(v: Long): Long = {
+        var z = v + 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z ^ (z >>> 31)
+      }
+      val want =
+        if (s.length < l) Seq.empty[Long]
+        else (0 to s.length - l).map { i =>
+          mix(s.substring(i, i + l).foldLeft(0L)((h, c) => h * B + c))
+        }
+      got == want
+    })
+  }
+
   test("prop: minhash est_jaccard within [0,1] and symmetric-free (id_a < id_b)") {
     val genDocs = Gen.listOfN(6, Gen.nonEmptyListOf(
       Gen.oneOf("w1", "w2", "w3", "w4", "w5", "w6", "w7", "w8")).map(_.mkString(" ")))
