@@ -772,7 +772,8 @@ object TextQueries {
         |WHERE CAST(((d.doc_id % 2147483647) * 2654435761) % 2147483647 AS HUGEINT)
         |    * CAST(((d.doc_id % 2147483647) * 2654435761) % 2147483647 AS HUGEINT)
         |    * n
-        |  < CAST(mn AS HUGEINT) * 2147483647 * 2147483647""".stripMargin)),
+        |  < CAST(mn AS HUGEINT) * 2147483647 * 2147483647""".stripMargin),
+      headline = true),
     QueryDef("q_corpus_line_dedup", corpusLineDedupQ, Some(
       """WITH lined AS (
         |  SELECT doc_id,
@@ -797,7 +798,8 @@ object TextQueries {
         |FROM lined l2 LEFT JOIN (
         |  SELECT doc_id, string_agg(l, chr(10) ORDER BY idx) AS text
         |  FROM kept GROUP BY doc_id) k
-        |  USING (doc_id)""".stripMargin)),
+        |  USING (doc_id)""".stripMargin),
+      headline = true),
     QueryDef("q_multimodal_frames", multimodalFrames, Some(
       """WITH dims AS (
         |  SELECT doc_id,

@@ -49,6 +49,8 @@ object HashExprs {
 
   /** Expose the native expressions to the SQL surface:
     * `graft_minhash_sig(array<long>)`, `graft_simhash64(array<long>)`,
+    * `graft_char_gram_hashes(string, l)` (per-position rolling gram
+    * hashes; `l` must be an int literal),
     * `graft_cosine(array<float|double>, array<float|double>)`,
     * `graft_zorder(int/long...)` (Morton key, 16 bits per dimension),
     * `graft_bloom_agg(xxhash64(key), items, bits)` (aggregate) and
@@ -59,6 +61,12 @@ object HashExprs {
     Bridge.registerFunction(spark, "graft_minhash_sig")(es =>
       MinHashSigExpr(es.head, coefs.map(_._1).toArray, coefs.map(_._2).toArray))
     Bridge.registerFunction(spark, "graft_simhash64")(es => SimHash64Expr(es.head))
+    Bridge.registerFunction(spark, "graft_char_gram_hashes")(es =>
+      CharGramHashExpr(es(0), es(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(l: Int, _) => l
+        case other => throw new IllegalArgumentException(
+          s"graft_char_gram_hashes: gram length must be an int literal, got $other")
+      }))
     Bridge.registerFunction(spark, "graft_cosine")(es => CosineSimExpr(es(0), es(1)))
     // Registry builders must return a CONCRETE catalyst tree — going
     // through the Column API would leave UnresolvedFunction nodes the

@@ -34,6 +34,23 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(viaSql.getSeq[Long](1) === viaCol.getSeq[Long](1))
   }
 
+  test("graft_char_gram_hashes from spark.sql equals the Column-API twin") {
+    HashExprs.registerSql(spark)
+    val viaSql = spark.sql(
+      "SELECT graft_char_gram_hashes('abcdef', 3) AS g")
+      .collect().head.getSeq[Long](0)
+    val viaCol = Seq("abcdef").toDF("t")
+      .select(HashExprs.charGramHashes(col("t"), 3).as("g"))
+      .collect().head.getSeq[Long](0)
+    assert(viaSql === viaCol)
+    assert(viaSql.length === 4) // |"abcdef"| - 3 + 1
+    // non-literal gram length fails loudly at registration contract
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_char_gram_hashes('abc', CAST(length('ab') AS INT))").collect()
+    }
+    assert(e.getMessage.contains("int literal"))
+  }
+
   test("graft_zorder / graft_bloom_agg / graft_might_contain from spark.sql") {
     HashExprs.registerSql(spark)
     // Morton key agrees with the Column API (16 bits/dim)
