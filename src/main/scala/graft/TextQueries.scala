@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Keywords, Multimodal, Packing, Relational, Sampling, TextAnalysis, Urls}
+import graft.operators.{Bpe, Dedup, Keywords, Multimodal, Packing, Relational, Sampling, TextAnalysis, Urls}
 
 /** Text-analysis / dedup / multimodal query surface over `documents`
   * — the training-data-pipeline operators (builder prompt; SURVEY §7
@@ -118,6 +118,19 @@ object TextQueries {
     */
   private def epochShuffle(s: SparkSession, d: String): DataFrame =
     Sampling.epochOrder(Tables.documents(s, d).select(col("doc_id")), "doc_id")
+
+  /** True token budgets under a corpus-trained BPE vocab
+    * ([[Bpe.trainMerges]] → map-only [[Bpe.tokenCount]]): the
+    * learned-tokenizer upgrade over the regex proxy. Deterministic
+    * (total-ordered dict cut and merge ties) but not SQL-expressible
+    * — the merge table is a trained artifact, so the driver records
+    * rows-only and `BpeSpec` pins the algorithm.
+    */
+  private def bpeTokensQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val merges = Bpe.trainMerges(docs, "text", numMerges = 200, maxWords = 5000)
+    docs.select(col("doc_id"), Bpe.tokenCount(col("text"), merges).as("n_bpe_tokens"))
+  }
 
   /** Temperature-smoothed (α = 1/2) language mixture
     * ([[Sampling.sqrtTemperatureSample]]): sampled per-language sizes
@@ -764,6 +777,7 @@ object TextQueries {
          |SELECT doc_id, quality FROM q
          |WHERE (((doc_id % 2147483647) * 2654435761) % 2147483647)
          |    < quality * 2147483647.0""".stripMargin)),
+    QueryDef("q_bpe_tokens", bpeTokensQ, None),
     QueryDef("q_temperature_sample", temperatureSampleQ, Some(
       """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
         |mn AS (SELECT min(n) AS mn FROM c)

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair encoding: a REAL learned subword tokenizer (Sennrich et
+  * al. 2016, arXiv:1508.07909) — the exact-token-budget upgrade over
+  * [[TextAnalysis.bpeishTokenCount]]'s regex proxy, for the packing /
+  * sampling paths that need true token counts under a trained vocab.
+  *
+  * Scale split, 100 TB-honest:
+  *  - TRAINING reduces the corpus to a weighted word dictionary with
+  *    one distributed aggregate, keeps the top `maxWords` by
+  *    frequency (a bounded TakeOrdered — classic BPE trainers cap
+  *    the dict the same way), and learns `numMerges` merges on the
+  *    driver over that bounded dict. Driver cost is
+  *    O(maxWords·numMerges) symbol scans — seconds for the usual
+  *    50k-word / few-k-merge regime — and NEVER touches raw text
+  *    again.
+  *  - ENCODING is map-only: the merge table broadcasts inside a
+  *    native expression ([[graft.functions.BpeEncodeExpr]], codegen'd
+  *    like the minhash family) that greedily applies merges by rank
+  *    per word. No shuffle, no UDF.
+  *
+  * Determinism: word-dict tiebreak is (freq desc, word asc); merge
+  * tiebreak is (pair count desc, pair lexicographic asc) — training
+  * twice on the same corpus yields the identical merge list, and
+  * encoding is a pure function of (text, merges).
+  */
+object Bpe {
+
+  /** One learned merge: adjacent symbols `a`+`b` fuse to `ab`. */
+  type Merge = (String, String)
+
+  /** Learn `numMerges` merges from the corpus's word-frequency
+    * dictionary (whitespace words, matching
+    * [[TextAnalysis.tokens]]), capped at the `maxWords` most
+    * frequent words.
+    */
+  def trainMerges(
+      docs: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      maxWords: Int = 50000): Seq[Merge] = {
+    val dict = docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w")) // deterministic dict cut
+      .limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    trainOnDict(dict.toSeq, numMerges)
+  }
+
+  /** The driver-side learner over a bounded weighted dict (exposed
+    * for specs and for callers with a precomputed vocabulary).
+    */
+  def trainOnDict(dict: Seq[(String, Long)], numMerges: Int): Seq[Merge] = {
+    // words as mutable symbol sequences; merges rewrite them in place
+    var words: Array[(Array[String], Long)] =
+      dict.map { case (w, n) => (w.map(_.toString).toArray, n) }.toArray
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var i = 0
+    while (i < numMerges) {
+      val counts = scala.collection.mutable.HashMap.empty[Merge, Long]
+      words.foreach { case (syms, n) =>
+        var j = 0
+        while (j + 1 < syms.length) {
+          val p = (syms(j), syms(j + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + n)
+          j += 1
+        }
+      }
+      if (counts.isEmpty) return merges.toSeq
+      // max count, then lexicographic pair — a total order, so the
+      // learned sequence is reproducible
+      val best = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }._1
+      merges += best
+      words = words.map { case (syms, n) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j + 1 < syms.length && syms(j) == best._1 && syms(j + 1) == best._2) {
+            out += syms(j) + syms(j + 1)
+            j += 2
+          } else {
+            out += syms(j)
+            j += 1
+          }
+        }
+        (out.toArray, n)
+      }
+      i += 1
+    }
+    merges.toSeq
+  }
+
+  /** Subword tokens of `text` under the learned merges:
+    * `array<string>`, map-only, codegen'd.
+    */
+  def encode(text: Column, merges: Seq[Merge]): Column =
+    graft.functions.BpeEncodeExpr.encode(text, merges)
+
+  /** True token count under the learned vocab — the packing-budget
+    * column.
+    */
+  def tokenCount(text: Column, merges: Seq[Merge]): Column =
+    size(encode(text, merges))
+}
