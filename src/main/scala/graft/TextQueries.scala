@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bpe, Dedup, Keywords, Multimodal, Packing, Relational, Sampling, TextAnalysis, Urls}
+import graft.functions.Det
+import graft.operators.{Bpe, Dedup, Keywords, LmScore, Multimodal, Packing, Relational, Sampling, TextAnalysis, Urls}
 
 /** Text-analysis / dedup / multimodal query surface over `documents`
   * — the training-data-pipeline operators (builder prompt; SURVEY §7
@@ -249,6 +250,57 @@ object TextQueries {
       .crossJoin(broadcast(counts.agg(sum(col("n")).as("__tot"))))
       .filter(col("n") * 200 > col("__tot"))
       .select(col("token"), col("n"))
+  }
+
+  /** Unigram-LM quality scores ([[LmScore]]): vocabulary trained on
+    * the 90% split-bucket slice, every doc scored for OOV rate and
+    * mean frequency bits. The (doc, bucket, token) term-frequency
+    * pre-aggregate is materialized once because BOTH the vocabulary
+    * build and the scoring join derive from it (val sharing does not
+    * dedupe plans), and it is what absorbs Zipf head-token skew —
+    * each doc contributes at most one row per distinct token to the
+    * token-keyed join.
+    */
+  private def lmScoreQ(s: SparkSession, d: String): DataFrame = {
+    val tf = graft.operators.Materialize(Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        TextAnalysis.splitBucket(col("doc_id")).as("__b"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("__b"), col("token"))
+      .agg(count(lit(1)).as("k")))
+    val vocab = tf.filter(col("__b") < 90)
+      .groupBy("token")
+      .agg(sum(col("k")).as("c"))
+      .filter(col("c") >= 2)
+    LmScore.scoreTf(tf.select("doc_id", "token", "k"), "doc_id", vocab)
+  }
+
+  private val lmScoreSql = {
+    val toks = duckToks("text")
+    s"""WITH split AS (
+       |  SELECT doc_id,
+       |    ((((doc_id % 2147483647) * 2654435761) % 2147483647) % 100) AS b,
+       |    $toks AS t
+       |  FROM documents),
+       |tf AS (
+       |  SELECT doc_id, b, token, count(*) AS k
+       |  FROM (SELECT doc_id, b, unnest(t) AS token FROM split)
+       |  GROUP BY 1, 2, 3),
+       |vocab AS (
+       |  SELECT token, CAST(sum(k) AS BIGINT) AS c
+       |  FROM tf WHERE b < 90 GROUP BY 1 HAVING sum(k) >= 2)
+       |SELECT tf.doc_id,
+       |  CAST(sum(k) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN c IS NULL THEN k ELSE 0 END) AS BIGINT) AS n_oov,
+       |  ${Det.roundSql(
+            "CAST(sum(CASE WHEN c IS NULL THEN k ELSE 0 END) AS DOUBLE)" +
+              " / CAST(sum(k) AS DOUBLE)", 4)} AS oov_rate,
+       |  ${Det.roundSql(
+            "CAST(sum(CASE WHEN c IS NOT NULL THEN k * (length(bin(c)) - 1) ELSE 0 END) AS DOUBLE)" +
+              " / CAST(greatest(sum(CASE WHEN c IS NOT NULL THEN k ELSE 0 END), 1) AS DOUBLE)", 4)} AS mean_bits
+       |FROM tf LEFT JOIN vocab USING (token)
+       |GROUP BY tf.doc_id""".stripMargin
   }
 
   /** Exact-substring dedup stats ([[Dedup.duplicateSpans]]): per doc,
@@ -727,6 +779,7 @@ object TextQueries {
         |  CAST(doc_id % 256 AS BIGINT) AS px_mean
         |FROM documents""".stripMargin)),
     QueryDef("q_contamination", contaminationQ, Some(contaminationSql), headline = true),
+    QueryDef("q_lm_score", lmScoreQ, Some(lmScoreSql), headline = true),
     QueryDef("q_heavy_hitters", heavyHitters, Some {
       val toks = duckToks("text")
       s"""WITH tok AS (SELECT unnest($toks) AS token FROM documents),
