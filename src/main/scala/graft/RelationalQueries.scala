@@ -911,6 +911,41 @@ object RelationalQueries {
         count(lit(1)).as("n_events"))
   }
 
+  /** Conversion funnel view → click → purchase over the events
+    * stream ([[Relational.funnel]]): per user, the first-reach
+    * timestamp of each stage (stage i+1 strictly after stage i) and
+    * the stage count. The Spark side is the single-shuffle sorted
+    * fold; the oracle states the equivalent min-cascade in SQL — two
+    * genuinely different formulations that must agree cell-exactly.
+    */
+  private def funnelQ(s: SparkSession, d: String): DataFrame =
+    Relational.funnel(Tables.events(s, d),
+      "user_id", "ts", "event_type",
+      stages = Seq("view", "click", "purchase"),
+      tiebreakCol = "event_id")
+
+  private val funnelSql =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_type FROM events
+      |  WHERE event_type IN ('view', 'click', 'purchase')),
+      |s0 AS (SELECT user_id, min(ts) AS ts_view
+      |       FROM e WHERE event_type = 'view' GROUP BY 1),
+      |s1 AS (SELECT e.user_id, min(e.ts) AS ts_click
+      |       FROM e JOIN s0 USING (user_id)
+      |       WHERE e.event_type = 'click' AND e.ts > s0.ts_view GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(e.ts) AS ts_purchase
+      |       FROM e JOIN s1 USING (user_id)
+      |       WHERE e.event_type = 'purchase' AND e.ts > s1.ts_click GROUP BY 1)
+      |SELECT u.user_id, s0.ts_view, s1.ts_click, s2.ts_purchase,
+      |  CAST(CASE WHEN s2.user_id IS NOT NULL THEN 3
+      |            WHEN s1.user_id IS NOT NULL THEN 2
+      |            WHEN s0.user_id IS NOT NULL THEN 1
+      |            ELSE 0 END AS INTEGER) AS stages_reached
+      |FROM (SELECT DISTINCT user_id FROM e) u
+      |LEFT JOIN s0 USING (user_id)
+      |LEFT JOIN s1 USING (user_id)
+      |LEFT JOIN s2 USING (user_id)""".stripMargin
+
   /** Exact percentiles (linear interpolation — same arithmetic as
     * DuckDB's `quantile_cont`, so hash-exact). Spark's `percentile`
     * is the exact sort-based form; `percentile_approx` (KLL-ish
@@ -1471,6 +1506,7 @@ object RelationalQueries {
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM numbered GROUP BY user_id, session_id""".stripMargin),
       headline = true),
+    QueryDef("q_funnel", funnelQ, Some(funnelSql), headline = true),
     QueryDef("q_approx_distinct", approxDistinct, None),
     QueryDef("q_percentiles", percentiles, Some(
       """SELECT event_type,

@@ -322,4 +322,107 @@ object Relational {
       .filter(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
       .drop("__bkt")
   }
+
+  /** Ordered funnel analysis: for each user, the timestamp at which
+    * each stage of `stages` was first reached, where stage i+1 counts
+    * only strictly after the reached-at time of stage i (the standard
+    * product-analytics conversion funnel; the reference's event
+    * warehouse is exactly this shape of data).
+    *
+    * Output: `(userCol, ts_<stage>..., stages_reached)` — one row per
+    * user having at least one stage-typed event; unreached stages are
+    * null.
+    *
+    * Single-shuffle form: events are pre-filtered to the stage types
+    * (map-side, pushed to the scan), grouped once per user, and the
+    * per-user time-sorted event list is folded left-to-right with the
+    * `aggregate` builtin — the fold accepts an event iff its type is
+    * the next expected stage and its timestamp is strictly after the
+    * previous acceptance, which computes exactly the min-cascade
+    * `t_i = min{ts : type = stage_i, ts > t_(i-1)}` (scanning in
+    * ascending time order makes the first accepted event the min).
+    * The oracle states the cascade directly; the two formulations
+    * agreeing is the cross-check.
+    *
+    * Scale: one hash shuffle of the stage-filtered events; per-user
+    * state is the sorted stage-typed event list, so a pathological
+    * user (bot traffic) concentrates in one task — for unbounded
+    * per-user histories use [[funnelCascade]], which stays k-pass
+    * streaming-aggregate-shaped with no per-user collection.
+    */
+  def funnel(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      stages: Seq[String],
+      tiebreakCol: String): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val stageArr = array(stages.map(lit): _*)
+    val sorted = sort_array(collect_list(struct(
+      col(tsCol).as("ts"), col(tiebreakCol).as("tie"), col(typeCol).as("et"))))
+    // fold: array of acceptance timestamps, one per reached stage
+    // try_element_at: the last acceptance is null on an empty acc
+    // (element_at would be an ANSI out-of-bounds error), and
+    // `ts > null` is null, absorbed by the preceding `size = 0` arm
+    // of the OR — no per-element error path.
+    val folded = aggregate(
+      col("__evs"),
+      array().cast("array<timestamp>"),
+      (acc, e) => when(
+        size(acc) < stages.size &&
+          e.getField("et") === element_at(stageArr, size(acc) + 1) &&
+          (size(acc) === 0 || e.getField("ts") > try_element_at(acc, lit(-1))),
+        concat(acc, array(e.getField("ts")))).otherwise(acc))
+    // try_element_at: unreached stages read past the acceptance
+    // array and must be null, not an ANSI out-of-bounds error
+    val stageCols = stages.zipWithIndex.map { case (st, i) =>
+      try_element_at(col("__ts"), lit(i + 1)).as(s"ts_$st")
+    }
+    events
+      .filter(col(typeCol).isin(stages: _*))
+      .groupBy(col(userCol))
+      .agg(sorted.as("__evs"))
+      .withColumn("__ts", folded)
+      .select(col(userCol) +: stageCols :+
+        size(col("__ts")).cast("int").as("stages_reached"): _*)
+  }
+
+  /** k-pass funnel for unbounded per-user histories: stage i is a
+    * filtered min-aggregate joined to stage i-1's reach times (all
+    * shuffles user-keyed, so the exchanges after the first reuse the
+    * partitioning; no per-user collection anywhere). Identical output
+    * to [[funnel]] — spec-pinned.
+    */
+  def funnelCascade(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val ev = events.select(col(userCol), col(tsCol), col(typeCol))
+    val universe = ev.filter(col(typeCol).isin(stages: _*))
+      .select(col(userCol)).distinct()
+    var cur = universe
+    var prevTs: Option[String] = None
+    stages.foreach { st =>
+      val tsSt = s"ts_$st"
+      val stageEv = ev.filter(col(typeCol) === st)
+      val reached = prevTs match {
+        case None =>
+          stageEv.groupBy(col(userCol)).agg(min(col(tsCol)).as(tsSt))
+        case Some(prev) =>
+          stageEv
+            .join(cur.filter(col(prev).isNotNull).select(col(userCol), col(prev)), Seq(userCol))
+            .filter(col(tsCol) > col(prev))
+            .groupBy(col(userCol)).agg(min(col(tsCol)).as(tsSt))
+      }
+      cur = cur.join(reached, Seq(userCol), "left")
+      prevTs = Some(tsSt)
+    }
+    val reachedCount = stages.map(st => when(col(s"ts_$st").isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    cur.withColumn("stages_reached", reachedCount.cast("int"))
+  }
 }

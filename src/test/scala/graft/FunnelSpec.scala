@@ -1,0 +1,70 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+
+/** Conversion-funnel semantics: strictly-after stage progression,
+  * out-of-order arrivals, and fold ≡ cascade equivalence on real
+  * testdata.
+  */
+class FunnelSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+
+  private val stages = Seq("view", "click", "purchase")
+
+  private def run(rows: Seq[(Long, Timestamp, String, Long)]) =
+    Relational.funnel(
+      rows.toDF("user_id", "ts", "event_type", "event_id"),
+      "user_id", "ts", "event_type", stages, "event_id")
+      .orderBy("user_id").collect()
+
+  test("full path, partial path, and wrong-order path") {
+    val got = run(Seq(
+      // u1: complete in order
+      (1L, ts(1), "view", 1L), (1L, ts(2), "click", 2L), (1L, ts(3), "purchase", 3L),
+      // u2: purchase BEFORE click — reaches view+click only
+      (2L, ts(1), "view", 4L), (2L, ts(2), "purchase", 5L), (2L, ts(3), "click", 6L),
+      // u3: click only — stage 1 never starts
+      (3L, ts(1), "click", 7L)))
+    assert(got(0).getAs[Int]("stages_reached") === 3)
+    assert(got(0).getAs[Timestamp]("ts_purchase") === ts(3))
+    assert(got(1).getAs[Int]("stages_reached") === 2)
+    assert(got(1).getAs[Timestamp]("ts_click") === ts(3))
+    assert(got(1).isNullAt(got(1).fieldIndex("ts_purchase")))
+    assert(got(2).getAs[Int]("stages_reached") === 0)
+    assert(got(2).isNullAt(got(2).fieldIndex("ts_view")))
+  }
+
+  test("strictly-after: a same-timestamp next stage does not count") {
+    val got = run(Seq(
+      (1L, ts(1), "view", 1L), (1L, ts(1), "click", 2L), (1L, ts(2), "click", 3L)))
+    assert(got(0).getAs[Int]("stages_reached") === 2)
+    assert(got(0).getAs[Timestamp]("ts_click") === ts(2)) // the later click
+  }
+
+  test("earliest qualifying event wins at each stage") {
+    val got = run(Seq(
+      (1L, ts(5), "view", 1L), (1L, ts(2), "view", 2L),
+      (1L, ts(3), "click", 3L), (1L, ts(4), "click", 4L)))
+    assert(got(0).getAs[Timestamp]("ts_view") === ts(2))
+    assert(got(0).getAs[Timestamp]("ts_click") === ts(3))
+  }
+
+  test("fold ≡ cascade on the sf0.001 events table") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val a = Relational.funnel(ev, "user_id", "ts", "event_type", stages, "event_id")
+    val b = Relational.funnelCascade(ev, "user_id", "ts", "event_type", stages)
+    assert(a.count() === b.count())
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // sanity: the funnel narrows monotonically
+    val reach = a.groupBy("stages_reached").count().collect()
+      .map(r => r.getAs[Int]("stages_reached") -> r.getAs[Long]("count")).toMap
+    assert(reach.keySet.subsetOf(Set(0, 1, 2, 3)))
+  }
+}
