@@ -478,6 +478,63 @@ object TextQueries {
       Tables.documents(s, d).select(id, url.as("url")), "doc_id", "url")
   }
 
+  /** Per-domain quota ([[Urls.domainQuota]]): top-5 docs per
+    * registrable domain by quality score. URLs are manufactured with
+    * case/userinfo/www/port noise keyed off doc_id (the corpus has no
+    * URL column), so what's under test is host extraction + www fold
+    * + the bounded-heap per-domain cut; the oracle mirrors the
+    * string construction and states the cut as a window rank.
+    */
+  private def domainQuotaQ(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val url = concat(
+      when(pmod(id, lit(2)) === 0, lit("https://")).otherwise(lit("HTTPS://")),
+      when(pmod(id, lit(11)) === 0, lit("crawler:s3cret@")).otherwise(lit("")),
+      when(pmod(id, lit(6)) === 0, lit("www.")).otherwise(lit("")),
+      when(pmod(id, lit(3)) === 0, upper(col("source"))).otherwise(col("source")),
+      lit(".Example.COM"),
+      when(pmod(id, lit(5)) === 0, lit(":443")).otherwise(lit("")),
+      lit("/p/"), pmod(id, lit(7)).cast("string"))
+    Urls.domainQuota(
+      Tables.documents(s, d).select(
+        id, url.as("url"),
+        TextAnalysis.qualityScore(col("text")).as("quality")),
+      "doc_id", "url", "quality", k = 5)
+  }
+
+  private val domainQuotaSql = {
+    val toks = duckToks("text")
+    s"""WITH q AS (
+       |  SELECT doc_id,
+       |    (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTPS://' END)
+       |    || (CASE WHEN doc_id % 11 = 0 THEN 'crawler:s3cret@' ELSE '' END)
+       |    || (CASE WHEN doc_id % 6 = 0 THEN 'www.' ELSE '' END)
+       |    || (CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END)
+       |    || '.Example.COM'
+       |    || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
+       |    || '/p/' || CAST(doc_id % 7 AS VARCHAR) AS url,
+       |    floor((0.3 * least(CAST(len($toks) AS DOUBLE) / 100.0, 1.0)
+       |        + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+       |                       / greatest(length(text), 1))
+       |        + 0.4 * least((CAST(list_sum(list_transform($toks, t -> len(t))) AS DOUBLE)
+       |                       / greatest(len($toks), 1)) / 8.0, 1.0)) * 10000.0 + 0.5) / 10000.0 AS quality
+       |  FROM documents),
+       |dom AS (
+       |  SELECT doc_id, quality,
+       |    regexp_replace(
+       |      lower(regexp_extract(url,
+       |        '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)),
+       |      '^www\\.', '') AS domain
+       |  FROM q),
+       |ranked AS (
+       |  SELECT domain, doc_id, quality,
+       |    row_number() OVER (PARTITION BY domain
+       |                       ORDER BY quality DESC, doc_id) AS rnk
+       |  FROM dom)
+       |SELECT domain, CAST(rnk AS INTEGER) AS rank, doc_id, quality
+       |FROM ranked WHERE rnk <= 5""".stripMargin
+  }
+
   /** Top-3 TF-IDF keywords per doc (exact-rational IDF — see
     * [[Keywords.tfIdfTopK]]).
     */
@@ -711,6 +768,7 @@ object TextQueries {
     QueryDef("q_repetition", repetition, Some(repetitionSql)),
     QueryDef("q_dedup_lines", dedupLinesQ, Some(dedupLinesSql)),
     QueryDef("q_url_dedup", urlDedup, Some(urlDedupSql)),
+    QueryDef("q_domain_quota", domainQuotaQ, Some(domainQuotaSql)),
     QueryDef("q_tfidf_keywords", tfidfKeywords, Some(tfidfSql), headline = true),
     QueryDef("q_redact", redact, Some(
       "SELECT doc_id, regexp_replace(text, '[0-9]+', '#', 'g') AS redacted FROM documents")),

@@ -44,6 +44,46 @@ object Urls {
     regexp_replace(concat(headN, tailN), "/+$", "")
   }
 
+  /** Lowercased host of a URL: the authority with userinfo and port
+    * stripped (per RFC 3986 the host is case-insensitive). Empty
+    * string when the input has no `scheme://` head.
+    */
+  def host(url: Column): Column =
+    lower(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)", 1))
+
+  /** Site key for per-domain policies: [[host]] with a leading
+    * `www.` stripped. True eTLD+1 grouping needs the public-suffix
+    * list (a data file, not an algorithm); the `www` fold covers the
+    * dominant alias class and keeps the key a pure regex — swap in a
+    * PSL lookup table via a join when operating on real crawl data.
+    */
+  def registrableDomain(url: Column): Column =
+    regexp_replace(host(url), "^www\\.", "")
+
+  /** Per-domain quota — the standard web-corpus curation cut: keep
+    * at most `k` documents per [[registrableDomain]], best quality
+    * first (ties on the rounded score broken by id ascending, so the
+    * cut is fully deterministic).
+    *
+    * Rides [[Relational.topKPerGroup]]'s bounded-heap aggregate: each
+    * map partition ships at most k rows per domain (score-desc heap),
+    * so a mega-domain (a crawl is Zipf over domains too) costs k rows
+    * on the shuffle, not its full document count — the window-rank
+    * formulation would sort every doc of the hottest domain in one
+    * task. Returns `(domain, rank, doc_id, quality)`.
+    */
+  def domainQuota(
+      docs: DataFrame,
+      idCol: String,
+      urlCol: String,
+      scoreCol: String,
+      k: Int): DataFrame =
+    Relational.topKPerGroup(
+      docs.select(col(idCol), registrableDomain(col(urlCol)).as("domain"), col(scoreCol)),
+      Seq("domain"), col(scoreCol), col(idCol), k)
+      .withColumnRenamed("id", idCol)
+      .withColumnRenamed("score", scoreCol)
+
   /** Exact dedup on the canonical URL: one row per normalized URL
     * with its copy count and the smallest id as the deterministic
     * canonical representative. Single hash-shuffle on the normalized

@@ -89,6 +89,30 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(n("https://ex.com/a?q=1") === "https://ex.com/a?q=1")
   }
 
+  test("host/registrableDomain: userinfo, port, www, case, missing scheme") {
+    def h(u: String): String = one[String](Urls.host(col("text")), u)
+    def d(u: String): String = one[String](Urls.registrableDomain(col("text")), u)
+    assert(h("https://User:Pw@Ex.COM:8443/a?b#c") === "ex.com")
+    assert(h("http://ex.com/a@b") === "ex.com")        // @ in path is not userinfo
+    assert(h("not a url") === "")                      // no scheme head
+    assert(d("https://WWW.Ex.com/a") === "ex.com")     // www fold after lowering
+    assert(d("https://www2.ex.com/") === "www2.ex.com") // only exact www.
+    assert(d("https://wwwex.com/") === "wwwex.com")
+  }
+
+  test("domainQuota keeps top-k per domain, quality desc then id asc") {
+    val docs = Seq(
+      (1L, "https://a.com/x", 0.9), (2L, "https://www.a.com/y", 0.9),
+      (3L, "https://A.com:443/z", 0.5), (4L, "https://b.com/x", 0.1))
+      .toDF("doc_id", "url", "quality")
+    val out = Urls.domainQuota(docs, "doc_id", "url", "quality", k = 2)
+      .orderBy("domain", "rank").collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("a.com", "a.com", "b.com"))
+    // tie at 0.9 → id asc; doc 3 cut by the quota
+    assert(out.map(_.getLong(2)).toSeq === Seq(1L, 2L, 4L))
+    assert(out.map(_.getInt(1)).toSeq === Seq(1, 2, 1))
+  }
+
   test("dedupByUrl collapses variants to min-id canonical with counts") {
     val df = Seq(
       (10L, "https://ex.com/a/"),
