@@ -371,6 +371,27 @@ object RelationalQueries {
         sum(dec(col("value"))).cast("double").as("sum_value"))
   }
 
+  /** File-level bloom skipping ([[graft.sources.Manifest
+    * .prunedReadEq]]): events hash-partitioned by user into 16 files
+    * — the layout where zone maps are USELESS (every file's
+    * user_id min/max spans the domain) but per-file blooms admit
+    * only the file(s) that can hold the probed user. Result is the
+    * plain equality filter, oracle-checked; the files-skipped payoff
+    * is pinned in ManifestSpec.
+    */
+  private def manifestBloomQ(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bloomlayout").toString
+    Tables.events(s, d).select("event_id", "user_id", "event_type", "value")
+      .repartition(16, col("user_id"))
+      .write.mode("overwrite").parquet(dir)
+    val manifest = graft.sources.Manifest.buildWithBlooms(
+      s, dir, cols = Seq("user_id"), bloomCols = Seq("user_id"),
+      expectedPerFile = 4096L)
+    graft.sources.Manifest.prunedReadEq(s, manifest, Map("user_id" -> 73L))
+      .select("event_id", "event_type", "value")
+  }
+
   /** Mergeable-sketch serving path ([[graft.operators.Sketches]]):
     * per-(event_type, day) HLL partials — the table an ingest job
     * would persist — merged down to distinct users per event_type.
@@ -1261,6 +1282,8 @@ object RelationalQueries {
         |WHERE user_id BETWEEN 100 AND 200 AND value BETWEEN 50.0 AND 100.0
         |GROUP BY event_type""".stripMargin),
       headline = true),
+    QueryDef("q_manifest_bloom", manifestBloomQ, Some(
+      "SELECT event_id, event_type, value FROM events WHERE user_id = 73")),
     QueryDef("q_bloom_semi_join", bloomSemiJoinQ, Some(
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

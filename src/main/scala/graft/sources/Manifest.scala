@@ -1,7 +1,14 @@
 package graft.sources
 
+import java.io.ByteArrayInputStream
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.Bridge
+import org.apache.spark.util.sketch.BloomFilter
 
 /** Zone-map manifest over a parquet directory: one row per file with
   * per-column min/max — the table-format trick (Iceberg/Delta file
@@ -35,6 +42,114 @@ object Manifest {
         count(lit(1)).as("n_rows"),
         cols.flatMap(c =>
           Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))): _*)
+  }
+
+  /** [[build]] plus a per-file bloom filter over each of `bloomCols`
+    * — the point-predicate complement to zone maps. Zone min/max
+    * prune RANGE predicates and only bite when the layout clusters
+    * the column; a per-file bloom prunes EQUALITY predicates on any
+    * layout (including hash-partitioned writes, where every file's
+    * min/max spans the whole domain and zone maps admit everything).
+    * This is Parquet's column-index/bloom story lifted to file level,
+    * consulted before task scheduling like the rest of the manifest.
+    *
+    * Sizing: each blob is `-n·ln(p)/ln2² / 8` bytes ≈ 120 KB at the
+    * defaults (100k expected distinct keys per file, 1% fpp) — set
+    * `expectedPerFile` to the real per-file distinct count of the
+    * column. [[prunedReadEq]] collects the queried blobs on the
+    * driver, so budget `files × blob` driver heap; at a million files
+    * prune by zone first or shard the manifest consult.
+    *
+    * NULL keys never enter a filter (the aggregate input is nulled
+    * out, and [[BloomFilterAggregate]] skips null rows) — an all-null
+    * file gets a NULL blob, which [[prunedReadEq]] treats as
+    * cannot-match, mirroring equality semantics.
+    */
+  def buildWithBlooms(
+      spark: SparkSession,
+      dir: String,
+      cols: Seq[String],
+      bloomCols: Seq[String],
+      expectedPerFile: Long = 100000L,
+      fpp: Double = 0.01): DataFrame = {
+    require(bloomCols.nonEmpty, "buildWithBlooms needs at least one bloom column")
+    val numBits = graft.operators.BloomJoin.optimalNumBits(expectedPerFile, fpp)
+    def fileBloom(c: String): Column = Bridge.column(new BloomFilterAggregate(
+      Bridge.expression(when(col(c).isNotNull, xxhash64(col(c)))),
+      Literal(expectedPerFile), Literal(numBits)).toAggregateExpression())
+    spark.read.parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        (cols.flatMap(c =>
+          Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
+          bloomCols.map(c => fileBloom(c).as(s"bloom_$c"))): _*)
+  }
+
+  /** Read only the files that can contain `col = value` for every
+    * entry of `eqs`: zone admission (when `min_/max_` columns exist
+    * in the manifest) AND bloom admission (when a `bloom_` column
+    * exists — no false negatives, so pruning is exact up to fpp
+    * extra files). The residual equality predicate still applies.
+    *
+    * `eqs` values must carry the column's exact data type (the probe
+    * hashes the value with the same `xxhash64` the build used — a
+    * Long column probed with an Int hashes differently and would
+    * falsely prune).
+    *
+    * Same staleness contract as [[prunedRead]]; `onStale = "rebuild"`
+    * re-catalogs with the default bloom sizing.
+    */
+  def prunedReadEq(
+      spark: SparkSession,
+      manifest: DataFrame,
+      eqs: Map[String, Any],
+      onStale: String = "error"): DataFrame = {
+    require(eqs.nonEmpty, "prunedReadEq needs at least one equality")
+    require(Set("error", "rebuild")(onStale), s"onStale must be error|rebuild, got $onStale")
+    val mCols = manifest.columns.toSet
+    val zoneAdm = eqs.map { case (c, v) =>
+      if (mCols(s"min_$c")) col(s"min_$c") <= lit(v) && col(s"max_$c") >= lit(v)
+      else lit(true)
+    }.reduce(_ && _)
+    val bloomed = eqs.keys.toSeq.filter(c => mCols(s"bloom_$c"))
+    val rows = manifest.select(
+      col("file") +: zoneAdm.as("__adm") +: bloomed.map(c => col(s"bloom_$c")): _*)
+      .collect()
+    require(rows.nonEmpty, "manifest is empty — nothing was cataloged")
+    val dir = new org.apache.hadoop.fs.Path(rows.head.getString(0)).getParent
+    if (rows.map(r => normalize(r.getString(0))).toSet != currentFiles(spark, dir)) {
+      if (onStale == "rebuild") {
+        val zCols = manifest.columns.toSeq.collect {
+          case c if c.startsWith("min_") => c.stripPrefix("min_")
+        }
+        val bCols = manifest.columns.toSeq.collect {
+          case c if c.startsWith("bloom_") => c.stripPrefix("bloom_")
+        }
+        return prunedReadEq(spark,
+          buildWithBlooms(spark, dir.toString, zCols, bCols), eqs)
+      }
+      throw new IllegalStateException(
+        s"manifest is STALE for $dir — the directory was rewritten since it " +
+          "was built (compaction or re-layout). Rebuild with buildWithBlooms, " +
+          "or pass onStale=\"rebuild\", before pruned reads.")
+    }
+    // probe hashes: the same xxhash64 the build applied to the column
+    val probeHash: Map[String, Long] = bloomed.map { c =>
+      // seed 42 = the default of the `xxhash64` SQL function
+      c -> XxHash64(Seq(Literal(eqs(c))), 42L).eval(InternalRow.empty).asInstanceOf[Long]
+    }.toMap
+    val admitted = rows.filter { r =>
+      r.getBoolean(1) && bloomed.zipWithIndex.forall { case (c, i) =>
+        val blob = r.getAs[Array[Byte]](2 + i)
+        blob != null &&
+          BloomFilter.readFrom(new ByteArrayInputStream(blob)).mightContainLong(probeHash(c))
+      }
+    }.map(_.getString(0))
+    val residual = eqs.map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
+    if (admitted.isEmpty)
+      spark.read.parquet(rows.head.getString(0)).limit(0).filter(residual)
+    else spark.read.parquet(admitted.toSeq: _*).filter(residual)
   }
 
   /** Write the manifest (one compact parquet) for later

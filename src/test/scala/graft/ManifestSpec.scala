@@ -77,6 +77,48 @@ class ManifestSpec extends SparkSpecBase {
     assert(rebuilt.count() === 64L)
   }
 
+  // ---- per-file bloom skipping ----
+
+  private def writeHashed(dir: String): Unit =
+    grid.repartition(16, col("a"))
+      .write.mode("overwrite").parquet(dir)
+
+  test("bloom prunes equality probes on a hash layout where zones admit everything") {
+    val dir = java.nio.file.Files.createTempDirectory("mani_bloom").toString
+    writeHashed(dir)
+    val m = graft.operators.Materialize(Manifest.buildWithBlooms(
+      spark, dir, cols = Seq("a"), bloomCols = Seq("a"), expectedPerFile = 1024L))
+    // zone maps alone: hash layout → every file spans ~[0,63] on `a`
+    val zoneAdmits = m.filter(col("min_a") <= 7L && col("max_a") >= 7L).count()
+    assert(zoneAdmits >= 4L, s"hash layout should defeat zones, admitted $zoneAdmits")
+    val pruned = Manifest.prunedReadEq(spark, m, Map("a" -> 7L))
+    val full = spark.read.parquet(dir).filter(col("a") === 7L)
+    assert(pruned.count() === 64L)
+    assert(pruned.as[(Long, Long)].collect().toSet ===
+      full.as[(Long, Long)].collect().toSet)
+    // the payoff: only the file(s) that can hold a=7 are scanned
+    val scanned = pruned.select(input_file_name()).distinct().count()
+    assert(scanned <= 3L, s"expected <=3 bloom-admitted files, got $scanned")
+  }
+
+  test("bloom probe absent from every file reads zero files; stale rebuild works") {
+    val dir = java.nio.file.Files.createTempDirectory("mani_bloom").toString
+    writeHashed(dir)
+    val m = graft.operators.Materialize(Manifest.buildWithBlooms(
+      spark, dir, cols = Seq(), bloomCols = Seq("a"), expectedPerFile = 1024L))
+    val out = Manifest.prunedReadEq(spark, m, Map("a" -> 4096L))
+    assert(out.columns.toSeq === Seq("a", "b"))
+    assert(out.count() === 0L)
+    // rewrite → stale consult must fail fast, rebuild must recover
+    graft.sources.Compact.compact(spark, dir, targetBytes = 1L << 20)
+    val e = intercept[IllegalStateException] {
+      Manifest.prunedReadEq(spark, m, Map("a" -> 7L)).count()
+    }
+    assert(e.getMessage.contains("STALE"))
+    assert(Manifest.prunedReadEq(spark, m, Map("a" -> 7L), onStale = "rebuild")
+      .count() === 64L)
+  }
+
   test("write/read round-trip: persisted manifest drives the same pruning") {
     val dir = java.nio.file.Files.createTempDirectory("mani_data").toString
     val mdir = java.nio.file.Files.createTempDirectory("mani_meta").toString
