@@ -133,6 +133,21 @@ object TextQueries {
     docs.select(col("doc_id"), Bpe.tokenCount(col("text"), merges).as("n_bpe_tokens"))
   }
 
+  /** Encode→decode roundtrip under the end-of-word marker: the
+    * learned tokenizer must be lossless up to whitespace
+    * normalization, which IS SQL-expressible — the oracle just
+    * space-joins the whitespace tokens. A real cross-check of the
+    * whole marked train/encode/decode path (any lost or doubled
+    * boundary marker breaks equality on every affected doc).
+    */
+  private def bpeRoundtripQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val merges = Bpe.trainMerges(docs, "text",
+      numMerges = 200, maxWords = 5000, endOfWord = "</w>")
+    docs.select(col("doc_id"),
+      Bpe.decode(Bpe.encode(col("text"), merges, "</w>"), "</w>").as("decoded"))
+  }
+
   /** Temperature-smoothed (α = 1/2) language mixture
     * ([[Sampling.sqrtTemperatureSample]]): sampled per-language sizes
     * ∝ sqrt(original) — large languages damped, smallest kept whole —
@@ -889,6 +904,10 @@ object TextQueries {
          |WHERE (((doc_id % 2147483647) * 2654435761) % 2147483647)
          |    < quality * 2147483647.0""".stripMargin)),
     QueryDef("q_bpe_tokens", bpeTokensQ, None),
+    QueryDef("q_bpe_roundtrip", bpeRoundtripQ, Some {
+      val toks = duckToks("text")
+      s"SELECT doc_id, array_to_string($toks, ' ') AS decoded FROM documents"
+    }),
     QueryDef("q_temperature_sample", temperatureSampleQ, Some(
       """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
         |mn AS (SELECT min(n) AS mn FROM c)

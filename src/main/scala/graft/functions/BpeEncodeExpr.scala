@@ -18,17 +18,19 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object BpeEncodeExpr {
 
-  def encode(text: Column, merges: Seq[(String, String)]): Column = {
+  def encode(text: Column, merges: Seq[(String, String)], endOfWord: String = ""): Column = {
     val ranks = new java.util.HashMap[String, Integer]()
     merges.zipWithIndex.foreach { case ((a, b), i) =>
       // " " is a safe separator: symbols come from whitespace-split
       // words, so no symbol ever contains a space
       ranks.putIfAbsent(a + " " + b, i)
     }
-    Bridge.column(BpeEncodeExpr(Bridge.expression(text), ranks))
+    Bridge.column(BpeEncodeExpr(Bridge.expression(text), ranks, endOfWord))
   }
 
-  def compute(text: UTF8String, ranks: java.util.HashMap[String, Integer]): ArrayData = {
+  def compute(text: UTF8String, ranks: java.util.HashMap[String, Integer],
+      eow: UTF8String): ArrayData = {
+    val marker = if (eow == null) "" else eow.toString
     val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
     val words = text.toString.trim.split("\\s+")
     var wi = 0
@@ -37,6 +39,10 @@ object BpeEncodeExpr {
       if (w.nonEmpty) {
         var syms = scala.collection.mutable.ArrayBuffer.empty[String]
         w.foreach(c => syms += c.toString)
+        // standard Sennrich end-of-word marker: the last symbol carries
+        // it through every merge, so word boundaries survive into the
+        // flat token stream and decode is exact
+        if (marker.nonEmpty) syms(syms.length - 1) = syms.last + marker
         var done = false
         while (!done && syms.length > 1) {
           // lowest-rank adjacent pair
@@ -74,17 +80,21 @@ object BpeEncodeExpr {
   }
 }
 
-case class BpeEncodeExpr(child: Expression, ranks: java.util.HashMap[String, Integer])
+case class BpeEncodeExpr(child: Expression, ranks: java.util.HashMap[String, Integer],
+    endOfWord: String = "")
     extends UnaryExpression {
+
+  private val eow: UTF8String = UTF8String.fromString(endOfWord)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
-    BpeEncodeExpr.compute(input.asInstanceOf[UTF8String], ranks)
+    BpeEncodeExpr.compute(input.asInstanceOf[UTF8String], ranks, eow)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val r = ctx.addReferenceObj("ranks", ranks, "java.util.HashMap")
+    val m = ctx.addReferenceObj("eow", eow, "org.apache.spark.unsafe.types.UTF8String")
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.BpeEncodeExpr.compute($c, $r);")
+      s"${ev.value} = graft.functions.BpeEncodeExpr.compute($c, $r, $m);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -41,23 +41,33 @@ object Bpe {
       docs: DataFrame,
       textCol: String,
       numMerges: Int,
-      maxWords: Int = 50000): Seq[Merge] = {
+      maxWords: Int = 50000,
+      endOfWord: String = ""): Seq[Merge] = {
     val dict = docs
       .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("w")) // deterministic dict cut
       .limit(maxWords)
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    trainOnDict(dict.toSeq, numMerges)
+    trainOnDict(dict.toSeq, numMerges, endOfWord)
   }
 
   /** The driver-side learner over a bounded weighted dict (exposed
     * for specs and for callers with a precomputed vocabulary).
     */
-  def trainOnDict(dict: Seq[(String, Long)], numMerges: Int): Seq[Merge] = {
-    // words as mutable symbol sequences; merges rewrite them in place
+  def trainOnDict(dict: Seq[(String, Long)], numMerges: Int,
+      endOfWord: String = ""): Seq[Merge] = {
+    // words as mutable symbol sequences; merges rewrite them in place.
+    // endOfWord (Sennrich's </w>) rides on the last symbol so learned
+    // merges distinguish word-final contexts and decode can restore
+    // word boundaries.
     var words: Array[(Array[String], Long)] =
-      dict.map { case (w, n) => (w.map(_.toString).toArray, n) }.toArray
+      dict.map { case (w, n) =>
+        val syms = w.map(_.toString).toArray
+        if (endOfWord.nonEmpty && syms.nonEmpty)
+          syms(syms.length - 1) = syms.last + endOfWord
+        (syms, n)
+      }.toArray
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var i = 0
     while (i < numMerges) {
@@ -97,8 +107,19 @@ object Bpe {
   /** Subword tokens of `text` under the learned merges:
     * `array<string>`, map-only, codegen'd.
     */
-  def encode(text: Column, merges: Seq[Merge]): Column =
-    graft.functions.BpeEncodeExpr.encode(text, merges)
+  def encode(text: Column, merges: Seq[Merge], endOfWord: String = ""): Column =
+    graft.functions.BpeEncodeExpr.encode(text, merges, endOfWord)
+
+  /** Inverse of [[encode]] under an end-of-word marker: fuse the
+    * subword stream back into text (single-space word joins — BPE is
+    * lossless up to whitespace normalization). Pure builtins,
+    * map-only. Requires the marker the encoder used; without one,
+    * word boundaries do not survive the flat token stream.
+    */
+  def decode(tokens: Column, endOfWord: String): Column = {
+    require(endOfWord.nonEmpty, "decode needs the end-of-word marker the encoder used")
+    trim(replace(array_join(tokens, ""), lit(endOfWord), lit(" ")))
+  }
 
   /** True token count under the learned vocab — the packing-budget
     * column.

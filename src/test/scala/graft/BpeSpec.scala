@@ -59,4 +59,35 @@ class BpeSpec extends SparkSpecBase {
       assert(joinedToks === joinedWords)
     }
   }
+
+  test("end-of-word marker: merges learn word-final context, decode inverts encode") {
+    val dict = Seq(("low", 5L), ("lowest", 2L), ("slow", 3L))
+    val merges = Bpe.trainOnDict(dict, 8, endOfWord = "</w>")
+    // word-final 'w' ("low</w>", "slow</w>") and word-internal 'w'
+    // ("lowest") are now distinct symbols
+    assert(merges.exists { case (a, b) => (a + b).endsWith("</w>") })
+
+    val docs = Seq("low lowest slow", "  slow   low ", "").toDF("text")
+    val got = docs.select(
+      Bpe.decode(Bpe.encode(col("text"), merges, "</w>"), "</w>").as("d"))
+      .as[String].collect()
+    assert(got.toSeq === Seq("low lowest slow", "slow low", ""))
+  }
+
+  test("marked roundtrip on real corpus restores whitespace-normalized text") {
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+    val merges = Bpe.trainMerges(corpus, "text",
+      numMerges = 60, maxWords = 2000, endOfWord = "</w>")
+    val bad = corpus.select(
+      Bpe.decode(Bpe.encode(col("text"), merges, "</w>"), "</w>").as("d"),
+      regexp_replace(trim(col("text")), "\\s+", " ").as("norm"))
+      .filter(col("d") =!= col("norm")).count()
+    assert(bad === 0L)
+  }
+
+  test("decode without a marker is rejected") {
+    intercept[IllegalArgumentException] {
+      Bpe.decode(col("toks"), "")
+    }
+  }
 }
