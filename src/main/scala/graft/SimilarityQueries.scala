@@ -36,6 +36,22 @@ object SimilarityQueries {
       k = 5, dim = 64, nBits = 8, probeHamming = 1)
   }
 
+  /** PQ-compressed top-k ([[Similarity.pqKnn]]): 64-dim floats → 8
+    * one-byte codes, ADC shortlist from codes alone, exact re-rank.
+    * Rows-only (Lloyd means are FP; the recall and exact-sim
+    * contracts are spec-pinned in SimilaritySpec).
+    */
+  private def pqKnnQ(s: SparkSession, d: String): DataFrame = {
+    val em = Tables.embeddings(s, d)
+    val (dim, m, ksub) = (64, 8, 16)
+    val cb = Similarity.pqCodebook(em, "vec_id", "embedding", dim, m, ksub, lloydIters = 2)
+    val codes = Similarity.pqEncode(em, "vec_id", "embedding", cb, dim, m)
+    Similarity.pqKnn(
+      em.filter(col("vec_id") < 10), codes, cb, em,
+      "vec_id", "vec_id", "embedding", "embedding",
+      dim, m, ksub, k = 5, shortlist = 20)
+  }
+
   private def embedNeardup(s: SparkSession, d: String): DataFrame =
     Similarity.cosineNearDupPairs(
       Tables.embeddings(s, d), "vec_id", "embedding",
@@ -134,6 +150,7 @@ object SimilarityQueries {
          |WHERE rank <= 5""".stripMargin),
       headline = true),
     QueryDef("q_lsh_knn", lshKnnQ, None),
+    QueryDef("q_pq_knn", pqKnnQ, None),
     QueryDef("q_embed_neardup", embedNeardup, Some(
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |  floor((${duckCos("a.embedding", "b.embedding")}) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim

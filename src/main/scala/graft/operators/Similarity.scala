@@ -336,4 +336,191 @@ object Similarity {
         Det.round(cosine(col("a.v"), col("b.v")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
+
+  // ---- Product quantization (Jégou, Douze, Schmid 2011, "Product
+  // Quantization for Nearest Neighbor Search", IEEE TPAMI) ----
+  //
+  // The memory scale path past IVF: each D-dim float vector compresses
+  // to `m` small codes (one byte each at ksub ≤ 256) — 16 GB of
+  // float32 embeddings become ~250 MB of codes — and query scoring
+  // reads only the codes via a per-query lookup table (ADC), touching
+  // the original vectors just for the final re-rank shortlist. This is
+  // how billion-vector corpora are scanned at all.
+
+  /** Train a PQ codebook: the vector is split into `m` contiguous
+    * subspaces of `dim/m` dims; each subspace learns `ksub` codewords
+    * by Lloyd iterations over the corpus' subvectors (all `m`
+    * subspaces train in ONE distributed frame, keyed by (sub, code)).
+    * Init is deterministic: the `ksub` corpus vectors with the
+    * smallest `xxhash64(id)` seed every subspace (collected once —
+    * `ksub·dim` doubles on the driver, independent of corpus size).
+    *
+    * Returns `(sub int, code int, cv array<double>)` with dense codes
+    * `0..ksub-1` — `m·ksub` rows, broadcastable by construction.
+    */
+  def pqCodebook(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int,
+      ksub: Int,
+      lloydIters: Int = 3): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must be divisible by m=$m subspaces")
+    val dsub = dim / m
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val c = corpus.select(col(idCol).as("vec_id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    // (vec_id, sub, sv): the training frame, one row per subvector
+    val sv = c.select(col("vec_id"), posexplode(
+      array((0 until m).map(s => slice(col("v"), s * dsub + 1, dsub)): _*))
+      .as(Seq("sub", "sv")))
+
+    val seeds = c.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(ksub)
+      .select("v").as[Seq[Double]].collect()
+    require(seeds.nonEmpty, "pqCodebook needs a non-empty corpus")
+    var codebook = (for {
+      sub <- 0 until m
+      (v, code) <- seeds.zipWithIndex
+    } yield (sub, code, v.slice(sub * dsub, (sub + 1) * dsub)))
+      .toDF("sub", "code", "cv")
+
+    def l2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+
+    var iter = 0
+    while (iter < lloydIters) {
+      // assignment: per (vec_id, sub), the nearest codeword (min L2,
+      // ties to the smaller code — total order, deterministic)
+      val assigned = sv.join(broadcast(codebook), Seq("sub"))
+        .select(col("vec_id"), col("sub"), col("sv"), col("code"),
+          l2(col("sv"), col("cv")).as("d"))
+        .groupBy("vec_id", "sub")
+        .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"),
+          first(col("sv")).as("sv"))
+      // update: element-wise mean per (sub, code); a codeword with an
+      // empty cluster keeps its previous position (dropping it would
+      // shrink the codebook and shift every later code's meaning)
+      val updated = assigned
+        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("sub", "code", "pos")
+        .agg(avg(col("x")).as("mu"))
+        .groupBy("sub", "code")
+        .agg(array_sort(collect_list(struct(col("pos"), col("mu")))).as("pm"))
+        .select(col("sub"), col("code"),
+          transform(col("pm"), p => p.getField("mu")).as("cv_new"))
+      codebook = codebook.join(updated, Seq("sub", "code"), "left")
+        .select(col("sub"), col("code"),
+          coalesce(col("cv_new"), col("cv")).as("cv"))
+      iter += 1
+    }
+    codebook
+  }
+
+  /** Encode the corpus against a trained codebook: one row per vector
+    * with its `m` codes (in subspace order) and the original L2 norm
+    * (kept so ADC dot products can serve approximate COSINE — the
+    * norm does not survive quantization). One broadcast join + one
+    * vector-keyed aggregate; the output is the compact representation
+    * a 100 TB corpus persists instead of raw floats.
+    */
+  def pqEncode(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebook: DataFrame,
+      dim: Int,
+      m: Int): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must be divisible by m=$m subspaces")
+    val dsub = dim / m
+    val c = corpus.select(col(idCol).as("vec_id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    def l2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+    val norm = sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x))
+    c.select(col("vec_id"), col("v"), norm.as("norm"), posexplode(
+        array((0 until m).map(s => slice(col("v"), s * dsub + 1, dsub)): _*))
+        .as(Seq("sub", "sv")))
+      .join(broadcast(codebook), Seq("sub"))
+      .select(col("vec_id"), col("norm"), col("sub"), col("code"),
+        l2(col("sv"), col("cv")).as("d"))
+      .groupBy("vec_id", "sub")
+      .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"),
+        first(col("norm")).as("norm"))
+      .groupBy("vec_id")
+      .agg(
+        transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+          p => p.getField("code")).as("codes"),
+        first(col("norm")).as("norm"))
+  }
+
+  /** PQ top-k by asymmetric distance computation: each query builds a
+    * `m·ksub` lookup table of subspace dot products against the
+    * codebook (queries × codebook — broadcast-sized), then every
+    * corpus row is scored from its CODES alone: `m` table lookups per
+    * pair instead of `dim` multiplies, and no raw-vector I/O in the
+    * scan. Approximate cosine = ADC dot / (|q|·|x|) with the stored
+    * norm. The `shortlist` best by ADC are then re-ranked with exact
+    * cosine against the raw vectors (|queries|·shortlist lookups —
+    * the standard PQ pipeline), so returned `sim` values are exact
+    * and only RANK is approximate.
+    */
+  def pqKnn(
+      queries: DataFrame,
+      codes: DataFrame,
+      codebook: DataFrame,
+      corpus: DataFrame,
+      queryId: String,
+      corpusId: String,
+      queryVec: String,
+      corpusVec: String,
+      dim: Int,
+      m: Int,
+      ksub: Int,
+      k: Int,
+      shortlist: Int = 0,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must be divisible by m=$m subspaces")
+    val dsub = dim / m
+    val short = if (shortlist > 0) shortlist else 4 * k
+    val q = queries.select(col(queryId).as("query_id"),
+      transform(col(queryVec), x => x.cast("double")).as("__qv"))
+    val qnorm = sqrt(aggregate(col("__qv"), lit(0.0), (acc, x) => acc + x * x))
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    // per-query ADC table, flattened to one array indexed sub*ksub+code
+    val adc = q
+      .select(col("query_id"), col("__qv"), qnorm.as("__qn"), posexplode(
+        array((0 until m).map(s => slice(col("__qv"), s * dsub + 1, dsub)): _*))
+        .as(Seq("sub", "qsv")))
+      .join(broadcast(codebook), Seq("sub"))
+      .select(col("query_id"), col("__qn"), col("sub"), col("code"),
+        dot(col("qsv"), col("cv")).as("t"))
+      .groupBy("query_id")
+      .agg(
+        transform(array_sort(collect_list(struct(col("sub"), col("code"), col("t")))),
+          p => p.getField("t")).as("__tbl"),
+        first(col("__qn")).as("__qn"))
+    // code-only scoring pass: m lookups per (query, vector)
+    val contrib = transform(col("codes"),
+      (c, i) => element_at(col("__tbl"), i * ksub + c + 1))
+    val scored0 = codes.crossJoin(broadcast(adc))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (aggregate(contrib, lit(0.0), (acc, x) => acc + x) /
+          (col("__qn") * col("norm"))).as("sim"))
+    val scored = if (excludeSelf) scored0.filter(col("query_id") =!= col("neighbor_id"))
+      else scored0
+    val cand = topKPerQuery(scored, short)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact re-rank of the bounded shortlist
+    val reranked = cand
+      .join(q, "query_id")
+      .join(corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv")),
+        Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Det.round(cosine(col("__qv"), col("__cv")), 6).as("sim"))
+    topKPerQuery(reranked, k)
+  }
 }

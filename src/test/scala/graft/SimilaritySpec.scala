@@ -147,6 +147,51 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall >= 0.8, s"recall=$recall")
   }
 
+  test("pqKnn (PQ scale path): codes compress to m small ints, re-ranked recall high") {
+    val rnd = new scala.util.Random(17)
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat).toSeq
+    }
+    val centers = Array.fill(20)(Array.fill(16)(rnd.nextGaussian()))
+    val vecs = (0 until 200).map { i =>
+      val c = centers(i % 20)
+      (i.toLong, unit(c.map(x => x + 0.12 * rnd.nextGaussian())))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val (dim, m, ksub) = (16, 4, 16)
+    val cb = Similarity.pqCodebook(df, "vec_id", "embedding", dim, m, ksub, lloydIters = 3)
+    assert(cb.count() === (m * ksub).toLong)
+    val codes = Similarity.pqEncode(df, "vec_id", "embedding", cb, dim, m)
+    assert(codes.count() === 200)
+    val shape = codes.select(size(col("codes")).as("n"),
+      array_max(col("codes")).as("mx"), array_min(col("codes")).as("mn")).collect()
+    assert(shape.forall(r => r.getInt(0) === m && r.getInt(1) < ksub && r.getInt(2) >= 0))
+
+    val qs = df.filter(col("vec_id") < 30)
+    def pairs(r: org.apache.spark.sql.DataFrame) =
+      r.select("query_id", "neighbor_id").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val bf = pairs(Similarity.bruteForceKnn(qs, df, "vec_id", "vec_id",
+      "embedding", "embedding", k = 5))
+    val pq = pairs(Similarity.pqKnn(qs, codes, cb, df,
+      "vec_id", "vec_id", "embedding", "embedding",
+      dim, m, ksub, k = 5, shortlist = 20))
+    val recall = (bf & pq).size.toDouble / bf.size
+    assert(recall >= 0.8, s"recall=$recall")
+    // re-ranked sims are EXACT cosines: every returned pair scores
+    // identically to the brute-force value for that pair
+    val bfSims = Similarity.bruteForceKnn(qs, df, "vec_id", "vec_id",
+      "embedding", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    Similarity.pqKnn(qs, codes, cb, df, "vec_id", "vec_id",
+      "embedding", "embedding", dim, m, ksub, k = 5, shortlist = 20)
+      .collect().foreach { r =>
+        val key = (r.getLong(0), r.getLong(1))
+        bfSims.get(key).foreach(s => assert(r.getDouble(2) === s))
+      }
+  }
+
   test("cosineNearDupPairs respects blocking and threshold") {
     val df = Seq(
       (1L, Seq(1f, 0f), 0),
