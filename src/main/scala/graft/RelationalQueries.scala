@@ -945,7 +945,7 @@ object RelationalQueries {
       stages = Seq("view", "click", "purchase"),
       tiebreakCol = "event_id")
 
-  private val funnelSql =
+  private[graft] val funnelSql =
     """WITH e AS (
       |  SELECT user_id, ts, event_type FROM events
       |  WHERE event_type IN ('view', 'click', 'purchase')),

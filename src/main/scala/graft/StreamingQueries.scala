@@ -219,6 +219,48 @@ object StreamingQueries {
         col("c_acctbal").as("bal"))
   }
 
+  /** Streaming funnel twin ([[graft.streaming.FunnelStream]]),
+    * driver-checked: the stage-typed events replay through a REAL
+    * mapGroupsWithState query in two time-split batches (in-order
+    * delivery — each batch's times at or after the previous batch's,
+    * events inside a batch shuffled by the split only up to the
+    * batch-local sort), and the final per-user state must equal the
+    * one-shot batch funnel: the oracle is the SAME min-cascade SQL
+    * as `q_funnel`.
+    */
+  private def streamFunnel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.FunnelStream
+    import graft.streaming.FunnelStream.FunnelEvent
+    val stages = Seq("view", "click", "purchase")
+    val evs = Tables.events(s, d)
+      .filter(col("event_type").isin(stages: _*))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+      .as[FunnelEvent].collect()
+      .sortBy(e => (e.ts_us, e.event_id))
+    val (b0, b1) = evs.splitAt(evs.length / 2)
+    val input = MemoryStream[FunnelEvent](s)
+    val out = FunnelStream.fold(input.toDS(), stages)
+    val name = s"graft_stream_snap_${snapN.incrementAndGet()}"
+    val q = out.toDF().writeStream.outputMode("update")
+      .format("memory").queryName(name).start()
+    try {
+      input.addData(b0.toSeq); q.processAllAvailable()
+      input.addData(b1.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    def ts(i: Int) = timestamp_micros(try_element_at(col("__r"), lit(i)))
+      .cast("timestamp_ntz")
+    // seen strictly increases per user → max_by(seen) = final state
+    s.table(name)
+      .groupBy("user_id")
+      .agg(max_by(col("reached"), col("seen")).as("__r"))
+      .select(col("user_id"),
+        ts(1).as("ts_view"), ts(2).as("ts_click"), ts(3).as("ts_purchase"),
+        size(col("__r")).cast("int").as("stages_reached"))
+  }
+
   // Terminal watermark in DuckDB terms: Spark tracks per-batch max
   // event time in MILLISECONDS, so the mark is ms-truncated max(ts)
   // minus the lateness.
@@ -251,6 +293,7 @@ object StreamingQueries {
          |FROM events, wm
          |GROUP BY 1, 2, 3
          |HAVING window_end <= (SELECT w FROM wm)""".stripMargin)),
+    QueryDef("q_stream_funnel", streamFunnel, Some(RelationalQueries.funnelSql)),
     QueryDef("q_stream_cdc", streamCdc, Some(
       """WITH latest AS (
         |  SELECT user_id, op, new_bal FROM (

@@ -56,6 +56,65 @@ class FunnelSpec extends SparkSpecBase {
     assert(got(0).getAs[Timestamp]("ts_click") === ts(3))
   }
 
+  test("streaming fold: stage accepted across batch boundaries, state minimal") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.FunnelStream
+    import graft.streaming.FunnelStream.FunnelEvent
+    val input = MemoryStream[FunnelEvent](spark)
+    val out = FunnelStream.fold(input.toDS(), stages)
+    val q = out.toDF().writeStream.outputMode("update")
+      .format("memory").queryName("funnel_stream_spec").start()
+    try {
+      // batch 0: view only; batch 1 (later times): click then purchase
+      input.addData(FunnelEvent(1L, "view", 1L, 1000L))
+      q.processAllAvailable()
+      input.addData(FunnelEvent(1L, "click", 2L, 2000L),
+        FunnelEvent(1L, "purchase", 3L, 3000L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("funnel_stream_spec")
+      .orderBy("seen").collect()
+    // two emissions for user 1: after batch 0 (1 stage), after batch 1 (3)
+    assert(rows.map(_.getAs[Seq[Long]]("reached").length).toSeq === Seq(1, 3))
+    assert(rows.last.getAs[Seq[Long]]("reached") === Seq(1000L, 2000L, 3000L))
+  }
+
+  test("streaming fold ≡ batch funnel under in-order two-batch replay (sf0.001)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.FunnelStream
+    import graft.streaming.FunnelStream.FunnelEvent
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("event_type").isin(stages: _*))
+    val evs = ev.select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+      .as[FunnelEvent].collect().sortBy(e => (e.ts_us, e.event_id))
+    val (b0, b1) = evs.splitAt(evs.length / 2)
+    val input = MemoryStream[FunnelEvent](spark)
+    val q = FunnelStream.fold(input.toDS(), stages).toDF()
+      .writeStream.outputMode("update")
+      .format("memory").queryName("funnel_stream_replay").start()
+    try {
+      input.addData(b0.toSeq); q.processAllAvailable()
+      input.addData(b1.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("funnel_stream_replay")
+      .groupBy("user_id")
+      .agg(max_by(col("reached"), col("seen")).as("r"))
+      .select(col("user_id"), col("r"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Seq[Long]](1)).toMap
+    val batch = Relational.funnel(Tables.events(spark, "/root/testdata/sf0.001"),
+        "user_id", "ts", "event_type", stages, "event_id")
+      .select(col("user_id"),
+        unix_micros(col("ts_view").cast("timestamp")).as("t1"),
+        unix_micros(col("ts_click").cast("timestamp")).as("t2"),
+        unix_micros(col("ts_purchase").cast("timestamp")).as("t3"))
+      .collect().map { r =>
+        r.getLong(0) -> Seq(1, 2, 3).flatMap(i =>
+          if (r.isNullAt(i)) None else Some(r.getLong(i)))
+      }.toMap
+    assert(streamed === batch)
+  }
+
   test("fold ≡ cascade on the sf0.001 events table") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val a = Relational.funnel(ev, "user_id", "ts", "event_type", stages, "event_id")

@@ -119,4 +119,25 @@ class PlanSpec extends SparkSpecBase {
     val plan = planOf(SparkEntry.queries("q_dup_spans")(spark, sf))
     assert(!plan.contains("windowspecdefinition(__h"), plan.take(800))
   }
+
+  test("funnel: one shuffle, no window, no join — the sorted-fold shape") {
+    val plan = planOf(SparkEntry.queries("q_funnel")(spark, sf))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan.take(800))
+    assert(!plan.contains("Window"), plan.take(800))
+    assert(!plan.contains("Join"), plan.take(800))
+  }
+
+  test("domain quota plans the bounded heap aggregate, not a window rank") {
+    val plan = planOf(SparkEntry.queries("q_domain_quota")(spark, sf))
+    assert(plan.contains("ObjectHashAggregate"), plan.take(800))
+    assert(!plan.contains("Window"), plan.take(800))
+  }
+
+  test("LM score: equi-join against the vocab aggregate, no window, no nested loop") {
+    val plan = planOf(SparkEntry.queries("q_lm_score")(spark, sf))
+    assert(!plan.contains("Window"), plan.take(800))
+    assert(!plan.contains("NestedLoop"), plan.take(800))
+    // the skew absorber: a (doc, token)-keyed pre-aggregate feeds the join
+    assert(plan.contains("HashAggregate"), plan.take(800))
+  }
 }
