@@ -261,6 +261,40 @@ object StreamingQueries {
         size(col("__r")).cast("int").as("stages_reached"))
   }
 
+  /** Transactional manifest sink, driver-checked: events stream into
+    * a warehouse directory in two micro-batches through
+    * [[graft.streaming.FunnelStream]]-style MemoryStream replay —
+    * each batch commits its zone+bloom manifest entries in the same
+    * foreachBatch — then a bloom-pruned point read serves the result
+    * with NO rebuild step. Oracle ≡ the plain equality filter
+    * (same contract as `q_manifest_bloom`, now through the
+    * streaming-ingest path).
+    */
+  private def streamManifest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    final case class Ev(event_id: Long, user_id: Long, event_type: String, value: Double)
+    val evs = Tables.events(s, d)
+      .select("event_id", "user_id", "event_type", "value")
+      .as[(Long, Long, String, Double)].collect()
+    val (b0, b1) = evs.partition(_._1 % 2 == 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_msink_data").toString
+    val mdir = java.nio.file.Files.createTempDirectory("graft_msink_meta").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_msink_ckpt").toString
+    val input = MemoryStream[(Long, Long, String, Double)](s)
+    val q = graft.sources.ManifestedSink.sink(
+      input.toDF().toDF("event_id", "user_id", "event_type", "value")
+        .repartition(8, col("user_id")),
+      dir, mdir, cols = Seq("user_id"), bloomCols = Seq("user_id"), ckpt)
+    try {
+      input.addData(b0.toSeq); q.processAllAvailable()
+      input.addData(b1.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val manifest = graft.sources.ManifestedSink.readManifest(s, mdir).get
+    graft.sources.Manifest.prunedReadEq(s, manifest, Map("user_id" -> 73L))
+      .select("event_id", "event_type", "value")
+  }
+
   // Terminal watermark in DuckDB terms: Spark tracks per-batch max
   // event time in MILLISECONDS, so the mark is ms-truncated max(ts)
   // minus the lateness.
@@ -294,6 +328,8 @@ object StreamingQueries {
          |GROUP BY 1, 2, 3
          |HAVING window_end <= (SELECT w FROM wm)""".stripMargin)),
     QueryDef("q_stream_funnel", streamFunnel, Some(RelationalQueries.funnelSql)),
+    QueryDef("q_stream_manifest", streamManifest, Some(
+      "SELECT event_id, event_type, value FROM events WHERE user_id = 73")),
     QueryDef("q_stream_cdc", streamCdc, Some(
       """WITH latest AS (
         |  SELECT user_id, op, new_bal FROM (

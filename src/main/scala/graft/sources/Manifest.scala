@@ -33,15 +33,52 @@ object Manifest {
 
   /** One distributed pass: per-file row count and min/max for each of
     * `cols`. Column names in the manifest: `min_<c>` / `max_<c>`.
+    *
+    * Zero-row files (a writer task with an empty partition still
+    * emits a parquet shell) never reach the stats aggregate — they
+    * are cataloged explicitly with `n_rows = 0` and null stats, so
+    * the staleness file-set equality holds and admission treats them
+    * as cannot-match.
     */
   def build(spark: SparkSession, dir: String, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "manifest needs at least one column")
-    spark.read.parquet(dir)
+    val stats = spark.read.parquet(dir)
       .groupBy(input_file_name().as("file"))
       .agg(
         count(lit(1)).as("n_rows"),
         cols.flatMap(c =>
           Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))): _*)
+    withEmptyFiles(spark, stats, listedFiles(spark, dir))
+  }
+
+  /** Data files under `dir`, in the scheme-full form the stats pass
+    * and the staleness check both normalize.
+    */
+  private def listedFiles(spark: SparkSession, dir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .map(_.getPath.toString)
+  }
+
+  /** Union `stats` with catalog rows for files the stats pass never
+    * saw (zero-row shells): `n_rows = 0`, every stat column null.
+    */
+  private def withEmptyFiles(
+      spark: SparkSession, stats: DataFrame, allFiles: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val covered = stats.select("file").collect()
+      .map(r => normalize(r.getString(0))).toSet
+    val missing = allFiles.filterNot(f => covered(normalize(f)))
+    if (missing.isEmpty) stats
+    else {
+      val shell = missing.toDF("file").withColumn("n_rows", lit(0L))
+      val padded = stats.schema.fields.drop(2).foldLeft(shell)((df, f) =>
+        df.withColumn(f.name, lit(null).cast(f.dataType)))
+      stats.unionByName(padded)
+    }
   }
 
   /** [[build]] plus a per-file bloom filter over each of `bloomCols`
@@ -71,19 +108,24 @@ object Manifest {
       cols: Seq[String],
       bloomCols: Seq[String],
       expectedPerFile: Long = 100000L,
-      fpp: Double = 0.01): DataFrame = {
+      fpp: Double = 0.01,
+      files: Option[Seq[String]] = None): DataFrame = {
     require(bloomCols.nonEmpty, "buildWithBlooms needs at least one bloom column")
     val numBits = graft.operators.BloomJoin.optimalNumBits(expectedPerFile, fpp)
     def fileBloom(c: String): Column = Bridge.column(new BloomFilterAggregate(
       Bridge.expression(when(col(c).isNotNull, xxhash64(col(c)))),
       Literal(expectedPerFile), Literal(numBits)).toAggregateExpression())
-    spark.read.parquet(dir)
+    // `files`: catalog only an explicit file list — the incremental
+    // path ([[ManifestedSink]] stats just the batch's new files)
+    val stats = files.map(fs => spark.read.parquet(fs: _*))
+      .getOrElse(spark.read.parquet(dir))
       .groupBy(input_file_name().as("file"))
       .agg(
         count(lit(1)).as("n_rows"),
         (cols.flatMap(c =>
           Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
           bloomCols.map(c => fileBloom(c).as(s"bloom_$c"))): _*)
+    withEmptyFiles(spark, stats, files.getOrElse(listedFiles(spark, dir)))
   }
 
   /** Read only the files that can contain `col = value` for every
@@ -114,7 +156,8 @@ object Manifest {
     }.reduce(_ && _)
     val bloomed = eqs.keys.toSeq.filter(c => mCols(s"bloom_$c"))
     val rows = manifest.select(
-      col("file") +: zoneAdm.as("__adm") +: bloomed.map(c => col(s"bloom_$c")): _*)
+      col("file") +: coalesce(zoneAdm, lit(false)).as("__adm") +:
+        bloomed.map(c => col(s"bloom_$c")): _*)
       .collect()
     require(rows.nonEmpty, "manifest is empty — nothing was cataloged")
     val dir = new org.apache.hadoop.fs.Path(rows.head.getString(0)).getParent
@@ -211,8 +254,8 @@ object Manifest {
     require(Set("error", "rebuild")(onStale), s"onStale must be error|rebuild, got $onStale")
     val entries = manifest
       .select(col("file"),
-        ranges.map { case (c, (lo, hi)) => mayMatch(c, lo, hi) }
-          .reduce(_ && _).as("__adm"))
+        coalesce(ranges.map { case (c, (lo, hi)) => mayMatch(c, lo, hi) }
+          .reduce(_ && _), lit(false)).as("__adm"))
       .collect().map(r => (r.getString(0), r.getBoolean(1)))
     require(entries.nonEmpty, "manifest is empty — nothing was cataloged")
     val dir = new org.apache.hadoop.fs.Path(entries.head._1).getParent

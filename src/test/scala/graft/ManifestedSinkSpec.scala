@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Manifest, ManifestedSink}
+
+/** Transactional manifest sink: data-dir ↔ manifest coherence after
+  * every batch, idempotent replay, orphan cleanup, crash-staged
+  * publish recovery, and live pruning mid-ingest.
+  */
+class ManifestedSinkSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private def tmp(p: String) =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  private def batchDf(lo: Long, hi: Long) =
+    (lo until hi).map(i => (i, s"row$i")).toDF("k", "payload")
+
+  test("two batches: every file cataloged, staleness guard passes, blooms prune") {
+    val dir = tmp("msink_data"); val mdir = tmp("msink_meta")
+    // appendBatch is the foreachBatch body — drive it directly
+    ManifestedSink.appendBatch(batchDf(0, 64).repartition(4, col("k")),
+      dir, mdir, Seq("k"), Seq("k"), batchId = 0L, expectedPerFile = 1024L)
+    ManifestedSink.appendBatch(batchDf(64, 128).repartition(4, col("k")),
+      dir, mdir, Seq("k"), Seq("k"), batchId = 1L, expectedPerFile = 1024L)
+
+    val m = graft.operators.Materialize(
+      ManifestedSink.readManifest(spark, mdir).get)
+    assert(m.agg(sum("n_rows")).head.getLong(0) === 128L)
+    assert(m.select("batch_id").distinct().count() === 2L)
+    // coherence: prunedReadEq must NOT see a stale manifest
+    val hit = Manifest.prunedReadEq(spark, m, Map("k" -> 7L))
+    assert(hit.count() === 1L)
+    val scanned = hit.select(input_file_name()).distinct().count()
+    assert(scanned <= 3L, s"expected bloom-pruned scan, got $scanned files")
+  }
+
+  test("replaying a batch id is idempotent (no duplicate rows, no duplicate catalog)") {
+    val dir = tmp("msink_data"); val mdir = tmp("msink_meta")
+    ManifestedSink.appendBatch(batchDf(0, 32), dir, mdir, Seq("k"), Seq("k"), 0L)
+    ManifestedSink.appendBatch(batchDf(32, 64), dir, mdir, Seq("k"), Seq("k"), 1L)
+    // crash-replay of batch 1
+    ManifestedSink.appendBatch(batchDf(32, 64), dir, mdir, Seq("k"), Seq("k"), 1L)
+    assert(spark.read.parquet(dir).count() === 64L)
+    assert(spark.read.parquet(dir).select("k").distinct().count() === 64L)
+    val m = ManifestedSink.readManifest(spark, mdir).get
+    assert(m.agg(sum("n_rows")).head.getLong(0) === 64L)
+  }
+
+  test("uncommitted orphan files are swept on the next append") {
+    val dir = tmp("msink_data"); val mdir = tmp("msink_meta")
+    ManifestedSink.appendBatch(batchDf(0, 32), dir, mdir, Seq("k"), Seq("k"), 0L)
+    // simulate a batch that crashed after writing data, before publish
+    batchDf(1000, 1032).write.mode("append").parquet(dir)
+    assert(spark.read.parquet(dir).count() === 64L) // orphans visible raw
+    ManifestedSink.appendBatch(batchDf(32, 64), dir, mdir, Seq("k"), Seq("k"), 1L)
+    val rows = spark.read.parquet(dir).select("k").as[Long].collect().toSet
+    assert(rows === (0L until 64L).toSet) // orphans gone, batches intact
+    // and the manifest still exactly matches the directory
+    val m = ManifestedSink.readManifest(spark, mdir).get
+    assert(Manifest.prunedReadEq(spark, m, Map("k" -> 33L)).count() === 1L)
+  }
+
+  test("crash between manifest delete and rename recovers from the stage") {
+    val dir = tmp("msink_data"); val mdir = tmp("msink_meta")
+    ManifestedSink.appendBatch(batchDf(0, 32), dir, mdir, Seq("k"), Seq("k"), 0L)
+    // simulate the crash window: live manifest deleted, stage present
+    val fs = new org.apache.hadoop.fs.Path(mdir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.rename(new org.apache.hadoop.fs.Path(mdir),
+      new org.apache.hadoop.fs.Path(mdir + ".stage"))
+    val m = ManifestedSink.readManifest(spark, mdir)
+    assert(m.isDefined)
+    assert(m.get.agg(sum("n_rows")).head.getLong(0) === 32L)
+  }
+
+  test("readAsOf: batch-snapshot time travel off the commit log") {
+    val dir = tmp("msink_data"); val mdir = tmp("msink_meta")
+    ManifestedSink.appendBatch(batchDf(0, 32), dir, mdir, Seq("k"), Seq("k"), 0L)
+    ManifestedSink.appendBatch(batchDf(32, 64), dir, mdir, Seq("k"), Seq("k"), 1L)
+    ManifestedSink.appendBatch(batchDf(64, 96), dir, mdir, Seq("k"), Seq("k"), 2L)
+    assert(ManifestedSink.readAsOf(spark, mdir, 0L)
+      .select("k").as[Long].collect().toSet === (0L until 32L).toSet)
+    assert(ManifestedSink.readAsOf(spark, mdir, 1L).count() === 64L)
+    assert(ManifestedSink.readAsOf(spark, mdir, 99L).count() === 96L)
+    intercept[IllegalArgumentException] {
+      ManifestedSink.readAsOf(spark, mdir, -1L)
+    }
+  }
+
+  test("real writeStream drive: the sink body commits per micro-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = tmp("msink_data"); val mdir = tmp("msink_meta")
+    val ckpt = tmp("msink_ckpt")
+    val input = MemoryStream[(Long, String)](spark)
+    val q = ManifestedSink.sink(
+      input.toDF().toDF("k", "payload"), dir, mdir, Seq("k"), Seq("k"), ckpt)
+    try {
+      input.addData((0L until 32L).map(i => (i, s"row$i")))
+      q.processAllAvailable()
+      input.addData((32L until 64L).map(i => (i, s"row$i")))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.read.parquet(dir).count() === 64L)
+    val m = ManifestedSink.readManifest(spark, mdir).get
+    assert(m.agg(sum("n_rows")).head.getLong(0) === 64L)
+    assert(m.select("batch_id").distinct().count() === 2L)
+    // pruning is live immediately after ingest — no rebuild step
+    assert(Manifest.prunedReadEq(spark, m, Map("k" -> 5L)).count() === 1L)
+  }
+}
