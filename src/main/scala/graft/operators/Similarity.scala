@@ -466,6 +466,12 @@ object Similarity {
     * cosine against the raw vectors (|queries|·shortlist lookups —
     * the standard PQ pipeline), so returned `sim` values are exact
     * and only RANK is approximate.
+    *
+    * The query side must be bounded (it broadcasts, like
+    * [[bruteForceKnn]]'s); the scan is still |corpus|·|queries| pairs
+    * — PQ buys the per-pair constant and the code-sized I/O, and
+    * composes with IVF cells ([[ivfIndex]]) when the corpus side must
+    * also be sublinear (IVF-PQ).
     */
   def pqKnn(
       queries: DataFrame,

@@ -155,9 +155,11 @@ object Manifest {
       else lit(true)
     }.reduce(_ && _)
     val bloomed = eqs.keys.toSeq.filter(c => mCols(s"bloom_$c"))
+    // blobs ship to the driver only for zone-admitted files — on a
+    // zoned layout the range cut pays before the heavy columns move
     val rows = manifest.select(
       col("file") +: coalesce(zoneAdm, lit(false)).as("__adm") +:
-        bloomed.map(c => col(s"bloom_$c")): _*)
+        bloomed.map(c => when(coalesce(zoneAdm, lit(false)), col(s"bloom_$c"))): _*)
       .collect()
     require(rows.nonEmpty, "manifest is empty — nothing was cataloged")
     val dir = new org.apache.hadoop.fs.Path(rows.head.getString(0)).getParent

@@ -55,6 +55,27 @@ class CompactSpec extends SparkSpecBase {
     assert(spark.read.parquet(dir).columns.toSeq === Seq("id", "key", "payload"))
   }
 
+  test("compactAndRecatalog: pruned reads work immediately after the rewrite") {
+    val dir = java.nio.file.Files.createTempDirectory("cmp").toString
+    val mdir = java.nio.file.Files.createTempDirectory("cmp_meta").toString
+    (0L until 4096L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartition(16).write.mode("overwrite").parquet(dir)
+    Compact.compactAndRecatalog(spark, dir, mdir,
+      cols = Seq("k"), bloomCols = Seq("k"),
+      targetBytes = 64L * 1024, sortBy = Seq("k"), expectedPerFile = 4096L)
+    val m = spark.read.parquet(mdir)
+    // no staleness window: the fresh catalog matches the rewritten dir
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val hit = graft.sources.Manifest.prunedReadEq(spark, m, Map("k" -> 99L))
+    assert(hit.count() === 1L)
+    // sorted rewrite → zone cut bites before blooms even matter
+    assert(hit.select(input_file_name()).distinct().count() <= 2L)
+    val ranged = graft.sources.Manifest.prunedRead(spark, m,
+      Map("k" -> (org.apache.spark.sql.functions.lit(0L),
+        org.apache.spark.sql.functions.lit(63L))))
+    assert(ranged.count() === 64L)
+  }
+
   test("partitioned directories are rejected with a per-leaf hint") {
     val dir = java.nio.file.Files.createTempDirectory("cmp").toString + "/t"
     (1L to 100L).map(i => (i, i % 3)).toDF("id", "p")
