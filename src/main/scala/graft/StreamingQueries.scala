@@ -261,6 +261,51 @@ object StreamingQueries {
         size(col("__r")).cast("int").as("stages_reached"))
   }
 
+  /** EXACT streaming funnel ([[graft.streaming.FunnelStream
+    * .foldExact]]), driver-checked under an ADVERSARIAL parity split:
+    * half the events arrive a full batch "early" relative to their
+    * logical predecessors, the watermark buffer re-establishes global
+    * event-time order before folding, and the final state must equal
+    * the one-shot batch funnel — the same min-cascade oracle again.
+    * A past-everything sentinel per user drives the terminal
+    * watermark over the tail so the closing no-data batch drains it.
+    */
+  private def streamFunnelExact(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.FunnelStream
+    import graft.streaming.FunnelStream.FunnelEventT
+    val stages = Seq("view", "click", "purchase")
+    val evs = Tables.events(s, d)
+      .filter(col("event_type").isin(stages: _*))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts").cast("timestamp").as("ts"))
+      .as[FunnelEventT].collect()
+    val (b0, b1) = evs.partition(_.event_id % 2 == 0)
+    val maxMs = evs.map(_.ts.getTime).max
+    val spanDays = ((maxMs - evs.map(_.ts.getTime).min) / 86400000L + 2L).toInt
+    val flush = evs.map(_.user_id).distinct.map(u => FunnelEventT(
+      u, "flush", Long.MaxValue,
+      new Timestamp(maxMs + (spanDays + 1L) * 86400000L)))
+    val input = MemoryStream[FunnelEventT](s)
+    val name = s"graft_stream_snap_${snapN.incrementAndGet()}"
+    val q = FunnelStream.foldExact(input.toDS(), stages, s"$spanDays days").toDF()
+      .writeStream.outputMode("update").format("memory").queryName(name).start()
+    try {
+      input.addData(b0.toSeq); q.processAllAvailable()
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(flush.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    def ts(i: Int) = timestamp_micros(try_element_at(col("__r"), lit(i)))
+      .cast("timestamp_ntz")
+    s.table(name)
+      .groupBy("user_id")
+      .agg(max_by(col("reached"), col("seen")).as("__r"))
+      .select(col("user_id"),
+        ts(1).as("ts_view"), ts(2).as("ts_click"), ts(3).as("ts_purchase"),
+        size(col("__r")).cast("int").as("stages_reached"))
+  }
+
   /** Transactional manifest sink, driver-checked: events stream into
     * a warehouse directory in two micro-batches through
     * [[graft.streaming.FunnelStream]]-style MemoryStream replay —
@@ -328,6 +373,7 @@ object StreamingQueries {
          |GROUP BY 1, 2, 3
          |HAVING window_end <= (SELECT w FROM wm)""".stripMargin)),
     QueryDef("q_stream_funnel", streamFunnel, Some(RelationalQueries.funnelSql)),
+    QueryDef("q_stream_funnel_exact", streamFunnelExact, Some(RelationalQueries.funnelSql)),
     QueryDef("q_stream_manifest", streamManifest, Some(
       "SELECT event_id, event_type, value FROM events WHERE user_id = 73")),
     QueryDef("q_stream_cdc", streamCdc, Some(

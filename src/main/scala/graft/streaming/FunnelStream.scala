@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming twin of [[graft.operators.Relational.funnel]]: per-user
   * conversion-funnel state maintained incrementally over the event
@@ -71,6 +71,79 @@ object FunnelStream {
           val next = FunnelState(acc, seen)
           state.update(next)
           FunnelRow(user, next.reached, next.seen)
+        })
+  }
+
+  /** Input row for [[foldExact]]: a real timestamp column, because
+    * the watermark tracks it.
+    */
+  final case class FunnelEventT(
+      user_id: Long,
+      event_type: String,
+      event_id: Long,
+      ts: java.sql.Timestamp)
+
+  /** [[fold]] state plus the not-yet-finalized buffer:
+    * `(ts_us, event_id, event_type)` triples newer than the
+    * watermark.
+    */
+  final case class ExactState(
+      folded: Seq[Long],
+      seen: Long,
+      buf: Seq[(Long, Long, String)])
+
+  private def tsUs(t: java.sql.Timestamp): Long =
+    (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+
+  /** EXACT-under-reordering streaming funnel: events buffer in state
+    * until the watermark passes them, then fold in global
+    * `(event time, event_id)` order — so any cross-batch reordering
+    * the watermark contract admits (late by ≤ `delay`) produces the
+    * SAME final state as the one-shot batch fold, spec-pinned under
+    * an adversarial parity split. This is the trade [[fold]]
+    * documents: exactness costs O(events inside the lateness window)
+    * state per user instead of O(stages).
+    *
+    * Mechanics: each invocation banks incoming events, finalizes the
+    * buffered prefix strictly older than the current watermark, and
+    * arms an event-time timeout at the earliest still-buffered event
+    * so the group is re-invoked (and drains) when the watermark
+    * passes it even if no new data arrives. Strictly-older (not
+    * older-or-equal) because rows AT the watermark may still arrive;
+    * a replay harness flushes the tail by appending one
+    * past-every-event sentinel per user (any non-stage type) and
+    * letting the closing no-data batch fire the timeouts.
+    */
+  def foldExact(
+      events: Dataset[FunnelEventT],
+      stages: Seq[String],
+      delay: String): Dataset[FunnelRow] = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, rows: Iterator[FunnelEventT], state: GroupState[ExactState]) => {
+          val st = state.getOption.getOrElse(ExactState(Seq.empty, 0L, Seq.empty))
+          val incoming = rows.map(e => (tsUs(e.ts), e.event_id, e.event_type)).toSeq
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ready, hold) = (st.buf ++ incoming).partition(_._1 < wmUs)
+          var acc = st.folded
+          var seen = st.seen
+          ready.sortBy(t => (t._1, t._2)).foreach { case (ts, _, et) =>
+            seen += 1
+            if (acc.length < stages.length && et == stages(acc.length) &&
+                (acc.isEmpty || ts > acc.last))
+              acc = acc :+ ts
+          }
+          state.update(ExactState(acc, seen, hold))
+          if (hold.nonEmpty)
+            state.setTimeoutTimestamp(math.max(
+              hold.map(_._1).min / 1000L + 1L,
+              state.getCurrentWatermarkMs() + 1L))
+          Iterator.single(FunnelRow(user, acc, seen))
         })
   }
 }

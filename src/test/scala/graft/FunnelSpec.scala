@@ -115,6 +115,49 @@ class FunnelSpec extends SparkSpecBase {
     assert(streamed === batch)
   }
 
+  test("EXACT streaming fold ≡ batch under an adversarial parity split (sf0.001)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.FunnelStream
+    import graft.streaming.FunnelStream.FunnelEventT
+    val evs = Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("event_type").isin(stages: _*))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts").cast("timestamp").as("ts"))
+      .as[FunnelEventT].collect()
+    // parity split = maximal cross-batch reordering (a purchase can
+    // arrive a full batch before its view)
+    val (b0, b1) = evs.partition(_.event_id % 2 == 0)
+    val maxUs = evs.map(e => e.ts.getTime).max
+    val spanDays = ((maxUs - evs.map(_.ts.getTime).min) / 86400000L + 2L).toInt
+    val flush = evs.map(_.user_id).distinct.map(u => FunnelEventT(
+      u, "flush", Long.MaxValue,
+      new Timestamp(maxUs + (spanDays + 1L) * 86400000L)))
+    val input = MemoryStream[FunnelEventT](spark)
+    val q = FunnelStream.foldExact(input.toDS(), stages, s"$spanDays days").toDF()
+      .writeStream.outputMode("update")
+      .format("memory").queryName("funnel_exact_replay").start()
+    try {
+      input.addData(b0.toSeq); q.processAllAvailable()
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(flush.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("funnel_exact_replay")
+      .groupBy("user_id")
+      .agg(max_by(col("reached"), col("seen")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Seq[Long]](1)).toMap
+    val batch = Relational.funnel(Tables.events(spark, "/root/testdata/sf0.001"),
+        "user_id", "ts", "event_type", stages, "event_id")
+      .select(col("user_id"),
+        unix_micros(col("ts_view").cast("timestamp")).as("t1"),
+        unix_micros(col("ts_click").cast("timestamp")).as("t2"),
+        unix_micros(col("ts_purchase").cast("timestamp")).as("t3"))
+      .collect().map { r =>
+        r.getLong(0) -> Seq(1, 2, 3).flatMap(i =>
+          if (r.isNullAt(i)) None else Some(r.getLong(i)))
+      }.toMap
+    assert(streamed === batch)
+  }
+
   test("fold ≡ cascade on the sf0.001 events table") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val a = Relational.funnel(ev, "user_id", "ts", "event_type", stages, "event_id")
