@@ -979,6 +979,17 @@ object RelationalQueries {
         Det.round(expr("percentile(value, 0.5)"), 4).as("p50"),
         Det.round(expr("percentile(value, 0.9)"), 4).as("p90"))
 
+  /** Equi-depth quantile binning ([[graft.operators.Binning]]):
+    * per-event-type quartile boundaries (exact percentile ≡ DuckDB
+    * quantile_cont, Det-rounded before comparison) assigned map-only
+    * through a broadcast boundary table.
+    */
+  private def quantileBinsQ(s: SparkSession, d: String): DataFrame =
+    graft.operators.Binning.equiDepthBins(
+      Tables.events(s, d).select("event_id", "event_type", "value"),
+      groupCols = Seq("event_type"), valueCol = "value", nBins = 4)
+      .select("event_id", "event_type", "value", "bin")
+
   /** HLL sketch distinct count — the 100 TB form of
     * [[distinctCount]]: mergeable fixed-size sketches instead of an
     * expanded exact-distinct shuffle. Hash-based and order-
@@ -1530,6 +1541,15 @@ object RelationalQueries {
         |FROM numbered GROUP BY user_id, session_id""".stripMargin),
       headline = true),
     QueryDef("q_funnel", funnelQ, Some(funnelSql), headline = true),
+    QueryDef("q_quantile_bins", quantileBinsQ, Some(
+      """WITH b AS (
+        |  SELECT event_type,
+        |    list_transform(quantile_cont(value, [0.25, 0.5, 0.75]),
+        |      x -> floor(x * 10000.0 + 0.5) / 10000.0) AS bounds
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  CAST(len(list_filter(b.bounds, x -> e.value > x)) AS INTEGER) AS bin
+        |FROM events e JOIN b USING (event_type)""".stripMargin)),
     QueryDef("q_approx_distinct", approxDistinct, None),
     QueryDef("q_percentiles", percentiles, Some(
       """SELECT event_type,
