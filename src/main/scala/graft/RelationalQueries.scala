@@ -1541,7 +1541,7 @@ object RelationalQueries {
         |FROM numbered GROUP BY user_id, session_id""".stripMargin),
       headline = true),
     QueryDef("q_funnel", funnelQ, Some(funnelSql), headline = true),
-    QueryDef("q_quantile_bins", quantileBinsQ, Some(
+    QueryDef("q_quantile_bins", quantileBinsQ, headline = true, oracle = Some(
       """WITH b AS (
         |  SELECT event_type,
         |    list_transform(quantile_cont(value, [0.25, 0.5, 0.75]),

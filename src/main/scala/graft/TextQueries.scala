@@ -783,7 +783,7 @@ object TextQueries {
     QueryDef("q_repetition", repetition, Some(repetitionSql)),
     QueryDef("q_dedup_lines", dedupLinesQ, Some(dedupLinesSql)),
     QueryDef("q_url_dedup", urlDedup, Some(urlDedupSql)),
-    QueryDef("q_domain_quota", domainQuotaQ, Some(domainQuotaSql)),
+    QueryDef("q_domain_quota", domainQuotaQ, Some(domainQuotaSql), headline = true),
     QueryDef("q_tfidf_keywords", tfidfKeywords, Some(tfidfSql), headline = true),
     QueryDef("q_redact", redact, Some(
       "SELECT doc_id, regexp_replace(text, '[0-9]+', '#', 'g') AS redacted FROM documents")),

@@ -133,6 +133,13 @@ class PlanSpec extends SparkSpecBase {
     assert(!plan.contains("Window"), plan.take(800))
   }
 
+  test("quantile bins: broadcast boundary join — the data pass never shuffles") {
+    val plan = planOf(SparkEntry.queries("q_quantile_bins")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"), plan.take(800))
+    assert(!plan.contains("Window"), plan.take(800))
+  }
+
   test("LM score: equi-join against the vocab aggregate, no window, no nested loop") {
     val plan = planOf(SparkEntry.queries("q_lm_score")(spark, sf))
     assert(!plan.contains("Window"), plan.take(800))
