@@ -1059,6 +1059,38 @@ object RelationalQueries {
         col("c_acctbal").as("bal"))
   }
 
+  /** Snapshot reconciliation ([[graft.operators.Cdc.snapshotDiff]]):
+    * a synthetic "yesterday" snapshot derived deterministically from
+    * `orders` (every 7th key missing → reads as I, every 11th key
+    * shifted past the domain → reads as D, every 5th key's price
+    * nudged → reads as U) diffed against today's. Output is sized to
+    * the drift; the oracle restates the same derivation over one
+    * full-outer join.
+    */
+  private def snapshotDiffQ(s: SparkSession, d: String): DataFrame = {
+    val cur = Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val base = cur.filter(pmod(col("o_orderkey"), lit(7)) =!= 0)
+      .withColumn("o_totalprice",
+        when(pmod(col("o_orderkey"), lit(5)) === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")))
+      .union(cur.filter(pmod(col("o_orderkey"), lit(11)) === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 1000000L))
+    Cdc.snapshotDiff(base, cur, keyCols = Seq("o_orderkey"))
+  }
+
+  /** One-pass column profile ([[graft.operators.Profile.exact]]) over
+    * four `orders` columns (bigint / varchar ×2 / timestamp — doubles
+    * are excluded from the ORACLE-checked set because casting one to
+    * string profiles the engine's print format; the operator itself
+    * takes any type). Timestamp casts print identically in Spark and
+    * DuckDB at whole-second precision.
+    */
+  private def profileQ(s: SparkSession, d: String): DataFrame =
+    graft.operators.Profile.exact(
+      Tables.orders(s, d),
+      Seq("o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"))
+
   /** Gap-filled daily series: per-user daily mean, resampled to every
     * day in range with forward fill ([[Relational.gapFillDays]]).
     */
@@ -1579,6 +1611,64 @@ object RelationalQueries {
         |FROM customer c FULL OUTER JOIN latest l ON c.c_custkey = l.user_id
         |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin),
       headline = true),
+    QueryDef("q_snapshot_diff", snapshotDiffQ, Some(
+      """WITH cur AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+        |base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM cur WHERE o_orderkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000, o_custkey, o_orderstatus, o_totalprice
+        |  FROM cur WHERE o_orderkey % 11 = 0),
+        |diff AS (
+        |  SELECT COALESCE(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+        |    CASE WHEN b.o_orderkey IS NULL THEN 'I'
+        |         WHEN c.o_orderkey IS NULL THEN 'D'
+        |         WHEN b.o_custkey IS DISTINCT FROM c.o_custkey
+        |           OR b.o_orderstatus IS DISTINCT FROM c.o_orderstatus
+        |           OR b.o_totalprice IS DISTINCT FROM c.o_totalprice THEN 'U'
+        |    END AS change,
+        |    concat_ws(',',
+        |      CASE WHEN b.o_custkey IS DISTINCT FROM c.o_custkey THEN 'o_custkey' END,
+        |      CASE WHEN b.o_orderstatus IS DISTINCT FROM c.o_orderstatus THEN 'o_orderstatus' END,
+        |      CASE WHEN b.o_totalprice IS DISTINCT FROM c.o_totalprice THEN 'o_totalprice' END
+        |    ) AS diffcols
+        |  FROM base b FULL OUTER JOIN cur c ON b.o_orderkey = c.o_orderkey)
+        |SELECT o_orderkey, change,
+        |  CASE WHEN change = 'U' THEN diffcols ELSE '' END AS changed_cols
+        |FROM diff WHERE change IS NOT NULL""".stripMargin)),
+    QueryDef("q_profile", profileQ, Some(
+      """SELECT 'o_custkey' AS col_name,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(*) - count(o_custkey) AS BIGINT) AS n_nulls,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+        |  CAST(min(o_custkey) AS VARCHAR) AS min_s,
+        |  CAST(max(o_custkey) AS VARCHAR) AS max_s,
+        |  CAST(NULL AS BIGINT) AS sum_len
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) - count(o_orderstatus) AS BIGINT),
+        |  CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+        |  min(o_orderstatus), max(o_orderstatus),
+        |  CAST(sum(length(o_orderstatus)) AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) - count(o_orderpriority) AS BIGINT),
+        |  CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+        |  min(o_orderpriority), max(o_orderpriority),
+        |  CAST(sum(length(o_orderpriority)) AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderdate', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) - count(o_orderdate) AS BIGINT),
+        |  CAST(count(DISTINCT o_orderdate) AS BIGINT),
+        |  CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR),
+        |  CAST(NULL AS BIGINT)
+        |FROM orders""".stripMargin)),
     QueryDef("q_gap_fill", gapFill, Some(
       """WITH daily AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day,

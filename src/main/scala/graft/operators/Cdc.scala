@@ -59,4 +59,56 @@ object Cdc {
       .filter(chg(s"__chg_$opCol").isNull || chg(s"__chg_$opCol") =!= "D")
       .select(outCols: _*)
   }
+
+  /** Snapshot reconciliation: diff two keyed snapshots of the same
+    * table into the change set that turns `base` into `current` —
+    * `I` (key only in current), `D` (key only in base), `U` (key in
+    * both, any compared column differs under null-safe equality).
+    * Unchanged keys are dropped, so the output is sized to the DRIFT,
+    * not the table — the validation primitive for migration cutovers
+    * and replica audits ("did the copy land?") where materializing
+    * anything proportional to the 100 TB input would be the bug.
+    *
+    * `changed_cols` names the differing columns (sorted,
+    * comma-joined) on `U` rows and is empty otherwise — enough to
+    * route a repair without shipping the values themselves; callers
+    * that need them re-join the keys back to either snapshot.
+    *
+    * Scale shape: ONE full-outer equi-join on the key (both sides
+    * shuffle-hash on the same key, no broadcast assumption — the
+    * snapshots are peers), comparisons evaluate row-local in the
+    * join's projection, and the filter drops the unchanged bulk
+    * before anything else sees it. Keys must be non-null (a null key
+    * never equi-joins, so it would always read as I+D drift).
+    */
+  def snapshotDiff(
+      base: DataFrame,
+      current: DataFrame,
+      keyCols: Seq[String],
+      compareCols: Seq[String] = Nil): DataFrame = {
+    val cmp =
+      (if (compareCols.nonEmpty) compareCols
+       else base.columns.toSeq.filter(c =>
+         !keyCols.contains(c) && current.columns.contains(c))).sorted
+    val b = base.select(
+      keyCols.map(col) ++ cmp.map(c => col(c).as(s"__b_$c")) :+
+        lit(1).as("__b"): _*)
+    val c = current.select(
+      keyCols.map(col) ++ cmp.map(x => col(x).as(s"__c_$x")) :+
+        lit(1).as("__c"): _*)
+    // Seq-key join coalesces the key columns across the full outer.
+    val joined = b.join(c, keyCols, "full_outer")
+    val differs = cmp.map(x => !(col(s"__b_$x") <=> col(s"__c_$x")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val change = when(col("__b").isNull, "I")
+      .when(col("__c").isNull, "D")
+      .when(differs, "U")
+    val changedCols = concat_ws(",",
+      cmp.map(x => when(!(col(s"__b_$x") <=> col(s"__c_$x")), lit(x))): _*)
+    joined.withColumn("change", change)
+      .filter(col("change").isNotNull)
+      .select(keyCols.map(col) :+ col("change") :+
+        when(col("change") === "U", changedCols).otherwise(lit(""))
+          .as("changed_cols"): _*)
+  }
 }

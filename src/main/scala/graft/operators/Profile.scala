@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** One-pass column profiling: the data-quality sweep a 100 TB ingest
+  * runs before anything downstream trusts the table — per column, row
+  * and null counts, distinct cardinality, min/max, and (for strings)
+  * total length. The reference has no profiling surface; its
+  * presence/null checks (`DataCleaning.py:64-117`, SURVEY §2 P2/P3)
+  * are the per-row fragment of what this computes per-column.
+  *
+  * Scale shape: everything is ONE global aggregate over a single scan
+  * — per-partition partials collapse to one row per partition before
+  * the (single-row) final merge, so the shuffle is O(partitions), not
+  * O(rows). The one-row result then unpivots to a row per column with
+  * `stack` (driver-free, stays in-plan). Two variants:
+  *
+  *  - [[exact]] uses `count(DISTINCT c)`; Catalyst plans the N
+  *    distinct aggregates as one Expand pass (N× row amplification
+  *    over one scan). Exact, oracle-checkable, right for audits.
+  *  - [[approx]] swaps in `approx_count_distinct` (HLL±rsd): no
+  *    Expand, plain partial/final partials — the steady-state profile
+  *    at 100 TB, where a 2% cardinality error is fine and an N×
+  *    amplified scan is not.
+  *
+  * min/max are computed in the column's own type (so numerics order
+  * numerically, not lexically) and cast to string only for the
+  * uniform output schema. `sum_len` is NULL for non-string columns —
+  * length of a cast numeric would profile the print format, not the
+  * data.
+  */
+object Profile {
+
+  /** Per-column stats rows: `(col_name, n_rows, n_nulls, n_distinct,
+    * min_s, max_s, sum_len)`.
+    */
+  def exact(df: DataFrame, cols: Seq[String]): DataFrame =
+    profile(df, cols, c => count_distinct(col(c)))
+
+  /** [[exact]] with HLL distinct counts (`rsd` relative error) — the
+    * no-Expand scan for routine runs at corpus scale.
+    */
+  def approx(df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame =
+    profile(df, cols, c => approx_count_distinct(col(c), rsd))
+
+  private def profile(
+      df: DataFrame,
+      cols: Seq[String],
+      distinctAgg: String => org.apache.spark.sql.Column): DataFrame = {
+    require(cols.nonEmpty, "Profile: no columns to profile")
+    val schema = df.schema
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
+      val isString = schema(c).dataType == StringType
+      Seq(
+        count(col(c)).as(s"__nn_$c"),
+        distinctAgg(c).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"),
+        (if (isString) sum(length(col(c))) else lit(null).cast("long"))
+          .as(s"__sl_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    // stack(n, label, nulls, distinct, min, max, sumlen, ...) — the
+    // one-row frame fans out to a row per column without leaving the
+    // plan. Backtick-quoting keeps arbitrary column names intact.
+    val stackArgs = cols.map { c =>
+      s"'$c', `__nn_$c`, `__nd_$c`, `__min_$c`, `__max_$c`, `__sl_$c`"
+    }.mkString(", ")
+    one.select(
+        col("__n"),
+        expr(s"stack(${cols.size}, $stackArgs)")
+          .as(Seq("col_name", "__nn", "n_distinct", "min_s", "max_s", "sum_len")))
+      .select(
+        col("col_name"),
+        col("__n").as("n_rows"),
+        (col("__n") - col("__nn")).as("n_nulls"),
+        col("n_distinct"),
+        col("min_s"),
+        col("max_s"),
+        col("sum_len"))
+  }
+}

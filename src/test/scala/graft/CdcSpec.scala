@@ -91,6 +91,51 @@ class CdcSpec extends SparkSpecBase {
       ("b", "2024-01-04", Some(3.0)))) // filled to the global max day
   }
 
+  test("snapshotDiff: I/D/U classification, unchanged rows dropped") {
+    val cur = Seq(
+      (1L, "alice", 10.0),   // unchanged
+      (2L, "bobby", 20.0),   // renamed        -> U
+      (4L, "dave", 40.0))    // only in current -> I
+      .toDF("k", "name", "bal")
+    val got = Cdc.snapshotDiff(base, cur, Seq("k"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(got === Set(
+      (2L, "U", "name"),
+      (3L, "D", ""),   // carol only in base
+      (4L, "I", "")))
+  }
+
+  test("snapshotDiff: changed_cols lists every differing column, sorted") {
+    val cur = Seq((1L, "ALICE", 11.0)).toDF("k", "name", "bal")
+    val got = Cdc.snapshotDiff(base.filter($"k" === 1L), cur, Seq("k")).collect()
+    assert(got.length === 1)
+    assert(got.head.getString(1) === "U")
+    assert(got.head.getString(2) === "bal,name")
+  }
+
+  test("snapshotDiff: null-safe compare — null vs value is a change, null vs null is not") {
+    val b = Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
+      .toDF("k", "name")
+    val c = Seq((1L, Option.empty[String]), (2L, Some("now-set")))
+      .toDF("k", "name")
+    val got = Cdc.snapshotDiff(b, c, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((2L, "U")))
+  }
+
+  test("snapshotDiff: identical snapshots diff to empty") {
+    assert(Cdc.snapshotDiff(base, base, Seq("k")).count() === 0L)
+  }
+
+  test("snapshotDiff: explicit compareCols ignores drift in other columns") {
+    val cur = Seq((1L, "alice", 99.0)).toDF("k", "name", "bal")
+    val got = Cdc.snapshotDiff(
+      base.filter($"k" === 1L), cur, Seq("k"), compareCols = Seq("name"))
+    assert(got.count() === 0L)
+  }
+
   test("topKPerGroup: bounded heap matches window row_number semantics incl. ties") {
     val df = Seq(
       ("x", 1L, 5.0), ("x", 2L, 9.0), ("x", 3L, 9.0), ("x", 4L, 1.0),

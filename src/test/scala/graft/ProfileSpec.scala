@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Profile
+
+/** One-pass column profiler: stat correctness (nulls, distinct,
+  * typed min/max, string lengths), the approx variant's plan shape
+  * (no Expand), and single-scan execution.
+  */
+class ProfileSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private val df = Seq(
+    (1L, Some("aa"), Some(10.0)),
+    (2L, Some("bbbb"), None),
+    (10L, None, Some(2.5)),
+    (10L, Some("c"), Some(10.0)))
+    .toDF("id", "s", "v")
+
+  test("exact: counts, nulls, distinct, typed min/max, string sum_len") {
+    val rows = Profile.exact(df, Seq("id", "s", "v"))
+      .collect()
+      .map(r => r.getString(0) -> r)
+      .toMap
+    val id = rows("id")
+    assert(id.getLong(1) === 4L)      // n_rows
+    assert(id.getLong(2) === 0L)      // n_nulls
+    assert(id.getLong(3) === 3L)      // n_distinct
+    // numeric min/max, not lexical: max is "10", not "2"
+    assert(id.getString(4) === "1" && id.getString(5) === "10")
+    assert(id.isNullAt(6))            // sum_len null for non-strings
+
+    val s = rows("s")
+    assert(s.getLong(2) === 1L)
+    assert(s.getLong(3) === 3L)       // distinct ignores the null
+    assert(s.getString(4) === "aa" && s.getString(5) === "c")
+    assert(s.getLong(6) === 7L)       // 2 + 4 + 1
+
+    val v = rows("v")
+    assert(v.getLong(2) === 1L)
+    assert(v.getLong(3) === 2L)
+    assert(v.isNullAt(6))
+  }
+
+  test("approx: same shape, cardinalities within rsd of exact on a real table") {
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+    val exact = Profile.exact(orders, Seq("o_custkey", "o_orderstatus"))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val approx = Profile.approx(orders, Seq("o_custkey", "o_orderstatus"), rsd = 0.02)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    exact.foreach { case (c, n) =>
+      assert(math.abs(approx(c) - n) <= math.max(3L, (n * 0.1).toLong),
+        s"$c: approx ${approx(c)} vs exact $n")
+    }
+  }
+
+  test("plan shape: approx avoids the Expand the exact distincts need; one scan each") {
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+    val exactPlan = Profile.exact(orders, Seq("o_custkey", "o_orderstatus"))
+      .queryExecution.executedPlan.toString
+    val approxPlan = Profile.approx(orders, Seq("o_custkey", "o_orderstatus"))
+      .queryExecution.executedPlan.toString
+    assert(exactPlan.contains("Expand"), exactPlan.take(400))
+    assert(!approxPlan.contains("Expand"), approxPlan.take(400))
+    // single scan: the table is read once, not once per column
+    Seq(exactPlan, approxPlan).foreach { p =>
+      assert("Scan parquet".r.findAllIn(p).length === 1, p.take(400))
+    }
+  }
+
+  test("empty input: zero rows, zero distinct, null min/max") {
+    val r = Profile.exact(df.filter(lit(false)), Seq("id", "s")).collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert(r("id").getLong(1) === 0L && r("id").getLong(3) === 0L)
+    assert(r("id").isNullAt(4) && r("id").isNullAt(5))
+    assert(r("s").getLong(2) === 0L)
+  }
+}
