@@ -1091,6 +1091,21 @@ object RelationalQueries {
       Tables.orders(s, d),
       Seq("o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"))
 
+  /** Edit-distance join ([[Relational.fuzzyJoin]]): near-matching
+    * part-name pairs within Levenshtein 2 via sound length-bucket
+    * blocking. The oracle states the plain all-pairs definition —
+    * blocking must be invisible in the result.
+    */
+  private def fuzzyJoinQ(s: SparkSession, d: String): DataFrame = {
+    val names = Tables.part(s, d).select("p_name").distinct()
+    Relational.fuzzyJoin(
+        names.select(col("p_name").as("name_a")), "name_a",
+        names.select(col("p_name").as("name_b")), "name_b",
+        maxDist = 2)
+      .filter(col("name_a") < col("name_b"))
+      .select(col("name_a"), col("name_b"), col("dist").cast("int").as("dist"))
+  }
+
   /** Gap-filled daily series: per-user daily mean, resampled to every
     * day in range with forward fill ([[Relational.gapFillDays]]).
     */
@@ -1611,6 +1626,12 @@ object RelationalQueries {
         |FROM customer c FULL OUTER JOIN latest l ON c.c_custkey = l.user_id
         |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin),
       headline = true),
+    QueryDef("q_fuzzy_join", fuzzyJoinQ, Some(
+      """WITH names AS (SELECT DISTINCT p_name FROM part)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+        |FROM names a JOIN names b ON a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin)),
     QueryDef("q_snapshot_diff", snapshotDiffQ, Some(
       """WITH cur AS (
         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),

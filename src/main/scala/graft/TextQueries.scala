@@ -756,7 +756,65 @@ object TextQueries {
        |WHERE jaccard >= 0.5""".stripMargin
   }
 
+  /** HTML → text extraction ([[TextAnalysis.stripHtml]]): each doc
+    * wrapped in a deterministic page shell (script/style/comment
+    * blocks, tags, entities, an outlink) and stripped back to prose.
+    * The oracle builds the identical page and applies the identical
+    * chain in DuckDB — every pattern is backreference-free so the two
+    * regex engines agree; NULL text null-propagates identically
+    * through `||`/`concat`.
+    */
+  private def stripHtmlQ(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val html = concat(
+      lit("<html><head><title>t</title><style>p { color: red; }</style>"),
+      lit("<script>var x = 1 < 2 && \"a\";</script></head><body><!-- note -->"),
+      lit("<h1>Doc "), id, lit("</h1><p class=\"b\">"),
+      col("text"),
+      lit("</p><a href=\"http://ex.com/d/"), id,
+      lit("\">link</a> &amp; tail &lt;raw&gt; &quot;q&quot;&nbsp;end</body></html>"))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextAnalysis.stripHtml(html).as("clean"),
+      length(TextAnalysis.stripHtml(html)).cast("long").as("n_chars"),
+      try_element_at(TextAnalysis.extractLinks(html), lit(1)).as("first_link"))
+  }
+
+  private val stripHtmlSql =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    '<html><head><title>t</title><style>p { color: red; }</style>'
+      |    || '<script>var x = 1 < 2 && "a";</script></head><body><!-- note -->'
+      |    || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p class="b">'
+      |    || text
+      |    || '</p><a href="http://ex.com/d/' || CAST(doc_id AS VARCHAR)
+      |    || '">link</a> &amp; tail &lt;raw&gt; &quot;q&quot;&nbsp;end</body></html>'
+      |      AS html
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, html,
+      |    trim(regexp_replace(
+      |      replace(
+      |        replace(replace(replace(replace(replace(
+      |          regexp_replace(
+      |            regexp_replace(
+      |              regexp_replace(
+      |                regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+      |                '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+      |              '(?s)<!--.*?-->', ' ', 'g'),
+      |            '<[^>]*>', ' ', 'g'),
+      |          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      |          '&#39;', chr(39)), '&nbsp;', ' '),
+      |        '&amp;', '&'),
+      |      '\s+', ' ', 'g')) AS clean
+      |  FROM h)
+      |SELECT doc_id, clean, CAST(length(clean) AS BIGINT) AS n_chars,
+      |  CASE WHEN html IS NULL THEN NULL
+      |       ELSE regexp_extract(html, '(?i)href\s*=\s*"([^"]*)"', 1) END AS first_link
+      |FROM s""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_strip_html", stripHtmlQ, Some(stripHtmlSql)),
     QueryDef("q_doc_exact_dedup", exactDedup, Some(
       """SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_copies,
         |  min(doc_id) AS canonical_id

@@ -323,6 +323,54 @@ object Relational {
       .drop("__bkt")
   }
 
+  /** Edit-distance (fuzzy) join: pairs within Levenshtein `maxDist`,
+    * without the all-pairs cross join a raw `levenshtein(a,b) <= t`
+    * predicate plans (BroadcastNestedLoopJoin — the record-linkage
+    * scale killer).
+    *
+    * Blocking is SOUND, not heuristic: `|len(a)-len(b)| <= maxDist`
+    * is a necessary condition for edit distance ≤ maxDist (each edit
+    * changes the length by at most one), so bucketing lengths at
+    * width `maxDist+1` puts every qualifying pair in the same or an
+    * adjacent bucket. The left side replicates to its bucket ±1 (a
+    * fixed 3×, independent of data size) and the join is a plain
+    * equi-join on the bucket — no false negatives, and each pair
+    * meets exactly once (the right side carries a single bucket).
+    * Candidates then pass a cheap length prefilter before the
+    * thresholded `levenshtein(a, b, maxDist)`, whose early-exit makes
+    * the verify cost O(len·maxDist) instead of O(len²).
+    *
+    * At 100 TB blocking on length alone admits many candidates per
+    * bucket; compose with a stronger sound block first (e.g. a shared
+    * q-gram count filter) and keep this as the verify stage. Output:
+    * left columns + right columns + `dist` (int). Column names must
+    * be disjoint across the two sides.
+    */
+  def fuzzyJoin(
+      left: DataFrame,
+      leftCol: String,
+      right: DataFrame,
+      rightCol: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 0, "maxDist must be >= 0")
+    require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
+      "fuzzyJoin requires disjoint column names (alias one side)")
+    val w = maxDist + 1
+    val lb = left
+      .withColumn("__b0", floor(length(col(leftCol)).cast("long") / w).cast("long"))
+      .withColumn("__bkt",
+        explode(array(col("__b0") - 1, col("__b0"), col("__b0") + 1)))
+      .drop("__b0")
+    val rb = right
+      .withColumn("__bkt", floor(length(col(rightCol)).cast("long") / w).cast("long"))
+    lb.join(rb, Seq("__bkt"))
+      .filter(abs(length(col(leftCol)) - length(col(rightCol))) <= maxDist)
+      .withColumn("dist", levenshtein(col(leftCol), col(rightCol), maxDist))
+      // thresholded levenshtein returns -1 ABOVE the threshold
+      .filter(col("dist") >= 0)
+      .drop("__bkt")
+  }
+
   /** Ordered funnel analysis: for each user, the timestamp at which
     * each stage of `stages` was first reached, where stage i+1 counts
     * only strictly after the reached-at time of stage i (the standard

@@ -127,6 +127,44 @@ object TextAnalysis {
   def redactDigits(text: Column, mask: String = "#"): Column =
     regexp_replace(text, "[0-9]+", mask)
 
+  // ---- HTML → text extraction ----
+  //
+  // The raw-crawl front of a training-data pipeline: WARC/WET records
+  // are markup, not prose, and everything downstream (quality gates,
+  // dedup, tokenization) expects the extracted text. The chain is
+  // pure codegen'd regex/replace — map-only, one pass per stage, no
+  // UDF — and every pattern is backreference-free so it means the
+  // same thing in java.util.regex and RE2, keeping the DuckDB oracle
+  // exact. Order is load-bearing: script/style/comment BLOCKS drop
+  // before the generic tag strip (their text content is not prose,
+  // and a lone `<` inside a script would otherwise derail the tag
+  // regex), and `&amp;` decodes LAST (else `&amp;lt;` would
+  // double-decode to `<`).
+
+  /** Markup → whitespace-normalized text: script/style/comment blocks
+    * removed, tags stripped to spaces (so `a</p><p>b` keeps its word
+    * break), the six ubiquitous named/numeric entities decoded,
+    * whitespace collapsed.
+    */
+  def stripHtml(html: Column): Column = {
+    val noScript  = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle   = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags    = regexp_replace(noComment, "<[^>]*>", " ")
+    val entities  = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ")
+      .foldLeft(noTags) { case (c, (e, v)) => replace(c, lit(e), lit(v)) }
+    val amp = replace(entities, lit("&amp;"), lit("&"))
+    trim(regexp_replace(amp, "\\s+", " "))
+  }
+
+  /** Outlink extraction (the crawl-frontier feed): every
+    * double-quoted `href` value, in document order. Pairs with
+    * [[Urls.normalizeUrl]] for frontier dedup.
+    */
+  def extractLinks(html: Column): Column =
+    regexp_extract_all(html, lit("(?i)href\\s*=\\s*\"([^\"]*)\""), lit(1))
+
   // ---- Typed PII redaction ----
   //
   // Replacement tokens (not bare masks) follow the published corpus

@@ -116,4 +116,35 @@ class RelationalOpsSpec extends SparkSpecBase {
     // v=6.0 for ids 6,13,20,27,34,… → first five by id
     assert(got === Seq(6L, 13L, 20L, 27L, 34L))
   }
+
+  test("fuzzyJoin: finds every pair within maxDist, incl. across length buckets") {
+    val left = Seq("kitten", "flaw", "abcdefgh").toDF("a")
+    val right = Seq("sitting", "lawn", "abcdefghij", "zzzzz").toDF("b")
+    val got = Relational.fuzzyJoin(left, "a", right, "b", maxDist = 3)
+      .select("a", "b", "dist").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    // kitten→sitting = 3; flaw→lawn = 2; abcdefgh→abcdefghij = 2
+    // (lengths 8 vs 10 land in adjacent buckets at width 4 — the ±1
+    // replication is what finds it)
+    assert(got === Set(
+      ("kitten", "sitting", 3),
+      ("flaw", "lawn", 2),
+      ("abcdefgh", "abcdefghij", 2)))
+  }
+
+  test("fuzzyJoin: equi-join plan — no nested-loop cross product") {
+    val left = Seq("aaa").toDF("a")
+    val right = Seq("aab").toDF("b")
+    val plan = Relational.fuzzyJoin(left, "a", right, "b", 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
+  }
+
+  test("fuzzyJoin: maxDist 0 degenerates to exact equality") {
+    val left = Seq("x", "y").toDF("a")
+    val right = Seq("x", "z").toDF("b")
+    val got = Relational.fuzzyJoin(left, "a", right, "b", 0)
+      .select("a", "b").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(("x", "x")))
+  }
 }

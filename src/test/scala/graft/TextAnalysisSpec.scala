@@ -80,4 +80,29 @@ class TextAnalysisSpec extends SparkSpecBase {
       .select(col("doc_id"), TextAnalysis.splitBucket(col("doc_id")).as("b2"))
     assert(docs.join(again, "doc_id").filter(col("b") =!= col("b2")).count() === 0)
   }
+
+  test("stripHtml: blocks, tags, entities, whitespace — in the load-bearing order") {
+    import spark.implicits._
+    val got = Seq(
+      // script content (with a lone <) drops wholesale, not tag-by-tag
+      "<p>a</p><script>if (1 < 2) x();</script><p>b</p>",
+      // style + comment blocks drop; tags become word breaks
+      "<style>p{}</style>x<!-- hidden -->y</p><p>z",
+      // &amp; decodes LAST: &amp;lt; must yield literal "&lt;", not "<"
+      "a &amp;lt; b &lt;i&gt; &quot;q&quot;&nbsp;&#39;s&#39;",
+      "  spaced\t\nout  ")
+      .toDF("h").select(TextAnalysis.stripHtml(col("h"))).as[String].collect()
+    assert(got(0) === "a b")
+    assert(got(1) === "x y z")
+    assert(got(2) === "a &lt; b <i> \"q\" 's'")
+    assert(got(3) === "spaced out")
+  }
+
+  test("extractLinks: href values in document order, case-insensitive attr") {
+    import spark.implicits._
+    val got = Seq("""<a href="http://a">x</a><a HREF = "http://b">y</a><a href='no'>""")
+      .toDF("h").select(TextAnalysis.extractLinks(col("h")))
+      .as[Seq[String]].collect().head
+    assert(got === Seq("http://a", "http://b"))
+  }
 }
