@@ -813,8 +813,45 @@ object TextQueries {
       |       ELSE regexp_extract(html, '(?i)href\s*=\s*"([^"]*)"', 1) END AS first_link
       |FROM s""".stripMargin
 
+  /** Inverted-index build ([[graft.operators.Keywords.invertedIndex]])
+    * probed at three vocabulary terms; postings serialize to a
+    * comma-joined string for the cell-exact compare (the operator
+    * returns the real array).
+    */
+  private def invertedPostingsQ(s: SparkSession, d: String): DataFrame =
+    graft.operators.Keywords.invertedIndex(Tables.documents(s, d), "doc_id", "text")
+      .filter(col("token").isin("table", "spark", "scan"))
+      .select(col("token"), col("df_block").as("df"),
+        array_join(transform(col("postings"), _.cast("string")), ",").as("postings"))
+
+  /** Conjunctive keyword retrieval
+    * ([[graft.operators.Keywords.searchAll]]): docs containing all
+    * three terms, graded by total query-term occurrences.
+    */
+  private def invertedSearchQ(s: SparkSession, d: String): DataFrame =
+    graft.operators.Keywords.searchAll(
+      Tables.documents(s, d), "doc_id", "text", Seq("table", "spark", "scan"))
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_strip_html", stripHtmlQ, Some(stripHtmlSql)),
+    QueryDef("q_inverted_postings", invertedPostingsQ, Some {
+      val toks = duckToks("text")
+      s"""WITH tok AS (
+         |  SELECT DISTINCT doc_id, token
+         |  FROM (SELECT doc_id, unnest($toks) AS token FROM documents))
+         |SELECT token, CAST(count(*) AS BIGINT) AS df,
+         |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+         |FROM tok WHERE token IN ('table', 'spark', 'scan')
+         |GROUP BY token""".stripMargin
+    }),
+    QueryDef("q_inverted_search", invertedSearchQ, Some {
+      val toks = duckToks("text")
+      s"""WITH tok AS (SELECT doc_id, unnest($toks) AS token FROM documents)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS hits
+         |FROM tok WHERE token IN ('table', 'spark', 'scan')
+         |GROUP BY doc_id
+         |HAVING count(DISTINCT token) = 3""".stripMargin
+    }),
     QueryDef("q_doc_exact_dedup", exactDedup, Some(
       """SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_copies,
         |  min(doc_id) AS canonical_id

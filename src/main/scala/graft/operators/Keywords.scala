@@ -65,4 +65,86 @@ object Keywords {
       .select(col(idCol), col("token"), col("tf"), col("df"),
         col("score"), col("rank"))
   }
+
+  // ---- Inverted index + boolean retrieval ----
+  //
+  // The other direction of the TF pass: token → sorted posting list
+  // of containing docs. This is the serving structure for exact
+  // keyword search, decontamination lookups, and targeted corpus
+  // audits ("every doc mentioning X") — queries become posting
+  // intersections instead of corpus scans.
+
+  /** Build the index: one row per token (per posting BLOCK when
+    * `docsPerBlock > 0`) with the sorted distinct doc ids and the
+    * document frequency.
+    *
+    * Scale shape: distinct (doc, token) pairs shuffle once on the
+    * token. An UNBLOCKED index concentrates each Zipf-head token's
+    * full posting list in one task and one row — fine for bounded
+    * vocabularies, a hot-key hazard for open ones. `docsPerBlock`
+    * shards postings by doc-id RANGE (`block = doc_id /
+    * docsPerBlock`) — a map-side, data-independent split, so no
+    * per-token window or skew-prone re-sort anywhere; readers union
+    * a token's blocks (ranges are disjoint and internally sorted, so
+    * concatenation in block order IS the sorted list, and block
+    * pruning by id range falls out for free).
+    *
+    * Output: `(token, block, df_block, postings)`; `block` is 0 when
+    * unblocked.
+    */
+  def invertedIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      docsPerBlock: Long = 0L): DataFrame = {
+    val pairs = docs
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("token"))
+      .withColumn("block",
+        if (docsPerBlock > 0) (col("doc_id") / docsPerBlock).cast("long")
+        else lit(0L))
+    pairs.groupBy("token", "block")
+      .agg(count(lit(1)).as("df_block"),
+        sort_array(collect_list(col("doc_id"))).as("postings"))
+  }
+
+  /** Conjunctive (AND) search straight off the corpus: docs
+    * containing EVERY term, with `hits` = total occurrences of the
+    * query terms (the tie-grade for ranking). One explode + one
+    * (doc, token) aggregate + one doc aggregate; the term filter
+    * collapses the scan to query-term tokens before any shuffle.
+    */
+  def searchAll(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "searchAll: no query terms")
+    val n = terms.distinct.size
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .filter(col("token").isin(terms.distinct: _*))
+      .groupBy("doc_id")
+      .agg(count_distinct(col("token")).as("__nt"),
+        count(lit(1)).as("hits"))
+      .filter(col("__nt") === n)
+      .select("doc_id", "hits")
+  }
+
+  /** [[searchAll]] served from a prebuilt [[invertedIndex]] instead
+    * of the corpus: filter the index to the query terms (token-key
+    * lookup — with a blocked index this touches only matching rows),
+    * explode the postings, and keep docs seen under every term.
+    */
+  def searchIndex(index: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "searchIndex: no query terms")
+    val n = terms.distinct.size
+    index.filter(col("token").isin(terms.distinct: _*))
+      .select(col("token"), explode(col("postings")).as("doc_id"))
+      .groupBy("doc_id")
+      .agg(count_distinct(col("token")).as("__nt"))
+      .filter(col("__nt") === n)
+      .select("doc_id")
+  }
 }

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Keywords
+
+/** Inverted index + conjunctive retrieval: build correctness, the
+  * blocked/unblocked equivalence (block concatenation in block order
+  * IS the sorted posting list), and index-vs-corpus search parity.
+  */
+class SearchSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private val docs = Seq(
+    (10L, "a b c a"),
+    (20L, "b c"),
+    (30L, "a d"),
+    (40L, "b a d d"))
+    .toDF("id", "text")
+
+  test("invertedIndex: sorted distinct postings + df per token") {
+    val got = Keywords.invertedIndex(docs, "id", "text")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getSeq[Long](3))))
+      .toMap // token -> (df, postings)
+    assert(got("a") === ((3L, Seq(10L, 30L, 40L))))
+    assert(got("b") === ((3L, Seq(10L, 20L, 40L))))
+    assert(got("c") === ((2L, Seq(10L, 20L))))
+    assert(got("d") === ((2L, Seq(30L, 40L))))
+  }
+
+  test("blocked index: concatenating a token's blocks in order equals the unblocked list") {
+    val whole = Keywords.invertedIndex(docs, "id", "text")
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](3)).toMap
+    val blocked = Keywords.invertedIndex(docs, "id", "text", docsPerBlock = 25L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](3)))
+      .groupBy(_._1)
+      .map { case (t, rows) =>
+        t -> rows.sortBy(_._2).flatMap(_._3).toSeq
+      }
+    assert(blocked === whole)
+    // and the split actually happened: 'a' spans doc ranges [0,25) and [25,50)
+    val aBlocks = Keywords.invertedIndex(docs, "id", "text", docsPerBlock = 25L)
+      .filter(col("token") === "a").collect().map(_.getLong(1)).sorted
+    assert(aBlocks.toSeq === Seq(0L, 1L))
+  }
+
+  test("searchAll: every term required; hits counts all occurrences") {
+    val got = Keywords.searchAll(docs, "id", "text", Seq("a", "b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // doc 10: a×2 b×1 = 3 hits; doc 40: a×1 b×1 = 2; docs 20/30 lack a term
+    assert(got === Set((10L, 3L), (40L, 2L)))
+  }
+
+  test("searchAll: duplicate query terms don't change the required count") {
+    val got = Keywords.searchAll(docs, "id", "text", Seq("a", "a", "d"))
+      .collect().map(_.getLong(0)).toSet
+    assert(got === Set(30L, 40L))
+  }
+
+  test("searchIndex over a blocked index matches searchAll over the corpus") {
+    val idx = Keywords.invertedIndex(docs, "id", "text", docsPerBlock = 25L)
+    val viaIndex = Keywords.searchIndex(idx, Seq("a", "b"))
+      .collect().map(_.getLong(0)).toSet
+    val viaCorpus = Keywords.searchAll(docs, "id", "text", Seq("a", "b"))
+      .collect().map(_.getLong(0)).toSet
+    assert(viaIndex === viaCorpus)
+  }
+}
