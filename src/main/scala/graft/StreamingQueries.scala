@@ -346,7 +346,42 @@ object StreamingQueries {
   private val wmSql =
     "SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 30 MINUTE AS w FROM events"
 
+  /** Exact incremental aggregate view
+    * ([[graft.streaming.AggStream]]), driver-checked: the event
+    * stream replays in two parity-split batches through the REAL
+    * `writeStream`/foreachBatch maintenance path, each batch
+    * committing `(count, DECIMAL sum)` partials; the serve-side merge
+    * must equal the one-shot batch aggregate — the oracle is that
+    * plain GROUP BY. Exact algebra end to end (no sketch error), so
+    * stream ≡ batch is itself the driver gate.
+    */
+  private def streamAggView(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val evs = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .as[(Long, String, Double)].collect()
+    val (b0, b1) = evs.partition(_._1 % 2 == 0)
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_aggview").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_aggview_ckpt").toString
+    val input = MemoryStream[(Long, String, Double)](s)
+    val q = graft.streaming.AggStream.stream(
+      input.toDF().toDF("event_id", "event_type", "value"),
+      stateDir, ckpt, Seq("event_type"), "value")
+    try {
+      input.addData(b0.toSeq); q.processAllAvailable()
+      input.addData(b1.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    graft.streaming.AggStream.serve(s, stateDir, Seq("event_type"))
+      .select(col("event_type"), col("n").cast("long").as("n"),
+        col("sum_value").cast("double").as("sum_value"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_stream_aggview", streamAggView, Some(
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin)),
     QueryDef("q_stream_latest", streamLatest, Some(
       """SELECT user_id, event_type, event_id, ts, value FROM (
         |  SELECT *, row_number() OVER (

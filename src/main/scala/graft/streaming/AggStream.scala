@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.DecimalType
+
+/** Exact incremental materialized aggregate view — the
+  * algebraic-measure sibling of [[SketchStream]]: each micro-batch
+  * collapses to ONE `(count, DECIMAL sum)` partial per group,
+  * appended to a batch-id-partitioned state table; serving re-merges
+  * the partials, which by commutative exact algebra equals the
+  * one-shot aggregate over all history (sum in DECIMAL, never double
+  * — partial merge order must not move the result; CLAUDE.md
+  * invariant). count/sum/avg (= sum/count) dashboards at 100 TB pay
+  * one tiny aggregate per batch and a partials-table scan per serve —
+  * never a history re-scan — and unlike the sketch path the answer is
+  * EXACT, so the whole lifecycle is oracle-checkable.
+  *
+  * Exactly-once: partials land under `batch_id=<id>` with dynamic
+  * partition overwrite — a replayed micro-batch overwrites its own
+  * partition (the [[NearDupGate]]/[[CdcStream]]/[[SketchStream]]
+  * idempotency discipline). A long-lived stream accrues one partition
+  * per batch; fold old partitions periodically by re-writing their
+  * merged partials as one coarser slice (the algebra makes the fold
+  * lossless), or run [[graft.sources.Compact]] per leaf.
+  */
+object AggStream {
+
+  /** One micro-batch step: per-group `(cnt, sum_partial)` for
+    * `batch`, committed idempotently under `stateDir/batch_id=<id>`.
+    */
+  def appendPartials(
+      batch: DataFrame,
+      batchId: Long,
+      stateDir: String,
+      groupCols: Seq[String],
+      valueCol: String): Unit =
+    batch.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"),
+        sum(col(valueCol).cast(DecimalType(18, 2))).as("sum_partial"))
+      .withColumn("batch_id", lit(batchId))
+      .write.partitionBy("batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(stateDir)
+
+  /** Serving path: per-group exact `(n, sum_value)` over ALL
+    * committed partials — scans only the partials table. DECIMAL
+    * throughout the merge; callers cast/round at the edge.
+    */
+  def serve(
+      spark: SparkSession,
+      stateDir: String,
+      groupCols: Seq[String]): DataFrame =
+    spark.read.parquet(stateDir)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("cnt")).as("n"),
+        sum(col("sum_partial")).as("sum_value"))
+
+  /** The streaming maintenance query: every micro-batch commits its
+    * group partials through [[appendPartials]].
+    */
+  def stream(
+      events: DataFrame,
+      stateDir: String,
+      checkpointDir: String,
+      groupCols: Seq[String],
+      valueCol: String): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        appendPartials(b, id, stateDir, groupCols, valueCol)
+      }
+      .start()
+}

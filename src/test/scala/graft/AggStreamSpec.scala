@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.streaming.AggStream
+
+/** Exact incremental aggregate view ([[graft.streaming.AggStream]]):
+  * serve-over-partials EQUALS (not approximates) the one-shot
+  * aggregate of the full history, replay is idempotent, and state
+  * stays partials-sized.
+  */
+class AggStreamSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  // .x5 values included on purpose: a double sum would be
+  // partition-order-dependent exactly there.
+  private def rows = (1L to 6000L).map(i => (s"g${i % 3}", (i % 40) + 0.25))
+
+  test("serving over streamed partials equals the one-shot exact aggregate") {
+    val stateDir = java.nio.file.Files.createTempDirectory("agg_state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("agg_ckpt").toString
+    val input = MemoryStream[(String, Double)](spark)
+    val q = AggStream.stream(
+      input.toDF().toDF("grp", "v"), stateDir, ckpt, Seq("grp"), "v")
+    val batches = rows.grouped(1700).toSeq // 4 uneven batches
+    try batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    finally q.stop()
+
+    val served = AggStream.serve(spark, stateDir, Seq("grp"))
+      .select(col("grp"), col("n"), col("sum_value").cast("string"))
+      .as[(String, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val direct = rows.toDF("grp", "v").groupBy("grp")
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast(DecimalType(18, 2))).as("s"))
+      .select(col("grp"), col("n"), col("s").cast("string"))
+      .as[(String, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(served === direct) // exact, DECIMAL-string compare
+  }
+
+  test("replayed batch id overwrites its own partition; state is partials-sized") {
+    val stateDir = java.nio.file.Files.createTempDirectory("agg_replay").toString
+    val df0 = rows.take(3000).toDF("grp", "v")
+    val df1 = rows.drop(3000).toDF("grp", "v")
+    AggStream.appendPartials(df0, 0L, stateDir, Seq("grp"), "v")
+    AggStream.appendPartials(df1, 1L, stateDir, Seq("grp"), "v")
+    val once = AggStream.serve(spark, stateDir, Seq("grp"))
+      .select(col("grp"), col("n"), col("sum_value").cast("string"))
+      .as[(String, Long, String)].collect().toSet
+    AggStream.appendPartials(df1, 1L, stateDir, Seq("grp"), "v") // recovery re-run
+    val twice = AggStream.serve(spark, stateDir, Seq("grp"))
+      .select(col("grp"), col("n"), col("sum_value").cast("string"))
+      .as[(String, Long, String)].collect().toSet
+    assert(twice === once)
+    // one partial row per (group, batch), regardless of batch row counts
+    assert(spark.read.parquet(stateDir).count() === 6L)
+  }
+}
