@@ -1091,6 +1091,62 @@ object RelationalQueries {
       Tables.orders(s, d),
       Seq("o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"))
 
+  /** SCD-2 dimension build ([[graft.operators.Cdc.scd2]]): the event
+    * log as a change history — per user, validity intervals from each
+    * change to the next, open-ended on the current row.
+    */
+  private def scd2Q(s: SparkSession, d: String): DataFrame =
+    Cdc.scd2(
+        Tables.events(s, d).select("user_id", "event_id", "ts", "value"),
+        keyCols = Seq("user_id"), tsCol = "ts", tieCols = Seq("event_id"))
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("valid_from"), col("valid_to"),
+        col("is_current").cast("int").as("is_current"))
+
+  /** OHLC downsampling ([[Relational.ohlcBars]]): hourly bars per
+    * event type — open/close via min_by/max_by partials, no window.
+    */
+  private def ohlcBarsQ(s: SparkSession, d: String): DataFrame =
+    Relational.ohlcBars(
+      Tables.events(s, d), Seq("event_type"), "ts", "event_id", "value", "hour")
+
+  /** Rolling-window anomaly flags ([[Relational.rollingAnomaly]]):
+    * value vs 2× the mean of the previous 5, stated multiplicatively
+    * in DECIMAL so both engines compare identical cells.
+    */
+  private def rollingAnomalyQ(s: SparkSession, d: String): DataFrame =
+    Relational.rollingAnomaly(
+        Tables.events(s, d).select("user_id", "event_id", "ts", "value"),
+        keys = Seq("user_id"), tsCol = "ts", tieCol = "event_id",
+        valueCol = "value", k = 5, factor = 2)
+      .select(col("user_id"), col("event_id"),
+        col("roll_sum").cast("double").as("roll_sum"),
+        col("roll_n"), col("is_anomaly"))
+
+  /** Bucketed co-located join
+    * ([[graft.sources.Warehouse.writeBucketed]]): both fact tables
+    * land pre-hash-partitioned (and sorted) on the join key, so the
+    * sort-merge join plans with NO exchange and no per-query sort —
+    * the write-once / join-forever layout (`BucketingSpec` pins the
+    * exchange-free plan; this query gates the saveAsTable round-trip's
+    * correctness). The oracle is the plain join — bucketing must be
+    * invisible in the result.
+    */
+  private def bucketedJoinQ(s: SparkSession, d: String): DataFrame = {
+    graft.sources.Warehouse.writeBucketed(
+      Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+      "graft_bkt_orders", Seq("o_orderkey"), 8, Seq("o_orderkey"))
+    graft.sources.Warehouse.writeBucketed(
+      Tables.lineitem(s, d).select("l_orderkey", "l_quantity", "l_returnflag"),
+      "graft_bkt_lineitem", Seq("l_orderkey"), 8, Seq("l_orderkey"))
+    s.table("graft_bkt_lineitem").hint("merge")
+      .join(s.table("graft_bkt_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+  }
+
   /** Edit-distance join ([[Relational.fuzzyJoin]]): near-matching
     * part-name pairs within Levenshtein 2 via sound length-bucket
     * blocking. The oracle states the plain all-pairs definition —
@@ -1626,6 +1682,50 @@ object RelationalQueries {
         |FROM customer c FULL OUTER JOIN latest l ON c.c_custkey = l.user_id
         |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin),
       headline = true),
+    QueryDef("q_scd2", scd2Q, Some(
+      """SELECT user_id, event_id, value,
+        |  ts AS valid_from,
+        |  lead(ts) OVER w AS valid_to,
+        |  CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin)),
+    QueryDef("q_ohlc_bars", ohlcBarsQ, Some(
+      """WITH b AS (
+        |  SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS bucket,
+        |    ts, event_id, value
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY event_type, bucket
+        |      ORDER BY ts, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY event_type, bucket
+        |      ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM b)
+        |SELECT event_type, bucket,
+        |  min(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  min(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM r GROUP BY 1, 2""".stripMargin)),
+    QueryDef("q_rolling_anomaly", rollingAnomalyQ, Some(
+      """WITH w AS (
+        |  SELECT user_id, event_id,
+        |    CAST(value AS DECIMAL(18,2)) AS v,
+        |    sum(CAST(value AS DECIMAL(18,2))) OVER win AS roll_sum,
+        |    CAST(count(value) OVER win AS BIGINT) AS roll_n
+        |  FROM events
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id,
+        |  CAST(roll_sum AS DOUBLE) AS roll_sum, roll_n,
+        |  CASE WHEN roll_n = 0 THEN 0
+        |       WHEN v * roll_n > roll_sum * 2 THEN 1 ELSE 0 END AS is_anomaly
+        |FROM w""".stripMargin)),
+    QueryDef("q_bucketed_join", bucketedJoinQ, Some(
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_returnflag""".stripMargin)),
     QueryDef("q_fuzzy_join", fuzzyJoinQ, Some(
       """WITH names AS (SELECT DISTINCT p_name FROM part)
         |SELECT a.p_name AS name_a, b.p_name AS name_b,

@@ -60,6 +60,40 @@ object Cdc {
       .select(outCols: _*)
   }
 
+  /** SCD type-2 dimension build: turn a change log into validity
+    * intervals — one row per (key, change) with `valid_from` = the
+    * change's timestamp, `valid_to` = the NEXT change's timestamp
+    * (null while current), and `is_current`. The history-preserving
+    * complement of [[applyChanges]]'s last-wins overwrite: point-in-
+    * time joins (`fact.ts >= valid_from AND (fact.ts < valid_to OR
+    * valid_to IS NULL)`) read any past state of the dimension.
+    *
+    * Scale shape: ONE shuffle on the key; `valid_to` is a per-key
+    * `lead` over the change ordering, so task size is bounded by a
+    * single key's change history (dimension keys change thousands of
+    * times, not billions — the safe side of the window-vs-aggregate
+    * line; contrast the hash-keyed dedup marking CLAUDE.md pins as
+    * aggregate-only).
+    *
+    * `orderCols` must totally order each key's changes (ties would
+    * make interval boundaries nondeterministic) — pass a tiebreaker
+    * (sequence id) alongside the timestamp, exactly as
+    * [[applyChanges]] requires.
+    */
+  def scd2(
+      changes: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy((tsCol +: tieCols).map(col): _*)
+    changes
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
   /** Snapshot reconciliation: diff two keyed snapshots of the same
     * table into the change set that turns `base` into `current` —
     * `I` (key only in current), `D` (key only in base), `U` (key in

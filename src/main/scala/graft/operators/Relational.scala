@@ -323,6 +323,74 @@ object Relational {
       .drop("__bkt")
   }
 
+  /** Time-bucket downsampling to OHLC bars: per (keys, bucket) the
+    * first/highest/lowest/last value and the row count — the
+    * resolution-reduction pass that turns a raw tick/event stream
+    * into chartable series (the reference's per-station price chart
+    * is the unbucketed special case).
+    *
+    * Scale shape: ONE aggregate shuffle on (keys, bucket); open/close
+    * are `min_by`/`max_by` over the (ts, tie) order, so map-side
+    * partials collapse each partition to one candidate per group — no
+    * window, no per-group sort, hot buckets absorb into partials.
+    * (ts, tieCol) must be unique per row for deterministic open/close
+    * under ties.
+    */
+  def ohlcBars(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      tieCol: String,
+      valueCol: String,
+      unit: String): DataFrame = {
+    val order = struct(col(tsCol), col(tieCol))
+    df.withColumn("bucket", date_trunc(unit, col(tsCol)))
+      .groupBy((keys :+ "bucket").map(col): _*)
+      .agg(
+        min_by(col(valueCol), order).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max_by(col(valueCol), order).as("close"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Rolling-window anomaly flags: per key in (ts, tie) order, a row
+    * is anomalous when its value exceeds `factor`× the mean of the
+    * previous `k` values. The streaming-ops quality monitor ("did
+    * this sensor just spike?") restated engine-exact: the comparison
+    * `value · window_n > factor · window_sum` multiplies DECIMALs
+    * instead of dividing (a DECIMAL division's result scale is
+    * engine-dependent; products are not), and the bounded ROWS frame
+    * sums ≤ k DECIMALs sequentially, so both engines see identical
+    * cells. Rows with an empty look-back (first per key) are never
+    * anomalous.
+    *
+    * Scale shape: one shuffle on the key; the window frame is
+    * bounded (k rows), so memory is O(k) per task and task size is
+    * bounded by a single key's history — the same per-key-window
+    * envelope as [[gapFillDays]]/[[Cdc.scd2]].
+    */
+  def rollingAnomaly(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      tieCol: String,
+      valueCol: String,
+      k: Int,
+      factor: Int): DataFrame = {
+    require(k > 0, "window size k must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(-k, -1)
+    val v = col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 2))
+    df.withColumn("roll_sum", sum(v).over(w))
+      .withColumn("roll_n", count(col(valueCol)).over(w))
+      .withColumn("is_anomaly",
+        when(col("roll_n") === 0, lit(0))
+          .otherwise((v * col("roll_n") > col("roll_sum") * factor).cast("int")))
+  }
+
   /** Edit-distance (fuzzy) join: pairs within Levenshtein `maxDist`,
     * without the all-pairs cross join a raw `levenshtein(a,b) <= t`
     * predicate plans (BroadcastNestedLoopJoin — the record-linkage

@@ -45,6 +45,19 @@ object Warehouse {
       bucketCols: Seq[String],
       nBuckets: Int,
       sortCols: Seq[String] = Nil): Unit = {
+    val s = df.sparkSession
+    // Overwrite must survive a catalog/warehouse split: with an
+    // in-memory catalog, a managed location left by a PREVIOUS JVM is
+    // unknown to this session's catalog, so saveAsTable plans a
+    // CREATE and dies with LOCATION_ALREADY_EXISTS. Drop the table
+    // (removes location too when the catalog knows it), then sweep
+    // any orphaned location.
+    s.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"),
+      table.toLowerCase(java.util.Locale.ROOT))
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     val w = df.write.mode("overwrite")
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)

@@ -49,6 +49,21 @@ class BucketingSpec extends SparkSpecBase {
     assert(q.count() < all)
   }
 
+  test("writeBucketed: overwrites an orphaned managed location from a previous process") {
+    val sf = "/root/testdata/sf0.001"
+    spark.sql("DROP TABLE IF EXISTS bkt_orphan")
+    // simulate a prior JVM's leftovers: location exists, catalog entry doesn't
+    val dir = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir"), "bkt_orphan")
+    dir.mkdirs()
+    new java.io.File(dir, "junk").createNewFile()
+    try {
+      Warehouse.writeBucketed(Tables.orders(spark, sf).limit(10),
+        "bkt_orphan", Seq("o_orderkey"), 2)
+      assert(spark.table("bkt_orphan").count() === 10)
+    } finally spark.sql("DROP TABLE IF EXISTS bkt_orphan")
+  }
+
   test("aggregation on the bucket key also skips the exchange") {
     val sf = "/root/testdata/sf0.001"
     Warehouse.writeBucketed(Tables.lineitem(spark, sf),

@@ -91,6 +91,41 @@ class CdcSpec extends SparkSpecBase {
       ("b", "2024-01-04", Some(3.0)))) // filled to the global max day
   }
 
+  test("scd2: contiguous validity intervals, open-ended current row, tiebreak order") {
+    val changes = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "a"),
+      (1L, ts("2024-01-03 00:00:00"), 3L, "c"),
+      (1L, ts("2024-01-03 00:00:00"), 2L, "b"), // same ts — event_id breaks the tie
+      (2L, ts("2024-02-01 00:00:00"), 4L, "x"))
+      .toDF("k", "ts", "seq", "payload")
+    val got = Cdc.scd2(changes, Seq("k"), "ts", Seq("seq"))
+      .select("k", "seq", "payload", "valid_from", "valid_to", "is_current")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3), Option(r.getTimestamp(4)), r.getBoolean(5)))
+      .toSet
+    assert(got === Set(
+      (1L, 1L, "a", ts("2024-01-01 00:00:00"), Some(ts("2024-01-03 00:00:00")), false),
+      (1L, 2L, "b", ts("2024-01-03 00:00:00"), Some(ts("2024-01-03 00:00:00")), false),
+      (1L, 3L, "c", ts("2024-01-03 00:00:00"), None, true),
+      (2L, 4L, "x", ts("2024-02-01 00:00:00"), None, true)))
+  }
+
+  test("scd2: point-in-time join reads the version valid at the probe ts") {
+    val changes = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "v1"),
+      (1L, ts("2024-01-10 00:00:00"), 2L, "v2"))
+      .toDF("k", "ts", "seq", "payload")
+    val dim = Cdc.scd2(changes, Seq("k"), "ts", Seq("seq"))
+    val probe = Seq((1L, ts("2024-01-05 00:00:00"))).toDF("k", "probe_ts")
+    val got = probe.join(dim,
+        probe("k") === dim("k") &&
+          probe("probe_ts") >= dim("valid_from") &&
+          (dim("valid_to").isNull || probe("probe_ts") < dim("valid_to")))
+      .select("payload").collect().map(_.getString(0)).toSeq
+    assert(got === Seq("v1"))
+  }
+
   test("snapshotDiff: I/D/U classification, unchanged rows dropped") {
     val cur = Seq(
       (1L, "alice", 10.0),   // unchanged

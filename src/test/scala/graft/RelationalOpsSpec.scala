@@ -117,6 +117,41 @@ class RelationalOpsSpec extends SparkSpecBase {
     assert(got === Seq(6L, 13L, 20L, 27L, 34L))
   }
 
+  test("ohlcBars: open/close follow (ts, tie) order incl. same-ts ties; no window in plan") {
+    val df = Seq(
+      ("a", "2024-01-01 10:05:00", 1L, 5.0),
+      ("a", "2024-01-01 10:05:00", 2L, 7.0),  // same ts — tie on id
+      ("a", "2024-01-01 10:50:00", 3L, 2.0),
+      ("a", "2024-01-01 11:10:00", 4L, 9.0),
+      ("b", "2024-01-01 10:30:00", 5L, 4.0))
+      .toDF("k", "ts", "id", "v")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val bars = Relational.ohlcBars(df, Seq("k"), "ts", "id", "v", "hour")
+    val got = bars.collect()
+      .map(r => ((r.getString(0), r.getTimestamp(1).toString),
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6))))
+      .toMap
+    assert(got(("a", "2024-01-01 10:00:00.0")) === ((5.0, 7.0, 2.0, 2.0, 3L)))
+    assert(got(("a", "2024-01-01 11:00:00.0")) === ((9.0, 9.0, 9.0, 9.0, 1L)))
+    assert(got(("b", "2024-01-01 10:00:00.0")) === ((4.0, 4.0, 4.0, 4.0, 1L)))
+    // aggregate path, not a per-bucket sort
+    val plan = bars.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("windowspecdefinition"), plan.take(400))
+  }
+
+  test("rollingAnomaly: bounded look-back, empty-frame rows never flagged") {
+    val df = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 10.0), ("a", 3L, 40.0), // 40 > 2*avg(10,10)
+      ("a", 4L, 10.0),                                   // 10 < 2*avg(10,10,40)
+      ("b", 5L, 100.0))                                  // first row of b: no frame
+      .toDF("k", "id", "v")
+      .withColumn("ts", col("id").cast("timestamp"))
+    val got = Relational.rollingAnomaly(df, Seq("k"), "ts", "id", "v", k = 5, factor = 2)
+      .select("id", "is_anomaly").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 0, 5L -> 0))
+  }
+
   test("fuzzyJoin: finds every pair within maxDist, incl. across length buckets") {
     val left = Seq("kitten", "flaw", "abcdefgh").toDF("a")
     val right = Seq("sitting", "lawn", "abcdefghij", "zzzzz").toDF("b")
