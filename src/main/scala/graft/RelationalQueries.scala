@@ -1759,7 +1759,8 @@ object RelationalQueries {
         |  FROM base b FULL OUTER JOIN cur c ON b.o_orderkey = c.o_orderkey)
         |SELECT o_orderkey, change,
         |  CASE WHEN change = 'U' THEN diffcols ELSE '' END AS changed_cols
-        |FROM diff WHERE change IS NOT NULL""".stripMargin)),
+        |FROM diff WHERE change IS NOT NULL""".stripMargin),
+      headline = true),
     QueryDef("q_profile", profileQ, Some(
       """SELECT 'o_custkey' AS col_name,
         |  CAST(count(*) AS BIGINT) AS n_rows,
@@ -1789,7 +1790,8 @@ object RelationalQueries {
         |  CAST(count(DISTINCT o_orderdate) AS BIGINT),
         |  CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR),
         |  CAST(NULL AS BIGINT)
-        |FROM orders""".stripMargin)),
+        |FROM orders""".stripMargin),
+      headline = true),
     QueryDef("q_gap_fill", gapFill, Some(
       """WITH daily AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day,

@@ -833,7 +833,8 @@ object TextQueries {
       Tables.documents(s, d), "doc_id", "text", Seq("table", "spark", "scan"))
 
   def defs: Seq[QueryDef] = Seq(
-    QueryDef("q_strip_html", stripHtmlQ, Some(stripHtmlSql)),
+    QueryDef("q_strip_html", stripHtmlQ, Some(stripHtmlSql),
+      headline = true),
     QueryDef("q_inverted_postings", invertedPostingsQ, Some {
       val toks = duckToks("text")
       s"""WITH tok AS (
@@ -851,7 +852,8 @@ object TextQueries {
          |FROM tok WHERE token IN ('table', 'spark', 'scan')
          |GROUP BY doc_id
          |HAVING count(DISTINCT token) = 3""".stripMargin
-    }),
+    },
+      headline = true),
     QueryDef("q_doc_exact_dedup", exactDedup, Some(
       """SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_copies,
         |  min(doc_id) AS canonical_id
