@@ -1091,6 +1091,39 @@ object RelationalQueries {
       Tables.orders(s, d),
       Seq("o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"))
 
+  /** Pivot (wide crosstab — the inverse of `q_unpivot`): per-user
+    * DECIMAL-exact value sums spread across fixed event-type columns.
+    * Explicit pivot values keep the plan a single pass (no
+    * distinct-values pre-query) — the 100 TB form.
+    */
+  private def pivotQ(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "view", "purchase"))
+      .agg(sum(dec(col("value"))).cast("double"))
+
+  /** Quantile winsorization ([[graft.operators.Binning.winsorize]]):
+    * per-type values clamped into [p01, p99].
+    */
+  private def winsorizeQ(s: SparkSession, d: String): DataFrame =
+    graft.operators.Binning.winsorize(
+        Tables.events(s, d).select("event_id", "event_type", "value"),
+        Seq("event_type"), "value", loQ = 0.01, hiQ = 0.99)
+      .select("event_id", "event_type", "value", "value_w")
+
+  /** Group-mean imputation ([[Relational.imputeByGroupMean]]): every
+    * 10th event's value nulled, then refilled from its type's
+    * non-null mean.
+    */
+  private def imputeQ(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(
+      col("event_id"), col("event_type"),
+      when(pmod(col("event_id"), lit(10)) === 0, lit(null))
+        .otherwise(col("value")).as("value"))
+    Relational.imputeByGroupMean(ev, Seq("event_type"), "value", scale = 2)
+      .select("event_id", "event_type", "value", "value_filled")
+  }
+
   /** SCD-2 dimension build ([[graft.operators.Cdc.scd2]]): the event
     * log as a change history — per user, validity intervals from each
     * change to the next, open-ended on the current row.
@@ -1682,6 +1715,39 @@ object RelationalQueries {
         |FROM customer c FULL OUTER JOIN latest l ON c.c_custkey = l.user_id
         |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin),
       headline = true),
+    QueryDef("q_pivot", pivotQ, Some(
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'click'
+        |    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'view'
+        |    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS view,
+        |  CAST(sum(CASE WHEN event_type = 'purchase'
+        |    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase
+        |FROM events GROUP BY user_id""".stripMargin)),
+    QueryDef("q_winsorize", winsorizeQ, Some(
+      """WITH caps AS (
+        |  SELECT event_type,
+        |    floor(quantile_cont(value, 0.01) * 10000.0 + 0.5) / 10000.0 AS lo,
+        |    floor(quantile_cont(value, 0.99) * 10000.0 + 0.5) / 10000.0 AS hi
+        |  FROM events GROUP BY 1)
+        |SELECT event_id, e.event_type, value,
+        |  least(greatest(value, lo), hi) AS value_w
+        |FROM events e JOIN caps USING (event_type)""".stripMargin)),
+    QueryDef("q_impute", imputeQ, Some(
+      """WITH ev AS (
+        |  SELECT event_id, event_type,
+        |    CASE WHEN event_id % 10 = 0 THEN NULL ELSE value END AS value
+        |  FROM events),
+        |f AS (
+        |  SELECT event_type,
+        |    CASE WHEN count(value) > 0 THEN
+        |      floor(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |        / count(value) * 100.0 + 0.5) / 100.0
+        |    END AS fill
+        |  FROM ev GROUP BY 1)
+        |SELECT event_id, e.event_type, value,
+        |  COALESCE(value, fill) AS value_filled
+        |FROM ev e JOIN f USING (event_type)""".stripMargin)),
     QueryDef("q_scd2", scd2Q, Some(
       """SELECT user_id, event_id, value,
         |  ts AS valid_from,

@@ -84,4 +84,36 @@ object Binning {
       nBins: Int): DataFrame =
     withBins(df, groupCols, valueCol,
       quantileBoundaries(df, groupCols, valueCol, nBins))
+
+  /** Winsorization (quantile clipping): clamp `valueCol` into its
+    * per-group `[loQ, hiQ]` quantile range — the standard outlier cap
+    * before averaging noisy metrics or feeding scale-sensitive
+    * models. Appends `<valueCol>_w`.
+    *
+    * Scale shape: caps are one exact-percentile aggregate per group
+    * (group-count-sized — broadcast back), the clamp is map-only
+    * `least/greatest`. Caps are Det-rounded (`roundScale` dp) before
+    * clamping, the same boundary discipline as [[withBins]]: Spark's
+    * `percentile` interpolates exactly like DuckDB's `quantile_cont`,
+    * and the rounding keeps boundary rows from flipping across
+    * engines. The sketch path at 100 TB swaps in `percentile_approx`
+    * exactly as [[approxQuantileBoundaries]] does for bins.
+    */
+  def winsorize(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      loQ: Double,
+      hiQ: Double,
+      roundScale: Int = 4): DataFrame = {
+    require(loQ >= 0 && hiQ <= 1 && loQ < hiQ, s"need 0 <= loQ < hiQ <= 1")
+    val caps = df.groupBy(groupCols.map(col): _*)
+      .agg(
+        Det.round(expr(s"percentile($valueCol, $loQ)"), roundScale).as("__lo"),
+        Det.round(expr(s"percentile($valueCol, $hiQ)"), roundScale).as("__hi"))
+    df.join(broadcast(caps), groupCols)
+      .withColumn(s"${valueCol}_w",
+        least(greatest(col(valueCol), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
 }

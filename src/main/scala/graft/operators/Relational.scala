@@ -323,6 +323,35 @@ object Relational {
       .drop("__bkt")
   }
 
+  /** Statistical null imputation: fill missing `valueCol` with the
+    * Det-rounded mean of the group's NON-NULL values — the
+    * group-statistics upgrade of the reference's constant default
+    * fill (SURVEY §2 P4). Appends `<valueCol>_filled`; a group with
+    * no non-null values keeps its nulls (there is nothing to impute
+    * from — flagged, not invented).
+    *
+    * Scale shape: one group-count-sized aggregate of `(DECIMAL sum,
+    * non-null count)` broadcast back, then a map-only coalesce. The
+    * mean is the [[graft.functions.Det]] floor-round of an exact
+    * DECIMAL sum over one integer count — the same cross-engine
+    * contract as every money mean in the catalog.
+    */
+  def imputeByGroupMean(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      scale: Int = 2): DataFrame = {
+    val v = col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 2))
+    val stats = df.groupBy(groupCols.map(col): _*)
+      .agg(when(count(col(valueCol)) > 0,
+        graft.functions.Det.round(
+          sum(v).cast("double") / count(col(valueCol)), scale))
+        .as("__fill"))
+    df.join(broadcast(stats), groupCols)
+      .withColumn(s"${valueCol}_filled", coalesce(col(valueCol), col("__fill")))
+      .drop("__fill")
+  }
+
   /** Time-bucket downsampling to OHLC bars: per (keys, bucket) the
     * first/highest/lowest/last value and the row count — the
     * resolution-reduction pass that turns a raw tick/event stream

@@ -43,6 +43,28 @@ class BinningSpec extends SparkSpecBase {
     assert(bins.length === 4 && bins.forall(_.getLong(2) === 5L))
   }
 
+  test("winsorize: clamps into the per-group quantile range, interior untouched") {
+    val df = ((1 to 99).map(i => ("a", i.toDouble)) :+ (("a", 100000.0)))
+      .toDF("g", "v")
+    val got = Binning.winsorize(df, Seq("g"), "v", loQ = 0.05, hiQ = 0.95)
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    val hi = got(100000.0)
+    assert(hi < 100.0 && hi >= 95.0)     // outlier capped near p95
+    assert(got(50.0) === 50.0)           // interior value untouched
+    assert(got.values.min >= got(1.0))   // low side clamped too
+    assert(got(1.0) > 1.0)
+  }
+
+  test("winsorize: groups cap independently") {
+    val df = ((1 to 20).map(i => ("lo", i.toDouble)) ++
+      (1 to 20).map(i => ("hi", i * 1000.0))).toDF("g", "v")
+    val got = Binning.winsorize(df, Seq("g"), "v", 0.1, 0.9)
+      .collect().map(r => (r.getString(0), r.getDouble(2)))
+    val loMax = got.filter(_._1 == "lo").map(_._2).max
+    val hiMax = got.filter(_._1 == "hi").map(_._2).max
+    assert(loMax <= 20.0 && hiMax > 17000.0) // each group's own p90
+  }
+
   test("approx boundaries reproduce exact bins at full accuracy on small data") {
     val exact = Binning.equiDepthBins(uniform, Seq("g"), "v", 4)
       .select("v", "bin")

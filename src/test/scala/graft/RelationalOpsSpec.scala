@@ -117,6 +117,18 @@ class RelationalOpsSpec extends SparkSpecBase {
     assert(got === Seq(6L, 13L, 20L, 27L, 34L))
   }
 
+  test("imputeByGroupMean: fills from the group's non-null mean; all-null group keeps nulls") {
+    val df = Seq(
+      ("a", 1L, Some(10.0)), ("a", 2L, Some(20.0)), ("a", 3L, None),
+      ("b", 4L, None), ("b", 5L, None))
+      .toDF("g", "id", "v")
+    val got = Relational.imputeByGroupMean(df, Seq("g"), "v")
+      .collect().map(r => r.getLong(1) -> Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    assert(got(1L) === Some(10.0) && got(2L) === Some(20.0))
+    assert(got(3L) === Some(15.0))   // mean of non-nulls, not of the padded group
+    assert(got(4L) === None && got(5L) === None) // nothing to impute from
+  }
+
   test("ohlcBars: open/close follow (ts, tie) order incl. same-ts ties; no window in plan") {
     val df = Seq(
       ("a", "2024-01-01 10:05:00", 1L, 5.0),
