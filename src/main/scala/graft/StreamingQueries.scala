@@ -173,6 +173,36 @@ object StreamingQueries {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Watermarked stream-stream LEFT OUTER join, driver-checked: the
+    * click stream keeps every row, null-padded when no purchase lands
+    * in its 10-minute window. Matched pairs emit immediately (inner
+    * path); null-padded rows emit only when the watermark passes the
+    * click's last possible match time (`a_ts + 10 min`) — before
+    * that the row sits in state, still hoping. With the one-batch
+    * replay the terminal watermark is `max(ts) - 30 min`, so the
+    * oracle states exactly that finalization rule; clicks whose
+    * window is still open at end-of-replay emit NOTHING (retained
+    * state, not a result — the semantic the test pins).
+    */
+  private def streamLeftJoinQ(s: SparkSession, d: String): DataFrame = {
+    def side(t: String, p: String): DataFrame =
+      eventsStream(s, d)
+        .filter(col("event_type") === t)
+        .select(col("user_id").as(s"${p}_user"), col("event_id").as(s"${p}_id"),
+          col("ts").cast("timestamp").as(s"${p}_ts"))
+        .withWatermark(s"${p}_ts", "30 minutes")
+    val joined = side("click", "a").join(side("purchase", "b"),
+      col("a_user") === col("b_user") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 10 MINUTES"),
+      "left_outer")
+    snapshot(joined, OutputMode.Append())
+      .groupBy(col("a_user").as("user_id"))
+      .agg(count(col("b_id")).as("n_pairs"),
+        sum(when(col("b_id").isNull, 1).otherwise(0)).cast("long")
+          .as("n_unmatched"))
+  }
+
   /** One CDC change row for the MemoryStream replay. */
   final case class CdcChange(
       c_custkey: Long,
@@ -399,6 +429,33 @@ object StreamingQueries {
         | AND a.event_type = 'click' AND b.event_type = 'purchase'
         | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
         |GROUP BY a.user_id""".stripMargin)),
+    QueryDef("q_stream_left_join", streamLeftJoinQ, Some(
+      // The joint watermark is the MIN across both input streams'
+      // watermark nodes — each side advances from ITS OWN max event
+      // time (clicks vs purchases), not the corpus max.
+      """WITH wm AS (
+        |  SELECT least(
+        |    (SELECT date_trunc('milliseconds', max(ts)) FROM events
+        |     WHERE event_type = 'click'),
+        |    (SELECT date_trunc('milliseconds', max(ts)) FROM events
+        |     WHERE event_type = 'purchase')) - INTERVAL 30 MINUTE AS w),
+        |a AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+        |b AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+        |pairs AS (
+        |  SELECT a.user_id, a.event_id, a.ts,
+        |    count(b.user_id) AS n_matches
+        |  FROM a LEFT JOIN b ON a.user_id = b.user_id
+        |    AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+        |  GROUP BY 1, 2, 3)
+        |SELECT user_id,
+        |  CAST(sum(n_matches) AS BIGINT) AS n_pairs,
+        |  CAST(sum(CASE WHEN n_matches = 0
+        |    AND ts + INTERVAL 10 MINUTE < (SELECT w FROM wm)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched
+        |FROM pairs GROUP BY user_id
+        |HAVING sum(n_matches) > 0 OR sum(CASE WHEN n_matches = 0
+        |  AND ts + INTERVAL 10 MINUTE < (SELECT w FROM wm)
+        |  THEN 1 ELSE 0 END) > 0""".stripMargin)),
     QueryDef("q_stream_window_close", streamWindowClose, Some(
       s"""WITH wm AS ($wmSql)
          |SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,

@@ -191,6 +191,41 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join: null-pads only after the watermark closes the window") {
+    val left = MemoryStream[PriceRecord](spark)
+    val right = MemoryStream[PriceRecord](spark)
+    def side(s: MemoryStream[PriceRecord], p: String) =
+      s.toDF().select(col("stationcode").as(s"${p}_code"),
+          col("lastupdated").as(s"${p}_ts"), col("price").as(s"${p}_price"))
+        .withWatermark(s"${p}_ts", "10 minutes")
+    val joined = side(left, "a").join(side(right, "b"),
+      col("a_code") === col("b_code") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 5 MINUTES"),
+      "left_outer")
+    val q = joined.writeStream
+      .format("memory").queryName("ss_left").outputMode(OutputMode.Append).start()
+    try {
+      left.addData(
+        pr("A", "U91", 1.0, "2023-10-05 10:00:00", 1),  // will match
+        pr("B", "U91", 2.0, "2023-10-05 10:00:00", 2),  // never matches → pad
+        pr("C", "U91", 3.0, "2023-10-05 11:58:00", 3))  // window still open → nothing
+      right.addData(
+        pr("A", "U91", 9.0, "2023-10-05 10:02:00", 4),
+        // advances BOTH the right watermark and the joint one to ~11:50
+        pr("Z", "U91", 0.0, "2023-10-05 12:00:00", 5))
+      left.addData(pr("Z2", "U91", 0.0, "2023-10-05 12:00:00", 6))
+      q.processAllAvailable()
+      val got = spark.table("ss_left").collect()
+        .map(r => (r.getAs[Double]("a_price"), Option(r.getAs[Any]("b_price"))))
+        .toSet
+      // A matched; B padded with null (its window [10:00,10:05] closed
+      // far below the 11:50 watermark); C emitted NOTHING (11:58+5min
+      // is past the watermark — held in state, not a result)
+      assert(got === Set((1.0, Some(9.0)), (2.0, None)))
+    } finally q.stop()
+  }
+
   test("envelope streams: raw API snapshots explode and clean in-stream") {
     val dir = java.nio.file.Files.createTempDirectory("env").toFile
     val json = """{"stations":[{"brandid":"","stationid":"","brand":"United",
