@@ -832,9 +832,65 @@ object TextQueries {
     graft.operators.Keywords.searchAll(
       Tables.documents(s, d), "doc_id", "text", Seq("table", "spark", "scan"))
 
+  /** Link-graph extraction → in-degree ([[TextAnalysis.extractLinks]]
+    * + [[graft.operators.Graphs.degrees]]): every doc rendered as a
+    * page with two arithmetic outlinks, links parsed back out of the
+    * HTML (both engines run a regex extractor over the same string —
+    * not the arithmetic shortcut), and in-degree counted per target.
+    */
+  private def linkDegreeQ(s: SparkSession, d: String): DataFrame = {
+    val edges = Tables.documents(s, d).select(
+      concat(lit("http://ex.com/d/"), col("doc_id").cast("string")).as("src"),
+      explode(TextAnalysis.extractLinks(linkPage)).as("dst"))
+    graft.operators.Graphs.degrees(edges)
+      .filter(col("in_deg") > 0)
+      .select(col("node").as("url"), col("in_deg"))
+  }
+
+  /** Two-outlink page shell: targets `(7·id+1) mod 97` and
+    * `(13·id+3) mod 97` — corpus-size-independent, so the graph shape
+    * is stable across SFs.
+    */
+  private def linkPage = concat(
+    lit("<html><body><a href=\"http://ex.com/d/"),
+    pmod(col("doc_id") * 7 + 1, lit(97)).cast("string"),
+    lit("\">a</a> <a href=\"http://ex.com/d/"),
+    pmod(col("doc_id") * 13 + 3, lit(97)).cast("string"),
+    lit("\">b</a></body></html>"))
+
+  /** PageRank over the same arithmetic link graph
+    * ([[graft.operators.Graphs.pageRank]], 5 iterations, DECIMAL mass
+    * — bit-deterministic, spec-pinned; no SQL oracle because DECIMAL
+    * division result scales differ across engines).
+    */
+  private def pagerankQ(s: SparkSession, d: String): DataFrame = {
+    val edges = Tables.documents(s, d).select(
+      col("doc_id").as("src"),
+      explode(array(
+        pmod(col("doc_id") * 7 + 1, lit(97)),
+        pmod(col("doc_id") * 13 + 3, lit(97)))).as("dst"))
+    graft.operators.Graphs.pageRank(edges, iterations = 5)
+      .select(col("node"), Det.round(col("rank").cast("double"), 10).as("rank"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_strip_html", stripHtmlQ, Some(stripHtmlSql),
       headline = true),
+    QueryDef("q_link_degree", linkDegreeQ, Some(
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><body><a href="http://ex.com/d/'
+        |    || CAST((doc_id * 7 + 1) % 97 AS VARCHAR)
+        |    || '">a</a> <a href="http://ex.com/d/'
+        |    || CAST((doc_id * 13 + 3) % 97 AS VARCHAR)
+        |    || '">b</a></body></html>' AS html
+        |  FROM documents),
+        |e AS (
+        |  SELECT unnest(regexp_extract_all(html, 'href\s*=\s*"([^"]*)"', 1)) AS url
+        |  FROM h)
+        |SELECT url, CAST(count(*) AS BIGINT) AS in_deg
+        |FROM e GROUP BY url""".stripMargin)),
+    QueryDef("q_pagerank", pagerankQ, None),
     QueryDef("q_inverted_postings", invertedPostingsQ, Some {
       val toks = duckToks("text")
       s"""WITH tok AS (

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Link-graph analytics over an edge list — the authority half of a
+  * crawl pipeline: [[TextAnalysis.extractLinks]] +
+  * [[Urls.normalizeUrl]] produce the edges; these operators turn them
+  * into per-page quality signals (in/out degree, PageRank) of the
+  * kind web-corpus curation uses alongside the text-level gates.
+  *
+  * All arithmetic is DECIMAL: rank mass is exact under any
+  * partition/merge order (a double PageRank differs run to run in the
+  * low bits — unacceptable for a reproducible curation signal), so
+  * the fixed-iteration result is bit-deterministic, spec-pinnable,
+  * and stable across reruns at any parallelism.
+  */
+object Graphs {
+
+  /** In/out degree per node from an edge list `(src, dst)` — two
+    * count aggregates outer-joined on the node. Zero-degree sides
+    * read as 0, so every node that appears anywhere gets a row.
+    */
+  def degrees(edges: DataFrame): DataFrame = {
+    val out = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("out_deg"))
+    val in = edges.groupBy(col("dst").as("node"))
+      .agg(count(lit(1)).as("in_deg"))
+    out.join(in, Seq("node"), "full_outer")
+      .select(col("node"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+  }
+
+  // Precision 19, scale 18 (ranks live in [0, 1]): a wider type would
+  // trip Spark's precision-loss adjustment on division — at
+  // DECIMAL(38,18) any quotient's scale collapses to 6, which is why
+  // every arithmetic step below re-casts its result to RankType (the
+  // cast is a deterministic HALF_UP at scale 18; with operand
+  // precision this small no intermediate ever truncates below it).
+  private val RankType = DecimalType(19, 18)
+
+  /** Fixed-iteration PageRank with damping `d` (as a 2-dp DECIMAL
+    * fraction `dNum/100`) and dangling-mass redistribution. Output:
+    * `(node, rank)` with rank a DECIMAL(38,18); ranks sum to ~1
+    * (exact up to division-rounding dust — spec-pinned).
+    *
+    * Scale shape per iteration: one equi-join of the rank frame onto
+    * the degree-annotated edge list (both hash on src — the edge
+    * frame is materialized ONCE up front, so the join re-reads a cut
+    * plan, not the raw source), one aggregate shuffling (dst,
+    * contribution) pairs with map-side partial sums (a hub page's
+    * in-links combine per partition), and two 1-row aggregates
+    * (dangling mass — broadcast back as a scalar). The iteration
+    * frame is re-materialized and its predecessor released, exactly
+    * the [[Dedup.connectedComponents]] loop discipline, so lineage
+    * stays O(1) in the iteration count.
+    *
+    * Dangling nodes (no out-edges) redistribute their mass uniformly
+    * — without this, total rank decays and the signal skews toward
+    * well-linked clusters.
+    */
+  def pageRank(
+      edges: DataFrame,
+      iterations: Int,
+      dNum: Int = 85): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    require(dNum >= 0 && dNum <= 100, "damping numerator in [0,100]")
+    val spark = edges.sparkSession
+    val d = lit(new java.math.BigDecimal(dNum).movePointLeft(2)).cast(RankType)
+    val oneMinusD =
+      lit(new java.math.BigDecimal(100 - dNum).movePointLeft(2)).cast(RankType)
+
+    val nodes = Materialize(
+      edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct())
+    val n = nodes.count()
+    // node-count-sized; read every iteration by the dangling anti-join
+    val outDeg = Materialize(edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("out_deg")))
+    // (src, dst, out_deg) — the loop-invariant frame, computed once.
+    val linked = Materialize(
+      edges.join(outDeg, edges("src") === outDeg("node"))
+        .select(col("src"), col("dst"), col("out_deg")))
+
+    val init = (lit(1).cast(RankType) / lit(n)).cast(RankType)
+    val base = (oneMinusD / lit(n)).cast(RankType)
+    var ranks = Materialize(nodes.withColumn("rank", init))
+    var i = 0
+    while (i < iterations) {
+      val contribs = linked
+        .join(ranks, linked("src") === ranks("node"))
+        .select(col("dst").as("node"),
+          (col("rank") / col("out_deg")).cast(RankType).as("contrib"))
+        .groupBy("node")
+        .agg(sum(col("contrib")).cast(RankType).as("inbound"))
+      // dangling mass: rank held by nodes with no out-edges
+      val dangling = ranks.join(outDeg.select(col("node")), Seq("node"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0).cast(RankType)).cast(RankType).as("m"))
+        .head.getDecimal(0)
+      val redistributed = (d * lit(dangling).cast(RankType) / lit(n))
+        .cast(RankType)
+      val prev = ranks
+      ranks = Materialize(nodes
+        .join(contribs, Seq("node"), "left_outer")
+        .select(col("node"),
+          (base
+            + (d * coalesce(col("inbound"), lit(0).cast(RankType))).cast(RankType)
+            + redistributed).cast(RankType).as("rank")))
+      Materialize.release(prev)
+      i += 1
+    }
+    Materialize.release(nodes)
+    Materialize.release(linked)
+    Materialize.release(outDeg)
+    ranks
+  }
+}
