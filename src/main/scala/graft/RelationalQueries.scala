@@ -392,6 +392,25 @@ object RelationalQueries {
       .select("event_id", "event_type", "value")
   }
 
+  /** IN-set bloom pruning ([[graft.sources.Manifest.prunedReadIn]]):
+    * the multi-tenant point read — three users probed in one pass
+    * over the hash-partitioned layout, each admitted file read once.
+    * Oracle is the plain IN filter.
+    */
+  private def manifestInQ(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bloomin").toString
+    Tables.events(s, d).select("event_id", "user_id", "event_type", "value")
+      .repartition(16, col("user_id"))
+      .write.mode("overwrite").parquet(dir)
+    val manifest = graft.sources.Manifest.buildWithBlooms(
+      s, dir, cols = Seq("user_id"), bloomCols = Seq("user_id"),
+      expectedPerFile = 4096L)
+    graft.sources.Manifest.prunedReadIn(s, manifest, "user_id",
+        Seq(73L, 4L, 250L))
+      .select("event_id", "user_id", "event_type", "value")
+  }
+
   /** Mergeable-sketch serving path ([[graft.operators.Sketches]]):
     * per-(event_type, day) HLL partials — the table an ingest job
     * would persist — merged down to distinct users per event_type.
@@ -1431,6 +1450,9 @@ object RelationalQueries {
       headline = true),
     QueryDef("q_manifest_bloom", manifestBloomQ, Some(
       "SELECT event_id, event_type, value FROM events WHERE user_id = 73")),
+    QueryDef("q_manifest_in", manifestInQ, Some(
+      """SELECT event_id, user_id, event_type, value
+        |FROM events WHERE user_id IN (73, 4, 250)""".stripMargin)),
     QueryDef("q_bloom_semi_join", bloomSemiJoinQ, Some(
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

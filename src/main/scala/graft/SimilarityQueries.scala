@@ -102,6 +102,47 @@ object SimilarityQueries {
         col("z.nv").as("nval"), col("z.qv").as("qval"), col("dq_scale"))
   }
 
+  /** Integer-exact signed random projection
+    * ([[Embeddings.randomProject]]): int8-quantized embeddings cut to
+    * 16 dims; every output component is an exact integer sum, so the
+    * oracle reproduces the projection bit-for-bit (serialized to a
+    * joined string for the cell compare).
+    */
+  private def randomProjectQ(s: SparkSession, d: String): DataFrame = {
+    val pre = Tables.embeddings(s, d).select(
+      col("vec_id"), col("embedding"),
+      Embeddings.absMax(col("embedding")).as("__m"))
+    val staged = pre.select(
+      col("vec_id"),
+      Embeddings.quantizeInt8(col("embedding"), col("__m")).as("qv"))
+    staged.select(
+      col("vec_id"),
+      array_join(
+        transform(Embeddings.randomProject(col("qv"), 16), _.cast("string")),
+        ",").as("proj"))
+  }
+
+  private val randomProjectSql =
+    """WITH a AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS amax
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id,
+      |    CASE WHEN amax > 0
+      |         THEN list_transform(embedding,
+      |                x -> CAST(floor(x::DOUBLE / amax * 127.0 + 0.5) AS BIGINT))
+      |         ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS qv
+      |  FROM a)
+      |SELECT vec_id,
+      |  array_to_string(list_transform(range(16), j ->
+      |    list_sum(list_transform(range(len(qv)), i ->
+      |      qv[CAST(i + 1 AS INTEGER)] *
+      |        (CASE WHEN CAST(floor(((i * 2654435761 + j * 40503) % 2147483648)
+      |                       / 1024.0) AS BIGINT) % 2 = 0
+      |              THEN 1 ELSE -1 END)))), ',') AS proj
+      |FROM q""".stripMargin
+
   private val embedQuantSql = {
     val sq = "list_sum([embedding[j]::DOUBLE * embedding[j]::DOUBLE for j in range(1, len(embedding) + 1)])"
     s"""WITH staged AS (
@@ -151,6 +192,7 @@ object SimilarityQueries {
     QueryDef("q_kmeans_sizes", kmeansSizes, None),
     QueryDef("q_semdedup", semdedupQ, None, headline = true),
     QueryDef("q_embed_quant", embedQuant, Some(embedQuantSql)),
+    QueryDef("q_random_project", randomProjectQ, Some(randomProjectSql)),
     QueryDef("q_knn_cosine", knn, Some(
       s"""WITH scored AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -64,4 +64,39 @@ object Embeddings {
     */
   def dequantScale(amax: Column, scale: Int = 9): Column =
     Det.round(amax / 127.0, scale)
+
+  /** Signed (±1) random projection of a STAGED integer vector (the
+    * [[quantizeInt8]] output) down to `outDim` components — the
+    * Achlioptas/JL dimensionality cut that precedes LSH bucketing or
+    * brute-force scans when the stored dimension is too wide. Because
+    * the input is integer and the signs come from an integer hash,
+    * every output component is an EXACT integer sum: engine-exact
+    * (the DuckDB oracle reproduces cells bit-for-bit), bit-stable
+    * under any partitioning, and linear (`proj(a+b) = proj(a) +
+    * proj(b)` — spec-pinned, the property JL arguments build on).
+    *
+    * `qvec` must be a staged attribute, not an expression (the
+    * `outDim` lambda branches each re-inline their subtree
+    * otherwise — the minhash trap). Map-only, O(outDim · d) integer
+    * ops per row.
+    */
+  def randomProject(qvec: Column, outDim: Int): Column = {
+    require(outDim >= 1, "outDim must be positive")
+    transform(sequence(lit(0), lit(outDim - 1)), j =>
+      aggregate(
+        zip_with(qvec, sequence(lit(0), size(qvec) - 1),
+          (x, i) => x.cast("long") * projSign(i, j)),
+        lit(0L), (acc, y) => acc + y))
+  }
+
+  /** ±1 from a middle bit of a multiplicative integer hash of
+    * `(i, j)` — pure integer/exact-double arithmetic, identical in
+    * any engine. (Low bits of `i·odd` are just `i`'s parity; bit 10
+    * of the 31-bit mix is decorrelated.)
+    */
+  private def projSign(i: Column, j: Column): Column = {
+    val h = pmod(i * lit(2654435761L) + j * lit(40503L), lit(2147483648L))
+    when(pmod(floor(h / 1024.0).cast("long"), lit(2)) === 0, lit(1L))
+      .otherwise(lit(-1L))
+  }
 }

@@ -197,6 +197,75 @@ object Manifest {
     else spark.read.parquet(admitted.toSeq: _*).filter(residual)
   }
 
+  /** IN-set file pruning: read only the files that can contain ANY of
+    * `values` in `column` — the multi-tenant / multi-key point-read
+    * shape (`WHERE user_id IN (...)`), where per-value [[prunedReadEq]]
+    * calls would re-collect the manifest and re-scan shared files
+    * once per value. A file is admitted when SOME value passes its
+    * zone check and SOME value passes its bloom probe (a mild
+    * superset of the exact per-value conjunction — still zero false
+    * negatives, the property that matters); each admitted file is
+    * read ONCE, the residual `isin` applies on top.
+    *
+    * `values` must carry the column's exact data type (same
+    * [[prunedReadEq]] probe-hash contract). Same staleness contract;
+    * `onStale = "rebuild"` re-catalogs and retries.
+    */
+  def prunedReadIn(
+      spark: SparkSession,
+      manifest: DataFrame,
+      column: String,
+      values: Seq[Any],
+      onStale: String = "error"): DataFrame = {
+    require(values.nonEmpty, "prunedReadIn needs at least one value")
+    require(Set("error", "rebuild")(onStale), s"onStale must be error|rebuild, got $onStale")
+    val mCols = manifest.columns.toSet
+    val zoneAdm =
+      if (mCols(s"min_$column"))
+        values.map(v => col(s"min_$column") <= lit(v) && col(s"max_$column") >= lit(v))
+          .reduce(_ || _)
+      else lit(true)
+    val hasBloom = mCols(s"bloom_$column")
+    val rows = manifest.select(
+      col("file") +: coalesce(zoneAdm, lit(false)).as("__adm") +:
+        (if (hasBloom) Seq(when(coalesce(zoneAdm, lit(false)), col(s"bloom_$column")))
+         else Nil): _*)
+      .collect()
+    require(rows.nonEmpty, "manifest is empty — nothing was cataloged")
+    val dir = new org.apache.hadoop.fs.Path(rows.head.getString(0)).getParent
+    if (rows.map(r => normalize(r.getString(0))).toSet != currentFiles(spark, dir)) {
+      if (onStale == "rebuild") {
+        val zCols = manifest.columns.toSeq.collect {
+          case c if c.startsWith("min_") => c.stripPrefix("min_")
+        }
+        val bCols = manifest.columns.toSeq.collect {
+          case c if c.startsWith("bloom_") => c.stripPrefix("bloom_")
+        }
+        return prunedReadIn(spark,
+          buildWithBlooms(spark, dir.toString, zCols, bCols), column, values)
+      }
+      throw new IllegalStateException(
+        s"manifest is STALE for $dir — the directory was rewritten since it " +
+          "was built (compaction or re-layout). Rebuild with buildWithBlooms, " +
+          "or pass onStale=\"rebuild\", before pruned reads.")
+    }
+    val probeHashes: Seq[Long] = values.map(v =>
+      XxHash64(Seq(Literal(v)), 42L).eval(InternalRow.empty).asInstanceOf[Long])
+    val admitted = rows.filter { r =>
+      r.getBoolean(1) && (!hasBloom || {
+        val blob = r.getAs[Array[Byte]](2)
+        blob != null && {
+          val bloom = BloomFilter.readFrom(new ByteArrayInputStream(blob))
+          probeHashes.exists(bloom.mightContainLong)
+        }
+      })
+    }.map(_.getString(0))
+    val residual = col(column).isin(values: _*)
+    if (admitted.isEmpty)
+      spark.read.parquet(rows.head.getString(0)).limit(0).filter(residual)
+    else spark.read.parquet(admitted.toSeq: _*).filter(residual)
+  }
+
   /** Write the manifest (one compact parquet) for later
     * [[prunedRead]]s — rebuild after any rewrite of `dir`.
     */

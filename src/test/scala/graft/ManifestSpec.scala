@@ -101,6 +101,24 @@ class ManifestSpec extends SparkSpecBase {
     assert(scanned <= 3L, s"expected <=3 bloom-admitted files, got $scanned")
   }
 
+  test("prunedReadIn: one pass over shared files, still prunes, exact IN result") {
+    val dir = java.nio.file.Files.createTempDirectory("mani_in").toString
+    writeHashed(dir)
+    val m = graft.operators.Materialize(Manifest.buildWithBlooms(
+      spark, dir, cols = Seq("a"), bloomCols = Seq("a"), expectedPerFile = 1024L))
+    val pruned = Manifest.prunedReadIn(spark, m, "a", Seq(7L, 11L))
+    val full = spark.read.parquet(dir).filter(col("a").isin(7L, 11L))
+    assert(pruned.as[(Long, Long)].collect().toSet ===
+      full.as[(Long, Long)].collect().toSet)
+    // two probes admit at most the union of each probe's files
+    val scanned = pruned.select(input_file_name()).distinct().count()
+    assert(scanned <= 6L, s"expected <=6 bloom-admitted files, got $scanned")
+    // values absent from every file → zero-file read, schema intact
+    val none = Manifest.prunedReadIn(spark, m, "a", Seq(100000L, 100001L))
+    assert(none.count() === 0L)
+    assert(none.columns.toSeq === full.columns.toSeq)
+  }
+
   test("bloom probe absent from every file reads zero files; stale rebuild works") {
     val dir = java.nio.file.Files.createTempDirectory("mani_bloom").toString
     writeHashed(dir)

@@ -232,4 +232,26 @@ class SimilaritySpec extends SparkSpecBase {
     val dropped = rows.map(_._1).toSet -- kept
     assert(dropped === Set(1L, 11L, 21L))
   }
+
+  test("randomProject: linear, bit-deterministic, sign-balanced") {
+    import graft.operators.Embeddings
+    val a = Seq.tabulate(32)(i => (i % 7) - 3)
+    val b = Seq.tabulate(32)(i => (i % 5) - 2)
+    val df = Seq(
+      (1L, a), (2L, b),
+      (3L, a.zip(b).map { case (x, y) => x + y }), // a + b
+      (4L, a.map(-_)))                             // -a
+      .toDF("id", "q")
+    def proj(rep: Int) = df.repartition(rep)
+      .select(col("id"), Embeddings.randomProject(col("q"), 16).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val p = proj(1)
+    // linearity: proj(a+b) = proj(a)+proj(b); proj(-a) = -proj(a)
+    assert(p(3L) === p(1L).zip(p(2L)).map { case (x, y) => x + y })
+    assert(p(4L) === p(1L).map(-_))
+    // bit-identical under different partitioning (exact integers)
+    assert(proj(7) === p)
+    // the sign hash is not degenerate: components differ
+    assert(p(1L).distinct.size > 4, p(1L).mkString(","))
+  }
 }
