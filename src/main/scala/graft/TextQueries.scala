@@ -873,9 +873,48 @@ object TextQueries {
       .select(col("node"), Det.round(col("rank").cast("double"), 10).as("rank"))
   }
 
+  /** BM25 ranking ([[graft.operators.Keywords.bm25]]) over the same
+    * three query terms as `q_inverted_search` — rational IDF, real tf
+    * saturation + length normalization, per-term doubles Det-rounded
+    * and summed in DECIMAL so the total is aggregation-order-free.
+    * The oracle repeats the EXACT expression tree including the
+    * unfolded constants (`1.2 + 1.0`, `1.0 - 0.75`): both engines
+    * constant-fold in IEEE doubles, where a hand-folded `2.2` could
+    * differ by an ulp from `1.2 + 1.0`.
+    */
+  private def bm25Q(s: SparkSession, d: String): DataFrame =
+    graft.operators.Keywords.bm25(
+      Tables.documents(s, d), "doc_id", "text", Seq("table", "spark", "scan"))
+
+  private val bm25Sql = {
+    val toks = duckToks("text")
+    s"""WITH lens AS (SELECT doc_id, len($toks) AS dl FROM documents),
+       |corpus AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(dl) AS BIGINT) AS total_dl
+       |  FROM lens),
+       |tok AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+       |tf AS (
+       |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok
+       |  WHERE token IN ('table', 'spark', 'scan') GROUP BY 1, 2),
+       |dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |per AS (
+       |  SELECT tf.doc_id,
+       |    CAST(floor(
+       |      CAST(n_docs AS DOUBLE) / df * (tf * (1.2 + 1.0)) /
+       |        (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl
+       |          / (CAST(total_dl AS DOUBLE) / n_docs)))
+       |      * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS score_t
+       |  FROM tf JOIN dfq USING (token) JOIN lens USING (doc_id)
+       |  CROSS JOIN corpus)
+       |SELECT doc_id, CAST(sum(score_t) AS DOUBLE) AS score
+       |FROM per GROUP BY doc_id""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_strip_html", stripHtmlQ, Some(stripHtmlSql),
       headline = true),
+    QueryDef("q_bm25", bm25Q, Some(bm25Sql)),
     QueryDef("q_link_degree", linkDegreeQ, Some(
       """WITH h AS (
         |  SELECT doc_id,

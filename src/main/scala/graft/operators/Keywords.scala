@@ -132,6 +132,57 @@ object Keywords {
       .select("doc_id", "hits")
   }
 
+  /** BM25 relevance scoring for a term query — the standard ranking
+    * upgrade over raw hit counts, restated engine-exact: the
+    * conventional `ln((N-df+0.5)/(df+0.5))` IDF is libm-dependent, so
+    * this uses the same exact-rational IDF as [[tfIdfTopK]] (`N/df` —
+    * monotone in the same direction for fixed tf) while keeping
+    * BM25's real contribution, the tf saturation and length
+    * normalization term `tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`.
+    * Each per-term score is one fixed-shape double expression
+    * (identical operator tree in any engine), Det-rounded to 6 dp and
+    * summed in DECIMAL — so the per-doc total is independent of
+    * aggregation order and the whole scorer is oracle-checkable.
+    *
+    * Scale shape: the term filter collapses the token explode before
+    * any shuffle; per-(doc, term) TF and per-doc length are two
+    * aggregates; df is a query-term-sized aggregate (broadcast); the
+    * corpus stats (N, avgdl) join in as ONE broadcast row. Output:
+    * `(doc_id, score)` for every doc containing ≥1 query term.
+    */
+  def bm25(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25: no query terms")
+    val q = terms.distinct
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("__t"))
+    val lens = Materialize(toks.select(col("doc_id"), size(col("__t")).as("dl")))
+    val corpus = lens.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_dl")) // 1 row — broadcast
+    val tf = toks
+      .select(col("doc_id"), explode(col("__t")).as("token"))
+      .filter(col("token").isin(q: _*))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val perTerm = tf.join(broadcast(df), "token")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(corpus))
+      .withColumn("avgdl",
+        col("total_dl").cast("double") / col("n_docs"))
+      .withColumn("score_t", Det.round(
+        col("n_docs").cast("double") / col("df") *
+          (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))),
+        6).cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+    perTerm.groupBy("doc_id")
+      .agg(sum(col("score_t")).cast("double").as("score"))
+  }
+
   /** [[searchAll]] served from a prebuilt [[invertedIndex]] instead
     * of the corpus: filter the index to the query terms (token-key
     * lookup — with a blocked index this touches only matching rows),

@@ -60,6 +60,37 @@ class SearchSpec extends SparkSpecBase {
     assert(got === Set(30L, 40L))
   }
 
+  test("bm25: hand-computed score on a two-doc corpus") {
+    // doc 1: "a a b" (dl 3), doc 2: "b c" (dl 2); query = a
+    // N=2, avgdl=2.5, df(a)=1, tf=2
+    // score = (2/1) * (2*2.2) / (2 + 1.2*(0.25 + 0.75*3/2.5))
+    val df = Seq((1L, "a a b"), (2L, "b c")).toDF("id", "t")
+    val got = Keywords.bm25(df, "id", "t", Seq("a"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expected = 2.0 / 1 * (2 * (1.2 + 1.0)) /
+      (2 + 1.2 * (0.25 + 0.75 * 3 / 2.5))
+    assert(got.keySet === Set(1L))
+    assert(math.abs(got(1L) - expected) < 1e-6, s"${got(1L)} vs $expected")
+  }
+
+  test("bm25: tf saturates below idf·(k1+1); same tf in a shorter doc scores higher") {
+    val df = Seq(
+      (1L, "a " * 50 + "x " * 50),  // tf 50, dl 100 — deep saturation
+      (2L, "a " * 5 + "x " * 5),    // tf 5,  dl 10
+      (3L, "a " * 5 + "x " * 45),   // tf 5,  dl 50 — same tf, longer
+      (4L, "x " * 30))              // padding for avgdl
+      .toDF("id", "t")
+    val got = Keywords.bm25(df, "id", "t", Seq("a"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // saturation ceiling: score < idf·(k1+1) = (4/3)·2.2
+    val ceiling = 4.0 / 3 * 2.2
+    assert(got.values.forall(_ < ceiling), got)
+    // 10× the tf buys well under 2× the score
+    assert(got(1L) < got(2L) * 2)
+    // length normalization: same tf, shorter doc wins
+    assert(got(2L) > got(3L))
+  }
+
   test("searchIndex over a blocked index matches searchAll over the corpus") {
     val idx = Keywords.invertedIndex(docs, "id", "text", docsPerBlock = 25L)
     val viaIndex = Keywords.searchIndex(idx, Seq("a", "b"))

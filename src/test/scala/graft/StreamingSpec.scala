@@ -226,6 +226,30 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stream-static enrichment: a fresh dim read per foreachBatch sees dim updates") {
+    val dimDir = java.nio.file.Files.createTempDirectory("dim_refresh").toString
+    Seq((1L, "v1")).toDF("k", "dim_v").write.mode("overwrite").parquet(dimDir)
+    val input = MemoryStream[(Long, Long)](spark)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    // the refresh recipe: resolve the dim INSIDE foreachBatch — a
+    // frame captured outside pins its file listing at plan time and
+    // can go stale (or hit FileNotFound after an overwrite)
+    val q = input.toDF().toDF("k", "x").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val dim = b.sparkSession.read.parquet(dimDir)
+        seen ++= b.join(dim, "k").select("x", "dim_v")
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        ()
+      }.start()
+    try {
+      input.addData((1L, 10L)); q.processAllAvailable()
+      Seq((1L, "v2")).toDF("k", "dim_v").write.mode("overwrite").parquet(dimDir)
+      input.addData((1L, 20L)); q.processAllAvailable()
+    } finally q.stop()
+    // batch 1 enriched against v1, batch 2 against the UPDATED dim
+    assert(seen.toSet === Set((10L, "v1"), (20L, "v2")))
+  }
+
   test("envelope streams: raw API snapshots explode and clean in-stream") {
     val dir = java.nio.file.Files.createTempDirectory("env").toFile
     val json = """{"stations":[{"brandid":"","stationid":"","brand":"United",
