@@ -914,7 +914,7 @@ object TextQueries {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_strip_html", stripHtmlQ, Some(stripHtmlSql),
       headline = true),
-    QueryDef("q_bm25", bm25Q, Some(bm25Sql)),
+    QueryDef("q_bm25", bm25Q, Some(bm25Sql), headline = true),
     QueryDef("q_link_degree", linkDegreeQ, Some(
       """WITH h AS (
         |  SELECT doc_id,

@@ -144,11 +144,13 @@ object Keywords {
     * summed in DECIMAL — so the per-doc total is independent of
     * aggregation order and the whole scorer is oracle-checkable.
     *
-    * Scale shape: the term filter collapses the token explode before
-    * any shuffle; per-(doc, term) TF and per-doc length are two
-    * aggregates; df is a query-term-sized aggregate (broadcast); the
-    * corpus stats (N, avgdl) join in as ONE broadcast row. Output:
-    * `(doc_id, score)` for every doc containing ≥1 query term.
+    * Scale shape: TWO scans, no doc-keyed join — (1) an agg-only
+    * pass for the corpus stats (N, avgdl: ONE broadcast row); (2) the
+    * scoring pass, where `dl` rides the token explode (same-row
+    * column, free) so the term filter collapses everything before the
+    * single (doc, term) shuffle. df is a query-term-sized aggregate
+    * (broadcast). Output: `(doc_id, score)` for every doc containing
+    * ≥1 query term.
     */
   def bm25(
       docs: DataFrame,
@@ -161,16 +163,16 @@ object Keywords {
     val q = terms.distinct
     val toks = docs.select(col(idCol).as("doc_id"),
       TextAnalysis.tokens(col(textCol)).as("__t"))
-    val lens = Materialize(toks.select(col("doc_id"), size(col("__t")).as("dl")))
-    val corpus = lens.agg(count(lit(1)).as("n_docs"),
-      sum(col("dl")).as("total_dl")) // 1 row — broadcast
+    val corpus = toks.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("__t"))).as("total_dl")) // 1 row — broadcast
     val tf = toks
-      .select(col("doc_id"), explode(col("__t")).as("token"))
+      .select(col("doc_id"), size(col("__t")).as("dl"),
+        explode(col("__t")).as("token"))
       .filter(col("token").isin(q: _*))
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"),
+        first(col("dl")).as("dl"))
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val perTerm = tf.join(broadcast(df), "token")
-      .join(lens, "doc_id")
       .crossJoin(broadcast(corpus))
       .withColumn("avgdl",
         col("total_dl").cast("double") / col("n_docs"))
