@@ -1110,6 +1110,19 @@ object RelationalQueries {
       Tables.orders(s, d),
       Seq("o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"))
 
+  /** Histogram drift ([[graft.operators.Profile.histogramDrift]]):
+    * click-value vs purchase-value distributions over the shared
+    * [0,512)×32 grid; summing `contrib` and halving gives exact
+    * total-variation distance.
+    */
+  private def histDriftQ(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    graft.operators.Profile.histogramDrift(
+      ev.filter(col("event_type") === "click").select("value"),
+      ev.filter(col("event_type") === "purchase").select("value"),
+      "value", lo = 0.0, hi = 512.0, bins = 32)
+  }
+
   /** Pivot (wide crosstab — the inverse of `q_unpivot`): per-user
     * DECIMAL-exact value sums spread across fixed event-type columns.
     * Explicit pivot values keep the plan a single pass (no
@@ -1737,6 +1750,25 @@ object RelationalQueries {
         |FROM customer c FULL OUTER JOIN latest l ON c.c_custkey = l.user_id
         |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin),
       headline = true),
+    QueryDef("q_hist_drift", histDriftQ, Some(
+      """WITH u AS (
+        |  SELECT value, 'a' AS s FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT value, 'b' FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT least(greatest(CAST(floor((value - 0.0) / 512.0 * 32) AS INTEGER), 0), 31) AS bin,
+        |    CAST(count(CASE WHEN s = 'a' THEN 1 END) AS BIGINT) AS n_a,
+        |    CAST(count(CASE WHEN s = 'b' THEN 1 END) AS BIGINT) AS n_b
+        |  FROM u GROUP BY 1),
+        |g AS (SELECT CAST(unnest(range(32)) AS INTEGER) AS bin),
+        |j AS (
+        |  SELECT g.bin, COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+        |  FROM g LEFT JOIN c USING (bin)),
+        |t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM j)
+        |SELECT bin, n_a, n_b,
+        |  floor(abs(CAST(n_a AS DOUBLE) / ta - CAST(n_b AS DOUBLE) / tb)
+        |    * 100000000.0 + 0.5) / 100000000.0 AS contrib
+        |FROM j CROSS JOIN t""".stripMargin)),
     QueryDef("q_pivot", pivotQ, Some(
       """SELECT user_id,
         |  CAST(sum(CASE WHEN event_type = 'click'

@@ -45,6 +45,49 @@ object Profile {
   def approx(df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame =
     profile(df, cols, c => approx_count_distinct(col(c), rsd))
 
+  /** Distribution-drift detection between two samples of the same
+    * column — the "did yesterday's data look like today's" monitor
+    * that catches schema-preserving corruption (unit changes, silent
+    * truncation, upstream filter bugs) no null/min/max profile sees.
+    *
+    * Both sides bin through the shared equi-width grid
+    * ([[Sketches.histBin]] — engine-exact integer bin assignment) in
+    * ONE aggregate over the tagged union (a single shuffle of
+    * O(bins) partial rows per partition); per-bin output carries both
+    * counts and `contrib` = |n_a/N_a − n_b/N_b| Det-rounded to 8 dp —
+    * summing `contrib` and halving gives total-variation distance in
+    * [0, 1], exactly (DECIMAL-summable; the fixed-shape frequency
+    * expression evaluates identically in any engine). Empty bins on
+    * either side read as 0, every grid bin gets a row.
+    */
+  def histogramDrift(
+      a: DataFrame,
+      b: DataFrame,
+      valueCol: String,
+      lo: Double,
+      hi: Double,
+      bins: Int): DataFrame = {
+    require(bins >= 1 && lo < hi, "need bins >= 1 and lo < hi")
+    val tagged = a.select(col(valueCol).as("__v"), lit("a").as("__s"))
+      .unionAll(b.select(col(valueCol).as("__v"), lit("b").as("__s")))
+    val counts = tagged
+      .withColumn("bin", Sketches.histBin(col("__v"), lo, hi, bins))
+      .groupBy("bin")
+      .agg(count(when(col("__s") === "a", 1)).as("n_a"),
+        count(when(col("__s") === "b", 1)).as("n_b"))
+    val grid = a.sparkSession.range(bins).select(col("id").cast("int").as("bin"))
+    val totals = counts.agg(sum(col("n_a")).as("__ta"), sum(col("n_b")).as("__tb"))
+    grid.join(counts, Seq("bin"), "left_outer")
+      .select(col("bin"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .crossJoin(broadcast(totals))
+      .withColumn("contrib", graft.functions.Det.round(
+        abs(col("n_a").cast("double") / col("__ta")
+          - col("n_b").cast("double") / col("__tb")), 8))
+      .drop("__ta", "__tb")
+  }
+
   private def profile(
       df: DataFrame,
       cols: Seq[String],

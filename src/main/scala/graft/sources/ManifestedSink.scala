@@ -141,6 +141,44 @@ object ManifestedSink {
     spark.read.parquet(files.toSeq: _*)
   }
 
+  /** Incremental (change-feed) read: only the rows ingested by
+    * batches in `(sinceBatchId, untilBatchId]` — the downstream-
+    * consumer surface the manifest's batch column provides for free.
+    * An ETL that materialized through batch N resumes with
+    * `readChangesSince(N)` and touches ONLY the new files — no
+    * full-table diff, no re-scan of history — then records the new
+    * high batch id (read it off [[latestBatchId]]). Append-only
+    * change feed: this sink never rewrites rows, so "changes" are
+    * inserts; compaction invalidates the feed exactly as it
+    * invalidates snapshots.
+    *
+    * Returns an empty (correctly-schemed) frame when no newer batch
+    * has committed.
+    */
+  def readChangesSince(
+      spark: SparkSession,
+      manifestDir: String,
+      sinceBatchId: Long,
+      untilBatchId: Long = Long.MaxValue): DataFrame = {
+    val m = readManifest(spark, manifestDir).getOrElse(
+      throw new IllegalStateException(s"no manifest at $manifestDir — nothing committed"))
+    val all = m.select("file", "batch_id").collect()
+    val files = all.filter(r =>
+      r.getLong(1) > sinceBatchId && r.getLong(1) <= untilBatchId)
+      .map(_.getString(0))
+    if (files.isEmpty)
+      spark.read.parquet(all.head.getString(0)).limit(0)
+    else spark.read.parquet(files.toSeq: _*)
+  }
+
+  /** The highest committed batch id — the cursor an incremental
+    * consumer persists between [[readChangesSince]] calls.
+    */
+  def latestBatchId(spark: SparkSession, manifestDir: String): Long =
+    readManifest(spark, manifestDir).getOrElse(
+        throw new IllegalStateException(s"no manifest at $manifestDir — nothing committed"))
+      .agg(max(col("batch_id"))).head.getLong(0)
+
   /** Start the streaming sink: every micro-batch lands in `dir` with
     * its manifest entries committed in the same appendBatch call.
     */

@@ -90,6 +90,27 @@ class ManifestedSinkSpec extends SparkSpecBase {
     }
   }
 
+  test("readChangesSince: incremental consumption touches only new batches") {
+    val dir = tmp("msink_cdf"); val mdir = tmp("msink_cdf_meta")
+    ManifestedSink.appendBatch(batchDf(0, 32), dir, mdir, Seq("k"), Seq("k"), 0L)
+    ManifestedSink.appendBatch(batchDf(32, 64), dir, mdir, Seq("k"), Seq("k"), 1L)
+    // consumer materialized through batch 0, resumes:
+    assert(ManifestedSink.latestBatchId(spark, mdir) === 1L)
+    val delta = ManifestedSink.readChangesSince(spark, mdir, sinceBatchId = 0L)
+    assert(delta.select("k").as[Long].collect().toSet === (32L until 64L).toSet)
+    // only batch-1 files were opened
+    assert(delta.select(input_file_name()).distinct().collect()
+      .forall(_.getString(0).nonEmpty))
+    // bounded window
+    ManifestedSink.appendBatch(batchDf(64, 96), dir, mdir, Seq("k"), Seq("k"), 2L)
+    assert(ManifestedSink.readChangesSince(spark, mdir, 0L, untilBatchId = 1L)
+      .count() === 32L)
+    // caught-up consumer: empty, schema intact
+    val none = ManifestedSink.readChangesSince(spark, mdir, sinceBatchId = 2L)
+    assert(none.count() === 0L)
+    assert(none.columns.contains("k"))
+  }
+
   test("real writeStream drive: the sink body commits per micro-batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val dir = tmp("msink_data"); val mdir = tmp("msink_meta")

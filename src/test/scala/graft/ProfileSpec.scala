@@ -70,6 +70,26 @@ class ProfileSpec extends SparkSpecBase {
     }
   }
 
+  test("histogramDrift: identical samples read zero; a shift shows up as TV distance") {
+    val a = (1 to 1000).map(i => (i % 100).toDouble).toDF("v")
+    val same = Profile.histogramDrift(a, a, "v", 0.0, 100.0, 10)
+      .agg(sum(col("contrib"))).head.getDouble(0)
+    assert(same === 0.0)
+    // b shifted up by half the domain: distributions barely overlap
+    val b = (1 to 1000).map(i => (i % 100).toDouble + 50.0).toDF("v")
+    val rows = Profile.histogramDrift(a, b, "v", 0.0, 100.0, 10)
+    val tv = rows.agg(sum(col("contrib"))).head.getDouble(0) / 2
+    assert(tv > 0.4 && tv <= 1.0, s"tv=$tv")
+    // every grid bin present; b's mass (incl. the clamped overflow)
+    // dominates the top bin
+    assert(rows.count() === 10L)
+    val top = rows.filter(col("bin") === 9).head
+    assert(top.getLong(2) > top.getLong(1)) // n_b > n_a
+    // and bins that only ONE side occupies are zero-filled rows, not
+    // missing rows: a alone covers [0,50) → b has zero there
+    assert(rows.filter(col("bin") < 5 && col("n_b") === 0).count() === 5L)
+  }
+
   test("empty input: zero rows, zero distinct, null min/max") {
     val r = Profile.exact(df.filter(lit(false)), Seq("id", "s")).collect()
       .map(x => x.getString(0) -> x).toMap
