@@ -1156,6 +1156,22 @@ object RelationalQueries {
       .select("event_id", "event_type", "value", "value_filled")
   }
 
+  /** The q-gram-filter fuzzy join ([[Relational.fuzzyJoinGrams]]) on
+    * the same pairs as `q_fuzzy_join` — part names straddle the
+    * 9-char lemma cutoff at maxDist 2, so BOTH routes (gram count and
+    * short-string length buckets) execute; the oracle is the same
+    * plain all-pairs definition.
+    */
+  private def fuzzyJoinGramsQ(s: SparkSession, d: String): DataFrame = {
+    val names = Tables.part(s, d).select("p_name").distinct()
+    Relational.fuzzyJoinGrams(
+        names.select(col("p_name").as("name_a")), "name_a",
+        names.select(col("p_name").as("name_b")), "name_b",
+        maxDist = 2)
+      .filter(col("name_a") < col("name_b"))
+      .select(col("name_a"), col("name_b"), col("dist").cast("int").as("dist"))
+  }
+
   /** SCD-2 dimension build ([[graft.operators.Cdc.scd2]]): the event
     * log as a change history — per user, validity intervals from each
     * change to the next, open-ended on the current row.
@@ -1846,6 +1862,12 @@ object RelationalQueries {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY l_returnflag""".stripMargin)),
+    QueryDef("q_fuzzy_join_grams", fuzzyJoinGramsQ, Some(
+      """WITH names AS (SELECT DISTINCT p_name FROM part)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+        |FROM names a JOIN names b ON a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin)),
     QueryDef("q_fuzzy_join", fuzzyJoinQ, Some(
       """WITH names AS (SELECT DISTINCT p_name FROM part)
         |SELECT a.p_name AS name_a, b.p_name AS name_b,

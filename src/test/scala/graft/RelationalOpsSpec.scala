@@ -187,6 +187,42 @@ class RelationalOpsSpec extends SparkSpecBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
   }
 
+  test("fuzzyJoinGrams: multiset gram counts keep repeated-gram pairs a distinct count drops") {
+    // "aaaaaaaaaab" vs "aaaaaaaaaac": dist 1, but both have ONE
+    // distinct 3-gram in the shared prefix ("aaa" ×8 positions) —
+    // a distinct-gram intersection (1) would fail the lemma threshold
+    // (11 - 2 - 3 = 6); min-multiplicity counting (8) passes.
+    val left = Seq("aaaaaaaaaab", "kitchenware").toDF("a")
+    val right = Seq("aaaaaaaaaac", "kitchenwarm", "unrelatedzz").toDF("b")
+    val got = Relational.fuzzyJoinGrams(left, "a", right, "b", maxDist = 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(got === Set(
+      ("aaaaaaaaaab", "aaaaaaaaaac", 1),
+      ("kitchenware", "kitchenwarm", 1)))
+  }
+
+  test("fuzzyJoinGrams: short strings route through the length-bucket path, long through grams") {
+    val left = Seq("cat", "metamorphosis").toDF("a")   // 3 chars / 13 chars
+    val right = Seq("cap", "metamorphoses").toDF("b")
+    val got = Relational.fuzzyJoinGrams(left, "a", right, "b", maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(("cat", "cap"), ("metamorphosis", "metamorphoses")))
+  }
+
+  test("fuzzyJoinGrams agrees with fuzzyJoin on a mixed-length corpus") {
+    val words = Seq("spark", "spork", "sparkle", "sparkles", "ember",
+      "embers", "emerge", "ab", "ac", "abcdabcdabcd", "abcdabcdabce")
+    val l = words.toDF("a")
+    val r = words.toDF("b")
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("a") < col("b"))
+      .collect().map(x => (x.getString(0), x.getString(1), x.getInt(2))).toSet
+    val viaGrams = norm(Relational.fuzzyJoinGrams(l, "a", r, "b", 2))
+    val viaBuckets = norm(Relational.fuzzyJoin(l, "a", r, "b", 2))
+    assert(viaGrams === viaBuckets)
+    assert(viaGrams.nonEmpty)
+  }
+
   test("fuzzyJoin: maxDist 0 degenerates to exact equality") {
     val left = Seq("x", "y").toDF("a")
     val right = Seq("x", "z").toDF("b")
