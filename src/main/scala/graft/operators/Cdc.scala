@@ -85,6 +85,9 @@ object Cdc {
       keyCols: Seq[String],
       tsCol: String,
       tieCols: Seq[String] = Nil): DataFrame = {
+    require(Seq("valid_from", "valid_to", "is_current")
+        .forall(c => !changes.columns.contains(c)),
+      "valid_from/valid_to/is_current are reserved output names of scd2")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*)
       .orderBy((tsCol +: tieCols).map(col): _*)
@@ -120,6 +123,9 @@ object Cdc {
       current: DataFrame,
       keyCols: Seq[String],
       compareCols: Seq[String] = Nil): DataFrame = {
+    require(Seq("change", "changed_cols")
+        .forall(c => !keyCols.contains(c)),
+      "change/changed_cols are reserved output names of snapshotDiff")
     val cmp =
       (if (compareCols.nonEmpty) compareCols
        else base.columns.toSeq.filter(c =>

@@ -372,6 +372,8 @@ object Relational {
       tieCol: String,
       valueCol: String,
       unit: String): DataFrame = {
+    require(!df.columns.contains("bucket"),
+      "column name `bucket` is reserved by ohlcBars (rename the input column)")
     val order = struct(col(tsCol), col(tieCol))
     df.withColumn("bucket", date_trunc(unit, col(tsCol)))
       .groupBy((keys :+ "bucket").map(col): _*)
@@ -408,6 +410,9 @@ object Relational {
       k: Int,
       factor: Int): DataFrame = {
     require(k > 0, "window size k must be positive")
+    require(Seq("roll_sum", "roll_n", "is_anomaly")
+        .forall(c => !df.columns.contains(c)),
+      "roll_sum/roll_n/is_anomaly are reserved by rollingAnomaly")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol), col(tieCol))

@@ -226,6 +226,36 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark: builtin first-wins twin of St2, bounded state") {
+    val input = MemoryStream[PriceRecord](spark)
+    val dedup = input.toDF()
+      .withWatermark("lastupdated", "10 minutes")
+      .dropDuplicatesWithinWatermark("stationcode")
+    val q = dedup.writeStream
+      .format("memory").queryName("builtin_dedup").outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        pr("A", "U91", 1.0, "2023-10-05 10:00:00", 1),
+        pr("A", "U91", 2.0, "2023-10-05 10:01:00", 2), // dup within window → drop
+        pr("B", "U91", 3.0, "2023-10-05 10:00:00", 3))
+      q.processAllAvailable()
+      // advance the watermark far past A's state, then repeat A:
+      // beyond the window the builtin MAY re-admit (state evicted) —
+      // that bounded-state trade is exactly what distinguishes it
+      // from the table-backed NearDupGate
+      input.addData(pr("C", "U91", 0.0, "2023-10-05 12:00:00", 4))
+      q.processAllAvailable()
+      input.addData(pr("A", "U91", 9.0, "2023-10-05 11:55:00", 5))
+      q.processAllAvailable()
+      val got = spark.table("builtin_dedup").collect()
+        .map(r => (r.getAs[String]("stationcode"), r.getAs[Double]("price")))
+      // first A and B kept; the in-window duplicate dropped
+      assert(got.count(_ == ("A", 1.0)) === 1)
+      assert(got.count(_ == ("B", 3.0)) === 1)
+      assert(!got.contains(("A", 2.0)))
+    } finally q.stop()
+  }
+
   test("stream-static enrichment: a fresh dim read per foreachBatch sees dim updates") {
     val dimDir = java.nio.file.Files.createTempDirectory("dim_refresh").toString
     Seq((1L, "v1")).toDF("k", "dim_v").write.mode("overwrite").parquet(dimDir)
