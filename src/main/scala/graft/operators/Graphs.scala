@@ -76,6 +76,8 @@ object Graphs {
       edges.select(col("src").as("node"))
         .union(edges.select(col("dst").as("node"))).distinct())
     val n = nodes.count()
+    require(n > 0, "pageRank: empty edge list — no nodes to rank " +
+      "(the 1/N init would divide by zero)")
     // node-count-sized; read every iteration by the dangling anti-join
     val outDeg = Materialize(edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("out_deg")))
