@@ -911,9 +911,60 @@ object TextQueries {
        |FROM per GROUP BY doc_id""".stripMargin
   }
 
+  /** Deterministic punctuation for the sentence queries: every run of
+    * five words gains a terminator — the corpus is unpunctuated word
+    * soup, so the boundary structure is planted identically in both
+    * engines (global leftmost non-overlapping replace in RE2 and
+    * java.util.regex alike).
+    */
+  private def punctuated = regexp_replace(
+    col("text"), "(\\w+ \\w+ \\w+ \\w+ \\w+) ", "$1. ")
+
+  /** Sentence segmentation ([[TextAnalysis.sentences]]) over the
+    * planted-boundary text, one row per sentence in order.
+    */
+  private def sentencesQ(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.sentences(punctuated))
+          .as(Seq("seq", "sentence")))
+      .withColumn("seq", col("seq").cast("int"))
+
+  /** Sentence-aware greedy chunking
+    * ([[TextAnalysis.sentenceChunks]], 20-token budget): rows-only
+    * (the greedy fold has no portable SQL twin); specs pin the
+    * packing semantics, and the driver pins determinism.
+    */
+  private def sentenceChunksQ(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.sentenceChunks(punctuated, maxTokens = 20))
+          .as(Seq("chunk_seq", "chunk")))
+      .withColumn("chunk_seq", col("chunk_seq").cast("int"))
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("chunk")))
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_strip_html", stripHtmlQ, Some(stripHtmlSql),
       headline = true),
+    QueryDef("q_sentences", sentencesQ, Some(
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    regexp_replace(text, '(\w+ \w+ \w+ \w+ \w+) ', '\1. ', 'g') AS t
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_filter(
+        |      list_transform(
+        |        string_split(
+        |          regexp_replace(t, '([.!?])\s+', '\1' || chr(1), 'g'),
+        |          chr(1)),
+        |        x -> trim(x)),
+        |      x -> len(x) > 0) AS ss
+        |  FROM p)
+        |SELECT doc_id, CAST(u.i - 1 AS INTEGER) AS seq,
+        |  ss[CAST(u.i AS INTEGER)] AS sentence
+        |FROM s, unnest(range(1, len(ss) + 1)) AS u(i)""".stripMargin)),
+    QueryDef("q_sentence_chunks", sentenceChunksQ, None),
     QueryDef("q_bm25", bm25Q, Some(bm25Sql), headline = true),
     QueryDef("q_link_degree", linkDegreeQ, Some(
       """WITH h AS (

@@ -121,6 +121,61 @@ object TextAnalysis {
       start => concat_ws(" ", slice(toks, start + 1, lit(chunkSize))))
   }
 
+  /** Sentence segmentation: split on `[.!?]` + whitespace, keeping
+    * the terminator with its sentence. RE2 has no lookbehind, so the
+    * split point is materialized instead — a replacement-group pass
+    * rewrites the boundary to a control char (U+0001, absent from
+    * text corpora) and a plain split cuts there; both steps exist
+    * identically in any engine. Heuristic by design (abbreviations
+    * like "Dr." split — the standard trade of regex segmenters);
+    * map-only codegen.
+    */
+  def sentences(text: Column): Column =
+    filter(
+      transform(
+        split(regexp_replace(text, "([.!?])\\s+", "$1\u0001"), "\u0001"),
+        s => trim(s)),
+      s => length(s) > 0)
+
+  /** Sentence-aware chunking: greedy-pack whole sentences into chunks
+    * of at most `maxTokens` whitespace tokens (a single sentence
+    * longer than the budget becomes its own over-budget chunk —
+    * sentences are never split). This is the chunker retrieval and
+    * pretraining pipelines actually want: [[chunks]]' token windows
+    * cut mid-sentence, which degrades embedding quality.
+    *
+    * One sequential `aggregate` fold per row (chunk state = the
+    * accumulated array + current buffer), map-only at any scale. Not
+    * SQL-oracle-checkable (no portable fold-with-struct-state) —
+    * deterministic, spec-pinned, rows-only in the driver gate.
+    */
+  def sentenceChunks(text: Column, maxTokens: Int): Column = {
+    require(maxTokens >= 1, "maxTokens must be positive")
+    val folded = aggregate(
+      sentences(text),
+      struct(
+        array().cast("array<string>").as("done"),
+        lit("").as("cur"),
+        lit(0).as("n")),
+      (acc, s) => {
+        val sn = size(tokens(s))
+        val fits = acc.getField("n") + sn <= maxTokens
+        struct(
+          when(fits || acc.getField("n") === 0, acc.getField("done"))
+            .otherwise(array_append(acc.getField("done"), acc.getField("cur")))
+            .as("done"),
+          when(fits && acc.getField("n") > 0,
+              concat(acc.getField("cur"), lit(" "), s))
+            .when(fits, s)
+            .otherwise(s).as("cur"),
+          when(fits, acc.getField("n") + sn).otherwise(sn).as("n"))
+      },
+      acc => when(acc.getField("n") > 0,
+          array_append(acc.getField("done"), acc.getField("cur")))
+        .otherwise(acc.getField("done")))
+    folded
+  }
+
   /** Pattern redaction (PII-scrub shape): every digit run replaced by
     * a mask. Codegen'd regexp, map-only.
     */

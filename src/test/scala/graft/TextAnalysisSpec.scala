@@ -98,6 +98,37 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(got(3) === "spaced out")
   }
 
+  test("sentences: terminator stays with its sentence; no split without whitespace") {
+    import spark.implicits._
+    val got = Seq(
+      "One two. Three four! Five?  Six",
+      "versions 1.2.3 do not split",   // no whitespace after the dots
+      "trailing terminator stays.")
+      .toDF("t").select(TextAnalysis.sentences(col("t")))
+      .as[Seq[String]].collect()
+    assert(got(0) === Seq("One two.", "Three four!", "Five?", "Six"))
+    assert(got(1) === Seq("versions 1.2.3 do not split"))
+    assert(got(2) === Seq("trailing terminator stays."))
+  }
+
+  test("sentenceChunks: greedy whole-sentence packing within the token budget") {
+    import spark.implicits._
+    // sentences of 3/3/4/2 tokens, budget 6:
+    // [s1 s2] (6), [s3] (4+2=6? no: 4 then s4 fits 4+2=6) -> [s3 s4]
+    val text = "a b one. c d two. e f g three. h four."
+    val got = Seq(text).toDF("t")
+      .select(TextAnalysis.sentenceChunks(col("t"), maxTokens = 6))
+      .as[Seq[String]].collect().head
+    assert(got === Seq("a b one. c d two.", "e f g three. h four."))
+    // concatenating chunks reproduces the sentence stream (lossless)
+    assert(got.mkString(" ") === text)
+    // an oversized sentence becomes its own over-budget chunk
+    val big = Seq("one two three four five six seven eight. tail.").toDF("t")
+      .select(TextAnalysis.sentenceChunks(col("t"), maxTokens = 3))
+      .as[Seq[String]].collect().head
+    assert(big === Seq("one two three four five six seven eight.", "tail."))
+  }
+
   test("extractLinks: href values in document order, case-insensitive attr") {
     import spark.implicits._
     val got = Seq("""<a href="http://a">x</a><a HREF = "http://b">y</a><a href='no'>""")
