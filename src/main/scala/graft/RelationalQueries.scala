@@ -1172,6 +1172,20 @@ object RelationalQueries {
       .select(col("name_a"), col("name_b"), col("dist").cast("int").as("dist"))
   }
 
+  /** The prefix-filtered fuzzy join ([[Relational.fuzzyJoinPrefix]])
+    * on the same pairs — only each name's rarest `maxDist·q+1` grams
+    * reach the shuffle; same plain all-pairs oracle.
+    */
+  private def fuzzyJoinPrefixQ(s: SparkSession, d: String): DataFrame = {
+    val names = Tables.part(s, d).select("p_name").distinct()
+    Relational.fuzzyJoinPrefix(
+        names.select(col("p_name").as("name_a")), "name_a",
+        names.select(col("p_name").as("name_b")), "name_b",
+        maxDist = 2)
+      .filter(col("name_a") < col("name_b"))
+      .select(col("name_a"), col("name_b"), col("dist").cast("int").as("dist"))
+  }
+
   /** SCD-2 dimension build ([[graft.operators.Cdc.scd2]]): the event
     * log as a change history — per user, validity intervals from each
     * change to the next, open-ended on the current row.
@@ -1862,6 +1876,12 @@ object RelationalQueries {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY l_returnflag""".stripMargin)),
+    QueryDef("q_fuzzy_join_prefix", fuzzyJoinPrefixQ, Some(
+      """WITH names AS (SELECT DISTINCT p_name FROM part)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+        |FROM names a JOIN names b ON a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin)),
     QueryDef("q_fuzzy_join_grams", fuzzyJoinGramsQ, Some(
       """WITH names AS (SELECT DISTINCT p_name FROM part)
         |SELECT a.p_name AS name_a, b.p_name AS name_b,

@@ -544,6 +544,78 @@ object Relational {
     longPairs.union(shortPairs)
   }
 
+  /** Prefix-filtered edit-distance join — the boilerplate-resistant
+    * top of the fuzzy family. [[fuzzyJoinGrams]] ships EVERY gram to
+    * the shuffle, so a gram shared by half the corpus (a crawl
+    * boilerplate fragment) is a hot join key. The prefix filter
+    * (Chaudhuri et al.'s ssjoin principle on the q-gram lemma) ships
+    * only each string's `maxDist·q + 1` RAREST grams: a pair within
+    * `maxDist` must share at least `|grams| − maxDist·q` grams, so
+    * under any one global gram order the two prefixes must intersect
+    * — candidates are pairs sharing a PREFIX gram, verified straight
+    * by thresholded `levenshtein`. Rare grams are by construction
+    * low-fan-out join keys: the hot boilerplate gram lands in nobody's
+    * prefix (everything else is rarer only if the corpus is uniform —
+    * in which case no key is hot).
+    *
+    * Rarity = global document frequency over BOTH sides' grams, ties
+    * broken by the gram hash — one total order, both sides agree.
+    * Duplicated grams keep their multiplicity through the sort (the
+    * lemma is a multiset statement) and dedupe only at the join.
+    * Sub-lemma-length strings route through [[fuzzyJoin]]'s buckets
+    * exactly as in [[fuzzyJoinGrams]].
+    *
+    * Scale shape: one vocabulary-sized DF aggregate, one gram→DF
+    * join, a per-row array sort (bounded by string length), and a
+    * prefix-gram equi-join with ≤ `maxDist·q + 1` rows per string on
+    * the shuffle. The DF table is recomputed per call — persist it
+    * for repeated joins against a stable corpus.
+    */
+  def fuzzyJoinPrefix(
+      left: DataFrame,
+      leftCol: String,
+      right: DataFrame,
+      rightCol: String,
+      maxDist: Int,
+      q: Int = 3): DataFrame = {
+    require(maxDist >= 0 && q >= 1, "need maxDist >= 0 and q >= 1")
+    require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
+      "fuzzyJoinPrefix requires disjoint column names (alias one side)")
+    val minLen = (maxDist + 1) * q
+    val cutoff = minLen + maxDist
+    val prefixLen = maxDist * q + 1
+    def gramRows(df: DataFrame, c: String) = df
+      .filter(length(col(c)) >= minLen)
+      .select(col(c).as("__s"),
+        explode(graft.functions.HashExprs.charGramHashes(col(c), q)).as("__g"))
+    // document frequency over the union — ONE global order
+    val dfTable = gramRows(left, leftCol).select(col("__s"), col("__g")).distinct()
+      .unionAll(gramRows(right, rightCol).select(col("__s"), col("__g")).distinct())
+      .groupBy("__g").agg(count(lit(1)).as("__df"))
+    def prefixes(df: DataFrame, c: String) = gramRows(df, c)
+      .join(dfTable, "__g")
+      .groupBy(col("__s"))
+      .agg(slice(
+        array_sort(collect_list(struct(col("__df"), col("__g")))),
+        1, prefixLen).as("__pref"))
+      .select(col("__s").as(c), explode(col("__pref")).as("__p"))
+      .select(col(c), col("__p.__g").as("__g")).distinct()
+    val candidates = prefixes(left, leftCol)
+      .join(prefixes(right, rightCol), "__g")
+      .select(col(leftCol), col(rightCol)).distinct()
+    val longPairs = candidates
+      .filter(abs(length(col(leftCol)) - length(col(rightCol))) <= maxDist)
+      .withColumn("dist", levenshtein(col(leftCol), col(rightCol), maxDist))
+      .filter(col("dist") >= 0)
+    val shortPairs = fuzzyJoin(
+        left.filter(length(col(leftCol)) < cutoff), leftCol,
+        right.filter(length(col(rightCol)) < cutoff), rightCol, maxDist)
+      .filter(least(length(col(leftCol)), length(col(rightCol))) < minLen)
+      .select(col(leftCol), col(rightCol), col("dist"))
+    longPairs.select(col(leftCol), col(rightCol), col("dist"))
+      .union(shortPairs)
+  }
+
   /** Ordered funnel analysis: for each user, the timestamp at which
     * each stage of `stages` was first reached, where stage i+1 counts
     * only strictly after the reached-at time of stage i (the standard

@@ -223,6 +223,36 @@ class RelationalOpsSpec extends SparkSpecBase {
     assert(viaGrams.nonEmpty)
   }
 
+  test("fuzzyJoinPrefix agrees with fuzzyJoin, incl. boilerplate-gram and repeated-gram cases") {
+    // every string shares the boilerplate prefix "thecompanyname" —
+    // the hot gram scenario prefix filtering exists for — plus a
+    // repeated-gram pair and short strings for the bucket route
+    val words = Seq(
+      "thecompanyname-alpha", "thecompanyname-alphb", "thecompanyname-gamma",
+      "aaaaaaaaaab", "aaaaaaaaaac", "ab", "ac")
+    val l = words.toDF("a")
+    val r = words.toDF("b")
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("a") < col("b"))
+      .collect().map(x => (x.getString(0), x.getString(1), x.getInt(2))).toSet
+    val viaPrefix = norm(Relational.fuzzyJoinPrefix(l, "a", r, "b", 2))
+    val viaBuckets = norm(Relational.fuzzyJoin(l, "a", r, "b", 2))
+    assert(viaPrefix === viaBuckets)
+    assert(viaPrefix.contains(("thecompanyname-alpha", "thecompanyname-alphb", 1)))
+    assert(viaPrefix.contains(("aaaaaaaaaab", "aaaaaaaaaac", 1)))
+    assert(viaPrefix.contains(("ab", "ac", 1)))
+  }
+
+  test("fuzzyJoinPrefix: prefix explode ships at most maxDist*q+1 grams per long string") {
+    val l = Seq("abcdefghijklmnopqrstuvwxyz").toDF("a")
+    val r = Seq("abcdefghijklmnopqrstuvwxy_").toDF("b")
+    // indirect but behavioral: the pair is found through a 7-gram
+    // prefix (maxDist 2, q 3), far fewer than the 24 grams per string
+    val got = Relational.fuzzyJoinPrefix(l, "a", r, "b", 2)
+      .collect().map(x => (x.getString(0), x.getString(1), x.getInt(2)))
+    assert(got.length === 1 && got.head._3 === 1)
+  }
+
   test("fuzzyJoin: maxDist 0 degenerates to exact equality") {
     val left = Seq("x", "y").toDF("a")
     val right = Seq("x", "z").toDF("b")
