@@ -1110,6 +1110,28 @@ object RelationalQueries {
       Tables.orders(s, d),
       Seq("o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"))
 
+  /** One-pass expectation checking
+    * ([[graft.operators.Profile.checkExpectations]]): four assertion
+    * rules over orders in a single aggregate; the high-price rule is
+    * planted to have real violations.
+    */
+  private def expectationsQ(s: SparkSession, d: String): DataFrame =
+    graft.operators.Profile.checkExpectations(
+      Tables.orders(s, d), Seq(
+        "positive_total" -> (col("o_totalprice") > 0),
+        "status_known" -> col("o_orderstatus").isin("O", "F", "P"),
+        "total_under_300k" -> (col("o_totalprice") < 300000.0),
+        "custkey_nonnull" -> col("o_custkey").isNotNull))
+
+  /** Value-concentration profile
+    * ([[graft.operators.Profile.giniImpurity]]): Gini impurity of two
+    * categorical columns, engine-exact via integer frequency squares.
+    */
+  private def giniQ(s: SparkSession, d: String): DataFrame =
+    graft.operators.Profile.giniImpurity(Tables.events(s, d), "event_type")
+      .unionAll(graft.operators.Profile.giniImpurity(
+        Tables.orders(s, d), "o_orderstatus"))
+
   /** Histogram drift ([[graft.operators.Profile.histogramDrift]]):
     * click-value vs purchase-value distributions over the shared
     * [0,512)×32 grid; summing `contrib` and halving gives exact
@@ -1780,6 +1802,44 @@ object RelationalQueries {
         |FROM customer c FULL OUTER JOIN latest l ON c.c_custkey = l.user_id
         |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin),
       headline = true),
+    QueryDef("q_expectations", expectationsQ, Some(
+      """SELECT 'positive_total' AS rule,
+        |  CAST(count(CASE WHEN NOT COALESCE(o_totalprice > 0, FALSE) THEN 1 END) AS BIGINT) AS n_violations,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM orders
+        |UNION ALL
+        |SELECT 'status_known',
+        |  CAST(count(CASE WHEN NOT COALESCE(o_orderstatus IN ('O','F','P'), FALSE) THEN 1 END) AS BIGINT),
+        |  CAST(count(*) AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'total_under_300k',
+        |  CAST(count(CASE WHEN NOT COALESCE(o_totalprice < 300000.0, FALSE) THEN 1 END) AS BIGINT),
+        |  CAST(count(*) AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'custkey_nonnull',
+        |  CAST(count(CASE WHEN NOT COALESCE(o_custkey IS NOT NULL, FALSE) THEN 1 END) AS BIGINT),
+        |  CAST(count(*) AS BIGINT)
+        |FROM orders""".stripMargin)),
+    QueryDef("q_gini", giniQ, Some(
+      """WITH fa AS (SELECT event_type, count(*) AS f FROM events GROUP BY 1),
+        |ga AS (
+        |  SELECT 'event_type' AS col_name,
+        |    CAST(sum(f) AS BIGINT) AS n_rows,
+        |    floor((1.0 - CAST(sum(f * f) AS DOUBLE)
+        |      / (CAST(sum(f) AS DOUBLE) * sum(f))) * 1000000.0 + 0.5)
+        |      / 1000000.0 AS gini
+        |  FROM fa),
+        |fb AS (SELECT o_orderstatus, count(*) AS f FROM orders GROUP BY 1),
+        |gb AS (
+        |  SELECT 'o_orderstatus' AS col_name,
+        |    CAST(sum(f) AS BIGINT) AS n_rows,
+        |    floor((1.0 - CAST(sum(f * f) AS DOUBLE)
+        |      / (CAST(sum(f) AS DOUBLE) * sum(f))) * 1000000.0 + 0.5)
+        |      / 1000000.0 AS gini
+        |  FROM fb)
+        |SELECT * FROM ga UNION ALL SELECT * FROM gb""".stripMargin)),
     QueryDef("q_hist_drift", histDriftQ, Some(
       """WITH u AS (
         |  SELECT value, 'a' AS s FROM events WHERE event_type = 'click'

@@ -45,6 +45,58 @@ object Profile {
   def approx(df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame =
     profile(df, cols, c => approx_count_distinct(col(c), rsd))
 
+  /** Expectation checking — assertion rules evaluated in ONE pass:
+    * each rule is a boolean Column; the output is one row per rule
+    * with its violation count (null predicate results count as
+    * violations — an assertion that cannot evaluate has failed).
+    * The data-quality CI gate: cheap enough to run on every ingest
+    * batch, one global aggregate regardless of rule count, unpivoted
+    * in-plan like [[exact]].
+    */
+  def checkExpectations(
+      df: DataFrame,
+      rules: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(rules.nonEmpty, "checkExpectations: no rules")
+    val aggs = count(lit(1)).as("__n") +: rules.zipWithIndex.map {
+      case ((_, pred), i) =>
+        count(when(!coalesce(pred, lit(false)), 1)).as(s"__v_$i")
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = rules.zipWithIndex.map { case ((name, _), i) =>
+      s"'${name.replace("'", "''")}', `__v_$i`"
+    }.mkString(", ")
+    one.select(
+        expr(s"stack(${rules.size}, $stackArgs)").as(Seq("rule", "n_violations")),
+        col("__n").as("n_rows"))
+      .select("rule", "n_violations", "n_rows")
+  }
+
+  /** Per-column value-concentration profile: Gini impurity
+    * `1 − Σ (n_v/N)²` over the column's value frequencies — 0 when
+    * one value dominates completely, approaching 1 as mass spreads.
+    * The portable stand-in for entropy (whose `log` differs by ulps
+    * across engines): squares of exact integer frequencies, one
+    * fixed-shape double expression, Det-rounded — oracle-exact.
+    * Detects the failure profiles can miss: a column whose distinct
+    * count looks healthy while 99% of rows hold one value.
+    *
+    * One value-frequency aggregate (vocabulary-sized shuffle with
+    * map-side partials) + one scalar fold. Nulls count as a value.
+    */
+  def giniImpurity(df: DataFrame, column: String, scale: Int = 6): DataFrame = {
+    val freq = df.groupBy(col(column)).agg(count(lit(1)).as("__f"))
+    freq.agg(
+        sum(col("__f")).as("__n"),
+        sum(col("__f") * col("__f")).as("__ss"))
+      .select(
+        lit(column).as("col_name"),
+        col("__n").cast("long").as("n_rows"),
+        graft.functions.Det.round(
+          lit(1.0) - col("__ss").cast("double")
+            / (col("__n").cast("double") * col("__n")), scale)
+          .as("gini"))
+  }
+
   /** Distribution-drift detection between two samples of the same
     * column — the "did yesterday's data look like today's" monitor
     * that catches schema-preserving corruption (unit changes, silent

@@ -90,6 +90,34 @@ class ProfileSpec extends SparkSpecBase {
     assert(rows.filter(col("bin") < 5 && col("n_b") === 0).count() === 5L)
   }
 
+  test("checkExpectations: one pass, null predicate counts as violation") {
+    val d = Seq(
+      (1L, Some(5.0)), (2L, Some(-1.0)), (3L, None))
+      .toDF("id", "v")
+    val got = Profile.checkExpectations(d, Seq(
+        "v_positive" -> (col("v") > 0),     // -1 fails; NULL fails
+        "id_nonnull" -> col("id").isNotNull))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("v_positive") === ((2L, 3L)))
+    assert(got("id_nonnull") === ((0L, 3L)))
+    // single scan
+    val plan = Profile.checkExpectations(
+      Tables.orders(spark, "/root/testdata/sf0.001"),
+      Seq("a" -> (col("o_totalprice") > 0), "b" -> col("o_custkey").isNotNull))
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).length === 1, plan.take(400))
+  }
+
+  test("giniImpurity: 0 for a constant column, (k-1)/k for uniform over k values") {
+    val const = Seq.fill(100)("x").toDF("c")
+    assert(Profile.giniImpurity(const, "c").head.getDouble(2) === 0.0)
+    val uniform = (1 to 100).map(i => s"v${i % 4}").toDF("c")
+    assert(Profile.giniImpurity(uniform, "c").head.getDouble(2) === 0.75)
+    // nulls count as a value
+    val withNull = Seq(Some("a"), Some("a"), None, None).toDF("c")
+    assert(Profile.giniImpurity(withNull, "c").head.getDouble(2) === 0.5)
+  }
+
   test("empty input: zero rows, zero distinct, null min/max") {
     val r = Profile.exact(df.filter(lit(false)), Seq("id", "s")).collect()
       .map(x => x.getString(0) -> x).toMap
