@@ -188,7 +188,40 @@ object SimilarityQueries {
         nClusters = 8, threshold = 0.8)
       .select("vec_id", "label")
 
+  /** kNN label propagation ([[Similarity.knnClassify]]): the first 10
+    * vectors classified by majority label of their 5 nearest (exact
+    * cosine); vote and rank tie-breaks are deterministic, so the
+    * whole path is SQL-expressible.
+    */
+  private def knnClassifyQ(s: SparkSession, d: String): DataFrame = {
+    val em = Tables.embeddings(s, d)
+    Similarity.knnClassify(
+      queries = em.filter(col("vec_id") < 10), corpus = em,
+      queryId = "vec_id", corpusId = "vec_id",
+      queryVec = "embedding", corpusVec = "embedding",
+      labelCol = "label", k = 5)
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_knn_classify", knnClassifyQ, Some(
+      s"""WITH scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+         |    floor((${duckCos("q.embedding", "c.embedding")}) * 1000000.0 + 0.5) / 1000000.0 AS sim
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         |nn AS (
+         |  SELECT query_id, label FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+         |    FROM scored) t
+         |  WHERE rank <= 5),
+         |votes AS (
+         |  SELECT query_id, label, CAST(count(*) AS BIGINT) AS votes
+         |  FROM nn GROUP BY 1, 2)
+         |SELECT query_id, label AS label_pred, votes FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY votes DESC, label) AS vr
+         |  FROM votes) v
+         |WHERE vr = 1""".stripMargin)),
     QueryDef("q_kmeans_sizes", kmeansSizes, None),
     QueryDef("q_semdedup", semdedupQ, None, headline = true),
     QueryDef("q_embed_quant", embedQuant, Some(embedQuantSql)),

@@ -67,6 +67,43 @@ object Similarity {
       .select(col("query_id"), col("__t.id").as("neighbor_id"),
         col("__t.score").as("sim"), (col("__pos") + 1).cast("int").as("rank"))
 
+  /** kNN label propagation — weak supervision's workhorse: each
+    * unlabeled query takes the MAJORITY label among its `k` nearest
+    * labeled corpus vectors (exact cosine ranking, the
+    * [[bruteForceKnn]] path; swap in the LSH/PQ candidates upstream
+    * at billion-vector scale and re-rank exactly, as
+    * [[pqKnn]] does). Ties are deterministic twice over: neighbor
+    * ranking by (sim desc, id asc) as everywhere in the catalog, and
+    * the vote by (count desc, label asc) via one `max_by` — no
+    * window, one aggregate after the neighbor join.
+    *
+    * Output: `(query_id, label_pred, votes)`.
+    */
+  def knnClassify(
+      queries: DataFrame,
+      corpus: DataFrame,
+      queryId: String,
+      corpusId: String,
+      queryVec: String,
+      corpusVec: String,
+      labelCol: String,
+      k: Int): DataFrame = {
+    val nn = bruteForceKnn(queries, corpus,
+      queryId, corpusId, queryVec, corpusVec, k)
+    val labels = corpus.select(
+      col(corpusId).as("neighbor_id"), col(labelCol).as("__lab"))
+    nn.join(labels, "neighbor_id")
+      .groupBy("query_id", "__lab")
+      .agg(count(lit(1)).as("__votes"))
+      .groupBy("query_id")
+      .agg(max_by(
+        struct(col("__lab").as("label"), col("__votes").as("votes")),
+        struct(col("__votes"), -col("__lab"))).as("__w"))
+      .select(col("query_id"),
+        col("__w.label").as("label_pred"),
+        col("__w.votes").as("votes"))
+  }
+
   /** Random-hyperplane LSH bucket for a vector: `nBits` sign bits of
     * dot products with deterministic pseudo-random hyperplanes
     * (splitmix64-derived ±1 components — cheap, no stored planes).

@@ -233,6 +233,32 @@ class SimilaritySpec extends SparkSpecBase {
     assert(dropped === Set(1L, 11L, 21L))
   }
 
+  test("knnClassify: majority label wins; vote ties break by label asc") {
+    import graft.operators.Similarity
+    // query 0 at origin-ish; labels: two 1s very close, three 2s farther
+    val rows = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 9),   // the query (own label ignored)
+      (1L, Seq(0.99f, 0.1f, 0f, 0f), 1),
+      (2L, Seq(0.98f, 0.15f, 0f, 0f), 1),
+      (3L, Seq(0.9f, 0.4f, 0f, 0f), 2),
+      (4L, Seq(0.88f, 0.45f, 0f, 0f), 2),
+      (5L, Seq(0.85f, 0.5f, 0f, 0f), 2),
+      (6L, Seq(-1f, 0f, 0f, 0f), 3))  // far — outside k=5
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnClassify(
+      rows.filter(col("vec_id") === 0L), rows.filter(col("vec_id") =!= 0L),
+      "vec_id", "vec_id", "embedding", "embedding", "label", k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // k=5 nearest = ids 1..5 → labels 1×2 votes, 2×3 votes → label 2
+    assert(got.toSeq === Seq((0L, 2, 3L)))
+    // tie case: k=4 → 2 votes each → smaller label wins
+    val tied = Similarity.knnClassify(
+      rows.filter(col("vec_id") === 0L), rows.filter(col("vec_id").isin(1L, 2L, 3L, 4L)),
+      "vec_id", "vec_id", "embedding", "embedding", "label", k = 4)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(tied.toSeq === Seq((1, 2L)))
+  }
+
   test("randomProject: linear, bit-deterministic, sign-balanced") {
     import graft.operators.Embeddings
     val a = Seq.tabulate(32)(i => (i % 7) - 3)
