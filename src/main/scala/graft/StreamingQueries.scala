@@ -203,6 +203,35 @@ object StreamingQueries {
           .as("n_unmatched"))
   }
 
+  /** FULL outer stream-stream join: both sides null-pad. The right
+    * (purchase) side's finalization rule differs from the left's —
+    * a purchase can stop waiting once the watermark passes ITS OWN
+    * event time (any later click would carry `a_ts > b_ts`, outside
+    * the `b_ts >= a_ts` bound), while a click waits until the mark
+    * passes `a_ts + 10 min`. The oracle states both rules against the
+    * min-across-sides watermark.
+    */
+  private def streamFullJoinQ(s: SparkSession, d: String): DataFrame = {
+    def side(t: String, p: String): DataFrame =
+      eventsStream(s, d)
+        .filter(col("event_type") === t)
+        .select(col("user_id").as(s"${p}_user"), col("event_id").as(s"${p}_id"),
+          col("ts").cast("timestamp").as(s"${p}_ts"))
+        .withWatermark(s"${p}_ts", "30 minutes")
+    val joined = side("click", "a").join(side("purchase", "b"),
+      col("a_user") === col("b_user") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 10 MINUTES"),
+      "full_outer")
+    snapshot(joined, OutputMode.Append())
+      .groupBy(coalesce(col("a_user"), col("b_user")).as("user_id"))
+      .agg(
+        count(when(col("a_id").isNotNull && col("b_id").isNotNull, 1))
+          .as("n_pairs"),
+        count(when(col("b_id").isNull, 1)).as("n_unmatched_clicks"),
+        count(when(col("a_id").isNull, 1)).as("n_unmatched_purchases"))
+  }
+
   /** One CDC change row for the MemoryStream replay. */
   final case class CdcChange(
       c_custkey: Long,
@@ -456,6 +485,44 @@ object StreamingQueries {
         |HAVING sum(n_matches) > 0 OR sum(CASE WHEN n_matches = 0
         |  AND ts + INTERVAL 10 MINUTE < (SELECT w FROM wm)
         |  THEN 1 ELSE 0 END) > 0""".stripMargin)),
+    QueryDef("q_stream_full_join", streamFullJoinQ, Some(
+      """WITH wm AS (
+        |  SELECT least(
+        |    (SELECT date_trunc('milliseconds', max(ts)) FROM events
+        |     WHERE event_type = 'click'),
+        |    (SELECT date_trunc('milliseconds', max(ts)) FROM events
+        |     WHERE event_type = 'purchase')) - INTERVAL 30 MINUTE AS w),
+        |a AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+        |b AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+        |pairs AS (
+        |  SELECT a.user_id, a.event_id, a.ts, count(b.user_id) AS m
+        |  FROM a LEFT JOIN b ON a.user_id = b.user_id
+        |    AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+        |  GROUP BY 1, 2, 3),
+        |rpairs AS (
+        |  SELECT b.user_id, b.event_id, b.ts, count(a.user_id) AS m
+        |  FROM b LEFT JOIN a ON a.user_id = b.user_id
+        |    AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+        |  GROUP BY 1, 2, 3),
+        |agg AS (
+        |  SELECT user_id,
+        |    CAST(sum(m) AS BIGINT) AS n_pairs,
+        |    CAST(sum(CASE WHEN m = 0
+        |      AND ts + INTERVAL 10 MINUTE < (SELECT w FROM wm)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched_clicks
+        |  FROM pairs GROUP BY user_id),
+        |ragg AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN m = 0 AND ts < (SELECT w FROM wm)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched_purchases
+        |  FROM rpairs GROUP BY user_id)
+        |SELECT user_id,
+        |  COALESCE(n_pairs, 0) AS n_pairs,
+        |  COALESCE(n_unmatched_clicks, 0) AS n_unmatched_clicks,
+        |  COALESCE(n_unmatched_purchases, 0) AS n_unmatched_purchases
+        |FROM agg FULL OUTER JOIN ragg USING (user_id)
+        |WHERE COALESCE(n_pairs, 0) > 0 OR COALESCE(n_unmatched_clicks, 0) > 0
+        |   OR COALESCE(n_unmatched_purchases, 0) > 0""".stripMargin)),
     QueryDef("q_stream_window_close", streamWindowClose, Some(
       s"""WITH wm AS ($wmSql)
          |SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
