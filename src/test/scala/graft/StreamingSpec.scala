@@ -226,6 +226,45 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("full-outer stream-stream join: right side pads on its OWN time passing the mark") {
+    val left = MemoryStream[PriceRecord](spark)
+    val right = MemoryStream[PriceRecord](spark)
+    def side(s: MemoryStream[PriceRecord], p: String) =
+      s.toDF().select(col("stationcode").as(s"${p}_code"),
+          col("lastupdated").as(s"${p}_ts"), col("price").as(s"${p}_price"))
+        .withWatermark(s"${p}_ts", "10 minutes")
+    val joined = side(left, "a").join(side(right, "b"),
+      col("a_code") === col("b_code") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 5 MINUTES"),
+      "full_outer")
+    val q = joined.writeStream
+      .format("memory").queryName("ss_full").outputMode(OutputMode.Append).start()
+    try {
+      left.addData(pr("A", "U91", 1.0, "2023-10-05 10:00:00", 1))
+      right.addData(
+        pr("A", "U91", 9.0, "2023-10-05 10:02:00", 2), // matches A's click
+        pr("X", "U91", 7.0, "2023-10-05 10:00:00", 3), // no click ever -> pad
+        pr("Y", "U91", 8.0, "2023-10-05 11:58:00", 4)) // ts past the final mark -> held
+      // advance both sides' watermarks to ~11:50
+      left.addData(pr("Z", "U91", 0.0, "2023-10-05 12:00:00", 5))
+      right.addData(pr("Z2", "U91", 0.0, "2023-10-05 12:00:00", 6))
+      q.processAllAvailable()
+      val pads = spark.table("ss_full")
+        .filter(col("a_code").isNull)
+        .collect().map(_.getAs[Double]("b_price")).toSet
+      // X padded (its OWN ts is far below the mark — it needs no
+      // window to close, unlike a click); Y still in state
+      assert(pads.contains(7.0), pads)
+      assert(!pads.contains(8.0), pads)
+      // and the matched pair emitted normally
+      val matched = spark.table("ss_full")
+        .filter(col("a_code").isNotNull && col("b_code").isNotNull)
+        .collect().map(r => (r.getAs[Double]("a_price"), r.getAs[Double]("b_price")))
+      assert(matched.toSeq === Seq((1.0, 9.0)))
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark: builtin first-wins twin of St2, bounded state") {
     val input = MemoryStream[PriceRecord](spark)
     val dedup = input.toDF()
