@@ -148,6 +148,35 @@ object StreamingQueries {
         col("session_window.end").cast("timestamp_ntz").as("session_end"),
         col("n_events"))
 
+  /** DYNAMIC-gap sessionization through the real `session_window`
+    * with a per-event gap column: clicks tolerate a 10-minute lull,
+    * everything else 30 — the per-signal session policy a fixed gap
+    * cannot express. Merge semantics are overlap of per-event windows
+    * `[ts, ts + gap)`, so a session's end is the RUNNING MAX of
+    * `ts + gap` (not last-event + gap) — the oracle states exactly
+    * that cascade, plus the append-mode close rule against the
+    * ms-truncated terminal watermark.
+    */
+  private def streamDynamicSession(s: SparkSession, d: String): DataFrame = {
+    // session_window's dynamic gap must be CalendarIntervalType;
+    // INTERVAL literals are DayTimeIntervalType under ANSI —
+    // make_interval produces the calendar type.
+    val gap = when(col("event_type") === "click",
+        expr("make_interval(0, 0, 0, 0, 0, 10, 0)"))
+      .otherwise(expr("make_interval(0, 0, 0, 0, 0, 30, 0)"))
+    snapshot(
+      eventsStream(s, d)
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withWatermark("ts", "30 minutes")
+        .groupBy(session_window(col("ts"), gap), col("user_id"))
+        .agg(count(lit(1)).as("n_events")),
+      OutputMode.Append())
+      .select(col("user_id"),
+        col("session_window.start").cast("timestamp_ntz").as("session_start"),
+        col("session_window.end").cast("timestamp_ntz").as("session_end"),
+        col("n_events"))
+  }
+
   /** Stream-stream inner join, driver-checked: clicks joined to the
     * same user's purchases within the following 10 minutes — the
     * attribution-window shape. Both sides are watermarked streams
@@ -549,6 +578,31 @@ object StreamingQueries {
         |  CASE WHEN l.user_id IS NOT NULL THEN l.new_bal ELSE c.c_acctbal END AS bal
         |FROM customer c FULL OUTER JOIN latest l ON c.c_custkey = l.user_id
         |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin)),
+    QueryDef("q_stream_dynamic_session", streamDynamicSession, Some(
+      s"""WITH wm AS ($wmSql),
+         |g AS (
+         |  SELECT user_id, ts, event_id,
+         |    CASE WHEN event_type = 'click' THEN INTERVAL 10 MINUTE
+         |         ELSE INTERVAL 30 MINUTE END AS gap
+         |  FROM events),
+         |x AS (
+         |  SELECT *, max(ts + gap) OVER (
+         |    PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_end
+         |  FROM g),
+         |f AS (
+         |  SELECT *, CASE WHEN prior_end IS NULL OR ts >= prior_end
+         |    THEN 1 ELSE 0 END AS new_s FROM x),
+         |n AS (
+         |  SELECT *, sum(new_s) OVER (
+         |    PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM f)
+         |SELECT user_id, min(ts) AS session_start,
+         |  max(ts + gap) AS session_end,
+         |  CAST(count(*) AS BIGINT) AS n_events
+         |FROM n GROUP BY user_id, sid
+         |HAVING session_end <= (SELECT w FROM wm)""".stripMargin)),
     QueryDef("q_stream_session_close", streamSessionClose, Some(
       s"""WITH wm AS ($wmSql),
          |flagged AS (
