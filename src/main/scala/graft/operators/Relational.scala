@@ -566,10 +566,17 @@ object Relational {
     * exactly as in [[fuzzyJoinGrams]].
     *
     * Scale shape: one vocabulary-sized DF aggregate, one gram→DF
-    * join, a per-row array sort (bounded by string length), and a
-    * prefix-gram equi-join with ≤ `maxDist·q + 1` rows per string on
-    * the shuffle. The DF table is recomputed per call — persist it
-    * for repeated joins against a stable corpus.
+    * annotation join, a per-row array sort (bounded by string
+    * length), and a prefix-gram equi-join with ≤ `maxDist·q + 1`
+    * rows per string on the shuffle. Honest residual: the ANNOTATION
+    * join still shuffles every gram instance, so the boilerplate
+    * gram is a hot key there too — but it carries only (string,
+    * gram-hash) pairs, its rows need no cross-side pairing (1
+    * DF row per gram), and AQE's skew split applies; the quadratic
+    * blowup the prefix exists to prevent lives in the CANDIDATE
+    * join, which the hot gram never reaches. The DF table is
+    * recomputed per call — persist it for repeated joins against a
+    * stable corpus.
     */
   def fuzzyJoinPrefix(
       left: DataFrame,
