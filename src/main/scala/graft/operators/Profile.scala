@@ -145,6 +145,9 @@ object Profile {
       cols: Seq[String],
       distinctAgg: String => org.apache.spark.sql.Column): DataFrame = {
     require(cols.nonEmpty, "Profile: no columns to profile")
+    // names ride through a stack() SQL string backtick-quoted
+    require(cols.forall(c => !c.contains("`") && !c.contains("'")),
+      "Profile: column names must not contain backticks or quotes")
     val schema = df.schema
     val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
       val isString = schema(c).dataType == StringType

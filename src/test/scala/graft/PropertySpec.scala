@@ -186,4 +186,61 @@ class PropertySpec extends SparkSpecBase {
       once == twice
     })
   }
+
+  // Random word-ish strings over a tiny alphabet: high collision
+  // rates, repeated grams, and length clusters — the adversarial
+  // regime for every fuzzy-join blocking scheme.
+  private val genCorpus: Gen[List[String]] =
+    Gen.listOfN(12, Gen.choose(1, 14).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString)))
+      .map(_.distinct)
+
+  private def bruteLev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("prop: all three fuzzy-join variants ≡ brute-force levenshtein on random corpora") {
+    check(Prop.forAll(genCorpus, Gen.choose(0, 2)) { (words, t) =>
+      words.nonEmpty ==> {
+        val expected = (for {
+          a <- words; b <- words
+          if a < b && bruteLev(a, b) <= t
+        } yield (a, b, bruteLev(a, b))).toSet
+        val l = words.toDF("a"); val r = words.toDF("b")
+        def run(df: org.apache.spark.sql.DataFrame) = df
+          .filter(col("a") < col("b")).collect()
+          .map(x => (x.getString(0), x.getString(1), x.getInt(2))).toSet
+        run(Relational.fuzzyJoin(l, "a", r, "b", t)) == expected &&
+          run(Relational.fuzzyJoinGrams(l, "a", r, "b", t)) == expected &&
+          run(Relational.fuzzyJoinPrefix(l, "a", r, "b", t)) == expected
+      }
+    })
+  }
+
+  test("prop: snapshotDiff inverse symmetry — I↔D swap, identical U set") {
+    val genSnap: Gen[List[(Long, String)]] =
+      Gen.listOfN(15, for {
+        k <- Gen.choose(1L, 10L)
+        v <- Gen.oneOf("x", "y", "z")
+      } yield (k, v)).map(_.groupBy(_._1).map(_._2.head).toList)
+    check(Prop.forAll(genSnap, genSnap) { (xs, ys) =>
+      (xs.nonEmpty && ys.nonEmpty) ==> {
+        val a = xs.toDF("k", "v"); val b = ys.toDF("k", "v")
+        def diff(x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame) =
+          graft.operators.Cdc.snapshotDiff(x, y, Seq("k"))
+            .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+        val fwd = diff(a, b); val bwd = diff(b, a)
+        def of(s: Set[(Long, String)], c: String) =
+          s.filter(_._2 == c).map(_._1)
+        of(fwd, "I") == of(bwd, "D") &&
+          of(fwd, "D") == of(bwd, "I") &&
+          of(fwd, "U") == of(bwd, "U")
+      }
+    })
+  }
 }
