@@ -170,4 +170,39 @@ object Warehouse {
       case None =>
         spark.read.jdbc(url, table, jdbcProps(driver))
     }
+
+  // ---- Interchange exports ----
+  //
+  // Parquet is the warehouse format; these are the hand-off formats
+  // for systems that can't read it (the reference publishes JSON to
+  // its dashboard and broker — `DataAnalysis.py:23,29`). Both write
+  // distributed (one file per partition — coalesce at the CALL SITE
+  // if a single file matters more than parallel write throughput)
+  // and declare their lossiness explicitly rather than hiding it.
+
+  /** JSONL export (one JSON object per line — the streaming-friendly
+    * interchange the reference's topics carry). Round-trips all
+    * nested types; timestamps serialize ISO-8601.
+    */
+  def exportJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("compression", "none").json(path)
+
+  /** CSV export with header. CSV is FLAT: arrays/structs/maps are
+    * rejected up front (their CSV spelling would be engine-specific
+    * mush) — project or serialize them first. Quoting/escaping is
+    * RFC-4180-shaped; nulls write as empty fields (and read back
+    * indistinguishable from empty strings — CSV's lossiness, not
+    * ours), and embedded newlines are quoted — readers must set
+    * `multiLine=true` to reassemble them.
+    */
+  def exportCsv(df: DataFrame, path: String): Unit = {
+    val complex = df.schema.fields.filter(f =>
+      f.dataType.typeName match {
+        case "array" | "struct" | "map" => true
+        case _ => false
+      }).map(_.name)
+    require(complex.isEmpty,
+      s"CSV is flat — serialize or drop complex columns first: ${complex.mkString(", ")}")
+    df.write.mode("overwrite").option("header", "true").csv(path)
+  }
 }
