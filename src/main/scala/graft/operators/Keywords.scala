@@ -100,8 +100,13 @@ object Keywords {
     val pairs = docs
       .select(col(idCol).as("doc_id"),
         explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("token"))
+      // INTEGER division (`div`): `/` is double division, which loses
+      // precision past 2^53 and truncates toward zero for negative ids
+      // — either breaks the disjoint-sorted-block invariant readers
+      // rely on. `div` keeps the arithmetic in longs end to end.
       .withColumn("block",
-        if (docsPerBlock > 0) (col("doc_id") / docsPerBlock).cast("long")
+        if (docsPerBlock > 0)
+          expr(s"cast(doc_id as bigint) div ${docsPerBlock}L")
         else lit(0L))
     pairs.groupBy("token", "block")
       .agg(count(lit(1)).as("df_block"),

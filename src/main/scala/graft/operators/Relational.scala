@@ -341,13 +341,21 @@ object Relational {
       groupCols: Seq[String],
       valueCol: String,
       scale: Int = 2): DataFrame = {
-    val v = col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 2))
+    // DECIMAL scale follows the requested rounding scale (min 2, the
+    // money default) so scale=4 callers don't sum pre-truncated values.
+    val v = col(valueCol).cast(
+      org.apache.spark.sql.types.DecimalType(18, scale max 2))
     val stats = df.groupBy(groupCols.map(col): _*)
       .agg(when(count(col(valueCol)) > 0,
         graft.functions.Det.round(
           sum(v).cast("double") / count(col(valueCol)), scale))
         .as("__fill"))
-    df.join(broadcast(stats), groupCols)
+    // LEFT join: an equi-join never matches null keys (null != null), so
+    // inner would silently DROP rows whose group key is null — fatal for
+    // a fill-nulls utility. stats covers every non-null group, so left
+    // preserves all rows; a null-key row gets __fill = null and coalesce
+    // keeps its original value.
+    df.join(broadcast(stats), groupCols, "left")
       .withColumn(s"${valueCol}_filled", coalesce(col(valueCol), col("__fill")))
       .drop("__fill")
   }

@@ -96,9 +96,13 @@ object Similarity {
       .groupBy("query_id", "__lab")
       .agg(count(lit(1)).as("__votes"))
       .groupBy("query_id")
-      .agg(max_by(
+      // (count desc, label asc) via min_by: only the NUMERIC vote count
+      // is negated, so the label column can be any orderable type
+      // (string labels are the common weak-supervision case — arithmetic
+      // negation of the label would fail analysis there).
+      .agg(min_by(
         struct(col("__lab").as("label"), col("__votes").as("votes")),
-        struct(col("__votes"), -col("__lab"))).as("__w"))
+        struct(-col("__votes"), col("__lab"))).as("__w"))
       .select(col("query_id"),
         col("__w.label").as("label_pred"),
         col("__w.votes").as("votes"))
@@ -284,7 +288,9 @@ object Similarity {
     c.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("centroid_id"), cosine(col("v"), col("cv")).as("s"))
       .groupBy("vec_id")
-      .agg(max_by(col("centroid_id"), struct(col("s"), -col("centroid_id"))).as("centroid_id"))
+      // (sim desc, centroid asc) with only the numeric score negated, so
+      // non-numeric centroid ids stay legal.
+      .agg(min_by(col("centroid_id"), struct(-col("s"), col("centroid_id"))).as("centroid_id"))
 
   /** IVF-probed top-k: score each query against the centroids, keep
     * the `nProbe` best cells, then score only corpus vectors assigned

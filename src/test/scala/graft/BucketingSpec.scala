@@ -52,11 +52,18 @@ class BucketingSpec extends SparkSpecBase {
   test("writeBucketed: overwrites an orphaned managed location from a previous process") {
     val sf = "/root/testdata/sf0.001"
     spark.sql("DROP TABLE IF EXISTS bkt_orphan")
-    // simulate a prior JVM's leftovers: location exists, catalog entry doesn't
-    val dir = new java.io.File(
+    // simulate a prior JVM's leftovers: location exists, catalog entry
+    // doesn't. warehouse.dir comes back as a QUALIFIED URI (file:/tmp/…),
+    // so build the fixture with hadoop Path exactly as writeBucketed
+    // resolves the managed location — java.io.File would treat the URI as
+    // a relative path and plant the junk under the repo CWD, making the
+    // test pass without ever exercising the sweep.
+    val loc = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), "bkt_orphan")
-    dir.mkdirs()
-    new java.io.File(dir, "junk").createNewFile()
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(loc)
+    fs.create(new org.apache.hadoop.fs.Path(loc, "junk")).close()
+    assert(fs.exists(loc))
     try {
       Warehouse.writeBucketed(Tables.orders(spark, sf).limit(10),
         "bkt_orphan", Seq("o_orderkey"), 2)

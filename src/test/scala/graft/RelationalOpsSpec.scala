@@ -129,6 +129,21 @@ class RelationalOpsSpec extends SparkSpecBase {
     assert(got(4L) === None && got(5L) === None) // nothing to impute from
   }
 
+  test("imputeByGroupMean: null group keys pass through; scale is honored") {
+    val df = Seq(
+      (Some("a"), 1L, Some(0.0625)), (Some("a"), 2L, Some(0.0625)),
+      (Some("a"), 3L, None),
+      (None: Option[String], 4L, Some(9.0)), (None, 5L, None))
+      .toDF("g", "id", "v")
+    val got = Relational.imputeByGroupMean(df, Seq("g"), "v", scale = 4)
+      .collect().map(r => r.getLong(1) -> Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    // scale=4 must not pre-round inputs to 2dp: mean(0.0625, 0.0625)=0.0625
+    assert(got(3L) === Some(0.0625))
+    // null-key rows survive the join (left, not inner) with values intact
+    assert(got.size === 5)
+    assert(got(4L) === Some(9.0) && got(5L) === None)
+  }
+
   test("ohlcBars: open/close follow (ts, tie) order incl. same-ts ties; no window in plan") {
     val df = Seq(
       ("a", "2024-01-01 10:05:00", 1L, 5.0),

@@ -47,6 +47,16 @@ class SearchSpec extends SparkSpecBase {
     assert(aBlocks.toSeq === Seq(0L, 1L))
   }
 
+  test("blocked index: block ids are integer-exact past the double mantissa") {
+    // 2^53+1 and 2^53+2 are indistinguishable as doubles; integer `div`
+    // must still separate adjacent blocks up there.
+    val big = (1L << 53) + 1L
+    val wide = Seq((big, "x"), (big + 1L, "x")).toDF("id", "text")
+    val blocks = Keywords.invertedIndex(wide, "id", "text", docsPerBlock = 1L)
+      .collect().map(_.getLong(1)).sorted
+    assert(blocks.toSeq === Seq(big, big + 1L))
+  }
+
   test("searchAll: every term required; hits counts all occurrences") {
     val got = Keywords.searchAll(docs, "id", "text", Seq("a", "b"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

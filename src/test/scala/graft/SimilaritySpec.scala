@@ -259,6 +259,25 @@ class SimilaritySpec extends SparkSpecBase {
     assert(tied.toSeq === Seq((1, 2L)))
   }
 
+  test("knnClassify: string labels are legal and tie-break lexicographically") {
+    import graft.operators.Similarity
+    // two votes each for "spam" and "ham" → "ham" wins (label asc); a
+    // string label must not fail analysis (tie-break negates only the
+    // numeric vote count, never the label).
+    val rows = Seq(
+      (0L, Seq(1f, 0f), "?"),
+      (1L, Seq(0.99f, 0.1f), "spam"),
+      (2L, Seq(0.98f, 0.15f), "ham"),
+      (3L, Seq(0.9f, 0.4f), "spam"),
+      (4L, Seq(0.88f, 0.45f), "ham"))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnClassify(
+      rows.filter(col("vec_id") === 0L), rows.filter(col("vec_id") =!= 0L),
+      "vec_id", "vec_id", "embedding", "embedding", "label", k = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq((0L, "ham", 2L)))
+  }
+
   test("randomProject: linear, bit-deterministic, sign-balanced") {
     import graft.operators.Embeddings
     val a = Seq.tabulate(32)(i => (i % 7) - 3)
