@@ -408,6 +408,34 @@ object TextQueries {
         col("decoded.px_mean").as("px_mean"))
   }
 
+  /** Image near-duplicate detection over REAL rendered PNGs
+    * ([[Multimodal.imageNearDup]]): docs 0–49 render as 25 planted
+    * near-dup pairs — doc `2k` and `2k+1` share pattern seed `k`, the
+    * odd twin brightness-shifted (+4, dHash-invariant) with one cell
+    * inverted (≤ 2 of 64 bits) — while docs 50–199 get unique seeds
+    * (unrelated patterns land ~32 bits apart). The decode + dHash run
+    * on genuine PNG bytes; candidates come from the banded-Hamming
+    * equi-join shared with text SimHash, so the result is exactly the
+    * 25 planted pairs, FP-free by construction.
+    */
+  private def imageNeardup(s: SparkSession, d: String): DataFrame = {
+    val planted = Tables.documents(s, d)
+      .select(col("doc_id")).filter(col("doc_id") < 200)
+      .select(
+        col("doc_id"),
+        when(col("doc_id") < 50, expr("doc_id div 2"))
+          .otherwise(col("doc_id") + 1000L).as("__seed"),
+        when(col("doc_id") < 50 && pmod(col("doc_id"), lit(2)) === 1, lit(4))
+          .otherwise(lit(0)).as("__delta"),
+        when(col("doc_id") < 50 && pmod(col("doc_id"), lit(2)) === 1,
+          pmod(col("doc_id"), lit(72)).cast("int"))
+          .otherwise(lit(-1)).as("__flip"))
+    Multimodal.imageNearDup(
+        Multimodal.withPatternPng(planted, "__seed", "__delta", "__flip"),
+        "doc_id", "img", maxHamming = 3)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Sequence packing: assign each doc to a fixed-256-token training
     * sequence (concat-then-chunk rule; [[Packing.concatChunkPack]]'s
     * two-pass distributed prefix sum — no single-partition window).
@@ -1094,6 +1122,7 @@ object TextQueries {
         |  CAST((length(text) * 7) % 48 + 16 AS BIGINT) AS height,
         |  CAST(doc_id % 256 AS BIGINT) AS px_mean
         |FROM documents""".stripMargin)),
+    QueryDef("q_image_neardup", imageNeardup, None),
     QueryDef("q_contamination", contaminationQ, Some(contaminationSql), headline = true),
     QueryDef("q_lm_score", lmScoreQ, Some(lmScoreSql), headline = true),
     QueryDef("q_heavy_hitters", heavyHitters, Some {

@@ -181,10 +181,23 @@ object Dedup {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val sigs = docs.select(col(idCol).as("doc_id"), simhash64(col(textCol)).as("sig"))
+      maxHamming: Int = 3): DataFrame =
+    hamming64Candidates(
+      docs.select(col(idCol).as("doc_id"), simhash64(col(textCol)).as("sig")),
+      maxHamming)
+
+  /** Banded-Hamming candidate pairs over ANY 64-bit signature column
+    * — the shared blocking behind [[simhashCandidates]] (text) and
+    * [[Multimodal.imageNearDup]] (perceptual image hashes). Blocks on
+    * 4×16-bit bands: a pair within Hamming distance ≤ 3 of 64 bits
+    * must agree exactly on ≥ 1 of the 4 bands (pigeonhole), so the
+    * band/bucket equi-join is LOSSLESS at the default threshold and
+    * never compares all pairs. Input: `(doc_id, sig)`; output
+    * `(id_a, id_b, hamming)` with `hamming ≤ maxHamming`.
+    */
+  def hamming64Candidates(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
     // Materialized once: the self-join would otherwise run the
-    // SimHash vote pass on both sides (see minhashCandidates).
+    // signature computation on both sides (see minhashCandidates).
     val banded = Materialize(sigs.withColumn("band", explode(sequence(lit(0), lit(3))))
       .withColumn("bucket", call_function("shiftright", col("sig"), col("band") * 16).bitwiseAND(0xFFFFL)))
     val a = banded.as("a")

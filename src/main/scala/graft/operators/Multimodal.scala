@@ -152,6 +152,234 @@ object Multimodal {
     }(RowEncoder.encoderFor(outSchema))
   }
 
+  /** Difference hash (dHash-64) over a decoded raster — the
+    * perceptual near-dup signature for images, INTEGER-EXACT end to
+    * end. The raster is box-mean downsampled onto an 8-row × 9-column
+    * grid (every pixel lands in cell `(y*8/h, x*9/w)` — pure long
+    * arithmetic, no resampling filter to vary by library), and bit
+    * `(row, col)` is set iff the cell's mean gray exceeds its right
+    * neighbor's. Means compare by cross-multiplication
+    * (`sumL*cntR > sumR*cntL`), so there is no division and no
+    * floating point anywhere: the same bytes hash identically on
+    * every JVM. Gray = r+g+b (the common scale factor cancels in the
+    * comparison). Robust to uniform brightness shifts (all
+    * comparisons shift together) and to localized edits (one cell
+    * touches ≤ 2 of the 64 bits); unrelated images land ~32 bits
+    * apart.
+    */
+  def dHash64(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = Array.ofDim[Long](8, 9)
+    val cnts = Array.ofDim[Long](8, 9)
+    var y = 0
+    while (y < h) {
+      val r = (y.toLong * 8 / h).toInt
+      var x = 0
+      while (x < w) {
+        val c = (x.toLong * 9 / w).toInt
+        val rgb = img.getRGB(x, y)
+        sums(r)(c) += ((rgb >>> 16) & 0xFF) + ((rgb >>> 8) & 0xFF) + (rgb & 0xFF)
+        cnts(r)(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var bits = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (sums(r)(c) * cnts(r)(c + 1) > sums(r)(c + 1) * cnts(r)(c))
+          bits |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    bits
+  }
+
+  /** Perceptual hash (pHash-64): 32×32 integer box-mean downsample →
+    * 2-D DCT-II → bit per low-frequency coefficient vs the median of
+    * the 63 non-DC coefficients in the 8×8 block. The downsample is
+    * the same exact integer walk as [[dHash64]]; only the DCT uses
+    * doubles (deterministic within a JVM — fine for the rows-only
+    * near-dup contract; [[dHash64]] is the cross-engine-exact
+    * choice). More robust than dHash to global contrast warps, at
+    * ~4× the per-image cost.
+    */
+  def pHash64(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val n = 32
+    val sums = Array.ofDim[Long](n, n)
+    val cnts = Array.ofDim[Long](n, n)
+    var y = 0
+    while (y < h) {
+      val r = (y.toLong * n / h).toInt
+      var x = 0
+      while (x < w) {
+        val c = (x.toLong * n / w).toInt
+        val rgb = img.getRGB(x, y)
+        sums(r)(c) += ((rgb >>> 16) & 0xFF) + ((rgb >>> 8) & 0xFF) + (rgb & 0xFF)
+        cnts(r)(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val px = Array.tabulate(n, n)((i, j) =>
+      if (cnts(i)(j) == 0) 0.0 else sums(i)(j).toDouble / cnts(i)(j))
+    // cos table for the 8 retained frequencies over 32 samples
+    val cos = Array.tabulate(8, n)((u, x) =>
+      math.cos((2 * x + 1) * u * math.Pi / (2.0 * n)))
+    val f = Array.ofDim[Double](8, 8)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var acc = 0.0
+        var i = 0
+        while (i < n) {
+          var j = 0
+          while (j < n) { acc += px(i)(j) * cos(u)(i) * cos(v)(j); j += 1 }
+          i += 1
+        }
+        f(u)(v) = acc
+        v += 1
+      }
+      u += 1
+    }
+    val ac = (for { i <- 0 until 8; j <- 0 until 8; if i != 0 || j != 0 }
+      yield f(i)(j)).sorted
+    val median = ac(ac.length / 2)
+    var bits = 0L
+    var k = 0
+    while (k < 64) {
+      if (f(k / 8)(k % 8) > median) bits |= 1L << k
+      k += 1
+    }
+    bits
+  }
+
+  /** Decode + perceptual-hash in one batched `mapPartitions` pass —
+    * output = input + `<out> bigint`. Map-only: the binary payload is
+    * read once per row and never shuffled; only the 8-byte signature
+    * travels to the candidate join.
+    */
+  def withImageHash(
+      df: DataFrame,
+      bytesCol: String,
+      out: String = "dhash")(
+      hashOne: java.awt.image.BufferedImage => Long = dHash64): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField(out, LongType, nullable = false))
+    val idx = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](idx)
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        require(img != null,
+          "withImageHash: bytes are not a JVM-decodable image (png/jpeg/bmp/gif)")
+        Row.fromSeq(row.toSeq :+ hashOne(img))
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** Image near-duplicate candidate pairs — the multimodal member of
+    * the near-dup family: perceptual hash ([[dHash64]] by default)
+    * per image, then the SAME banded-Hamming blocking as text SimHash
+    * ([[Dedup.hamming64Candidates]]): 4×16-bit bands make the
+    * candidate join a lossless equi-join at `maxHamming ≤ 3`, never
+    * an all-pairs comparison. Output `(id_a, id_b, hamming)`.
+    */
+  def imageNearDup(
+      df: DataFrame,
+      idCol: String,
+      bytesCol: String,
+      maxHamming: Int = 3,
+      hashOne: java.awt.image.BufferedImage => Long = dHash64): DataFrame =
+    Dedup.hamming64Candidates(
+      withImageHash(df.select(col(idCol), col(bytesCol)), bytesCol)(hashOne)
+        .select(col(idCol).as("doc_id"), col("dhash").as("sig")),
+      maxHamming)
+
+  /** Render one deterministic PATTERN PNG: an 8×9 grid of
+    * constant-gray cells (grays = quantized splitmix64 of
+    * `(seed, cell)`, so different seeds give structurally different
+    * images), with two controlled perturbations for near-dup tests:
+    * `delta` brightens every cell uniformly (dHash-invariant — all
+    * comparisons shift together) and `flipCell ≥ 0` inverts one
+    * cell's gray (flips ≤ 2 dHash bits). The cell grid aligns with
+    * [[dHash64]]'s 8×9 box grid when `9 | w` and `8 | h`, making the
+    * planted Hamming distances exact by construction.
+    */
+  def encodePatternPng(
+      w: Int,
+      h: Int,
+      seed: Long,
+      delta: Int = 0,
+      flipCell: Int = -1): Array[Byte] = {
+    require(w > 0 && h > 0, s"PNG dims must be positive, got ${w}x$h")
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    def cellGray(cell: Int): Int = {
+      // grays on a coarse 16-step lattice: small deltas can never
+      // reorder two distinct cells, so only flipCell moves dHash bits
+      val base = (java.lang.Long.remainderUnsigned(
+        mix(seed * 73L + cell), 16L) * 16L).toInt
+      val g = if (cell == flipCell) 240 - base else base + delta
+      math.max(0, math.min(255, g))
+    }
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      val r = (y.toLong * 8 / h).toInt
+      var x = 0
+      while (x < w) {
+        val c = (x.toLong * 9 / w).toInt
+        val g = cellGray(r * 9 + c)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Attach a pattern PNG per row from (seed, delta, flipCell)
+    * integer columns — the planted-corpus generator for
+    * [[imageNearDup]] tests and queries.
+    */
+  def withPatternPng(
+      df: DataFrame,
+      seedCol: String,
+      deltaCol: String,
+      flipCol: String,
+      w: Int = 36,
+      h: Int = 32,
+      out: String = "img"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField(out, BinaryType))
+    val si = df.schema.fieldIndex(seedCol)
+    val di = df.schema.fieldIndex(deltaCol)
+    val fi = df.schema.fieldIndex(flipCol)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val png = encodePatternPng(w, h,
+          row.getAs[Number](si).longValue(),
+          row.getAs[Number](di).intValue(),
+          row.getAs[Number](fi).intValue())
+        Row.fromSeq(row.toSeq :+ png)
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
   /** STUB video frame-sample plan: byte offsets of every `everyN`-th
     * fake frame. Real implementation: container demux. Shape (one
     * array of offsets per row, computed in the scan stage) is what a

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+
+/** Perceptual-hash image near-dup: dHash/pHash locality on rendered
+  * PNGs, the banded-Hamming candidate join (shared with text
+  * SimHash), and the planted-pair E2E.
+  */
+class ImageNearDupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def img(seed: Long, delta: Int = 0, flip: Int = -1) =
+    javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      Multimodal.encodePatternPng(36, 32, seed, delta, flip)))
+
+  private def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+
+  test("dHash64: brightness-invariant, ≤2 bits per flipped cell, unrelated far apart") {
+    val base = Multimodal.dHash64(img(7L))
+    assert(Multimodal.dHash64(img(7L)) === base) // deterministic
+    assert(ham(Multimodal.dHash64(img(7L, delta = 4)), base) === 0,
+      "uniform brightness shift must not move any dHash bit")
+    assert(ham(Multimodal.dHash64(img(7L, flip = 31)), base) <= 2,
+      "one inverted cell touches at most its two adjacent comparisons")
+    assert(ham(Multimodal.dHash64(img(8L)), base) > 10,
+      "different patterns must land far apart")
+  }
+
+  test("dHash64: constant image hashes to 0; non-grid-aligned dims still deterministic") {
+    val flat = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      Multimodal.encodePng(20, 20, 128)))
+    assert(Multimodal.dHash64(flat) === 0L)
+    // 35x31 misaligns pixels vs the 9x8 box grid — box means are no
+    // longer whole cell grays, but the integer walk stays exact
+    val odd = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      Multimodal.encodePatternPng(35, 31, 7L)))
+    assert(Multimodal.dHash64(odd) === Multimodal.dHash64(odd))
+  }
+
+  test("pHash64: brightness shifts only the DC term — AC bits and hash unchanged") {
+    val base = Multimodal.pHash64(img(7L))
+    assert(ham(Multimodal.pHash64(img(7L, delta = 4)), base) === 0,
+      "a uniform shift is orthogonal to every non-DC DCT basis vector")
+    assert(ham(Multimodal.pHash64(img(9L)), base) > 8)
+  }
+
+  test("imageNearDup finds exactly the planted pairs (banded join, no cartesian)") {
+    // 4 planted pairs (2k, 2k+1) + 8 unrelated singles
+    val rows = (0L until 16L).map { id =>
+      val seed = if (id < 8) id / 2 else id + 100
+      val delta = if (id < 8 && id % 2 == 1) 4 else 0
+      val flip = if (id < 8 && id % 2 == 1) (id % 72).toInt else -1
+      (id, seed, delta, flip)
+    }
+    val df = Multimodal.withPatternPng(
+      rows.toDF("doc_id", "__seed", "__delta", "__flip"),
+      "__seed", "__delta", "__flip")
+    val nd = Multimodal.imageNearDup(df, "doc_id", "img", maxHamming = 3)
+    val plan = nd.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must stay an equi-join:\n${plan.take(800)}")
+    val got = nd.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((0L, 1L), (2L, 3L), (4L, 5L), (6L, 7L)))
+  }
+
+  test("imageNearDup with pHash64 also recovers the planted pairs") {
+    val rows = (0L until 8L).map { id =>
+      (id, id / 2, if (id % 2 == 1) 4 else 0, -1)
+    }
+    val df = Multimodal.withPatternPng(
+      rows.toDF("doc_id", "__seed", "__delta", "__flip"),
+      "__seed", "__delta", "__flip")
+    val got = Multimodal.imageNearDup(df, "doc_id", "img",
+        maxHamming = 3, hashOne = Multimodal.pHash64)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((0L, 1L), (2L, 3L), (4L, 5L), (6L, 7L)))
+  }
+}
