@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Det
-import graft.operators.{Bpe, Dedup, Keywords, LmScore, Multimodal, Packing, Relational, Sampling, TextAnalysis, Urls}
+import graft.operators.{Bpe, Dedup, Keywords, LmScore, Multimodal, Packing, Psl, Relational, Sampling, TextAnalysis, Urls}
 
 /** Text-analysis / dedup / multimodal query surface over `documents`
   * — the training-data-pipeline operators (builder prompt; SURVEY §7
@@ -578,6 +578,82 @@ object TextQueries {
        |FROM ranked WHERE rnk <= 5""".stripMargin
   }
 
+  /** Per-domain quota on the PUBLIC-SUFFIX-LIST registrable domain
+    * ([[Urls.domainQuota]] with `usePsl = true` →
+    * [[Psl.withRegistrableDomain]]). URLs are manufactured (the
+    * corpus has no URL column) to hit every PSL rule family where the
+    * `www.`-strip heuristic gives a different key: plain subdomains
+    * (`news.`, one two-deep), two-level TLDs (`.com.au`, `.co.uk`),
+    * the `*.ck` wildcard (public suffix = `<label>.ck`, so the
+    * registrable domain keeps the subdomain), the `!www.ck` exception
+    * (`www.ck` IS registrable), and a host that is itself a public
+    * suffix (`com.au` → returned unchanged). The DuckDB oracle's PSL
+    * stage is GENERATED from the same rule list
+    * ([[Psl.registrableDomainDuckSql]]), so engine and oracle cannot
+    * drift.
+    */
+  private def domainQuotaPslQ(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val sub = when(pmod(id, lit(4)) === 0, lit("news."))
+      .when(pmod(id, lit(4)) === 1, lit("shop.media."))
+      .when(pmod(id, lit(4)) === 2, lit("www."))
+      .otherwise(lit(""))
+    val tld = when(pmod(id, lit(5)) === 0, lit(".com"))
+      .when(pmod(id, lit(5)) === 1, lit(".com.au"))
+      .when(pmod(id, lit(5)) === 2, lit(".co.uk"))
+      .when(pmod(id, lit(5)) === 3, lit(".dev"))
+      .otherwise(lit(".ck"))
+    val url = when(pmod(id, lit(97)) === 0, lit("https://www.ck/x"))
+      .when(pmod(id, lit(89)) === 0, lit("https://COM.AU/x"))
+      .otherwise(concat(
+        lit("https://"), sub, col("source"), tld,
+        lit("/p/"), pmod(id, lit(7)).cast("string")))
+    Urls.domainQuota(
+      Tables.documents(s, d).select(
+        id, url.as("url"),
+        TextAnalysis.qualityScore(col("text")).as("quality")),
+      "doc_id", "url", "quality", k = 5, usePsl = true)
+  }
+
+  private val domainQuotaPslSql = {
+    val toks = duckToks("text")
+    s"""WITH q AS (
+       |  SELECT doc_id,
+       |    (CASE WHEN doc_id % 97 = 0 THEN 'https://www.ck/x'
+       |          WHEN doc_id % 89 = 0 THEN 'https://COM.AU/x'
+       |          ELSE 'https://'
+       |            || (CASE WHEN doc_id % 4 = 0 THEN 'news.'
+       |                     WHEN doc_id % 4 = 1 THEN 'shop.media.'
+       |                     WHEN doc_id % 4 = 2 THEN 'www.'
+       |                     ELSE '' END)
+       |            || source
+       |            || (CASE WHEN doc_id % 5 = 0 THEN '.com'
+       |                     WHEN doc_id % 5 = 1 THEN '.com.au'
+       |                     WHEN doc_id % 5 = 2 THEN '.co.uk'
+       |                     WHEN doc_id % 5 = 3 THEN '.dev'
+       |                     ELSE '.ck' END)
+       |            || '/p/' || CAST(doc_id % 7 AS VARCHAR) END) AS url,
+       |    floor((0.3 * least(CAST(len($toks) AS DOUBLE) / 100.0, 1.0)
+       |        + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+       |                       / greatest(length(text), 1))
+       |        + 0.4 * least((CAST(list_sum(list_transform($toks, t -> len(t))) AS DOUBLE)
+       |                       / greatest(len($toks), 1)) / 8.0, 1.0)) * 10000.0 + 0.5) / 10000.0 AS quality
+       |  FROM documents),
+       |hosts AS (
+       |  SELECT doc_id,
+       |    lower(regexp_extract(url,
+       |      '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS host
+       |  FROM q),
+       |${Psl.registrableDomainDuckSql("hosts")},
+       |ranked AS (
+       |  SELECT d.domain, q.doc_id, q.quality,
+       |    row_number() OVER (PARTITION BY d.domain
+       |                       ORDER BY q.quality DESC, q.doc_id) AS rnk
+       |  FROM psl_dom d JOIN q ON d.doc_id = q.doc_id)
+       |SELECT domain, CAST(rnk AS INTEGER) AS rank, doc_id, quality
+       |FROM ranked WHERE rnk <= 5""".stripMargin
+  }
+
   /** Top-3 TF-IDF keywords per doc (exact-rational IDF — see
     * [[Keywords.tfIdfTopK]]).
     */
@@ -1055,6 +1131,7 @@ object TextQueries {
     QueryDef("q_dedup_lines", dedupLinesQ, Some(dedupLinesSql)),
     QueryDef("q_url_dedup", urlDedup, Some(urlDedupSql)),
     QueryDef("q_domain_quota", domainQuotaQ, Some(domainQuotaSql), headline = true),
+    QueryDef("q_domain_quota_psl", domainQuotaPslQ, Some(domainQuotaPslSql)),
     QueryDef("q_tfidf_keywords", tfidfKeywords, Some(tfidfSql), headline = true),
     QueryDef("q_redact", redact, Some(
       "SELECT doc_id, regexp_replace(text, '[0-9]+', '#', 'g') AS redacted FROM documents")),

@@ -54,16 +54,25 @@ object Urls {
   /** Site key for per-domain policies: [[host]] with a leading
     * `www.` stripped. True eTLD+1 grouping needs the public-suffix
     * list (a data file, not an algorithm); the `www` fold covers the
-    * dominant alias class and keeps the key a pure regex — swap in a
-    * PSL lookup table via a join when operating on real crawl data.
+    * dominant alias class and keeps the key a pure regex — use
+    * [[Psl.withRegistrableDomain]] (or `domainQuota(usePsl = true)`)
+    * when operating on real crawl data.
     */
   def registrableDomain(url: Column): Column =
     regexp_replace(host(url), "^www\\.", "")
 
   /** Per-domain quota — the standard web-corpus curation cut: keep
-    * at most `k` documents per [[registrableDomain]], best quality
+    * at most `k` documents per registrable domain, best quality
     * first (ties on the rounded score broken by id ascending, so the
     * cut is fully deterministic).
+    *
+    * The grouping key is [[registrableDomain]] (pure-regex `www.`
+    * fold) by default; `usePsl = true` switches to the real
+    * public-suffix-list resolution ([[Psl.withRegistrableDomain]]) so
+    * subdomains (`news.example.com`) and two-level TLDs
+    * (`example.com.au`) stop fragmenting the quota key — the correct
+    * setting on real crawl data, at the cost of one extra
+    * distinct-host broadcast join.
     *
     * Rides [[Relational.topKPerGroup]]'s bounded-heap aggregate: each
     * map partition ships at most k rows per domain (score-desc heap),
@@ -77,12 +86,20 @@ object Urls {
       idCol: String,
       urlCol: String,
       scoreCol: String,
-      k: Int): DataFrame =
-    Relational.topKPerGroup(
-      docs.select(col(idCol), registrableDomain(col(urlCol)).as("domain"), col(scoreCol)),
-      Seq("domain"), col(scoreCol), col(idCol), k)
+      k: Int,
+      usePsl: Boolean = false): DataFrame = {
+    val keyed =
+      if (usePsl)
+        Psl.withRegistrableDomain(
+          docs.select(col(idCol), col(urlCol), col(scoreCol)), urlCol, "domain")
+          .select(col(idCol), col("domain"), col(scoreCol))
+      else
+        docs.select(
+          col(idCol), registrableDomain(col(urlCol)).as("domain"), col(scoreCol))
+    Relational.topKPerGroup(keyed, Seq("domain"), col(scoreCol), col(idCol), k)
       .withColumnRenamed("id", idCol)
       .withColumnRenamed("score", scoreCol)
+  }
 
   /** Exact dedup on the canonical URL: one row per normalized URL
     * with its copy count and the smallest id as the deterministic
