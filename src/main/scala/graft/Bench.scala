@@ -28,9 +28,16 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get()
 
-    def runOnce(name: String): Unit =
+    def runOnce(name: String): Unit = {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
+      // Streaming queries snapshot through uniquely-named memory-sink
+      // temp views; with 5+ timed runs each those snapshots would
+      // accumulate on the driver heap — drop them once consumed.
+      spark.catalog.listTables().collect()
+        .map(_.name).filter(_.startsWith("graft_stream_snap_"))
+        .foreach(spark.catalog.dropTempView)
+    }
 
     // Untimed warm-up at the TARGET scale factor.
     SparkEntry.benchNames.foreach { n =>

@@ -469,7 +469,7 @@ object StreamingQueries {
     QueryDef("q_stream_aggview", streamAggView, Some(
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY event_type""".stripMargin)),
+        |FROM events GROUP BY event_type""".stripMargin), headline = true),
     QueryDef("q_stream_latest", streamLatest, Some(
       """SELECT user_id, event_type, event_id, ts, value FROM (
         |  SELECT *, row_number() OVER (
@@ -479,7 +479,7 @@ object StreamingQueries {
       """SELECT user_id, event_type, event_id, ts, value FROM (
         |  SELECT *, row_number() OVER (
         |    PARTITION BY user_id, event_type, ts ORDER BY event_id) AS rn
-        |  FROM events) t WHERE rn = 1""".stripMargin)),
+        |  FROM events) t WHERE rn = 1""".stripMargin), headline = true),
     QueryDef("q_stream_join", streamStreamJoinQ, Some(
       """SELECT a.user_id, CAST(count(*) AS BIGINT) AS n_pairs
         |FROM events a JOIN events b
@@ -513,7 +513,7 @@ object StreamingQueries {
         |FROM pairs GROUP BY user_id
         |HAVING sum(n_matches) > 0 OR sum(CASE WHEN n_matches = 0
         |  AND ts + INTERVAL 10 MINUTE < (SELECT w FROM wm)
-        |  THEN 1 ELSE 0 END) > 0""".stripMargin)),
+        |  THEN 1 ELSE 0 END) > 0""".stripMargin), headline = true),
     QueryDef("q_stream_full_join", streamFullJoinQ, Some(
       """WITH wm AS (
         |  SELECT least(
@@ -577,7 +577,7 @@ object StreamingQueries {
         |  COALESCE(c.c_name, '(new)') AS name,
         |  CASE WHEN l.user_id IS NOT NULL THEN l.new_bal ELSE c.c_acctbal END AS bal
         |FROM customer c FULL OUTER JOIN latest l ON c.c_custkey = l.user_id
-        |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin)),
+        |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin), headline = true),
     QueryDef("q_stream_dynamic_session", streamDynamicSession, Some(
       s"""WITH wm AS ($wmSql),
          |g AS (
@@ -621,5 +621,5 @@ object StreamingQueries {
          |  CAST(count(*) AS BIGINT) AS n_events
          |FROM numbered
          |GROUP BY user_id, session_id
-         |HAVING session_end <= (SELECT w FROM wm)""".stripMargin)))
+         |HAVING session_end <= (SELECT w FROM wm)""".stripMargin), headline = true))
 }

@@ -189,17 +189,38 @@ object Dedup {
   /** Banded-Hamming candidate pairs over ANY 64-bit signature column
     * — the shared blocking behind [[simhashCandidates]] (text) and
     * [[Multimodal.imageNearDup]] (perceptual image hashes). Blocks on
-    * 4×16-bit bands: a pair within Hamming distance ≤ 3 of 64 bits
-    * must agree exactly on ≥ 1 of the 4 bands (pigeonhole), so the
-    * band/bucket equi-join is LOSSLESS at the default threshold and
-    * never compares all pairs. Input: `(doc_id, sig)`; output
-    * `(id_a, id_b, hamming)` with `hamming ≤ maxHamming`.
+    * `maxHamming + 1` bands (16-bit bands at the default threshold
+    * 3): a pair within Hamming distance ≤ `maxHamming` of 64 bits
+    * must agree exactly on ≥ 1 of the `maxHamming + 1` bands
+    * (pigeonhole), so the band/bucket equi-join is LOSSLESS at ANY
+    * accepted threshold and never compares all pairs. Thresholds are
+    * capped at 15: beyond that the bands narrow under 4 bits and the
+    * blocking stops being selective (buckets collapse to a handful of
+    * values — approaching the all-pairs join this operator exists to
+    * avoid). Input: `(doc_id, sig)`; output `(id_a, id_b, hamming)`
+    * with `hamming ≤ maxHamming`.
     */
   def hamming64Candidates(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"hamming64Candidates: maxHamming must be in [0, 15], got $maxHamming " +
+        "(bands of < 4 bits lose blocking selectivity)")
+    val nBands = maxHamming + 1
+    // Band i covers bits [64*i/nBands, 64*(i+1)/nBands) — as equal as
+    // integer division allows; each band carries its own shift + mask
+    // as literals so the bucket extraction stays codegen'd arithmetic.
+    val bounds = (0 to nBands).map(i => 64 * i / nBands)
+    val bandsLit = array((0 until nBands).map { i =>
+      val width = bounds(i + 1) - bounds(i)
+      val mask = if (width == 64) -1L else (1L << width) - 1L
+      struct(lit(i).as("band"), lit(bounds(i)).as("lo"), lit(mask).as("m"))
+    }: _*)
     // Materialized once: the self-join would otherwise run the
     // signature computation on both sides (see minhashCandidates).
-    val banded = Materialize(sigs.withColumn("band", explode(sequence(lit(0), lit(3))))
-      .withColumn("bucket", call_function("shiftright", col("sig"), col("band") * 16).bitwiseAND(0xFFFFL)))
+    val banded = Materialize(sigs.withColumn("__b", explode(bandsLit))
+      .withColumn("band", col("__b.band"))
+      .withColumn("bucket",
+        call_function("shiftright", col("sig"), col("__b.lo")).bitwiseAND(col("__b.m")))
+      .drop("__b"))
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b,

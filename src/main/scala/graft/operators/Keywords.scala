@@ -101,9 +101,11 @@ object Keywords {
       .select(col(idCol).as("doc_id"),
         explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("token"))
       // INTEGER division (`div`): `/` is double division, which loses
-      // precision past 2^53 and truncates toward zero for negative ids
-      // — either breaks the disjoint-sorted-block invariant readers
-      // rely on. `div` keeps the arithmetic in longs end to end.
+      // precision past 2^53 and so breaks the disjoint-sorted-block
+      // invariant readers rely on; `div` keeps the arithmetic in
+      // longs end to end. (Both truncate toward zero, so ids are
+      // assumed non-negative — negative ids would fold ±id into the
+      // same low blocks under either formulation.)
       .withColumn("block",
         if (docsPerBlock > 0)
           expr(s"cast(doc_id as bigint) div ${docsPerBlock}L")

@@ -277,6 +277,8 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.map { row =>
         val bytes = row.getAs[Array[Byte]](idx)
+        require(bytes != null, s"withImageHash: null $bytesCol cell — filter " +
+          "null payloads out (or fill them) before hashing")
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
         require(img != null,
           "withImageHash: bytes are not a JVM-decodable image (png/jpeg/bmp/gif)")

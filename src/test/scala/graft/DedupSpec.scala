@@ -55,6 +55,26 @@ class DedupSpec extends SparkSpecBase {
     assert(ham(sigs(1L), sigs(3L)) > 8, "unrelated docs should be far")
   }
 
+  test("hamming64Candidates: band count follows maxHamming (lossless pigeonhole at any threshold)") {
+    // Signatures engineered so the pair (1,2) differs in exactly 5
+    // bits SPREAD ACROSS all four 16-bit quarters — the old fixed
+    // 4-band blocking has no agreeing band and would miss it; with
+    // maxHamming = 5 → 6 bands of ~10 bits, some band must agree.
+    val a = 0x0123456789ABCDEFL
+    val b = a ^ ((1L << 2) | (1L << 18) | (1L << 34) | (1L << 50) | (1L << 63))
+    val sigs = Seq((1L, a), (2L, b), (3L, ~a)).toDF("doc_id", "sig")
+    val got5 = Dedup.hamming64Candidates(sigs, maxHamming = 5)
+      .select("id_a", "id_b", "hamming").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(got5 === Map((1L, 2L) -> 5))
+    // default threshold 3 correctly excludes a distance-5 pair
+    assert(Dedup.hamming64Candidates(sigs).count() === 0)
+    // thresholds that would destroy blocking selectivity are rejected
+    intercept[IllegalArgumentException] {
+      Dedup.hamming64Candidates(sigs, maxHamming = 16)
+    }
+  }
+
   test("ngram jaccard: identical docs = 1.0; disjoint docs filtered out") {
     val two = Seq((1L, base), (2L, base), (3L, "zzz yyy xxx www vvv")).toDF("doc_id", "text")
     val got = Dedup.ngramJaccardPairs(two, "doc_id", "text", Some(lit(1)), k = 3, threshold = 0.5)

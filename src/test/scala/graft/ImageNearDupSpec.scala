@@ -67,6 +67,39 @@ class ImageNearDupSpec extends SparkSpecBase {
     assert(got === Set((0L, 1L), (2L, 3L), (4L, 5L), (6L, 7L)))
   }
 
+  test("pHash64 survives JPEG recompression within the band threshold") {
+    // The real-world perturbation perceptual hashes exist for: decode
+    // → re-encode lossy at two qualities. Block artifacts move pixel
+    // values everywhere, so dHash's adjacent-mean comparisons may
+    // flip; pHash's low-frequency DCT signs must hold within the
+    // banded-join threshold.
+    def jpeg(src: java.awt.image.BufferedImage, q: Float): java.awt.image.BufferedImage = {
+      val rgb = new java.awt.image.BufferedImage(
+        src.getWidth, src.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      rgb.getGraphics.drawImage(src, 0, 0, null)
+      val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val p = w.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(q)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      w.setOutput(ios)
+      w.write(null, new javax.imageio.IIOImage(rgb, null, null), p)
+      w.dispose(); ios.close()
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bos.toByteArray))
+    }
+    for (seed <- Seq(3L, 7L, 11L)) {
+      val base = img(seed)
+      val pBase = Multimodal.pHash64(base)
+      for (q <- Seq(0.9f, 0.5f)) {
+        val d = ham(Multimodal.pHash64(jpeg(base, q)), pBase)
+        assert(d <= 3, s"pHash drifted $d bits after q=$q JPEG (seed=$seed)")
+      }
+      // and recompression must not alias unrelated images together
+      assert(ham(Multimodal.pHash64(jpeg(img(seed + 50), 0.5f)), pBase) > 8)
+    }
+  }
+
   test("imageNearDup with pHash64 also recovers the planted pairs") {
     val rows = (0L until 8L).map { id =>
       (id, id / 2, if (id % 2 == 1) 4 else 0, -1)
