@@ -1099,16 +1099,33 @@ object RelationalQueries {
   }
 
   /** One-pass column profile ([[graft.operators.Profile.exact]]) over
-    * four `orders` columns (bigint / varchar ×2 / timestamp — doubles
-    * are excluded from the ORACLE-checked set because casting one to
-    * string profiles the engine's print format; the operator itself
-    * takes any type). Timestamp casts print identically in Spark and
-    * DuckDB at whole-second precision.
+    * five `orders` columns (bigint / varchar ×2 / timestamp / DOUBLE
+    * — `o_totalprice` joins the oracle-checked set because `mean` is
+    * built engine-portably: DECIMAL sum → correctly-rounded double →
+    * one double division → Det.round; its min/max strings are money
+    * values parsed from short decimals, which both engines print back
+    * verbatim as the shortest round-trip repr). Timestamp casts print
+    * identically in Spark and DuckDB at whole-second precision.
     */
   private def profileQ(s: SparkSession, d: String): DataFrame =
     graft.operators.Profile.exact(
       Tables.orders(s, d),
-      Seq("o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"))
+      Seq("o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate",
+        "o_totalprice"))
+
+  /** The BENCHED profile: [[graft.operators.Profile.approx]] over the
+    * same five columns — HLL distincts, so the plan is a plain
+    * partial/final aggregate with NO Expand (the exact variant's
+    * N-way row amplification is an audit cost, not a steady-state
+    * one; at 100 TB this is the profile you run per ingest). Rows-only
+    * driver check: HLL cardinalities are Spark-internal, not
+    * SQL-reproducible in DuckDB.
+    */
+  private def profileApproxQ(s: SparkSession, d: String): DataFrame =
+    graft.operators.Profile.approx(
+      Tables.orders(s, d),
+      Seq("o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate",
+        "o_totalprice"))
 
   /** One-pass expectation checking
     * ([[graft.operators.Profile.checkExpectations]]): four assertion
@@ -1983,37 +2000,52 @@ object RelationalQueries {
         |  CASE WHEN change = 'U' THEN diffcols ELSE '' END AS changed_cols
         |FROM diff WHERE change IS NOT NULL""".stripMargin),
       headline = true),
-    QueryDef("q_profile", profileQ, Some(
-      """SELECT 'o_custkey' AS col_name,
+    QueryDef("q_profile", profileQ, Some {
+      def mean(c: String) = graft.functions.Det.roundSql(
+        s"CAST(sum(CAST($c AS DECIMAL(38,4))) AS DOUBLE) / CAST(count($c) AS DOUBLE)", 4)
+      s"""SELECT 'o_custkey' AS col_name,
         |  CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(count(*) - count(o_custkey) AS BIGINT) AS n_nulls,
         |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
         |  CAST(min(o_custkey) AS VARCHAR) AS min_s,
         |  CAST(max(o_custkey) AS VARCHAR) AS max_s,
-        |  CAST(NULL AS BIGINT) AS sum_len
+        |  CAST(NULL AS BIGINT) AS sum_len,
+        |  ${mean("o_custkey")} AS mean
         |FROM orders
         |UNION ALL
         |SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
         |  CAST(count(*) - count(o_orderstatus) AS BIGINT),
         |  CAST(count(DISTINCT o_orderstatus) AS BIGINT),
         |  min(o_orderstatus), max(o_orderstatus),
-        |  CAST(sum(length(o_orderstatus)) AS BIGINT)
+        |  CAST(sum(length(o_orderstatus)) AS BIGINT),
+        |  CAST(NULL AS DOUBLE)
         |FROM orders
         |UNION ALL
         |SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
         |  CAST(count(*) - count(o_orderpriority) AS BIGINT),
         |  CAST(count(DISTINCT o_orderpriority) AS BIGINT),
         |  min(o_orderpriority), max(o_orderpriority),
-        |  CAST(sum(length(o_orderpriority)) AS BIGINT)
+        |  CAST(sum(length(o_orderpriority)) AS BIGINT),
+        |  CAST(NULL AS DOUBLE)
         |FROM orders
         |UNION ALL
         |SELECT 'o_orderdate', CAST(count(*) AS BIGINT),
         |  CAST(count(*) - count(o_orderdate) AS BIGINT),
         |  CAST(count(DISTINCT o_orderdate) AS BIGINT),
         |  CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR),
-        |  CAST(NULL AS BIGINT)
-        |FROM orders""".stripMargin),
-      headline = true),
+        |  CAST(NULL AS BIGINT),
+        |  CAST(NULL AS DOUBLE)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) - count(o_totalprice) AS BIGINT),
+        |  CAST(count(DISTINCT o_totalprice) AS BIGINT),
+        |  CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR),
+        |  CAST(NULL AS BIGINT),
+        |  ${mean("o_totalprice")} AS mean
+        |FROM orders""".stripMargin
+    }),
+    QueryDef("q_profile_approx", profileApproxQ, None, headline = true),
     QueryDef("q_gap_fill", gapFill, Some(
       """WITH daily AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day,

@@ -194,6 +194,10 @@ object TextQueries {
     * across batches, chain collapse within — table-backed state, the
     * same signature math as `q_dedup_docs`. Rows-only driver check
     * (accepted set is minhash-dependent, not SQL-expressible).
+    * Runs the default accepted-only state (state ∝ kept corpus — the
+    * production trade at stream scale); `exact = true` persists
+    * keeper-tagged rejected signatures instead, making acceptance
+    * equal batch CC (pinned in `NearDupGateSpec`).
     */
   private def streamNeardup(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "text")

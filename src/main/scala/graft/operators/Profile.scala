@@ -29,12 +29,19 @@ import org.apache.spark.sql.types.StringType
   * numerically, not lexically) and cast to string only for the
   * uniform output schema. `sum_len` is NULL for non-string columns —
   * length of a cast numeric would profile the print format, not the
-  * data.
+  * data. `mean` (numeric columns only) is built engine-portably so
+  * even DOUBLE columns stay oracle-exact: sum in DECIMAL(38,4)
+  * (exact, order-independent), cast to double (correctly rounded
+  * from the same decimal in every engine), ONE double division, then
+  * [[graft.functions.Det.round]] — no step depends on partition
+  * order or on an engine's float-print format. (The DECIMAL(38,4)
+  * cast itself rounds half-up in Spark; inputs with ≤ 4 fractional
+  * digits — money, counts, ids — are exact.)
   */
 object Profile {
 
   /** Per-column stats rows: `(col_name, n_rows, n_nulls, n_distinct,
-    * min_s, max_s, sum_len)`.
+    * min_s, max_s, sum_len, mean)`.
     */
   def exact(df: DataFrame, cols: Seq[String]): DataFrame =
     profile(df, cols, c => count_distinct(col(c)))
@@ -151,25 +158,34 @@ object Profile {
     val schema = df.schema
     val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
       val isString = schema(c).dataType == StringType
+      val isNumeric = schema(c).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType]
       Seq(
         count(col(c)).as(s"__nn_$c"),
         distinctAgg(c).as(s"__nd_$c"),
         min(col(c)).cast("string").as(s"__min_$c"),
         max(col(c)).cast("string").as(s"__max_$c"),
         (if (isString) sum(length(col(c))) else lit(null).cast("long"))
-          .as(s"__sl_$c"))
+          .as(s"__sl_$c"),
+        (if (isNumeric)
+           graft.functions.Det.round(
+             sum(col(c).cast("decimal(38,4)")).cast("double")
+               / count(col(c)).cast("double"), 4)
+         else lit(null).cast("double"))
+          .as(s"__mean_$c"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
     // stack(n, label, nulls, distinct, min, max, sumlen, ...) — the
     // one-row frame fans out to a row per column without leaving the
     // plan. Backtick-quoting keeps arbitrary column names intact.
     val stackArgs = cols.map { c =>
-      s"'$c', `__nn_$c`, `__nd_$c`, `__min_$c`, `__max_$c`, `__sl_$c`"
+      s"'$c', `__nn_$c`, `__nd_$c`, `__min_$c`, `__max_$c`, `__sl_$c`, `__mean_$c`"
     }.mkString(", ")
     one.select(
         col("__n"),
         expr(s"stack(${cols.size}, $stackArgs)")
-          .as(Seq("col_name", "__nn", "n_distinct", "min_s", "max_s", "sum_len")))
+          .as(Seq("col_name", "__nn", "n_distinct", "min_s", "max_s", "sum_len",
+            "mean")))
       .select(
         col("col_name"),
         col("__n").as("n_rows"),
@@ -177,6 +193,7 @@ object Profile {
         col("n_distinct"),
         col("min_s"),
         col("max_s"),
-        col("sum_len"))
+        col("sum_len"),
+        col("mean"))
   }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types._
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, Materialize}
 
 /** Streaming MinHash near-dup gate: first-wins dedup of a document
   * stream, with state held in a TABLE rather than the executor state
@@ -22,23 +22,34 @@ import graft.operators.Dedup
   * partitioned by batch id.
   *
   * Semantics (batch [[Dedup.dropNearDuplicates]] replayed in batch
-  * order, with one declared approximation): a doc is rejected iff it
-  * near-matches an accepted doc from an earlier batch, or it belongs
-  * to an intra-batch duplicate component and either is not the
-  * component's min-id keeper or its component touches an earlier
-  * accepted doc (chains collapse to the FIRST keeper, exactly like
-  * connected components in the batch op).
+  * order): a doc is rejected iff it near-matches a doc already in
+  * state (its keeper becomes that doc's keeper), or it belongs to an
+  * intra-batch duplicate component and either is not the component's
+  * min-id keeper or its component touches state (chains collapse to
+  * the FIRST keeper, exactly like connected components in the batch
+  * op). Doc ids must be unique across the stream.
   *
-  * Accepted-only state approximation: rejected docs' signatures are
-  * NOT written to state, so transitive chains truncate at batch
-  * boundaries — a later doc that near-matches only a REJECTED doc
-  * (not that doc's accepted keeper) is accepted, where whole-corpus
-  * batch CC would have merged all three into one component and
-  * rejected it. This is the standard streaming-dedup trade (state
-  * stays proportional to the KEPT corpus, not the raw stream); for
-  * chain-exact semantics run the batch op over the accumulated
-  * corpus, or persist rejected signatures tagged with their keeper
-  * id at ~raw-stream state cost.
+  * Two state modes:
+  *
+  *  - Default (`exact = false`): only ACCEPTED docs' signatures are
+  *    written to state, so transitive chains truncate at batch
+  *    boundaries — a later doc that near-matches only a REJECTED doc
+  *    (not that doc's accepted keeper) is accepted, where
+  *    whole-corpus batch CC would have merged all three into one
+  *    component and rejected it. This is the standard streaming-dedup
+  *    trade: state stays proportional to the KEPT corpus, not the raw
+  *    stream.
+  *
+  *  - `exact = true`: EVERY doc's signatures persist, rejected ones
+  *    tagged with their resolved keeper id, so a later doc matching
+  *    only a rejected doc still resolves (transitively) to the
+  *    earliest accepted keeper and is rejected — streaming acceptance
+  *    equals batch CC over the accumulated corpus. State grows with
+  *    the raw stream. One divergence is inherent to streaming, not to
+  *    this mode: a late doc BRIDGING two components whose keepers were
+  *    both already emitted is itself rejected (keeper = the smaller),
+  *    but the earlier acceptances cannot be retracted; batch CC over
+  *    the same corpus would have kept only one of the two keepers.
   *
   * Exactly-once: state and output are written with dynamic partition
   * overwrite keyed by `batch_id`, so a replayed micro-batch (failure
@@ -53,27 +64,33 @@ object NearDupGate {
     StructField("sig", ArrayType(LongType)),
     StructField("band", IntegerType),
     StructField("bucket", LongType),
+    StructField("keeper", LongType),
     StructField("batch_id", LongType)))
 
   /** Accepted-signature state: all batch partitions under `stateDir`
     * (with their `batch_id`), or an empty frame before the first
-    * batch commits.
+    * batch commits. State written before the `keeper` column existed
+    * (accepted-only rows) reads back with `keeper = doc_id`.
     */
   def readState(spark: SparkSession, stateDir: String): DataFrame =
-    try spark.read.parquet(stateDir)
-      .select(col("doc_id"), col("sig"), col("band"), col("bucket"),
-        col("batch_id").cast("long"))
-    catch {
+    try {
+      val raw = spark.read.parquet(stateDir)
+      val keeper =
+        if (raw.columns.contains("keeper")) col("keeper") else col("doc_id")
+      raw.select(col("doc_id"), col("sig"), col("band"), col("bucket"),
+        keeper.as("keeper"), col("batch_id").cast("long"))
+    } catch {
       case _: org.apache.spark.sql.AnalysisException => // no state yet
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema)
     }
 
   /** One micro-batch step: returns the accepted subset of `batch` and
-    * commits the accepted signatures to `stateDir/batch_id=<id>`.
-    * Deterministic given batch contents + prior state; idempotent
-    * under replay of the same `batchId`. `idCol` must be LONG (the
-    * state schema is fixed so batches are union-compatible).
+    * commits signatures to `stateDir/batch_id=<id>` (accepted only,
+    * or every doc keeper-tagged when `exact`). Deterministic given
+    * batch contents + prior state; idempotent under replay of the
+    * same `batchId`. `idCol` must be LONG (the state schema is fixed
+    * so batches are union-compatible).
     */
   def acceptBatch(
       batch: DataFrame,
@@ -84,35 +101,55 @@ object NearDupGate {
       k: Int = 3,
       n: Int = 64,
       bands: Int = 16,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      exact: Boolean = false): DataFrame = {
     val spark = batch.sparkSession
     val sigs = Dedup.bandedSignatures(batch, idCol, textCol, k, n, bands)
     // A replayed batch must not match its own previously-committed
     // signatures: state is everything from strictly EARLIER batches.
     val state = readState(spark, stateDir).filter(col("batch_id") < batchId)
-    // Stream-history matches: batch docs sharing a bucket with an
-    // accepted doc at est-Jaccard ≥ threshold.
-    val crossDup = sigs.as("a").join(state.as("s"),
+    // Stream-history matches: batch docs sharing a bucket with a
+    // state doc at est-Jaccard ≥ threshold, resolved to the matched
+    // doc's KEEPER (for accepted state rows keeper = the doc itself;
+    // in exact mode a rejected row hands over its accepted keeper, so
+    // chains resolve transitively without walking them). min() makes
+    // the multi-match case deterministic.
+    val extKeeper = sigs.as("a").join(state.as("s"),
         col("a.band") === col("s.band") &&
         col("a.bucket") === col("s.bucket") &&
         Dedup.estJaccard(col("a.sig"), col("s.sig"), n) >= threshold)
-      .select(col("a.doc_id").as("id")).distinct()
-    // Intra-batch duplicate components (same CC as the batch op).
+      .select(col("a.doc_id").as("id"), col("s.keeper").as("k"))
+      .groupBy("id").agg(min(col("k")).as("ext_keeper"))
+    // Intra-batch duplicate components (same CC as the batch op);
+    // docs in no candidate pair are their own singleton component.
     val comp = Dedup.connectedComponents(
       Dedup.candidatesFromBandedSigs(sigs, n, threshold))
-    // A component with a stream-history match rejects ALL members —
-    // its first keeper already exists in an earlier batch (chain
-    // semantics: batch CC would have merged them into one component).
-    val taintedComps = comp.join(crossDup, "id").select("component").distinct()
-    val chainRejected = comp.join(taintedComps, "component").select(col("id"))
-    val intraLosers = comp.filter(col("id") =!= col("component")).select(col("id"))
-    // Materialized: `rejected` anchors BOTH the accepted output and
-    // the state write — un-cut, each would re-run the crossDup join
-    // against the full state table (the gate's most expensive join).
-    val rejected = graft.operators.Materialize(
-      crossDup.union(intraLosers).union(chainRejected).distinct())
+    val compFull = sigs.select(col("doc_id").as("id")).distinct()
+      .join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+    // A component keeper: the earliest state keeper any member
+    // touches (the component joins an existing chain — batch CC would
+    // have merged them, so ALL members reject), else the component's
+    // min id (its root, the only accepted member).
+    val compKeeper = compFull.join(extKeeper, Seq("id"), "left")
+      .groupBy("component").agg(min(col("ext_keeper")).as("ek"))
+      .select(col("component"), coalesce(col("ek"), col("component")).as("keeper"))
+    // Materialized: `resolved` anchors BOTH the accepted output and
+    // the state write — un-cut, each would re-run the state join
+    // (the gate's most expensive stage).
+    val resolved = Materialize(compFull.join(compKeeper, "component")
+      .select(col("id"), col("keeper")))
+    val rejected = resolved.filter(col("id") =!= col("keeper"))
     val accepted = batch.join(rejected, batch(idCol) === rejected("id"), "left_anti")
-    sigs.join(rejected, sigs("doc_id") === rejected("id"), "left_anti")
+    val stateOut =
+      if (exact)
+        sigs.join(resolved, sigs("doc_id") === resolved("id"))
+          .select(sigs("doc_id"), col("sig"), col("band"), col("bucket"),
+            col("keeper"))
+      else
+        sigs.join(rejected, sigs("doc_id") === rejected("id"), "left_anti")
+          .withColumn("keeper", col("doc_id"))
+    stateOut
       .withColumn("batch_id", lit(batchId))
       .write.partitionBy("batch_id")
       .option("partitionOverwriteMode", "dynamic")
@@ -134,11 +171,13 @@ object NearDupGate {
       k: Int = 3,
       n: Int = 64,
       bands: Int = 16,
-      threshold: Double = 0.5): StreamingQuery =
+      threshold: Double = 0.5,
+      exact: Boolean = false): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (b: DataFrame, id: Long) =>
-        acceptBatch(b, id, idCol, textCol, stateDir, k, n, bands, threshold)
+        acceptBatch(b, id, idCol, textCol, stateDir, k, n, bands, threshold,
+            exact)
           .withColumn("batch_id", lit(id))
           .write.partitionBy("batch_id")
           .option("partitionOverwriteMode", "dynamic")

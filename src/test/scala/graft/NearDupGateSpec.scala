@@ -1,7 +1,9 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
+import graft.operators.Dedup
 import graft.streaming.NearDupGate
 
 /** Streaming MinHash near-dup gate: first-wins across micro-batches,
@@ -81,6 +83,67 @@ class NearDupGateSpec extends SparkSpecBase {
     val acc = NearDupGate.acceptBatch(
       docsDf(1L -> baseA, 2L -> baseB), 0L, "doc_id", "text", state)
     assert(acc.count() === 2L)
+  }
+
+  // Chain A→B→C spanning batches: B is a near-dup of A, C of B, but C
+  // is FAR from A (edits at opposite ends compound). 20 tokens → 18
+  // 3-shingles; a 2-token mid-run edit flips 4 shingles (J ≈ 0.64 ≥
+  // 0.5), two such edits at opposite ends flip 8 (J ≈ 0.38 < 0.5).
+  private val chainA = "t01 t02 t03 t04 t05 t06 t07 t08 t09 t10 " +
+    "t11 t12 t13 t14 t15 t16 t17 t18 t19 t20"
+  private val chainB = chainA.replace("t04 t05", "x04 x05")
+  private val chainC = chainB.replace("t15 t16", "y15 y16")
+
+  test("exact mode: a doc matching only a REJECTED doc is rejected; default mode accepts it") {
+    // Premise check on the minhash estimates the gate actually uses:
+    // edges are exactly A–B and B–C, never A–C.
+    val edges = Dedup.minhashCandidates(
+        docsDf(1L -> chainA, 2L -> chainB, 3L -> chainC), "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(edges === Set((1L, 2L), (2L, 3L)))
+
+    for (exact <- Seq(true, false)) {
+      val state = tmp("ndg_state")
+      def step(b: DataFrame, id: Long) =
+        NearDupGate.acceptBatch(b, id, "doc_id", "text", state, exact = exact)
+          .select("doc_id").as[Long].collect().toSet
+      assert(step(docsDf(1L -> chainA), 0L) === Set(1L))
+      assert(step(docsDf(2L -> chainB), 1L) === Set.empty[Long]) // dup of 1
+      // 3 near-matches ONLY the rejected 2: exact mode resolves it
+      // transitively to keeper 1 and rejects; the default
+      // accepted-only state has no trace of 2, so 3 slips through —
+      // the documented approximation, pinned here.
+      val batch2 = step(docsDf(3L -> chainC), 2L)
+      if (exact) assert(batch2 === Set.empty[Long])
+      else assert(batch2 === Set(3L))
+      if (exact) {
+        // rejected rows persist keeper-tagged, and the keeper is the
+        // EARLIEST accepted doc (transitive through 2), not 2 itself
+        val keepers = NearDupGate.readState(spark, state)
+          .select("doc_id", "keeper").distinct()
+          .as[(Long, Long)].collect().toMap
+        assert(keepers === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+      }
+    }
+  }
+
+  test("exact streaming acceptance equals batch dropNearDuplicates over the accumulated corpus") {
+    val state = tmp("ndg_state")
+    // Batches mix: a chain split across three batches, an intra-batch
+    // pair, unique docs.
+    val batches = Seq(
+      docsDf(1L -> chainA, 20L -> baseB, 30L -> "one of a kind text"),
+      docsDf(2L -> chainB, 21L -> baseB.replace("always", "forever"),
+        31L -> "another singleton document entirely unrelated"),
+      docsDf(3L -> chainC, 40L -> baseA))
+    val streamed = batches.zipWithIndex.flatMap { case (b, i) =>
+      NearDupGate.acceptBatch(b, i.toLong, "doc_id", "text", state,
+        exact = true).select("doc_id").as[Long].collect()
+    }.toSet
+    val corpus = batches.reduce(_ unionAll _)
+    val batchAccepted = Dedup.dropNearDuplicates(corpus, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed === batchAccepted)
   }
 
   test("end-to-end streaming gate over MemoryStream micro-batches") {

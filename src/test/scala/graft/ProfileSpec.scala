@@ -32,16 +32,20 @@ class ProfileSpec extends SparkSpecBase {
     assert(id.getString(4) === "1" && id.getString(5) === "10")
     assert(id.isNullAt(6))            // sum_len null for non-strings
 
+    assert(id.getDouble(7) === 5.75)  // mean of 1, 2, 10, 10
+
     val s = rows("s")
     assert(s.getLong(2) === 1L)
     assert(s.getLong(3) === 3L)       // distinct ignores the null
     assert(s.getString(4) === "aa" && s.getString(5) === "c")
     assert(s.getLong(6) === 7L)       // 2 + 4 + 1
+    assert(s.isNullAt(7))             // mean null for non-numerics
 
     val v = rows("v")
     assert(v.getLong(2) === 1L)
     assert(v.getLong(3) === 2L)
     assert(v.isNullAt(6))
+    assert(v.getDouble(7) === 7.5)    // (10 + 2.5 + 10) / 3, null skipped
   }
 
   test("approx: same shape, cardinalities within rsd of exact on a real table") {
