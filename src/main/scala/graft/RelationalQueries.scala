@@ -1113,6 +1113,17 @@ object RelationalQueries {
       Seq("o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate",
         "o_totalprice"))
 
+  /** Dense surrogate ids ([[graft.sources.Warehouse.withDenseId]]):
+    * SQLite AUTOINCREMENT parity under a declared total order —
+    * ids 1..N with no single-partition window (range shuffle +
+    * per-partition prefix offsets). Oracle: `row_number()` over the
+    * same order.
+    */
+  private def denseIdsQ(s: SparkSession, d: String): DataFrame =
+    graft.sources.Warehouse.withDenseId(
+      Tables.orders(s, d).select("o_orderkey", "o_orderstatus", "o_orderpriority"),
+      "id", Seq(col("o_orderkey")))
+
   /** The BENCHED profile: [[graft.operators.Profile.approx]] over the
     * same five columns — HLL distincts, so the plan is a plain
     * partial/final aggregate with NO Expand (the exact variant's
@@ -2046,6 +2057,10 @@ object RelationalQueries {
         |FROM orders""".stripMargin
     }),
     QueryDef("q_profile_approx", profileApproxQ, None, headline = true),
+    QueryDef("q_dense_ids", denseIdsQ, Some(
+      """SELECT CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS id,
+        |  o_orderkey, o_orderstatus, o_orderpriority
+        |FROM orders""".stripMargin)),
     QueryDef("q_gap_fill", gapFill, Some(
       """WITH daily AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day,

@@ -69,6 +69,69 @@ object Warehouse {
   def withSurrogateId(df: DataFrame): DataFrame =
     df.withColumn("id", monotonically_increasing_id())
 
+  /** DENSE surrogate ids `startAt .. startAt+N-1` under a declared
+    * order — true SQLite/`AUTOINCREMENT` parity
+    * (`DataIngesting.py:22,37`), where [[withSurrogateId]] only
+    * promises uniqueness. Equivalent to
+    * `row_number() OVER (ORDER BY order)` but NEVER plans the
+    * single-partition global window that formulation forces (at
+    * 100 TB that is one task sorting the corpus): the
+    * [[graft.operators.Packing]] prefix-sum discipline instead —
+    *
+    *  1. range-repartition + sort by the declared order (the one
+    *     real shuffle; Spark's range partitioner is deterministic),
+    *  2. `monotonically_increasing_id` marks each row's PARTITION
+    *     (upper bits) and its position IN ITERATION ORDER within it
+    *     (lower 33 bits) — after the sort, that position IS the
+    *     row's per-partition rank, for free, no window,
+    *  3. per-partition row counts (map-side partial aggregate,
+    *     O(partitions) rows to the driver) prefix-sum into exclusive
+    *     base offsets, broadcast back, `id = start + offset + rank`.
+    *
+    * The input is materialized once so pass 2 and 3 see the same
+    * partitioning. Ids are deterministic when `order` is a total
+    * order; rows tied on every order column get arbitrary (still
+    * dense, still unique) ids within the tie.
+    */
+  def withDenseId(
+      df: DataFrame,
+      idCol: String,
+      order: Seq[org.apache.spark.sql.Column],
+      startAt: Long = 1L,
+      partitions: Int = 0): DataFrame = {
+    require(order.nonEmpty, "withDenseId: need at least one order column")
+    require(!df.columns.contains(idCol),
+      s"withDenseId: input already has a column named $idCol")
+    val spark = df.sparkSession
+    val nb =
+      if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val localMask = (1L << 33) - 1 // mid layout: (pid << 33) | local rank
+    val sorted = graft.operators.Materialize(
+      df.repartitionByRange(nb, order: _*)
+        .sortWithinPartitions(order: _*)
+        .withColumn("__mid", monotonically_increasing_id()))
+    // Exclusive prefix offsets over per-partition counts, in partition
+    // order; partitions emptied by the range split simply don't appear
+    // (they contribute 0 rows).
+    val counts = sorted
+      .groupBy(shiftright(col("__mid"), 33).as("__pid"))
+      .agg(count(lit(1)).as("__c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts
+      .scanLeft((0L, 0L)) { case ((_, acc), (p, c)) => (p, acc + c) }
+      .init // scanLeft emits the seed plus one entry per partition
+      .zip(counts)
+      .map { case ((_, off), (p, _)) => PidOffset(p, off) }
+    val offDf = spark.createDataFrame(offsets.toIndexedSeq)
+      .select(col("pid").as("__opid"), col("off").as("__ooff"))
+    sorted
+      .join(broadcast(offDf), shiftright(col("__mid"), 33) === col("__opid"))
+      .withColumn(idCol,
+        lit(startAt) + col("__ooff") + col("__mid").bitwiseAND(lit(localMask)))
+      .select(col(idCol) +: df.columns.map(col): _*) // id first, like the DDL
+  }
+
   /** S10 — content-based router: the reference dispatches each
     * message by key presence (`'code' in data`,
     * `DataIngesting.py:55-64`). Set-oriented form: two filtered
@@ -206,3 +269,6 @@ object Warehouse {
     df.write.mode("overwrite").option("header", "true").csv(path)
   }
 }
+
+/** Per-partition exclusive prefix offset for [[Warehouse.withDenseId]]. */
+final case class PidOffset(pid: Long, off: Long)
