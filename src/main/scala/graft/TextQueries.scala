@@ -440,6 +440,37 @@ object TextQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** End-to-end image dedup
+    * ([[Multimodal.dropNearDuplicateImages]]): docs 0–29 render as 10
+    * planted CHAINS — docs `3k, 3k+1, 3k+2` share pattern seed `k`;
+    * the middle and last twins are brightness-shifted (dHash-
+    * invariant) with DIFFERENT single cells inverted, so each twin
+    * sits ≤ 2 bits from the hub `3k` (the twins themselves may sit up
+    * to 4 apart — connectivity comes transitively through the hub,
+    * which is exactly what component collapse must handle). Docs
+    * 30–149 get unique seeds. Expected survivors: the 10 chain hubs
+    * (min ids 0, 3, …, 27) + the 120 uniques. Rows-only driver check
+    * (keeper set is hash-dependent, not SQL-expressible).
+    */
+  private def imageDedup(s: SparkSession, d: String): DataFrame = {
+    val planted = Tables.documents(s, d)
+      .select(col("doc_id")).filter(col("doc_id") < 150)
+      .select(
+        col("doc_id"),
+        when(col("doc_id") < 30, expr("doc_id div 3"))
+          .otherwise(col("doc_id") + 2000L).as("__seed"),
+        when(col("doc_id") < 30, pmod(col("doc_id"), lit(3)) * 4)
+          .otherwise(lit(0)).cast("int").as("__delta"),
+        when(col("doc_id") < 30 && pmod(col("doc_id"), lit(3)) =!= 0,
+          (pmod(col("doc_id"), lit(3)) * 20 + pmod(col("doc_id"), lit(13)))
+            .cast("int"))
+          .otherwise(lit(-1)).as("__flip"))
+    Multimodal.dropNearDuplicateImages(
+        Multimodal.withPatternPng(planted, "__seed", "__delta", "__flip"),
+        "doc_id", "img", maxHamming = 3)
+      .select("doc_id").orderBy("doc_id")
+  }
+
   /** Sequence packing: assign each doc to a fixed-256-token training
     * sequence (concat-then-chunk rule; [[Packing.concatChunkPack]]'s
     * two-pass distributed prefix sum — no single-partition window).
@@ -1204,6 +1235,7 @@ object TextQueries {
         |  CAST(doc_id % 256 AS BIGINT) AS px_mean
         |FROM documents""".stripMargin)),
     QueryDef("q_image_neardup", imageNeardup, None),
+    QueryDef("q_image_dedup", imageDedup, None),
     QueryDef("q_contamination", contaminationQ, Some(contaminationSql), headline = true),
     QueryDef("q_lm_score", lmScoreQ, Some(lmScoreSql), headline = true),
     QueryDef("q_heavy_hitters", heavyHitters, Some {

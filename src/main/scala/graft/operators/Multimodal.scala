@@ -305,6 +305,28 @@ object Multimodal {
         .select(col(idCol).as("doc_id"), col("dhash").as("sig")),
       maxHamming)
 
+  /** End-to-end image dedup: [[imageNearDup]] pairs →
+    * [[Dedup.connectedComponents]] → keep each component's min-id
+    * member — image corpora get the same keeper selection text
+    * near-dup gets in [[Dedup.dropNearDuplicates]]. Transitive CHAINS
+    * (A≈B, B≈C with A,C possibly farther than `maxHamming`) collapse
+    * to ONE keeper, which pairwise filtering alone would not do.
+    * Distribution shape is the candidates join's (banded equi-join,
+    * no cartesian) + the CC label loop; the final keep is an
+    * anti-join on the loser ids.
+    */
+  def dropNearDuplicateImages(
+      df: DataFrame,
+      idCol: String,
+      bytesCol: String,
+      maxHamming: Int = 3,
+      hashOne: java.awt.image.BufferedImage => Long = dHash64): DataFrame = {
+    val comp = Dedup.connectedComponents(
+      imageNearDup(df, idCol, bytesCol, maxHamming, hashOne))
+    val losers = comp.filter(col("id") =!= col("component")).select(col("id"))
+    df.join(losers, df(idCol) === losers("id"), "left_anti")
+  }
+
   /** Render one deterministic PATTERN PNG: an 8×9 grid of
     * constant-gray cells (grays = quantized splitmix64 of
     * `(seed, cell)`, so different seeds give structurally different

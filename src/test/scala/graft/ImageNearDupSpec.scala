@@ -67,6 +67,28 @@ class ImageNearDupSpec extends SparkSpecBase {
     assert(got === Set((0L, 1L), (2L, 3L), (4L, 5L), (6L, 7L)))
   }
 
+  test("dropNearDuplicateImages: planted chains collapse to the min-id hub") {
+    // Chains {3k, 3k+1, 3k+2}: twins sit ≤ 2 bits from hub 3k via
+    // DIFFERENT flipped cells (so twin↔twin may exceed the threshold
+    // — connectivity is transitive through the hub) + 4 uniques.
+    val rows = (0L until 10L).map { id =>
+      val m = id % 3
+      if (id < 6) (id, id / 3, (m * 4).toInt,
+        if (m == 0) -1 else (m * 20 + id % 13).toInt)
+      else (id, id + 100, 0, -1)
+    }
+    val df = Multimodal.withPatternPng(
+      rows.toDF("doc_id", "__seed", "__delta", "__flip"),
+      "__seed", "__delta", "__flip")
+    // premise: both twins adjacent to the hub
+    val hub = Multimodal.dHash64(img(0L))
+    assert(ham(Multimodal.dHash64(img(0L, 4, 21)), hub) <= 3)
+    assert(ham(Multimodal.dHash64(img(0L, 8, 42)), hub) <= 3)
+    val kept = Multimodal.dropNearDuplicateImages(df, "doc_id", "img")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(0L, 3L, 6L, 7L, 8L, 9L))
+  }
+
   test("pHash64 survives JPEG recompression within the band threshold") {
     // The real-world perturbation perceptual hashes exist for: decode
     // → re-encode lossy at two qualities. Block artifacts move pixel
