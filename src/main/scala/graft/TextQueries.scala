@@ -471,6 +471,55 @@ object TextQueries {
       .select("doc_id").orderBy("doc_id")
   }
 
+  /** REAL audio decode over synthesized WAV bytes
+    * ([[Multimodal.wavDecode]] via `javax.sound.sampled`): each doc
+    * gets a constant-magnitude square tone whose decoded stats are
+    * exactly predictable — `n_samples` and `amp` are integer
+    * functions of `doc_id`, so `energy = n·amp²` — while the values
+    * themselves come from parsing genuine RIFF/PCM bytes. The audio
+    * twin of `q_multimodal_meta`.
+    */
+  private def audioMeta(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(
+      col("doc_id"),
+      (pmod(col("doc_id"), lit(7L)) * 32 + 1600).cast("int").as("__n"),
+      (pmod(col("doc_id"), lit(97L)) * 64 + 128).cast("int").as("__amp"))
+    Multimodal.withAudioMeta(
+        Multimodal.withToneWav(docs, "__n", "__amp"), "wav")
+      .select(col("doc_id"),
+        col("audio.n_samples").as("n_samples"),
+        col("audio.sample_rate").as("sample_rate"),
+        col("audio.channels").as("channels"),
+        col("audio.energy").as("energy"))
+  }
+
+  /** Audio near-duplicate detection over REAL rendered WAV clips
+    * ([[Multimodal.audioNearDup]]): docs 0–49 render as 25 planted
+    * pairs — doc `2k` and `2k+1` share pattern seed `k`, the odd twin
+    * uniformly gain-doubled ([[Multimodal.aHash64]]-invariant: frame
+    * energies scale by exactly `gain²` together) with one frame
+    * attenuated (≤ 2 of 64 bits) — while docs 50–199 get unique
+    * seeds. Candidates come from the SAME banded-Hamming equi-join
+    * as text SimHash and image hashes. Rows-only driver check.
+    */
+  private def audioNeardup(s: SparkSession, d: String): DataFrame = {
+    val planted = Tables.documents(s, d)
+      .select(col("doc_id")).filter(col("doc_id") < 200)
+      .select(
+        col("doc_id"),
+        when(col("doc_id") < 50, expr("doc_id div 2"))
+          .otherwise(col("doc_id") + 3000L).as("__seed"),
+        when(col("doc_id") < 50 && pmod(col("doc_id"), lit(2)) === 1, lit(2))
+          .otherwise(lit(1)).as("__gain"),
+        when(col("doc_id") < 50 && pmod(col("doc_id"), lit(2)) === 1,
+          pmod(col("doc_id"), lit(65)).cast("int"))
+          .otherwise(lit(-1)).as("__quiet"))
+    Multimodal.audioNearDup(
+        Multimodal.withPatternWav(planted, "__seed", "__gain", "__quiet"),
+        "doc_id", "wav", maxHamming = 3)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Sequence packing: assign each doc to a fixed-256-token training
     * sequence (concat-then-chunk rule; [[Packing.concatChunkPack]]'s
     * two-pass distributed prefix sum — no single-partition window).
@@ -1236,6 +1285,19 @@ object TextQueries {
         |FROM documents""".stripMargin)),
     QueryDef("q_image_neardup", imageNeardup, None),
     QueryDef("q_image_dedup", imageDedup, None),
+    // The oracle predicts what the real javax.sound decode must read
+    // back from the rendered WAVs (constant-magnitude square tone:
+    // energy = n_samples * amp^2, all exact integers).
+    QueryDef("q_audio_meta", audioMeta, Some(
+      """SELECT doc_id,
+        |  CAST(doc_id % 7 * 32 + 1600 AS BIGINT) AS n_samples,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(1 AS BIGINT) AS channels,
+        |  CAST((doc_id % 7 * 32 + 1600)
+        |    * (doc_id % 97 * 64 + 128) * (doc_id % 97 * 64 + 128)
+        |    AS BIGINT) AS energy
+        |FROM documents""".stripMargin)),
+    QueryDef("q_audio_neardup", audioNeardup, None),
     QueryDef("q_contamination", contaminationQ, Some(contaminationSql), headline = true),
     QueryDef("q_lm_score", lmScoreQ, Some(lmScoreSql), headline = true),
     QueryDef("q_heavy_hitters", heavyHitters, Some {

@@ -14,10 +14,14 @@ import org.apache.spark.sql.types._
   * PNG/JPEG/BMP/GIF bytes with the JDK's `javax.imageio` (no native
   * codecs required) inside the batched `mapPartitions` stage —
   * dimensions and pixel statistics come from the decoded raster, not
-  * from byte-length arithmetic. [[stubDecode]] remains as the
-  * declared FALLBACK for payloads with no JVM codec (video
-  * containers, audio) — same column contract, deterministic fake
-  * values — so the plumbing stays testable on any payload.
+  * from byte-length arithmetic. The audio decode path is REAL too:
+  * [[wavDecode]] parses WAV/PCM containers with the JDK's
+  * `javax.sound.sampled` and computes exact integer sample energies,
+  * and [[aHash64]] fingerprints clips for the shared banded-Hamming
+  * near-dup join. [[stubDecode]] remains as the declared FALLBACK
+  * for payloads with no JVM codec (video containers, compressed
+  * audio) — same column contract, deterministic fake values — so the
+  * plumbing stays testable on any payload.
   *
   * Scale notes: decode is map-only (no shuffle); per-partition codec
   * setup amortizes across the partition's rows, and the binary
@@ -400,6 +404,265 @@ object Multimodal {
           row.getAs[Number](di).intValue(),
           row.getAs[Number](fi).intValue())
         Row.fromSeq(row.toSeq :+ png)
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  // ==================== audio (REAL javax.sound decode) ====================
+
+  /** Encode one REAL 16-bit mono PCM WAV (RIFF container, little-
+    * endian) whose samples alternate `+amp, -amp` — a square tone.
+    * Constant magnitude makes the decoded stats exactly predictable
+    * (`n_samples`, `energy = n·amp²`) while the values themselves
+    * still come from parsing genuine WAV bytes with the JDK decoder —
+    * the audio twin of [[encodePng]]'s constant-fill contract.
+    */
+  def encodeToneWav(nSamples: Int, amp: Int, sampleRate: Int = 8000): Array[Byte] = {
+    require(nSamples > 0, s"need at least one sample, got $nSamples")
+    require(amp >= 0 && amp <= 32767, s"amp must fit signed 16-bit, got $amp")
+    encodeWav(sampleRate, Array.tabulate(nSamples)(i =>
+      (if (i % 2 == 0) amp else -amp).toShort))
+  }
+
+  /** Encode one deterministic PATTERN WAV: `frames` frames of
+    * `frameLen` alternating-sign samples at a per-frame magnitude
+    * from a coarse splitmix64 lattice (`(mix % 180)·16 + 256`, so
+    * magnitudes live in [256, 3120] and small perturbations can
+    * never collide two frames) — the audio twin of
+    * [[encodePatternPng]], with two controlled perturbations for
+    * near-dup tests: `gain` scales every sample uniformly
+    * ([[aHash64]]-invariant — energies scale by exactly `gain²`
+    * together) and `quietFrame ≥ 0` attenuates one frame's magnitude
+    * by `>> 5` (lands in [8, 97] < 256, strictly below every
+    * unperturbed frame → flips ≤ 2 of the 64 energy comparisons).
+    */
+  def encodePatternWav(
+      seed: Long,
+      frames: Int = 65,
+      frameLen: Int = 32,
+      sampleRate: Int = 8000,
+      gain: Int = 1,
+      quietFrame: Int = -1): Array[Byte] = {
+    require(frames > 0 && frameLen > 0, "frames and frameLen must be positive")
+    require(gain >= 1 && gain <= 8, s"gain must be in [1, 8], got $gain")
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val samples = new Array[Short](frames * frameLen)
+    var k = 0
+    while (k < frames) {
+      val base = (java.lang.Long.remainderUnsigned(
+        mix(seed * 131L + k), 180L) * 16L + 256L).toInt
+      val amp = (if (k == quietFrame) base >> 5 else base) * gain
+      var i = 0
+      while (i < frameLen) {
+        samples(k * frameLen + i) = (if (i % 2 == 0) amp else -amp).toShort
+        i += 1
+      }
+      k += 1
+    }
+    encodeWav(sampleRate, samples)
+  }
+
+  /** Raw RIFF/WAVE writer: 44-byte canonical header + 16-bit LE PCM. */
+  private def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)                       // PCM
+      .putShort(1)                       // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2)            // byte rate
+      .putShort(2)                       // block align
+      .putShort(16)                      // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** REAL audio decode via the JDK's `javax.sound.sampled` (WAV/PCM —
+    * no native codecs required): parses the actual RIFF container and
+    * returns `(n_bytes, sample_rate, channels, n_samples, energy)`
+    * where `energy = Σ s²` over all 16-bit samples (all channels) —
+    * an EXACT integer, so downstream stats are engine-portable the
+    * way [[imageioDecode]]'s integer pixel stats are. Payloads the
+    * JDK cannot read (compressed codecs) fail with a clear message —
+    * route those through [[stubDecode]]-style fakes.
+    */
+  def wavDecode(bytes: Array[Byte]): (Long, Long, Long, Long, Long) = {
+    val in =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch {
+        case e: javax.sound.sampled.UnsupportedAudioFileException =>
+          throw new IllegalArgumentException(
+            "wavDecode: bytes are not a JVM-decodable audio stream (WAV/PCM)", e)
+      }
+    try {
+      val f = in.getFormat
+      require(f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          && f.getSampleSizeInBits == 16,
+        s"wavDecode: need 16-bit signed PCM, got $f")
+      val raw = in.readAllBytes()
+      val bb = java.nio.ByteBuffer.wrap(raw).order(
+        if (f.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+        else java.nio.ByteOrder.LITTLE_ENDIAN)
+      var energy = 0L
+      while (bb.remaining() >= 2) {
+        val s = bb.getShort.toLong
+        energy += s * s
+      }
+      (bytes.length.toLong, f.getSampleRate.toLong, f.getChannels.toLong,
+        raw.length / 2L / f.getChannels, energy)
+    } finally in.close()
+  }
+
+  /** Partition-batched audio decode — [[decodeBatch]]'s audio twin:
+    * map-only, codec amortized per partition, payload bytes never
+    * shuffle. Output schema = input + `audio struct<n_bytes, sample_
+    * rate, channels, n_samples, energy — all bigint>`.
+    */
+  def withAudioMeta(df: DataFrame, bytesCol: String, out: String = "audio"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField(out, StructType(Seq(
+        StructField("n_bytes", LongType, nullable = false),
+        StructField("sample_rate", LongType, nullable = false),
+        StructField("channels", LongType, nullable = false),
+        StructField("n_samples", LongType, nullable = false),
+        StructField("energy", LongType, nullable = false)))))
+    val idx = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](idx)
+        require(bytes != null, s"withAudioMeta: null $bytesCol cell — filter " +
+          "null payloads out (or fill them) before decoding")
+        val (nb, sr, ch, ns, e) = wavDecode(bytes)
+        Row.fromSeq(row.toSeq :+ Row(nb, sr, ch, ns, e))
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** 64-bit audio fingerprint — the audio member of the perceptual-
+    * hash family: the first 65 equal frames' energies (`Σ s²` per
+    * frame — exact integers), bit `k` = `energy(k+1) > energy(k)`.
+    * The energy-difference-sign construction mirrors [[dHash64]]'s
+    * adjacent-mean comparisons: uniform GAIN scales every frame
+    * energy by exactly `gain²`, so all 64 comparisons — and the hash
+    * — are bit-for-bit invariant; one attenuated/dropped frame
+    * touches ≤ 2 bits; unrelated material lands ~32 bits apart.
+    * Short clips spread whatever samples exist across the 65 frames
+    * (all-empty tail frames compare equal → 0 bits, still
+    * deterministic).
+    */
+  def aHash64(bytes: Array[Byte]): Long = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val f = in.getFormat
+      require(f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          && f.getSampleSizeInBits == 16,
+        s"aHash64: need 16-bit signed PCM, got $f")
+      val raw = in.readAllBytes()
+      val bb = java.nio.ByteBuffer.wrap(raw).order(
+        if (f.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+        else java.nio.ByteOrder.LITTLE_ENDIAN)
+      val n = raw.length / 2
+      val frameLen = math.max(n / 65, 1)
+      val energies = new Array[Long](65)
+      var i = 0
+      while (i < n && bb.remaining() >= 2) {
+        val s = bb.getShort.toLong
+        val k = i / frameLen
+        if (k < 65) energies(k) += s * s
+        i += 1
+      }
+      var hash = 0L
+      var k = 0
+      while (k < 64) {
+        if (energies(k + 1) > energies(k)) hash |= (1L << k)
+        k += 1
+      }
+      hash
+    } finally in.close()
+  }
+
+  /** Attach the audio fingerprint per row (`mapPartitions`, map-only
+    * — decode and hash in ONE pass like [[withImageHash]]). */
+  def withAudioHash(df: DataFrame, bytesCol: String, out: String = "ahash"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField(out, LongType, nullable = false))
+    val idx = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](idx)
+        require(bytes != null, s"withAudioHash: null $bytesCol cell — filter " +
+          "null payloads out (or fill them) before hashing")
+        Row.fromSeq(row.toSeq :+ aHash64(bytes))
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** Audio near-duplicate candidate pairs: [[aHash64]] per clip, then
+    * the SAME banded-Hamming equi-join as text SimHash and image
+    * hashes ([[Dedup.hamming64Candidates]]) — never a cartesian.
+    * Output `(id_a, id_b, hamming)`.
+    */
+  def audioNearDup(
+      df: DataFrame,
+      idCol: String,
+      bytesCol: String,
+      maxHamming: Int = 3): DataFrame =
+    Dedup.hamming64Candidates(
+      withAudioHash(df.select(col(idCol), col(bytesCol)), bytesCol)
+        .select(col(idCol).as("doc_id"), col("ahash").as("sig")),
+      maxHamming)
+
+  /** Attach a synthetic pattern WAV per row — test/bench scaffolding
+    * for the audio path ([[withPatternPng]]'s audio twin). */
+  def withPatternWav(
+      df: DataFrame,
+      seedCol: String,
+      gainCol: String,
+      quietCol: String,
+      out: String = "wav"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField(out, BinaryType))
+    val si = df.schema.fieldIndex(seedCol)
+    val gi = df.schema.fieldIndex(gainCol)
+    val qi = df.schema.fieldIndex(quietCol)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val wav = encodePatternWav(
+          row.getAs[Number](si).longValue(),
+          gain = row.getAs[Number](gi).intValue(),
+          quietFrame = row.getAs[Number](qi).intValue())
+        Row.fromSeq(row.toSeq :+ wav)
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** Attach a synthetic constant-magnitude tone WAV per row
+    * ([[withTestPng]]'s audio twin — decoded stats exactly
+    * predictable by an external oracle). */
+  def withToneWav(
+      df: DataFrame,
+      nSamplesCol: String,
+      ampCol: String,
+      out: String = "wav"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField(out, BinaryType))
+    val ni = df.schema.fieldIndex(nSamplesCol)
+    val ai = df.schema.fieldIndex(ampCol)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val wav = encodeToneWav(
+          row.getAs[Number](ni).intValue(),
+          row.getAs[Number](ai).intValue())
+        Row.fromSeq(row.toSeq :+ wav)
       }
     }(RowEncoder.encoderFor(outSchema))
   }
