@@ -189,6 +189,17 @@ object TextQueries {
     Dedup.dropNearDuplicates(Tables.documents(s, d), "doc_id", "text")
       .select("doc_id", "lang", "source", "n_chars")
 
+  /** Quality-ranked dedup ([[Dedup.dropNearDuplicatesBy]]): same
+    * near-dup components as `q_dedup_docs`, but each component keeps
+    * its LONGEST member (ties to the smaller id) — the keeper policy
+    * production corpus dedup wants. Rows-only driver check.
+    */
+  private def dedupBest(s: SparkSession, d: String): DataFrame =
+    Dedup.dropNearDuplicatesBy(
+        Tables.documents(s, d), "doc_id", "text",
+        keepBy = length(col("text")))
+      .select("doc_id", "lang", "source", "n_chars")
+
   /** The streaming near-dup gate replayed over the documents table in
     * two deterministic micro-batches (doc_id parity): first-wins
     * across batches, chain collapse within — table-backed state, the
@@ -1201,6 +1212,7 @@ object TextQueries {
     QueryDef("q_simhash_neardup", simhashNeardup, None),
     QueryDef("q_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     QueryDef("q_dedup_docs", dedupDocs, None, headline = true),
+    QueryDef("q_dedup_best", dedupBest, None),
     QueryDef("q_stream_neardup", streamNeardup, None),
     QueryDef("q_doc_chunks", docChunks, Some {
       val toks = duckToks("text")

@@ -406,6 +406,51 @@ object Dedup {
     docs.join(losers, docs(idCol) === losers("id"), "left_anti")
   }
 
+  /** [[dropNearDuplicates]] with a QUALITY-RANKED keeper: each
+    * duplicate component keeps its `max(keepBy)` member instead of
+    * its min id — the policy production corpus dedup actually wants
+    * (keep the longest / highest-quality-score / most-recent copy,
+    * drop the rest). Ties break to the smaller id, so keeper
+    * selection is deterministic for any `keepBy`.
+    *
+    * Scale shape: identical to the min-id path (LSH candidates → CC)
+    * plus ONE `max_by` aggregate over the component assignment joined
+    * with the per-doc score — map-side partials absorb hot
+    * components; no window, no per-component sort. `keepBy` is
+    * evaluated against `docs` rows, so any projectable expression
+    * works (a length, a model score column, a timestamp).
+    */
+  def dropNearDuplicatesBy(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      keepBy: Column,
+      k: Int = 3,
+      n: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashCandidates(docs, idCol, textCol, k, n, bands, threshold)
+    val comp = connectedComponents(pairs)
+    // Score only the docs that sit in some duplicate component —
+    // singletons never reach the aggregate (they keep themselves).
+    val scored = comp.join(
+      docs.select(col(idCol).as("id"), keepBy.as("__q")), "id")
+    // Two map-side-combinable aggregates instead of one struct-max:
+    // ids may be any orderable type (string/UUID), so "max quality
+    // then MIN id" can't be packed into a single max_by struct
+    // without negating the id. Null-safe best-match (<=>) so an
+    // all-null-quality component still resolves (to its min id)
+    // instead of silently keeping every member.
+    val bestQ = scored.groupBy("component")
+      .agg(max(col("__q")).as("__best"))
+    val keepers = scored.join(bestQ, "component")
+      .filter(col("__q") <=> col("__best"))
+      .groupBy("component").agg(min(col("id")).as("keeper"))
+    val losers = comp.join(keepers, "component")
+      .filter(col("id") =!= col("keeper")).select(col("id"))
+    docs.join(losers, docs(idCol) === losers("id"), "left_anti")
+  }
+
   /** Exact n-gram Jaccard similarity over blocked candidate pairs.
     * Shuffles exploded (block, shingle, id) rows; the join is an
     * equi-join on the blocking key + shingle — never all pairs.

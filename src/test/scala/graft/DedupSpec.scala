@@ -169,6 +169,32 @@ class DedupSpec extends SparkSpecBase {
     assert(!kept.contains(2L))
   }
 
+  test("dropNearDuplicatesBy keeps the highest-quality member, ties to the smaller id") {
+    val chain = Seq(
+      (1L, base, 1),                                     // dup of 2, lower score
+      (2L, base.replace("warm", "cold"), 9),             // the quality keeper
+      (3L, base.replace("warm", "cold").replace("dog", "pup"), 9), // tied score, bigger id
+      (4L, "entirely distinct content on the topic of distributed query planning", 0))
+      .toDF("doc_id", "text", "score")
+    val kept = Dedup.dropNearDuplicatesBy(chain, "doc_id", "text", col("score"))
+      .select("doc_id").as[Long].collect().toSet
+    // component {1,2,3}: max score 9 held by 2 and 3 → min id 2 wins;
+    // singleton 4 survives untouched (never reaches the aggregate)
+    assert(kept === Set(2L, 4L))
+  }
+
+  test("dropNearDuplicatesBy with an all-null quality falls back to the min id") {
+    val chain = Seq(
+      (5L, base),
+      (6L, base.replace("warm", "cold")),
+      (7L, "entirely distinct content on the topic of distributed query planning"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dropNearDuplicatesBy(
+        chain, "doc_id", "text", lit(null).cast("int"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(5L, 7L))
+  }
+
   test("corpus dedup: removes every non-representative of each dup component (sf0.001)") {
     val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
     val total = corpus.count()
