@@ -223,6 +223,24 @@ object TextQueries {
     a0.union(a1).select("doc_id")
   }
 
+  /** The 64-bit-signature streaming gate ([[graft.streaming
+    * .Hamming64Gate]] — the SimHash/image/audio sibling of
+    * `q_stream_neardup`, same SigGate core) replayed over the
+    * documents table in two parity micro-batches on text SimHash
+    * signatures. Rows-only driver check.
+    */
+  private def streamSimhashGate(s: SparkSession, d: String): DataFrame = {
+    val sigs = Tables.documents(s, d)
+      .select(col("doc_id"), Dedup.simhash64(col("text")).as("sig"))
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_h64gate_state").toString
+    val a0 = graft.streaming.Hamming64Gate.acceptBatch(
+      sigs.filter(col("doc_id") % 2 === 0), 0L, "doc_id", "sig", stateDir)
+    val a1 = graft.streaming.Hamming64Gate.acceptBatch(
+      sigs.filter(col("doc_id") % 2 =!= 0), 1L, "doc_id", "sig", stateDir)
+    a0.union(a1).select("doc_id")
+  }
+
   /** Decontamination over the deterministic 90/10 split: how much of
     * each validation doc's 8-gram mass the train side already
     * contains ([[Dedup.contamination]]). Planted near-dup pairs that
@@ -1214,6 +1232,7 @@ object TextQueries {
     QueryDef("q_dedup_docs", dedupDocs, None, headline = true),
     QueryDef("q_dedup_best", dedupBest, None),
     QueryDef("q_stream_neardup", streamNeardup, None),
+    QueryDef("q_stream_simhash_gate", streamSimhashGate, None),
     QueryDef("q_doc_chunks", docChunks, Some {
       val toks = duckToks("text")
       s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents)

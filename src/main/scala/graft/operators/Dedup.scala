@@ -200,27 +200,42 @@ object Dedup {
     * avoid). Input: `(doc_id, sig)`; output `(id_a, id_b, hamming)`
     * with `hamming ≤ maxHamming`.
     */
-  def hamming64Candidates(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def hamming64Candidates(sigs: DataFrame, maxHamming: Int = 3): DataFrame =
+    hamming64PairsFromBanded(banded64(sigs, maxHamming), maxHamming)
+
+  /** The banding pass of [[hamming64Candidates]]: `(doc_id, sig)` →
+    * `maxHamming + 1` rows `(doc_id, sig, band, bucket)` per doc.
+    * Band i covers bits `[64·i/(m+1), 64·(i+1)/(m+1))` — as equal as
+    * integer division allows; each band carries its own shift + mask
+    * as literals so the bucket extraction stays codegen'd arithmetic.
+    * Materialized once: every consumer joins this frame against
+    * itself or a state table, and an un-cut frame would re-run the
+    * signature computation per side. Shared with the streaming gate
+    * ([[graft.streaming.Hamming64Gate]]), which matches batch rows
+    * against persisted state on the same `(band, bucket)` keys.
+    */
+  private[graft] def banded64(sigs: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
-      s"hamming64Candidates: maxHamming must be in [0, 15], got $maxHamming " +
+      s"banded-Hamming blocking: maxHamming must be in [0, 15], got $maxHamming " +
         "(bands of < 4 bits lose blocking selectivity)")
     val nBands = maxHamming + 1
-    // Band i covers bits [64*i/nBands, 64*(i+1)/nBands) — as equal as
-    // integer division allows; each band carries its own shift + mask
-    // as literals so the bucket extraction stays codegen'd arithmetic.
     val bounds = (0 to nBands).map(i => 64 * i / nBands)
     val bandsLit = array((0 until nBands).map { i =>
       val width = bounds(i + 1) - bounds(i)
       val mask = if (width == 64) -1L else (1L << width) - 1L
       struct(lit(i).as("band"), lit(bounds(i)).as("lo"), lit(mask).as("m"))
     }: _*)
-    // Materialized once: the self-join would otherwise run the
-    // signature computation on both sides (see minhashCandidates).
-    val banded = Materialize(sigs.withColumn("__b", explode(bandsLit))
+    Materialize(sigs.withColumn("__b", explode(bandsLit))
       .withColumn("band", col("__b.band"))
       .withColumn("bucket",
         call_function("shiftright", col("sig"), col("__b.lo")).bitwiseAND(col("__b.m")))
       .drop("__b"))
+  }
+
+  /** The verify pass of [[hamming64Candidates]]: bucket self-join +
+    * exact Hamming filter over an already-banded frame. */
+  private[graft] def hamming64PairsFromBanded(
+      banded: DataFrame, maxHamming: Int): DataFrame = {
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b,

@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+import graft.operators.Dedup
+
+/** Streaming near-dup gate over 64-BIT signatures — the
+  * [[NearDupGate]] discipline (same [[SigGate]] core: table-backed
+  * state, first-wins chain collapse, optional exact keeper tagging,
+  * idempotent batch-id overwrite) applied to the banded-Hamming
+  * family instead of MinHash: text SimHash
+  * ([[Dedup.simhash64]]), image perceptual hashes
+  * ([[graft.operators.Multimodal.dHash64]]/`pHash64`) and audio
+  * fingerprints ([[graft.operators.Multimodal.aHash64]]) all produce
+  * a single long, so ONE gate serves every modality — the caller
+  * attaches the signature column (`withImageHash` / `withAudioHash` /
+  * `simhash64`) and streams `(id, sig)` through.
+  *
+  * Blocking is [[Dedup.banded64]]'s `maxHamming + 1` bands: the
+  * micro-batch joins state on exact `(band, bucket)` equality
+  * (lossless by pigeonhole), then verifies with one `bit_count` —
+  * never an all-pairs comparison against history. State carries the
+  * `maxHamming + 1` band rows per doc, ~40 bytes each.
+  */
+object Hamming64Gate {
+
+  private def stateSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("sig", LongType),
+    StructField("band", IntegerType),
+    StructField("bucket", LongType),
+    StructField("keeper", LongType),
+    StructField("batch_id", LongType)))
+
+  def readState(spark: SparkSession, stateDir: String): DataFrame =
+    try spark.read.parquet(stateDir)
+      .select(col("doc_id"), col("sig"), col("band"), col("bucket"),
+        col("keeper"), col("batch_id").cast("long"))
+    catch {
+      case _: org.apache.spark.sql.AnalysisException => // no state yet
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema)
+    }
+
+  /** One micro-batch step: returns the accepted subset of `batch`
+    * and commits this batch's banded signatures to
+    * `stateDir/batch_id=<id>`. `sigCol` must already hold the 64-bit
+    * signature (long); `idCol` must be LONG. Semantics, exact-mode
+    * trade-off, and idempotence contract are [[NearDupGate]]'s,
+    * verbatim — see its scaladoc.
+    */
+  def acceptBatch(
+      batch: DataFrame,
+      batchId: Long,
+      idCol: String,
+      sigCol: String,
+      stateDir: String,
+      maxHamming: Int = 3,
+      exact: Boolean = false): DataFrame = {
+    val spark = batch.sparkSession
+    val sigs = Dedup.banded64(
+      batch.select(col(idCol).cast("long").as("doc_id"),
+        col(sigCol).cast("long").as("sig")),
+      maxHamming)
+    val state = readState(spark, stateDir).filter(col("batch_id") < batchId)
+    SigGate.acceptBatch(
+      batch, batchId, idCol,
+      bandedSigs = sigs,
+      state = state,
+      matchCond =
+        col("a.band") === col("s.band") &&
+        col("a.bucket") === col("s.bucket") &&
+        Dedup.hamming64(col("a.sig"), col("s.sig")) <= maxHamming,
+      intraPairs = Dedup.hamming64PairsFromBanded(sigs, maxHamming),
+      stateDir = stateDir,
+      exact = exact)
+  }
+
+  /** The streaming gate: accepted rows land in
+    * `acceptedDir/batch_id=<id>` (idempotent overwrite), banded
+    * signatures accumulate under `stateDir`. The input stream must
+    * already carry the signature column — hash attachment
+    * (`withImageHash`/`withAudioHash`/`simhash64`) happens inside
+    * `foreachBatch` upstream of this call site or in the stream's
+    * select list.
+    */
+  def gate(
+      rows: DataFrame,
+      idCol: String,
+      sigCol: String,
+      stateDir: String,
+      acceptedDir: String,
+      checkpointDir: String,
+      maxHamming: Int = 3,
+      exact: Boolean = false): StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        acceptBatch(b, id, idCol, sigCol, stateDir, maxHamming, exact)
+          .withColumn("batch_id", lit(id))
+          .write.partitionBy("batch_id")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").parquet(acceptedDir)
+      }
+      .start()
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types._
 
-import graft.operators.{Dedup, Materialize}
+import graft.operators.Dedup
 
 /** Streaming MinHash near-dup gate: first-wins dedup of a document
   * stream, with state held in a TABLE rather than the executor state
@@ -108,53 +108,19 @@ object NearDupGate {
     // A replayed batch must not match its own previously-committed
     // signatures: state is everything from strictly EARLIER batches.
     val state = readState(spark, stateDir).filter(col("batch_id") < batchId)
-    // Stream-history matches: batch docs sharing a bucket with a
-    // state doc at est-Jaccard ≥ threshold, resolved to the matched
-    // doc's KEEPER (for accepted state rows keeper = the doc itself;
-    // in exact mode a rejected row hands over its accepted keeper, so
-    // chains resolve transitively without walking them). min() makes
-    // the multi-match case deterministic.
-    val extKeeper = sigs.as("a").join(state.as("s"),
+    SigGate.acceptBatch(
+      batch, batchId, idCol,
+      bandedSigs = sigs,
+      state = state,
+      // batch docs sharing a bucket with a state doc at est-Jaccard
+      // ≥ threshold
+      matchCond =
         col("a.band") === col("s.band") &&
         col("a.bucket") === col("s.bucket") &&
-        Dedup.estJaccard(col("a.sig"), col("s.sig"), n) >= threshold)
-      .select(col("a.doc_id").as("id"), col("s.keeper").as("k"))
-      .groupBy("id").agg(min(col("k")).as("ext_keeper"))
-    // Intra-batch duplicate components (same CC as the batch op);
-    // docs in no candidate pair are their own singleton component.
-    val comp = Dedup.connectedComponents(
-      Dedup.candidatesFromBandedSigs(sigs, n, threshold))
-    val compFull = sigs.select(col("doc_id").as("id")).distinct()
-      .join(comp, Seq("id"), "left")
-      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
-    // A component keeper: the earliest state keeper any member
-    // touches (the component joins an existing chain — batch CC would
-    // have merged them, so ALL members reject), else the component's
-    // min id (its root, the only accepted member).
-    val compKeeper = compFull.join(extKeeper, Seq("id"), "left")
-      .groupBy("component").agg(min(col("ext_keeper")).as("ek"))
-      .select(col("component"), coalesce(col("ek"), col("component")).as("keeper"))
-    // Materialized: `resolved` anchors BOTH the accepted output and
-    // the state write — un-cut, each would re-run the state join
-    // (the gate's most expensive stage).
-    val resolved = Materialize(compFull.join(compKeeper, "component")
-      .select(col("id"), col("keeper")))
-    val rejected = resolved.filter(col("id") =!= col("keeper"))
-    val accepted = batch.join(rejected, batch(idCol) === rejected("id"), "left_anti")
-    val stateOut =
-      if (exact)
-        sigs.join(resolved, sigs("doc_id") === resolved("id"))
-          .select(sigs("doc_id"), col("sig"), col("band"), col("bucket"),
-            col("keeper"))
-      else
-        sigs.join(rejected, sigs("doc_id") === rejected("id"), "left_anti")
-          .withColumn("keeper", col("doc_id"))
-    stateOut
-      .withColumn("batch_id", lit(batchId))
-      .write.partitionBy("batch_id")
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite").parquet(stateDir)
-    accepted
+        Dedup.estJaccard(col("a.sig"), col("s.sig"), n) >= threshold,
+      intraPairs = Dedup.candidatesFromBandedSigs(sigs, n, threshold),
+      stateDir = stateDir,
+      exact = exact)
   }
 
   /** The streaming gate: accepted docs land in

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Materialize}
+
+/** The shared micro-batch acceptance core behind the streaming
+  * near-dup gates — [[NearDupGate]] (MinHash signatures, text) and
+  * [[Hamming64Gate]] (64-bit perceptual/SimHash signatures: text,
+  * image, audio). Both gates share the exact same state discipline
+  * (documented in [[NearDupGate]]'s scaladoc): table-backed
+  * band/bucket-blocked state, first-wins chain collapse, keeper
+  * tagging in exact mode, idempotent batch-id-partitioned writes —
+  * only the signature representation and the two join predicates
+  * differ, so those arrive as parameters.
+  */
+private[streaming] object SigGate {
+
+  /** One micro-batch acceptance step over pre-banded signatures.
+    *
+    * @param bandedSigs this batch's `(doc_id, sig, band, bucket)`
+    *                   rows, MATERIALIZED by the caller (joined twice
+    *                   below)
+    * @param state      prior-batch state rows `(doc_id, sig, band,
+    *                   bucket, keeper, …)`, already filtered to
+    *                   batches strictly before `batchId`
+    * @param matchCond  the cross-history match predicate over aliases
+    *                   `a` (batch) and `s` (state)
+    * @param intraPairs intra-batch candidate pairs `(id_a, id_b, …)`
+    * @return the accepted subset of `batch`; commits this batch's
+    *         signature rows (accepted-only, or all keeper-tagged when
+    *         `exact`) under `stateDir/batch_id=batchId`
+    */
+  def acceptBatch(
+      batch: DataFrame,
+      batchId: Long,
+      idCol: String,
+      bandedSigs: DataFrame,
+      state: DataFrame,
+      matchCond: Column,
+      intraPairs: DataFrame,
+      stateDir: String,
+      exact: Boolean): DataFrame = {
+    // Stream-history matches resolved to the matched doc's KEEPER
+    // (for accepted state rows keeper = the doc itself; in exact mode
+    // a rejected row hands over its accepted keeper, so chains
+    // resolve transitively without walking them). min() makes the
+    // multi-match case deterministic.
+    val extKeeper = bandedSigs.as("a").join(state.as("s"), matchCond)
+      .select(col("a.doc_id").as("id"), col("s.keeper").as("k"))
+      .groupBy("id").agg(min(col("k")).as("ext_keeper"))
+    // Intra-batch duplicate components (same CC as the batch ops);
+    // docs in no candidate pair are their own singleton component.
+    val comp = Dedup.connectedComponents(intraPairs)
+    val compFull = bandedSigs.select(col("doc_id").as("id")).distinct()
+      .join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+    // A component keeper: the earliest state keeper any member
+    // touches (the component joins an existing chain — batch CC would
+    // have merged them, so ALL members reject), else the component's
+    // min id (its root, the only accepted member).
+    val compKeeper = compFull.join(extKeeper, Seq("id"), "left")
+      .groupBy("component").agg(min(col("ext_keeper")).as("ek"))
+      .select(col("component"), coalesce(col("ek"), col("component")).as("keeper"))
+    // Materialized: `resolved` anchors BOTH the accepted output and
+    // the state write — un-cut, each would re-run the state join
+    // (the gate's most expensive stage).
+    val resolved = Materialize(compFull.join(compKeeper, "component")
+      .select(col("id"), col("keeper")))
+    val rejected = resolved.filter(col("id") =!= col("keeper"))
+    val accepted = batch.join(rejected, batch(idCol) === rejected("id"), "left_anti")
+    val stateOut =
+      if (exact)
+        bandedSigs.join(resolved, bandedSigs("doc_id") === resolved("id"))
+          .select(bandedSigs("doc_id"), col("sig"), col("band"), col("bucket"),
+            col("keeper"))
+      else
+        bandedSigs.join(rejected, bandedSigs("doc_id") === rejected("id"), "left_anti")
+          .withColumn("keeper", col("doc_id"))
+    stateOut
+      .withColumn("batch_id", lit(batchId))
+      .write.partitionBy("batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(stateDir)
+    accepted
+  }
+}
