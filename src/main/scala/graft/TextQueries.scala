@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Det
-import graft.operators.{Bpe, Dedup, Keywords, LmScore, Multimodal, Packing, Psl, Relational, Sampling, TextAnalysis, Urls}
+import graft.operators.{Bpe, Classifier, Dedup, Keywords, LmScore, Multimodal, Packing, Psl, Relational, Sampling, TextAnalysis, Urls}
 
 /** Text-analysis / dedup / multimodal query surface over `documents`
   * — the training-data-pipeline operators (builder prompt; SURVEY §7
@@ -240,6 +240,22 @@ object TextQueries {
       sigs.filter(col("doc_id") % 2 =!= 0), 1L, "doc_id", "sig", stateDir)
     a0.union(a1).select("doc_id")
   }
+
+  // Synthetic-but-fixed 64-dim model: the Spark plan and the DuckDB
+  // oracle inline the SAME vector from this one definition.
+  private val linWeights: Seq[Double] =
+    (0 until 64).map(i => ((i * 37) % 21 - 10) / 10.0)
+
+  /** FastText-style hashed linear classifier inference
+    * ([[Classifier.withLinearScore]]): hashing-trick features from
+    * md5 hex (engine-portable), one sequential weight fold per doc —
+    * map-only quality-filter scoring, oracle-checked bit-exactly.
+    */
+  private def linScoreQ(s: SparkSession, d: String): DataFrame =
+    Classifier.withLinearScore(
+        Tables.documents(s, d).select("doc_id", "text"),
+        "text", linWeights, intercept = 0.25)
+      .select("doc_id", "lin_score")
 
   /** Decontamination over the deterministic 90/10 split: how much of
     * each validation doc's 8-gram mass the train side already
@@ -1331,6 +1347,11 @@ object TextQueries {
     QueryDef("q_audio_neardup", audioNeardup, None),
     QueryDef("q_contamination", contaminationQ, Some(contaminationSql), headline = true),
     QueryDef("q_lm_score", lmScoreQ, Some(lmScoreSql), headline = true),
+    QueryDef("q_lin_score", linScoreQ, Some(
+      s"""SELECT doc_id,
+         |  ${Classifier.linearScoreDuckSql(duckToks("text"), linWeights, 0.25)}
+         |    AS lin_score
+         |FROM documents""".stripMargin)),
     QueryDef("q_heavy_hitters", heavyHitters, Some {
       val toks = duckToks("text")
       s"""WITH tok AS (SELECT unnest($toks) AS token FROM documents),

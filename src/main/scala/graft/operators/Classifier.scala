@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** FastText-style hashed linear text classifier — INFERENCE at corpus
+  * scale. The quality/language/toxicity filters production LLM
+  * pipelines run over every document (CCNet's fastText LID,
+  * RedPajama's quality classifiers) are, at serving time, exactly
+  * this: tokens → hashing-trick feature ids → one dot product with a
+  * dense weight vector. The reference has no classifier surface; this
+  * is part of the beyond-reference training-data mandate.
+  *
+  * Scale shape: map-only — the weight vector rides the plan as a
+  * broadcast-sized array literal (hashing trick bounds `dim`
+  * regardless of vocabulary), the per-doc score is ONE sequential
+  * higher-order fold over the token array (no explode, no shuffle, no
+  * UDF; whole-stage codegen keeps it in the scan stage). Scoring a
+  * 100 TB corpus is a single pass.
+  *
+  * Engine-portable by construction, so scores are oracle-checkable:
+  *  - feature id = first 8 hex digits of `md5(token)` parsed as an
+  *    integer, mod `dim` — md5 agrees everywhere, the hex parse is
+  *    exact integer arithmetic (no engine-specific string hash);
+  *  - the dot product folds tokens SEQUENTIALLY in document order
+  *    (the [[graft.functions.Det]] discipline for float math: fixed
+  *    association, so any IEEE-754 engine reproduces it bit-exactly);
+  *  - the final score is Det-rounded.
+  */
+object Classifier {
+
+  /** Hashing-trick feature id in `[0, dim)` for one token. */
+  def featureId(token: Column, dim: Int): Column =
+    pmod(conv(substring(md5(token), 1, 8), 16, 10).cast("long"),
+      lit(dim.toLong)).cast("int")
+
+  /** The DuckDB twin of [[featureId]] — keep in lockstep. */
+  def featureIdDuckSql(tokenExpr: String, dim: Int): String =
+    s"CAST(CAST(('0x' || substr(md5($tokenExpr), 1, 8)) AS BIGINT) % $dim AS INTEGER)"
+
+  /** Attach `score = intercept + Σ_tokens weights[featureId(token)]`
+    * (token INSTANCES — repeated tokens vote repeatedly, the
+    * bag-of-words convention). `weights.length` is the model
+    * dimension. Null/empty text scores the bare intercept.
+    */
+  def withLinearScore(
+      df: DataFrame,
+      textCol: String,
+      weights: Seq[Double],
+      intercept: Double = 0.0,
+      out: String = "lin_score",
+      scale: Int = 6): DataFrame = {
+    require(weights.nonEmpty, "withLinearScore: empty weight vector")
+    val wLit = array(weights.map(lit): _*)
+    val toks = TextAnalysis.tokens(coalesce(col(textCol), lit("")))
+    val score = aggregate(
+      toks,
+      lit(intercept),
+      (acc, t) => acc + element_at(wLit, featureId(t, weights.length) + 1))
+    df.withColumn(out, graft.functions.Det.round(score, scale))
+  }
+
+  /** The matching DuckDB scorer over a token-list SQL expression —
+    * `list_reduce` folds left-to-right in list order, mirroring the
+    * Spark fold's association exactly. The weight vector is inlined
+    * as a list literal (models are broadcast-sized by construction).
+    */
+  def linearScoreDuckSql(
+      toksExpr: String,
+      weights: Seq[Double],
+      intercept: Double = 0.0,
+      scale: Int = 6): String = {
+    val wList = weights.mkString("[", ", ", "]")
+    val feat = featureIdDuckSql("t", weights.length)
+    // list_reduce needs a seed ride-along: prepend the intercept as a
+    // pseudo-element via list_prepend on the weight lookups.
+    val lookups =
+      s"list_transform($toksExpr, t -> (CAST($wList AS DOUBLE[]))[$feat + 1])"
+    graft.functions.Det.roundSql(
+      s"list_reduce(list_prepend(CAST($intercept AS DOUBLE), $lookups), (a, b) -> a + b)",
+      scale)
+  }
+
+  /** Two-sided classifier gate: keep rows whose score lands in
+    * `[lo, hi]` — the accept band a quality filter actually applies
+    * (drop junk below, drop boilerplate/spam above). */
+  def gate(
+      df: DataFrame,
+      textCol: String,
+      weights: Seq[Double],
+      lo: Double,
+      hi: Double,
+      intercept: Double = 0.0): DataFrame =
+    withLinearScore(df, textCol, weights, intercept, out = "__s")
+      .filter(col("__s") >= lo && col("__s") <= hi)
+      .drop("__s")
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Classifier
+
+/** Hashed linear classifier inference: portable feature hashing,
+  * hand-computed scores, bag-of-words instance voting, null/empty
+  * handling, the two-sided gate, and the map-only plan shape.
+  */
+class ClassifierSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // The JVM twin of featureId, for hand-computing expectations.
+  private def fid(token: String, dim: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(token.getBytes("UTF-8"))
+    val hex = md.take(4).map(b => f"$b%02x").mkString
+    (java.lang.Long.parseLong(hex, 16) % dim).toInt
+  }
+
+  private val w = Seq(0.5, -1.0, 2.0, 0.25)
+
+  test("score = intercept + sum of hashed weight lookups, in document order") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "")).toDF("id", "text")
+    val got = Classifier.withLinearScore(df, "text", w, intercept = 0.125)
+      .select("id", "lin_score").as[(Long, Double)].collect().toMap
+    val expected1 = 0.125 +
+      Seq("alpha", "beta", "gamma").map(t => w(fid(t, 4))).sum
+    assert(math.abs(got(1L) - expected1) < 1e-6)
+    assert(got(2L) === 0.125) // empty text scores the bare intercept
+  }
+
+  test("repeated tokens vote repeatedly (bag-of-words instances, not distinct)") {
+    val df = Seq((1L, "alpha"), (2L, "alpha alpha alpha")).toDF("id", "text")
+    val got = Classifier.withLinearScore(df, "text", w)
+      .select("id", "lin_score").as[(Long, Double)].collect().toMap
+    assert(math.abs(got(2L) - 3 * got(1L)) < 1e-6)
+  }
+
+  test("null text scores the intercept instead of throwing") {
+    val df = Seq((1L, null.asInstanceOf[String])).toDF("id", "text")
+    val got = Classifier.withLinearScore(df, "text", w, intercept = 2.5)
+      .select("lin_score").as[Double].head()
+    assert(got === 2.5)
+  }
+
+  test("gate keeps only the accept band") {
+    val df = Seq((1L, "alpha"), (2L, "alpha alpha alpha alpha alpha")).toDF("id", "text")
+    val scored = Classifier.withLinearScore(df, "text", w)
+      .select("id", "lin_score").as[(Long, Double)].collect().toMap
+    val lo = scored.values.min - 0.01
+    val hi = scored.values.min + 0.01 // band around the smaller score only
+    val kept = Classifier.gate(df, "text", w, lo, hi)
+      .select("id").as[Long].collect().toSet
+    assert(kept === scored.filter { case (_, s) => s >= lo && s <= hi }.keySet)
+    assert(kept.size === 1)
+  }
+
+  test("plan shape: map-only scoring — no shuffle, no explode") {
+    val df = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val scored = Classifier.withLinearScore(df, "text", (0 until 64).map(_ * 0.1))
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(600))
+    assert(!plan.contains("Generate"), plan.take(600)) // no explode
+  }
+}
