@@ -1080,6 +1080,24 @@ object TextQueries {
       .select(col("node").as("url"), col("in_deg"))
   }
 
+  /** Per-node triangle counts ([[graft.operators.Graphs
+    * .triangleCount]]) over the arithmetic mod-97 link graph (two
+    * functional maps per node — corpus-size-independent shape). The
+    * oracle replays the SAME degree-oriented wedge-join formulation
+    * in SQL, so the count, the orientation tie-breaks, and the
+    * zero-fill are all cross-checked.
+    */
+  private def trianglesQ(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(pmod(col("doc_id"), lit(97L)).as("u"))
+    val edges = base.select(col("u").as("src"),
+        pmod(col("u") * 7 + 1, lit(97L)).as("dst"))
+      .unionAll(base.select(col("u").as("src"),
+        pmod(col("u") * 13 + 3, lit(97L)).as("dst")))
+    graft.operators.Graphs.triangleCount(edges)
+      .select(col("node").cast("long").as("node"), col("triangles"))
+  }
+
   /** Two-outlink page shell: targets `(7·id+1) mod 97` and
     * `(13·id+3) mod 97` — corpus-size-independent, so the graph shape
     * is stable across SFs.
@@ -1214,6 +1232,46 @@ object TextQueries {
         |SELECT url, CAST(count(*) AS BIGINT) AS in_deg
         |FROM e GROUP BY url""".stripMargin)),
     QueryDef("q_pagerank", pagerankQ, None),
+    QueryDef("q_triangles", trianglesQ, Some(
+      """WITH base AS (SELECT doc_id % 97 AS u FROM documents),
+        |e0 AS (
+        |  SELECT u, (u * 7 + 1) % 97 AS v FROM base
+        |  UNION ALL SELECT u, (u * 13 + 3) % 97 FROM base),
+        |und AS (
+        |  SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+        |  FROM e0 WHERE u <> v),
+        |deg AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        |    SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+        |  GROUP BY node),
+        |ori AS (
+        |  SELECT
+        |    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND und.u < und.v)
+        |      THEN und.u ELSE und.v END AS a,
+        |    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND und.u < und.v)
+        |      THEN und.v ELSE und.u END AS b,
+        |    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND und.u < und.v)
+        |      THEN dv.deg ELSE du.deg END AS db
+        |  FROM und
+        |  JOIN deg du ON du.node = und.u
+        |  JOIN deg dv ON dv.node = und.v),
+        |wed AS (
+        |  SELECT e1.a, e1.b AS x, e2.b AS y
+        |  FROM ori e1 JOIN ori e2
+        |    ON e1.a = e2.a
+        |   AND (e1.db < e2.db OR (e1.db = e2.db AND e1.b < e2.b))),
+        |tri AS (
+        |  SELECT w.a, w.x, w.y FROM wed w
+        |  JOIN ori c ON c.a = w.x AND c.b = w.y),
+        |pn AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+        |    SELECT a AS node FROM tri
+        |    UNION ALL SELECT x FROM tri
+        |    UNION ALL SELECT y FROM tri)
+        |  GROUP BY node)
+        |SELECT CAST(d.node AS BIGINT) AS node,
+        |  COALESCE(pn.triangles, CAST(0 AS BIGINT)) AS triangles
+        |FROM deg d LEFT JOIN pn ON d.node = pn.node""".stripMargin)),
     QueryDef("q_inverted_postings", invertedPostingsQ, Some {
       val toks = duckToks("text")
       s"""WITH tok AS (

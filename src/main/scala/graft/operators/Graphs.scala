@@ -33,6 +33,69 @@ object Graphs {
         coalesce(col("in_deg"), lit(0L)).as("in_deg"))
   }
 
+  /** Per-node triangle counts via DEGREE-ORIENTED wedge joins — the
+    * classic scale-safe formulation (Cohen's MapReduce triangle
+    * counting / Schank-Wagner forward algorithm): orient every
+    * undirected edge from its lower-(degree, id) endpoint to the
+    * higher, then a triangle `{a,b,c}` is counted EXACTLY ONCE as a
+    * wedge `a→b, a→c` closed by the oriented edge `b→c`.
+    *
+    * Why orientation matters at scale: the naive wedge join explodes
+    * on hubs — a degree-d node yields d² wedges, and real graphs'
+    * heavy tails make that the whole job. Orienting by degree caps
+    * every node's OUT-degree at O(√|E|) (a node with out-degree k has
+    * k higher-degree neighbors, each of degree ≥ k, so k² ≤ 2|E|),
+    * which bounds the wedge count at O(|E|^1.5) — the theoretical
+    * optimum — with plain equi-joins, no special-casing.
+    *
+    * Input `(src, dst)`; self-loops dropped, direction and
+    * multiplicity ignored. Output `(node, triangles)` zero-filled
+    * over every endpoint. Ties in degree break by id so the
+    * orientation (and the plan) is deterministic.
+    */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    // Canonical undirected edge set: (lo, hi) by id, distinct.
+    val und = Materialize(edges
+      .filter(col("src") =!= col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct())
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // Orient u→v when (deg, id) of u < (deg, id) of v — struct
+    // comparison gives the lexicographic (degree, id) order directly.
+    // The HIGH endpoint's degree rides along (`db`): wedge pairs then
+    // order their two far endpoints by the SAME (deg, id) key the
+    // orientation used, which makes the closing edge's direction
+    // known in advance — the closure below stays a pure equi-join
+    // (an order-free OR match would plan a nested loop).
+    val oriented = Materialize(und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+            struct(col("u").as("a"), col("v").as("b"), col("dv").as("db")))
+          .otherwise(struct(col("v").as("a"), col("u").as("b"), col("du").as("db"))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"), col("e.db").as("db")))
+    // Wedges from each low endpoint; far endpoints (x, y) ordered by
+    // (deg, id), so the closing oriented edge is exactly x→y.
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.a") === col("e2.a") &&
+        struct(col("e1.db"), col("e1.b")) < struct(col("e2.db"), col("e2.b")))
+      .select(col("e1.a").as("a"), col("e1.b").as("x"), col("e2.b").as("y"))
+    val tris = Materialize(wedges.as("w").join(oriented.as("c"),
+        col("c.a") === col("w.x") && col("c.b") === col("w.y"))
+      .select(col("w.a").as("a"), col("w.x").as("x"), col("w.y").as("y")))
+    val perNode = tris.select(col("a").as("node"))
+      .unionAll(tris.select(col("x").as("node")))
+      .unionAll(tris.select(col("y").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    deg.select(col("node")).join(perNode, Seq("node"), "left_outer")
+      .select(col("node"), coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
+
   // Precision 19, scale 18 (ranks live in [0, 1]): a wider type would
   // trip Spark's precision-loss adjustment on division — at
   // DECIMAL(38,18) any quotient's scale collapses to 6, which is why

@@ -41,6 +41,43 @@ class GraphsSpec extends SparkSpecBase {
     assert(math.abs(got.values.sum - 1.0) < 1e-9) // nothing leaked
   }
 
+  test("triangleCount: known tiny graphs — triangle, square+diagonal, star has none") {
+    // K3: every node in exactly 1 triangle
+    val k3 = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L).toDF("src", "dst")
+    assert(Graphs.triangleCount(k3).as[(Long, Long)].collect().toMap ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // square + one diagonal: two triangles sharing the diagonal
+    val sq = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L, 1L -> 3L).toDF("src", "dst")
+    assert(Graphs.triangleCount(sq).as[(Long, Long)].collect().toMap ===
+      Map(1L -> 2L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+    // star: no closure anywhere — all zero (zero-fill pins the rows exist)
+    val star = (2L to 6L).map(1L -> _).toDF("src", "dst")
+    assert(Graphs.triangleCount(star).as[(Long, Long)].collect().toMap ===
+      (1L to 6L).map(_ -> 0L).toMap)
+  }
+
+  test("triangleCount: direction, multiplicity, and self-loops don't change the count") {
+    val messy = Seq(
+      1L -> 2L, 2L -> 1L,          // both directions
+      2L -> 3L, 2L -> 3L,          // duplicate
+      3L -> 1L,
+      2L -> 2L)                    // self-loop
+      .toDF("src", "dst")
+    assert(Graphs.triangleCount(messy).as[(Long, Long)].collect().toMap ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangleCount: K5 counts C(4,2)=6 per node; plan stays equi-joins") {
+    val k5 = (for { i <- 1L to 5L; j <- 1L to 5L if i < j } yield i -> j)
+      .toDF("src", "dst")
+    val out = Graphs.triangleCount(k5)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"wedge/closure joins must stay equi-joins:\n${plan.take(800)}")
+    assert(out.as[(Long, Long)].collect().toMap === (1L to 5L).map(_ -> 6L).toMap)
+  }
+
   test("pageRank: DECIMAL mass is bit-identical under different partitioning") {
     val edges = (1L to 200L)
       .flatMap(i => Seq(i -> ((i * 7 + 1) % 50), i -> ((i * 13 + 3) % 50)))
