@@ -132,6 +132,51 @@ object Warehouse {
       .select(col(idCol) +: df.columns.map(col): _*) // id first, like the DDL
   }
 
+  /** ORC twin of the parquet sinks — the other columnar format Spark
+    * carries natively (predicate pushdown, column pruning, zstd all
+    * apply; same writer disciplines as parquet). Parquet stays the
+    * default; ORC serves warehouses standardized on it.
+    */
+  def overwriteOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("compression", "zstd").orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** CSV ingest with DEAD-LETTER routing — the file-drop sibling of
+    * the reference's per-row presence/null rejection
+    * (`DataCleaning.py:64-117`, P2/P3): PERMISSIVE parse keeps every
+    * line, malformed ones (wrong arity, uncastable cells) land whole
+    * in a corrupt-record column, and the split returns
+    * `(clean rows, rejected raw lines)` — nothing is silently
+    * dropped, the dead-letter side stays replayable. The frame is
+    * materialized once before splitting: Spark refuses plans that
+    * filter ONLY on the corrupt column of a live CSV scan (the parser
+    * would need to re-run per filter), and one cut serves both
+    * halves anyway.
+    */
+  def readCsvWithRejects(
+      spark: SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      header: Boolean = true): (DataFrame, DataFrame) = {
+    require(!schema.fieldNames.contains("_corrupt_record"),
+      "readCsvWithRejects: schema must not already contain _corrupt_record")
+    val withCorrupt = schema.add("_corrupt_record",
+      org.apache.spark.sql.types.StringType)
+    val raw = graft.operators.Materialize(spark.read
+      .option("header", header.toString)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(withCorrupt)
+      .csv(path))
+    val clean = raw.filter(col("_corrupt_record").isNull)
+      .drop("_corrupt_record")
+    val rejects = raw.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw_line"))
+    (clean, rejects)
+  }
+
   /** S10 — content-based router: the reference dispatches each
     * message by key presence (`'code' in data`,
     * `DataIngesting.py:55-64`). Set-oriented form: two filtered
