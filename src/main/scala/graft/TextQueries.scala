@@ -457,6 +457,30 @@ object TextQueries {
         col("decoded.px_mean").as("px_mean"))
   }
 
+  /** Image FEATURE extraction over real decoded PNGs
+    * ([[Multimodal.withImageFeatures]]): constant-fill frames make
+    * every integer feature predictable (gray g → r_mean = g,
+    * luminance bin = g div 32 holding all w·h pixels) while the
+    * values still come from walking the decoded raster. Histogram
+    * serialized to a string for the driver compare (array cells
+    * break check.py's sort).
+    */
+  private def imageFeaturesQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(
+      col("doc_id"),
+      (length(col("text")) % 64 + 16).cast("int").as("__w"),
+      ((length(col("text")) * 7) % 48 + 16).cast("int").as("__h"),
+      pmod(col("doc_id"), lit(256L)).cast("int").as("__g"))
+    Multimodal.withImageFeatures(
+        Multimodal.withTestPng(docs, "__w", "__h", "__g"), "img")
+      .select(col("doc_id"),
+        col("feat.width").as("width"),
+        col("feat.height").as("height"),
+        col("feat.r_mean").as("r_mean"),
+        array_join(transform(col("feat.hist"), _.cast("string")), ",")
+          .as("hist"))
+  }
+
   /** Image near-duplicate detection over REAL rendered PNGs
     * ([[Multimodal.imageNearDup]]): docs 0–49 render as 25 planted
     * near-dup pairs — doc `2k` and `2k+1` share pattern seed `k`, the
@@ -1390,6 +1414,18 @@ object TextQueries {
         |FROM documents""".stripMargin)),
     QueryDef("q_image_neardup", imageNeardup, None),
     QueryDef("q_image_dedup", imageDedup, None),
+    // The oracle predicts the decoded-raster walk on constant fills:
+    // r_mean = gray, the g div 32 luminance bin holds every pixel.
+    QueryDef("q_image_features", imageFeaturesQ, Some(
+      """SELECT doc_id,
+        |  CAST(length(text) % 64 + 16 AS BIGINT) AS width,
+        |  CAST((length(text) * 7) % 48 + 16 AS BIGINT) AS height,
+        |  CAST(doc_id % 256 AS BIGINT) AS r_mean,
+        |  array_to_string(list_transform(range(0, 8), i ->
+        |    CAST(CASE WHEN i = (doc_id % 256) // 32
+        |      THEN (length(text) % 64 + 16) * ((length(text) * 7) % 48 + 16)
+        |      ELSE 0 END AS VARCHAR)), ',') AS hist
+        |FROM documents""".stripMargin)),
     // The oracle predicts what the real javax.sound decode must read
     // back from the rendered WAVs (constant-magnitude square tone:
     // energy = n_samples * amp^2, all exact integers).

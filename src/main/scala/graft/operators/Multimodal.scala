@@ -408,6 +408,104 @@ object Multimodal {
     }(RowEncoder.encoderFor(outSchema))
   }
 
+  /** REAL image resize — decode, NEAREST-NEIGHBOR resample to
+    * `(w, h)`, re-encode PNG. The sampling map is pure integer
+    * arithmetic (`src_x = x·sw/w`), so the resampled raster — and
+    * the bytes — are deterministic on any JVM (AWT's filtered
+    * scalers interpolate in floats and may not be; a training
+    * pipeline's resize must be reproducible or every downstream
+    * hash/feature drifts). Map-only `mapPartitions`, same contract
+    * as [[withImageHash]].
+    */
+  def withResizedPng(
+      df: DataFrame,
+      bytesCol: String,
+      w: Int,
+      h: Int,
+      out: String = "resized"): DataFrame = {
+    require(w > 0 && h > 0, s"resize dims must be positive, got ${w}x$h")
+    val outSchema = StructType(df.schema.fields :+ StructField(out, BinaryType))
+    val idx = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](idx)
+        require(bytes != null, s"withResizedPng: null $bytesCol cell")
+        val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        require(src != null, "withResizedPng: bytes are not a JVM-decodable image")
+        val dst = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val sw = src.getWidth
+        val sh = src.getHeight
+        var y = 0
+        while (y < h) {
+          val sy = (y.toLong * sh / h).toInt
+          var x = 0
+          while (x < w) {
+            dst.setRGB(x, y, src.getRGB((x.toLong * sw / w).toInt, sy))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(dst, "png", bos)
+        Row.fromSeq(row.toSeq :+ bos.toByteArray)
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** Image FEATURE extraction — per-channel means plus an 8-bin
+    * luminance histogram, all EXACT integers (sums and integer
+    * division over the decoded raster; luminance = the integer Rec.
+    * 601 approximation `(77R + 150G + 29B) >> 8`): the compact
+    * per-image feature row a multimodal pipeline groups, filters,
+    * and drift-monitors on without ever shuffling payload bytes.
+    * Output struct: `<width, height, r_mean, g_mean, b_mean,
+    * all bigint; hist array<bigint>[8]>` (histogram counts sum to
+    * `width·height`).
+    */
+  def withImageFeatures(
+      df: DataFrame,
+      bytesCol: String,
+      out: String = "feat"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField(out, StructType(Seq(
+        StructField("width", LongType, nullable = false),
+        StructField("height", LongType, nullable = false),
+        StructField("r_mean", LongType, nullable = false),
+        StructField("g_mean", LongType, nullable = false),
+        StructField("b_mean", LongType, nullable = false),
+        StructField("hist", ArrayType(LongType, containsNull = false),
+          nullable = false)))))
+    val idx = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](idx)
+        require(bytes != null, s"withImageFeatures: null $bytesCol cell")
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        require(img != null, "withImageFeatures: bytes are not a JVM-decodable image")
+        val w = img.getWidth
+        val h = img.getHeight
+        var rs = 0L; var gs = 0L; var bs = 0L
+        val hist = new Array[Long](8)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            val r = (p >>> 16) & 0xFF; val g = (p >>> 8) & 0xFF; val b = p & 0xFF
+            rs += r; gs += g; bs += b
+            hist(((77 * r + 150 * g + 29 * b) >> 8) >> 5) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        Row.fromSeq(row.toSeq :+ Row(w.toLong, h.toLong, rs / n, gs / n, bs / n,
+          hist.toSeq))
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
   // ==================== audio (REAL javax.sound decode) ====================
 
   /** Encode one REAL 16-bit mono PCM WAV (RIFF container, little-

@@ -89,6 +89,38 @@ class ImageNearDupSpec extends SparkSpecBase {
     assert(kept === Set(0L, 3L, 6L, 7L, 8L, 9L))
   }
 
+  test("withResizedPng: integer nearest-neighbor — exact dims, deterministic bytes, constant fill survives") {
+    val df = Seq((1L, Multimodal.encodePng(40, 30, 200))).toDF("id", "img")
+    def run() = Multimodal.withResizedPng(df, "img", 16, 12)
+      .select("resized").as[Array[Byte]].head()
+    val out = run()
+    assert(java.util.Arrays.equals(out, run()), "resampling must be byte-deterministic")
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out))
+    assert(back.getWidth === 16 && back.getHeight === 12)
+    // constant source → every resampled pixel keeps the fill exactly
+    // (nearest-neighbor never interpolates new values)
+    assert((back.getRGB(5, 5) >>> 16 & 0xFF) === 200)
+  }
+
+  test("withImageFeatures: exact channel means and a luminance histogram that sums to the pixel count") {
+    val df = Seq(
+      (1L, Multimodal.encodePng(10, 10, 0)),     // black → bin 0
+      (2L, Multimodal.encodePng(10, 10, 255)))   // white → bin 7
+      .toDF("id", "img")
+    val feats = Multimodal.withImageFeatures(df, "img")
+      .select(col("id"), col("feat.r_mean"), col("feat.hist"))
+      .as[(Long, Long, Seq[Long])].collect()
+      .map { case (id, r, hs) => id -> ((r, hs)) }.toMap
+    assert(feats(1L)._1 === 0L && feats(2L)._1 === 255L)
+    assert(feats(1L)._2 === Seq(100L, 0L, 0L, 0L, 0L, 0L, 0L, 0L))
+    assert(feats(2L)._2 === Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L, 100L))
+    // a patterned image spreads mass but conserves it
+    val pat = Seq((3L, Multimodal.encodePatternPng(36, 32, 7L))).toDF("id", "img")
+    val hist = Multimodal.withImageFeatures(pat, "img")
+      .select(col("feat.hist")).as[Seq[Long]].head()
+    assert(hist.sum === 36L * 32L)
+  }
+
   test("pHash64 survives JPEG recompression within the band threshold") {
     // The real-world perturbation perceptual hashes exist for: decode
     // → re-encode lossy at two qualities. Block artifacts move pixel
