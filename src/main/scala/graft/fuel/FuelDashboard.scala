@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
 /** Static-HTML twin of the reference's Dash dashboard
   * (`DataAnalysis.py:59-165`): the three standing queries — average
   * price per fuel type (bar), per-fuel-type price series (line),
-  * latest price per station (the map's data, as a table) — rendered
-  * as ONE self-contained HTML file with inline SVG. No external
+  * latest price per station (a geographic SVG scatter, the
+  * `scatter_mapbox` twin, plus the same data as a filterable table)
+  * — rendered as ONE self-contained HTML file with inline SVG. No external
   * libraries, no network: the file a `foreachBatch` sink can
   * atomically republish every micro-batch, which is the engine-side
   * equivalent of the reference's per-interval Dash callback refresh.
@@ -107,6 +108,30 @@ object FuelDashboard {
        |<div class="legend">$legend</div>""".stripMargin
   }
 
+  /** Geographic scatter — the SVG twin of the reference's
+    * `scatter_mapbox` station map (`DataAnalysis.py:125-138`): one
+    * fixed accent hue (the reference paints every station red),
+    * equirectangular lon/lat projection over the data's own bounding
+    * box (no tiles, no network — the basemap is presentation, the
+    * DATA is the stations), native `<title>` hover carrying the same
+    * name/brand/address/prices payload as the reference's hover_data.
+    */
+  private def svgGeoScatter(pts: Seq[(Double, Double, String)]): String = {
+    if (pts.isEmpty) return "<p class=\"muted\">no data</p>"
+    val w = 560; val h = 400; val pad = 18
+    val lons = pts.map(_._1); val lats = pts.map(_._2)
+    val x0 = lons.min; val x1 = math.max(lons.max, x0 + 1e-6)
+    val y0 = lats.min; val y1 = math.max(lats.max, y0 + 1e-6)
+    def sx(lon: Double) = pad + (lon - x0) / (x1 - x0) * (w - 2 * pad)
+    def sy(lat: Double) = h - pad - (lat - y0) / (y1 - y0) * (h - 2 * pad)
+    val dots = pts.map { case (lon, lat, title) =>
+      s"""<circle class="geo" cx="${fmt(sx(lon))}" cy="${fmt(sy(lat))}" r="3"><title>${esc(title)}</title></circle>"""
+    }.mkString
+    val frame = s"""<rect class="geoframe" x="1" y="1" width="${w - 2}" height="${h - 2}" fill="none"/>"""
+    s"""<svg viewBox="0 0 $w $h" role="img" aria-label="service station map">$frame$dots</svg>
+       |<p class="muted">${pts.size} stations — lon ${fmt(x0)}…${fmt(x1)}, lat ${fmt(y0)}…${fmt(y1)}</p>""".stripMargin
+  }
+
   private def tableHtml(header: Seq[String], rows: Seq[Seq[String]]): String = {
     val th = header.map(c => s"<th>${esc(c)}</th>").mkString
     val trs = rows.map(r => r.map(c => s"<td>${esc(c)}</td>").mkString("<tr>", "", "</tr>")).mkString("\n")
@@ -125,7 +150,8 @@ object FuelDashboard {
       stationHeader: Seq[String],
       stationRows: Seq[Seq[String]],
       generatedAt: String,
-      refreshSecs: Int = 0): String = {
+      refreshSecs: Int = 0,
+      geo: Seq[(Double, Double, String)] = Nil): String = {
     val seriesCssLight = SeriesLight.zipWithIndex
       .map { case (c, i) => s".s$i{fill:$c;stroke:$c}" }.mkString
     val seriesCssDark = SeriesDark.zipWithIndex
@@ -141,6 +167,7 @@ object FuelDashboard {
        |.muted,.lbl{fill:#52514e;color:#52514e;font-size:11px}
        |.val{fill:#0b0b0b;font-size:11px}
        |.bar{fill:#2a78d6}.axis{stroke:#d8d7d2;stroke-width:1}
+       |.geo{fill:#e34948;fill-opacity:.75}.geoframe{stroke:#d8d7d2}
        |$seriesCssLight
        |.legend{margin-top:.3rem}.key{margin-right:.8rem;white-space:nowrap}
        |.key[data-series]{cursor:pointer}.key.off{opacity:.35}
@@ -151,6 +178,7 @@ object FuelDashboard {
        |  body{color-scheme:dark;background:#1a1a19;color:#fff}
        |  .muted,.lbl{fill:#c3c2b7;color:#c3c2b7}.val{fill:#fff}
        |  .bar{fill:#3987e5}.axis{stroke:#3a3a38}
+       |  .geo{fill:#e66767}.geoframe{stroke:#3a3a38}
        |  $seriesCssDark
        |  td,th{border-color:#33332f}}
        |</style></head><body>
@@ -160,6 +188,8 @@ object FuelDashboard {
        |${svgBar(bar)}
        |<h2>Price over time</h2>
        |${svgLine(line)}
+       |<h2>Maps of service stations</h2>
+       |${svgGeoScatter(geo)}
        |<h2>Latest prices per station</h2>
        |<p><input id="stfilter" type="search" placeholder="filter stations…" aria-label="filter stations"></p>
        |${tableHtml(stationHeader, stationRows)}
@@ -214,14 +244,24 @@ object FuelDashboard {
       .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getDouble(2)))
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (ft, xs) => ft -> xs.map(x => (x._2, x._3)).toSeq }
-    val stationRows = precomputedQMap
-      .getOrElse(FuelQueries.qMap(stations, prices))
+    val qmap = precomputedQMap.getOrElse(FuelQueries.qMap(stations, prices))
+    val stationRows = qmap
       .orderBy("name").limit(maxStations)
       .select(col("name"), col("brand"),
         regexp_replace(col("fuelinfo_agg"), "<br>", "; ").as("prices"))
       .collect().map(r => Seq(r.getString(0), r.getString(1), r.getString(2))).toSeq
+    // Map payload: every station with coordinates (presentation-
+    // bounded — |stations|, the same cardinality the reference ships
+    // into scatter_mapbox), hover = the reference's hover_data set.
+    val geo = qmap
+      .filter(col("location_latitude").isNotNull && col("location_longitude").isNotNull)
+      .select(col("location_longitude").cast("double"),
+        col("location_latitude").cast("double"),
+        concat_ws(" — ", col("name"), col("brand"), col("address"),
+          regexp_replace(col("fuelinfo_agg"), "<br>", "; ")))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getString(2))).toSeq
     html(bar, line, Seq("station", "brand", "latest prices"), stationRows, generatedAt,
-      refreshSecs)
+      refreshSecs, geo)
   }
 
   /** Atomic publish: write to a temp sibling, then rename — readers

@@ -35,6 +35,19 @@ class FuelDashboardSpec extends SparkSpecBase {
     assert(html.contains("prefers-color-scheme: dark") && html.contains("#3987e5"))
   }
 
+  test("geo scatter: one dot per located station, single accent hue, hover payload") {
+    val html = FuelDashboard.render(prices, stations, maxStations = 5, generatedAt = "test")
+    assert(html.contains("Maps of service stations"))
+    val nLocated = fuel.FuelQueries.qMap(stations, prices)
+      .filter(org.apache.spark.sql.functions.col("location_latitude").isNotNull)
+      .count()
+    assert("class=\"geo\"".r.findAllIn(html).size === nLocated)
+    // hover = the reference's hover_data: name, brand, address, prices
+    assert(html.contains("<title>"))
+    // single fixed hue, both schemes
+    assert(html.contains("#e34948") && html.contains("#e66767"))
+  }
+
   test("interactivity ships dependency-free: series toggles, table filter, optional live refresh") {
     val html = FuelDashboard.render(prices, stations, maxStations = 5, generatedAt = "test")
     // legend keys are toggle targets wired by the inline script
