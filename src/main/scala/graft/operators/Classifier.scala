@@ -64,6 +64,10 @@ object Classifier {
     * `list_reduce` folds left-to-right in list order, mirroring the
     * Spark fold's association exactly. The weight vector is inlined
     * as a list literal (models are broadcast-sized by construction).
+    * `toksExpr` must be null-safe for nullable text columns
+    * (e.g. wrap the source column in `coalesce(text, '')`): the
+    * Spark side scores a null text as the bare intercept, while a
+    * NULL token list would propagate NULL through the fold.
     */
   def linearScoreDuckSql(
       toksExpr: String,

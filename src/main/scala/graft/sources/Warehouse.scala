@@ -118,6 +118,14 @@ object Warehouse {
       .groupBy(shiftright(col("__mid"), 33).as("__pid"))
       .agg(count(lit(1)).as("__c"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    // monotonically_increasing_id holds the in-partition counter in
+    // the low 33 bits; a partition beyond 2^33 rows would bleed into
+    // the partition bits and silently corrupt ranks — fail loudly
+    // (raise `partitions` to shrink partitions long before that).
+    counts.find(_._2 > localMask + 1).foreach { case (p, c) =>
+      throw new IllegalStateException(
+        s"withDenseId: partition $p holds $c rows (> 2^33) — raise `partitions`")
+    }
     val offsets = counts
       .scanLeft((0L, 0L)) { case ((_, acc), (p, c)) => (p, acc + c) }
       .init // scanLeft emits the seed plus one entry per partition
