@@ -1969,19 +1969,19 @@ object RelationalQueries {
         |SELECT a.p_name AS name_a, b.p_name AS name_b,
         |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
         |FROM names a JOIN names b ON a.p_name < b.p_name
-        |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin)),
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin), headline = true),
     QueryDef("q_fuzzy_join_grams", fuzzyJoinGramsQ, Some(
       """WITH names AS (SELECT DISTINCT p_name FROM part)
         |SELECT a.p_name AS name_a, b.p_name AS name_b,
         |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
         |FROM names a JOIN names b ON a.p_name < b.p_name
-        |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin)),
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin), headline = true),
     QueryDef("q_fuzzy_join", fuzzyJoinQ, Some(
       """WITH names AS (SELECT DISTINCT p_name FROM part)
         |SELECT a.p_name AS name_a, b.p_name AS name_b,
         |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
         |FROM names a JOIN names b ON a.p_name < b.p_name
-        |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin)),
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin), headline = true),
     QueryDef("q_snapshot_diff", snapshotDiffQ, Some(
       """WITH cur AS (
         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),

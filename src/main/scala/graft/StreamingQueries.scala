@@ -465,7 +465,55 @@ object StreamingQueries {
         col("sum_value").cast("double").as("sum_value"))
   }
 
+  /** No-op FILE-STREAM replay baseline (bench instrumentation, round
+    * 9): the same `eventsStream` source, micro-batch scheduling, and
+    * memory-sink append as the benched file-stream queries
+    * (`q_stream_left_join`, `q_stream_session_close`,
+    * `q_stream_hwm_gate`) but with a stateless pass-through in place
+    * of the operator — so its benched time IS the harness share
+    * (source listing + scan + micro-batch machinery + sink), and
+    * `query − baseline` reads as the operator + state-store budget.
+    * The count aggregate runs on the BATCH snapshot after the stream
+    * stops (keeps the dumped result one row without touching the
+    * streamed plan).
+    */
+  private def streamNoopFile(s: SparkSession, d: String): DataFrame =
+    snapshot(
+      eventsStream(s, d).select("event_id", "user_id", "ts"),
+      OutputMode.Append())
+      .agg(count(lit(1)).as("n_rows"))
+
+  /** No-op MEMORYSTREAM replay baseline: driver collect + two parity
+    * micro-batches through a stateless pass-through — the harness
+    * share of the collect-and-replay queries (`q_stream_aggview`,
+    * `q_stream_cdc`, `q_stream_neardup*`). See [[streamNoopFile]].
+    */
+  private def streamNoopReplay(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val evs = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .as[(Long, String, Double)].collect()
+    val (b0, b1) = evs.partition(_._1 % 2 == 0)
+    val input = MemoryStream[(Long, String, Double)](s)
+    val name = s"graft_stream_snap_${snapN.incrementAndGet()}"
+    val q = input.toDF().toDF("event_id", "event_type", "value")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name).start()
+    try {
+      input.addData(b0.toSeq); q.processAllAvailable()
+      input.addData(b1.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    s.table(name).agg(count(lit(1)).as("n_rows"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_stream_noop_file", streamNoopFile, Some(
+      "SELECT CAST(count(*) AS BIGINT) AS n_rows FROM events"),
+      headline = true),
+    QueryDef("q_stream_noop_replay", streamNoopReplay, Some(
+      "SELECT CAST(count(*) AS BIGINT) AS n_rows FROM events"),
+      headline = true),
     QueryDef("q_stream_aggview", streamAggView, Some(
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

@@ -39,6 +39,13 @@ object HashExprs {
   def shingleHashes(tokenHashes: Column, k: Int): Column =
     Bridge.column(ShingleHashExpr(Bridge.expression(tokenHashes), k))
 
+  /** Column API: engine-portable mod-p k-gram shingle hashes from
+    * mod-p token hashes (31-bit modular combine — see
+    * [[ShingleHashModExpr]]).
+    */
+  def shingleHashesModP(tokenHashes: Column, k: Int): Column =
+    Bridge.column(ShingleHashModExpr(Bridge.expression(tokenHashes), k))
+
   /** Column API: per-position `l`-char-gram hashes of a string
     * (rolling hash — one O(|text|) pass; the composed
     * `md5(substr(...))` -per-position form is O(|text|·l) substring
@@ -268,6 +275,61 @@ object CharGramHashExpr {
       i += 1
     }
     new GenericArrayData(out)
+  }
+}
+
+/** Engine-portable sibling of [[ShingleHashExpr]]: the k-gram combine
+  * runs mod p = 2^31-1 with base B = 16777619 (FNV-32 prime, < p), so
+  * every intermediate fits 62 bits — NO 2^64 wraparound, which is
+  * exactly what makes a DuckDB twin possible (`(a·B + b) % p` is
+  * plain BIGINT arithmetic there; the mod-2^64 original would need
+  * HUGEINT mulmod gymnastics per step). Inputs must already be mod-p
+  * token hashes ([[graft.operators.TextAnalysis.tokenHashP]]).
+  *
+  * Unlike [[ShingleHashExpr]] the output is NOT deduplicated: the
+  * only consumer is the minhash lane minimum, which is multiset-
+  * invariant, and skipping the distinct keeps the DuckDB twin a
+  * plain positional `list_transform`
+  * ([[graft.operators.Dedup.minhashCandDuckCtes]]).
+  */
+case class ShingleHashModExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashModExpr.compute(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleHashModExpr.compute($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleHashModExpr {
+  final val P: Long = 2147483647L // 2^31 - 1
+  final val B: Long = 16777619L  // FNV-32 prime, < p
+
+  def compute(tokenHashes: ArrayData, k: Int): ArrayData = {
+    val m = tokenHashes.numElements()
+    if (m < k) {
+      var h = 0L
+      var i = 0
+      while (i < m) { h = (h * B + tokenHashes.getLong(i)) % P; i += 1 }
+      new GenericArrayData(Array(h))
+    } else {
+      val out = new Array[Long](m - k + 1)
+      var i = 0
+      while (i + k <= m) {
+        var h = 0L
+        var j = i
+        while (j < i + k) { h = (h * B + tokenHashes.getLong(j)) % P; j += 1 }
+        out(i) = h
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
   }
 }
 

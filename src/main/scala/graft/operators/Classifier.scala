@@ -51,6 +51,10 @@ object Classifier {
       out: String = "lin_score",
       scale: Int = 6): DataFrame = {
     require(weights.nonEmpty, "withLinearScore: empty weight vector")
+    require(!df.columns.contains(out),
+      s"withLinearScore: input already has a column named '$out' — " +
+        "pass a different `out` (gate's staging column would otherwise " +
+        "silently clobber it)")
     val wLit = array(weights.map(lit): _*)
     val toks = TextAnalysis.tokens(coalesce(col(textCol), lit("")))
     val score = aggregate(
@@ -94,8 +98,14 @@ object Classifier {
       weights: Seq[Double],
       lo: Double,
       hi: Double,
-      intercept: Double = 0.0): DataFrame =
-    withLinearScore(df, textCol, weights, intercept, out = "__s")
-      .filter(col("__s") >= lo && col("__s") <= hi)
-      .drop("__s")
+      intercept: Double = 0.0): DataFrame = {
+    // collision-free staging column: a fixed name would clobber (or,
+    // with withLinearScore's guard, reject) an input that already
+    // carries it
+    val s = Iterator.from(0).map(i => s"__s$i")
+      .find(n => !df.columns.contains(n)).get
+    withLinearScore(df, textCol, weights, intercept, out = s)
+      .filter(col(s) >= lo && col(s) <= hi)
+      .drop(s)
+  }
 }

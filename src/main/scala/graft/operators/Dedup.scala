@@ -45,7 +45,7 @@ object Dedup {
         min(col(idCol)).as("canonical_id"))
 
   /** MinHash signature: `n` permutations `(a_i·h + b_i) mod p` over
-    * (xxhash64 mod p) shingle hashes, min per permutation, p = 2^31-1.
+    * mod-p shingle hashes, min per permutation, p = 2^31-1.
     * Deterministic constants from a splitmix-style recurrence (no RNG
     * at plan time). The permutation loop runs in the native
     * [[graft.functions.MinHashSigExpr]]: the composed
@@ -54,11 +54,21 @@ object Dedup {
     * sf0.1); the expression takes the hash array once and loops —
     * same math, same results. Per-row cost O(n·|shingles|), no
     * shuffle.
+    *
+    * Engine-portable end-to-end (round 9): token hashes are
+    * [[TextAnalysis.tokenHashP]] (md5-derived, mod p) and the shingle
+    * combine is the 31-bit modular [[graft.functions
+    * .ShingleHashModExpr]], so every signature lane is exact integer
+    * arithmetic a DuckDB oracle replays bit-for-bit
+    * ([[minhashCandDuckCtes]]) — which is what flips the whole
+    * minhash dedup chain from rows-only to hash-exact. The md5 swap
+    * costs ~100 ns/token over xxhash64 — noise against the
+    * O(n·|shingles|) lane loop that dominates the signature pass.
     */
   def minhashSignature(text: Column, k: Int, n: Int): Column = {
-    val tokenHashes = transform(TextAnalysis.tokens(text), t => xxhash64(t))
+    val tokenHashes = transform(TextAnalysis.tokens(text), t => TextAnalysis.tokenHashP(t))
     graft.functions.HashExprs.minhashSig(
-      graft.functions.HashExprs.shingleHashes(tokenHashes, k), n)
+      graft.functions.HashExprs.shingleHashesModP(tokenHashes, k), n)
   }
 
   /** Deterministic odd multipliers/offsets < 2^61-1 (splitmix64 on a
@@ -159,23 +169,28 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
-  /** SimHash-64: per token, xxhash64 votes ±1 on each of 64 bits;
-    * sign of the vote sum sets the bit. Near-dups differ in few bits
-    * (Hamming distance). The 64-lane vote runs in the native
+  /** SimHash-64: per token, a 64-bit token hash votes ±1 on each of
+    * 64 bits; sign of the vote sum sets the bit. Near-dups differ in
+    * few bits (Hamming distance). The 64-lane vote runs in the native
     * [[graft.functions.SimHash64Expr]] — one generated-code pass over
-    * the token hashes; no shuffle.
+    * the token hashes; no shuffle. Token hashes are the
+    * engine-portable [[TextAnalysis.tokenHash64]] (md5 hi/lo pack),
+    * so the DuckDB oracle reproduces every signature bit
+    * ([[simhashCandDuckCtes]]).
     */
   def simhash64(text: Column): Column =
     graft.functions.HashExprs.simhash64(
-      transform(TextAnalysis.tokens(text), t => xxhash64(t)))
+      transform(TextAnalysis.tokens(text), t => TextAnalysis.tokenHash64(t)))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup candidate pairs: block on 4×16-bit bands (any
-    * shared band → candidate; a pair within Hamming distance ≤ 3 of
-    * 64 bits must agree on ≥1 of 4 bands), verify by Hamming
-    * distance. Same equi-join discipline as MinHash LSH.
+  /** SimHash near-dup candidate pairs over text: signature via
+    * [[simhash64]], then the shared [[hamming64Candidates]] blocking —
+    * `maxHamming + 1` adaptive bands (pigeonhole-lossless at any
+    * accepted threshold ≤ 15; 4×16-bit bands at the default 3),
+    * verified by exact Hamming distance. Same equi-join discipline as
+    * MinHash LSH.
     */
   def simhashCandidates(
       docs: DataFrame,
@@ -719,6 +734,142 @@ object Dedup {
     *
     * Returns (id, n_grams, n_hit, contamination∈[0,1] at 4 dp).
     */
+  // ---- DuckDB oracle twins of the signature chains (round 9) ----
+  //
+  // The minhash/simhash candidate generation is deterministic integer
+  // arithmetic end-to-end (md5-derived token hashes, 31-bit modular
+  // combines, lane minimums / bit votes), so the oracle can replay it
+  // exactly instead of settling for rows-only checks. Generators live
+  // here — next to the operators whose constants they must mirror
+  // (minhashCoefs, ShingleHashModExpr.B, banded64's bounds) — so the
+  // two sides cannot drift apart silently. Style precedent:
+  // Classifier.linearScoreDuckSql, Psl's generated SQL.
+
+  /** DuckDB CTE chain computing the banded MinHash candidate pairs of
+    * [[minhashCandidates]] over the `documents` table: defines
+    * `mh_th` (mod-p token hashes), `mh_hs` (mod-p shingle hashes —
+    * [[graft.functions.ShingleHashModExpr]]'s three cases restated),
+    * `mh_sigs` (the [[minhashCoefs]] lane minimums), `mh_banded`
+    * (signature slices as band keys — bucket EQUALITY classes match
+    * the engine's xxhash64 bucket values, which never reach the
+    * output), and `mh_cand` `(id_a, id_b, est_jaccard)`,
+    * threshold-filtered. Splice into `WITH [RECURSIVE] ...`.
+    */
+  def minhashCandDuckCtes(
+      toksExpr: String,
+      k: Int = 3,
+      n: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5): String = {
+    require(n % bands == 0, s"signature length $n must divide into $bands bands")
+    val rows = n / bands
+    val p = graft.functions.ShingleHashModExpr.P
+    val b = graft.functions.ShingleHashModExpr.B
+    // the k-term modular fold of ShingleHashModExpr, unrolled over
+    // 1-based positions i+1 .. i+k (i from range(), 0-based)
+    val fold = (2 to k).foldLeft("th[i + 1]") { (acc, j) =>
+      s"(($acc * $b + th[i + $j]) % $p)"
+    }
+    val foldShort = s"list_reduce(th, (a, x) -> (a * $b + x) % $p)"
+    val coefs = minhashCoefs(n)
+    val aLit = coefs.map(_._1).mkString("[", ", ", "]")
+    val bLit = coefs.map(_._2).mkString("[", ", ", "]")
+    s"""mh_th AS (
+       |  SELECT doc_id,
+       |    list_transform($toksExpr, t -> ${TextAnalysis.tokenHashPDuckSql("t")}) AS th
+       |  FROM documents),
+       |mh_hs AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(th) = 0 THEN [CAST(0 AS BIGINT)]
+       |         WHEN len(th) < $k THEN [$foldShort]
+       |         ELSE list_transform(range(len(th) - ${k - 1}), i -> $fold)
+       |    END AS hs
+       |  FROM mh_th),
+       |mh_sigs AS (
+       |  SELECT doc_id,
+       |    list_transform(range($n), j ->
+       |      list_min(list_transform(hs, h ->
+       |        ($aLit[j + 1] * h + $bLit[j + 1]) % $p))) AS sig
+       |  FROM mh_hs),
+       |mh_banded AS (
+       |  SELECT doc_id, sig, u.b AS band,
+       |    list_slice(sig, u.b * $rows + 1, (u.b + 1) * $rows) AS bucket
+       |  FROM mh_sigs, unnest(range($bands)) AS u(b)),
+       |mh_cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    round(CAST(len(list_filter(range($n), j ->
+       |      a.sig[j + 1] = b.sig[j + 1])) AS DOUBLE) / $n, 4) AS est_jaccard
+       |  FROM mh_banded a JOIN mh_banded b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)""".stripMargin +
+      s",\nmh_pairs AS (SELECT id_a, id_b, est_jaccard FROM mh_cand WHERE est_jaccard >= $threshold)"
+  }
+
+  /** DuckDB recursive-CTE connected components over a pair CTE with
+    * columns `(id_a, id_b)` — the oracle twin of
+    * [[connectedComponents]]'s min-label contract: `cc_comp(id,
+    * component)` labels every endpoint with the minimum id reachable
+    * from it (true closure; the label frontier CTE enumerates
+    * (node, seen-label) pairs, fine at oracle scale). The enclosing
+    * query MUST open with `WITH RECURSIVE`.
+    */
+  def ccDuckCtes(pairsCte: String): String =
+    s"""cc_edges AS (
+       |  SELECT id_a AS s, id_b AS d FROM $pairsCte
+       |  UNION
+       |  SELECT id_b, id_a FROM $pairsCte),
+       |cc_reach(id, lbl) AS (
+       |  SELECT s, s FROM cc_edges
+       |  UNION
+       |  SELECT e.d, r.lbl FROM cc_reach r JOIN cc_edges e ON e.s = r.id),
+       |cc_comp AS (
+       |  SELECT id, min(lbl) AS component FROM cc_reach GROUP BY id)""".stripMargin
+
+  /** DuckDB CTE chain computing the banded SimHash candidate pairs of
+    * [[simhashCandidates]]: `sh_th` (portable 64-bit token hashes),
+    * `sh_sigs` (the [[graft.functions.SimHash64Expr]] bit votes —
+    * bit j set iff strictly more one-votes than zero-votes; the
+    * signed-64 value is assembled from a power-of-two literal table
+    * whose bit-63 entry is −2^63, keeping every sum in BIGINT),
+    * `sh_banded` ([[banded64]]'s adaptive `maxHamming + 1` bands,
+    * same integer-division bounds), and `sh_pairs`
+    * `(id_a, id_b, hamming)` filtered to `≤ maxHamming`.
+    */
+  def simhashCandDuckCtes(toksExpr: String, maxHamming: Int = 3): String = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming must be in [0, 15], got $maxHamming")
+    val nBands = maxHamming + 1
+    val bounds = (0 to nBands).map(i => 64 * i / nBands)
+    val bandRows = (0 until nBands).map { i =>
+      val width = bounds(i + 1) - bounds(i)
+      val mask = if (width == 64) -1L else (1L << width) - 1L
+      s"(${i}, ${bounds(i)}, ${mask})"
+    }.mkString(", ")
+    // 2^j contributions as signed-64 literals: bit 63 is -2^63
+    val pows = (0 until 64).map(j =>
+      if (j == 63) Long.MinValue else 1L << j).mkString("[", ", ", "]")
+    s"""sh_th AS (
+       |  SELECT doc_id,
+       |    list_transform($toksExpr, t -> ${TextAnalysis.tokenHash64DuckSql("t")}) AS th
+       |  FROM documents),
+       |sh_sigs AS (
+       |  SELECT doc_id, CAST(list_sum(list_transform(range(64), j ->
+       |    CASE WHEN 2 * coalesce(list_sum(list_transform(th, h ->
+       |           (h >> CAST(j AS INTEGER)) & 1)), 0) > len(th)
+       |         THEN $pows[j + 1] ELSE 0 END)) AS BIGINT) AS sig
+       |  FROM sh_th),
+       |sh_banded AS (
+       |  SELECT doc_id, sig, bd.band,
+       |    (sig >> bd.lo) & bd.m AS bucket
+       |  FROM sh_sigs, (VALUES $bandRows) AS bd(band, lo, m)),
+       |sh_pairs AS (
+       |  SELECT id_a, id_b, hamming FROM (
+       |    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |      CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+       |    FROM sh_banded a JOIN sh_banded b
+       |      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id) t
+       |  WHERE hamming <= $maxHamming)""".stripMargin
+  }
+
   def contamination(
       train: DataFrame,
       eval: DataFrame,

@@ -23,6 +23,47 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Engine-portable token hash in `[0, 2^31-1)`: the first 15 hex
+    * chars of md5 (60 bits) parsed as an integer, reduced mod
+    * p = 2^31-1 — the [[Classifier.featureId]] md5 trick widened to
+    * signature hashing. md5 agrees across engines and the hex parse
+    * is exact integer arithmetic, so the DuckDB twin
+    * ([[tokenHashPDuckSql]]) reproduces every value bit-for-bit;
+    * downstream modular arithmetic on 31-bit operands never leaves
+    * the long range (no wraparound to restate in SQL).
+    */
+  def tokenHashP(t: Column): Column =
+    conv(substring(md5(t), 1, 15), 16, 10).cast("long") % lit(2147483647L)
+
+  /** The DuckDB twin of [[tokenHashP]] — keep in lockstep. */
+  def tokenHashPDuckSql(tExpr: String): String =
+    s"(CAST(('0x' || substr(md5($tExpr), 1, 15)) AS BIGINT) % 2147483647)"
+
+  /** Engine-portable full-width 64-bit token hash: md5 hex chars
+    * 1-8 / 9-16 parsed as two 32-bit halves and packed `(hi << 32) |
+    * lo` — the shift wraps into the sign bit, giving the uniform
+    * signed-64 value every bitwise consumer (SimHash votes, banded
+    * Hamming buckets) expects. The DuckDB twin
+    * ([[tokenHash64DuckSql]]) rebuilds the same two's-complement
+    * value via HUGEINT (DuckDB `<<` refuses a sign-bit overflow, so
+    * the pack is `hi·2^32 + lo − 2^64·[hi ≥ 2^31]` instead).
+    */
+  def tokenHash64(t: Column): Column = {
+    val m = md5(t)
+    shiftleft(conv(substring(m, 1, 8), 16, 10).cast("long"), 32)
+      .bitwiseOR(conv(substring(m, 9, 8), 16, 10).cast("long"))
+  }
+
+  /** The DuckDB twin of [[tokenHash64]] — keep in lockstep. The
+    * sign-bit test rides on the first hex digit (lowercase md5:
+    * '8'..'9','a'..'f' ⟺ hi ≥ 2^31, exact in ASCII order).
+    */
+  def tokenHash64DuckSql(tExpr: String): String =
+    s"CAST(CAST(CAST(('0x' || substr(md5($tExpr), 1, 8)) AS BIGINT) AS HUGEINT) * 4294967296" +
+      s" + CAST(('0x' || substr(md5($tExpr), 9, 8)) AS BIGINT)" +
+      s" - CASE WHEN substr(md5($tExpr), 1, 1) >= '8'" +
+      s" THEN CAST('18446744073709551616' AS HUGEINT) ELSE 0 END AS BIGINT)"
+
   /** BPE-ish subword count: alpha runs, digit runs, and single
     * non-alphanumeric glyphs each count as one token — the usual
     * cheap proxy for LLM token budgets when no tokenizer is at hand.
@@ -375,15 +416,28 @@ object TextAnalysis {
 
   /** Polynomial rolling-hash fingerprint over whitespace tokens —
     * content-defined, whitespace-normalization-invariant:
-    * `h = (h·31 + (xxhash64(token) mod p)) mod p` folded left in
-    * token order, p = 2^31-1 so every step fits a long under ANSI
-    * arithmetic (no silent wraparound). Distributed cost: per-row.
+    * `h = (h·31 + tokenHashP(token)) mod p` folded left in token
+    * order, p = 2^31-1 so every step fits a long under ANSI
+    * arithmetic (no silent wraparound). Engine-portable end-to-end
+    * ([[tokenHashP]] + a sequential fold), so the DuckDB oracle
+    * replays it exactly via `list_reduce` ([[fingerprintDuckSql]]).
+    * Distributed cost: per-row.
     */
   def fingerprint(text: Column): Column = {
     val p = lit(2147483647L) // 2^31 - 1
     aggregate(
       tokens(text),
       lit(0L),
-      (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), p), p))
+      (acc, t) => pmod(acc * lit(31L) + tokenHashP(t), p))
   }
+
+  /** The DuckDB twin of [[fingerprint]] over a token-list SQL
+    * expression — `list_reduce` folds left in list order with the
+    * seed prepended (the [[Classifier.linearScoreDuckSql]] pattern),
+    * mirroring the Spark fold's association exactly.
+    */
+  def fingerprintDuckSql(toksExpr: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform($toksExpr, t -> ${tokenHashPDuckSql("t")})), " +
+      s"(a, b) -> (a * 31 + b) % 2147483647)"
 }

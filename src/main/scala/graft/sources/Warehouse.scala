@@ -114,18 +114,34 @@ object Warehouse {
     // Exclusive prefix offsets over per-partition counts, in partition
     // order; partitions emptied by the range split simply don't appear
     // (they contribute 0 rows).
-    val counts = sorted
+    val perPid = sorted
       .groupBy(shiftright(col("__mid"), 33).as("__pid"))
-      .agg(count(lit(1)).as("__c"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+      .agg(count(lit(1)).as("__c"),
+        max(col("__mid").bitwiseAND(lit(localMask))).as("__mx"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
     // monotonically_increasing_id holds the in-partition counter in
-    // the low 33 bits; a partition beyond 2^33 rows would bleed into
-    // the partition bits and silently corrupt ranks — fail loudly
-    // (raise `partitions` to shrink partitions long before that).
-    counts.find(_._2 > localMask + 1).foreach { case (p, c) =>
-      throw new IllegalStateException(
-        s"withDenseId: partition $p holds $c rows (> 2^33) — raise `partitions`")
+    // the low 33 bits; a partition beyond 2^33 rows bleeds its
+    // overflow rows into the NEXT pid's bit range — and the bled
+    // group's own count stops at exactly 2^33, so a plain count
+    // ceiling can't see it. Two checks that can: (1) within each
+    // observed pid, ranks must be the dense range [0, count) — i.e.
+    // max(rank) + 1 == count; a bleed or collision breaks the
+    // equality in the receiving pid; (2) every observed pid must be a
+    // real partition (< nb) — catches the LAST partition bleeding,
+    // which has no receiving group to trip check 1. Fail loudly
+    // (raise `partitions` to shrink partitions long before 2^33).
+    perPid.foreach { case (p, c, mx) =>
+      if (p >= nb)
+        throw new IllegalStateException(
+          s"withDenseId: observed partition id $p beyond the $nb real " +
+            "partitions — a partition overflowed the 33-bit row counter; raise `partitions`")
+      if (c != mx + 1)
+        throw new IllegalStateException(
+          s"withDenseId: partition $p has $c rows but max local rank $mx " +
+            "— 33-bit counter bleed or id collision; raise `partitions`")
     }
+    val counts = perPid.map { case (p, c, _) => (p, c) }
     val offsets = counts
       .scanLeft((0L, 0L)) { case ((_, acc), (p, c)) => (p, acc + c) }
       .init // scanLeft emits the seed plus one entry per partition

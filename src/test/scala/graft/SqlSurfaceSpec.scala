@@ -25,9 +25,12 @@ class SqlSurfaceSpec extends SparkSpecBase {
       """SELECT graft_simhash64(transform(split(trim(text), '\\s+'), t -> xxhash64(t))) AS sig,
         |       graft_minhash_sig(transform(split(trim(text), '\\s+'), t -> xxhash64(t))) AS mh
         |FROM sql_docs""".stripMargin).collect().head
+    // like-for-like: feed both sides identical xxhash64 token hashes
+    // (Dedup.simhash64 itself uses the engine-portable md5 tokenHash64)
     val viaCol = Seq("alpha beta gamma").toDF("text")
       .select(
-        Dedup.simhash64(col("text")).as("sig"),
+        HashExprs.simhash64(
+          transform(split(trim(col("text")), "\\s+"), t => xxhash64(t))).as("sig"),
         HashExprs.minhashSig(transform(split(trim(col("text")), "\\s+"), t => xxhash64(t)), 64).as("mh"))
       .collect().head
     assert(viaSql.getLong(0) === viaCol.getLong(0))
