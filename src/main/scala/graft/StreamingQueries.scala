@@ -39,15 +39,21 @@ object StreamingQueries {
       ts: Timestamp,
       value: Double)
 
-  /** File-stream over the events parquet with the same
-    * TIMESTAMP(NANOS) → µs-ntz conversion as [[Tables.events]].
+  /** File-stream over the events parquet with the same schema-adaptive
+    * ts normalization (nanos-as-long or µs timestamp) as
+    * [[Tables.events]].
     */
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
     val schema = s.read.parquet(s"$d/events.parquet").schema
     // Glob form: the file-stream source requires a directory basePath;
     // the corpus table is a single file, so glob it under its parent.
-    s.readStream.schema(schema).parquet(s"$d/*events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    val raw = s.readStream.schema(schema).parquet(s"$d/*events.parquet")
+    val ts = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000"))
+      case _ => col("ts")
+    }
+    raw.withColumn("ts", ts.cast("timestamp_ntz"))
   }
 
   private val snapN = new java.util.concurrent.atomic.AtomicInteger(0)

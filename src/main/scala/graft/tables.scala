@@ -21,16 +21,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
-  /** `events.ts` is stored as parquet INT64 TIMESTAMP(NANOS,false),
-    * which Spark's µs timestamp type cannot represent; with
+  /** `events.ts` has shipped in two physical encodings across driver
+    * testdata generations: INT64 TIMESTAMP(NANOS,false) — which
+    * Spark's µs timestamp type cannot represent, so with
     * `spark.sql.legacy.parquet.nanosAsLong` (set by [[GraftSession]])
-    * it arrives as a long of epoch-nanos. Truncate to microseconds
-    * (the corpus has none beyond µs) and expose a naive timestamp,
-    * matching what DuckDB/pyarrow see.
+    * it arrives as a long of epoch-nanos — and plain TIMESTAMP(MICROS)
+    * which arrives as a timestamp already. Normalize BY SCHEMA, not by
+    * generation: longs truncate nanos→µs (the corpus has none beyond
+    * µs), timestamps pass through; either way callers see one
+    * `timestamp_ntz` column matching what DuckDB/pyarrow see.
     */
-  def events(s: SparkSession, d: String): DataFrame =
-    apply(s, d, "events").withColumn("ts",
-      timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = apply(s, d, "events")
+    val ts = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000"))
+      case _ => col("ts")
+    }
+    raw.withColumn("ts", ts.cast("timestamp_ntz"))
+  }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }
