@@ -182,8 +182,9 @@ object TextQueries {
       when(TextAnalysis.splitBucket(col("doc_id")) < 90, "train")
         .otherwise("valid").as("split"))
 
-  /** End-to-end dedup: docs in → near-dup-free docs out (rows-only
-    * driver check; deterministic keeper = component min id).
+  /** End-to-end dedup: docs in → near-dup-free docs out
+    * (deterministic keeper = component min id; oracle =
+    * [[Dedup.minhashCandDuckCtes]] + recursive-CTE CC).
     */
   private def dedupDocs(s: SparkSession, d: String): DataFrame =
     Dedup.dropNearDuplicates(Tables.documents(s, d), "doc_id", "text")
@@ -192,7 +193,8 @@ object TextQueries {
   /** Quality-ranked dedup ([[Dedup.dropNearDuplicatesBy]]): same
     * near-dup components as `q_dedup_docs`, but each component keeps
     * its LONGEST member (ties to the smaller id) — the keeper policy
-    * production corpus dedup wants. Rows-only driver check.
+    * production corpus dedup wants. Oracle: the CC CTEs plus a
+    * max-quality-then-min-id keeper selection.
     */
   private def dedupBest(s: SparkSession, d: String): DataFrame =
     Dedup.dropNearDuplicatesBy(
@@ -203,8 +205,9 @@ object TextQueries {
   /** The streaming near-dup gate replayed over the documents table in
     * two deterministic micro-batches (doc_id parity): first-wins
     * across batches, chain collapse within — table-backed state, the
-    * same signature math as `q_dedup_docs`. Rows-only driver check
-    * (accepted set is minhash-dependent, not SQL-expressible).
+    * same signature math as `q_dedup_docs`. Oracle:
+    * [[Dedup.gateReplayDuckCtes]] — the two-batch greedy replay in
+    * SQL over the `mh_pairs` candidate CTE.
     * Runs the default accepted-only state (state ∝ kept corpus — the
     * production trade at stream scale); `exact = true` persists
     * keeper-tagged rejected signatures instead, making acceptance
@@ -247,7 +250,8 @@ object TextQueries {
     * .Hamming64Gate]] — the SimHash/image/audio sibling of
     * `q_stream_neardup`, same SigGate core) replayed over the
     * documents table in two parity micro-batches on text SimHash
-    * signatures. Rows-only driver check.
+    * signatures. Oracle: [[Dedup.gateReplayDuckCtes]] over the
+    * `sh_pairs` candidate CTE.
     */
   private def streamSimhashGate(s: SparkSession, d: String): DataFrame = {
     val sigs = Tables.documents(s, d)
@@ -1378,9 +1382,20 @@ object TextQueries {
          |SELECT d.doc_id, d.lang, d.source, d.n_chars
          |FROM documents d LEFT JOIN losers l ON d.doc_id = l.id
          |WHERE l.id IS NULL""".stripMargin)),
-    QueryDef("q_stream_neardup", streamNeardup, None, headline = true),
-    QueryDef("q_stream_neardup_exact", streamNeardupExact, None, headline = true),
-    QueryDef("q_stream_simhash_gate", streamSimhashGate, None),
+    QueryDef("q_stream_neardup", streamNeardup, Some(
+      s"""WITH RECURSIVE ${Dedup.minhashCandDuckCtes(duckToks("text"))},
+         |${Dedup.gateReplayDuckCtes("mh_pairs", exact = false)}
+         |SELECT doc_id FROM gate_accept""".stripMargin),
+      headline = true),
+    QueryDef("q_stream_neardup_exact", streamNeardupExact, Some(
+      s"""WITH RECURSIVE ${Dedup.minhashCandDuckCtes(duckToks("text"))},
+         |${Dedup.gateReplayDuckCtes("mh_pairs", exact = true)}
+         |SELECT doc_id FROM gate_accept""".stripMargin),
+      headline = true),
+    QueryDef("q_stream_simhash_gate", streamSimhashGate, Some(
+      s"""WITH RECURSIVE ${Dedup.simhashCandDuckCtes(duckToks("text"))},
+         |${Dedup.gateReplayDuckCtes("sh_pairs", exact = false)}
+         |SELECT doc_id FROM gate_accept""".stripMargin)),
     QueryDef("q_doc_chunks", docChunks, Some {
       val toks = duckToks("text")
       s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents)

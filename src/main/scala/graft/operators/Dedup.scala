@@ -824,6 +824,80 @@ object Dedup {
        |cc_comp AS (
        |  SELECT id, min(lbl) AS component FROM cc_reach GROUP BY id)""".stripMargin
 
+  /** DuckDB CTE chain replaying the two-parity-batch streaming-gate
+    * harness (`q_stream_neardup` / `q_stream_neardup_exact` /
+    * `q_stream_simhash_gate`) over a candidate-pair CTE with columns
+    * `(id_a, id_b)` — the oracle twin of two [[SigGate.acceptBatch]]
+    * steps (batch 0 = even `doc_id`s, batch 1 = odd):
+    *
+    *  - batch 0 has no prior state, so its accepted set is exactly
+    *    the intra-batch connected-components min-id keepers
+    *    (`g_e_comp` over even–even pairs; singletons accept).
+    *  - batch 1 rejects a doc iff it candidate-matches the state
+    *    (`g_o_hit`), or its intra-batch component (`g_o_comp` over
+    *    odd–odd pairs) is not rooted at it, or that component touches
+    *    state through ANY member (`g_o_touch` — SigGate resolves the
+    *    whole component to the external keeper, so all members
+    *    reject).
+    *
+    * The two modes differ ONLY in what batch 1 sees as state:
+    * `exact = true` persists every batch-0 signature (keeper-tagged),
+    * so state = all evens; the default persists accepted rows only,
+    * so state = `g_acc0`. Keeper LABELS never affect membership of
+    * the accepted set, so the transitive-resolution machinery needs
+    * no SQL twin here. Emits `gate_accept(doc_id)`; the enclosing
+    * query MUST open with `WITH RECURSIVE` (two recursive frontiers,
+    * `g_e_reach` / `g_o_reach`, same shape as [[ccDuckCtes]]).
+    */
+  def gateReplayDuckCtes(pairsCte: String, exact: Boolean): String = {
+    val state =
+      if (exact) "SELECT doc_id FROM documents WHERE doc_id % 2 = 0"
+      else "SELECT doc_id FROM g_acc0"
+    s"""g_e_pairs AS (
+       |  SELECT id_a, id_b FROM $pairsCte WHERE id_a % 2 = 0 AND id_b % 2 = 0),
+       |g_e_edges AS (
+       |  SELECT id_a AS s, id_b AS d FROM g_e_pairs
+       |  UNION
+       |  SELECT id_b, id_a FROM g_e_pairs),
+       |g_e_reach(id, lbl) AS (
+       |  SELECT s, s FROM g_e_edges
+       |  UNION
+       |  SELECT e.d, r.lbl FROM g_e_reach r JOIN g_e_edges e ON e.s = r.id),
+       |g_e_comp AS (SELECT id, min(lbl) AS component FROM g_e_reach GROUP BY id),
+       |g_acc0 AS (
+       |  SELECT d.doc_id FROM documents d LEFT JOIN g_e_comp c ON d.doc_id = c.id
+       |  WHERE d.doc_id % 2 = 0 AND (c.id IS NULL OR c.component = d.doc_id)),
+       |g_state AS ($state),
+       |g_o_hit AS (
+       |  SELECT DISTINCT CASE WHEN p.id_a % 2 = 1 THEN p.id_a ELSE p.id_b END AS id
+       |  FROM $pairsCte p JOIN g_state s
+       |    ON s.doc_id = CASE WHEN p.id_a % 2 = 0 THEN p.id_a ELSE p.id_b END
+       |  WHERE (p.id_a % 2) <> (p.id_b % 2)),
+       |g_o_pairs AS (
+       |  SELECT id_a, id_b FROM $pairsCte WHERE id_a % 2 = 1 AND id_b % 2 = 1),
+       |g_o_edges AS (
+       |  SELECT id_a AS s, id_b AS d FROM g_o_pairs
+       |  UNION
+       |  SELECT id_b, id_a FROM g_o_pairs),
+       |g_o_reach(id, lbl) AS (
+       |  SELECT s, s FROM g_o_edges
+       |  UNION
+       |  SELECT e.d, r.lbl FROM g_o_reach r JOIN g_o_edges e ON e.s = r.id),
+       |g_o_comp AS (SELECT id, min(lbl) AS component FROM g_o_reach GROUP BY id),
+       |g_o_touch AS (
+       |  SELECT DISTINCT c.component FROM g_o_comp c JOIN g_o_hit h ON c.id = h.id),
+       |g_acc1 AS (
+       |  SELECT d.doc_id FROM documents d
+       |  LEFT JOIN g_o_comp c ON d.doc_id = c.id
+       |  LEFT JOIN g_o_hit h ON d.doc_id = h.id
+       |  WHERE d.doc_id % 2 = 1 AND h.id IS NULL
+       |    AND (c.id IS NULL OR (c.component = d.doc_id
+       |      AND NOT EXISTS (
+       |        SELECT 1 FROM g_o_touch t WHERE t.component = c.component)))),
+       |gate_accept AS (
+       |  SELECT doc_id FROM g_acc0 UNION ALL SELECT doc_id FROM g_acc1)""".stripMargin
+  }
+
   /** DuckDB CTE chain computing the banded SimHash candidate pairs of
     * [[simhashCandidates]]: `sh_th` (portable 64-bit token hashes),
     * `sh_sigs` (the [[graft.functions.SimHash64Expr]] bit votes —
