@@ -24,9 +24,10 @@ object SimilarityQueries {
       k = 5)
   }
 
-  /** ANN scale path (rows-only driver check — deterministic planes,
-    * no SQL twin): same query shape as [[knn]] through the
-    * LSH-bucketed index.
+  /** ANN scale path: same query shape as [[knn]] through the
+    * LSH-bucketed index. Oracle: [[Similarity.rhpBucketDuckSql]]
+    * buckets + the 9-probe (own bucket ∪ single-bit flips) equi-join,
+    * re-ranked by the [[duckCos]] twin.
     */
   private def lshKnnQ(s: SparkSession, d: String): DataFrame = {
     val em = Tables.embeddings(s, d)
@@ -237,7 +238,27 @@ object SimilarityQueries {
          |  FROM scored) t
          |WHERE rank <= 5""".stripMargin),
       headline = true),
-    QueryDef("q_lsh_knn", lshKnnQ, None),
+    QueryDef("q_lsh_knn", lshKnnQ, Some {
+      val probes = "[b0" +
+        (0 until 8).map(i => s", xor(b0, ${1L << i})").mkString + "]"
+      s"""WITH bkt AS (
+         |  SELECT vec_id, embedding,
+         |    CAST(${Similarity.rhpBucketDuckSql("embedding", 64, 8)} AS BIGINT) AS b0
+         |  FROM embeddings),
+         |probes AS (
+         |  SELECT q.vec_id AS query_id, q.embedding AS qv, u.pb AS bucket
+         |  FROM bkt q, unnest($probes) AS u(pb)
+         |  WHERE q.vec_id < 10),
+         |cand AS (
+         |  SELECT p.query_id, c.vec_id AS neighbor_id,
+         |    floor((${duckCos("p.qv", "c.embedding")}) * 1000000.0 + 0.5) / 1000000.0 AS sim
+         |  FROM probes p JOIN bkt c ON c.b0 = p.bucket AND c.vec_id <> p.query_id)
+         |SELECT query_id, neighbor_id, sim, rank FROM (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+         |  FROM cand) t
+         |WHERE rank <= 5""".stripMargin
+    }),
     QueryDef("q_pq_knn", pqKnnQ, None, headline = true),
     QueryDef("q_embed_neardup", embedNeardup, Some(
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,

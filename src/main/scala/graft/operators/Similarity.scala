@@ -125,6 +125,24 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** DuckDB scalar twin of [[rhpBucket]], in the lockstep-generator
+    * house style (Classifier.linearScoreDuckSql, Dedup's CTE chains):
+    * the SAME [[rhpPlanes]] call inlines the ±1 components as SQL
+    * literals, each plane's dot product is the SAME sequential
+    * left fold (`list_reduce` over `list_prepend(0.0, …)` ≡ Spark's
+    * `aggregate(zip_with(…), 0.0, _+_)` — identical FP association,
+    * so the sign test is bit-exact), and the bucket assembles as a
+    * sum of disjoint power-of-two CASE terms (≡ the bitwise OR).
+    */
+  def rhpBucketDuckSql(vecExpr: String, dim: Int, nBits: Int): String =
+    rhpPlanes(dim, nBits).zipWithIndex.map { case (plane, i) =>
+      val lit = plane.mkString("[", ",", "]")
+      val dot = s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"[$vecExpr[i]::DOUBLE * CAST(($lit)[i] AS DOUBLE) " +
+        s"for i in range(1, ${dim + 1})]), (a, x) -> a + x)"
+      s"(CASE WHEN $dot >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", "\n     + ", ")")
+
   /** Deterministic ±1 hyperplane components (splitmix64; `seed`
     * selects the hash table — each LSH table uses independent planes).
     */
