@@ -412,9 +412,10 @@ object TextQueries {
     * ([[graft.operators.Sketches]]): per-source CMS partials over the
     * token stream — the persistable slice table — merged (bounded:
     * one blob per source) and point-queried for the exact top-20
-    * tokens. Rows-only driver check (CMS has no SQL twin); the
-    * never-underestimates / eps·N bound is spec-pinned
-    * (`SketchesSpec`).
+    * tokens. Oracle-exact: cell-wise union algebra + Spark's
+    * double-hashed murmur bucket derivation replayed in SQL
+    * ([[Sketches.cmsTokensDuckSql]]); the never-underestimates /
+    * eps·N bound is additionally spec-pinned (`SketchesSpec`).
     */
   private def cmsTokensQ(s: SparkSession, d: String): DataFrame = {
     import graft.operators.Sketches
@@ -513,7 +514,11 @@ object TextQueries {
     * (unrelated patterns land ~32 bits apart). The decode + dHash run
     * on genuine PNG bytes; candidates come from the banded-Hamming
     * equi-join shared with text SimHash, so the result is exactly the
-    * 25 planted pairs, FP-free by construction.
+    * 25 planted pairs, FP-free by construction. Oracle-exact: the
+    * pattern renderer colors pixels by dHash's own grid walk, so each
+    * sig is closed-form ([[Multimodal.dHashPatternDuckCtes]]) and the
+    * oracle replays the identical banded join without inflating a
+    * PNG byte.
     */
   private def imageNeardup(s: SparkSession, d: String): DataFrame = {
     val planted = Tables.documents(s, d)
@@ -542,8 +547,11 @@ object TextQueries {
     * to 4 apart — connectivity comes transitively through the hub,
     * which is exactly what component collapse must handle). Docs
     * 30–149 get unique seeds. Expected survivors: the 10 chain hubs
-    * (min ids 0, 3, …, 27) + the 120 uniques. Rows-only driver check
-    * (keeper set is hash-dependent, not SQL-expressible).
+    * (min ids 0, 3, …, 27) + the 120 uniques. Oracle-exact: sigs are
+    * closed-form for pattern PNGs ([[Multimodal.dHashPatternDuckCtes]])
+    * and the recursive-CTE connected-components oracle
+    * ([[Dedup.ccDuckCtes]]) replays the min-label collapse + keeper
+    * anti-join in SQL.
     */
   private def imageDedup(s: SparkSession, d: String): DataFrame = {
     val planted = Tables.documents(s, d)
@@ -593,7 +601,13 @@ object TextQueries {
     * energies scale by exactly `gain²` together) with one frame
     * attenuated (≤ 2 of 64 bits) — while docs 50–199 get unique
     * seeds. Candidates come from the SAME banded-Hamming equi-join
-    * as text SimHash and image hashes. Rows-only driver check.
+    * as text SimHash and image hashes. Oracle-exact: DuckDB never
+    * decodes a WAV byte — the fingerprint is closed-form for pattern
+    * clips (frame energies are `32·amp²`, gain cancels out of every
+    * bit comparison), so the oracle predicts each sig with emulated
+    * splitmix64 and replays the identical banded join
+    * ([[Multimodal.aHashPatternDuckCtes]] +
+    * [[Dedup.hamming64PairsDuckCtes]]).
     */
   private def audioNeardup(s: SparkSession, d: String): DataFrame = {
     val planted = Tables.documents(s, d)
@@ -1159,8 +1173,9 @@ object TextQueries {
 
   /** PageRank over the same arithmetic link graph
     * ([[graft.operators.Graphs.pageRank]], 5 iterations, DECIMAL mass
-    * — bit-deterministic, spec-pinned; no SQL oracle because DECIMAL
-    * division result scales differ across engines).
+    * — bit-deterministic). Oracle-exact: engines' DECIMAL division
+    * scales differ, so the twin replays Spark's exact rounding chain
+    * in HUGEINT fixed-point — see [[Graphs.pageRankDuckSql]].
     */
   private def pagerankQ(s: SparkSession, d: String): DataFrame = {
     val edges = Tables.documents(s, d).select(
@@ -1230,9 +1245,11 @@ object TextQueries {
       .withColumn("seq", col("seq").cast("int"))
 
   /** Sentence-aware greedy chunking
-    * ([[TextAnalysis.sentenceChunks]], 20-token budget): rows-only
-    * (the greedy fold has no portable SQL twin); specs pin the
-    * packing semantics, and the driver pins determinism.
+    * ([[TextAnalysis.sentenceChunks]], 20-token budget). Oracle-exact:
+    * the greedy fold is pure integer/string arithmetic, so the DuckDB
+    * twin replays it with `list_reduce` — see [[sentenceChunksSql]]
+    * for the packed-string accumulator that works around DuckDB's
+    * broken struct-typed fold state.
     */
   private def sentenceChunksQ(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -1241,6 +1258,91 @@ object TextQueries {
           .as(Seq("chunk_seq", "chunk")))
       .withColumn("chunk_seq", col("chunk_seq").cast("int"))
       .withColumn("n_tokens", TextAnalysis.tokenCount(col("chunk")))
+
+  /** DuckDB twin of the [[TextAnalysis.sentenceChunks]] greedy fold.
+    *
+    * The Spark side folds an `aggregate` over the sentence list with
+    * struct state (done chunks, current buffer, token count). DuckDB's
+    * `list_reduce` is the matching sequential fold, but its
+    * struct-typed accumulators are broken (a list field inside the
+    * struct keeps only the last appended element — verified on 1.0.0),
+    * so the twin packs the state into ONE VARCHAR:
+    * `n CHR(2) cur CHR(2) done-chunks-joined-by-CHR(3)` — control
+    * chars that cannot occur in the word corpus. Each step re-parses
+    * the fields with `split_part`, applies the identical
+    * fits/flush/carry arithmetic (`fits = n + sn <= 20`; a flush moves
+    * `cur` onto the done list; an oversized first sentence becomes its
+    * own over-budget chunk), and the epilogue appends the non-empty
+    * buffer exactly like the Spark finish lambda. Token counts on both
+    * sides are whitespace splits with empties removed, so every
+    * quantity compared is exact integer/string equality.
+    */
+  private val sentenceChunksSql =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    regexp_replace(text, '(\w+ \w+ \w+ \w+ \w+) ', '\1. ', 'g') AS t
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |    list_filter(
+      |      list_transform(
+      |        string_split(
+      |          regexp_replace(t, '([.!?])\s+', '\1' || chr(1), 'g'),
+      |          chr(1)),
+      |        x -> trim(x)),
+      |      x -> len(x) > 0) AS ss
+      |  FROM p),
+      |f AS (
+      |  SELECT doc_id,
+      |    list_reduce(
+      |      list_prepend('0' || chr(2) || chr(2), ss),
+      |      (acc, x) -> CASE
+      |        WHEN CAST(split_part(acc, chr(2), 1) AS INTEGER)
+      |             + len(list_filter(string_split_regex(trim(x), '\s+'),
+      |                               w -> len(w) > 0)) <= 20
+      |        THEN CASE
+      |          WHEN CAST(split_part(acc, chr(2), 1) AS INTEGER) > 0
+      |          THEN CAST(CAST(split_part(acc, chr(2), 1) AS INTEGER)
+      |                 + len(list_filter(string_split_regex(trim(x), '\s+'),
+      |                                   w -> len(w) > 0)) AS VARCHAR)
+      |            || chr(2) || split_part(acc, chr(2), 2) || ' ' || x
+      |            || chr(2) || split_part(acc, chr(2), 3)
+      |          ELSE CAST(CAST(split_part(acc, chr(2), 1) AS INTEGER)
+      |                 + len(list_filter(string_split_regex(trim(x), '\s+'),
+      |                                   w -> len(w) > 0)) AS VARCHAR)
+      |            || chr(2) || x
+      |            || chr(2) || split_part(acc, chr(2), 3)
+      |        END
+      |        ELSE CAST(len(list_filter(string_split_regex(trim(x), '\s+'),
+      |                                  w -> len(w) > 0)) AS VARCHAR)
+      |          || chr(2) || x || chr(2)
+      |          || CASE WHEN CAST(split_part(acc, chr(2), 1) AS INTEGER) = 0
+      |                  THEN split_part(acc, chr(2), 3)
+      |                  WHEN split_part(acc, chr(2), 3) = ''
+      |                  THEN split_part(acc, chr(2), 2)
+      |                  ELSE split_part(acc, chr(2), 3) || chr(3)
+      |                       || split_part(acc, chr(2), 2) END
+      |      END) AS st
+      |  FROM s),
+      |c AS (
+      |  SELECT doc_id,
+      |    list_filter(
+      |      string_split(
+      |        CASE WHEN CAST(split_part(st, chr(2), 1) AS INTEGER) > 0
+      |             THEN CASE WHEN split_part(st, chr(2), 3) = ''
+      |                       THEN split_part(st, chr(2), 2)
+      |                       ELSE split_part(st, chr(2), 3) || chr(3)
+      |                            || split_part(st, chr(2), 2) END
+      |             ELSE split_part(st, chr(2), 3) END,
+      |        chr(3)),
+      |      x -> len(x) > 0) AS cs
+      |  FROM f)
+      |SELECT doc_id, CAST(u.i - 1 AS INTEGER) AS chunk_seq,
+      |  cs[CAST(u.i AS INTEGER)] AS chunk,
+      |  CAST(len(list_filter(
+      |    string_split_regex(trim(cs[CAST(u.i AS INTEGER)]), '\s+'),
+      |    w -> len(w) > 0)) AS INTEGER) AS n_tokens
+      |FROM c, unnest(range(1, len(cs) + 1)) AS u(i)""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_strip_html", stripHtmlQ, Some(stripHtmlSql),
@@ -1263,7 +1365,7 @@ object TextQueries {
         |SELECT doc_id, CAST(u.i - 1 AS INTEGER) AS seq,
         |  ss[CAST(u.i AS INTEGER)] AS sentence
         |FROM s, unnest(range(1, len(ss) + 1)) AS u(i)""".stripMargin)),
-    QueryDef("q_sentence_chunks", sentenceChunksQ, None),
+    QueryDef("q_sentence_chunks", sentenceChunksQ, Some(sentenceChunksSql)),
     QueryDef("q_bm25", bm25Q, Some(bm25Sql), headline = true),
     QueryDef("q_link_degree", linkDegreeQ, Some(
       """WITH h AS (
@@ -1279,7 +1381,13 @@ object TextQueries {
         |  FROM h)
         |SELECT url, CAST(count(*) AS BIGINT) AS in_deg
         |FROM e GROUP BY url""".stripMargin)),
-    QueryDef("q_pagerank", pagerankQ, None, headline = true),
+    QueryDef("q_pagerank", pagerankQ,
+      Some(graft.operators.Graphs.pageRankDuckSql(
+        """SELECT doc_id AS src,
+          |    unnest([(doc_id * 7 + 1) % 97, (doc_id * 13 + 3) % 97]) AS dst
+          |  FROM documents""".stripMargin,
+        iterations = 5)),
+      headline = true),
     QueryDef("q_triangles", trianglesQ, Some(
       """WITH base AS (SELECT doc_id % 97 AS u FROM documents),
         |e0 AS (
@@ -1477,8 +1585,35 @@ object TextQueries {
         |  CAST((length(text) * 7) % 48 + 16 AS BIGINT) AS height,
         |  CAST(doc_id % 256 AS BIGINT) AS px_mean
         |FROM documents""".stripMargin)),
-    QueryDef("q_image_neardup", imageNeardup, None),
-    QueryDef("q_image_dedup", imageDedup, None),
+    QueryDef("q_image_neardup", imageNeardup, Some(
+      s"""WITH ${Multimodal.dHashPatternDuckCtes(
+             """SELECT doc_id,
+               |    CAST(CASE WHEN doc_id < 50 THEN doc_id // 2
+               |              ELSE doc_id + 1000 END AS HUGEINT) AS seed,
+               |    CASE WHEN doc_id < 50 AND doc_id % 2 = 1 THEN 4
+               |         ELSE 0 END AS delta,
+               |    CASE WHEN doc_id < 50 AND doc_id % 2 = 1 THEN doc_id % 72
+               |         ELSE -1 END AS flip
+               |  FROM documents WHERE doc_id < 200""".stripMargin)},
+         |${Dedup.hamming64PairsDuckCtes("im_sigs", "imp_")}
+         |SELECT id_a, id_b, hamming FROM imp_pairs""".stripMargin)),
+    QueryDef("q_image_dedup", imageDedup, Some(
+      s"""WITH RECURSIVE ${Multimodal.dHashPatternDuckCtes(
+             """SELECT doc_id,
+               |    CAST(CASE WHEN doc_id < 30 THEN doc_id // 3
+               |              ELSE doc_id + 2000 END AS HUGEINT) AS seed,
+               |    CASE WHEN doc_id < 30 THEN (doc_id % 3) * 4
+               |         ELSE 0 END AS delta,
+               |    CASE WHEN doc_id < 30 AND doc_id % 3 <> 0
+               |         THEN (doc_id % 3) * 20 + doc_id % 13
+               |         ELSE -1 END AS flip
+               |  FROM documents WHERE doc_id < 150""".stripMargin)},
+         |${Dedup.hamming64PairsDuckCtes("im_sigs", "imp_")},
+         |${Dedup.ccDuckCtes("imp_pairs")},
+         |losers AS (SELECT id FROM cc_comp WHERE id <> component)
+         |SELECT s.doc_id
+         |FROM im_seed s LEFT JOIN losers l ON s.doc_id = l.id
+         |WHERE l.id IS NULL""".stripMargin)),
     // The oracle predicts the decoded-raster walk on constant fills:
     // r_mean = gray, the g div 32 luminance bin holds every pixel.
     QueryDef("q_image_features", imageFeaturesQ, Some(
@@ -1503,7 +1638,16 @@ object TextQueries {
         |    * (doc_id % 97 * 64 + 128) * (doc_id % 97 * 64 + 128)
         |    AS BIGINT) AS energy
         |FROM documents""".stripMargin)),
-    QueryDef("q_audio_neardup", audioNeardup, None),
+    QueryDef("q_audio_neardup", audioNeardup, Some(
+      s"""WITH ${Multimodal.aHashPatternDuckCtes(
+             """SELECT doc_id,
+               |    CAST(CASE WHEN doc_id < 50 THEN doc_id // 2
+               |              ELSE doc_id + 3000 END AS HUGEINT) AS seed,
+               |    CASE WHEN doc_id < 50 AND doc_id % 2 = 1 THEN doc_id % 65
+               |         ELSE -1 END AS quiet
+               |  FROM documents WHERE doc_id < 200""".stripMargin)},
+         |${Dedup.hamming64PairsDuckCtes("au_sigs", "aup_")}
+         |SELECT id_a, id_b, hamming FROM aup_pairs""".stripMargin)),
     QueryDef("q_contamination", contaminationQ, Some(contaminationSql), headline = true),
     QueryDef("q_lm_score", lmScoreQ, Some(lmScoreSql), headline = true),
     QueryDef("q_lin_score", linScoreQ, Some(
@@ -1518,7 +1662,8 @@ object TextQueries {
          |SELECT token, n FROM c
          |WHERE n * 200 > (SELECT sum(n) FROM c)""".stripMargin
     }),
-    QueryDef("q_cms_tokens", cmsTokensQ, None),
+    QueryDef("q_cms_tokens", cmsTokensQ,
+      Some(graft.operators.Sketches.cmsTokensDuckSql(duckToks("text")))),
     QueryDef("q_dup_spans", dupSpansQ, Some(
       """WITH grams AS (
         |  SELECT doc_id, CAST(i AS INTEGER) AS pos,

@@ -911,16 +911,6 @@ object Dedup {
   def simhashCandDuckCtes(toksExpr: String, maxHamming: Int = 3): String = {
     require(maxHamming >= 0 && maxHamming <= 15,
       s"maxHamming must be in [0, 15], got $maxHamming")
-    val nBands = maxHamming + 1
-    val bounds = (0 to nBands).map(i => 64 * i / nBands)
-    val bandRows = (0 until nBands).map { i =>
-      val width = bounds(i + 1) - bounds(i)
-      val mask = if (width == 64) -1L else (1L << width) - 1L
-      s"(${i}, ${bounds(i)}, ${mask})"
-    }.mkString(", ")
-    // 2^j contributions as signed-64 literals: bit 63 is -2^63
-    val pows = (0 until 64).map(j =>
-      if (j == 63) Long.MinValue else 1L << j).mkString("[", ", ", "]")
     s"""sh_th AS (
        |  SELECT doc_id,
        |    list_transform($toksExpr, t -> ${TextAnalysis.tokenHash64DuckSql("t")}) AS th
@@ -929,17 +919,51 @@ object Dedup {
        |  SELECT doc_id, CAST(list_sum(list_transform(range(64), j ->
        |    CASE WHEN 2 * coalesce(list_sum(list_transform(th, h ->
        |           (h >> CAST(j AS INTEGER)) & 1)), 0) > len(th)
-       |         THEN $pows[j + 1] ELSE 0 END)) AS BIGINT) AS sig
+       |         THEN $pow2Signed64Array[j + 1] ELSE 0 END)) AS BIGINT) AS sig
        |  FROM sh_th),
-       |sh_banded AS (
+       |${hamming64PairsDuckCtes("sh_sigs", "sh_", maxHamming)}""".stripMargin
+  }
+
+  /** 2^j contributions as signed-64 DuckDB array literal — bit 63 is
+    * −2^63, so any bit-assembly sum stays inside BIGINT exactly like
+    * a JVM Long. Shared by every oracle that packs 64 predicate bits
+    * into a signature.
+    */
+  private[graft] def pow2Signed64Array: String =
+    (0 until 64).map(j =>
+      if (j == 63) Long.MinValue else 1L << j).mkString("[", ", ", "]")
+
+  /** DuckDB CTE chain replaying [[hamming64Candidates]] over ANY
+    * precomputed signature CTE `sigsCte(doc_id, sig BIGINT)`:
+    * `{prefix}banded` ([[banded64]]'s adaptive `maxHamming + 1`
+    * integer-division band bounds) and `{prefix}pairs`
+    * `(id_a, id_b, hamming)` filtered to `≤ maxHamming`. The shared
+    * tail of [[simhashCandDuckCtes]], factored out so non-text
+    * signatures (the audio fingerprint oracle) replay the identical
+    * blocking join.
+    */
+  def hamming64PairsDuckCtes(
+      sigsCte: String,
+      prefix: String,
+      maxHamming: Int = 3): String = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming must be in [0, 15], got $maxHamming")
+    val nBands = maxHamming + 1
+    val bounds = (0 to nBands).map(i => 64 * i / nBands)
+    val bandRows = (0 until nBands).map { i =>
+      val width = bounds(i + 1) - bounds(i)
+      val mask = if (width == 64) -1L else (1L << width) - 1L
+      s"(${i}, ${bounds(i)}, ${mask})"
+    }.mkString(", ")
+    s"""${prefix}banded AS (
        |  SELECT doc_id, sig, bd.band,
        |    (sig >> bd.lo) & bd.m AS bucket
-       |  FROM sh_sigs, (VALUES $bandRows) AS bd(band, lo, m)),
-       |sh_pairs AS (
+       |  FROM $sigsCte, (VALUES $bandRows) AS bd(band, lo, m)),
+       |${prefix}pairs AS (
        |  SELECT id_a, id_b, hamming FROM (
        |    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        |      CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
-       |    FROM sh_banded a JOIN sh_banded b
+       |    FROM ${prefix}banded a JOIN ${prefix}banded b
        |      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id) t
        |  WHERE hamming <= $maxHamming)""".stripMargin
   }

@@ -181,4 +181,147 @@ object Graphs {
     Materialize.release(outDeg)
     ranks
   }
+
+  /** DuckDB twin of [[pageRank]] — bit-exact fixed-point replay of the
+    * DECIMAL(19,18) iteration in HUGEINT arithmetic (ranks as scale-18
+    * integers), so `q_pagerank` hash-matches instead of being declared
+    * rows-only.
+    *
+    * What must be replicated, per Spark 4's decimal semantics (all
+    * verified against `Decimal.$div` bytecode + live type probes):
+    *
+    *  - Division computes at scale `MAX_SCALE + 1 = 39` HALF_UP first
+    *    (`BigDecimal.divide(b, 39, HALF_UP)`), then `CheckOverflow`
+    *    rounds ONCE to the result type's scale, then our explicit
+    *    `.cast(RankType)` rounds ONCE more to 18. Result-type scales:
+    *    `rank / out_deg` (BIGINT column → DECIMAL(20,0)) is (38,37);
+    *    `x / lit(n)` gets LITERAL precision — DECIMAL(digits(n),0) —
+    *    so the type is (19+digits(n)+1, 18+digits(n)+1), value-
+    *    dependent, which the SQL derives from
+    *    `len(CAST(count(*) AS VARCHAR))`; `(d*m) / lit(n)` adjusts to
+    *    (38,35).
+    *  - Multiplication of two (19,18)s is exact (≤36 significant
+    *    digits < MathContext's 38), then rounds 36→35, then cast→18.
+    *  - A scale-39 value of magnitude ~1 needs 10^39 > HUGEINT max,
+    *    so the 39→type-scale rounding is folded analytically: with
+    *    `N' = numerator·10^(37-S)`, `a = N'//den`, and the two
+    *    beyond-37 digits summarized as
+    *    `u = (100·(N'%den))//den + half-round ∈ [0,100]`, the
+    *    one-step round of `v39 = 100a+u` to scale `39-k` is
+    *    `a//10^(k-2) + [2·(100·(a%10^(k-2)) + u) ≥ 10^k]` — every
+    *    operand ≤ ~10^37. Verified ≡ BigDecimal on 50 random graphs
+    *    plus boundary probes before being frozen here.
+    *  - Dangling mass is a per-iteration scalar (anti-join sum) and
+    *    the final DOUBLE is produced by string-casting the scale-18
+    *    integer (both engines' string→double conversions are
+    *    correctly rounded; `BigDecimal.doubleValue` goes through the
+    *    same decimal-string path).
+    *
+    * `edgesSql` must yield columns `(src, dst)`. The returned SQL ends
+    * with `SELECT node, rank` where rank is [[Det.roundSql]]-rounded
+    * to 10 dp, matching `q_pagerank`'s output contract.
+    */
+  def pageRankDuckSql(edgesSql: String, iterations: Int, dNum: Int = 85): String = {
+    require(iterations >= 1, "need at least one iteration")
+    require(dNum >= 0 && dNum <= 100, "damping numerator in [0,100]")
+    val E17 = "100000000000000000::HUGEINT"
+    val E18 = "1000000000000000000::HUGEINT"
+    val E19 = "10000000000000000000::HUGEINT"
+    val IA = "'1" + "0" * 37 + "'::HUGEINT" // 1.0 · 10^(37-18+18)
+    val BN = "'" + (BigInt(100 - dNum) * BigInt(10).pow(35)).toString + "'::HUGEINT"
+    val D18 = "'" + (BigInt(dNum) * BigInt(10).pow(16)).toString + "'::HUGEINT"
+    def rnd(x: String, p: String): String =
+      s"$x // $p + CASE WHEN 2 * ($x % $p) >= $p THEN 1 ELSE 0 END"
+    val head =
+      s"""WITH edges AS ($edgesSql),
+         |nodes AS (
+         |  SELECT DISTINCT node FROM (
+         |    SELECT src AS node FROM edges
+         |    UNION ALL SELECT dst FROM edges) tn),
+         |outdeg AS (
+         |  SELECT src AS node, CAST(count(*) AS HUGEINT) AS deg
+         |  FROM edges GROUP BY src),
+         |linked AS (
+         |  SELECT e.src, e.dst, o.deg
+         |  FROM edges e JOIN outdeg o ON e.src = o.node),
+         |t0 AS (
+         |  SELECT CAST(count(*) AS HUGEINT) AS n,
+         |    CAST('1' || repeat('0',
+         |      CAST(18 - len(CAST(count(*) AS VARCHAR)) AS INTEGER))
+         |      AS HUGEINT) AS p18md,
+         |    CAST('1' || repeat('0',
+         |      CAST(len(CAST(count(*) AS VARCHAR)) + 1 AS INTEGER))
+         |      AS HUGEINT) AS p10b
+         |  FROM nodes),
+         |t1 AS (
+         |  SELECT n, p18md, p10b,
+         |    $IA // n AS ai, 100 * ($IA % n) AS ti,
+         |    $BN // n AS ab, 100 * ($BN % n) AS tb
+         |  FROM t0),
+         |t2 AS (
+         |  SELECT n, p18md, p10b, ai, ${rnd("ti", "n")} AS ui,
+         |    ab, ${rnd("tb", "n")} AS ub
+         |  FROM t1),
+         |t3 AS (
+         |  SELECT n, p18md, p10b, ai // p18md AS bi, ai % p18md AS ci, ui,
+         |    ab // p18md AS bb, ab % p18md AS cb, ub
+         |  FROM t2),
+         |t4 AS (
+         |  SELECT n, p10b,
+         |    bi + CASE WHEN 2 * (100 * ci + ui) >= 100 * p18md
+         |         THEN 1 ELSE 0 END AS vsi,
+         |    bb + CASE WHEN 2 * (100 * cb + ub) >= 100 * p18md
+         |         THEN 1 ELSE 0 END AS vsb
+         |  FROM t3),
+         |sc AS (
+         |  SELECT n, ${rnd("vsi", "p10b")} AS init,
+         |    ${rnd("vsb", "p10b")} AS base
+         |  FROM t4),
+         |r0 AS (SELECT node, sc.init AS rank FROM nodes CROSS JOIN sc)""".stripMargin
+    val iters = (1 to iterations).map { j =>
+      val i = j - 1
+      s"""x$j AS (
+         |  SELECT l.dst AS node, l.deg, r.rank * $E19 AS np
+         |  FROM linked l JOIN r$i r ON l.src = r.node),
+         |y$j AS (
+         |  SELECT node, deg, np // deg AS qa, 100 * (np % deg) AS qt
+         |  FROM x$j),
+         |z$j AS (
+         |  SELECT node, qa + CASE WHEN ${rnd("qt", "deg")} >= 50
+         |    THEN 1 ELSE 0 END AS v37
+         |  FROM y$j),
+         |c$j AS (
+         |  SELECT node, SUM(${rnd("v37", E19)}) AS inbound
+         |  FROM z$j GROUP BY node),
+         |m$j AS (
+         |  SELECT COALESCE(SUM(r.rank), 0::HUGEINT) AS m
+         |  FROM r$i r LEFT JOIN outdeg o ON r.node = o.node
+         |  WHERE o.node IS NULL),
+         |ga$j AS (SELECT $D18 * m AS p36, sc.n FROM m$j CROSS JOIN sc),
+         |gb$j AS (SELECT (${rnd("p36", "10")}) * 100 AS np, n FROM ga$j),
+         |gc$j AS (SELECT np // n AS qa, 100 * (np % n) AS qt, n FROM gb$j),
+         |gd$j AS (
+         |  SELECT qa // 100 AS qb, qa % 100 AS qc, ${rnd("qt", "n")} AS qu
+         |  FROM gc$j),
+         |ge$j AS (
+         |  SELECT qb + CASE WHEN 2 * (100 * qc + qu) >= 10000
+         |    THEN 1 ELSE 0 END AS v35
+         |  FROM gd$j),
+         |g$j AS (SELECT ${rnd("v35", E17)} AS red FROM ge$j),
+         |da$j AS (SELECT node, $D18 * inbound AS p36 FROM c$j),
+         |db$j AS (SELECT node, ${rnd("p36", "10")} AS v35 FROM da$j),
+         |d$j AS (SELECT node, ${rnd("v35", E17)} AS dv FROM db$j),
+         |r$j AS (
+         |  SELECT nd.node, sc.base + COALESCE(d.dv, 0::HUGEINT) + g.red AS rank
+         |  FROM nodes nd CROSS JOIN sc CROSS JOIN g$j g
+         |  LEFT JOIN d$j d ON nd.node = d.node)""".stripMargin
+    }.mkString(",\n")
+    val rankDouble =
+      s"CAST(CAST(rank // $E18 AS VARCHAR) || '.' || " +
+        s"lpad(CAST(rank % $E18 AS VARCHAR), 18, '0') AS DOUBLE)"
+    val tail =
+      s"""SELECT node, ${graft.functions.Det.roundSql(rankDouble, 10)} AS rank
+         |FROM r$iterations""".stripMargin
+    head + ",\n" + iters + "\n" + tail
+  }
 }

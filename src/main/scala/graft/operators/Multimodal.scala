@@ -744,6 +744,135 @@ object Multimodal {
     }(RowEncoder.encoderFor(outSchema))
   }
 
+  /** DuckDB CTE chain predicting [[aHash64]] closed-form for
+    * [[withPatternWav]] clips — what makes `q_audio_neardup`
+    * oracle-checkable without DuckDB ever decoding a WAV byte.
+    *
+    * Why a formula exists: a pattern clip's frame `k` is 32 samples of
+    * constant magnitude `amp_k = base_k · gain` (quiet frame:
+    * `(base_k >> 5) · gain`), so the decoded frame energy is exactly
+    * `32 · amp_k²` and hash bit `k` reduces to `amp_{k+1} > amp_k`.
+    * Uniform gain scales every energy by `gain²` and cancels out of
+    * all 64 strict comparisons — the SQL therefore needs no gain
+    * input at all (the invariance the fingerprint is FOR, stated as
+    * algebra). What remains is `base_k =
+    * (splitmix64(seed·131 + k) mod_u 180)·16 + 256`, pure integer
+    * arithmetic.
+    *
+    * splitmix64 needs 64-bit wraparound ops DuckDB lacks natively, so
+    * the chain emulates them on non-negative HUGEINTs in [0, 2^64):
+    * xor via 32-bit halves (`xor` is BIGINT-only), multiply-mod-2^64
+    * via the lo/hi split `(a_lo·c + ((a_hi·c) mod 2^32)·2^32) mod
+    * 2^64` (every operand ≤ 2^97 < HUGEINT max), unsigned `>>> s` as
+    * `// 2^s`. Verified ≡ `java.lang.Long` semantics on 100k random
+    * inputs before being frozen here.
+    *
+    * `seedCteBody` must yield `(doc_id, seed HUGEINT, quiet)` — the
+    * planted-corpus derivation stays with the query; this chain ends
+    * at `{prefix}sigs (doc_id, sig BIGINT)`, ready for
+    * [[Dedup.hamming64PairsDuckCtes]].
+    */
+  def aHashPatternDuckCtes(seedCteBody: String, prefix: String = "au_"): String =
+    s"""${prefix}seed AS ($seedCteBody),
+       |${prefix}z1 AS (
+       |  SELECT doc_id, quiet, u.k,
+       |    (seed * 131 + u.k + $mix64Golden::HUGEINT) % $mix64W64 AS z
+       |  FROM ${prefix}seed, unnest(range(0, 65)) AS u(k)),
+       |${mix64ChainDuckCtes(prefix, Seq("quiet"))},
+       |${prefix}amp AS (
+       |  SELECT doc_id, k,
+       |    CASE WHEN k = quiet THEN ((z % 180) * 16 + 256) // 32
+       |         ELSE (z % 180) * 16 + 256 END AS amp
+       |  FROM ${prefix}z6),
+       |${prefix}sigs AS (
+       |  SELECT a.doc_id,
+       |    CAST(SUM(CASE WHEN b.amp > a.amp
+       |      THEN ${Dedup.pow2Signed64Array}[a.k + 1] ELSE 0 END) AS BIGINT) AS sig
+       |  FROM ${prefix}amp a
+       |  JOIN ${prefix}amp b ON b.doc_id = a.doc_id AND b.k = a.k + 1
+       |  GROUP BY a.doc_id)""".stripMargin
+
+  /** DuckDB CTE chain predicting [[dHash64]] closed-form for
+    * [[withPatternPng]] images — `q_image_neardup`/`q_image_dedup`'s
+    * oracle, with DuckDB never inflating a PNG byte.
+    *
+    * Why a formula exists: the pattern renderer assigns pixel grays by
+    * the SAME `(y·8/h, x·9/w)` grid walk dHash downsamples with, so
+    * every pixel of dHash cell `(r, c)` holds the identical gray
+    * `g(r·9+c)` and the cross-multiplied mean comparison collapses to
+    * `g(cell) > g(cell+1)` exactly (PNG is lossless, so decoded grays
+    * are the rendered ones — pinned by the planted-pair specs). What
+    * remains is `base = (splitmix64(seed·73 + cell) mod_u 16)·16` with
+    * the flip/delta/clamp arithmetic, integer-exact in SQL.
+    *
+    * `seedCteBody` must yield `(doc_id, seed HUGEINT, delta, flip)`;
+    * the chain ends at `{prefix}sigs (doc_id, sig BIGINT)` for
+    * [[Dedup.hamming64PairsDuckCtes]]. Bit `(r, c)` of the sig is
+    * assembled at index `r·8+c` over the 8×8 comparison grid, exactly
+    * [[dHash64]]'s packing.
+    */
+  def dHashPatternDuckCtes(seedCteBody: String, prefix: String = "im_"): String =
+    s"""${prefix}seed AS ($seedCteBody),
+       |${prefix}z1 AS (
+       |  SELECT doc_id, delta, flip, u.k,
+       |    (seed * 73 + u.k + $mix64Golden::HUGEINT) % $mix64W64 AS z
+       |  FROM ${prefix}seed, unnest(range(0, 72)) AS u(k)),
+       |${mix64ChainDuckCtes(prefix, Seq("delta", "flip"))},
+       |${prefix}gray AS (
+       |  SELECT doc_id, k,
+       |    GREATEST(0, LEAST(255,
+       |      CASE WHEN k = flip THEN 240 - (z % 16) * 16
+       |           ELSE (z % 16) * 16 + delta END)) AS g
+       |  FROM ${prefix}z6),
+       |${prefix}sigs AS (
+       |  SELECT a.doc_id,
+       |    CAST(SUM(CASE WHEN a.g > b.g
+       |      THEN ${Dedup.pow2Signed64Array}[(a.k // 9) * 8 + (a.k % 9) + 1]
+       |      ELSE 0 END) AS BIGINT) AS sig
+       |  FROM ${prefix}gray a
+       |  JOIN ${prefix}gray b ON b.doc_id = a.doc_id AND b.k = a.k + 1
+       |    AND a.k % 9 < 8
+       |  GROUP BY a.doc_id)""".stripMargin
+
+  private val mix64W64 = "18446744073709551616::HUGEINT"
+  private val mix64Golden = new java.math.BigInteger("9E3779B97F4A7C15", 16)
+
+  /** The splitmix64 finalizer as staged DuckDB CTEs `{prefix}z2` …
+    * `{prefix}z6` over `{prefix}z1 (doc_id, carry..., k, z)` — the
+    * 64-bit wraparound emulation [[aHashPatternDuckCtes]] documents,
+    * shared with [[dHashPatternDuckCtes]].
+    */
+  private def mix64ChainDuckCtes(prefix: String, carry: Seq[String]): String = {
+    val w32 = "4294967296::HUGEINT"
+    val cols = carry.mkString(", ")
+    def xorStage(shift: Int): String = {
+      val sh = s"${1L << shift}"
+      s"""(xor(CAST(z // $w32 AS BIGINT),
+         |         CAST((z // $sh) // $w32 AS BIGINT))::HUGEINT * $w32)
+         |    + xor(CAST(z % $w32 AS BIGINT),
+         |          CAST((z // $sh) % $w32 AS BIGINT))::HUGEINT AS z""".stripMargin
+    }
+    def mulStage(c: java.math.BigInteger): String =
+      s"""((z % $w32) * $c::HUGEINT
+         |      + (((z // $w32) * $c::HUGEINT) % $w32) * $w32) % $mix64W64 AS z""".stripMargin
+    def u(hex: String) = new java.math.BigInteger(hex, 16)
+    s"""${prefix}z2 AS (
+       |  SELECT doc_id, $cols, k, ${xorStage(30)}
+       |  FROM ${prefix}z1),
+       |${prefix}z3 AS (
+       |  SELECT doc_id, $cols, k, ${mulStage(u("BF58476D1CE4E5B9"))}
+       |  FROM ${prefix}z2),
+       |${prefix}z4 AS (
+       |  SELECT doc_id, $cols, k, ${xorStage(27)}
+       |  FROM ${prefix}z3),
+       |${prefix}z5 AS (
+       |  SELECT doc_id, $cols, k, ${mulStage(u("94D049BB133111EB"))}
+       |  FROM ${prefix}z4),
+       |${prefix}z6 AS (
+       |  SELECT doc_id, $cols, k, ${xorStage(31)}
+       |  FROM ${prefix}z5)""".stripMargin
+  }
+
   /** Attach a synthetic constant-magnitude tone WAV per row
     * ([[withTestPng]]'s audio twin — decoded stats exactly
     * predictable by an external oracle). */

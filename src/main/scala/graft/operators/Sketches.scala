@@ -153,6 +153,111 @@ object Sketches {
       new java.io.ByteArrayInputStream(merged))
   }
 
+  /** DuckDB twin of the whole [[cmsPartials]]→[[cmsMerge]]→
+    * `estimateCount` serving path for STRING items — what flips
+    * `q_cms_tokens` from rows-only to hash-exact.
+    *
+    * Three facts make a SQL twin possible:
+    *
+    *  1. CMS union is cell-wise addition, so per-slice partials merged
+    *     then queried ≡ one global sketch over all occurrences — the
+    *     oracle never materializes per-slice tables, just
+    *     `cell(i, b) = Σ count(token) · [bucket_i(token) = b]`.
+    *  2. Spark's string bucket derivation
+    *     (`CountMinSketchImpl.getHashBuckets`, verified from
+    *     bytecode + a reflection probe) is seed-independent double
+    *     hashing: `h1 = murmur3_x86_32(bytes, 0)`,
+    *     `h2 = murmur3_x86_32(bytes, h1)`,
+    *     `bucket_i = abs((h1 + i·h2) mod width)` in SIGNED 32-bit
+    *     arithmetic — Java's truncating `%` is DuckDB's `%`, and the
+    *     estimate is the min of the depth cells.
+    *  3. The sketch library's murmur variant mixes the unaligned TAIL
+    *     bytes one SIGN-EXTENDED byte at a time through the full
+    *     k1/h1 mix (unlike reference murmur3's tail accumulation), so
+    *     the fold is uniform: 4-byte little-endian words, then tail
+    *     bytes, then `fmix(len)`.
+    *
+    * The 32-bit wraparound ops run on HUGEINTs in [0, 2^32) (`xor`
+    * via BIGINT casts — every value fits; `rotl r` as
+    * `x·2^r mod 2^32 + x ÷ 2^(32−r)`), folded per token with
+    * `list_reduce`. Byte extraction uses `ord` per character, exact
+    * for the pure-ASCII corpus (verified ≤ 0x79 at every SF) — a
+    * non-ASCII token would need BLOB byte access instead. Verified ≡
+    * `java.lang.Integer` murmur semantics against a JVM
+    * `getHashBuckets` reflection probe before being frozen here.
+    *
+    * `depth`/`width` must match the build's eps/confidence
+    * (`width = ceil(2/eps)`, `depth = ceil(log2(1/(1−confidence)))` —
+    * the defaults 0.001/0.99 give 7 × 2000, probe-confirmed).
+    */
+  def cmsTokensDuckSql(
+      toksExpr: String,
+      probeLimit: Int = 20,
+      depth: Int = 7,
+      width: Int = 2000): String = {
+    val w32 = "4294967296"
+    def xor32(a: String, b: String): String =
+      s"CAST(xor(CAST($a AS BIGINT), CAST($b AS BIGINT)) AS HUGEINT)"
+    def rotl(x: String, r: Int): String =
+      s"(($x) * ${1L << r} % $w32 + ($x) // ${1L << (32 - r)})"
+    def mixK1(w: String): String =
+      s"(${rotl(s"(($w) * 3432918353 % $w32)", 15)} * 461845907 % $w32)"
+    def mixH1(h: String, k1: String): String =
+      s"(${rotl(xor32(h, k1), 13)} * 5 % $w32 + 3864292196) % $w32"
+    def murmurCtes(src: String, keep: Seq[String], seedExpr: String,
+        out: String, p: String): String = {
+      val k = keep.mkString(", ")
+      s"""${p}g AS (
+         |  SELECT $k, len, hws,
+         |    list_reduce(list_prepend(CAST($seedExpr AS HUGEINT), hws),
+         |      (h, w) -> ${mixH1("h", mixK1("w"))}) AS g
+         |  FROM $src),
+         |${p}fa AS (SELECT $k, len, hws, ${xor32("g", "len")} AS f FROM ${p}g),
+         |${p}fb AS (SELECT $k, len, hws, ${xor32("f", "f // 65536")} AS f FROM ${p}fa),
+         |${p}fc AS (SELECT $k, len, hws, f * 2246822507 % $w32 AS f FROM ${p}fb),
+         |${p}fd AS (SELECT $k, len, hws, ${xor32("f", "f // 8192")} AS f FROM ${p}fc),
+         |${p}fe AS (SELECT $k, len, hws, f * 3266489909 % $w32 AS f FROM ${p}fd),
+         |${p}out AS (SELECT $k, len, hws, ${xor32("f", "f // 65536")} AS $out FROM ${p}fe)""".stripMargin
+    }
+    s"""WITH tok_occ AS (
+       |  SELECT unnest($toksExpr) AS token FROM documents),
+       |tok_cnt AS (
+       |  SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok_occ GROUP BY token),
+       |tok_words AS (
+       |  SELECT token, n, CAST(length(token) AS HUGEINT) AS len,
+       |    list_concat(
+       |      list_transform(range(0, (length(token) - length(token) % 4) // 4), j ->
+       |        CAST(ord(token[CAST(4*j+1 AS INTEGER)])
+       |          + ord(token[CAST(4*j+2 AS INTEGER)]) * 256
+       |          + ord(token[CAST(4*j+3 AS INTEGER)]) * 65536
+       |          + ord(token[CAST(4*j+4 AS INTEGER)]) * 16777216 AS HUGEINT)),
+       |      list_transform(range(length(token) - length(token) % 4, length(token)), j ->
+       |        CAST(CASE WHEN ord(token[CAST(j+1 AS INTEGER)]) >= 128
+       |                  THEN 4294967040 + ord(token[CAST(j+1 AS INTEGER)])
+       |                  ELSE ord(token[CAST(j+1 AS INTEGER)]) END AS HUGEINT))) AS hws
+       |  FROM tok_cnt),
+       |${murmurCtes("tok_words", Seq("token", "n"), "0", "h1", "m1")},
+       |${murmurCtes("m1out", Seq("token", "n", "h1"), "h1", "h2", "m2")},
+       |tok_buck AS (
+       |  SELECT token, n, i,
+       |    abs(CASE WHEN tv >= 2147483648 THEN tv - $w32 ELSE tv END
+       |        % $width) AS bkt
+       |  FROM (
+       |    SELECT token, n, u.i AS i,
+       |      (h1 + CAST(u.i AS HUGEINT) * h2) % $w32 AS tv
+       |    FROM m2out, unnest(range(0, $depth)) AS u(i)) s),
+       |cells AS (
+       |  SELECT i, bkt, SUM(n) AS cnt FROM tok_buck GROUP BY i, bkt),
+       |top AS (
+       |  SELECT token, n FROM tok_cnt
+       |  ORDER BY n DESC, token LIMIT $probeLimit)
+       |SELECT t.token, t.n AS exact_n, CAST(MIN(cl.cnt) AS BIGINT) AS cms_est
+       |FROM top t
+       |JOIN tok_buck b ON b.token = t.token
+       |JOIN cells cl ON cl.i = b.i AND cl.bkt = b.bkt
+       |GROUP BY t.token, t.n""".stripMargin
+  }
+
   //
   // The quantile sibling of the HLL pattern: per-slice bin-count
   // vectors whose merge is element-wise addition — EXACT sketch

@@ -186,9 +186,11 @@ object TextAnalysis {
     * cut mid-sentence, which degrades embedding quality.
     *
     * One sequential `aggregate` fold per row (chunk state = the
-    * accumulated array + current buffer), map-only at any scale. Not
-    * SQL-oracle-checkable (no portable fold-with-struct-state) —
-    * deterministic, spec-pinned, rows-only in the driver gate.
+    * accumulated array + current buffer), map-only at any scale.
+    * Oracle-checkable: the fold is pure integer/string arithmetic, so
+    * `list_reduce` replays it in DuckDB — with the state packed into
+    * one delimited VARCHAR, because DuckDB struct-typed accumulators
+    * drop list-field history (see `TextQueries.sentenceChunksSql`).
     */
   def sentenceChunks(text: Column, maxTokens: Int): Column = {
     require(maxTokens >= 1, "maxTokens must be positive")

@@ -78,6 +78,30 @@ class GraphsSpec extends SparkSpecBase {
     assert(out.as[(Long, Long)].collect().toMap === (1L to 5L).map(_ -> 6L).toMap)
   }
 
+  test("pageRank: exact scale-18 values on a dangling graph (oracle-chain pin)") {
+    // Node 4 is dangling (dst-only) — every iteration redistributes its
+    // mass, exercising the (d·m)/n rounding chain the testdata graph
+    // never hits (all 500 doc-ids cover the mod-97 targets, so the
+    // driver-gate corpus has no dangling node). Expected values are the
+    // exact scale-18 integers from the fixed-point replay of Spark's
+    // decimal semantics (divide at scale 39 HALF_UP, round to the
+    // result-type scale, cast to 18) that pageRankDuckSql encodes —
+    // itself verified against BigDecimal ground truth on 50 random
+    // graphs. Agreement here pins the Spark plan to that same chain.
+    val edges = Seq(1L -> 2L, 1L -> 3L, 2L -> 4L, 3L -> 4L, 5L -> 1L)
+      .toDF("src", "dst")
+    val got = Graphs.pageRank(edges, iterations = 5)
+      .select(col("node"), col("rank").cast("decimal(19,18)"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getDecimal(1).unscaledValue.toString).toMap
+    assert(got === Map(
+      1L -> "179347256240000000",
+      2L -> "168224716390000000",
+      3L -> "168224716390000000",
+      4L -> "392008077940000000",
+      5L -> "92195233040000000"))
+  }
+
   test("pageRank: DECIMAL mass is bit-identical under different partitioning") {
     val edges = (1L to 200L)
       .flatMap(i => Seq(i -> ((i * 7 + 1) % 50), i -> ((i * 13 + 3) % 50)))
