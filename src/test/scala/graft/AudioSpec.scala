@@ -51,6 +51,40 @@ class AudioSpec extends SparkSpecBase {
     }
   }
 
+  test("aHash64 of a pattern WAV equals the closed-form amp comparison (oracle premise)") {
+    // q_audio_neardup's DuckDB oracle predicts each sig without
+    // decoding: frame energies of a pattern clip are 32·(amp·gain)²,
+    // so bit k must reduce to amp(k+1) > amp(k) with gain cancelled.
+    // Pin the full encode->javax.sound-decode->hash pipeline to that
+    // formula over random parameters (the SQL replays this formula).
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    def amp(seed: Long, k: Int, quiet: Int): Long = {
+      val base = java.lang.Long.remainderUnsigned(
+        mix(seed * 131L + k), 180L) * 16L + 256L
+      if (k == quiet) base >> 5 else base
+    }
+    def closedForm(seed: Long, quiet: Int): Long = {
+      var bits = 0L
+      for (k <- 0 until 64)
+        if (amp(seed, k + 1, quiet) > amp(seed, k, quiet)) bits |= 1L << k
+      bits
+    }
+    val rnd = new scala.util.Random(13)
+    for (_ <- 1 to 50) {
+      val seed = rnd.nextInt(10000).toLong
+      val gain = 1 + rnd.nextInt(8)
+      val quiet = if (rnd.nextBoolean()) rnd.nextInt(65) else -1
+      assert(Multimodal.aHash64(
+        Multimodal.encodePatternWav(seed, gain = gain, quietFrame = quiet)) ===
+        closedForm(seed, quiet), s"seed=$seed gain=$gain quiet=$quiet")
+    }
+  }
+
   test("aHash64 stays deterministic on clips shorter than 65 frames") {
     val short = Multimodal.encodeToneWav(nSamples = 40, amp = 500)
     assert(Multimodal.aHash64(short) === Multimodal.aHash64(short))

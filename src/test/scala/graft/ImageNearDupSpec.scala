@@ -28,6 +28,43 @@ class ImageNearDupSpec extends SparkSpecBase {
       "different patterns must land far apart")
   }
 
+  test("dHash64 of a pattern PNG equals the closed-form cell comparison (oracle premise)") {
+    // q_image_neardup's DuckDB oracle never decodes a PNG: it predicts
+    // each sig from the pattern parameters, which is only sound if the
+    // real render->encode->decode->dHash pipeline lands on exactly the
+    // grid-cell gray comparisons. Pin that equivalence on the JVM over
+    // random parameters (the SQL side replays this same formula).
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    def gray(seed: Long, cell: Int, delta: Int, flip: Int): Int = {
+      val base = (java.lang.Long.remainderUnsigned(
+        mix(seed * 73L + cell), 16L) * 16L).toInt
+      val g = if (cell == flip) 240 - base else base + delta
+      math.max(0, math.min(255, g))
+    }
+    def closedForm(seed: Long, delta: Int, flip: Int): Long = {
+      var bits = 0L
+      for (r <- 0 until 8; c <- 0 until 8)
+        if (gray(seed, r * 9 + c, delta, flip) >
+            gray(seed, r * 9 + c + 1, delta, flip))
+          bits |= 1L << (r * 8 + c)
+      bits
+    }
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 50) {
+      val seed = rnd.nextInt(10000).toLong
+      val delta = rnd.nextInt(3) * 4
+      val flip = if (rnd.nextBoolean()) rnd.nextInt(72) else -1
+      assert(Multimodal.dHash64(img(seed, delta, flip)) ===
+        closedForm(seed, delta, flip),
+        s"seed=$seed delta=$delta flip=$flip")
+    }
+  }
+
   test("dHash64: constant image hashes to 0; non-grid-aligned dims still deterministic") {
     val flat = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
       Multimodal.encodePng(20, 20, 128)))

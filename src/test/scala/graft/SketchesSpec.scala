@@ -197,4 +197,69 @@ class SketchesSpec extends SparkSpecBase {
     within3Sigma(got._2, (a -- b).size)
     within3Sigma(got._3, (b -- a).size)
   }
+
+  test("CMS string buckets match the reimplemented double-hashed murmur (oracle premise)") {
+    // q_cms_tokens' DuckDB oracle recomputes Spark's bucket derivation
+    // from scratch: murmur3_x86_32 with per-byte sign-extended tail
+    // mixing, h2 chained off h1, abs((h1 + i*h2) % width) in signed
+    // 32-bit arithmetic. Pin that reimplementation against the sketch
+    // library's private getHashBuckets so a Spark upgrade that changes
+    // hashing breaks HERE, not silently in the driver gate. Also pin
+    // the depth/width the oracle hard-codes for the default build.
+    val cms = org.apache.spark.util.sketch.CountMinSketch.create(0.001, 0.99, 42)
+    assert(cms.depth === 7 && cms.width === 2000,
+      s"default CMS geometry moved: ${cms.depth}x${cms.width}")
+
+    def mixK1(k: Int): Int = {
+      var k1 = k * 0xcc9e2d51
+      k1 = Integer.rotateLeft(k1, 15)
+      k1 * 0x1b873593
+    }
+    def mixH1(h: Int, k1: Int): Int = {
+      var h1 = h ^ k1
+      h1 = Integer.rotateLeft(h1, 13)
+      h1 * 5 + 0xe6546b64
+    }
+    def fmix(h: Int, len: Int): Int = {
+      var h1 = h ^ len
+      h1 ^= h1 >>> 16; h1 *= 0x85ebca6b
+      h1 ^= h1 >>> 13; h1 *= 0xc2b2ae35
+      h1 ^ (h1 >>> 16)
+    }
+    def murmur(data: Array[Byte], seed: Int): Int = {
+      var h1 = seed
+      val aligned = data.length - data.length % 4
+      var i = 0
+      while (i < aligned) {
+        val w = (data(i) & 0xFF) | (data(i + 1) & 0xFF) << 8 |
+          (data(i + 2) & 0xFF) << 16 | (data(i + 3) & 0xFF) << 24
+        h1 = mixH1(h1, mixK1(w))
+        i += 4
+      }
+      while (i < data.length) {
+        h1 = mixH1(h1, mixK1(data(i))) // sign-extended tail byte
+        i += 1
+      }
+      fmix(h1, data.length)
+    }
+    def buckets(token: String, depth: Int, width: Int): Array[Int] = {
+      val bytes = token.getBytes("UTF-8")
+      val h1 = murmur(bytes, 0)
+      val h2 = murmur(bytes, h1)
+      Array.tabulate(depth)(i => math.abs((h1 + i * h2) % width))
+    }
+
+    val m = Class.forName("org.apache.spark.util.sketch.CountMinSketchImpl")
+      .getDeclaredMethod("getHashBuckets",
+        classOf[Array[Byte]], classOf[Int], classOf[Int])
+    m.setAccessible(true)
+    val rnd = new scala.util.Random(17)
+    val toks = Seq("key", "a", "lineitem", "xyzzy") ++
+      (1 to 100).map(_ => rnd.alphanumeric.take(1 + rnd.nextInt(12)).mkString)
+    for (t <- toks) {
+      val expected = m.invoke(null, t.getBytes("UTF-8"),
+        Integer.valueOf(7), Integer.valueOf(2000)).asInstanceOf[Array[Int]]
+      assert(buckets(t, 7, 2000).sameElements(expected), s"token '$t'")
+    }
+  }
 }
