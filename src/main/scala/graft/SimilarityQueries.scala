@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Embeddings, Similarity}
+import graft.operators.{Embeddings, Keywords, Retrieval, Similarity}
 
 /** Similarity-search query surface over `embeddings` (64-dim
   * `array<float>`): brute-force cosine top-k baseline plus
@@ -74,6 +74,33 @@ object SimilarityQueries {
   /** DuckDB double-precision cosine with the same sequential
     * summation order as [[Similarity.cosine]]'s fold.
     */
+  /** Hybrid retrieval ([[Retrieval.rrfFuse]]): the BM25 list for
+    * ("table", "spark", "scan") and the cosine-KNN list for vec 0's
+    * embedding (ids are shared between `documents` and `embeddings`),
+    * each cut to a ranked top-50, fused with RRF (k0 = 60) and cut to
+    * the top-20 answers. Oracle-exact end to end: ranks are integers
+    * with (score DESC, id) tie-breaks, each `1/(60+rank)` addend is
+    * one correctly-rounded IEEE division, and the two-addend sum has
+    * fixed association on both sides.
+    */
+  private def hybridSearchQ(s: SparkSession, d: String): DataFrame = {
+    val em = Tables.embeddings(s, d)
+    val text = Retrieval.topRanked(
+      Keywords.bm25(Tables.documents(s, d), "doc_id", "text",
+        Seq("table", "spark", "scan")),
+      "doc_id", "score", n = 50)
+      .select(col("doc_id"), col("rank"))
+    val vec = Similarity.bruteForceKnn(
+        em.filter(col("vec_id") === 0), em,
+        "vec_id", "vec_id", "embedding", "embedding", k = 50)
+      .select(col("neighbor_id").as("doc_id"), col("rank"))
+    Retrieval.rrfFuse(Seq("text" -> text, "vec" -> vec), "doc_id")
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+      .limit(20)
+      .select(col("doc_id"), col("text_rank"), col("vec_rank"),
+        col("rrf_score"))
+  }
+
   private def duckCos(a: String, b: String) =
     s"""(list_sum([$a[i]::DOUBLE * $b[i]::DOUBLE for i in range(1, len($a) + 1)])
        | / (sqrt(list_sum([$a[i]::DOUBLE * $a[i]::DOUBLE for i in range(1, len($a) + 1)]))
@@ -266,5 +293,32 @@ object SimilarityQueries {
          |FROM embeddings a JOIN embeddings b
          |  ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE floor((${duckCos("a.embedding", "b.embedding")}) * 1000000.0 + 0.5) / 1000000.0 >= 0.3""".stripMargin),
+      headline = true),
+    QueryDef("q_hybrid_search", hybridSearchQ, Some(
+      s"""WITH ${graft.operators.Keywords.bm25DuckCtes(
+             graft.operators.TextAnalysis.tokensDuckSql("text"),
+             Seq("table", "spark", "scan"))},
+         |t_cut AS (
+         |  SELECT doc_id, CAST(row_number() OVER (
+         |    ORDER BY score DESC, doc_id) AS INTEGER) AS text_rank
+         |  FROM bm_scores ORDER BY score DESC, doc_id LIMIT 50),
+         |v_sim AS (
+         |  SELECT c.vec_id AS doc_id,
+         |    floor((${duckCos("q.embedding", "c.embedding")})
+         |      * 1000000.0 + 0.5) / 1000000.0 AS sim
+         |  FROM embeddings q JOIN embeddings c
+         |    ON q.vec_id = 0 AND c.vec_id <> 0),
+         |v_cut AS (
+         |  SELECT doc_id, CAST(row_number() OVER (
+         |    ORDER BY sim DESC, doc_id) AS INTEGER) AS vec_rank
+         |  FROM v_sim ORDER BY sim DESC, doc_id LIMIT 50),
+         |fused AS (
+         |  SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id,
+         |    t.text_rank, v.vec_rank,
+         |    COALESCE(1.0 / (60 + t.text_rank), 0.0)
+         |      + COALESCE(1.0 / (60 + v.vec_rank), 0.0) AS rrf_score
+         |  FROM t_cut t FULL OUTER JOIN v_cut v ON t.doc_id = v.doc_id)
+         |SELECT doc_id, text_rank, vec_rank, rrf_score
+         |FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin),
       headline = true))
 }

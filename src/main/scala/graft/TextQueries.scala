@@ -22,8 +22,7 @@ object TextQueries {
   /** DuckDB fragment for whitespace tokens of `e`, empties removed —
     * must stay in lockstep with [[TextAnalysis.tokens]].
     */
-  private def duckToks(e: String) =
-    s"list_filter(regexp_split_to_array(trim($e), '\\s+'), x -> len(x) > 0)"
+  private def duckToks(e: String) = TextAnalysis.tokensDuckSql(e)
 
   private def exactDedup(s: SparkSession, d: String): DataFrame =
     Dedup.exact(Tables.documents(s, d), "doc_id", "text")
@@ -1200,30 +1199,10 @@ object TextQueries {
     graft.operators.Keywords.bm25(
       Tables.documents(s, d), "doc_id", "text", Seq("table", "spark", "scan"))
 
-  private val bm25Sql = {
-    val toks = duckToks("text")
-    s"""WITH lens AS (SELECT doc_id, len($toks) AS dl FROM documents),
-       |corpus AS (
-       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
-       |    CAST(sum(dl) AS BIGINT) AS total_dl
-       |  FROM lens),
-       |tok AS (SELECT doc_id, unnest($toks) AS token FROM documents),
-       |tf AS (
-       |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok
-       |  WHERE token IN ('table', 'spark', 'scan') GROUP BY 1, 2),
-       |dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-       |per AS (
-       |  SELECT tf.doc_id,
-       |    CAST(floor(
-       |      CAST(n_docs AS DOUBLE) / df * (tf * (1.2 + 1.0)) /
-       |        (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl
-       |          / (CAST(total_dl AS DOUBLE) / n_docs)))
-       |      * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS score_t
-       |  FROM tf JOIN dfq USING (token) JOIN lens USING (doc_id)
-       |  CROSS JOIN corpus)
-       |SELECT doc_id, CAST(sum(score_t) AS DOUBLE) AS score
-       |FROM per GROUP BY doc_id""".stripMargin
-  }
+  private val bm25Sql =
+    s"""WITH ${Keywords.bm25DuckCtes(duckToks("text"),
+            Seq("table", "spark", "scan"))}
+       |SELECT doc_id, score FROM bm_scores""".stripMargin
 
   /** Deterministic punctuation for the sentence queries: every run of
     * five words gains a terminator — the corpus is unpunctuated word

@@ -192,6 +192,47 @@ object Keywords {
       .agg(sum(col("score_t")).cast("double").as("score"))
   }
 
+  /** DuckDB CTE chain replaying [[bm25]] over `documents`, ending at
+    * `{prefix}scores (doc_id, score DOUBLE)` — shared by the `q_bm25`
+    * oracle and the hybrid-retrieval fusion oracle. Mirrors the
+    * operator step for step: per-term scores Det-rounded to 6 dp then
+    * fixed to DECIMAL(18,6) so the cross-doc sum is order-independent
+    * in both engines, cast to DOUBLE only at the end.
+    */
+  def bm25DuckCtes(
+      toksExpr: String,
+      terms: Seq[String],
+      prefix: String = "bm_",
+      k1: Double = 1.2,
+      b: Double = 0.75): String = {
+    require(terms.nonEmpty, "bm25DuckCtes: no query terms")
+    val inList = terms.distinct.map(t => s"'$t'").mkString(", ")
+    s"""${prefix}lens AS (SELECT doc_id, len($toksExpr) AS dl FROM documents),
+       |${prefix}corpus AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(dl) AS BIGINT) AS total_dl
+       |  FROM ${prefix}lens),
+       |${prefix}tok AS (SELECT doc_id, unnest($toksExpr) AS token FROM documents),
+       |${prefix}tf AS (
+       |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM ${prefix}tok
+       |  WHERE token IN ($inList) GROUP BY 1, 2),
+       |${prefix}dfq AS (
+       |  SELECT token, CAST(count(*) AS BIGINT) AS df FROM ${prefix}tf GROUP BY 1),
+       |${prefix}per AS (
+       |  SELECT tf.doc_id,
+       |    CAST(floor(
+       |      CAST(n_docs AS DOUBLE) / df * (tf * ($k1 + 1.0)) /
+       |        (tf + $k1 * (1.0 - $b + $b * dl
+       |          / (CAST(total_dl AS DOUBLE) / n_docs)))
+       |      * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS score_t
+       |  FROM ${prefix}tf tf JOIN ${prefix}dfq USING (token)
+       |  JOIN ${prefix}lens USING (doc_id)
+       |  CROSS JOIN ${prefix}corpus),
+       |${prefix}scores AS (
+       |  SELECT doc_id, CAST(sum(score_t) AS DOUBLE) AS score
+       |  FROM ${prefix}per GROUP BY doc_id)""".stripMargin
+  }
+
   /** [[searchAll]] served from a prebuilt [[invertedIndex]] instead
     * of the corpus: filter the index to the query terms (token-key
     * lookup — with a blocked index this touches only matching rows),

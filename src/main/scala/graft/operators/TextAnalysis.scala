@@ -23,6 +23,11 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** DuckDB twin of [[tokens]] — the whitespace split + empty filter
+    * every token-level oracle starts from. */
+  def tokensDuckSql(e: String): String =
+    s"list_filter(regexp_split_to_array(trim($e), '\\s+'), x -> len(x) > 0)"
+
   /** Engine-portable token hash in `[0, 2^31-1)`: the first 15 hex
     * chars of md5 (60 bits) parsed as an integer, reduced mod
     * p = 2^31-1 — the [[Classifier.featureId]] md5 trick widened to
