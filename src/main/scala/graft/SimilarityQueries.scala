@@ -37,6 +37,46 @@ object SimilarityQueries {
       k = 5, dim = 64, nBits = 8, probeHamming = 1)
   }
 
+  /** Binary-signature ANN serving path ([[Similarity.binaryKnn]]):
+    * 64-dim floats → one sign-bit BIGINT, Hamming-popcount shortlist
+    * of 32, exact cosine re-rank to top-5. Same query shape as
+    * [[knn]]; the whole path is integer-decided, so the oracle
+    * replays it hash-exactly ([[Embeddings.signBits64DuckSql]]).
+    */
+  private def binaryKnnQ(s: SparkSession, d: String): DataFrame = {
+    val em = Tables.embeddings(s, d)
+    Similarity.binaryKnn(
+      em.filter(col("vec_id") < 10), em,
+      "vec_id", "vec_id", "embedding", "embedding",
+      k = 5, shortlist = 32)
+  }
+
+  /** Streaming embedding near-dup gate: [[Embeddings.signBits64]]
+    * sign signatures through the SAME shared
+    * [[graft.streaming.Hamming64Gate]] that serves SimHash text,
+    * image, and audio fingerprints — replayed over the embeddings
+    * table in two parity micro-batches (vec_id even, then odd) at
+    * Hamming ≤ 6 (≈ cos 0.95 for 64-dim sign sketches). Oracle:
+    * the all-pairs `bit_count(xor)` candidate CTE (banded blocking
+    * is lossless at ≤ the threshold, so the pair sets coincide) fed
+    * to [[graft.operators.Dedup.gateReplayDuckCtes]] over the
+    * `embeddings.vec_id` universe.
+    */
+  private def streamEmbedGate(s: SparkSession, d: String): DataFrame = {
+    val sigs = Tables.embeddings(s, d)
+      .select(col("vec_id").as("doc_id"),
+        Embeddings.signBits64(col("embedding")).as("sig"))
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_ebgate_state").toString
+    val a0 = graft.streaming.Hamming64Gate.acceptBatch(
+      sigs.filter(col("doc_id") % 2 === 0), 0L, "doc_id", "sig", stateDir,
+      maxHamming = 6)
+    val a1 = graft.streaming.Hamming64Gate.acceptBatch(
+      sigs.filter(col("doc_id") % 2 =!= 0), 1L, "doc_id", "sig", stateDir,
+      maxHamming = 6)
+    a0.union(a1).select("doc_id")
+  }
+
   /** PQ-compressed top-k ([[Similarity.pqKnn]]): 64-dim floats → 8
     * one-byte codes, ADC shortlist from codes alone, exact re-rank.
     * Rows-only (Lloyd means are FP; the recall and exact-sim
@@ -286,6 +326,45 @@ object SimilarityQueries {
          |  FROM cand) t
          |WHERE rank <= 5""".stripMargin
     }),
+    QueryDef("q_binary_knn", binaryKnnQ, Some(
+      s"""WITH sig AS (
+         |  SELECT vec_id, embedding,
+         |    ${Embeddings.signBits64DuckSql("embedding")} AS s
+         |  FROM embeddings),
+         |cand AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    bit_count(xor(q.s, c.s)) AS ham
+         |  FROM sig q JOIN sig c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         |short AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY ham, neighbor_id) AS hr
+         |    FROM cand) t WHERE hr <= 32),
+         |scored AS (
+         |  SELECT sh.query_id, sh.neighbor_id,
+         |    floor((${duckCos("q.embedding", "c.embedding")}) * 1000000.0 + 0.5) / 1000000.0 AS sim
+         |  FROM short sh
+         |  JOIN sig q ON q.vec_id = sh.query_id
+         |  JOIN sig c ON c.vec_id = sh.neighbor_id)
+         |SELECT query_id, neighbor_id, sim, rank FROM (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 5""".stripMargin),
+      headline = true),
+    QueryDef("q_stream_embed_gate", streamEmbedGate, Some(
+      s"""WITH RECURSIVE eb_sig AS (
+         |  SELECT vec_id,
+         |    ${Embeddings.signBits64DuckSql("embedding")} AS s
+         |  FROM embeddings),
+         |eb_pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM eb_sig a JOIN eb_sig b ON a.vec_id < b.vec_id
+         |  WHERE bit_count(xor(a.s, b.s)) <= 6),
+         |${graft.operators.Dedup.gateReplayDuckCtes(
+              "eb_pairs", exact = false,
+              table = "embeddings", idCol = "vec_id")}
+         |SELECT doc_id FROM gate_accept""".stripMargin)),
     QueryDef("q_pq_knn", pqKnnQ, None, headline = true),
     QueryDef("q_embed_neardup", embedNeardup, Some(
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -848,12 +848,22 @@ object Dedup {
     * no SQL twin here. Emits `gate_accept(doc_id)`; the enclosing
     * query MUST open with `WITH RECURSIVE` (two recursive frontiers,
     * `g_e_reach` / `g_o_reach`, same shape as [[ccDuckCtes]]).
+    *
+    * `table`/`idCol` name the id universe the gate streams over
+    * (default the `documents` corpus; `q_stream_embed_gate` replays
+    * over `embeddings.vec_id`). The emitted id column is always
+    * `doc_id` — the gate's output name, whatever the source.
     */
-  def gateReplayDuckCtes(pairsCte: String, exact: Boolean): String = {
+  def gateReplayDuckCtes(
+      pairsCte: String,
+      exact: Boolean,
+      table: String = "documents",
+      idCol: String = "doc_id"): String = {
     val state =
-      if (exact) "SELECT doc_id FROM documents WHERE doc_id % 2 = 0"
+      if (exact) "SELECT doc_id FROM g_univ WHERE doc_id % 2 = 0"
       else "SELECT doc_id FROM g_acc0"
-    s"""g_e_pairs AS (
+    s"""g_univ AS (SELECT $idCol AS doc_id FROM $table),
+       |g_e_pairs AS (
        |  SELECT id_a, id_b FROM $pairsCte WHERE id_a % 2 = 0 AND id_b % 2 = 0),
        |g_e_edges AS (
        |  SELECT id_a AS s, id_b AS d FROM g_e_pairs
@@ -865,7 +875,7 @@ object Dedup {
        |  SELECT e.d, r.lbl FROM g_e_reach r JOIN g_e_edges e ON e.s = r.id),
        |g_e_comp AS (SELECT id, min(lbl) AS component FROM g_e_reach GROUP BY id),
        |g_acc0 AS (
-       |  SELECT d.doc_id FROM documents d LEFT JOIN g_e_comp c ON d.doc_id = c.id
+       |  SELECT d.doc_id FROM g_univ d LEFT JOIN g_e_comp c ON d.doc_id = c.id
        |  WHERE d.doc_id % 2 = 0 AND (c.id IS NULL OR c.component = d.doc_id)),
        |g_state AS ($state),
        |g_o_hit AS (
@@ -887,7 +897,7 @@ object Dedup {
        |g_o_touch AS (
        |  SELECT DISTINCT c.component FROM g_o_comp c JOIN g_o_hit h ON c.id = h.id),
        |g_acc1 AS (
-       |  SELECT d.doc_id FROM documents d
+       |  SELECT d.doc_id FROM g_univ d
        |  LEFT JOIN g_o_comp c ON d.doc_id = c.id
        |  LEFT JOIN g_o_hit h ON d.doc_id = h.id
        |  WHERE d.doc_id % 2 = 1 AND h.id IS NULL

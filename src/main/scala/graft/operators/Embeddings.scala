@@ -99,4 +99,38 @@ object Embeddings {
     when(pmod(floor(h / 1024.0).cast("long"), lit(2)) === 0, lit(1L))
       .otherwise(lit(-1L))
   }
+
+  /** 64-bit binary (sign) signature of a 64-dim vector: bit `i` is
+    * set iff component `i` ≥ 0 — the 1-bit-per-dimension compression
+    * a billion-vector store serves from (32× smaller than float32;
+    * Hamming distance = one `xor` + popcount instead of 64 FP
+    * multiplies, and `1 - ham/64` estimates angular similarity). The
+    * only FP operation is the sign test, so the signature is
+    * bit-exact across engines and partitionings — unlike the int8 /
+    * PQ compressions this one is fully oracle-able.
+    *
+    * A component missing (array shorter than 64) or NULL leaves its
+    * bit clear — `try_element_at` semantics, matching SQL's
+    * `v[i] >= 0 → NULL → else` on short lists. `vec` must be a staged
+    * attribute: all 64 bit branches reference it.
+    */
+  def signBits64(vec: Column): Column =
+    (0 until 64).map { i =>
+      when(try_element_at(vec, lit(i + 1)).cast("double") >= 0,
+        lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+
+  /** DuckDB scalar twin of [[signBits64]] (lockstep-generator house
+    * style): the same 64 sign tests, each contributing its power of
+    * two as a signed-BIGINT summand. Bit 63's summand is
+    * `-2^63` — two's complement directly, so the plain sum of the 64
+    * disjoint-bit terms equals Spark's `bitwiseOR` with no HUGEINT
+    * round-trip (max positive partial sum is `2^63 - 1`; adding the
+    * min-long term cannot overflow).
+    */
+  def signBits64DuckSql(vecExpr: String): String =
+    (0 until 64).map { i =>
+      val v = if (i == 63) "(-9223372036854775807 - 1)" else (1L << i).toString
+      s"(CASE WHEN $vecExpr[${i + 1}] >= 0 THEN CAST($v AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString("(", " + ", ")")
 }

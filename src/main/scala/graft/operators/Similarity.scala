@@ -247,6 +247,63 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Binary-signature top-k — the serving path for a 1-bit-compressed
+    * vector store ([[Embeddings.signBits64]]: 64 dims → one BIGINT,
+    * 32× smaller than float32). Two phases:
+    *
+    *   1. '''Shortlist''': every corpus signature is scored against
+    *      the broadcast query signatures by Hamming distance — one
+    *      `xor` + popcount per pair instead of 64 FP multiplies —
+    *      and the `shortlist` closest per query survive via the
+    *      bounded-heap [[graft.functions.TopKExpr]] (partials ship at
+    *      most `shortlist` ids per partition; the scan stage carries
+    *      `(id, sig)` pairs only, never vectors — at 100 TB the
+    *      signature column is the only thing read).
+    *   2. '''Re-rank''': the shortlist (bounded: |queries| ·
+    *      `shortlist` rows) is broadcast back against the corpus to
+    *      fetch the float vectors of candidates alone, and exact
+    *      rounded cosine picks the final `k` with the catalog-wide
+    *      (sim desc, id asc) tie order.
+    *
+    * Everything that decides membership is integer arithmetic
+    * (sign tests, xor, popcount, row ranks), so unlike int8/PQ this
+    * ANN path is hash-exact oracle-able end to end. Shortlist ties
+    * cut deterministically by (hamming asc, id asc).
+    */
+  def binaryKnn(
+      queries: DataFrame,
+      corpus: DataFrame,
+      queryId: String,
+      corpusId: String,
+      queryVec: String,
+      corpusVec: String,
+      k: Int,
+      shortlist: Int = 32,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val q = queries.select(
+      col(queryId).as("query_id"), col(queryVec).as("__qv"),
+      Embeddings.signBits64(col(queryVec)).as("__qs"))
+    val cSig = corpus.select(col(corpusId).as("neighbor_id"),
+      Embeddings.signBits64(col(corpusVec)).as("__cs"))
+    val paired = cSig.crossJoin(broadcast(q.select(col("query_id"), col("__qs"))))
+    val cand = (if (excludeSelf) paired.filter(col("query_id") =!= col("neighbor_id")) else paired)
+      .select(col("query_id"), col("neighbor_id"),
+        // TopK orders (score desc, id asc); 64 - hamming makes that
+        // (hamming asc, id asc) — closest signatures first.
+        (lit(64) - bit_count(col("__qs").bitwiseXOR(col("__cs")))).cast("double").as("__bscore"))
+    val short = cand.groupBy("query_id")
+      .agg(graft.functions.TopKExpr.topK(col("__bscore"), col("neighbor_id"), shortlist).as("__top"))
+      .select(col("query_id"), explode(col("__top.id")).as("neighbor_id"))
+    val rerank = corpus
+      .select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"))
+      .join(broadcast(short), Seq("neighbor_id"))
+      .join(broadcast(q.select(col("query_id"), col("__qv"))), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Det.round(cosine(col("__qv"), col("__cv")), 6).as("sim"))
+    topKPerQuery(rerank, k)
+  }
+
   /** IVF (inverted-file) index: a coarse quantizer of `nCentroids`
     * cluster centers (deterministic pseudo-random init: the k corpus
     * vectors with the smallest `xxhash64(vec_id)` — a distributed

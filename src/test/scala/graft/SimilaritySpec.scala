@@ -299,4 +299,101 @@ class SimilaritySpec extends SparkSpecBase {
     // the sign hash is not degenerate: components differ
     assert(p(1L).distinct.size > 4, p(1L).mkString(","))
   }
+
+  test("signBits64: known bit patterns; short arrays leave high bits clear") {
+    import graft.operators.Embeddings
+    val allPos = Seq.fill(64)(1.0f)
+    val allNeg = Seq.fill(64)(-1.0f)
+    val onlyBit0 = 1.0f +: Seq.fill(63)(-1.0f)
+    val short2 = Seq(1.0f, -1.0f) // bits 2..63 missing -> clear
+    val df = Seq((1L, allPos), (2L, allNeg), (3L, onlyBit0), (4L, short2))
+      .toDF("id", "v")
+    val got = df.select(col("id"), Embeddings.signBits64(col("v")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) === -1L)        // all 64 bits set
+    assert(got(2L) === 0L)
+    assert(got(3L) === 1L)
+    assert(got(4L) === 1L)
+  }
+
+  test("binaryKnn: identical vector ranks first; high recall on clustered data") {
+    val rnd = new scala.util.Random(11)
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat).toSeq
+    }
+    val centers = Array.fill(40)(Array.fill(64)(rnd.nextGaussian()))
+    val vecs = (0 until 320).map { i =>
+      val c = centers(i % 40)
+      (i.toLong, unit(c.map(x => x + 0.15 * rnd.nextGaussian())))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val qs = df.filter(col("vec_id") < 40)
+    def pairs(r: org.apache.spark.sql.DataFrame) =
+      r.select("query_id", "neighbor_id").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val bf = pairs(Similarity.bruteForceKnn(qs, df, "vec_id", "vec_id",
+      "embedding", "embedding", k = 5))
+    val bin = Similarity.binaryKnn(qs, df, "vec_id", "vec_id",
+      "embedding", "embedding", k = 5, shortlist = 32)
+    val recall = (bf & pairs(bin)).size.toDouble / bf.size
+    assert(recall >= 0.8, s"recall=$recall")
+
+    // a planted exact duplicate of query 0 must be its rank-1 hit:
+    // Hamming 0 survives any shortlist cut, cosine 1.0 wins re-rank
+    val dup = Seq((999L, vecs(0)._2)).toDF("vec_id", "embedding")
+    val withDup = df.union(dup)
+    val top = Similarity.binaryKnn(
+      withDup.filter(col("vec_id") === 0L), withDup,
+      "vec_id", "vec_id", "embedding", "embedding", k = 1)
+      .collect().head
+    assert(top.getAs[Long]("neighbor_id") === 999L)
+    assert(top.getAs[Double]("sim") === 1.0)
+  }
+
+  test("binaryKnn: bit-identical under repartitioning; no cartesian in the plan") {
+    val em = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def run(d: org.apache.spark.sql.DataFrame) = Similarity.binaryKnn(
+      d.filter(col("vec_id") < 10), d,
+      "vec_id", "vec_id", "embedding", "embedding", k = 5, shortlist = 32)
+    val a = run(em).orderBy("query_id", "rank")
+      .collect().map(_.toSeq).toSeq
+    val b = run(em.repartition(17)).orderBy("query_id", "rank")
+      .collect().map(_.toSeq).toSeq
+    assert(a === b)
+    // the shortlist pass is a broadcast of tiny query signatures
+    // against the corpus scan; the re-rank joins are broadcasts of
+    // the bounded shortlist — a CartesianProduct anywhere means the
+    // vectors got pair-joined, which cannot scale
+    val plan = run(em).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("embedding sign-sigs stream through Hamming64Gate: later duplicate rejected") {
+    import graft.operators.Embeddings
+    val rnd = new scala.util.Random(23)
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat).toSeq
+    }
+    val base = (0 until 20).map(i =>
+      (i.toLong, unit(Array.fill(64)(rnd.nextGaussian()))))
+    // vec 21 duplicates vec 0 exactly (Hamming 0) but arrives in the
+    // odd batch — the gate must reject it against batch-0 state
+    val rows = (base :+ (21L, base(0)._2)).toDF("vec_id", "embedding")
+    val sigs = rows.select(col("vec_id").as("doc_id"),
+      Embeddings.signBits64(col("embedding")).as("sig"))
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_ebgate_spec").toString
+    val a0 = graft.streaming.Hamming64Gate.acceptBatch(
+      sigs.filter(col("doc_id") % 2 === 0), 0L, "doc_id", "sig", stateDir,
+      maxHamming = 6)
+    val a1 = graft.streaming.Hamming64Gate.acceptBatch(
+      sigs.filter(col("doc_id") % 2 =!= 0), 1L, "doc_id", "sig", stateDir,
+      maxHamming = 6)
+    val acc0 = a0.select("doc_id").collect().map(_.getLong(0)).toSet
+    val acc1 = a1.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(acc0.contains(0L))
+    assert(!acc1.contains(21L), s"duplicate accepted: $acc1")
+  }
 }
