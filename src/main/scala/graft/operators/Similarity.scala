@@ -270,6 +270,15 @@ object Similarity {
     * ANN path is hash-exact oracle-able end to end. Shortlist ties
     * cut deterministically by (hamming asc, id asc).
     */
+  /** One-off signature index for [[binaryKnn]]: `(id, sig)` — the
+    * 9-bytes-per-vector artifact a corpus persists (or caches) so the
+    * serving scan never touches float vectors. Pass it back through
+    * `binaryKnn(corpusSigs = ...)`.
+    */
+  def sigIndex64(corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
+    corpus.select(col(idCol).as("id"),
+      Embeddings.signBits64(col(vecCol)).as("sig"))
+
   def binaryKnn(
       queries: DataFrame,
       corpus: DataFrame,
@@ -279,13 +288,19 @@ object Similarity {
       corpusVec: String,
       k: Int,
       shortlist: Int = 32,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true,
+      corpusSigs: Option[DataFrame] = None): DataFrame = {
     require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
     val q = queries.select(
       col(queryId).as("query_id"), col(queryVec).as("__qv"),
       Embeddings.signBits64(col(queryVec)).as("__qs"))
-    val cSig = corpus.select(col(corpusId).as("neighbor_id"),
-      Embeddings.signBits64(col(corpusVec)).as("__cs"))
+    // Serving path: score against the persisted/cached [[sigIndex64]]
+    // when one is supplied — the shortlist pass then reads 9 bytes
+    // per corpus vector instead of re-deriving signatures from floats.
+    val cSig = corpusSigs
+      .map(s => s.select(col("id").as("neighbor_id"), col("sig").as("__cs")))
+      .getOrElse(corpus.select(col(corpusId).as("neighbor_id"),
+        Embeddings.signBits64(col(corpusVec)).as("__cs")))
     val paired = cSig.crossJoin(broadcast(q.select(col("query_id"), col("__qs"))))
     val cand = (if (excludeSelf) paired.filter(col("query_id") =!= col("neighbor_id")) else paired)
       .select(col("query_id"), col("neighbor_id"),

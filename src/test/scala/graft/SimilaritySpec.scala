@@ -367,6 +367,14 @@ class SimilaritySpec extends SparkSpecBase {
     // vectors got pair-joined, which cannot scale
     val plan = run(em).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
+    // serving from a prebuilt sigIndex64 is the same query, bit-exact
+    val idx = Similarity.sigIndex64(em, "vec_id", "embedding")
+    val c = Similarity.binaryKnn(
+      em.filter(col("vec_id") < 10), em,
+      "vec_id", "vec_id", "embedding", "embedding", k = 5, shortlist = 32,
+      corpusSigs = Some(idx))
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(c === a)
   }
 
   test("embedding sign-sigs stream through Hamming64Gate: later duplicate rejected") {
