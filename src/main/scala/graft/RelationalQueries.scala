@@ -1041,6 +1041,30 @@ object RelationalQueries {
       col("event_id"),
       get_json_object(col("props"), "$.k").cast("int").as("k_val"))
 
+  /** VARIANT shredding ([[graft.operators.Variant.shred]]): a nested
+    * JSON document (assembled deterministically in-plan from integer
+    * and enum columns — `events.props` itself is flat) is parsed ONCE
+    * into Spark 4's binary variant and three typed fields are
+    * shredded from it: a nested string, a nested int, and an array
+    * element — the parse-once/extract-many ingest shape. The oracle
+    * rebuilds the identical document with `||` and extracts with
+    * DuckDB's JSON functions.
+    */
+  private def variantShred(s: SparkSession, d: String): DataFrame = {
+    val js = concat(
+      lit("{\"meta\":{\"type\":\""), col("event_type"),
+      lit("\",\"k\":"), get_json_object(col("props"), "$.k"),
+      lit("},\"ids\":["), col("event_id").cast("string"),
+      lit(","), col("user_id").cast("string"), lit("]}"))
+    graft.operators.Variant.shred(
+        Tables.events(s, d).withColumn("__js", js),
+        col("__js"),
+        Seq(("vtype", "$.meta.type", "string"),
+          ("vk", "$.meta.k", "int"),
+          ("vuser", "$.ids[1]", "bigint")))
+      .select("event_id", "vtype", "vk", "vuser")
+  }
+
   /** SURVEY §2 P11 — the typed `Dataset[T]` encoder boundary: object
     * filter/map through case-class encoders, back to a frame. (The
     * deserialize/serialize hop is the documented cost of typed ops —
@@ -1815,6 +1839,18 @@ object RelationalQueries {
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
         |FROM events""".stripMargin)),
+    QueryDef("q_variant_shred", variantShred, Some(
+      """WITH j AS (
+        |  SELECT event_id,
+        |    '{"meta":{"type":"' || event_type
+        |      || '","k":' || json_extract_string(props, '$.k')
+        |      || '},"ids":[' || event_id || ',' || user_id || ']}' AS js
+        |  FROM events)
+        |SELECT event_id,
+        |  json_extract_string(js, '$.meta.type') AS vtype,
+        |  CAST(json_extract(js, '$.meta.k') AS INTEGER) AS vk,
+        |  CAST(json_extract(js, '$.ids[1]') AS BIGINT) AS vuser
+        |FROM j""".stripMargin)),
     QueryDef("q_merge_upsert", mergeUpsert, Some(
       """WITH latest AS (
         |  SELECT user_id, op, new_bal FROM (

@@ -201,6 +201,54 @@ object Warehouse {
     (clean, rejects)
   }
 
+  /** XML ingest with DEAD-LETTER routing — the XML sibling of
+    * [[readCsvWithRejects]], on Spark 4's built-in `xml` source:
+    * PERMISSIVE parse keeps every `<rowTag>` record, malformed ones
+    * (uncastable cells, broken nesting inside the record) land whole
+    * in the corrupt column, and the split returns
+    * `(clean rows, rejected raw records)`. Same one-materialization
+    * discipline: the parser must not re-run per filter, and one cut
+    * serves both halves.
+    */
+  def readXmlWithRejects(
+      spark: SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      rowTag: String): (DataFrame, DataFrame) = {
+    require(!schema.fieldNames.contains("_corrupt_record"),
+      "readXmlWithRejects: schema must not already contain _corrupt_record")
+    val withCorrupt = schema.add("_corrupt_record",
+      org.apache.spark.sql.types.StringType)
+    val raw = graft.operators.Materialize(spark.read
+      .option("rowTag", rowTag)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(withCorrupt)
+      .xml(path))
+    val clean = raw.filter(col("_corrupt_record").isNull)
+      .drop("_corrupt_record")
+    val rejects = raw.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw_record"))
+    (clean, rejects)
+  }
+
+  /** XML export (one `<row>` element per record under `<rows>`) —
+    * the write half of the `xml` format pair. Flat columns only, the
+    * same up-front complex-type rejection as [[exportCsv]]: nested
+    * XML spellings are schema-design decisions, not defaults.
+    */
+  def exportXml(df: DataFrame, path: String): Unit = {
+    val complex = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] ||
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] => f.name
+    }
+    require(complex.isEmpty,
+      s"flat XML export — serialize or drop complex columns first: ${complex.mkString(", ")}")
+    df.write.mode("overwrite")
+      .option("rootTag", "rows").option("rowTag", "row").xml(path)
+  }
+
   /** S10 — content-based router: the reference dispatches each
     * message by key presence (`'code' in data`,
     * `DataIngesting.py:55-64`). Set-oriented form: two filtered
