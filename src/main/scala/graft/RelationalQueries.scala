@@ -1175,6 +1175,67 @@ object RelationalQueries {
         "total_under_300k" -> (col("o_totalprice") < 300000.0),
         "custkey_nonnull" -> col("o_custkey").isNotNull))
 
+  /** Keyed pseudonymization ([[graft.operators.TextAnalysis
+    * .pseudonymize]]): user ids replaced by salted-md5 surrogates
+    * before anything reaches a training corpus — stable under the
+    * same salt, so per-user grouping still works on the scrubbed
+    * frame (the query groups by the surrogate to prove it).
+    */
+  private def pseudonymizeQ(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(graft.operators.TextAnalysis
+        .pseudonymize(col("user_id"), "graft-corpus-v1").as("user_token"))
+      .groupBy("user_token")
+      .agg(count(lit(1)).as("n_events"))
+
+  private val expectationsOracle =
+    """SELECT 'positive_total' AS rule,
+      |  CAST(count(CASE WHEN NOT COALESCE(o_totalprice > 0, FALSE) THEN 1 END) AS BIGINT) AS n_violations,
+      |  CAST(count(*) AS BIGINT) AS n_rows
+      |FROM orders
+      |UNION ALL
+      |SELECT 'status_known',
+      |  CAST(count(CASE WHEN NOT COALESCE(o_orderstatus IN ('O','F','P'), FALSE) THEN 1 END) AS BIGINT),
+      |  CAST(count(*) AS BIGINT)
+      |FROM orders
+      |UNION ALL
+      |SELECT 'total_under_300k',
+      |  CAST(count(CASE WHEN NOT COALESCE(o_totalprice < 300000.0, FALSE) THEN 1 END) AS BIGINT),
+      |  CAST(count(*) AS BIGINT)
+      |FROM orders
+      |UNION ALL
+      |SELECT 'custkey_nonnull',
+      |  CAST(count(CASE WHEN NOT COALESCE(o_custkey IS NOT NULL, FALSE) THEN 1 END) AS BIGINT),
+      |  CAST(count(*) AS BIGINT)
+      |FROM orders""".stripMargin
+
+  /** Zero-extra-pass QC ([[graft.operators.Profile
+    * .observeExpectations]]): the SAME four rules as
+    * [[expectationsQ]], but accumulated as `observe` counters inside
+    * a host action (here a noop-sink write standing in for the
+    * pipeline's real write) instead of a dedicated aggregate pass.
+    * The driver-visible metrics map is surfaced as the identical
+    * `(rule, n_violations, n_rows)` shape, so the SAME oracle SQL
+    * checks both formulations — observation ≡ aggregation is itself
+    * the property under test.
+    */
+  private def observeQcQ(s: SparkSession, d: String): DataFrame = {
+    val rules = Seq(
+      "positive_total" -> (col("o_totalprice") > 0),
+      "status_known" -> col("o_orderstatus").isin("O", "F", "P"),
+      "total_under_300k" -> (col("o_totalprice") < 300000.0),
+      "custkey_nonnull" -> col("o_custkey").isNotNull)
+    val (instrumented, obs) =
+      graft.operators.Profile.observeExpectations(Tables.orders(s, d), rules)
+    instrumented.write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    val nRows = m("n_rows").asInstanceOf[Long]
+    import s.implicits._
+    rules.map { case (name, _) =>
+      (name, m(name).asInstanceOf[Long], nRows)
+    }.toDF("rule", "n_violations", "n_rows")
+  }
+
   /** Value-concentration profile
     * ([[graft.operators.Profile.giniImpurity]]): Gini impurity of two
     * categorical columns, engine-exact via integer frequency squares.
@@ -1866,26 +1927,15 @@ object RelationalQueries {
         |FROM customer c FULL OUTER JOIN latest l ON c.c_custkey = l.user_id
         |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin),
       headline = true),
-    QueryDef("q_expectations", expectationsQ, Some(
-      """SELECT 'positive_total' AS rule,
-        |  CAST(count(CASE WHEN NOT COALESCE(o_totalprice > 0, FALSE) THEN 1 END) AS BIGINT) AS n_violations,
-        |  CAST(count(*) AS BIGINT) AS n_rows
-        |FROM orders
-        |UNION ALL
-        |SELECT 'status_known',
-        |  CAST(count(CASE WHEN NOT COALESCE(o_orderstatus IN ('O','F','P'), FALSE) THEN 1 END) AS BIGINT),
-        |  CAST(count(*) AS BIGINT)
-        |FROM orders
-        |UNION ALL
-        |SELECT 'total_under_300k',
-        |  CAST(count(CASE WHEN NOT COALESCE(o_totalprice < 300000.0, FALSE) THEN 1 END) AS BIGINT),
-        |  CAST(count(*) AS BIGINT)
-        |FROM orders
-        |UNION ALL
-        |SELECT 'custkey_nonnull',
-        |  CAST(count(CASE WHEN NOT COALESCE(o_custkey IS NOT NULL, FALSE) THEN 1 END) AS BIGINT),
-        |  CAST(count(*) AS BIGINT)
-        |FROM orders""".stripMargin)),
+    QueryDef("q_expectations", expectationsQ, Some(expectationsOracle)),
+    // the SAME oracle checks the observe-counter formulation —
+    // observation ≡ aggregation is the property under test
+    QueryDef("q_observe_qc", observeQcQ, Some(expectationsOracle)),
+    QueryDef("q_pseudonymize", pseudonymizeQ, Some(
+      s"""SELECT ${graft.operators.TextAnalysis
+            .pseudonymizeDuckSql("user_id", "graft-corpus-v1")} AS user_token,
+         |  CAST(count(*) AS BIGINT) AS n_events
+         |FROM events GROUP BY 1""".stripMargin)),
     QueryDef("q_gini", giniQ, Some(
       """WITH fa AS (SELECT event_type, count(*) AS f FROM events GROUP BY 1),
         |ga AS (

@@ -78,6 +78,38 @@ object Profile {
       .select("rule", "n_violations", "n_rows")
   }
 
+  /** [[checkExpectations]] at ZERO extra passes: the same rule
+    * violation counters attached as an `observe` node on a frame the
+    * pipeline is about to act on anyway (its write, its aggregate).
+    * The counters accumulate inside the existing action's tasks — at
+    * 100 TB the QC gate costs no second scan, which is the difference
+    * between "checked on every ingest" and "checked when someone
+    * remembers".
+    *
+    * Returns the instrumented frame plus the [[org.apache.spark.sql
+    * .Observation]]; after ONE action on the returned frame,
+    * `observation.get` yields `n_rows` and one violation count per
+    * rule name. Null predicate results count as violations, exactly
+    * as in [[checkExpectations]] (spec-pinned equal). Batch only —
+    * streaming queries surface `observe` metrics through the
+    * progress-listener API instead.
+    */
+  def observeExpectations(
+      df: DataFrame,
+      rules: Seq[(String, org.apache.spark.sql.Column)]):
+      (DataFrame, org.apache.spark.sql.Observation) = {
+    require(rules.nonEmpty, "observeExpectations: no rules")
+    val names = rules.map(_._1)
+    require(names.distinct.size == names.size && !names.contains("n_rows"),
+      "observeExpectations: rule names must be unique and not 'n_rows'")
+    val obs = org.apache.spark.sql.Observation()
+    val aggs = count(lit(1)).as("n_rows") +: rules.map {
+      case (name, pred) =>
+        count(when(!coalesce(pred, lit(false)), 1)).as(name)
+    }
+    (df.observe(obs, aggs.head, aggs.tail: _*), obs)
+  }
+
   /** Per-column value-concentration profile: Gini impurity
     * `1 − Σ (n_v/N)²` over the column's value frequencies — 0 when
     * one value dominates completely, approaching 1 as mass spreads.

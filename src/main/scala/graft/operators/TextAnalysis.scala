@@ -299,6 +299,24 @@ object TextAnalysis {
   def redactPii(text: Column): Column =
     redactPhones(redactIpv4(redactEmails(text)))
 
+  /** Keyed pseudonymization: a stable surrogate for an identifier —
+    * `md5(salt || ":" || value)` hex — so the same (salt, id) maps to
+    * the same token everywhere (joins across tables keep working)
+    * while the raw id never reaches the training corpus. Map-only;
+    * re-identification requires the salt, which lives in the
+    * pipeline's secret store, never in data. NULL ids stay NULL
+    * (absent is not an identity). This is scrubbing, not
+    * cryptography: for a public-release corpus with a guessable id
+    * space, rotate to an HMAC with a managed key — the call shape
+    * (and every downstream join) is unchanged.
+    */
+  def pseudonymize(id: Column, salt: String): Column =
+    when(id.isNotNull, md5(concat(lit(salt), lit(":"), id.cast("string"))))
+
+  /** DuckDB twin of [[pseudonymize]]. */
+  def pseudonymizeDuckSql(idExpr: String, salt: String): String =
+    s"CASE WHEN $idExpr IS NOT NULL THEN md5('$salt' || ':' || CAST($idExpr AS VARCHAR)) END"
+
   /** Deterministic train/validation split by multiplicative hashing
     * of the id — pure 64-bit integer arithmetic, so any engine
     * computes the same assignment (no RNG, no salt files).

@@ -112,6 +112,32 @@ class ProfileSpec extends SparkSpecBase {
     assert("Scan parquet".r.findAllIn(plan).length === 1, plan.take(400))
   }
 
+  test("observeExpectations: counters off a host action equal the dedicated pass") {
+    val d = Seq(
+      (1L, Some(5.0)), (2L, Some(-1.0)), (3L, None))
+      .toDF("id", "v")
+    val rules = Seq(
+      "v_positive" -> (col("v") > 0),
+      "id_nonnull" -> col("id").isNotNull)
+    val (instrumented, obs) = Profile.observeExpectations(d, rules)
+    instrumented.write.format("noop").mode("overwrite").save() // the host action
+    val m = obs.get
+    val agg = Profile.checkExpectations(d, rules)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("n_rows") === 3L)
+    rules.foreach { case (name, _) =>
+      assert(m(name) === agg(name), s"observe vs aggregate diverged on $name")
+    }
+    // duplicate / reserved rule names fail loudly
+    intercept[IllegalArgumentException] {
+      Profile.observeExpectations(d, Seq("n_rows" -> col("id").isNotNull))
+    }
+    intercept[IllegalArgumentException] {
+      Profile.observeExpectations(d,
+        Seq("r" -> col("id").isNotNull, "r" -> (col("v") > 0)))
+    }
+  }
+
   test("giniImpurity: 0 for a constant column, (k-1)/k for uniform over k values") {
     val const = Seq.fill(100)("x").toDF("c")
     assert(Profile.giniImpurity(const, "c").head.getDouble(2) === 0.0)

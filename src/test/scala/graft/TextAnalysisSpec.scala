@@ -136,4 +136,23 @@ class TextAnalysisSpec extends SparkSpecBase {
       .as[Seq[String]].collect().head
     assert(got === Seq("http://a", "http://b"))
   }
+
+  test("pseudonymize: stable across tables under one salt, distinct across salts, null-safe") {
+    val a = Seq((1L, "x"), (2L, "y")).toDF("uid", "pa")
+    val b = Seq((1L, "z"), (3L, "w")).toDF("uid", "pb")
+    def tok(df: org.apache.spark.sql.DataFrame, salt: String) =
+      df.withColumn("t", TextAnalysis.pseudonymize(col("uid"), salt))
+    // the surrogate is a join key: same salt, same token per id
+    val joined = tok(a, "s1").select("t", "pa")
+      .join(tok(b, "s1").select("t", "pb"), "t")
+    assert(joined.count() === 1L) // uid 1 only
+    // a different salt yields a disjoint token space
+    val t1 = tok(a, "s1").select("t").as[String].collect().toSet
+    val t2 = tok(a, "s2").select("t").as[String].collect().toSet
+    assert((t1 & t2).isEmpty)
+    // tokens are md5 hex, no raw id leakage by shape; null id stays null
+    assert(t1.forall(_.matches("[0-9a-f]{32}")), t1.mkString(","))
+    val n = Seq((Option.empty[Long], "p")).toDF("uid", "pa")
+    assert(tok(n, "s1").select("t").collect().head.isNullAt(0))
+  }
 }
