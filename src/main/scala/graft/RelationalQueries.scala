@@ -1188,6 +1188,17 @@ object RelationalQueries {
       .groupBy("user_token")
       .agg(count(lit(1)).as("n_events"))
 
+  /** Next-event training pairs ([[graft.operators.Examples
+    * .nextEvent]]): per-user timelines become (3-event context,
+    * next-event label) supervision rows — the log-to-training-set
+    * last mile, built entirely in per-user bounded window frames.
+    */
+  private def nextEventQ(s: SparkSession, d: String): DataFrame =
+    graft.operators.Examples.nextEvent(
+        Tables.events(s, d), "user_id",
+        Seq(col("ts"), col("event_id")), "event_type", k = 3)
+      .select("user_id", "event_id", "context", "label")
+
   private val expectationsOracle =
     """SELECT 'positive_total' AS rule,
       |  CAST(count(CASE WHEN NOT COALESCE(o_totalprice > 0, FALSE) THEN 1 END) AS BIGINT) AS n_violations,
@@ -1931,6 +1942,14 @@ object RelationalQueries {
     // the SAME oracle checks the observe-counter formulation —
     // observation ≡ aggregation is the property under test
     QueryDef("q_observe_qc", observeQcQ, Some(expectationsOracle)),
+    QueryDef("q_next_event", nextEventQ, Some(
+      """SELECT user_id, event_id,
+        |  lag(event_type, 3) OVER w || ' ' || lag(event_type, 2) OVER w
+        |    || ' ' || lag(event_type, 1) OVER w AS context,
+        |  event_type AS label
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |QUALIFY lag(event_type, 3) OVER w IS NOT NULL""".stripMargin)),
     QueryDef("q_pseudonymize", pseudonymizeQ, Some(
       s"""SELECT ${graft.operators.TextAnalysis
             .pseudonymizeDuckSql("user_id", "graft-corpus-v1")} AS user_token,

@@ -49,6 +49,17 @@ object TextQueries {
       col("doc_id"),
       TextAnalysis.langId(col("text")).as("lang_pred"))
 
+  /** Language-id eval ([[graft.operators.Profile.confusion]]): the
+    * declared `lang` column against the n-gram predictor, one
+    * (actual, predicted, n) row per cell — the confusion matrix a
+    * corpus-filter rollout reads before trusting the model.
+    */
+  private def langConfusionQ(s: SparkSession, d: String): DataFrame =
+    graft.operators.Profile.confusion(
+      Tables.documents(s, d).withColumn(
+        "lang_pred", TextAnalysis.langId(col("text"))),
+      "lang", "lang_pred")
+
   private def fingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
       col("doc_id"),
@@ -1434,6 +1445,15 @@ object TextQueries {
     QueryDef("q_quality_score", qualityScore, Some(qualitySql)),
     QueryDef("q_quality_gate", qualityGateQ, Some(qualityGateSql), headline = true),
     QueryDef("q_lang_id", langIdQ, Some(langIdSql)),
+    // confusion matrix of the declared `lang` vs the n-gram language
+    // id — the model-eval query shape: one scan, one aggregate; the
+    // oracle nests the SAME langIdSql prediction
+    QueryDef("q_lang_confusion", langConfusionQ, Some(
+      s"""WITH pred AS ($langIdSql)
+         |SELECT d.lang AS actual, p.lang_pred AS predicted,
+         |  CAST(count(*) AS BIGINT) AS n
+         |FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+         |GROUP BY 1, 2""".stripMargin)),
     QueryDef("q_doc_fingerprint", fingerprint, Some(
       s"""SELECT doc_id, ${TextAnalysis.fingerprintDuckSql(duckToks("text"))} AS fp
          |FROM documents""".stripMargin)),

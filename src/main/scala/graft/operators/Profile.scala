@@ -110,6 +110,21 @@ object Profile {
     (df.observe(obs, aggs.head, aggs.tail: _*), obs)
   }
 
+  /** Confusion matrix — the classifier-eval counterpart of the data
+    * profiles: one row per (actual, predicted) pair with its count.
+    * One hash aggregate over label pairs (map-side partials; the
+    * shuffle carries at most |labels|² rows per partition), so
+    * evaluating a filter model over a full corpus costs one scan.
+    */
+  def confusion(
+      df: DataFrame,
+      actualCol: String,
+      predictedCol: String): DataFrame =
+    df.groupBy(
+        col(actualCol).as("actual"),
+        col(predictedCol).as("predicted"))
+      .agg(count(lit(1)).as("n"))
+
   /** Per-column value-concentration profile: Gini impurity
     * `1 − Σ (n_v/N)²` over the column's value frequencies — 0 when
     * one value dominates completely, approaching 1 as mass spreads.
