@@ -291,6 +291,21 @@ object TextQueries {
         "text", linWeights, intercept = 0.25)
       .select("doc_id", "lin_score")
 
+  /** Gate-calibration sweep ([[Classifier.thresholdSweep]]): the
+    * hashed linear score against the declared-English label, one
+    * confusion row per 0.001-wide score bucket — the table read
+    * before choosing a [[Classifier.gate]] cutoff. Exact integer
+    * counts; the oracle replays the SAME score expression and the
+    * cumulative sums in SQL.
+    */
+  private def scoreSweepQ(s: SparkSession, d: String): DataFrame =
+    Classifier.thresholdSweep(
+      Classifier.withLinearScore(
+          Tables.documents(s, d).select("doc_id", "text", "lang"),
+          "text", linWeights, intercept = 0.25)
+        .withColumn("is_en", col("lang") === "en"),
+      "lin_score", "is_en")
+
   /** Decontamination over the deterministic 90/10 split: how much of
     * each validation doc's 8-gram mass the train side already
     * contains ([[Dedup.contamination]]). Planted near-dup pairs that
@@ -1654,6 +1669,33 @@ object TextQueries {
          |  ${Classifier.linearScoreDuckSql(duckToks("coalesce(text, '')"), linWeights, 0.25)}
          |    AS lin_score
          |FROM documents""".stripMargin)),
+    QueryDef("q_score_sweep", scoreSweepQ, Some(
+      s"""WITH s AS (
+         |  SELECT
+         |    ${Classifier.linearScoreDuckSql(duckToks("coalesce(text, '')"), linWeights, 0.25)}
+         |      AS score,
+         |    (lang = 'en') AS pos
+         |  FROM documents),
+         |f AS (SELECT * FROM s WHERE score IS NOT NULL AND pos IS NOT NULL),
+         |b AS (
+         |  SELECT CAST(floor(score * 1000) AS BIGINT) AS bkt,
+         |    CAST(count(CASE WHEN pos THEN 1 END) AS BIGINT) AS p,
+         |    CAST(count(CASE WHEN NOT pos THEN 1 END) AS BIGINT) AS n
+         |  FROM f GROUP BY 1),
+         |t AS (
+         |  SELECT CAST(sum(p) AS BIGINT) AS tpall,
+         |    CAST(sum(n) AS BIGINT) AS fpall
+         |  FROM b),
+         |c AS (
+         |  SELECT bkt,
+         |    CAST(sum(p) OVER (ORDER BY bkt DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+         |    CAST(sum(n) OVER (ORDER BY bkt DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp
+         |  FROM b)
+         |SELECT c.bkt / 1000.0 AS thr, c.tp, c.fp,
+         |  t.tpall - c.tp AS fn, t.fpall - c.fp AS tn
+         |FROM c, t""".stripMargin)),
     QueryDef("q_heavy_hitters", heavyHitters, Some {
       val toks = duckToks("text")
       s"""WITH tok AS (SELECT unnest($toks) AS token FROM documents),

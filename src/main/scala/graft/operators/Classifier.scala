@@ -108,4 +108,50 @@ object Classifier {
       .filter(col(s) >= lo && col(s) <= hi)
       .drop(s)
   }
+
+  /** Threshold sweep — the calibration table behind choosing a
+    * [[gate]] cutoff: for every score bucket (width `1/resolution`),
+    * the confusion counts of the rule "accept iff score ≥ bucket
+    * threshold". Emits `(thr, tp, fp, fn, tn)` — precision/recall/ROC
+    * derive by division downstream; only exact integer counts and one
+    * deterministic `bkt/resolution` division appear here, so the
+    * sweep is engine-exact.
+    *
+    * Scale shape: one hash aggregate collapses the corpus to ≤
+    * `resolution · score-range` bucket rows; the cumulative window
+    * runs on THAT bounded frame, never the data (the documented
+    * exception to the no-global-window rule, same as the quantile
+    * boundary builds). Rows with a NULL score or label are excluded —
+    * they belong to neither side of any threshold.
+    */
+  def thresholdSweep(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      resolution: Int = 1000): DataFrame = {
+    require(resolution >= 1, "resolution must be positive")
+    val perBkt = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(floor(col(scoreCol) * resolution).cast("long").as("__bkt"),
+        col(labelCol).cast("boolean").as("__pos"))
+      .groupBy("__bkt")
+      .agg(count(when(col("__pos"), 1)).as("__p"),
+        count(when(!col("__pos"), 1)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__bkt").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val tot = perBkt.agg(
+      coalesce(sum("__p"), lit(0L)).as("__tpall"),
+      coalesce(sum("__n"), lit(0L)).as("__fpall"))
+    perBkt
+      .withColumn("tp", sum(col("__p")).over(w))
+      .withColumn("fp", sum(col("__n")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(
+        (col("__bkt") / lit(resolution.toDouble)).as("thr"),
+        col("tp"), col("fp"),
+        (col("__tpall") - col("tp")).as("fn"),
+        (col("__fpall") - col("fp")).as("tn"))
+  }
 }

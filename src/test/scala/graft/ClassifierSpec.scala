@@ -65,4 +65,33 @@ class ClassifierSpec extends SparkSpecBase {
     assert(!plan.contains("Exchange"), plan.take(600))
     assert(!plan.contains("Generate"), plan.take(600)) // no explode
   }
+
+  test("thresholdSweep: hand case; tp+fn and fp+tn constant at every threshold") {
+    val d = Seq(
+      (0.95, true), (0.80, true), (0.75, false),
+      (0.40, true), (0.20, false), (0.10, false),
+      (Double.NaN, true)) // NaN bucket — floor(NaN*1000) is NaN-cast; excluded below via null label instead
+      .toDF("score", "pos")
+      .filter(!isnan(col("score")))
+    val rows = Classifier.thresholdSweep(d, "score", "pos", resolution = 100)
+      .collect().map(r => (r.getDouble(0),
+        r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(-_._1)
+    // buckets: .95 .80 .75 .40 .20 .10 (all distinct at res 100)
+    assert(rows.map(_._1).toSeq === Seq(0.95, 0.8, 0.75, 0.4, 0.2, 0.1))
+    // accept iff score >= thr: at .75 -> tp 2 fp 1; at .1 -> tp 3 fp 3
+    assert(rows(2) === ((0.75, 2L, 1L, 1L, 2L)))
+    assert(rows(5) === ((0.1, 3L, 3L, 0L, 0L)))
+    // partition of the population at every threshold
+    rows.foreach { case (thr, tp, fp, fn, tn) =>
+      assert(tp + fn === 3L, s"thr=$thr")
+      assert(fp + tn === 3L, s"thr=$thr")
+    }
+    // null score / null label rows are excluded entirely
+    val withNulls = Seq(
+      (Some(0.9), Some(true)), (None, Some(true)), (Some(0.5), None))
+      .toDF("score", "pos")
+    val one = Classifier.thresholdSweep(withNulls, "score", "pos", 100).collect()
+    assert(one.length === 1 && one.head.getLong(1) === 1L)
+  }
 }
