@@ -306,6 +306,16 @@ object TextQueries {
         .withColumn("is_en", col("lang") === "en"),
       "lin_score", "is_en")
 
+  /** BM25-hard negative mining ([[Retrieval.hardNegatives]]): for the
+    * first ten docs as queries, the top-5 corpus docs under each
+    * query's own top-3 TF-IDF keywords, excluding the query — the
+    * DPR-style negatives a contrastive retriever trains against.
+    */
+  private def hardNegativesQ(s: SparkSession, d: String): DataFrame =
+    graft.operators.Retrieval.hardNegatives(
+      Tables.documents(s, d), "doc_id", "text",
+      queryFilter = col("doc_id") < 10, m = 3, k = 5)
+
   /** Decontamination over the deterministic 90/10 split: how much of
     * each validation doc's 8-gram mass the train side already
     * contains ([[Dedup.contamination]]). Planted near-dup pairs that
@@ -1669,6 +1679,56 @@ object TextQueries {
          |  ${Classifier.linearScoreDuckSql(duckToks("coalesce(text, '')"), linWeights, 0.25)}
          |    AS lin_score
          |FROM documents""".stripMargin)),
+    QueryDef("q_hard_negatives", hardNegativesQ, Some {
+      val toks = duckToks("text")
+      s"""WITH hn_tok AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+         |hn_tf_all AS (
+         |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+         |  FROM hn_tok GROUP BY 1, 2),
+         |hn_df_all AS (
+         |  SELECT token, CAST(count(*) AS BIGINT) AS df FROM hn_tf_all GROUP BY 1),
+         |hn_n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |hn_scored AS (
+         |  SELECT tf.doc_id, tf.token,
+         |    floor(CAST(tf.tf * n.n_docs AS DOUBLE) / dfq.df * 10000.0 + 0.5)
+         |      / 10000.0 AS kscore
+         |  FROM hn_tf_all tf JOIN hn_df_all dfq USING (token) CROSS JOIN hn_n n),
+         |hn_kw AS (
+         |  SELECT doc_id AS query_id, token FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY doc_id ORDER BY kscore DESC, token) AS r
+         |    FROM hn_scored) t
+         |  WHERE r <= 3 AND doc_id < 10),
+         |hn_lens AS (SELECT doc_id, len($toks) AS dl FROM documents),
+         |hn_corpus AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(dl) AS BIGINT) AS total_dl
+         |  FROM hn_lens),
+         |hn_tf AS (
+         |  SELECT t.doc_id, t.token, t.tf FROM hn_tf_all t
+         |  WHERE t.token IN (SELECT DISTINCT token FROM hn_kw)),
+         |hn_dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM hn_tf GROUP BY 1),
+         |hn_per AS (
+         |  SELECT q.query_id, tf.doc_id,
+         |    CAST(floor(
+         |      CAST(c.n_docs AS DOUBLE) / dfq.df * (tf.tf * (1.2 + 1.0)) /
+         |        (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl
+         |          / (CAST(c.total_dl AS DOUBLE) / c.n_docs)))
+         |      * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS score_t
+         |  FROM hn_kw q JOIN hn_tf tf USING (token)
+         |  JOIN hn_dfq dfq USING (token)
+         |  JOIN hn_lens l ON l.doc_id = tf.doc_id
+         |  CROSS JOIN hn_corpus c
+         |  WHERE tf.doc_id <> q.query_id),
+         |hn_scores AS (
+         |  SELECT query_id, doc_id AS neg_id, CAST(sum(score_t) AS DOUBLE) AS score
+         |  FROM hn_per GROUP BY 1, 2)
+         |SELECT query_id, neg_id, score, rank FROM (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, neg_id) AS INTEGER) AS rank
+         |  FROM hn_scores) t
+         |WHERE rank <= 5""".stripMargin
+    }),
     QueryDef("q_score_sweep", scoreSweepQ, Some(
       s"""WITH s AS (
          |  SELECT

@@ -67,4 +67,74 @@ object Retrieval {
     }.reduce(_ + _) // left fold — fixed association in list order
     joined.withColumn("rrf_score", score)
   }
+
+  /** Hard-negative mining for contrastive retrieval training: for
+    * each query document, the corpus documents that score highest
+    * under the query's OWN top-`m` TF-IDF keywords but are not the
+    * query itself — lexically confusable non-positives, the negatives
+    * that actually teach an embedding model (random negatives are too
+    * easy; BM25-hard negatives are the standard mining recipe, e.g.
+    * DPR, Karpukhin et al. 2020).
+    *
+    * Scale shape, stage by stage:
+    *  - keyword selection: one corpus-wide TF-IDF pass
+    *    ([[Keywords.tfIdfTopK]] — per-doc bounded window), filtered
+    *    to the query set;
+    *  - candidate scoring: the corpus token pass is SEMI-JOINED to
+    *    the bounded query-term vocabulary (≤ |queries|·m tokens)
+    *    before any aggregation, so only matching (doc, term) pairs
+    *    survive the shuffle — the corpus never fans out by query;
+    *  - per-term BM25 partials are Det-rounded into `DECIMAL(18,6)`
+    *    so the per-(query, doc) sum is partition-order-independent;
+    *  - the final cut is the bounded-heap top-k per query
+    *    (ships ≤ k pairs per partition), never a corpus-wide window.
+    *
+    * Queries with no extractable keywords (empty text) emit no rows.
+    * Output: `(query_id, neg_id, score, rank)`.
+    */
+  def hardNegatives(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryFilter: org.apache.spark.sql.Column,
+      m: Int = 3,
+      k: Int = 5,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(m >= 1 && k >= 1, "hardNegatives: m and k must be positive")
+    val qterms = Keywords.tfIdfTopK(docs, idCol, textCol, m)
+      .filter(queryFilter)
+      .select(col(idCol).as("query_id"), col("token"))
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("__t"))
+    val corpus = toks.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("__t"))).as("total_dl")) // 1 row — broadcast
+    val vocab = qterms.select("token").distinct() // bounded: ≤ |queries|·m
+    val tf = toks
+      .select(col("doc_id"), size(col("__t")).as("dl"),
+        explode(col("__t")).as("token"))
+      .join(broadcast(vocab), Seq("token")) // semi-join bound BEFORE the shuffle
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val dfq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val perTerm = qterms
+      .join(tf, Seq("token"))
+      .join(broadcast(dfq), Seq("token"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("avgdl", col("total_dl").cast("double") / col("n_docs"))
+      .withColumn("score_t", graft.functions.Det.round(
+        col("n_docs").cast("double") / col("df") *
+          (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))),
+        6).cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+    val scores = perTerm
+      .filter(col("query_id") =!= col("doc_id"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("score_t")).cast("double").as("score"))
+    scores.groupBy("query_id")
+      .agg(graft.functions.TopKExpr.topK(col("score"), col("doc_id"), k).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__x")))
+      .select(col("query_id"), col("__x.id").as("neg_id"),
+        col("__x.score").as("score"), (col("__pos") + 1).cast("int").as("rank"))
+  }
 }

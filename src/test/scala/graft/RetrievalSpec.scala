@@ -53,4 +53,35 @@ class RetrievalSpec extends SparkSpecBase {
     assert(plan.contains("TakeOrderedAndProject"),
       s"expected a TakeOrderedAndProject cut:\n${plan.take(600)}")
   }
+
+  test("hardNegatives: keyword-sharing doc ranks first, self excluded, disjoint docs absent") {
+    // doc 0 is the query: its distinctive keywords are zebra/quark/axolotl
+    // (unique to docs 0 and 1 — everything else is stopword-ish filler
+    // that also floods docs 2..9, keeping its tf-idf low for doc 0).
+    // filler appears ONCE per doc: at tf 1 and df 4 its tf-idf stays
+    // below the planted keywords (tf 1, df 2), so the query's top-3
+    // keywords are exactly zebra/quark/axolotl
+    val filler = "the a of and to in is it for"
+    val docs = Seq(
+      (0L, s"zebra quark axolotl $filler"),
+      (1L, s"zebra quark axolotl extra words here"), // shares all 3 keywords
+      (2L, s"zebra only $filler"),                   // shares 1
+      (3L, filler),                                  // shares 0 -> must not appear
+      (4L, filler + " unrelated tokens entirely"),
+      (5L, ""))                                      // empty query -> no rows
+      .toDF("doc_id", "text")
+    val got = Retrieval.hardNegatives(
+      docs, "doc_id", "text", queryFilter = col("doc_id") === 0L || col("doc_id") === 5L,
+      m = 3, k = 3)
+    val rows = got.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sortBy(x => (x._1, x._3))
+    // query 0: doc 1 (all three keywords) must outrank doc 2 (one)
+    val q0 = rows.filter(_._1 == 0L)
+    assert(q0.head._2 === 1L, q0.mkString(","))
+    assert(q0.map(_._2).contains(2L))
+    // self never appears; keyword-disjoint docs never appear
+    assert(!q0.map(_._2).contains(0L) && !q0.map(_._2).contains(3L), q0.mkString(","))
+    // the empty-text query mines nothing (no keywords -> no candidates)
+    assert(!rows.exists(_._1 == 5L))
+  }
 }
