@@ -306,6 +306,13 @@ object TextQueries {
         .withColumn("is_en", col("lang") === "en"),
       "lin_score", "is_en")
 
+  /** Leakage-safe split ([[Dedup.leakageSafeSplit]]): bucket by
+    * near-dup component label so planted duplicate pairs land on one
+    * side of the 90/10 cut by construction.
+    */
+  private def leakageSafeSplitQ(s: SparkSession, d: String): DataFrame =
+    Dedup.leakageSafeSplit(Tables.documents(s, d), "doc_id", "text")
+
   /** BM25-hard negative mining ([[Retrieval.hardNegatives]]): for the
     * first ten docs as queries, the top-5 corpus docs under each
     * query's own top-3 TF-IDF keywords, excluding the query — the
@@ -1679,6 +1686,18 @@ object TextQueries {
          |  ${Classifier.linearScoreDuckSql(duckToks("coalesce(text, '')"), linWeights, 0.25)}
          |    AS lin_score
          |FROM documents""".stripMargin)),
+    QueryDef("q_leakage_safe_split", leakageSafeSplitQ, Some(
+      s"""WITH RECURSIVE ${Dedup.minhashCandDuckCtes(duckToks("text"))},
+         |${Dedup.ccDuckCtes("mh_pairs")},
+         |base AS (
+         |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS split_key
+         |  FROM documents d LEFT JOIN cc_comp c ON d.doc_id = c.id)
+         |SELECT doc_id, split_key,
+         |  CAST((((split_key % 2147483647) * 2654435761) % 2147483647) % 100
+         |    AS BIGINT) AS bucket,
+         |  CASE WHEN (((split_key % 2147483647) * 2654435761) % 2147483647) % 100 >= 90
+         |    THEN 'valid' ELSE 'train' END AS split
+         |FROM base""".stripMargin)),
     QueryDef("q_hard_negatives", hardNegativesQ, Some {
       val toks = duckToks("text")
       s"""WITH hn_tok AS (SELECT doc_id, unnest($toks) AS token FROM documents),

@@ -436,6 +436,44 @@ object Dedup {
     docs.join(losers, docs(idCol) === losers("id"), "left_anti")
   }
 
+  /** Leakage-safe train/validation split: buckets are assigned from
+    * each document's near-duplicate COMPONENT label (the CC min id;
+    * a singleton's own id), not its own id — so a near-dup pair can
+    * NEVER straddle the split. A plain id-hash split leaks: the
+    * validation copy of a near-duplicated doc is effectively training
+    * data, and decontamination (`q_contamination`) then measures the
+    * leak after the fact; splitting by component prevents it by
+    * construction.
+    *
+    * Reuses the [[minhashCandidates]] → [[connectedComponents]]
+    * machinery with the corpus-dedup defaults, then the same
+    * 31-bit-hash bucket as [[TextAnalysis.splitBucket]]. Output:
+    * `(doc_id, split_key, bucket, split)` with `split ∈ {train,
+    * valid}` and `P(valid) = validPct / 100`.
+    */
+  def leakageSafeSplit(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      validPct: Int = 10,
+      k: Int = 3,
+      n: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    require(validPct >= 1 && validPct <= 99,
+      s"validPct must be in [1, 99], got $validPct")
+    val pairs = minhashCandidates(docs, idCol, textCol, k, n, bands, threshold)
+    val comp = connectedComponents(pairs)
+    docs.select(col(idCol).as("doc_id"))
+      .join(comp.select(col("id").as("doc_id"), col("component")),
+        Seq("doc_id"), "left")
+      .withColumn("split_key", coalesce(col("component"), col("doc_id")))
+      .withColumn("bucket", TextAnalysis.splitBucket(col("split_key")))
+      .withColumn("split",
+        when(col("bucket") >= 100 - validPct, lit("valid")).otherwise(lit("train")))
+      .select("doc_id", "split_key", "bucket", "split")
+  }
+
   /** [[dropNearDuplicates]] with a QUALITY-RANKED keeper: each
     * duplicate component keeps its `max(keepBy)` member instead of
     * its min id — the policy production corpus dedup actually wants

@@ -308,4 +308,25 @@ class DedupSpec extends SparkSpecBase {
     assert(fps(1L) === fps(2L))
     assert(fps(1L) !== fps(3L))
   }
+
+  test("leakageSafeSplit: no near-dup pair straddles the split; singletons bucket by own id") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val split = Dedup.leakageSafeSplit(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(3)))).toMap
+    assert(split.size === docs.count())
+    // THE property: every candidate near-dup pair lands on one side
+    val pairs = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "corpus has planted near-dups; candidates expected")
+    pairs.foreach { case (a, b) =>
+      assert(split(a)._2 === split(b)._2, s"pair ($a,$b) straddles the split")
+      assert(split(a)._1 === split(b)._1, s"pair ($a,$b) got different split keys")
+    }
+    // a doc in no pair buckets by its own id (split_key = doc_id)
+    val inPairs = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val loner = split.keys.find(!inPairs.contains(_)).get
+    assert(split(loner)._1 === loner)
+    // both sides are populated at this corpus size
+    assert(split.values.map(_._2).toSet === Set("train", "valid"))
+  }
 }
