@@ -195,4 +195,48 @@ object ManifestedSink {
         appendBatch(batch, dir, manifestDir, cols, bloomCols, batchId)
       }
       .start()
+
+  /** [[sink]] with a per-batch quality gate — the streaming form of
+    * [[Wap]]: a micro-batch that violates any rule beyond
+    * `maxViolations` is diverted WHOLE to
+    * `rejectDir/batch_id=<id>` (idempotent partition overwrite, the
+    * same replay discipline as every dead-letter in the catalog) and
+    * never touches the table or its manifest; a clean batch appends
+    * under the usual manifest transaction. The audit is one bounded
+    * aggregate over the micro-batch — batches are small by
+    * construction, so a dedicated pass here costs what the
+    * [[graft.operators.Profile.observeExpectations]] zero-pass trick
+    * saves on full-corpus writes.
+    *
+    * Batch-grain rejection is the deliberate policy (not row-grain):
+    * a poisoned batch usually means an upstream fault, and shipping
+    * its "clean-looking" rows while quarantining the rest hides the
+    * fault from the operator who must replay it.
+    */
+  def auditedSink(
+      stream: DataFrame,
+      dir: String,
+      manifestDir: String,
+      cols: Seq[String],
+      bloomCols: Seq[String],
+      checkpoint: String,
+      rules: Seq[(String, org.apache.spark.sql.Column)],
+      rejectDir: String,
+      maxViolations: Long = 0L): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val audited = graft.operators.Materialize(batch)
+        val bad = graft.operators.Profile.checkExpectations(audited, rules)
+          .filter(col("n_violations") > maxViolations)
+          .limit(1).count() > 0
+        if (bad)
+          audited.withColumn("batch_id", lit(batchId))
+            .write.partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(rejectDir)
+        else
+          appendBatch(audited, dir, manifestDir, cols, bloomCols, batchId)
+      }
+      .start()
 }
