@@ -1922,7 +1922,8 @@ object RelationalQueries {
         |  json_extract_string(js, '$.meta.type') AS vtype,
         |  CAST(json_extract(js, '$.meta.k') AS INTEGER) AS vk,
         |  CAST(json_extract(js, '$.ids[1]') AS BIGINT) AS vuser
-        |FROM j""".stripMargin)),
+        |FROM j""".stripMargin),
+      headline = true),
     QueryDef("q_merge_upsert", mergeUpsert, Some(
       """WITH latest AS (
         |  SELECT user_id, op, new_bal FROM (

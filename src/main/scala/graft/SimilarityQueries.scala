@@ -42,8 +42,8 @@ object SimilarityQueries {
     * of 32, exact cosine re-rank to top-5. Same query shape as
     * [[knn]]; the whole path is integer-decided, so the oracle
     * replays it hash-exactly ([[Embeddings.signBits64DuckSql]]).
-    */
-  /** The signature index is a ONE-OFF per corpus (at scale it is
+    *
+    * The signature index is a ONE-OFF per corpus (at scale it is
     * persisted next to the vectors, like `saveIvfIndex`) — memoized
     * per sf dir and materialized so repeated invocations (the bench's
     * min-of-N) time the serving path: a 9-byte-per-vector sig scan +
@@ -376,7 +376,8 @@ object SimilarityQueries {
          |${graft.operators.Dedup.gateReplayDuckCtes(
               "eb_pairs", exact = false,
               table = "embeddings", idCol = "vec_id")}
-         |SELECT doc_id FROM gate_accept""".stripMargin)),
+         |SELECT doc_id FROM gate_accept""".stripMargin),
+      headline = true),
     QueryDef("q_pq_knn", pqKnnQ, None, headline = true),
     QueryDef("q_embed_neardup", embedNeardup, Some(
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -1747,7 +1747,7 @@ object TextQueries {
          |    PARTITION BY query_id ORDER BY score DESC, neg_id) AS INTEGER) AS rank
          |  FROM hn_scores) t
          |WHERE rank <= 5""".stripMargin
-    }),
+    }, headline = true),
     QueryDef("q_score_sweep", scoreSweepQ, Some(
       s"""WITH s AS (
          |  SELECT

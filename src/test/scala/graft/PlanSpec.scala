@@ -147,4 +147,29 @@ class PlanSpec extends SparkSpecBase {
     // the skew absorber: a (doc, token)-keyed pre-aggregate feeds the join
     assert(plan.contains("HashAggregate"), plan.take(800))
   }
+
+  test("hard negatives: only the keyed keyword-rank window; the top-k cut is the heap aggregate") {
+    val plan = planOf(SparkEntry.queries("q_hard_negatives")(spark, sf))
+    // every window must be tfIdfTopK's per-doc keyword rank (keyed by
+    // doc_id) — the final per-query cut is the bounded
+    // ObjectHashAggregate, never a corpus-wide rank window
+    val windows = "windowspecdefinition\\(([a-zA-Z_#0-9]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(windows.nonEmpty && windows.forall(_.startsWith("doc_id")), plan.take(800))
+    assert(plan.contains("ObjectHashAggregate"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
+  test("leakage-safe split: no window anywhere — banded joins + aggregates only") {
+    val plan = planOf(SparkEntry.queries("q_leakage_safe_split")(spark, sf))
+    assert(!plan.contains("windowspecdefinition"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
+  test("binary KNN: broadcast-only joins, heap shortlist, no sort-merge anywhere") {
+    val plan = planOf(SparkEntry.queries("q_binary_knn")(spark, sf))
+    assert(plan.contains("ObjectHashAggregate"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
 }
