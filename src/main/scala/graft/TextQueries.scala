@@ -306,6 +306,17 @@ object TextQueries {
         .withColumn("is_en", col("lang") === "en"),
       "lin_score", "is_en")
 
+  /** Per-language token budget ([[graft.operators.Sampling
+    * .tokenBudgetPerGroup]]): each language keeps documents in
+    * deterministic hash order until 5 000 tokens are spent — mixture
+    * provisioning in the unit that matters for training mass.
+    */
+  private def tokenBudgetQ(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.tokenBudgetPerGroup(
+      Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens")),
+      "lang", "doc_id", "n_tokens", budget = 5000L)
+
   /** Leakage-safe split ([[Dedup.leakageSafeSplit]]): bucket by
     * near-dup component label so planted duplicate pairs land on one
     * side of the 90/10 cut by construction.
@@ -1686,6 +1697,20 @@ object TextQueries {
          |  ${Classifier.linearScoreDuckSql(duckToks("coalesce(text, '')"), linWeights, 0.25)}
          |    AS lin_score
          |FROM documents""".stripMargin)),
+    QueryDef("q_token_budget", tokenBudgetQ, Some {
+      val toks = duckToks("text")
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, CAST(len($toks) AS BIGINT) AS n_tokens,
+         |    ((doc_id % 2147483647) * 2654435761) % 2147483647 AS h
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS spent
+         |  FROM t)
+         |SELECT doc_id, lang, n_tokens FROM c
+         |WHERE spent - n_tokens < 5000""".stripMargin
+    }),
     QueryDef("q_leakage_safe_split", leakageSafeSplitQ, Some(
       s"""WITH RECURSIVE ${Dedup.minhashCandDuckCtes(duckToks("text"))},
          |${Dedup.ccDuckCtes("mh_pairs")},

@@ -22,6 +22,40 @@ object Sampling {
   def idHash(id: Column): Column =
     pmod(pmod(id.cast("long"), lit(2147483647L)) * lit(2654435761L), lit(2147483647L))
 
+  /** Per-group TOKEN budget: within each group, keep rows in
+    * deterministic hash order until the group's token budget is
+    * exhausted — the unit a training mixture actually provisions in
+    * (a 10k-DOC quota admits 100× more English than Estonian text; a
+    * 10M-TOKEN budget admits the same training mass). A row is kept
+    * iff the budget was not already spent before it, so every group
+    * keeps at least its first row and overshoot is bounded by one
+    * document.
+    *
+    * Scale shape: one shuffle by group; the running sum is a per-group
+    * bounded window ordered by `(idHash(id), id)` — the same
+    * engine-portable order [[epochOrder]] shuffles with, so the kept
+    * set is a deterministic function of (ids, token counts, budget)
+    * on any engine or partitioning. NULL token counts spend 0.
+    */
+  def tokenBudgetPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      id: String,
+      tokensCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(idHash(col(id)), col(id))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("__spent",
+        sum(coalesce(col(tokensCol).cast("long"), lit(0L))).over(w))
+      .filter(col("__spent") - coalesce(col(tokensCol).cast("long"), lit(0L))
+        < budget)
+      .drop("__spent")
+  }
+
   /** Bernoulli-style fixed-rate sample: keeps rows whose hash falls
     * in the lowest `num/den` fraction of hash space. Map-only (no
     * shuffle) — the 100 TB form.

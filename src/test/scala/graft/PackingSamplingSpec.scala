@@ -121,4 +121,29 @@ class PackingSamplingSpec extends SparkSpecBase {
     assert(a === b)
     assert(a.size === 25)
   }
+
+  test("tokenBudgetPerGroup: budget bounds each group, overshoot <= one doc, deterministic") {
+    val docs = (0L until 40L).map(i =>
+      (i, if (i % 2 == 0) "en" else "et", 30L + (i % 7)))
+      .toDF("id", "lang", "n_tokens")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.tokenBudgetPerGroup(d, "lang", "id", "n_tokens", budget = 100L)
+    val kept = run(docs).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+    // per group: total spent before the last kept doc is under budget,
+    // so total <= budget + max single doc (overshoot bounded by one)
+    kept.groupBy(_._1).foreach { case (lang, rows) =>
+      val total = rows.map(_._3).sum
+      assert(total < 100L + 37L, s"$lang spent $total")
+      assert(total >= 100L || rows.length === 20, // budget hit or group exhausted
+        s"$lang under-filled at $total")
+    }
+    // every group keeps at least its first row even if one doc > budget
+    val fat = Seq((1L, "xx", 500L)).toDF("id", "lang", "n_tokens")
+    assert(run(fat).count() === 1L)
+    // deterministic under input order and partitioning
+    val again = run(docs.orderBy(desc("id")).repartition(7)).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+    assert(kept.sortBy(_._2).toSeq === again.sortBy(_._2).toSeq)
+  }
 }
