@@ -153,6 +153,22 @@ object SimilarityQueries {
         col("rrf_score"))
   }
 
+  /** MMR diversity re-rank ([[Retrieval.mmr]]): vec 0's top-20 cosine
+    * neighbors re-ranked to 10 with λ = 0.5 — relevance and
+    * redundancy both 6-dp-rounded cosines, every product an exact
+    * IEEE halving, so the recursive-CTE oracle replays the greedy
+    * loop selection for selection.
+    */
+  private def mmrQ(s: SparkSession, d: String): DataFrame = {
+    val em = Tables.embeddings(s, d)
+    val cand = Similarity.bruteForceKnn(
+        em.filter(col("vec_id") === 0), em,
+        "vec_id", "vec_id", "embedding", "embedding", k = 20)
+      .join(em.select(col("vec_id").as("neighbor_id"), col("embedding")),
+        Seq("neighbor_id"))
+    Retrieval.mmr(cand, "neighbor_id", "sim", "embedding", k = 10)
+  }
+
   private def duckCos(a: String, b: String) =
     s"""(list_sum([$a[i]::DOUBLE * $b[i]::DOUBLE for i in range(1, len($a) + 1)])
        | / (sqrt(list_sum([$a[i]::DOUBLE * $a[i]::DOUBLE for i in range(1, len($a) + 1)]))
@@ -378,6 +394,40 @@ object SimilarityQueries {
               table = "embeddings", idCol = "vec_id")}
          |SELECT doc_id FROM gate_accept""".stripMargin),
       headline = true),
+    QueryDef("q_mmr", mmrQ, Some(
+      s"""WITH RECURSIVE m_scored AS (
+         |  SELECT c.vec_id AS id,
+         |    floor((${duckCos("q.embedding", "c.embedding")}) * 1000000.0 + 0.5) / 1000000.0 AS rel
+         |  FROM embeddings q JOIN embeddings c
+         |    ON q.vec_id = 0 AND c.vec_id <> 0),
+         |m_cand AS (
+         |  SELECT id, rel FROM (
+         |    SELECT *, row_number() OVER (ORDER BY rel DESC, id) AS r
+         |    FROM m_scored) t WHERE r <= 20),
+         |m_sim AS (
+         |  SELECT a.id AS ia, b.id AS ib,
+         |    floor((${duckCos("ea.embedding", "eb.embedding")}) * 1000000.0 + 0.5) / 1000000.0 AS sim
+         |  FROM m_cand a JOIN m_cand b ON a.id <> b.id
+         |  JOIN embeddings ea ON ea.vec_id = a.id
+         |  JOIN embeddings eb ON eb.vec_id = b.id),
+         |m_sel(iter, id, chosen) AS (
+         |  SELECT 1, id, CAST(id AS VARCHAR) FROM (
+         |    SELECT id FROM m_cand ORDER BY rel DESC, id LIMIT 1)
+         |  UNION ALL
+         |  SELECT s.iter + 1, nxt.id,
+         |    s.chosen || ',' || CAST(nxt.id AS VARCHAR)
+         |  FROM m_sel s, LATERAL (
+         |    SELECT c.id FROM m_cand c
+         |    WHERE NOT list_contains(string_split(s.chosen, ','), CAST(c.id AS VARCHAR))
+         |    ORDER BY 0.5 * c.rel - 0.5 * (
+         |        SELECT max(p.sim) FROM m_sim p
+         |        WHERE p.ia = c.id
+         |          AND list_contains(string_split(s.chosen, ','), CAST(p.ib AS VARCHAR)))
+         |      DESC, c.id
+         |    LIMIT 1) nxt
+         |  WHERE s.iter < 10)
+         |SELECT id AS neighbor_id, CAST(iter AS INTEGER) AS mmr_rank
+         |FROM m_sel""".stripMargin)),
     QueryDef("q_pq_knn", pqKnnQ, None, headline = true),
     QueryDef("q_embed_neardup", embedNeardup, Some(
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -68,6 +68,73 @@ object Retrieval {
     joined.withColumn("rrf_score", score)
   }
 
+  /** Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98):
+    * greedily re-rank a BOUNDED retrieval shortlist trading relevance
+    * against redundancy — pick argmax of
+    * `λ·rel(i) − (1−λ)·max_{j∈selected} sim(i, j)` until `k` chosen.
+    * The de-duplicating re-rank RAG serving stacks run between
+    * retrieval and the context window.
+    *
+    * Division of labor at scale: producing the shortlist is the
+    * distributed work ([[graft.operators.Similarity.binaryKnn]],
+    * [[Keywords.bm25]], ...); MMR itself is O(k·n) SEQUENTIAL by
+    * definition, so it runs on the n-row shortlist — the pairwise
+    * sims are still computed distributed (n² bounded rows, rounded
+    * through [[graft.functions.Det]]), and only `(id, rel)` pairs
+    * plus the rounded sim triples reach the driver (never vectors).
+    *
+    * Engine-exact by construction: `rel` and `sim` arrive 6-dp
+    * rounded, and with `lambda = 0.5` (the default) both products are
+    * exact IEEE halvings, so every greedy comparison is reproducible
+    * bit-for-bit in SQL — `q_mmr`'s recursive-CTE oracle replays the
+    * loop selection for selection. Ties break to the smaller id.
+    */
+  def mmr(
+      candidates: DataFrame,
+      idCol: String,
+      relCol: String,
+      vecCol: String,
+      k: Int,
+      lambda: Double = 0.5,
+      maxCandidates: Int = 1024): DataFrame = {
+    require(k >= 1, "mmr: k must be positive")
+    require(lambda >= 0.0 && lambda <= 1.0, "mmr: lambda must be in [0, 1]")
+    val spark = candidates.sparkSession
+    val base = candidates.select(
+      col(idCol).cast("long").as("id"), col(relCol).cast("double").as("rel"),
+      col(vecCol).as("__v"))
+    val n = base.count()
+    require(n <= maxCandidates,
+      s"mmr re-ranks a bounded shortlist; got $n rows > $maxCandidates — cut with the retriever first")
+    val a = base.select(col("id").as("ia"), col("__v").as("va"))
+    val b = base.select(col("id").as("ib"), col("__v").as("vb"))
+    val sims = a.join(b, col("ia") < col("ib"))
+      .select(col("ia"), col("ib"),
+        graft.functions.Det.round(
+          graft.operators.Similarity.cosine(col("va"), col("vb")), 6).as("sim"))
+      .collect().flatMap(r =>
+        Seq((r.getLong(0), r.getLong(1)) -> r.getDouble(2),
+          (r.getLong(1), r.getLong(0)) -> r.getDouble(2))).toMap
+    val rels = base.select("id", "rel").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1)
+    var selected = Vector.empty[Long]
+    var remaining = rels.toMap
+    while (selected.size < math.min(k, rels.length)) {
+      val pick = remaining.toSeq.map { case (id, rel) =>
+        val redundancy =
+          if (selected.isEmpty) 0.0
+          else selected.map(s => sims((id, s))).max
+        (id, lambda * rel - (1.0 - lambda) * redundancy)
+      }.minBy[(Double, Long)] { case (id, score) => (-score, id) }._1
+      selected :+= pick
+      remaining -= pick
+    }
+    import spark.implicits._
+    selected.zipWithIndex
+      .map { case (id, i) => (id, i + 1) }
+      .toDF(idCol, "mmr_rank")
+  }
+
   /** Hard-negative mining for contrastive retrieval training: for
     * each query document, the corpus documents that score highest
     * under the query's OWN top-`m` TF-IDF keywords but are not the

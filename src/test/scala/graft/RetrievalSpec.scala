@@ -84,4 +84,27 @@ class RetrievalSpec extends SparkSpecBase {
     // the empty-text query mines nothing (no keywords -> no candidates)
     assert(!rows.exists(_._1 == 5L))
   }
+
+  test("mmr: redundant near-twin is demoted; rank 1 is pure relevance; bounds enforced") {
+    // candidates: 1 and 2 are near-identical (both highly relevant);
+    // 3 is orthogonal to them with slightly lower relevance
+    val e1 = Seq(1.0f, 0.0f, 0.0f, 0.0f)
+    val e2 = Seq(0.999f, 0.04f, 0.0f, 0.0f)
+    val e3 = Seq(0.0f, 1.0f, 0.0f, 0.0f)
+    val cand = Seq(
+      (1L, 0.99, e1), (2L, 0.98, e2), (3L, 0.90, e3))
+      .toDF("id", "rel", "vec")
+    val got = Retrieval.mmr(cand, "id", "rel", "vec", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got(1L) === 1)  // argmax relevance first
+    assert(got(3L) === 2)  // diversity beats the near-twin
+    assert(got(2L) === 3)
+    // k beyond the candidate count returns them all, ranked
+    assert(Retrieval.mmr(cand, "id", "rel", "vec", k = 10).count() === 3L)
+    // unbounded shortlists are refused — MMR is O(k*n) sequential
+    val big = (0L until 50L).map(i => (i, 0.5, e1)).toDF("id", "rel", "vec")
+    intercept[IllegalArgumentException] {
+      Retrieval.mmr(big, "id", "rel", "vec", k = 3, maxCandidates = 10)
+    }
+  }
 }
