@@ -158,6 +158,11 @@ class PlanSpec extends SparkSpecBase {
     assert(windows.nonEmpty && windows.forall(_.startsWith("doc_id")), plan.take(800))
     assert(plan.contains("ObjectHashAggregate"), plan.take(800))
     assert(!plan.contains("CartesianProduct"), plan.take(800))
+    // the rank<=m cut runs as WindowGroupLimit (partial top-m per
+    // partition before the sort), and the query-doc filter pushes
+    // BELOW the window to the tf scan — keyword ranking never runs
+    // over the whole corpus (verified by audit; pinned here)
+    assert(plan.contains("WindowGroupLimit"), plan.take(800))
   }
 
   test("leakage-safe split: no window anywhere — banded joins + aggregates only") {
