@@ -298,7 +298,60 @@ object SimilarityQueries {
       labelCol = "label", k = 5)
   }
 
+  /** Retrieval-quality eval ([[Retrieval.rankEval]]): the 10-nearest
+    * run of the first 10 query vectors scored against label-match
+    * qrels (same-label vectors are the relevant set) — per query
+    * precision\@10, recall\@10, reciprocal rank, and nDCG\@10. The
+    * nDCG discounts are driver-computed literals shared verbatim with
+    * the oracle SQL, so the whole metric table is hash-exact.
+    */
+  private def rankEvalQ(s: SparkSession, d: String): DataFrame = {
+    val em = Tables.embeddings(s, d)
+    val run = Similarity.bruteForceKnn(
+      queries = em.filter(col("vec_id") < 10), corpus = em,
+      queryId = "vec_id", corpusId = "vec_id",
+      queryVec = "embedding", corpusVec = "embedding",
+      k = 10)
+      .withColumnRenamed("neighbor_id", "doc_id")
+    val qrels = em.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("label"))
+      .join(em.select(col("vec_id").as("doc_id"), col("label")), Seq("label"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .select("query_id", "doc_id")
+    Retrieval.rankEval(run, qrels, "query_id", "doc_id", "rank", k = 10)
+  }
+
+  /** Shared oracle CTE block for `q_rank_eval` / `q_rank_eval_macro`:
+    * the brute-force top-10 run, the label-match qrels, and
+    * [[Retrieval.rankEvalDuckSql]]'s metric replay. */
+  private def rankEvalCtes: String =
+    s"""WITH re_scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+       |    floor((${duckCos("q.embedding", "c.embedding")}) * 1000000.0 + 0.5) / 1000000.0 AS sim
+       |  FROM embeddings q JOIN embeddings c
+       |    ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+       |re_run AS (
+       |  SELECT query_id, doc_id, rank FROM (
+       |    SELECT query_id, doc_id, CAST(row_number() OVER (
+       |      PARTITION BY query_id ORDER BY sim DESC, doc_id) AS INTEGER) AS rank
+       |    FROM re_scored) t
+       |  WHERE rank <= 10),
+       |re_qrels AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS doc_id
+       |  FROM embeddings a JOIN embeddings b
+       |    ON a.label = b.label AND b.vec_id <> a.vec_id
+       |  WHERE a.vec_id < 10),
+       |${Retrieval.rankEvalDuckSql("re_run", "re_qrels", 10)}""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_rank_eval", rankEvalQ, Some(
+      s"""$rankEvalCtes
+         |SELECT query_id, hits, rel_total, precision_k, recall_k, rr, ndcg_k
+         |FROM re_eval""".stripMargin),
+      headline = true),
+    QueryDef("q_rank_eval_macro",
+      (s, d) => Retrieval.rankEvalMacro(rankEvalQ(s, d)),
+      Some(s"$rankEvalCtes\n${Retrieval.rankEvalMacroDuckSql}")),
     QueryDef("q_knn_classify", knnClassifyQ, Some(
       s"""WITH scored AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,

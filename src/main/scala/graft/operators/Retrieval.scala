@@ -135,6 +135,185 @@ object Retrieval {
       .toDF(idCol, "mmr_rank")
   }
 
+  /** The rank-`i` nDCG discount weights `1/log2(i+1)` for `i` in
+    * `1..k`, and their prefix sums (the ideal DCGs for `1..k`
+    * relevant documents). Computed ONCE on the driver and injected
+    * into both the Spark plan and the DuckDB oracle as the SAME
+    * double literals — the only transcendental (`log`) never runs
+    * inside either engine, which is what makes nDCG oracle-exact
+    * (libm log2 is not bit-portable across engines; a shared literal
+    * is).
+    */
+  private[graft] def dcgWeights(k: Int): (Seq[Double], Seq[Double]) = {
+    val w = (1 to k).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+    (w, w.scanLeft(0.0)(_ + _).tail) // prefix sums: fixed-order exact
+  }
+
+  /** Retrieval-quality evaluation — the metrics a training pipeline
+    * runs after every retriever/embedding change: per query,
+    * `hits`@k, `rel_total`, precision@k, recall@k, reciprocal rank,
+    * and nDCG@k (binary gains).
+    *
+    * `run` is a ranked result list `(queryIdCol, docIdCol, rankCol)`
+    * (rank 1-based; rows with rank > k are ignored); `qrels` the
+    * relevance judgments `(queryIdCol, docIdCol)`. Every query that
+    * retrieved at least one row is evaluated.
+    *
+    * Engine-exact by construction — every metric is reproducible
+    * bit-for-bit in SQL:
+    *  - the per-query hit set is folded into ONE integer bitmask
+    *    `Σ 2^(rank-1)` (order-independent integer aggregate — no
+    *    partition-order-dependent double sum ever happens);
+    *  - DCG re-expands the bitmask in a FIXED-ORDER projection
+    *    `Σ bit_i · w_i` with the `w_i` shared literals from
+    *    [[dcgWeights]] (left-fold association, exact 0/1 products);
+    *  - ideal DCG is a CASE lookup of the precomputed prefix sums —
+    *    never a second summation;
+    *  - precision/recall/RR/nDCG are each ONE correctly-rounded IEEE
+    *    division, then [[graft.functions.Det.round]].
+    *
+    * Scale shape: the run is bounded (|queries|·k rows) but qrels can
+    * be corpus-sized — the join is a plain equi-join followed by two
+    * hash aggregates with map-side partials; nothing is collected,
+    * nothing windows over the corpus.
+    */
+  def rankEval(
+      run: DataFrame,
+      qrels: DataFrame,
+      queryIdCol: String,
+      docIdCol: String,
+      rankCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 62, s"rankEval: k=$k outside [1, 62] (bitmask is one BIGINT)")
+    val (w, idcgs) = dcgWeights(k)
+    val r = run.select(col(queryIdCol).as("query_id"),
+      col(docIdCol).as("__doc"), col(rankCol).cast("int").as("__rank"))
+      .filter(col("__rank") <= k)
+    val rel = qrels.select(col(queryIdCol).as("query_id"),
+      col(docIdCol).as("__doc")).distinct()
+    val marked = r.join(rel.withColumn("__rel", lit(1)),
+      Seq("query_id", "__doc"), "left")
+    val perQ = marked.groupBy("query_id").agg(
+      sum(when(col("__rel").isNotNull,
+        expr("shiftleft(CAST(1 AS BIGINT), __rank - 1)")).otherwise(lit(0L))).as("hitmask"),
+      min(when(col("__rel").isNotNull, col("__rank"))).as("__first"))
+    val relTotals = rel.groupBy("query_id")
+      .agg(count(lit(1)).as("rel_total"))
+    val dcg = (1 to k).foldLeft(lit(0.0)) { (acc, i) =>
+      acc + (shiftright(col("hitmask"), i - 1).bitwiseAND(lit(1L)))
+        .cast("double") * lit(w(i - 1))
+    }
+    val idcg = (1 to k).foldLeft(when(lit(false), 0.0)) { (acc, i) =>
+      if (i < k) acc.when(least(col("rel_total"), lit(k.toLong)) === i, lit(idcgs(i - 1)))
+      else acc.otherwise(lit(idcgs(i - 1)))
+    }
+    val det = graft.functions.Det
+    perQ.join(relTotals, Seq("query_id"), "left")
+      .withColumn("rel_total", coalesce(col("rel_total"), lit(0L)))
+      .select(
+        col("query_id"),
+        bit_count(col("hitmask")).cast("int").as("hits"),
+        col("rel_total"),
+        det.round(bit_count(col("hitmask")).cast("double") / lit(k.toDouble), 6)
+          .as("precision_k"),
+        when(col("rel_total") === 0, lit(null).cast("double"))
+          .otherwise(det.round(
+            bit_count(col("hitmask")).cast("double") / col("rel_total").cast("double"), 6))
+          .as("recall_k"),
+        when(col("__first").isNull, lit(0.0))
+          .otherwise(det.round(lit(1.0) / col("__first").cast("double"), 6))
+          .as("rr"),
+        when(col("rel_total") === 0, lit(null).cast("double"))
+          .otherwise(det.round(dcg / idcg, 6)).as("ndcg_k"))
+  }
+
+  /** Macro-average of a [[rankEval]] table — the single-row summary a
+    * retrieval dashboard tracks per embedding/retriever build. Means
+    * are over the queries where the metric is DEFINED (recall/nDCG
+    * skip zero-qrel queries — standard macro-averaging over evaluable
+    * queries); `n_queries` counts all evaluated queries.
+    *
+    * Engine-exact mean discipline (the `Profile.exact` DOUBLE-mean
+    * pattern): each 6-dp-rounded metric is cast to `DECIMAL(18,6)` and
+    * summed in DECIMAL (partition-order-independent), the sum converts
+    * once to double, ONE double division by the count, then
+    * [[graft.functions.Det.round]].
+    */
+  def rankEvalMacro(perQuery: DataFrame): DataFrame = {
+    val det = graft.functions.Det
+    def mean(c: String) = det.round(
+      sum(col(c).cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+        .cast("double") /
+        count(col(c)).cast("double"), 6).as(s"mean_$c")
+    perQuery.agg(
+      count(lit(1)).as("n_queries"),
+      mean("precision_k"), mean("recall_k"), mean("rr"), mean("ndcg_k"))
+  }
+
+  /** The DuckDB twin of [[rankEvalMacro]] over the `re_eval` CTE
+    * emitted by [[rankEvalDuckSql]] — keep in lockstep. */
+  def rankEvalMacroDuckSql: String = {
+    val det = graft.functions.Det
+    def mean(c: String) =
+      det.roundSql(
+        s"CAST(sum(CAST($c AS DECIMAL(18,6))) AS DOUBLE) / CAST(count($c) AS DOUBLE)",
+        6) + s" AS mean_$c"
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       |  ${mean("precision_k")},
+       |  ${mean("recall_k")},
+       |  ${mean("rr")},
+       |  ${mean("ndcg_k")}
+       |FROM re_eval""".stripMargin
+  }
+
+  /** The DuckDB twin of [[rankEval]] — keep in lockstep. `runCte`
+    * must expose `(query_id, doc_id, rank)` (rank 1-based, ≤ k rows
+    * per query beyond-k rows tolerated), `qrelsCte` must expose
+    * DISTINCT `(query_id, doc_id)`. The nDCG weights are the SAME
+    * driver-computed literals the Spark plan carries (shortest-repr
+    * doubles round-trip to identical bits in any IEEE engine).
+    */
+  def rankEvalDuckSql(runCte: String, qrelsCte: String, k: Int): String = {
+    require(k >= 1 && k <= 62, s"rankEvalDuckSql: k=$k outside [1, 62]")
+    val (w, idcgs) = dcgWeights(k)
+    val det = graft.functions.Det
+    val dcg = (1 to k).map(i =>
+      s"CAST((re_q.hitmask >> ${i - 1}) & 1 AS DOUBLE) * ${w(i - 1)}")
+      .mkString("(0.0 + ", " + ", ")") // left-assoc, same fold as the plan
+    val idcg = "CASE least(re_q.rel_total, " + k + ") " +
+      (1 to k).map(i => s"WHEN $i THEN ${idcgs(i - 1)}").mkString(" ") + " END"
+    s"""re_marked AS (
+       |  SELECT r.query_id, r.rank,
+       |    CASE WHEN q.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+       |  FROM $runCte r LEFT JOIN $qrelsCte q
+       |    ON q.query_id = r.query_id AND q.doc_id = r.doc_id
+       |  WHERE r.rank <= $k),
+       |re_rel_totals AS (
+       |  SELECT query_id, CAST(count(*) AS BIGINT) AS rel_total
+       |  FROM $qrelsCte GROUP BY 1),
+       |re_q AS (
+       |  SELECT m.query_id,
+       |    CAST(sum(CASE WHEN m.rel = 1
+       |      THEN (CAST(1 AS BIGINT) << (m.rank - 1)) ELSE 0 END) AS BIGINT) AS hitmask,
+       |    min(CASE WHEN m.rel = 1 THEN m.rank END) AS first_rel,
+       |    COALESCE(any_value(t.rel_total), 0) AS rel_total
+       |  FROM re_marked m LEFT JOIN re_rel_totals t USING (query_id)
+       |  GROUP BY 1),
+       |re_eval AS (
+       |  SELECT query_id,
+       |    CAST(bit_count(hitmask) AS INTEGER) AS hits,
+       |    rel_total,
+       |    ${det.roundSql(s"CAST(bit_count(re_q.hitmask) AS DOUBLE) / ${k.toDouble}", 6)} AS precision_k,
+       |    CASE WHEN rel_total = 0 THEN NULL ELSE
+       |      ${det.roundSql("CAST(bit_count(re_q.hitmask) AS DOUBLE) / CAST(re_q.rel_total AS DOUBLE)", 6)}
+       |    END AS recall_k,
+       |    CASE WHEN first_rel IS NULL THEN 0.0 ELSE
+       |      ${det.roundSql("1.0 / CAST(re_q.first_rel AS DOUBLE)", 6)} END AS rr,
+       |    CASE WHEN rel_total = 0 THEN NULL ELSE
+       |      ${det.roundSql(s"($dcg) / ($idcg)", 6)} END AS ndcg_k
+       |  FROM re_q)""".stripMargin
+  }
+
   /** Hard-negative mining for contrastive retrieval training: for
     * each query document, the corpus documents that score highest
     * under the query's OWN top-`m` TF-IDF keywords but are not the

@@ -107,4 +107,76 @@ class RetrievalSpec extends SparkSpecBase {
       Retrieval.mmr(big, "id", "rel", "vec", k = 3, maxCandidates = 10)
     }
   }
+
+  test("rankEval: hand-computed metrics incl. nDCG on a known run") {
+    // query 100 retrieved docs 1..5 at ranks 1..5; relevant = {2, 4, 9}
+    // (9 never retrieved), so hits land at ranks 2 and 4
+    val run = (1L to 5L).map(d => (100L, d, d.toInt)).toDF("q", "d", "rank")
+    val qrels = Seq((100L, 2L), (100L, 4L), (100L, 9L)).toDF("q", "d")
+    val r = Retrieval.rankEval(run, qrels, "q", "d", "rank", k = 5)
+      .collect().head
+    val w = (1 to 5).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+    def det6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(r.getInt(1) === 2)                      // hits
+    assert(r.getLong(2) === 3L)                    // rel_total
+    assert(r.getDouble(3) === det6(2.0 / 5.0))     // precision@5
+    assert(r.getDouble(4) === det6(2.0 / 3.0))     // recall@5
+    assert(r.getDouble(5) === det6(1.0 / 2.0))     // rr: first hit at rank 2
+    val dcg = w(1) + w(3)                          // bits at ranks 2 and 4
+    val idcg = w(0) + w(1) + w(2)                  // ideal: 3 rels in top 3
+    assert(r.getDouble(6) === det6(dcg / idcg))    // ndcg@5
+  }
+
+  test("rankEval: perfect ranking scores ndcg 1; zero hits score 0; no qrels -> nulls") {
+    val run = (1L to 3L).map(d => (1L, d, d.toInt)) ++   // q1: all 3 relevant
+      (11L to 13L).map(d => (2L, d, (d - 10L).toInt)) ++ // q2: none relevant
+      (21L to 23L).map(d => (3L, d, (d - 20L).toInt))    // q3: not in qrels
+    val qrels = (1L to 3L).map(d => (1L, d)) ++ Seq((2L, 99L))
+    val got = Retrieval.rankEval(
+      run.toDF("q", "d", "rank"), qrels.toDF("q", "d"), "q", "d", "rank", k = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getDouble(6) === 1.0)           // perfect ndcg
+    assert(got(1L).getDouble(4) === 1.0)           // perfect recall
+    assert(got(2L).getInt(1) === 0)                // no hits
+    assert(got(2L).getDouble(5) === 0.0)           // rr convention: 0
+    assert(got(2L).getDouble(6) === 0.0)           // ndcg 0
+    assert(got(3L).getLong(2) === 0L)              // rel_total 0
+    assert(got(3L).isNullAt(4) && got(3L).isNullAt(6)) // recall/ndcg undefined
+    // beyond-k rows are ignored: a hit at rank 4 must not count at k=3
+    val far = Seq((9L, 5L, 4)).toDF("q", "d", "rank")
+    val g2 = Retrieval.rankEval(far, Seq((9L, 5L)).toDF("q", "d"),
+      "q", "d", "rank", k = 3)
+    assert(g2.count() === 0L)                      // all rows filtered out
+    intercept[IllegalArgumentException] {
+      Retrieval.rankEval(far, far, "q", "d", "rank", k = 63)
+    }
+  }
+
+  test("rankEvalMacro: DECIMAL-summed means, nulls excluded per metric") {
+    val perQuery = Seq(
+      (1L, 2, 3L, Some(0.4), Some(0.666667), 0.5, Some(0.75)),
+      (2L, 0, 0L, Some(0.0), Option.empty[Double], 0.0, Option.empty[Double]),
+      (3L, 1, 1L, Some(0.2), Some(1.0), 1.0, Some(0.5)))
+      .toDF("query_id", "hits", "rel_total",
+        "precision_k", "recall_k", "rr", "ndcg_k")
+    val r = Retrieval.rankEvalMacro(perQuery).collect().head
+    def det6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(r.getLong(0) === 3L)
+    assert(r.getDouble(1) === det6(0.6 / 3))            // mean precision
+    assert(r.getDouble(2) === det6(1.666667 / 2))       // nulls excluded
+    assert(r.getDouble(3) === det6(1.5 / 3))
+    assert(r.getDouble(4) === det6(1.25 / 2))
+  }
+
+  test("rankEval: metrics are stable under repartitioning (integer bitmask core)") {
+    val run = (0L until 40L).flatMap(q =>
+      (1 to 10).map(i => (q, q * 100 + i, i))).toDF("q", "d", "rank")
+    val qrels = (0L until 40L).flatMap(q =>
+      Seq((q, q * 100 + 3), (q, q * 100 + 7), (q, q * 100 + 50))).toDF("q", "d")
+    val a = Retrieval.rankEval(run, qrels, "q", "d", "rank", k = 10)
+      .orderBy("query_id").collect().toSeq
+    val b = Retrieval.rankEval(run.repartition(13), qrels.repartition(7),
+      "q", "d", "rank", k = 10).orderBy("query_id").collect().toSeq
+    assert(a === b)
+  }
 }
