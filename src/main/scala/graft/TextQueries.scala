@@ -317,6 +317,35 @@ object TextQueries {
         size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens")),
       "lang", "doc_id", "n_tokens", budget = 5000L)
 
+  /** Bigram collocation mining ([[Keywords.bigramLift]]): the top-40
+    * adjacent token pairs (≥5 occurrences) by exact rational lift.
+    */
+  private def bigramLiftQ(s: SparkSession, d: String): DataFrame =
+    Keywords.bigramLift(Tables.documents(s, d), "doc_id", "text",
+      minCount = 5L, k = 40)
+
+  /** Streaming per-group token-budget gate
+    * ([[graft.streaming.BudgetGate]]): the documents replayed in two
+    * micro-batches (doc_id even, then odd) through the table-backed
+    * spent state at the SAME 5000-token/lang budget as
+    * `q_token_budget`. Oracle: per-batch window running sums chained
+    * through the spent totals — batch order is part of the gate's
+    * declared semantics.
+    */
+  private def streamTokenBudgetQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_budget_state").toString
+    val a0 = graft.streaming.BudgetGate.acceptBatch(
+      docs.filter(col("doc_id") % 2 === 0), 0L,
+      "lang", "doc_id", "n_tokens", stateDir, budget = 5000L)
+    val a1 = graft.streaming.BudgetGate.acceptBatch(
+      docs.filter(col("doc_id") % 2 =!= 0), 1L,
+      "lang", "doc_id", "n_tokens", stateDir, budget = 5000L)
+    a0.union(a1).select("doc_id", "lang", "n_tokens")
+  }
+
   /** Leakage-safe split ([[Dedup.leakageSafeSplit]]): bucket by
     * near-dup component label so planted duplicate pairs land on one
     * side of the 90/10 cut by construction.
@@ -1377,7 +1406,65 @@ object TextQueries {
       |    w -> len(w) > 0)) AS INTEGER) AS n_tokens
       |FROM c, unnest(range(1, len(cs) + 1)) AS u(i)""".stripMargin
 
+  /** Corpus-internal novelty profile
+    * ([[Dedup.gramNoveltyStats]]): per doc, distinct 30-char-gram
+    * counts, how many grams appear in other docs, and the unique
+    * fraction in ppm — all integer outputs. Oracle: the md5-gram
+    * equality twin the `q_dup_spans` oracle established (only gram
+    * EQUALITY matters, so md5 stands in for the rolling hash).
+    */
+  private def noveltyQ(s: SparkSession, d: String): DataFrame =
+    Dedup.gramNoveltyStats(Tables.documents(s, d), "doc_id", "text", l = 30)
+
+  /** Vocabulary coverage / OOV rate
+    * ([[TextAnalysis.vocabCoverage]]) against the corpus's own
+    * top-64 token vocabulary — integer outputs end-to-end.
+    */
+  private def vocabCoverageQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.vocabCoverage(Tables.documents(s, d), "doc_id", "text",
+      vocabSize = 64)
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_novelty", noveltyQ, Some(
+      """WITH nv_grams AS (
+        |  SELECT DISTINCT doc_id,
+        |    md5(substr(text, CAST(i AS INTEGER) + 1, 30)) AS h
+        |  FROM documents,
+        |    unnest(range(0, greatest(length(text) - 30 + 1, 0))) AS u(i)),
+        |nv_nd AS (
+        |  SELECT h, count(*) AS nd FROM nv_grams GROUP BY 1),
+        |nv_stats AS (
+        |  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS shared_grams
+        |  FROM nv_grams g JOIN nv_nd USING (h) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(st.n_grams, 0) AS n_grams,
+        |  COALESCE(st.shared_grams, 0) AS shared_grams,
+        |  CASE WHEN COALESCE(st.n_grams, 0) = 0 THEN NULL
+        |       ELSE (st.n_grams - st.shared_grams) * 1000000 // st.n_grams
+        |  END AS novelty_ppm
+        |FROM documents d LEFT JOIN nv_stats st ON d.doc_id = st.doc_id""".stripMargin),
+      headline = true),
+    QueryDef("q_vocab_coverage", vocabCoverageQ, Some {
+      val toks = duckToks("coalesce(text, '')")
+      s"""WITH vc_tok AS (
+         |  SELECT doc_id, unnest($toks) AS tok FROM documents),
+         |vc_vocab AS (
+         |  SELECT tok, 1 AS inv FROM (
+         |    SELECT tok, count(*) AS n FROM vc_tok
+         |    GROUP BY 1 ORDER BY n DESC, tok LIMIT 64)),
+         |vc_stats AS (
+         |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(sum(COALESCE(v.inv, 0)) AS BIGINT) AS in_vocab
+         |  FROM vc_tok t LEFT JOIN vc_vocab v USING (tok) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  COALESCE(st.n_tokens, 0) AS n_tokens,
+         |  COALESCE(st.in_vocab, 0) AS in_vocab,
+         |  CASE WHEN COALESCE(st.n_tokens, 0) = 0 THEN NULL
+         |       ELSE (st.n_tokens - st.in_vocab) * 1000000 // st.n_tokens
+         |  END AS oov_ppm
+         |FROM documents d LEFT JOIN vc_stats st ON d.doc_id = st.doc_id""".stripMargin
+    }),
     QueryDef("q_strip_html", stripHtmlQ, Some(stripHtmlSql),
       headline = true),
     QueryDef("q_sentences", sentencesQ, Some(
@@ -1710,6 +1797,66 @@ object TextQueries {
          |  FROM t)
          |SELECT doc_id, lang, n_tokens FROM c
          |WHERE spent - n_tokens < 5000""".stripMargin
+    }),
+    QueryDef("q_bigram_lift", bigramLiftQ, Some {
+      val toks = duckToks("text")
+      s"""WITH bl_ts AS (
+         |  SELECT $toks AS ts FROM documents),
+         |bl_uni AS (SELECT unnest(ts) AS tok FROM bl_ts),
+         |bl_ux AS (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS n FROM bl_uni GROUP BY 1),
+         |bl_nt AS (SELECT CAST(count(*) AS BIGINT) AS n_tok FROM bl_uni),
+         |bl_big AS (
+         |  SELECT ts[CAST(u.i AS INTEGER)] || ' ' ||
+         |    ts[CAST(u.i AS INTEGER) + 1] AS bigram
+         |  FROM bl_ts, unnest(range(1, len(ts))) AS u(i)),
+         |bl_bx AS (
+         |  SELECT bigram, CAST(count(*) AS BIGINT) AS n_xy
+         |  FROM bl_big GROUP BY 1),
+         |bl_m AS (SELECT CAST(count(*) AS BIGINT) AS n_big FROM bl_big),
+         |bl_scored AS (
+         |  SELECT b.bigram, b.n_xy, x.n AS n_x, y.n AS n_y,
+         |    ${graft.functions.Det.roundSql(
+                "((CAST(b.n_xy AS DOUBLE) * t.n_tok) * t.n_tok)" +
+                  " / ((CAST(m.n_big AS DOUBLE) * x.n) * y.n)", 4)} AS lift
+         |  FROM bl_bx b
+         |  JOIN bl_ux x ON x.tok = string_split(b.bigram, ' ')[1]
+         |  JOIN bl_ux y ON y.tok = string_split(b.bigram, ' ')[2]
+         |  CROSS JOIN bl_nt t CROSS JOIN bl_m m
+         |  WHERE b.n_xy >= 5)
+         |SELECT bigram, n_xy, n_x, n_y, lift FROM bl_scored
+         |ORDER BY lift DESC, bigram LIMIT 40""".stripMargin
+    }),
+    QueryDef("q_stream_token_budget", streamTokenBudgetQ, Some {
+      val toks = duckToks("text")
+      s"""WITH tb_t AS (
+         |  SELECT doc_id, lang, CAST(len($toks) AS BIGINT) AS n_tokens,
+         |    ((doc_id % 2147483647) * 2654435761) % 2147483647 AS h
+         |  FROM documents),
+         |tb_b1 AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM tb_t WHERE doc_id % 2 = 0),
+         |tb_a1 AS (
+         |  SELECT doc_id, lang, n_tokens FROM tb_b1
+         |  WHERE cum - n_tokens < 5000),
+         |tb_sp1 AS (
+         |  SELECT lang, sum(n_tokens) AS spent FROM tb_a1 GROUP BY 1),
+         |tb_b2 AS (
+         |  SELECT t.doc_id, t.lang, t.n_tokens,
+         |    COALESCE(s.spent, 0)
+         |      + sum(t.n_tokens) OVER (PARTITION BY t.lang
+         |          ORDER BY t.h, t.doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumtot
+         |  FROM tb_t t LEFT JOIN tb_sp1 s USING (lang)
+         |  WHERE t.doc_id % 2 = 1),
+         |tb_a2 AS (
+         |  SELECT doc_id, lang, n_tokens FROM tb_b2
+         |  WHERE cumtot - n_tokens < 5000)
+         |SELECT doc_id, lang, n_tokens FROM tb_a1
+         |UNION ALL
+         |SELECT doc_id, lang, n_tokens FROM tb_a2""".stripMargin
     }),
     QueryDef("q_leakage_safe_split", leakageSafeSplitQ, Some(
       s"""WITH RECURSIVE ${Dedup.minhashCandDuckCtes(duckToks("text"))},

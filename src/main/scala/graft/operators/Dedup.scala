@@ -1039,4 +1039,50 @@ object Dedup {
       .withColumn("contamination",
         Det.round(col("n_hit").cast("double") / col("n_grams"), 4))
   }
+
+  /** Per-document duplication-exposure / novelty profile: of each
+    * doc's DISTINCT `l`-char-gram hashes, how many occur in at least
+    * one OTHER document. `novelty_ppm` (parts-per-million of grams
+    * unique to the doc, integer arithmetic end-to-end) is the
+    * corpus-internal diversity signal dataset curation ranks on —
+    * [[duplicateSpans]] finds the verbatim spans to CUT, this scores
+    * how derivative each doc is so curation can WEIGH it (the
+    * "document-level de-duplication pressure" companion to exact
+    * substring dedup; cf. Lee et al. 2022 §5's per-doc duplication
+    * profiles).
+    *
+    * Scale shape: one [[graft.functions.HashExprs.charGramHashes]]
+    * pass (rolling hash, 8-byte keys), per-doc `array_distinct`
+    * BEFORE the explode (a doc's internal repetition never inflates
+    * the shuffle), then a doc-count aggregate per gram (map-side
+    * partials absorb hot boilerplate grams — the [[duplicateSpans]]
+    * discipline: never a per-gram window) joined back to the
+    * per-(doc, gram) rows. Docs shorter than `l` surface with zero
+    * grams and NULL novelty.
+    *
+    * Output: `(doc_id, n_grams, shared_grams, novelty_ppm)`.
+    */
+  def gramNoveltyStats(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      l: Int = 30): DataFrame = {
+    require(l >= 1, "gramNoveltyStats: gram length must be positive")
+    val grams = docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(
+        graft.functions.HashExprs.charGramHashes(col(textCol), l))).as("__h"))
+    val docsPerGram = grams.groupBy("__h")
+      .agg(count(lit(1)).as("__nd")) // distinct docs: input is per-doc distinct
+    val stats = grams.join(docsPerGram, Seq("__h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__nd") > 1, lit(1L)).otherwise(lit(0L))).as("shared_grams"))
+    docs.select(col(idCol).as("doc_id")).join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("shared_grams"), lit(0L)).as("shared_grams"))
+      .withColumn("novelty_ppm",
+        when(col("n_grams") === 0, lit(null).cast("long"))
+          .otherwise(expr("((n_grams - shared_grams) * 1000000) div n_grams")))
+  }
 }

@@ -66,6 +66,58 @@ object Keywords {
         col("score"), col("rank"))
   }
 
+  /** Corpus-wide bigram collocation mining: the top-`k` adjacent
+    * token pairs by LIFT — `p(xy) / (p(x)·p(y))` = how many times
+    * more often the pair co-occurs than independence predicts. The
+    * association statistic behind phrase/tokenizer-merge candidates,
+    * boilerplate-phrase detection, and collocation dictionaries
+    * (PMI's exponent-free twin: PMI = log2(lift), same ranking for
+    * fixed sign — and `log` is libm-dependent, so the ORACLE-checked
+    * surface ranks on the rational lift directly, the
+    * [[rationalScore]] discipline).
+    *
+    * Engine-exact: all counts are integers; the lift is fixed-order
+    * double products (`(n_xy·N)·N / ((M·n_x)·n_y)`, left-assoc both
+    * engines) with ONE division, Det-rounded. Ties break bigram-asc.
+    *
+    * Scale shape: two map-only explode passes (unigram instances,
+    * adjacent-pair instances) each into a hash aggregate with
+    * map-side partials; corpus totals join as broadcast single rows;
+    * the `minCount` filter cuts the pair table BEFORE the two
+    * vocabulary joins; the final cut is a bounded `TakeOrdered`,
+    * never a global sort.
+    *
+    * Output: `(bigram, n_xy, n_x, n_y, lift)`.
+    */
+  def bigramLift(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minCount: Long = 5L,
+      k: Int = 50): DataFrame = {
+    require(minCount >= 1 && k >= 1, "bigramLift: minCount and k must be positive")
+    val toks = docs.select(TextAnalysis.tokens(col(textCol)).as("__ts"))
+    val uni = toks.select(explode(col("__ts")).as("__tok"))
+    val ux = uni.groupBy("__tok").agg(count(lit(1)).as("__n"))
+    val nTok = uni.agg(count(lit(1)).as("__n_tok")) // 1 row — broadcast
+    val big = toks.select(
+      explode(TextAnalysis.wordNgrams(col("__ts"), 2)).as("bigram"))
+    val bx = big.groupBy("bigram").agg(count(lit(1)).as("n_xy"))
+    val mBig = big.agg(count(lit(1)).as("__n_big")) // 1 row — broadcast
+    bx.filter(col("n_xy") >= minCount)
+      .withColumn("__x", split(col("bigram"), " ").getItem(0))
+      .withColumn("__y", split(col("bigram"), " ").getItem(1))
+      .join(ux.select(col("__tok").as("__x"), col("__n").as("n_x")), Seq("__x"))
+      .join(ux.select(col("__tok").as("__y"), col("__n").as("n_y")), Seq("__y"))
+      .crossJoin(broadcast(nTok))
+      .crossJoin(broadcast(mBig))
+      .withColumn("lift", Det.round(
+        (col("n_xy").cast("double") * col("__n_tok") * col("__n_tok")) /
+          (col("__n_big").cast("double") * col("n_x") * col("n_y")), 4))
+      .orderBy(col("lift").desc, col("bigram").asc).limit(k)
+      .select(col("bigram"), col("n_xy"), col("n_x"), col("n_y"), col("lift"))
+  }
+
   // ---- Inverted index + boolean retrieval ----
   //
   // The other direction of the TF pass: token → sorted posting list

@@ -28,6 +28,48 @@ object TextAnalysis {
   def tokensDuckSql(e: String): String =
     s"list_filter(regexp_split_to_array(trim($e), '\\s+'), x -> len(x) > 0)"
 
+  /** Vocabulary-coverage / OOV profile: the corpus's top-`vocabSize`
+    * tokens by frequency (ties break token-ascending) become the
+    * "vocabulary"; each document reports how many of its token
+    * INSTANCES fall inside it and the out-of-vocabulary rate in ppm
+    * (integer arithmetic end-to-end). High-OOV docs are the noise /
+    * wrong-language / binary-spill candidates a tokenizer-fit check
+    * flags before training; the same scan shape audits a REAL
+    * tokenizer vocab by swapping the frequency cut for a vocab table.
+    *
+    * Scale shape: the vocabulary cut is one token aggregate followed
+    * by a bounded `TakeOrdered` (never a global sort), the vocabulary
+    * itself is broadcast-sized by construction (`vocabSize` rows), so
+    * the per-doc pass is explode → broadcast-hash membership → one
+    * hash aggregate with map-side partials. Zero-token docs surface
+    * with `n_tokens = 0` and NULL `oov_ppm`.
+    *
+    * Output: `(doc_id, n_tokens, in_vocab, oov_ppm)`.
+    */
+  def vocabCoverage(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, "vocabCoverage: vocabSize must be positive")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(coalesce(col(textCol), lit("")))).as("__tok"))
+    val vocab = toks.groupBy("__tok").agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("__tok").asc).limit(vocabSize)
+      .select(col("__tok"), lit(1L).as("__inv"))
+    val stats = toks.join(broadcast(vocab), Seq("__tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("__inv"), lit(0L))).as("in_vocab"))
+    docs.select(col(idCol).as("doc_id")).join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("in_vocab"), lit(0L)).as("in_vocab"))
+      .withColumn("oov_ppm",
+        when(col("n_tokens") === 0, lit(null).cast("long"))
+          .otherwise(expr("((n_tokens - in_vocab) * 1000000) div n_tokens")))
+  }
+
   /** Engine-portable token hash in `[0, 2^31-1)`: the first 15 hex
     * chars of md5 (60 bits) parsed as an integer, reduced mod
     * p = 2^31-1 — the [[Classifier.featureId]] md5 trick widened to

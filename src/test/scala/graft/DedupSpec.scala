@@ -329,4 +329,26 @@ class DedupSpec extends SparkSpecBase {
     // both sides are populated at this corpus size
     assert(split.values.map(_._2).toSet === Set("train", "valid"))
   }
+
+  test("gramNoveltyStats: shared-gram counting, internal repetition, short docs") {
+    val docs = Seq(
+      (1L, "abcdefgh"),    // grams(5): abcde bcdef cdefg defgh
+      (2L, "abcdeXYZW"),   // shares exactly "abcde" with docs 1 and 4
+      (3L, "zz"),          // shorter than l -> zero grams
+      (4L, "abcdeabcde"))  // internal repeat: "abcde" counts ONCE per doc
+      .toDF("doc_id", "text")
+    val got = Dedup.gramNoveltyStats(docs, "doc_id", "text", l = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(got(1L) === ((4L, 1L, 750000L)))   // 3 of 4 grams unique
+    assert(got(2L) === ((5L, 1L, 800000L)))
+    assert(got(3L) === ((0L, 0L, -1L)))       // NULL novelty for gramless docs
+    // doc 4: distinct grams abcde/bcdea/cdeab/deabc/eabcd -> 5, shared only abcde
+    assert(got(4L) === ((5L, 1L, 800000L)))
+    // all-unique corpus scores 1.0 novelty everywhere
+    val solo = Dedup.gramNoveltyStats(
+      Seq((9L, "qwertyuiop")).toDF("doc_id", "text"), "doc_id", "text", l = 5)
+      .collect().head
+    assert(solo.getLong(2) === 0L && solo.getLong(3) === 1000000L)
+  }
 }

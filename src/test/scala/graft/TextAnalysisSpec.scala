@@ -155,4 +155,25 @@ class TextAnalysisSpec extends SparkSpecBase {
     val n = Seq((Option.empty[Long], "p")).toDF("uid", "pa")
     assert(tok(n, "s1").select("t").collect().head.isNullAt(0))
   }
+
+  test("vocabCoverage: frequency-cut vocab, instance counting, empty/null docs") {
+    val docs = Seq(
+      (1L, "a a b"),             // all instances in the top-2 vocab
+      (2L, "b c"),               // c is OOV at vocabSize 2
+      (3L, ""),                  // zero tokens
+      (4L, null.asInstanceOf[String])) // null text ≡ empty
+      .toDF("doc_id", "text")
+    // counts: a=2, b=2, c=1 -> vocab {a, b} (tie a/b irrelevant, both in)
+    val got = TextAnalysis.vocabCoverage(docs, "doc_id", "text", vocabSize = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(got(1L) === ((3L, 3L, 0L)))
+    assert(got(2L) === ((2L, 1L, 500000L)))       // 1 of 2 OOV
+    assert(got(3L) === ((0L, 0L, -1L)))           // NULL oov_ppm
+    assert(got(4L) === ((0L, 0L, -1L)))
+    // tie at the cut breaks token-ascending: vocabSize 1 keeps 'a' (a=2, b=2)
+    val one = TextAnalysis.vocabCoverage(docs, "doc_id", "text", vocabSize = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(one(1L) === 2L && one(2L) === 0L)      // only 'a' instances covered
+  }
 }
