@@ -317,6 +317,19 @@ object TextQueries {
         size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens")),
       "lang", "doc_id", "n_tokens", budget = 5000L)
 
+  /** The composed curation pipeline ([[graft.operators.Curation]]):
+    * quality gate → MinHash near-dup dedup → 5000-token/lang budget →
+    * 90/10 split, as ONE plan chain. The oracle is the composition of
+    * each stage's existing DuckDB twin (`qualityGateSql` as a nested
+    * subquery, [[Dedup.minhashCandDuckCtes]] re-rooted on the gated
+    * CTE, [[Dedup.ccDuckCtes]], the `q_token_budget` window sum, the
+    * `q_train_split` hash) — stage exactness composes into pipeline
+    * exactness.
+    */
+  private def curateQ(s: SparkSession, d: String): DataFrame =
+    graft.operators.Curation.curate(Tables.documents(s, d),
+      "doc_id", "text", "lang", budgetPerLang = 5000L, validPct = 10)
+
   /** Bigram collocation mining ([[Keywords.bigramLift]]): the top-40
     * adjacent token pairs (≥5 occurrences) by exact rational lift.
     */
@@ -1798,6 +1811,30 @@ object TextQueries {
          |SELECT doc_id, lang, n_tokens FROM c
          |WHERE spent - n_tokens < 5000""".stripMargin
     }),
+    QueryDef("q_curate", curateQ, Some {
+      val toks = duckToks("text")
+      s"""WITH RECURSIVE cp_gated AS (
+         |  SELECT d.doc_id, d.lang, d.text
+         |  FROM documents d JOIN ($qualityGateSql) qg
+         |    ON qg.doc_id = d.doc_id AND qg.pass = 1),
+         |${Dedup.minhashCandDuckCtes(toks, table = "cp_gated")},
+         |${Dedup.ccDuckCtes("mh_pairs")},
+         |cp_kept AS (
+         |  SELECT g.doc_id, g.lang,
+         |    CAST(len($toks) AS BIGINT) AS n_tokens,
+         |    ((g.doc_id % 2147483647) * 2654435761) % 2147483647 AS h
+         |  FROM cp_gated g LEFT JOIN cc_comp c ON c.id = g.doc_id
+         |  WHERE c.component IS NULL OR c.component = g.doc_id),
+         |cp_cum AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS spent
+         |  FROM cp_kept)
+         |SELECT doc_id, lang, n_tokens,
+         |  CASE WHEN (((doc_id % 2147483647) * 2654435761) % 2147483647) % 100 < 90
+         |       THEN 'train' ELSE 'valid' END AS split
+         |FROM cp_cum WHERE spent - n_tokens < 5000""".stripMargin
+    }, headline = true),
     QueryDef("q_bigram_lift", bigramLiftQ, Some {
       val toks = duckToks("text")
       s"""WITH bl_ts AS (

@@ -798,7 +798,8 @@ object Dedup {
       k: Int = 3,
       n: Int = 64,
       bands: Int = 16,
-      threshold: Double = 0.5): String = {
+      threshold: Double = 0.5,
+      table: String = "documents"): String = {
     require(n % bands == 0, s"signature length $n must divide into $bands bands")
     val rows = n / bands
     val p = graft.functions.ShingleHashModExpr.P
@@ -815,7 +816,7 @@ object Dedup {
     s"""mh_th AS (
        |  SELECT doc_id,
        |    list_transform($toksExpr, t -> ${TextAnalysis.tokenHashPDuckSql("t")}) AS th
-       |  FROM documents),
+       |  FROM $table),
        |mh_hs AS (
        |  SELECT doc_id,
        |    CASE WHEN len(th) = 0 THEN [CAST(0 AS BIGINT)]

@@ -177,4 +177,48 @@ class PlanSpec extends SparkSpecBase {
     assert(!plan.contains("SortMergeJoin"), plan.take(800))
     assert(!plan.contains("CartesianProduct"), plan.take(800))
   }
+
+  test("rank eval: bitmask aggregates + equi-joins only — no window, no cartesian") {
+    val plan = planOf(SparkEntry.queries("q_rank_eval")(spark, sf))
+    // the run comes from the heap-aggregate KNN; the metric core is
+    // two hash aggregates over integer bitmasks — a rank window over
+    // the qrels join would be the scale smell
+    assert(!plan.contains("windowspecdefinition"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(plan.contains("ObjectHashAggregate"), plan.take(800))
+  }
+
+  test("gram novelty: aggregate+join marking, never a per-gram window") {
+    val plan = planOf(SparkEntry.queries("q_novelty")(spark, sf))
+    // the duplicateSpans discipline: a window partitioned by the gram
+    // hash would concentrate every hot boilerplate gram in one task
+    assert(!plan.contains("windowspecdefinition"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(plan.contains("HashAggregate"), plan.take(800))
+  }
+
+  test("vocab coverage: bounded TakeOrdered vocab cut + broadcast membership") {
+    val plan = planOf(SparkEntry.queries("q_vocab_coverage")(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("windowspecdefinition"), plan.take(800))
+  }
+
+  test("curate pipeline: only the language-keyed budget window; no cartesian") {
+    val plan = planOf(SparkEntry.queries("q_curate")(spark, sf))
+    // gate is map-only, dedup is banded joins + driver CC, split is a
+    // hash projection — the ONLY window the whole pipeline may plan is
+    // the per-language budget running sum
+    val windows = "windowspecdefinition\\(([a-zA-Z_#0-9]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(windows.nonEmpty && windows.forall(_.startsWith("lang")), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
+  test("bigram lift: TakeOrdered final cut; broadcast scalar totals; no window") {
+    val plan = planOf(SparkEntry.queries("q_bigram_lift")(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+    assert(!plan.contains("windowspecdefinition"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
 }
