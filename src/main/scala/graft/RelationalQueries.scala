@@ -1199,6 +1199,16 @@ object RelationalQueries {
         Seq(col("ts"), col("event_id")), "event_type", k = 3)
       .select("user_id", "event_id", "context", "label")
 
+  /** Markov transition matrix
+    * ([[graft.operators.Examples.transitionMatrix]]) over each user's
+    * time-ordered event types — bounded |types|² output, integer
+    * probabilities.
+    */
+  private def transitionMatrixQ(s: SparkSession, d: String): DataFrame =
+    graft.operators.Examples.transitionMatrix(
+      Tables.events(s, d), "user_id",
+      Seq(col("ts"), col("event_id")), "event_type")
+
   private val expectationsOracle =
     """SELECT 'positive_total' AS rule,
       |  CAST(count(CASE WHEN NOT COALESCE(o_totalprice > 0, FALSE) THEN 1 END) AS BIGINT) AS n_violations,
@@ -1245,6 +1255,23 @@ object RelationalQueries {
     rules.map { case (name, _) =>
       (name, m(name).asInstanceOf[Long], nRows)
     }.toDF("rule", "n_violations", "n_rows")
+  }
+
+  /** Referential-integrity audit
+    * ([[graft.operators.Profile.fkOrphans]]): orphan counts for three
+    * warehouse FK relationships in one result — the cross-table QC
+    * row-local expectations cannot see. The driver corpus is
+    * FK-clean, so the audit doubles as a regression trip-wire: any
+    * nonzero orphan row means a loader broke a key.
+    */
+  private def fkOrphansQ(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Profile.fkOrphans
+    fkOrphans(Tables.lineitem(s, d), "l_orderkey",
+        Tables.orders(s, d), "o_orderkey", "lineitem.orderkey->orders")
+      .unionAll(fkOrphans(Tables.orders(s, d), "o_custkey",
+        Tables.customer(s, d), "c_custkey", "orders.custkey->customer"))
+      .unionAll(fkOrphans(Tables.customer(s, d), "c_nationkey",
+        Tables.nation(s, d), "n_nationkey", "customer.nationkey->nation"))
   }
 
   /** Value-concentration profile
@@ -1943,6 +1970,43 @@ object RelationalQueries {
     // the SAME oracle checks the observe-counter formulation —
     // observation ≡ aggregation is the property under test
     QueryDef("q_observe_qc", observeQcQ, Some(expectationsOracle)),
+    QueryDef("q_transition_matrix", transitionMatrixQ, Some(
+      """WITH tm_pairs AS (
+        |  SELECT event_type AS from_label,
+        |    lead(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS to_label
+        |  FROM events),
+        |tm_n AS (
+        |  SELECT from_label, to_label, CAST(count(*) AS BIGINT) AS n
+        |  FROM tm_pairs WHERE to_label IS NOT NULL GROUP BY 1, 2),
+        |tm_t AS (
+        |  SELECT from_label, sum(n) AS tot FROM tm_n GROUP BY 1)
+        |SELECT from_label, to_label, n,
+        |  CAST(n * 1000000 // tot AS BIGINT) AS p_ppm
+        |FROM tm_n JOIN tm_t USING (from_label)""".stripMargin)),
+    QueryDef("q_fk_orphans", fkOrphansQ, Some {
+      def rel(name: String, child: String, ck: String, parent: String,
+          pk: String) =
+        s"""SELECT '$name' AS relation,
+           |  CAST(count(*) AS BIGINT) AS n_child,
+           |  CAST(count(c.$ck) AS BIGINT) AS n_nonnull,
+           |  CAST(sum(CASE WHEN c.$ck IS NOT NULL AND p.$pk IS NULL
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+           |  CASE WHEN count(c.$ck) = 0 THEN NULL
+           |       ELSE CAST(sum(CASE WHEN c.$ck IS NOT NULL AND p.$pk IS NULL
+           |         THEN 1 ELSE 0 END) * 1000000 // count(c.$ck) AS BIGINT)
+           |  END AS orphan_ppm
+           |FROM $child c LEFT JOIN (SELECT DISTINCT $pk FROM $parent) p
+           |  ON p.$pk = c.$ck""".stripMargin
+      rel("lineitem.orderkey->orders", "lineitem", "l_orderkey",
+        "orders", "o_orderkey") +
+        "\nUNION ALL\n" +
+        rel("orders.custkey->customer", "orders", "o_custkey",
+          "customer", "c_custkey") +
+        "\nUNION ALL\n" +
+        rel("customer.nationkey->nation", "customer", "c_nationkey",
+          "nation", "n_nationkey")
+    }),
     QueryDef("q_next_event", nextEventQ, Some(
       """SELECT user_id, event_id,
         |  lag(event_type, 3) OVER w || ' ' || lag(event_type, 2) OVER w

@@ -40,4 +40,36 @@ object Examples {
       .withColumn("label", col(labelCol))
       .drop("__ctx")
   }
+
+  /** First-order (Markov) transition matrix over per-key ordered
+    * label sequences: for every adjacent pair in a key's timeline,
+    * `(from_label, to_label, n, p_ppm)` where `p_ppm` is the
+    * row-normalized transition probability in ppm (integer floor
+    * div — engine-exact). The journey-structure summary behind
+    * funnel design, synthetic-session generation, and
+    * next-event-model sanity checks (the model's learned transition
+    * row should dominate this empirical one).
+    *
+    * Scale shape: ONE keyed window (`lead` over the per-key order —
+    * the [[nextEvent]] discipline, never a global sort) into two
+    * hash aggregates with map-side partials; output is bounded by
+    * |labels|², not the corpus. `order` must totally order each
+    * key's rows or the adjacent pairs are nondeterministic.
+    */
+  def transitionMatrix(
+      df: DataFrame,
+      keyCol: String,
+      order: Seq[Column],
+      labelCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+    val counts = df
+      .withColumn("__next", lead(col(labelCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(labelCol).as("from_label"), col("__next").as("to_label"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("from_label").agg(sum(col("n")).as("__tot"))
+    counts.join(totals, "from_label")
+      .withColumn("p_ppm", expr("(n * 1000000) div __tot"))
+      .drop("__tot")
+  }
 }

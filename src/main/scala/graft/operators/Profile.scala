@@ -125,6 +125,75 @@ object Profile {
         col(predictedCol).as("predicted"))
       .agg(count(lit(1)).as("n"))
 
+  /** Per-class precision/recall/support from a [[confusion]] table
+    * (`actual, predicted, n`): for every label seen on either axis,
+    * `tp`, `support` (actual count), `predicted` (predicted count),
+    * and precision/recall in ppm (integer floor div; NULL when the
+    * denominator is zero — a never-predicted label has undefined
+    * precision, not 0). The per-class view a single accuracy number
+    * hides — the eval table a filter-model comparison actually reads.
+    *
+    * Scale shape: the confusion table is already ≤ |labels|² rows, so
+    * everything here is bounded aggregates over a tiny frame; the
+    * corpus was paid for once in [[confusion]].
+    */
+  def perClassMetrics(confusionDf: DataFrame): DataFrame = {
+    val byActual = confusionDf.groupBy(col("actual").as("label"))
+      .agg(sum(col("n")).as("support"))
+    val byPred = confusionDf.groupBy(col("predicted").as("label"))
+      .agg(sum(col("n")).as("predicted"))
+    val tp = confusionDf.filter(col("actual") === col("predicted"))
+      .select(col("actual").as("label"), col("n").as("tp"))
+    byActual.join(byPred, Seq("label"), "full_outer")
+      .join(tp, Seq("label"), "left")
+      .select(col("label"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        coalesce(col("support"), lit(0L)).as("support"),
+        coalesce(col("predicted"), lit(0L)).as("predicted"))
+      .withColumn("precision_ppm",
+        when(col("predicted") === 0, lit(null).cast("long"))
+          .otherwise(expr("(tp * 1000000) div predicted")))
+      .withColumn("recall_ppm",
+        when(col("support") === 0, lit(null).cast("long"))
+          .otherwise(expr("(tp * 1000000) div support")))
+  }
+
+  /** Referential-integrity audit: one summary row for a child→parent
+    * key relationship — total child rows, non-null keys, orphans
+    * (non-null keys with no parent), and the orphan rate in ppm
+    * (integer arithmetic; NULL when the child has no non-null keys).
+    * The data-quality check warehouse loads run between ingest and
+    * publish — [[checkExpectations]] covers row-local rules, this
+    * covers the cross-TABLE invariant those rules cannot see.
+    *
+    * One pass: parent keys are distinct-projected (so duplicated
+    * parent keys never fan the child out) and left-joined; counts
+    * collapse in a single aggregate with map-side partials. At
+    * 100 TB both sides shuffle on the key — the same cost as the
+    * production join the check is protecting.
+    */
+  def fkOrphans(
+      child: DataFrame,
+      childKey: String,
+      parent: DataFrame,
+      parentKey: String,
+      relation: String): DataFrame = {
+    val hits = parent.select(col(parentKey).as("__k")).distinct()
+      .withColumn("__hit", lit(1))
+    child.select(col(childKey).as("__k"))
+      .join(hits, Seq("__k"), "left")
+      .agg(
+        count(lit(1)).as("n_child"),
+        count(col("__k")).as("n_nonnull"),
+        sum(when(col("__k").isNotNull && col("__hit").isNull, lit(1L))
+          .otherwise(lit(0L))).as("n_orphans"))
+      .select(lit(relation).as("relation"), col("n_child"),
+        col("n_nonnull"), col("n_orphans"))
+      .withColumn("orphan_ppm",
+        when(col("n_nonnull") === 0, lit(null).cast("long"))
+          .otherwise(expr("(n_orphans * 1000000) div n_nonnull")))
+  }
+
   /** Per-column value-concentration profile: Gini impurity
     * `1 − Σ (n_v/N)²` over the column's value frequencies — 0 when
     * one value dominates completely, approaching 1 as mass spreads.

@@ -42,6 +42,29 @@ class ExamplesSpec extends SparkSpecBase {
     assert(plan.contains("windowspecdefinition(user_id"), plan.take(600))
   }
 
+  test("transitionMatrix: adjacent-pair counts per key, row-normalized ppm") {
+    // user 1: a->b->a->c ; user 2: a->b — transitions pool across users
+    val ev = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"), (1L, 4L, "c"),
+      (2L, 1L, "a"), (2L, 2L, "b"))
+      .toDF("user_id", "seq", "event_type")
+    val got = graft.operators.Examples.transitionMatrix(
+        ev, "user_id", Seq(col("seq")), "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // from 'a': b twice, c once -> 666666 / 333333 ppm (floor)
+    assert(got === Map(
+      ("a", "b") -> ((2L, 666666L)),
+      ("a", "c") -> ((1L, 333333L)),
+      ("b", "a") -> ((1L, 1000000L))))
+    // no cross-user pair: (b at end of user 2) -> nothing
+    // window must stay keyed by user
+    val plan = graft.operators.Examples.transitionMatrix(
+      ev, "user_id", Seq(col("seq")), "event_type")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(user_id"), plan.take(600))
+  }
+
   test("confusion: cells are exact pair counts, absent pairs absent") {
     val d = Seq(
       ("en", "en"), ("en", "en"), ("en", "de"),

@@ -155,4 +155,35 @@ class ProfileSpec extends SparkSpecBase {
     assert(r("id").isNullAt(4) && r("id").isNullAt(5))
     assert(r("s").getLong(2) === 0L)
   }
+
+  test("perClassMetrics: tp/support/predicted with null-on-zero denominators") {
+    val conf = Seq(
+      ("en", "en", 8L), ("en", "de", 2L),
+      ("de", "de", 5L), ("fr", "en", 1L))
+      .toDF("actual", "predicted", "n")
+    val got = Profile.perClassMetrics(conf).collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5)))).toMap
+    assert(got("en") === ((8L, 10L, 9L, 888888L, 800000L)))
+    assert(got("de") === ((5L, 5L, 7L, 714285L, 1000000L)))
+    // fr was never predicted: precision undefined (NULL), recall 0
+    assert(got("fr") === ((0L, 1L, 0L, -1L, 0L)))
+  }
+
+  test("fkOrphans: orphan/null accounting, duplicate parents don't fan out") {
+    val child = Seq(Some(1L), Some(1L), Some(9L), None)
+      .toDF("fk") // 1 resolves (twice), 9 is an orphan, null is skipped
+    val parent = Seq(1L, 1L, 2L).toDF("pk") // duplicated parent key
+    val r = Profile.fkOrphans(child, "fk", parent, "pk", "t").collect().head
+    assert(r.getString(0) === "t")
+    assert(r.getLong(1) === 4L)       // n_child counts every row
+    assert(r.getLong(2) === 3L)       // non-null keys
+    assert(r.getLong(3) === 1L)       // only 9 is orphaned
+    assert(r.getLong(4) === 333333L)  // 1/3 in ppm, floor
+    // all-null child: rate undefined, counts still reported
+    val nulls = Seq(Option.empty[Long]).toDF("fk")
+    val r2 = Profile.fkOrphans(nulls, "fk", parent, "pk", "n").collect().head
+    assert(r2.getLong(2) === 0L && r2.getLong(3) === 0L && r2.isNullAt(4))
+  }
 }
