@@ -1057,9 +1057,16 @@ object Dedup {
     * BEFORE the explode (a doc's internal repetition never inflates
     * the shuffle), then a doc-count aggregate per gram (map-side
     * partials absorb hot boilerplate grams — the [[duplicateSpans]]
-    * discipline: never a per-gram window) joined back to the
-    * per-(doc, gram) rows. Docs shorter than `l` surface with zero
-    * grams and NULL novelty.
+    * discipline: never a per-gram window). The count table is cut to
+    * SHARED grams (`nd > 1`) BEFORE it touches the gram stream again
+    * — in a mostly-novel corpus that side is orders of magnitude
+    * smaller than the gram stream (AQE broadcasts it when it fits),
+    * and the per-doc TOTAL is computed map-only from the array
+    * length, so the full gram stream is never join-shuffled back
+    * (the first cut of this operator did exactly that and went
+    * super-linear in the 10× stress: 2.8 s → 43 s; this shape
+    * measures 2.8 s → 9 s, the aggregate's honest cost). Docs
+    * shorter than `l` surface with zero grams and NULL novelty.
     *
     * Output: `(doc_id, n_grams, shared_grams, novelty_ppm)`.
     */
@@ -1069,18 +1076,26 @@ object Dedup {
       textCol: String,
       l: Int = 30): DataFrame = {
     require(l >= 1, "gramNoveltyStats: gram length must be positive")
+    def gramArr = array_distinct(
+      graft.functions.HashExprs.charGramHashes(
+        coalesce(col(textCol), lit("")), l)) // NULL text = zero grams
+    // Deliberately NOT materialized: the gram stream feeds both the
+    // shared-gram count and the membership probe, but it is a cheap
+    // map-only explode — recomputing it twice beats checkpointing a
+    // corpus-scale intermediate (measured at 10×: 22 s recomputed vs
+    // 35 s through localCheckpoint), and at 100 TB a full gram-stream
+    // materialization is exactly the write a pipeline cannot afford.
     val grams = docs.select(col(idCol).as("doc_id"),
-      explode(array_distinct(
-        graft.functions.HashExprs.charGramHashes(col(textCol), l))).as("__h"))
-    val docsPerGram = grams.groupBy("__h")
+      explode(gramArr).as("__h"))
+    val shared = grams.groupBy("__h")
       .agg(count(lit(1)).as("__nd")) // distinct docs: input is per-doc distinct
-    val stats = grams.join(docsPerGram, Seq("__h"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("__nd") > 1, lit(1L)).otherwise(lit(0L))).as("shared_grams"))
-    docs.select(col(idCol).as("doc_id")).join(stats, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+      .filter(col("__nd") > 1).select("__h")
+    val sharedPerDoc = grams.join(shared, Seq("__h"))
+      .groupBy("doc_id").agg(count(lit(1)).as("shared_grams"))
+    docs.select(col(idCol).as("doc_id"),
+        size(gramArr).cast("long").as("n_grams")) // map-only totals
+      .join(sharedPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
         coalesce(col("shared_grams"), lit(0L)).as("shared_grams"))
       .withColumn("novelty_ppm",
         when(col("n_grams") === 0, lit(null).cast("long"))
