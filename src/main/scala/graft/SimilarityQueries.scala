@@ -371,8 +371,26 @@ object SimilarityQueries {
          |    PARTITION BY query_id ORDER BY votes DESC, label) AS vr
          |  FROM votes) v
          |WHERE vr = 1""".stripMargin)),
-    QueryDef("q_kmeans_sizes", kmeansSizes, None),
-    QueryDef("q_semdedup", semdedupQ, None, headline = true),
+    QueryDef("q_kmeans_sizes", kmeansSizes, Some(
+      s"""WITH ${Similarity.kmeansDuckCtes()}
+         |SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_vectors
+         |FROM km_assign GROUP BY 1""".stripMargin)),
+    QueryDef("q_semdedup", semdedupQ, Some(
+      s"""WITH RECURSIVE ${Similarity.kmeansDuckCtes()},
+         |sd_pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM km_assign ia
+         |  JOIN km_c a ON a.vec_id = ia.vec_id
+         |  JOIN km_assign ib ON ib.centroid_id = ia.centroid_id
+         |  JOIN km_c b ON b.vec_id = ib.vec_id AND a.vec_id < b.vec_id
+         |  WHERE ${graft.functions.Det.roundSql(
+                Similarity.cosineDuckSql("a.v", "b.v"), 6)} >= 0.8),
+         |${graft.operators.Dedup.ccDuckCtes("sd_pairs")}
+         |SELECT e.vec_id, e.label FROM embeddings e
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM cc_comp c
+         |  WHERE c.id = e.vec_id AND c.component <> e.vec_id)""".stripMargin),
+      headline = true),
     QueryDef("q_embed_quant", embedQuant, Some(embedQuantSql)),
     QueryDef("q_random_project", randomProjectQ, Some(randomProjectSql)),
     QueryDef("q_knn_cosine", knn, Some(

@@ -1597,6 +1597,30 @@ object TextQueries {
          |  CAST(count(*) AS BIGINT) AS n
          |FROM documents d JOIN pred p ON d.doc_id = p.doc_id
          |GROUP BY 1, 2""".stripMargin)),
+    QueryDef("q_per_class_metrics",
+      (s, d) => graft.operators.Profile.perClassMetrics(langConfusionQ(s, d)),
+      Some(
+        s"""WITH pred AS ($langIdSql),
+           |pc_conf AS (
+           |  SELECT d.lang AS actual, p.lang_pred AS predicted,
+           |    CAST(count(*) AS BIGINT) AS n
+           |  FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+           |  GROUP BY 1, 2),
+           |pc_a AS (SELECT actual AS label, sum(n) AS support FROM pc_conf GROUP BY 1),
+           |pc_p AS (SELECT predicted AS label, sum(n) AS predicted FROM pc_conf GROUP BY 1),
+           |pc_tp AS (SELECT actual AS label, n AS tp FROM pc_conf WHERE actual = predicted)
+           |SELECT label,
+           |  CAST(COALESCE(tp, 0) AS BIGINT) AS tp,
+           |  CAST(COALESCE(support, 0) AS BIGINT) AS support,
+           |  CAST(COALESCE(p.predicted, 0) AS BIGINT) AS predicted,
+           |  CASE WHEN COALESCE(p.predicted, 0) = 0 THEN NULL
+           |       ELSE CAST(COALESCE(tp, 0) * 1000000 // p.predicted AS BIGINT)
+           |  END AS precision_ppm,
+           |  CASE WHEN COALESCE(support, 0) = 0 THEN NULL
+           |       ELSE CAST(COALESCE(tp, 0) * 1000000 // support AS BIGINT)
+           |  END AS recall_ppm
+           |FROM pc_a FULL OUTER JOIN pc_p p USING (label)
+           |LEFT JOIN pc_tp USING (label)""".stripMargin)),
     QueryDef("q_doc_fingerprint", fingerprint, Some(
       s"""SELECT doc_id, ${TextAnalysis.fingerprintDuckSql(duckToks("text"))} AS fp
          |FROM documents""".stripMargin)),

@@ -321,7 +321,7 @@ object Similarity {
 
   /** IVF (inverted-file) index: a coarse quantizer of `nCentroids`
     * cluster centers (deterministic pseudo-random init: the k corpus
-    * vectors with the smallest `xxhash64(vec_id)` — a distributed
+    * vectors with the smallest portable id hash — a distributed
     * TakeOrdered, bounded k per partition, no global window — refined
     * by `lloydIters` rounds of Lloyd's algorithm: each round is one
     * broadcast-scored assignment plus one element-wise mean
@@ -329,6 +329,24 @@ object Similarity {
     * Centroid ids are the seed vectors' own ids (unique, not dense —
     * they are only ever used as join/group keys). Build is a one-off,
     * persistable at scale.
+    *
+    * ENGINE-EXACT by construction (since round 9b — classic Lloyd is
+    * FP-partition-order-dependent, this restatement is not):
+    *  - seeds order by the md5 id hash ([[graft.operators.TextAnalysis.tokenHashP]]
+    *    of the stringified id), reproducible in any engine;
+    *  - assignment ranks on the 6-dp [[Det]]-rounded cosine
+    *    (sequential fold), ties to the smaller centroid id;
+    *  - the centroid mean never sums doubles: components quantize to
+    *    integers at 2^30 (exact in binary — a float32 times 2^30 is
+    *    below 2^53, and the half-up floor is the Det convention),
+    *    SUM as integers (order-independent), then ONE exact
+    *    power-of-two scale-back, ONE correctly-rounded division by
+    *    the count, and a 9-dp Det round.
+    * Every step is replayable in SQL ([[kmeansDuckCtes]]), which is
+    * what lets `q_kmeans_sizes` and `q_semdedup` be hash-checked
+    * instead of rows-only. The ~1e-9 centroid quantization is far
+    * below clustering noise (recall contracts unchanged,
+    * `SimilaritySpec`).
     */
   def ivfIndex(
       corpus: DataFrame,
@@ -338,26 +356,93 @@ object Similarity {
       lloydIters: Int = 2): (DataFrame, DataFrame) = {
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
     var centroids = c
-      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .orderBy(TextAnalysis.tokenHashP(col("vec_id").cast("string")), col("vec_id"))
       .limit(nCentroids)
       .select(col("vec_id").as("centroid_id"),
         transform(col("v"), x => x.cast("double")).as("cv"))
     var iter = 0
     while (iter < lloydIters) {
       val assigned = assign(c, centroids)
-      // Element-wise mean per cluster: explode positions, average,
-      // rebuild the array ordered by position.
+      // Element-wise mean per cluster: explode positions, integer-
+      // quantized sum (see scaladoc), rebuild the array by position.
       centroids = assigned
         .join(c, "vec_id")
         .select(col("centroid_id"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("centroid_id", "pos")
-        .agg(avg(col("x").cast("double")).as("m"))
+        .agg(
+          sum(floor(col("x").cast("double") * lit(1073741824.0) + lit(0.5))
+            .cast("long")).as("__qs"),
+          count(lit(1)).as("__n"))
+        .select(col("centroid_id"), col("pos"),
+          Det.round(
+            col("__qs").cast("double") / lit(1073741824.0) / col("__n"),
+            9).as("m"))
         .groupBy("centroid_id")
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("centroid_id"), transform(col("pm"), p => p.getField("m")).as("cv"))
       iter += 1
     }
     (assign(c, centroids), centroids)
+  }
+
+  /** The DuckDB twin of [[cosine]]'s sequential-fold double cosine —
+    * `list_sum` folds in list order, matching the fold association.
+    */
+  def cosineDuckSql(a: String, b: String): String =
+    s"""(list_sum([$a[i]::DOUBLE * $b[i]::DOUBLE for i in range(1, len($a) + 1)])
+       | / (sqrt(list_sum([$a[i]::DOUBLE * $a[i]::DOUBLE for i in range(1, len($a) + 1)]))
+       |  * sqrt(list_sum([$b[i]::DOUBLE * $b[i]::DOUBLE for i in range(1, len($b) + 1)]))))""".stripMargin
+
+  /** DuckDB CTE chain replaying [[ivfIndex]] step for step — the
+    * portable seed order, each unrolled Lloyd round's 6-dp-rounded
+    * assignment and integer-quantized centroid mean, and the final
+    * assignment as `km_assign(vec_id, centroid_id)`. Keep in
+    * lockstep with [[ivfIndex]]/[[assign]].
+    */
+  def kmeansDuckCtes(
+      table: String = "embeddings",
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      k: Int = 8,
+      lloydIters: Int = 2): String = {
+    val det = graft.functions.Det
+    val seedHash =
+      s"(CAST(('0x' || substr(md5(CAST($idCol AS VARCHAR)), 1, 15)) AS BIGINT) % 2147483647)"
+    def assignCte(name: String, centName: String) =
+      s"""$name AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT c.vec_id, s.centroid_id,
+         |      row_number() OVER (PARTITION BY c.vec_id
+         |        ORDER BY ${det.roundSql(cosineDuckSql("c.v", "s.cv"), 6)} DESC,
+         |          s.centroid_id) AS rn
+         |    FROM km_c c CROSS JOIN $centName s) t
+         |  WHERE rn = 1)""".stripMargin
+    def centCtes(name: String, assignName: String) =
+      s"""${name}_pm AS (
+         |  SELECT a.centroid_id, CAST(u.i AS INTEGER) AS pos,
+         |    ${det.roundSql(
+               "(CAST(sum(CAST(floor(c.v[CAST(u.i AS INTEGER)]::DOUBLE" +
+                 " * 1073741824.0 + 0.5) AS BIGINT)) AS DOUBLE)" +
+                 " / 1073741824.0) / count(*)", 9)} AS m
+         |  FROM $assignName a JOIN km_c c USING (vec_id),
+         |    unnest(range(1, len(c.v) + 1)) AS u(i)
+         |  GROUP BY 1, 2),
+         |$name AS (
+         |  SELECT centroid_id, list(m ORDER BY pos) AS cv
+         |  FROM ${name}_pm GROUP BY 1)""".stripMargin
+    val rounds = (1 to lloydIters).map { i =>
+      val prevCent = if (i == 1) "km_seed" else s"km_cent${i - 1}"
+      assignCte(s"km_a${i - 1}", prevCent) + ",\n" +
+        centCtes(s"km_cent$i", s"km_a${i - 1}")
+    }.mkString(",\n")
+    s"""km_c AS (
+       |  SELECT $idCol AS vec_id, $vecCol AS v FROM $table),
+       |km_seed AS (
+       |  SELECT $idCol AS centroid_id,
+       |    list_transform($vecCol, x -> x::DOUBLE) AS cv
+       |  FROM $table ORDER BY $seedHash, $idCol LIMIT $k),
+       |$rounds,
+       |${assignCte("km_assign", s"km_cent$lloydIters")}""".stripMargin
   }
 
   /** Persist / load an IVF index (assignments + centroids) — the
@@ -373,10 +458,15 @@ object Similarity {
   def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): (DataFrame, DataFrame) =
     (spark.read.parquet(s"$path/assignments"), spark.read.parquet(s"$path/centroids"))
 
-  /** Nearest centroid per corpus vector (broadcast-scored). */
+  /** Nearest centroid per corpus vector (broadcast-scored). The
+    * similarity is Det-rounded to 6 dp BEFORE the argmax so the
+    * assignment — and everything downstream of the quantizer — is
+    * reproducible bit-for-bit in any IEEE engine (see [[ivfIndex]]).
+    */
   private def assign(c: DataFrame, centroids: DataFrame): DataFrame =
     c.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("centroid_id"), cosine(col("v"), col("cv")).as("s"))
+      .select(col("vec_id"), col("centroid_id"),
+        Det.round(cosine(col("v"), col("cv")), 6).as("s"))
       .groupBy("vec_id")
       // (sim desc, centroid asc) with only the numeric score negated, so
       // non-numeric centroid ids stay legal.
