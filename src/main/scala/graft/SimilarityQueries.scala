@@ -298,6 +298,37 @@ object SimilarityQueries {
       labelCol = "label", k = 5)
   }
 
+  /** IVF-PQ composed serving path ([[Similarity.ivfPqKnn]]): coarse
+    * cells prune the corpus, PQ codes score the survivors, exact
+    * cosine re-ranks the shortlist — the layout a billion-vector
+    * corpus persists. Both indexes are memoized per sf dir (the
+    * persisted-index shape), so the bench times the serving path.
+    * Hash-exact: both quantizers are engine-exact, so the oracle
+    * composes [[Similarity.kmeansDuckCtes]] (probe set) with
+    * [[Similarity.pqKnnDuckCtes]] restricted to the probed candidates.
+    */
+  private val ivfIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
+
+  private def ivfPqKnnQ(s: SparkSession, d: String): DataFrame = {
+    val (dim, m, ksub) = (64, 8, 16)
+    val em = Tables.embeddings(s, d)
+    val (cb, codes) = pqIndexCache.computeIfAbsent(d, _ => {
+      val cb0 = graft.operators.Materialize(
+        Similarity.pqCodebook(em, "vec_id", "embedding", dim, m, ksub, lloydIters = 2))
+      (cb0, graft.operators.Materialize(
+        Similarity.pqEncode(em, "vec_id", "embedding", cb0, dim, m)))
+    })
+    val (index, cents) = ivfIndexCache.computeIfAbsent(d, _ => {
+      val (ix, ct) = Similarity.ivfIndex(em, "vec_id", "embedding", nCentroids = 8)
+      (graft.operators.Materialize(ix), graft.operators.Materialize(ct))
+    })
+    Similarity.ivfPqKnn(
+      em.filter(col("vec_id") < 10), index, cents, codes, cb, em,
+      "vec_id", "vec_id", "embedding", "embedding",
+      dim, m, ksub, k = 5, nProbe = 3, shortlist = 20)
+  }
+
   /** Retrieval-quality eval ([[Retrieval.rankEval]]): the 10-nearest
     * run of the first 10 query vectors scored against label-match
     * qrels (same-label vectors are the relevant set) — per query
@@ -499,7 +530,35 @@ object SimilarityQueries {
          |  WHERE s.iter < 10)
          |SELECT id AS neighbor_id, CAST(iter AS INTEGER) AS mmr_rank
          |FROM m_sel""".stripMargin)),
-    QueryDef("q_pq_knn", pqKnnQ, None, headline = true),
+    QueryDef("q_ivf_pq_knn", ivfPqKnnQ, Some {
+      val probeSim = graft.functions.Det.roundSql(
+        Similarity.cosineDuckSql("q.v", "s.cv"), 6)
+      s"""WITH ${Similarity.kmeansDuckCtes()},
+         |ivf_probe AS (
+         |  SELECT query_id, centroid_id FROM (
+         |    SELECT q.vec_id AS query_id, s.centroid_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY $probeSim DESC, s.centroid_id) AS rn
+         |    FROM km_c q CROSS JOIN km_cent2 s
+         |    WHERE q.vec_id < 10) t
+         |  WHERE rn <= 3),
+         |ivf_cand AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id
+         |  FROM ivf_probe p JOIN km_assign a USING (centroid_id)),
+         |${Similarity.pqKnnDuckCtes(
+              table = "embeddings", idCol = "vec_id", vecCol = "embedding",
+              dim = 64, m = 8, ksub = 16, k = 5, shortlist = 20,
+              lloydIters = 2, queryPred = "q.vec_id < 10",
+              candCte = Some("ivf_cand"))}
+         |SELECT query_id, neighbor_id, sim, rank FROM pq_topk""".stripMargin
+    }, headline = true),
+    QueryDef("q_pq_knn", pqKnnQ, Some(
+      s"""WITH ${Similarity.pqKnnDuckCtes(
+            table = "embeddings", idCol = "vec_id", vecCol = "embedding",
+            dim = 64, m = 8, ksub = 16, k = 5, shortlist = 20,
+            lloydIters = 2, queryPred = "q.vec_id < 10")}
+         |SELECT query_id, neighbor_id, sim, rank FROM pq_topk""".stripMargin),
+      headline = true),
     QueryDef("q_embed_neardup", embedNeardup, Some(
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |  floor((${duckCos("a.embedding", "b.embedding")}) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim

@@ -445,6 +445,126 @@ object Similarity {
        |${assignCte("km_assign", s"km_cent$lloydIters")}""".stripMargin
   }
 
+  /** DuckDB CTE chain replaying the WHOLE PQ serving path —
+    * [[pqCodebook]] (portable seed order, unrolled Lloyd rounds with
+    * 6-dp-rounded argmin assignment, integer-quantized codeword
+    * means, empty-cluster keep), [[pqEncode]] (codes + norms), the
+    * per-query ADC table, the rounded ADC shortlist, and the exact
+    * cosine re-rank — ending in a final SELECT of
+    * `(query_id, neighbor_id, sim, rank)`. Keep in lockstep with the
+    * three operators. `queryPred` bounds the query set (SQL over the
+    * `pq_c` alias `q`).
+    */
+  def pqKnnDuckCtes(
+      table: String,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int,
+      ksub: Int,
+      k: Int,
+      shortlist: Int,
+      lloydIters: Int,
+      queryPred: String,
+      candCte: Option[String] = None): String = {
+    require(dim % m == 0, s"dim=$dim must be divisible by m=$m")
+    val dsub = dim / m
+    val det = graft.functions.Det
+    val seedHashSeed =
+      "(CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2147483647)"
+    def l2(a: String, b: String) =
+      s"list_sum([($a[i]::DOUBLE - $b[i]) * ($a[i]::DOUBLE - $b[i]) for i in range(1, $dsub + 1)])"
+    def dot(a: String, b: String) =
+      s"list_sum([$a[i]::DOUBLE * $b[i] for i in range(1, $dsub + 1)])"
+    def assignCte(name: String, cbName: String) =
+      s"""$name AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT s.vec_id, s.sub, cb.code,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.sub
+         |        ORDER BY ${det.roundSql(l2("s.sv", "cb.cv"), 6)} ASC, cb.code ASC) AS rn
+         |    FROM pq_sv s JOIN $cbName cb USING (sub)) t
+         |  WHERE rn = 1)""".stripMargin
+    val rounds = (1 to lloydIters).map { r =>
+      val prev = if (r == 1) "pq_cb0" else s"pq_cb${r - 1}"
+      assignCte(s"pq_as$r", prev) + ",\n" +
+        s"""pq_up${r}_pm AS (
+           |  SELECT a.sub, a.code, CAST(u.i AS INTEGER) AS pos,
+           |    ${det.roundSql(
+                 "(CAST(sum(CAST(floor(s.sv[CAST(u.i AS INTEGER)]" +
+                   " * 1073741824.0 + 0.5) AS BIGINT)) AS DOUBLE)" +
+                   " / 1073741824.0) / count(*)", 9)} AS mu
+           |  FROM pq_as$r a JOIN pq_sv s USING (vec_id, sub),
+           |    unnest(range(1, $dsub + 1)) AS u(i)
+           |  GROUP BY 1, 2, 3),
+           |pq_up$r AS (
+           |  SELECT sub, code, list(mu ORDER BY pos) AS cv_new
+           |  FROM pq_up${r}_pm GROUP BY 1, 2),
+           |pq_cb$r AS (
+           |  SELECT cb.sub, cb.code, COALESCE(u.cv_new, cb.cv) AS cv
+           |  FROM pq_cb${r - 1} cb LEFT JOIN pq_up$r u USING (sub, code))""".stripMargin
+    }.mkString(",\n")
+    s"""pq_c AS (
+       |  SELECT $idCol AS vec_id,
+       |    list_transform($vecCol, x -> x::DOUBLE) AS v
+       |  FROM $table),
+       |pq_seed AS (
+       |  SELECT v, CAST(row_number() OVER (ORDER BY $seedHashSeed, vec_id) - 1 AS INTEGER) AS code
+       |  FROM (SELECT vec_id, v FROM pq_c
+       |        ORDER BY $seedHashSeed, vec_id LIMIT $ksub) s0),
+       |pq_cb0 AS (
+       |  SELECT CAST(u.s AS INTEGER) AS sub, code,
+       |    v[CAST(u.s AS INTEGER) * $dsub + 1 : (CAST(u.s AS INTEGER) + 1) * $dsub] AS cv
+       |  FROM pq_seed, unnest(range($m)) AS u(s)),
+       |pq_sv AS (
+       |  SELECT vec_id, CAST(u.s AS INTEGER) AS sub,
+       |    v[CAST(u.s AS INTEGER) * $dsub + 1 : (CAST(u.s AS INTEGER) + 1) * $dsub] AS sv
+       |  FROM pq_c, unnest(range($m)) AS u(s)),
+       |$rounds,
+       |${assignCte("pq_enc", s"pq_cb$lloydIters")},
+       |pq_codes AS (
+       |  SELECT e.vec_id, list(e.code ORDER BY e.sub) AS codes,
+       |    any_value(sqrt(list_sum([c.v[i] * c.v[i] for i in range(1, $dim + 1)]))) AS norm
+       |  FROM pq_enc e JOIN pq_c c ON c.vec_id = e.vec_id
+       |  GROUP BY 1),
+       |pq_adc_t AS (
+       |  SELECT q.vec_id AS query_id, cb.sub, cb.code,
+       |    ${dot(s"q.v[CAST(cb.sub AS INTEGER) * $dsub + 1 : (CAST(cb.sub AS INTEGER) + 1) * $dsub]", "cb.cv")} AS t,
+       |    sqrt(list_sum([q.v[i] * q.v[i] for i in range(1, $dim + 1)])) AS qn
+       |  FROM pq_c q CROSS JOIN pq_cb$lloydIters cb
+       |  WHERE $queryPred),
+       |pq_adc AS (
+       |  SELECT query_id, list(t ORDER BY sub, code) AS tbl, any_value(qn) AS qn
+       |  FROM pq_adc_t GROUP BY 1),
+       |pq_scored AS (
+       |  SELECT a.query_id, c.vec_id AS neighbor_id,
+       |    ${det.roundSql(
+             s"list_sum([a.tbl[CAST(s AS INTEGER) * $ksub" +
+               s" + CAST(c.codes[CAST(s AS INTEGER) + 1] AS INTEGER) + 1]" +
+               s" for s in range($m)]) / (a.qn * c.norm)", 6)} AS sim
+       |  FROM pq_codes c CROSS JOIN pq_adc a
+       |  ${candCte.map(cc =>
+             s"JOIN $cc cd ON cd.query_id = a.query_id AND cd.neighbor_id = c.vec_id")
+             .getOrElse("")}
+       |  WHERE a.query_id <> c.vec_id),
+       |pq_short AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+       |    FROM pq_scored) t WHERE rn <= $shortlist),
+       |pq_rr AS (
+       |  SELECT sh.query_id, sh.neighbor_id,
+       |    ${det.roundSql(cosineDuckSql("q.v", "c.v"), 6)} AS sim
+       |  FROM pq_short sh
+       |  JOIN pq_c q ON q.vec_id = sh.query_id
+       |  JOIN pq_c c ON c.vec_id = sh.neighbor_id),
+       |pq_topk AS (
+       |  SELECT query_id, neighbor_id, sim, CAST(rn AS INTEGER) AS rank FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+       |    FROM pq_rr) t
+       |  WHERE rn <= $k)""".stripMargin
+  }
+
   /** Persist / load an IVF index (assignments + centroids) — the
     * build is a one-off at scale; queries reuse the stored cells.
     */
@@ -601,7 +721,9 @@ object Similarity {
       array((0 until m).map(s => slice(col("v"), s * dsub + 1, dsub)): _*))
       .as(Seq("sub", "sv")))
 
-    val seeds = c.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(ksub)
+    val seeds = c
+      .orderBy(TextAnalysis.tokenHashP(col("vec_id").cast("string")), col("vec_id"))
+      .limit(ksub)
       .select("v").as[Seq[Double]].collect()
     require(seeds.nonEmpty, "pqCodebook needs a non-empty corpus")
     var codebook = (for {
@@ -619,7 +741,7 @@ object Similarity {
       // ties to the smaller code — total order, deterministic)
       val assigned = sv.join(broadcast(codebook), Seq("sub"))
         .select(col("vec_id"), col("sub"), col("sv"), col("code"),
-          l2(col("sv"), col("cv")).as("d"))
+          Det.round(l2(col("sv"), col("cv")), 6).as("d"))
         .groupBy("vec_id", "sub")
         .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"),
           first(col("sv")).as("sv"))
@@ -629,7 +751,13 @@ object Similarity {
       val updated = assigned
         .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
         .groupBy("sub", "code", "pos")
-        .agg(avg(col("x")).as("mu"))
+        .agg(
+          sum(floor(col("x") * lit(1073741824.0) + lit(0.5)).cast("long")).as("__qs"),
+          count(lit(1)).as("__n"))
+        .select(col("sub"), col("code"), col("pos"),
+          Det.round(
+            col("__qs").cast("double") / lit(1073741824.0) / col("__n"),
+            9).as("mu"))
         .groupBy("sub", "code")
         .agg(array_sort(collect_list(struct(col("pos"), col("mu")))).as("pm"))
         .select(col("sub"), col("code"),
@@ -668,7 +796,7 @@ object Similarity {
         .as(Seq("sub", "sv")))
       .join(broadcast(codebook), Seq("sub"))
       .select(col("vec_id"), col("norm"), col("sub"), col("code"),
-        l2(col("sv"), col("cv")).as("d"))
+        Det.round(l2(col("sv"), col("cv")), 6).as("d"))
       .groupBy("vec_id", "sub")
       .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"),
         first(col("norm")).as("norm"))
@@ -737,14 +865,104 @@ object Similarity {
       (c, i) => element_at(col("__tbl"), i * ksub + c + 1))
     val scored0 = codes.crossJoin(broadcast(adc))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (aggregate(contrib, lit(0.0), (acc, x) => acc + x) /
-          (col("__qn") * col("norm"))).as("sim"))
+        Det.round(
+          aggregate(contrib, lit(0.0), (acc, x) => acc + x) /
+            (col("__qn") * col("norm")), 6).as("sim"))
     val scored = if (excludeSelf) scored0.filter(col("query_id") =!= col("neighbor_id"))
       else scored0
     val cand = topKPerQuery(scored, short)
       .select(col("query_id"), col("neighbor_id"))
     // exact re-rank of the bounded shortlist
     val reranked = cand
+      .join(q, "query_id")
+      .join(corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv")),
+        Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Det.round(cosine(col("__qv"), col("__cv")), 6).as("sim"))
+    topKPerQuery(reranked, k)
+  }
+
+  /** IVF-PQ — the composed billion-vector serving shape (Jégou et
+    * al.'s full recipe): the coarse quantizer ([[ivfIndex]]) prunes
+    * the corpus to `nProbe` cells per query, PQ codes ([[pqEncode]])
+    * score the surviving candidates from `m` table lookups each, and
+    * the bounded shortlist re-ranks with exact cosine. Per query the
+    * scan touches `nProbe/nCentroids` of the code table (9ish bytes a
+    * vector) and NO raw vectors until the shortlist — both sub-linear
+    * levers at once, which is why this is the layout a billion-vector
+    * corpus actually persists.
+    *
+    * Both quantizers are engine-exact (portable seeds, rounded
+    * argmin/argmax, integer-quantized means — see [[ivfIndex]] /
+    * [[pqCodebook]]), probe ranking and the ADC score are Det-rounded,
+    * so the WHOLE composed path replays in SQL
+    * (`q_ivf_pq_knn` = [[kmeansDuckCtes]] + [[pqKnnDuckCtes]] with the
+    * probe restriction) — rank approximation comes only from the
+    * declared pruning, never from engine nondeterminism.
+    */
+  def ivfPqKnn(
+      queries: DataFrame,
+      index: DataFrame,
+      centroids: DataFrame,
+      codes: DataFrame,
+      codebook: DataFrame,
+      corpus: DataFrame,
+      queryId: String,
+      corpusId: String,
+      queryVec: String,
+      corpusVec: String,
+      dim: Int,
+      m: Int,
+      ksub: Int,
+      k: Int,
+      nProbe: Int = 3,
+      shortlist: Int = 0,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must be divisible by m=$m subspaces")
+    val dsub = dim / m
+    val short = if (shortlist > 0) shortlist else 4 * k
+    val q = queries.select(col(queryId).as("query_id"),
+      transform(col(queryVec), x => x.cast("double")).as("__qv"))
+    // coarse probe: nProbe best cells by ROUNDED cosine (ties to the
+    // smaller centroid id) — rounded so the probe set is replayable
+    val probes = q.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("centroid_id"),
+        Det.round(cosine(col("__qv"), col("cv")), 6).as("__cs"))
+      .withColumn("__pr", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("__cs").desc, col("centroid_id"))))
+      .filter(col("__pr") <= nProbe)
+      .select(col("query_id"), col("centroid_id"))
+    val qnorm = sqrt(aggregate(col("__qv"), lit(0.0), (acc, x) => acc + x * x))
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val adc = q
+      .select(col("query_id"), col("__qv"), qnorm.as("__qn"), posexplode(
+        array((0 until m).map(s => slice(col("__qv"), s * dsub + 1, dsub)): _*))
+        .as(Seq("sub", "qsv")))
+      .join(broadcast(codebook), Seq("sub"))
+      .select(col("query_id"), col("__qn"), col("sub"), col("code"),
+        dot(col("qsv"), col("cv")).as("t"))
+      .groupBy("query_id")
+      .agg(
+        transform(array_sort(collect_list(struct(col("sub"), col("code"), col("t")))),
+          p => p.getField("t")).as("__tbl"),
+        first(col("__qn")).as("__qn"))
+    // candidates: only codes in probed cells — the equi-join replaces
+    // pqKnn's full code-table pass
+    val cand = codes.join(index, Seq("vec_id"))
+      .join(broadcast(probes), Seq("centroid_id"))
+      .join(broadcast(adc), Seq("query_id"))
+    val contrib = transform(col("codes"),
+      (c, i) => element_at(col("__tbl"), i * ksub + c + 1))
+    val scored0 = cand.select(col("query_id"), col("vec_id").as("neighbor_id"),
+      Det.round(
+        aggregate(contrib, lit(0.0), (acc, x) => acc + x) /
+          (col("__qn") * col("norm")), 6).as("sim"))
+    val scored = if (excludeSelf) scored0.filter(col("query_id") =!= col("neighbor_id"))
+      else scored0
+    val candTop = topKPerQuery(scored, short)
+      .select(col("query_id"), col("neighbor_id"))
+    val reranked = candTop
       .join(q, "query_id")
       .join(corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv")),
         Seq("neighbor_id"))

@@ -215,6 +215,15 @@ class PlanSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct"), plan.take(800))
   }
 
+  test("IVF-PQ: probed equi-join candidates + heap shortlist, no cartesian over codes") {
+    val plan = planOf(SparkEntry.queries("q_ivf_pq_knn")(spark, sf))
+    // the codes pass must reach the ADC scoring through the probed-cell
+    // equi-join — a cartesian of codes x queries would be pqKnn's full
+    // scan, defeating the composition
+    assert(plan.contains("ObjectHashAggregate"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
   test("bigram lift: TakeOrdered final cut; broadcast scalar totals; no window") {
     val plan = planOf(SparkEntry.queries("q_bigram_lift")(spark, sf))
     assert(plan.contains("TakeOrderedAndProject"), plan.take(800))

@@ -192,6 +192,51 @@ class SimilaritySpec extends SparkSpecBase {
       }
   }
 
+  test("ivfPqKnn (IVF-PQ composed path): recall holds through both pruning levers") {
+    val rnd = new scala.util.Random(23)
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat).toSeq
+    }
+    val centers = Array.fill(20)(Array.fill(16)(rnd.nextGaussian()))
+    val vecs = (0 until 200).map { i =>
+      val c = centers(i % 20)
+      (i.toLong, unit(c.map(x => x + 0.12 * rnd.nextGaussian())))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val (dim, m, ksub) = (16, 4, 16)
+    val (index, cents) = Similarity.ivfIndex(df, "vec_id", "embedding",
+      nCentroids = 20, lloydIters = 2)
+    val cb = Similarity.pqCodebook(df, "vec_id", "embedding", dim, m, ksub, lloydIters = 2)
+    val codes = Similarity.pqEncode(df, "vec_id", "embedding", cb, dim, m)
+    val qs = df.filter(col("vec_id") < 30)
+    def pairs(r: org.apache.spark.sql.DataFrame) =
+      r.select("query_id", "neighbor_id").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val bf = pairs(Similarity.bruteForceKnn(qs, df, "vec_id", "vec_id",
+      "embedding", "embedding", k = 5))
+    val got = Similarity.ivfPqKnn(qs, index, cents, codes, cb, df,
+      "vec_id", "vec_id", "embedding", "embedding",
+      dim, m, ksub, k = 5, nProbe = 4, shortlist = 20)
+    val recall = (bf & pairs(got)).size.toDouble / bf.size
+    assert(recall >= 0.7, s"recall=$recall") // two pruning levers stacked
+    // returned sims are EXACT: every pair also found by brute force
+    // scores identically (the re-rank contract survives composition)
+    val bfSims2 = Similarity.bruteForceKnn(qs, df, "vec_id", "vec_id",
+      "embedding", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    got.collect().foreach { r =>
+      bfSims2.get((r.getLong(0), r.getLong(1)))
+        .foreach(s => assert(r.getDouble(2) === s))
+    }
+    // deterministic under repartitioning (the quantizers are engine-exact)
+    val again = Similarity.ivfPqKnn(qs.repartition(7), index, cents, codes, cb,
+      df.repartition(5), "vec_id", "vec_id", "embedding", "embedding",
+      dim, m, ksub, k = 5, nProbe = 4, shortlist = 20)
+    assert(got.orderBy("query_id", "rank").collect().toSeq ===
+      again.orderBy("query_id", "rank").collect().toSeq)
+  }
+
   test("cosineNearDupPairs respects blocking and threshold") {
     val df = Seq(
       (1L, Seq(1f, 0f), 0),
