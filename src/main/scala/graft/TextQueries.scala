@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Det
-import graft.operators.{Bpe, Classifier, Dedup, Keywords, LmScore, Multimodal, Packing, Psl, Relational, Sampling, TextAnalysis, Urls}
+import graft.operators.{Bpe, Classifier, Dedup, Keywords, LmScore, Multimodal, Packing, Psl, Relational, Sampling, Sketches, TextAnalysis, Urls}
 
 /** Text-analysis / dedup / multimodal query surface over `documents`
   * — the training-data-pipeline operators (builder prompt; SURVEY §7
@@ -329,6 +329,19 @@ object TextQueries {
   private def curateQ(s: SparkSession, d: String): DataFrame =
     graft.operators.Curation.curate(Tables.documents(s, d),
       "doc_id", "text", "lang", budgetPerLang = 5000L, validPct = 10)
+
+  /** Portable-HLL register state
+    * ([[Sketches.hllPortableRegisters]]): per-source token sketch
+    * registers — the engine-exact mergeable distinct-sketch whose
+    * STATE (not just row count) the oracle hash-checks; the
+    * Datasketches-backed `q_hll_merge` remains the production
+    * default with library-internal registers.
+    */
+  private def hllRegistersQ(s: SparkSession, d: String): DataFrame =
+    Sketches.hllPortableRegisters(
+      Tables.documents(s, d).select(col("source"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok")),
+      Seq("source"), col("tok"))
 
   /** Bigram collocation mining ([[Keywords.bigramLift]]): the top-40
     * adjacent token pairs (≥5 occurrences) by exact rational lift.
@@ -1834,6 +1847,12 @@ object TextQueries {
          |  FROM t)
          |SELECT doc_id, lang, n_tokens FROM c
          |WHERE spent - n_tokens < 5000""".stripMargin
+    }),
+    QueryDef("q_hll_registers", hllRegistersQ, Some {
+      val toks = duckToks("text")
+      s"""WITH hp_src AS (
+         |  SELECT source, unnest($toks) AS k FROM documents)
+         |${Sketches.hllPortableRegistersDuckSql("hp_src", Seq("source"))}""".stripMargin
     }),
     QueryDef("q_curate", curateQ, Some {
       val toks = duckToks("text")

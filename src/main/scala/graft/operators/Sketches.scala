@@ -56,6 +56,94 @@ object Sketches {
   /** One theta sketch per (groupCols..., sliceCol) cell — the
     * persistable build pass. `lgK` 12 ≈ 3% relative error.
     */
+  // ---- Portable HLL: engine-exact register state ----
+  //
+  // The Datasketches-backed path above is the production default, but
+  // its register encoding is library-internal — nothing outside the
+  // JVM can check the sketch STATE. This variant rebuilds HyperLogLog
+  // from engine-portable pieces (md5 64-bit hash, bucket = top p
+  // bits, rho via minimal-binary length — the floor-log2 trick), so
+  // the whole register table replays bit-for-bit in SQL: the
+  // mergeable state itself is oracle-checkable, which is the property
+  // that matters when sketches are persisted and merged across
+  // engines. Merge = element-wise MAX of registers (exact algebra,
+  // order-independent), identical to building over the union.
+
+  /** Per-group portable-HLL register table: `(groupCols..., bucket,
+    * register)` with one row per NON-EMPTY bucket (empty buckets are
+    * implicit zeros; `2^p` bounds rows per group). Integer end-to-end:
+    * bucket = top `p` bits of the md5-64 hash
+    * ([[TextAnalysis.tokenHash64]] of the stringified key), register
+    * = max over values of `rho` = leading zeros of the remaining
+    * `64-p` bits + 1 (via `length(bin(w))` — minimal binary in both
+    * engines). Map-side-combinable max aggregate; merging slice
+    * tables is the SAME aggregate over their union.
+    */
+  def hllPortableRegisters(
+      df: DataFrame,
+      groupCols: Seq[String],
+      key: Column,
+      p: Int = 12): DataFrame = {
+    require(p >= 4 && p <= 16, s"hllPortableRegisters: p=$p outside [4, 16]")
+    val w = 64 - p
+    val h = TextAnalysis.tokenHash64(key.cast("string"))
+    val bucket = shiftrightunsigned(h, w).cast("int")
+    val rest = h.bitwiseAND(lit((1L << w) - 1))
+    val rho = when(rest === 0, lit(w + 1))
+      .otherwise(lit(w + 1) - length(bin(rest)).cast("int"))
+    df.select((groupCols.map(col) :+ bucket.as("bucket") :+ rho.as("__rho")): _*)
+      .groupBy((groupCols.map(col) :+ col("bucket")): _*)
+      .agg(max(col("__rho")).cast("int").as("register"))
+  }
+
+  /** Merge portable-HLL register tables: element-wise max per
+    * (group, bucket) — exact sketch algebra, so merged slices ≡ one
+    * build over the union (spec-pinned). */
+  def hllPortableMerge(registers: DataFrame, groupCols: Seq[String]): DataFrame =
+    registers.groupBy((groupCols.map(col) :+ col("bucket")): _*)
+      .agg(max(col("register")).cast("int").as("register"))
+
+  /** Serve a distinct-count estimate from a register table (one group
+    * per input row set): the standard HLL estimator with linear
+    * counting below `2.5·m`. The ESTIMATE uses `ln` (libm — not
+    * engine-portable), so the oracle surface is the register table
+    * ([[hllPortableRegisters]]); accuracy is spec-pinned instead
+    * (within ~3·1.04/sqrt(m) of exact on real corpora).
+    */
+  def hllPortableEstimate(registers: DataFrame, p: Int = 12): Double = {
+    val m = 1 << p
+    val rows = registers.select(col("bucket"), col("register"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val zeros = m - rows.size
+    val sum = zeros.toDouble + rows.values.map(r => math.pow(2.0, -r)).sum
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val raw = alpha * m * m / sum
+    if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else raw
+  }
+
+  /** The DuckDB twin of [[hllPortableRegisters]] over a keyed CTE —
+    * keep in lockstep. `srcCte` must expose the group columns and a
+    * string `k`; emits a SELECT producing
+    * `(groupCols..., bucket, register)`. The unsigned `>>>` is
+    * emulated on HUGEINTs (the CLAUDE.md wraparound discipline).
+    */
+  def hllPortableRegistersDuckSql(
+      srcCte: String,
+      groupCols: Seq[String],
+      p: Int = 12): String = {
+    val w = 64 - p
+    val h = TextAnalysis.tokenHash64DuckSql("k")
+    val hu = s"(CAST($h AS HUGEINT) + CASE WHEN $h < 0 THEN CAST('18446744073709551616' AS HUGEINT) ELSE 0 END)"
+    val grp = groupCols.mkString(", ")
+    s"""SELECT $grp,
+       |  CAST($hu // ${1L << w} AS INTEGER) AS bucket,
+       |  CAST(max(CASE WHEN $hu % ${1L << w} = 0 THEN ${w + 1}
+       |    ELSE ${w + 1} - length(bin(CAST($hu % ${1L << w} AS BIGINT)))
+       |  END) AS INTEGER) AS register
+       |FROM $srcCte
+       |GROUP BY $grp, bucket""".stripMargin
+  }
+
   def thetaPartials(
       df: DataFrame,
       groupCols: Seq[String],

@@ -262,4 +262,38 @@ class SketchesSpec extends SparkSpecBase {
       assert(buckets(t, 7, 2000).sameElements(expected), s"token '$t'")
     }
   }
+
+  test("portable HLL: merge == direct, bounded registers, estimate tracks exact") {
+    import graft.operators.Sketches
+    val rnd = new scala.util.Random(31)
+    val n = 20000
+    val keys = (0 until n).map(_ => rnd.alphanumeric.take(10).mkString).distinct
+    val df = keys.zipWithIndex
+      .map { case (k, i) => (if (i % 2 == 0) "a" else "b", k) }
+      .toDF("slice", "k")
+    val direct = Sketches.hllPortableRegisters(df, Seq.empty, col("k"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    // register table bounded by 2^p and every register positive
+    assert(direct.size <= (1 << 12) && direct.values.forall(_ >= 1))
+    // merging per-slice registers == building over the union (exact algebra)
+    val slices = Sketches.hllPortableRegisters(df, Seq("slice"), col("k"))
+    val merged = Sketches.hllPortableMerge(
+        slices.select(col("bucket"), col("register")), Seq.empty)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(merged === direct)
+    // estimator within ~3 standard errors (1.04/sqrt(m) ~ 1.6%)
+    val est = Sketches.hllPortableEstimate(
+      Sketches.hllPortableRegisters(df, Seq.empty, col("k")))
+    val exact = keys.size.toDouble
+    assert(math.abs(est - exact) / exact < 0.05, s"est=$est exact=$exact")
+    // small-cardinality branch: linear counting keeps tiny sets accurate
+    val tiny = (0 until 50).map(i => ("t", s"key_$i")).toDF("slice", "k")
+    val estTiny = Sketches.hllPortableEstimate(
+      Sketches.hllPortableRegisters(tiny, Seq.empty, col("k")))
+    assert(math.abs(estTiny - 50.0) / 50.0 < 0.1, s"estTiny=$estTiny")
+    // determinism under repartitioning (max aggregate, integer inputs)
+    val again = Sketches.hllPortableRegisters(df.repartition(13), Seq.empty, col("k"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(again === direct)
+  }
 }
