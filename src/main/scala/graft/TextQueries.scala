@@ -343,6 +343,26 @@ object TextQueries {
         explode(TextAnalysis.tokens(col("text"))).as("tok")),
       Seq("source"), col("tok"))
 
+  /** Streaming portable-HLL maintenance
+    * ([[graft.streaming.SketchStream.appendPortable]]): the token
+    * stream replayed in two parity micro-batches into the batch-id-
+    * partitioned register state, then served by max-merge. Exact
+    * sketch algebra makes the streamed end state ≡ the one-shot batch
+    * registers bit-for-bit, so this query shares `q_hll_registers`'
+    * oracle — stream ≡ batch is itself driver-gated.
+    */
+  private def streamHllRegistersQ(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_hllreg_state").toString
+    graft.streaming.SketchStream.appendPortable(
+      toks.filter(col("doc_id") % 2 === 0), 0L, stateDir, Seq("source"), col("tok"))
+    graft.streaming.SketchStream.appendPortable(
+      toks.filter(col("doc_id") % 2 =!= 0), 1L, stateDir, Seq("source"), col("tok"))
+    graft.streaming.SketchStream.servePortable(s, stateDir, Seq("source"))
+  }
+
   /** Bigram collocation mining ([[Keywords.bigramLift]]): the top-40
     * adjacent token pairs (≥5 occurrences) by exact rational lift.
     */
@@ -1849,6 +1869,14 @@ object TextQueries {
          |WHERE spent - n_tokens < 5000""".stripMargin
     }),
     QueryDef("q_hll_registers", hllRegistersQ, Some {
+      val toks = duckToks("text")
+      s"""WITH hp_src AS (
+         |  SELECT source, unnest($toks) AS k FROM documents)
+         |${Sketches.hllPortableRegistersDuckSql("hp_src", Seq("source"))}""".stripMargin
+    }),
+    QueryDef("q_stream_hll_registers", streamHllRegistersQ, Some {
+      // SAME oracle as q_hll_registers: exact max algebra makes the
+      // two-batch streamed state ≡ the one-shot build
       val toks = duckToks("text")
       s"""WITH hp_src AS (
          |  SELECT source, unnest($toks) AS k FROM documents)

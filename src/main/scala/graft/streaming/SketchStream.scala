@@ -66,4 +66,55 @@ object SketchStream {
         appendPartials(b, id, stateDir, groupCols, valueCol, lgK)
       }
       .start()
+
+  // ---- Portable-register variant ----
+  //
+  // Same lifecycle over [[Sketches.hllPortableRegisters]]: per-batch
+  // register tables accumulate batch-id-partitioned; serving is one
+  // element-wise max-merge. Because merge ≡ union build EXACTLY and
+  // the registers are engine-portable integers, the streamed end
+  // state equals the one-shot batch registers bit-for-bit — which is
+  // what lets the streaming replay share the batch query's ORACLE
+  // (`q_stream_hll_registers` vs `q_hll_registers`: same SQL).
+
+  /** One micro-batch step: per-group register rows for `batch`,
+    * committed idempotently under `stateDir/batch_id=<id>`. */
+  def appendPortable(
+      batch: DataFrame,
+      batchId: Long,
+      stateDir: String,
+      groupCols: Seq[String],
+      key: org.apache.spark.sql.Column,
+      p: Int = 12): Unit =
+    Sketches.hllPortableRegisters(batch, groupCols, key, p)
+      .withColumn("batch_id", lit(batchId))
+      .write.partitionBy("batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(stateDir)
+
+  /** Serving path: merged registers over all committed batches —
+    * ≡ building over the full history (exact max algebra). */
+  def servePortable(
+      spark: SparkSession,
+      stateDir: String,
+      groupCols: Seq[String]): DataFrame =
+    Sketches.hllPortableMerge(
+      spark.read.parquet(stateDir)
+        .select((groupCols.map(col) :+ col("bucket") :+ col("register")): _*),
+      groupCols)
+
+  /** The streaming portable-register maintenance query. */
+  def streamPortable(
+      rows: DataFrame,
+      stateDir: String,
+      checkpointDir: String,
+      groupCols: Seq[String],
+      keyCol: String,
+      p: Int = 12): StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        appendPortable(b, id, stateDir, groupCols, col(keyCol), p)
+      }
+      .start()
 }

@@ -57,4 +57,24 @@ class SketchStreamSpec extends SparkSpecBase {
     // state is sketch-sized: one partial row per (group, batch)
     assert(spark.read.parquet(stateDir).count() === 8L)
   }
+
+  test("portable registers: streamed slices serve the exact one-shot state; replay idempotent") {
+    import org.apache.spark.sql.functions.col
+    val stateDir = java.nio.file.Files.createTempDirectory("sketch_preg").toString
+    val df0 = rows.take(4000).toDF("grp", "member")
+    val df1 = rows.drop(4000).toDF("grp", "member")
+    SketchStream.appendPortable(df0, 0L, stateDir, Seq("grp"), col("member"))
+    SketchStream.appendPortable(df1, 1L, stateDir, Seq("grp"), col("member"))
+    def snap(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+    val served = snap(SketchStream.servePortable(spark, stateDir, Seq("grp")))
+    // streamed end state ≡ one-shot batch registers, bit for bit —
+    // the property that lets the replay query share the batch oracle
+    val direct = snap(graft.operators.Sketches.hllPortableRegisters(
+      rows.toDF("grp", "member"), Seq("grp"), col("member")))
+    assert(served === direct)
+    // replaying a batch overwrites its own partition
+    SketchStream.appendPortable(df1, 1L, stateDir, Seq("grp"), col("member"))
+    assert(snap(SketchStream.servePortable(spark, stateDir, Seq("grp"))) === direct)
+  }
 }
