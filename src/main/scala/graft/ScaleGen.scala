@@ -28,13 +28,19 @@ import org.apache.spark.sql.functions._
   *    nanos (the session reads TIMESTAMP(NANOS) as long, and
   *    `Tables.events` div-1000s either representation).
   *
-  * Usage: `runMain graft.ScaleGen [srcDir] [dstDir] [copies]`.
+  * Usage: `runMain graft.ScaleGen [srcDir] [dstDir] [copies] [mode]`.
+  * `mode = docs` amplifies ONLY `documents` (embeddings/events copy
+  * through at source scale) — the round-9-verdict 100× documents
+  * probe for the dedup/curation chain, where a 100× embeddings
+  * rotation is impossible anyway (rotation distance would exceed the
+  * 64-dim vector).
   */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val dst = if (args.length > 1) args(1) else "/tmp/graft_sf1"
     val copies = if (args.length > 2) args(2).toInt else 10
+    val docsOnly = args.length > 3 && args(3) == "docs"
     val spark = GraftSession.get()
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
@@ -51,27 +57,35 @@ object ScaleGen {
       .write.mode("overwrite").parquet(s"$dst/documents.parquet")
 
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
-    val maxVec = emb.agg(max("vec_id")).head.getLong(0) + 1
-    (0 until copies).map { c =>
-      emb.select(
-        (col("vec_id") + lit(c * maxVec)).as("vec_id"),
-        concat(slice(col("embedding"), lit(c + 1), size(col("embedding")) - c),
-          slice(col("embedding"), lit(1), lit(c))).as("embedding"),
-        col("label"))
-    }.reduce(_ union _)
-      .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+    if (docsOnly)
+      emb.write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+    else {
+      val maxVec = emb.agg(max("vec_id")).head.getLong(0) + 1
+      (0 until copies).map { c =>
+        emb.select(
+          (col("vec_id") + lit(c * maxVec)).as("vec_id"),
+          concat(slice(col("embedding"), lit(c + 1), size(col("embedding")) - c),
+            slice(col("embedding"), lit(1), lit(c))).as("embedding"),
+          col("label"))
+      }.reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+    }
 
     val ev = spark.read.parquet(s"$src/events.parquet")
-    val maxEvent = ev.agg(max("event_id")).head.getLong(0) + 1
-    val maxUser = ev.agg(max("user_id")).head.getLong(0) + 1
-    (0 until copies).map { c =>
-      ev.select(
-        (col("event_id") + lit(c * maxEvent)).as("event_id"),
-        col("ts"),
-        (col("user_id") + lit(c * maxUser)).as("user_id"),
-        col("event_type"), col("value"), col("props"))
-    }.reduce(_ union _)
-      .write.mode("overwrite").parquet(s"$dst/events.parquet")
+    if (docsOnly)
+      ev.write.mode("overwrite").parquet(s"$dst/events.parquet")
+    else {
+      val maxEvent = ev.agg(max("event_id")).head.getLong(0) + 1
+      val maxUser = ev.agg(max("user_id")).head.getLong(0) + 1
+      (0 until copies).map { c =>
+        ev.select(
+          (col("event_id") + lit(c * maxEvent)).as("event_id"),
+          col("ts"),
+          (col("user_id") + lit(c * maxUser)).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      }.reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$dst/events.parquet")
+    }
 
     // TPC-H tables pass through at the source SF (their headline
     // queries serve as the flat control group in the exponent table).

@@ -91,8 +91,12 @@ object SimilarityQueries {
 
   /** PQ-compressed top-k ([[Similarity.pqKnn]]): 64-dim floats → 8
     * one-byte codes, ADC shortlist from codes alone, exact re-rank.
-    * Rows-only (Lloyd means are FP; the recall and exact-sim
-    * contracts are spec-pinned in SimilaritySpec).
+    * Hash-exact DuckDB oracle since round 9b: [[Similarity.pqCodebook]]
+    * is engine-exact (portable seed hash, unrolled Lloyd rounds with
+    * 6-dp-rounded argmin assignment, integer-quantized codeword
+    * means), so codes — and everything downstream — replay cell-exact
+    * in SQL; recall/exact-sim contracts additionally spec-pinned in
+    * SimilaritySpec.
     *
     * The codebook+codes build is a ONE-OFF per corpus (at scale it is
     * persisted, like `saveIvfIndex`) — it is memoized per sf dir and
@@ -258,10 +262,12 @@ object SimilarityQueries {
   }
 
   /** K-means (the IVF quantizer surfaced as clustering): 8 clusters,
-    * 2 Lloyd rounds, output cluster sizes. Rows-only: Lloyd means
-    * average doubles whose partial-sum order is engine/partition
-    * dependent, so cell-exact cross-engine assignment is not a sound
-    * contract — recall/assignment quality is spec-pinned instead
+    * 2 Lloyd rounds, output cluster sizes. Hash-exact DuckDB oracle
+    * since round 9b: [[Similarity.ivfIndex]]'s Lloyd is engine-exact
+    * (portable seed hash, 6-dp-rounded argmin per round,
+    * integer-quantized centroid means — never a partial-sum-order
+    * double mean), so per-cluster assignment replays cell-exact in
+    * SQL; assignment quality additionally spec-pinned
     * (`SimilaritySpec`).
     */
   private def kmeansSizes(s: SparkSession, d: String): DataFrame = {
@@ -274,10 +280,12 @@ object SimilarityQueries {
     * planted label structure), cosine ≥ 0.8 within clusters, keep the
     * min id per duplicate component. The corpus plants 4× duplicate
     * groups, so any threshold in [0.5, 0.9] keeps exactly |corpus|/4
-    * — 0.8 sits mid-band, insensitive to clustering jitter. Rows-only
-    * like [[kmeansSizes]] (the clustering is FP-dependent); keeper
-    * semantics are spec-pinned on planted duplicates
-    * (`SimilaritySpec`).
+    * — 0.8 sits mid-band, insensitive to clustering jitter.
+    * Hash-exact DuckDB oracle since round 9b: the clustering is the
+    * engine-exact Lloyd of [[kmeansSizes]], and the within-cluster
+    * cosine + min-id keeper are deterministic, so the whole path
+    * replays cell-exact in SQL; keeper semantics additionally
+    * spec-pinned on planted duplicates (`SimilaritySpec`).
     */
   private def semdedupQ(s: SparkSession, d: String): DataFrame =
     Similarity.semDedup(Tables.embeddings(s, d), "vec_id", "embedding",

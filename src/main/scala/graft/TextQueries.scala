@@ -236,6 +236,40 @@ object TextQueries {
     a0.union(a1).select("doc_id")
   }
 
+  /** The composed curation pipeline as ONE driven stream
+    * ([[graft.streaming.StreamCurate]] — the streaming twin of
+    * `q_curate`): quality gate → near-dup gate → per-language
+    * 5000-token budget → 90/10 split, over the documents table in two
+    * parity micro-batches through the REAL `writeStream` path
+    * (MemoryStream → foreachBatch → partitioned accepted table).
+    * Oracle: the stage twins composed per batch — the quality-gated
+    * universe roots [[Dedup.minhashCandDuckCtes]] +
+    * [[Dedup.gateReplayDuckCtes]], whose per-batch accepted sets
+    * drive the `q_stream_token_budget` window pair, then the split
+    * CASE. Stage exactness composes into pipeline exactness, exactly
+    * as in the batch `q_curate`.
+    */
+  private def streamCurateQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
+      .as[(Long, String, String)].collect()
+    val (b0, b1) = docs.partition(_._1 % 2 == 0)
+    def tmp(tag: String) =
+      java.nio.file.Files.createTempDirectory(s"graft_scur_$tag").toString
+    val (nd, bud, acc, ckp) = (tmp("nd"), tmp("budget"), tmp("acc"), tmp("ckpt"))
+    val input = MemoryStream[(Long, String, String)](s)
+    val q = graft.streaming.StreamCurate.gate(
+      input.toDF().toDF("doc_id", "lang", "text"),
+      "doc_id", "text", "lang", nd, bud, acc, ckp,
+      budgetPerLang = 5000L, validPct = 10)
+    try {
+      input.addData(b0.toSeq); q.processAllAvailable()
+      input.addData(b1.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    s.read.parquet(acc).select("doc_id", "lang", "n_tokens", "split")
+  }
+
   /** [[streamNeardup]] in EXACT mode: keeper-tagged rejected
     * signatures persist too, so acceptance equals batch connected
     * components (pinned in `NearDupGateSpec`) at the price of state ∝
@@ -1694,6 +1728,48 @@ object TextQueries {
          |${Dedup.gateReplayDuckCtes("mh_pairs", exact = false)}
          |SELECT doc_id FROM gate_accept""".stripMargin),
       headline = true),
+    QueryDef("q_stream_curate", streamCurateQ, Some {
+      val toks = duckToks("text")
+      s"""WITH RECURSIVE sc_gated AS (
+         |  SELECT d.doc_id, d.lang, d.text
+         |  FROM documents d JOIN ($qualityGateSql) qg
+         |    ON qg.doc_id = d.doc_id AND qg.pass = 1),
+         |${Dedup.minhashCandDuckCtes(toks, table = "sc_gated")},
+         |${Dedup.gateReplayDuckCtes("mh_pairs", exact = false, table = "sc_gated")},
+         |sc_t AS (
+         |  SELECT g.doc_id, g.lang, CAST(len($toks) AS BIGINT) AS n_tokens,
+         |    ((g.doc_id % 2147483647) * 2654435761) % 2147483647 AS h
+         |  FROM sc_gated g),
+         |sc_b0 AS (
+         |  SELECT t.doc_id, t.lang, t.n_tokens,
+         |    sum(t.n_tokens) OVER (PARTITION BY t.lang ORDER BY t.h, t.doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM sc_t t JOIN g_acc0 a ON a.doc_id = t.doc_id),
+         |sc_a0 AS (
+         |  SELECT doc_id, lang, n_tokens FROM sc_b0
+         |  WHERE cum - n_tokens < 5000),
+         |sc_sp0 AS (
+         |  SELECT lang, sum(n_tokens) AS spent FROM sc_a0 GROUP BY 1),
+         |sc_b1 AS (
+         |  SELECT t.doc_id, t.lang, t.n_tokens,
+         |    COALESCE(s.spent, 0)
+         |      + sum(t.n_tokens) OVER (PARTITION BY t.lang
+         |          ORDER BY t.h, t.doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumtot
+         |  FROM sc_t t JOIN g_acc1 a ON a.doc_id = t.doc_id
+         |  LEFT JOIN sc_sp0 s ON s.lang = t.lang),
+         |sc_a1 AS (
+         |  SELECT doc_id, lang, n_tokens FROM sc_b1
+         |  WHERE cumtot - n_tokens < 5000),
+         |sc_all AS (
+         |  SELECT doc_id, lang, n_tokens FROM sc_a0
+         |  UNION ALL
+         |  SELECT doc_id, lang, n_tokens FROM sc_a1)
+         |SELECT doc_id, lang, n_tokens,
+         |  CASE WHEN (((doc_id % 2147483647) * 2654435761) % 2147483647) % 100 < 90
+         |       THEN 'train' ELSE 'valid' END AS split
+         |FROM sc_all""".stripMargin
+    }, headline = true),
     QueryDef("q_stream_neardup_exact", streamNeardupExact, Some(
       s"""WITH RECURSIVE ${Dedup.minhashCandDuckCtes(duckToks("text"))},
          |${Dedup.gateReplayDuckCtes("mh_pairs", exact = true)}

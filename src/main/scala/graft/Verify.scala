@@ -1,20 +1,24 @@
 package graft
-import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Gate-robustness contract (round 10, after the round-9 driver artifact
+  * came back empty despite a 195/195 local pass):
+  *  - `oracle_sql.json` is written BEFORE any query runs, so a mid-run
+  *    kill (time budget, OOM) still leaves every completed per-query
+  *    parquet comparable — a partial artifact instead of an empty one.
+  *  - Queries run in [[QueryCatalog]] order: ~180 cheap batch queries
+  *    first, the 21+ streaming replays last, so a timeout loses the
+  *    expensive tail, not the whole round.
+  *  - Per-query wall-clock + cumulative time go to stdout so a driver
+  *    log shows exactly where a budget was exceeded.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val spark = GraftSession.get()
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -30,6 +34,23 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val t0 = System.nanoTime()
+    var ok, bad = 0
+    QueryCatalog.all.foreach { qd =>
+      val s = System.nanoTime()
+      try {
+        qd.fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/${qd.name}")
+        ok += 1
+        println(f"[verify] ${qd.name} ok ${(System.nanoTime() - s) / 1e9}%.1fs" +
+          f" (cum ${(System.nanoTime() - t0) / 1e9}%.0fs, $ok ok)")
+      } catch { case e: Throwable =>
+        bad += 1
+        System.err.println(s"[verify] ${qd.name} failed: ${e.getMessage}")
+      }
+    }
+    println(f"[verify] done: $ok ok, $bad failed," +
+      f" ${(System.nanoTime() - t0) / 1e9}%.0fs total")
     spark.stop()
   }
 }

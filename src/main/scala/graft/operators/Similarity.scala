@@ -661,18 +661,38 @@ object Similarity {
   /** Embedding near-duplicate pairs: LSH-bucket (or any blocking
     * column) then exact cosine ≥ threshold within buckets — the
     * equi-join-on-bucket discipline again: no global cross product.
+    *
+    * The within-block self-join is quadratic in block size and the
+    * blocking column is CALLER-supplied, so a hot block must fail
+    * loudly rather than melt the stage (the mirror of [[mmr]]'s
+    * `maxCandidates` require): a map-side-combined pre-count rejects
+    * any block over `maxBlockSize` rows (default 65,536 ≈ 2·10⁹
+    * candidate pairs for that one block — already past where the
+    * recommended path, [[semDedup]]'s cluster blocking with its
+    * `nClusters` knob, should take over). The pre-count is one
+    * 1-column aggregate over the corpus — negligible next to the
+    * join it guards.
     */
   def cosineNearDupPairs(
       vecs: DataFrame,
       idCol: String,
       vecCol: String,
       blockCol: Column,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      maxBlockSize: Long = 1L << 16): DataFrame = {
     // Deliberately NOT checkpointed (unlike the Dedup self-joins):
     // the per-side work here is just a scan + a cheap block column,
     // and materializing a full copy of the vector corpus costs about
     // what the second scan does — measured neutral-to-negative.
     val v = vecs.select(col(idCol).as("vec_id"), col(vecCol).as("v"), blockCol.as("block"))
+    val hot = v.groupBy("block").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBlockSize)
+      .orderBy(col("n").desc).limit(1).collect()
+    require(hot.isEmpty,
+      s"cosineNearDupPairs: block '${hot.headOption.map(_.get(0)).orNull}' has " +
+        s"${hot.headOption.map(_.getLong(1)).getOrElse(0L)} rows > maxBlockSize=$maxBlockSize " +
+        "(quadratic self-join would melt); use finer blocking (e.g. semDedup's " +
+        "cluster quantizer with more nClusters) or raise maxBlockSize explicitly")
     v.as("a").join(v.as("b"),
         col("a.block") === col("b.block") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),

@@ -116,7 +116,14 @@ object Sketches {
       .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
     val zeros = m - rows.size
     val sum = zeros.toDouble + rows.values.map(r => math.pow(2.0, -r)).sum
-    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    // Small-m bias constants from Flajolet et al. — the asymptotic
+    // alpha over-estimates for m < 128 (p <= 6).
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
     val raw = alpha * m * m / sum
     if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else raw
   }

@@ -66,7 +66,10 @@ object BudgetGate {
       stateDir: String,
       budget: Long): DataFrame = {
     require(budget > 0, "BudgetGate: budget must be positive")
-    Seq("__bg_grp", "__prior", "__cum", "__before").foreach(c =>
+    // batch_id is staged too: gate() stamps it onto the accepted output
+    // (and it is the parquet partition column) — an input batch_id would
+    // be silently overwritten.
+    Seq("__bg_grp", "__prior", "__cum", "__before", "batch_id").foreach(c =>
       require(!batch.columns.contains(c),
         s"BudgetGate: input must not carry the staging column '$c'"))
     val spark = batch.sparkSession

@@ -85,12 +85,17 @@ object SketchStream {
       stateDir: String,
       groupCols: Seq[String],
       key: org.apache.spark.sql.Column,
-      p: Int = 12): Unit =
+      p: Int = 12): Unit = {
+    // batch_id is the partition column stamped below — a group column
+    // of that name would be silently overwritten (BudgetGate's guard).
+    require(!groupCols.exists(Set("batch_id", "bucket", "register")),
+      "SketchStream: groupCols must not contain batch_id/bucket/register")
     Sketches.hllPortableRegisters(batch, groupCols, key, p)
       .withColumn("batch_id", lit(batchId))
       .write.partitionBy("batch_id")
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite").parquet(stateDir)
+  }
 
   /** Serving path: merged registers over all committed batches —
     * ≡ building over the full history (exact max algebra). */

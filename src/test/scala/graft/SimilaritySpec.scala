@@ -249,6 +249,22 @@ class SimilaritySpec extends SparkSpecBase {
     assert(got === Set((1L, 2L)))
   }
 
+  test("cosineNearDupPairs fails loudly on a hot block past maxBlockSize") {
+    // 6 rows in block 0, 1 in block 1; cap at 4 → block 0 must trip
+    // the guard BEFORE the quadratic self-join runs.
+    val df = (0L to 6L).map(i => (i, Seq(1f, i.toFloat), if (i < 6) 0 else 1))
+      .toDF("vec_id", "embedding", "label")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.cosineNearDupPairs(df, "vec_id", "embedding", col("label"),
+        0.95, maxBlockSize = 4).collect()
+    }
+    assert(e.getMessage.contains("maxBlockSize=4"))
+    assert(e.getMessage.contains("block '0'"))
+    // same data under the cap is fine
+    Similarity.cosineNearDupPairs(df, "vec_id", "embedding", col("label"),
+      0.95, maxBlockSize = 6).collect()
+  }
+
   test("semDedup: planted near-duplicate groups collapse to min id; singletons survive") {
     val rnd = new scala.util.Random(7)
     def unit(v: Array[Double]) = {
