@@ -13,10 +13,16 @@ import java.nio.file.{Files, Paths}
   *    expensive tail, not the whole round.
   *  - Per-query wall-clock + cumulative time go to stdout so a driver
   *    log shows exactly where a budget was exceeded.
+  *  - A per-query watchdog (`SPARK_GRAFT_VERIFY_TIMEOUT_S`, default
+  *    300 s — the slowest sf0.01 query measures ~8 s on a quiet box)
+  *    cancels a hung query's job group and moves on, so one
+  *    pathological plan costs its timeout, not the round.
   */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    val timeoutS =
+      sys.env.getOrElse("SPARK_GRAFT_VERIFY_TIMEOUT_S", "300").toLong
     val spark = GraftSession.get()
     new java.io.File(outDir).mkdirs()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -38,15 +44,41 @@ object Verify {
     var ok, bad = 0
     QueryCatalog.all.foreach { qd =>
       val s = System.nanoTime()
+      // The watchdog thread owns the job group (setJobGroup is
+      // thread-local), so a timeout can cancel exactly this query's
+      // jobs and leave the session usable for the rest of the run.
+      val group = s"verify-${qd.name}"
+      val worker = new java.util.concurrent.FutureTask[Unit](
+        new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            spark.sparkContext.setJobGroup(group, qd.name,
+              interruptOnCancel = true)
+            try qd.fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/${qd.name}")
+            finally spark.sparkContext.clearJobGroup()
+          }
+        })
+      val th = new Thread(worker, group)
+      th.setDaemon(true)
+      th.start()
       try {
-        qd.fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/${qd.name}")
+        worker.get(timeoutS, java.util.concurrent.TimeUnit.SECONDS)
         ok += 1
         println(f"[verify] ${qd.name} ok ${(System.nanoTime() - s) / 1e9}%.1fs" +
           f" (cum ${(System.nanoTime() - t0) / 1e9}%.0fs, $ok ok)")
-      } catch { case e: Throwable =>
-        bad += 1
-        System.err.println(s"[verify] ${qd.name} failed: ${e.getMessage}")
+      } catch {
+        case _: java.util.concurrent.TimeoutException =>
+          bad += 1
+          spark.sparkContext.cancelJobGroup(group)
+          worker.cancel(true)
+          System.err.println(
+            s"[verify] ${qd.name} failed: timed out after ${timeoutS}s (job group cancelled)")
+        case e: java.util.concurrent.ExecutionException =>
+          bad += 1
+          System.err.println(s"[verify] ${qd.name} failed: ${e.getCause.getMessage}")
+        case e: Throwable =>
+          bad += 1
+          System.err.println(s"[verify] ${qd.name} failed: ${e.getMessage}")
       }
     }
     println(f"[verify] done: $ok ok, $bad failed," +

@@ -665,13 +665,16 @@ object Similarity {
     * The within-block self-join is quadratic in block size and the
     * blocking column is CALLER-supplied, so a hot block must fail
     * loudly rather than melt the stage (the mirror of [[mmr]]'s
-    * `maxCandidates` require): a map-side-combined pre-count rejects
-    * any block over `maxBlockSize` rows (default 65,536 ≈ 2·10⁹
-    * candidate pairs for that one block — already past where the
-    * recommended path, [[semDedup]]'s cluster blocking with its
-    * `nClusters` knob, should take over). The pre-count is one
-    * 1-column aggregate over the corpus — negligible next to the
-    * join it guards.
+    * `maxCandidates` require): per-block counts (default cap 65,536
+    * rows ≈ 2·10⁹ candidate pairs for that one block — already past
+    * where the recommended path, [[semDedup]]'s cluster blocking with
+    * its `nClusters` knob, should take over) are broadcast-joined
+    * back onto the probe side with an `assert_true` predicate. The
+    * guard lives INSIDE the plan — the count side prunes to the
+    * block column's lineage and the assert is a codegen row
+    * predicate, so no extra action or driver round-trip runs (a
+    * separate pre-count job re-executed the whole upstream quantizer
+    * and measured +0.8 s on `q_semdedup`).
     */
   def cosineNearDupPairs(
       vecs: DataFrame,
@@ -681,19 +684,24 @@ object Similarity {
       threshold: Double,
       maxBlockSize: Long = 1L << 16): DataFrame = {
     // Deliberately NOT checkpointed (unlike the Dedup self-joins):
-    // the per-side work here is just a scan + a cheap block column,
+    // the per-side work here is just a scan + a cheap block column
+    // (semDedup's quantizer assignments arrive already materialized),
     // and materializing a full copy of the vector corpus costs about
     // what the second scan does — measured neutral-to-negative.
     val v = vecs.select(col(idCol).as("vec_id"), col(vecCol).as("v"), blockCol.as("block"))
-    val hot = v.groupBy("block").agg(count(lit(1)).as("n"))
-      .filter(col("n") > maxBlockSize)
-      .orderBy(col("n").desc).limit(1).collect()
-    require(hot.isEmpty,
-      s"cosineNearDupPairs: block '${hot.headOption.map(_.get(0)).orNull}' has " +
-        s"${hot.headOption.map(_.getLong(1)).getOrElse(0L)} rows > maxBlockSize=$maxBlockSize " +
-        "(quadratic self-join would melt); use finer blocking (e.g. semDedup's " +
-        "cluster quantizer with more nClusters) or raise maxBlockSize explicitly")
-    v.as("a").join(v.as("b"),
+    // NULL blocks never satisfy the equi-join below, so losing them to
+    // the guard's inner join changes nothing.
+    val counts = v.groupBy("block").agg(count(lit(1)).as("__bn"))
+    val guarded = v.join(broadcast(counts), Seq("block"))
+      .filter(assert_true(col("__bn") <= lit(maxBlockSize),
+        concat(lit("cosineNearDupPairs: block '"), col("block").cast("string"),
+          lit("' has "), col("__bn").cast("string"),
+          lit(s" rows > maxBlockSize=$maxBlockSize (quadratic self-join" +
+            " would melt); use finer blocking (e.g. semDedup's cluster" +
+            " quantizer with more nClusters) or raise maxBlockSize" +
+            " explicitly"))).isNull)
+      .drop("__bn")
+    guarded.as("a").join(v.as("b"),
         col("a.block") === col("b.block") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         Det.round(cosine(col("a.v"), col("b.v")), 6).as("cos_sim"))

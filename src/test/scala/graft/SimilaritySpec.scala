@@ -254,12 +254,15 @@ class SimilaritySpec extends SparkSpecBase {
     // the guard BEFORE the quadratic self-join runs.
     val df = (0L to 6L).map(i => (i, Seq(1f, i.toFloat), if (i < 6) 0 else 1))
       .toDF("vec_id", "embedding", "label")
-    val e = intercept[IllegalArgumentException] {
+    val e = intercept[Exception] {
       Similarity.cosineNearDupPairs(df, "vec_id", "embedding", col("label"),
         0.95, maxBlockSize = 4).collect()
     }
-    assert(e.getMessage.contains("maxBlockSize=4"))
-    assert(e.getMessage.contains("block '0'"))
+    // the in-plan assert surfaces wrapped in task-failure layers
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + chain(t.getCause)
+    assert(chain(e).contains("maxBlockSize=4"))
+    assert(chain(e).contains("block '0'"))
     // same data under the cap is fine
     Similarity.cosineNearDupPairs(df, "vec_id", "embedding", col("label"),
       0.95, maxBlockSize = 6).collect()
