@@ -60,13 +60,32 @@ object StreamingQueries {
 
   /** Run a streaming frame to completion (all source data + closing
     * no-data watermark batches) and return the memory-sink snapshot.
+    *
+    * Stateful streams size their shuffle (= state) partitioning to
+    * STATE VOLUME, not core count — `spark.graft.streaming
+    * .shufflePartitions`, default 8. A stream-stream join
+    * materializes FOUR state stores per shuffle partition; at the
+    * batch session's 32 partitions that is 128 store setups per
+    * replay, and the fresh-JVM left-join replay measured 8–12 s at
+    * 32 partitions vs 4.4–6.4 s at 8 on a quarter of the cores
+    * (the state itself is ~10⁵ rows — setup-bound, not data-bound).
+    * A 100 TB deployment turns the same knob UP into the thousands;
+    * the point is that it is a state-volume knob, decoupled from the
+    * batch session's core-count default. Results are
+    * partition-count-independent (engine-exact ops; repartition
+    * stability spec-pinned), so only latency moves.
     */
   private def snapshot(df: DataFrame, mode: OutputMode): DataFrame = {
     val s = df.sparkSession
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
     val name = s"graft_stream_snap_${snapN.incrementAndGet()}"
-    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
-    try q.processAllAvailable()
-    finally q.stop()
+    s.conf.set(key, s.conf.get("spark.graft.streaming.shufflePartitions", "8"))
+    try {
+      val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally s.conf.set(key, old)
     s.table(name)
   }
 

@@ -259,14 +259,23 @@ object TextQueries {
       java.nio.file.Files.createTempDirectory(s"graft_scur_$tag").toString
     val (nd, bud, acc, ckp) = (tmp("nd"), tmp("budget"), tmp("acc"), tmp("ckpt"))
     val input = MemoryStream[(Long, String, String)](s)
-    val q = graft.streaming.StreamCurate.gate(
-      input.toDF().toDF("doc_id", "lang", "text"),
-      "doc_id", "text", "lang", nd, bud, acc, ckp,
-      budgetPerLang = 5000L, validPct = 10)
+    // Micro-batch jobs inside foreachBatch inherit the session's
+    // shuffle partitioning WITHOUT AQE coalescing (the frame descends
+    // from a streaming plan), so size them to batch volume like the
+    // replay harness does — same knob, same restore discipline.
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, s.conf.get("spark.graft.streaming.shufflePartitions", "8"))
     try {
-      input.addData(b0.toSeq); q.processAllAvailable()
-      input.addData(b1.toSeq); q.processAllAvailable()
-    } finally q.stop()
+      val q = graft.streaming.StreamCurate.gate(
+        input.toDF().toDF("doc_id", "lang", "text"),
+        "doc_id", "text", "lang", nd, bud, acc, ckp,
+        budgetPerLang = 5000L, validPct = 10)
+      try {
+        input.addData(b0.toSeq); q.processAllAvailable()
+        input.addData(b1.toSeq); q.processAllAvailable()
+      } finally q.stop()
+    } finally s.conf.set(key, old)
     s.read.parquet(acc).select("doc_id", "lang", "n_tokens", "split")
   }
 

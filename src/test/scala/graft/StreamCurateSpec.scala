@@ -70,6 +70,54 @@ class StreamCurateSpec extends SparkSpecBase {
     assert(got.select("doc_id").as[Long].collect().toSet === Set(10L, 12L))
   }
 
+  test("exact mode: a doc matching only a REJECTED doc still resolves to its keeper") {
+    // The NearDupGateSpec chain geometry (two spaced 2-word edits so
+    // edges are exactly A–B and B–C, never A–C), rebuilt with enough
+    // stopwords to pass the quality gate stage in front of the
+    // near-dup gate.
+    val chainA = "the a01 a02 a03 a04 of a06 a07 a08 a09 " +
+      "the a11 a12 a13 a14 in a16 a17 a18 a19"
+    val chainB = chainA.replace("a03 a04", "x03 x04")
+    val chainC = chainB.replace("a13 a14", "y13 y14")
+    val edges = graft.operators.Dedup.minhashCandidates(
+        Seq((2L, chainA), (4L, chainB), (6L, chainC)).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(edges === Set((2L, 4L), (4L, 6L))) // premise: a real chain
+    // Batch 0: 2 keeps, 4 (dup of 2) rejected. Batch 1: 6 dups ONLY
+    // the rejected 4. Default mode accepts 6 (4's sig absent from
+    // accepted-only state — the documented truncation); exact mode
+    // persists 4 keeper-tagged and must reject 6.
+    for (exact <- Seq(true, false)) {
+      val nd = tmp("scur_nd_x"); val bud = tmp("scur_bud_x")
+      val b0 = Seq((2L, "en", chainA), (4L, "en", chainB))
+        .toDF("doc_id", "lang", "text")
+      val b1 = Seq((6L, "en", chainC)).toDF("doc_id", "lang", "text")
+      val acc0 = StreamCurate.curateBatch(b0, 0L, "doc_id", "text", "lang",
+          nd, bud, budgetPerLang = 5000L, exact = exact)
+        .select("doc_id").as[Long].collect().toSet
+      assert(acc0 === Set(2L))
+      val acc1 = StreamCurate.curateBatch(b1, 1L, "doc_id", "text", "lang",
+          nd, bud, budgetPerLang = 5000L, exact = exact)
+        .select("doc_id").as[Long].collect().toSet
+      assert(acc1 === (if (exact) Set.empty[Long] else Set(6L)))
+    }
+  }
+
+  test("catalog replays restore the session's shuffle partitioning") {
+    // The harness narrows shuffle partitions to state volume for the
+    // replay; a leaked setting would silently re-plan every batch
+    // query that runs after a streaming one in the same session.
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    SparkEntry.queries("q_stream_curate")(spark, "/root/testdata/sf0.001")
+      .collect() // driven MemoryStream path (TextQueries knob)
+    assert(spark.conf.get(key) === before)
+    SparkEntry.queries("q_stream_latest")(spark, "/root/testdata/sf0.001")
+      .collect() // file-stream snapshot path (StreamingQueries knob)
+    assert(spark.conf.get(key) === before)
+  }
+
   test("single batch ≡ the batch Curation pipeline") {
     val docs = Seq(
       (2L, "en", tA), (4L, "en", tA.replace("again", "anew")),
