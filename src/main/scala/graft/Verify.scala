@@ -1,5 +1,7 @@
 package graft
 import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare.
   *
@@ -16,9 +18,53 @@ import java.nio.file.{Files, Paths}
   *  - A per-query watchdog (`SPARK_GRAFT_VERIFY_TIMEOUT_S`, default
   *    300 s — the slowest sf0.01 query measures ~8 s on a quiet box)
   *    cancels a hung query's job group and moves on, so one
-  *    pathological plan costs its timeout, not the round.
+  *    pathological plan costs its timeout, not the round
+  *    (spec-pinned in `VerifyWatchdogSpec`).
   */
 object Verify {
+
+  /** Run one query under the watchdog: dump to `outDir/<name>` or fail
+    * within `timeoutS`. Returns `None` on success, `Some(reason)` on
+    * failure/timeout. The worker thread owns the job group
+    * (`setJobGroup` is thread-local), so a timeout cancels exactly
+    * this query's jobs and leaves the session usable for the rest of
+    * the run.
+    */
+  def runOne(
+      spark: SparkSession,
+      qd: QueryDef,
+      sfDir: String,
+      outDir: String,
+      timeoutS: Long): Option[String] = {
+    val group = s"verify-${qd.name}"
+    val worker = new java.util.concurrent.FutureTask[Unit](
+      new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = {
+          spark.sparkContext.setJobGroup(group, qd.name,
+            interruptOnCancel = true)
+          try qd.fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/${qd.name}")
+          finally spark.sparkContext.clearJobGroup()
+        }
+      })
+    val th = new Thread(worker, group)
+    th.setDaemon(true)
+    th.start()
+    try {
+      worker.get(timeoutS, java.util.concurrent.TimeUnit.SECONDS)
+      None
+    } catch {
+      case _: java.util.concurrent.TimeoutException =>
+        spark.sparkContext.cancelJobGroup(group)
+        worker.cancel(true)
+        Some(s"timed out after ${timeoutS}s (job group cancelled)")
+      case e: java.util.concurrent.ExecutionException =>
+        Some(String.valueOf(e.getCause.getMessage))
+      case e: Throwable =>
+        Some(String.valueOf(e.getMessage))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val timeoutS =
@@ -44,41 +90,14 @@ object Verify {
     var ok, bad = 0
     QueryCatalog.all.foreach { qd =>
       val s = System.nanoTime()
-      // The watchdog thread owns the job group (setJobGroup is
-      // thread-local), so a timeout can cancel exactly this query's
-      // jobs and leave the session usable for the rest of the run.
-      val group = s"verify-${qd.name}"
-      val worker = new java.util.concurrent.FutureTask[Unit](
-        new java.util.concurrent.Callable[Unit] {
-          def call(): Unit = {
-            spark.sparkContext.setJobGroup(group, qd.name,
-              interruptOnCancel = true)
-            try qd.fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-              .parquet(s"$outDir/${qd.name}")
-            finally spark.sparkContext.clearJobGroup()
-          }
-        })
-      val th = new Thread(worker, group)
-      th.setDaemon(true)
-      th.start()
-      try {
-        worker.get(timeoutS, java.util.concurrent.TimeUnit.SECONDS)
-        ok += 1
-        println(f"[verify] ${qd.name} ok ${(System.nanoTime() - s) / 1e9}%.1fs" +
-          f" (cum ${(System.nanoTime() - t0) / 1e9}%.0fs, $ok ok)")
-      } catch {
-        case _: java.util.concurrent.TimeoutException =>
+      runOne(spark, qd, sfDir, outDir, timeoutS) match {
+        case None =>
+          ok += 1
+          println(f"[verify] ${qd.name} ok ${(System.nanoTime() - s) / 1e9}%.1fs" +
+            f" (cum ${(System.nanoTime() - t0) / 1e9}%.0fs, $ok ok)")
+        case Some(reason) =>
           bad += 1
-          spark.sparkContext.cancelJobGroup(group)
-          worker.cancel(true)
-          System.err.println(
-            s"[verify] ${qd.name} failed: timed out after ${timeoutS}s (job group cancelled)")
-        case e: java.util.concurrent.ExecutionException =>
-          bad += 1
-          System.err.println(s"[verify] ${qd.name} failed: ${e.getCause.getMessage}")
-        case e: Throwable =>
-          bad += 1
-          System.err.println(s"[verify] ${qd.name} failed: ${e.getMessage}")
+          System.err.println(s"[verify] ${qd.name} failed: $reason")
       }
     }
     println(f"[verify] done: $ok ok, $bad failed," +

@@ -97,6 +97,11 @@ object BudgetGate {
       .groupBy(col(groupCol).as("grp"))
       .agg(sum(coalesce(col(tokensCol).cast("long"), lit(0L)))
         .as("spent_delta"))
+      // One aggregate row per group per batch — single-file commits
+      // keep the state table at one file per batch instead of one
+      // near-empty shard per shuffle partition (readState merges
+      // every batch's files forever, so shard count compounds).
+      .coalesce(1)
       .withColumn("batch_id", lit(batchId))
       .write.partitionBy("batch_id")
       .option("partitionOverwriteMode", "dynamic")
