@@ -249,7 +249,69 @@ object TextQueries {
     * CASE. Stage exactness composes into pipeline exactness, exactly
     * as in the batch `q_curate`.
     */
-  private def streamCurateQ(s: SparkSession, d: String): DataFrame = {
+  private def streamCurateQ(s: SparkSession, d: String): DataFrame =
+    streamCurateImpl(s, d, exact = false)
+
+  /** [[streamCurateQ]] with the near-dup stage in EXACT mode:
+    * keeper-tagged rejected signatures persist, so a later doc
+    * matching only a rejected doc still resolves transitively to its
+    * accepted keeper (`q_stream_neardup_exact`'s trade, composed
+    * through the whole pipeline). Its own oracle: the same composed
+    * SQL with [[Dedup.gateReplayDuckCtes]]`(exact = true)`.
+    */
+  private def streamCurateExactQ(s: SparkSession, d: String): DataFrame =
+    streamCurateImpl(s, d, exact = true)
+
+  /** The composed two-parity-batch oracle for both curate streams:
+    * quality-gated universe → [[Dedup.minhashCandDuckCtes]] →
+    * [[Dedup.gateReplayDuckCtes]] (default or exact state mode) →
+    * the `q_stream_token_budget` window pair → the split CASE.
+    */
+  private def streamCurateOracle(exact: Boolean): String = {
+    val toks = duckToks("text")
+    s"""WITH RECURSIVE sc_gated AS (
+       |  SELECT d.doc_id, d.lang, d.text
+       |  FROM documents d JOIN ($qualityGateSql) qg
+       |    ON qg.doc_id = d.doc_id AND qg.pass = 1),
+       |${Dedup.minhashCandDuckCtes(toks, table = "sc_gated")},
+       |${Dedup.gateReplayDuckCtes("mh_pairs", exact = exact, table = "sc_gated")},
+       |sc_t AS (
+       |  SELECT g.doc_id, g.lang, CAST(len($toks) AS BIGINT) AS n_tokens,
+       |    ((g.doc_id % 2147483647) * 2654435761) % 2147483647 AS h
+       |  FROM sc_gated g),
+       |sc_b0 AS (
+       |  SELECT t.doc_id, t.lang, t.n_tokens,
+       |    sum(t.n_tokens) OVER (PARTITION BY t.lang ORDER BY t.h, t.doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM sc_t t JOIN g_acc0 a ON a.doc_id = t.doc_id),
+       |sc_a0 AS (
+       |  SELECT doc_id, lang, n_tokens FROM sc_b0
+       |  WHERE cum - n_tokens < 5000),
+       |sc_sp0 AS (
+       |  SELECT lang, sum(n_tokens) AS spent FROM sc_a0 GROUP BY 1),
+       |sc_b1 AS (
+       |  SELECT t.doc_id, t.lang, t.n_tokens,
+       |    COALESCE(s.spent, 0)
+       |      + sum(t.n_tokens) OVER (PARTITION BY t.lang
+       |          ORDER BY t.h, t.doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumtot
+       |  FROM sc_t t JOIN g_acc1 a ON a.doc_id = t.doc_id
+       |  LEFT JOIN sc_sp0 s ON s.lang = t.lang),
+       |sc_a1 AS (
+       |  SELECT doc_id, lang, n_tokens FROM sc_b1
+       |  WHERE cumtot - n_tokens < 5000),
+       |sc_all AS (
+       |  SELECT doc_id, lang, n_tokens FROM sc_a0
+       |  UNION ALL
+       |  SELECT doc_id, lang, n_tokens FROM sc_a1)
+       |SELECT doc_id, lang, n_tokens,
+       |  CASE WHEN (((doc_id % 2147483647) * 2654435761) % 2147483647) % 100 < 90
+       |       THEN 'train' ELSE 'valid' END AS split
+       |FROM sc_all""".stripMargin
+  }
+
+  private def streamCurateImpl(
+      s: SparkSession, d: String, exact: Boolean): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
@@ -270,7 +332,7 @@ object TextQueries {
       val q = graft.streaming.StreamCurate.gate(
         input.toDF().toDF("doc_id", "lang", "text"),
         "doc_id", "text", "lang", nd, bud, acc, ckp,
-        budgetPerLang = 5000L, validPct = 10)
+        budgetPerLang = 5000L, validPct = 10, exact = exact)
       try {
         input.addData(b0.toSeq); q.processAllAvailable()
         input.addData(b1.toSeq); q.processAllAvailable()
@@ -1737,48 +1799,10 @@ object TextQueries {
          |${Dedup.gateReplayDuckCtes("mh_pairs", exact = false)}
          |SELECT doc_id FROM gate_accept""".stripMargin),
       headline = true),
-    QueryDef("q_stream_curate", streamCurateQ, Some {
-      val toks = duckToks("text")
-      s"""WITH RECURSIVE sc_gated AS (
-         |  SELECT d.doc_id, d.lang, d.text
-         |  FROM documents d JOIN ($qualityGateSql) qg
-         |    ON qg.doc_id = d.doc_id AND qg.pass = 1),
-         |${Dedup.minhashCandDuckCtes(toks, table = "sc_gated")},
-         |${Dedup.gateReplayDuckCtes("mh_pairs", exact = false, table = "sc_gated")},
-         |sc_t AS (
-         |  SELECT g.doc_id, g.lang, CAST(len($toks) AS BIGINT) AS n_tokens,
-         |    ((g.doc_id % 2147483647) * 2654435761) % 2147483647 AS h
-         |  FROM sc_gated g),
-         |sc_b0 AS (
-         |  SELECT t.doc_id, t.lang, t.n_tokens,
-         |    sum(t.n_tokens) OVER (PARTITION BY t.lang ORDER BY t.h, t.doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-         |  FROM sc_t t JOIN g_acc0 a ON a.doc_id = t.doc_id),
-         |sc_a0 AS (
-         |  SELECT doc_id, lang, n_tokens FROM sc_b0
-         |  WHERE cum - n_tokens < 5000),
-         |sc_sp0 AS (
-         |  SELECT lang, sum(n_tokens) AS spent FROM sc_a0 GROUP BY 1),
-         |sc_b1 AS (
-         |  SELECT t.doc_id, t.lang, t.n_tokens,
-         |    COALESCE(s.spent, 0)
-         |      + sum(t.n_tokens) OVER (PARTITION BY t.lang
-         |          ORDER BY t.h, t.doc_id
-         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumtot
-         |  FROM sc_t t JOIN g_acc1 a ON a.doc_id = t.doc_id
-         |  LEFT JOIN sc_sp0 s ON s.lang = t.lang),
-         |sc_a1 AS (
-         |  SELECT doc_id, lang, n_tokens FROM sc_b1
-         |  WHERE cumtot - n_tokens < 5000),
-         |sc_all AS (
-         |  SELECT doc_id, lang, n_tokens FROM sc_a0
-         |  UNION ALL
-         |  SELECT doc_id, lang, n_tokens FROM sc_a1)
-         |SELECT doc_id, lang, n_tokens,
-         |  CASE WHEN (((doc_id % 2147483647) * 2654435761) % 2147483647) % 100 < 90
-         |       THEN 'train' ELSE 'valid' END AS split
-         |FROM sc_all""".stripMargin
-    }, headline = true),
+    QueryDef("q_stream_curate", streamCurateQ,
+      Some(streamCurateOracle(exact = false)), headline = true),
+    QueryDef("q_stream_curate_exact", streamCurateExactQ,
+      Some(streamCurateOracle(exact = true))),
     QueryDef("q_stream_neardup_exact", streamNeardupExact, Some(
       s"""WITH RECURSIVE ${Dedup.minhashCandDuckCtes(duckToks("text"))},
          |${Dedup.gateReplayDuckCtes("mh_pairs", exact = true)}
