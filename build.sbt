@@ -30,5 +30,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: local[32] runs 32 concurrent tasks in this one JVM —
+  // 8g gave 250 MB/task and the round-10 driver bench hit a GC cliff
+  // on the largest shuffle (q_dup_spans 63 s vs a stable 1.7-2.8 s
+  // across five rounds of quiet-box snapshots; sum-of-tasks memory
+  // must scale like executor memory would on a real cluster). The box
+  // has 125 GB; 24g is still conservative (750 MB/task).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -13,6 +13,7 @@ both results (columns sorted by name, rows sorted by all columns), and
 compares cell-by-cell. Exact match required — floats compared by repr
 after float64 normalization, timestamps by microsecond value.
 """
+import argparse
 import json
 import math
 import sys
@@ -22,13 +23,18 @@ import duckdb
 import pandas as pd
 import pyarrow.dataset as pads
 
-ARGS = [a for a in sys.argv[1:] if not a.startswith("--")]
-JSON_OUT = None
-if "--json" in sys.argv:
-    JSON_OUT = sys.argv[sys.argv.index("--json") + 1]
-    ARGS = [a for a in ARGS if a != JSON_OUT]
-SFDIR = ARGS[0] if len(ARGS) > 0 else "/root/testdata/sf0.01"
-OUTDIR = Path(ARGS[1] if len(ARGS) > 1 else "/tmp/verify_out")
+_ap = argparse.ArgumentParser(description=__doc__)
+_ap.add_argument("sfdir", nargs="?", default="/root/testdata/sf0.01")
+_ap.add_argument("outdir", nargs="?", default="/tmp/verify_out")
+_ap.add_argument("--json", dest="json_out", default=None,
+                 help="write per-query verdicts as a JSON artifact")
+_ap.add_argument("--times", action="store_true",
+                 help="print per-oracle DuckDB wall-clock")
+_NS = _ap.parse_args()
+JSON_OUT = _NS.json_out
+SFDIR = _NS.sfdir
+OUTDIR = Path(_NS.outdir)
+TIMES = _NS.times
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -112,7 +118,11 @@ def main() -> int:
             results[name] = f"NO-ORACLE rows={len(mine)}" + (" (EMPTY!)" if len(mine) == 0 else "")
             continue
         try:
+            import time
+            _t0 = time.monotonic()
             oracle = con.execute(oracle_sql[name]).fetchdf()
+            if TIMES:
+                print(f"[oracle-time] {name} {time.monotonic() - _t0:.2f}s", flush=True)
         except Exception as e:
             results[name] = f"ORACLE-ERROR {e}"
             failed += 1

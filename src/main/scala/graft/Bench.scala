@@ -89,10 +89,50 @@ object Bench {
     }
 
     val results = phase(batchNames) ++ phase(streamNames)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+
+    // Full-precision per-query detail: one greppable line each, plus a
+    // complete JSON artifact on disk. The driver's contract line (below)
+    // is deliberately NOT the full-detail channel — see the tail-budget
+    // note.
+    results.foreach { case (k, v) =>
+      println(f"[bench] $k $v%.3f")
+    }
+    val fullJson = results
+      .map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{\"queries\":{", ",", s"},\"sf\":\"$sfDir\"}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCHFULL.json"), fullJson)
+
+    // Driver contract line. The driver captures only the LAST ~2000
+    // characters of the run's output and parses the JSON line out of
+    // that tail; round 10's line (75 queries at full double precision,
+    // ~2.3 kB) overflowed it and the round's bench artifact came back
+    // `parsed: null`. So this line is budgeted: values at 3 significant
+    // digits, per-query entries added most-expensive-first until the
+    // line would exceed TailBudget, the rest summarized as
+    // "omitted":N (always the cheapest queries — full detail is in
+    // BENCHFULL.json / the [bench] lines above).
+    val TailBudget = 1600 // chars; tail is 2000 minus sbt's trailer
+    def sig3(v: Double): String =
+      if (v >= 100) f"$v%.0f" else if (v >= 10) f"$v%.1f"
+      else if (v >= 1) f"$v%.2f" else f"$v%.3f"
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sfName = new java.io.File(sfDir).getName
+    val head = s"""{"metric":"total","value":${sig3(total)},"unit":"sec","queries":{"""
+    val entries = results.sortBy(-_._2)
+      .map { case (k, v) => "\"" + k + "\":" + sig3(v) }
+    val tailFmt = (omitted: Int) => s"""},"omitted":$omitted,"sf":"$sfName"}"""
+    val fixed = head.length + tailFmt(results.size).length
+    val kept = scala.collection.mutable.ArrayBuffer[String]()
+    var len = fixed
+    entries.foreach { e =>
+      if (len + e.length + 1 <= TailBudget) { kept += e; len += e.length + 1 }
+    }
+    println(head + kept.mkString(",") + tailFmt(results.size - kept.size))
     spark.stop()
+    // Streaming replays can leave non-daemon threads (state-store
+    // maintenance pools); a hung JVM here would make the driver record
+    // the run as failed even though the JSON line already printed.
+    sys.exit(0)
   }
 }

@@ -310,6 +310,15 @@ object TextQueries {
        |FROM sc_all""".stripMargin
   }
 
+  /** Replay harness core for the streaming curation queries. NOTE:
+    * this collects the whole documents table (including full text) to
+    * the driver to feed `MemoryStream` — a VERIFY-SCALE harness shape,
+    * not a production path (production feeds the same
+    * [[graft.streaming.StreamCurate]] stages from a real source). At
+    * the 100×-docs probe scale (500k docs) the collect needs
+    * `SPARK_DRIVER_MEM` raised, same as CLAUDE.md records for
+    * `q_novelty` at the old 8g default heap.
+    */
   private def streamCurateImpl(
       s: SparkSession, d: String, exact: Boolean): DataFrame = {
     import s.implicits._
@@ -1256,13 +1265,15 @@ object TextQueries {
     // Mirrors the operator's geometric double-block: g =
     // floor(log2(len(grams))) via binary-string length (integer-exact,
     // same as Spark's bin()); each doc joins from buckets {g, g+1}.
-    s"""WITH sh AS (
+    s"""WITH tk AS (
+       |  SELECT doc_id, $toks AS tk FROM documents),
+       |sh AS (
        |  SELECT doc_id,
-       |    CASE WHEN len($toks) < 3 THEN [array_to_string($toks, ' ')]
-       |         ELSE list_distinct(list_transform(range(len($toks) - 2),
-       |                i -> $toks[i+1] || ' ' || $toks[i+2] || ' ' || $toks[i+3]))
+       |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+       |         ELSE list_distinct(list_transform(range(len(tk) - 2),
+       |                i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]))
        |    END AS grams
-       |  FROM documents),
+       |  FROM tk),
        |blocked AS (
        |  SELECT doc_id, grams, unnest([g, g + 1]) AS blk
        |  FROM (SELECT doc_id, grams,

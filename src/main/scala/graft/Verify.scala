@@ -57,7 +57,15 @@ object Verify {
       case _: java.util.concurrent.TimeoutException =>
         spark.sparkContext.cancelJobGroup(group)
         worker.cancel(true)
-        Some(s"timed out after ${timeoutS}s (job group cancelled)")
+        // Join with a grace period: the worker's finally blocks (e.g. a
+        // streaming replay's shuffle-partition restore) must complete
+        // before the next query starts, or the session conf stays
+        // narrowed for the rest of the run.
+        th.join(15000)
+        val note =
+          if (th.isAlive) " — worker refused to die within 15s grace"
+          else ""
+        Some(s"timed out after ${timeoutS}s (job group cancelled)$note")
       case e: java.util.concurrent.ExecutionException =>
         Some(String.valueOf(e.getCause.getMessage))
       case e: Throwable =>
@@ -103,5 +111,13 @@ object Verify {
     println(f"[verify] done: $ok ok, $bad failed," +
       f" ${(System.nanoTime() - t0) / 1e9}%.0fs total")
     spark.stop()
+    // Hard exit 0: streaming replays can leave non-daemon threads
+    // (state-store maintenance pools). A JVM that hangs here reads as
+    // a FAILED run to the driver even though every per-query parquet
+    // is already on disk — and a failed run is indistinguishable from
+    // an empty round. Always 0: even with per-query failures the
+    // completed outputs are comparable, and a nonzero rc risks the
+    // driver discarding the whole dump.
+    sys.exit(0)
   }
 }

@@ -813,6 +813,19 @@ object Dedup {
     val coefs = minhashCoefs(n)
     val aLit = coefs.map(_._1).mkString("[", ", ", "]")
     val bLit = coefs.map(_._2).mkString("[", ", ", "]")
+    // DuckDB-performance shape (round 11): the first cut evaluated the
+    // n-element coefficient-array LITERALS inside a lambda, which
+    // DuckDB 1.0 re-materializes per (gram × lane) evaluation — the
+    // sf0.01 oracle measured 40-50 s for 500 docs on that alone. The
+    // lanes are a 64-row MATERIALIZED coefficient table instead, the
+    // lane minimum a plain grouped aggregate over (doc, lane) rows, and
+    // `est_jaccard` is computed once per DISTINCT candidate pair
+    // rather than once per matching band. `mh_sigs`/`mh_pairs` are
+    // MATERIALIZED because downstream recursive CTEs (ccDuckCtes,
+    // gateReplayDuckCtes) would otherwise re-inline — and re-execute —
+    // the whole signature chain per recursion reference. Same
+    // arithmetic, same rows: flipped q_minhash_neardup's oracle from
+    // 51 s to 0.17 s with an identical result set.
     s"""mh_th AS (
        |  SELECT doc_id,
        |    list_transform($toksExpr, t -> ${TextAnalysis.tokenHashPDuckSql("t")}) AS th
@@ -824,42 +837,60 @@ object Dedup {
        |         ELSE list_transform(range(len(th) - ${k - 1}), i -> $fold)
        |    END AS hs
        |  FROM mh_th),
-       |mh_sigs AS (
-       |  SELECT doc_id,
-       |    list_transform(range($n), j ->
-       |      list_min(list_transform(hs, h ->
-       |        ($aLit[j + 1] * h + $bLit[j + 1]) % $p))) AS sig
-       |  FROM mh_hs),
+       |mh_coef AS MATERIALIZED (
+       |  SELECT u.j AS j, $aLit[u.j + 1] AS ca, $bLit[u.j + 1] AS cb
+       |  FROM unnest(range($n)) AS u(j)),
+       |mh_g AS (SELECT DISTINCT doc_id, unnest(hs) AS h FROM mh_hs),
+       |mh_sigr AS (
+       |  SELECT g.doc_id, c.j, min((c.ca * g.h + c.cb) % $p) AS m
+       |  FROM mh_g g CROSS JOIN mh_coef c GROUP BY 1, 2),
+       |mh_sigs AS MATERIALIZED (
+       |  SELECT doc_id, list(m ORDER BY j) AS sig FROM mh_sigr GROUP BY doc_id),
        |mh_banded AS (
-       |  SELECT doc_id, sig, u.b AS band,
+       |  SELECT doc_id, u.b AS band,
        |    list_slice(sig, u.b * $rows + 1, (u.b + 1) * $rows) AS bucket
        |  FROM mh_sigs, unnest(range($bands)) AS u(b)),
-       |mh_cand AS (
-       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-       |    round(CAST(len(list_filter(range($n), j ->
-       |      a.sig[j + 1] = b.sig[j + 1])) AS DOUBLE) / $n, 4) AS est_jaccard
+       |mh_cand0 AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM mh_banded a JOIN mh_banded b
-       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)""".stripMargin +
-      s",\nmh_pairs AS (SELECT id_a, id_b, est_jaccard FROM mh_cand WHERE est_jaccard >= $threshold)"
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |mh_cand AS (
+       |  SELECT id_a, id_b,
+       |    round(CAST(len(list_filter(range($n), j ->
+       |      sa.sig[j + 1] = sb.sig[j + 1])) AS DOUBLE) / $n, 4) AS est_jaccard
+       |  FROM mh_cand0 JOIN mh_sigs sa ON sa.doc_id = id_a
+       |  JOIN mh_sigs sb ON sb.doc_id = id_b)""".stripMargin +
+      s",\nmh_pairs AS MATERIALIZED (SELECT id_a, id_b, est_jaccard FROM mh_cand WHERE est_jaccard >= $threshold)"
   }
 
   /** DuckDB recursive-CTE connected components over a pair CTE with
     * columns `(id_a, id_b)` — the oracle twin of
     * [[connectedComponents]]'s min-label contract: `cc_comp(id,
     * component)` labels every endpoint with the minimum id reachable
-    * from it (true closure; the label frontier CTE enumerates
-    * (node, seen-label) pairs, fine at oracle scale). The enclosing
-    * query MUST open with `WITH RECURSIVE`.
+    * from it (true closure; the label frontier enumerates (node,
+    * smaller-seen-label) pairs — see the prune note in the body). The
+    * enclosing query MUST open with `WITH RECURSIVE`.
     */
   def ccDuckCtes(pairsCte: String): String =
-    s"""cc_edges AS (
+    // `cc_edges` is MATERIALIZED: DuckDB 1.0 inlines plain CTEs, so
+    // the recursive term would re-execute the whole upstream pair
+    // pipeline once per iteration (q_dedup_docs' oracle spent ~100 s
+    // re-running the signature chain that way). The recursive term
+    // also prunes to STRICTLY-DECREASING labels (`r.lbl < e.d`): an
+    // entry (x, l) with l ≥ x can never be x's minimum (the base case
+    // seeds (x, x)) and any propagation of l through x is dominated by
+    // x's own label travelling the same edges, so dropping those rows
+    // changes nothing — while bounding frontier growth on dense
+    // components.
+    s"""cc_edges AS MATERIALIZED (
        |  SELECT id_a AS s, id_b AS d FROM $pairsCte
        |  UNION
        |  SELECT id_b, id_a FROM $pairsCte),
        |cc_reach(id, lbl) AS (
        |  SELECT s, s FROM cc_edges
        |  UNION
-       |  SELECT e.d, r.lbl FROM cc_reach r JOIN cc_edges e ON e.s = r.id),
+       |  SELECT e.d, r.lbl FROM cc_reach r JOIN cc_edges e ON e.s = r.id
+       |  WHERE r.lbl < e.d),
        |cc_comp AS (
        |  SELECT id, min(lbl) AS component FROM cc_reach GROUP BY id)""".stripMargin
 
@@ -904,14 +935,15 @@ object Dedup {
     s"""g_univ AS (SELECT $idCol AS doc_id FROM $table),
        |g_e_pairs AS (
        |  SELECT id_a, id_b FROM $pairsCte WHERE id_a % 2 = 0 AND id_b % 2 = 0),
-       |g_e_edges AS (
+       |g_e_edges AS MATERIALIZED (
        |  SELECT id_a AS s, id_b AS d FROM g_e_pairs
        |  UNION
        |  SELECT id_b, id_a FROM g_e_pairs),
        |g_e_reach(id, lbl) AS (
        |  SELECT s, s FROM g_e_edges
        |  UNION
-       |  SELECT e.d, r.lbl FROM g_e_reach r JOIN g_e_edges e ON e.s = r.id),
+       |  SELECT e.d, r.lbl FROM g_e_reach r JOIN g_e_edges e ON e.s = r.id
+       |  WHERE r.lbl < e.d),
        |g_e_comp AS (SELECT id, min(lbl) AS component FROM g_e_reach GROUP BY id),
        |g_acc0 AS (
        |  SELECT d.doc_id FROM g_univ d LEFT JOIN g_e_comp c ON d.doc_id = c.id
@@ -924,14 +956,15 @@ object Dedup {
        |  WHERE (p.id_a % 2) <> (p.id_b % 2)),
        |g_o_pairs AS (
        |  SELECT id_a, id_b FROM $pairsCte WHERE id_a % 2 = 1 AND id_b % 2 = 1),
-       |g_o_edges AS (
+       |g_o_edges AS MATERIALIZED (
        |  SELECT id_a AS s, id_b AS d FROM g_o_pairs
        |  UNION
        |  SELECT id_b, id_a FROM g_o_pairs),
        |g_o_reach(id, lbl) AS (
        |  SELECT s, s FROM g_o_edges
        |  UNION
-       |  SELECT e.d, r.lbl FROM g_o_reach r JOIN g_o_edges e ON e.s = r.id),
+       |  SELECT e.d, r.lbl FROM g_o_reach r JOIN g_o_edges e ON e.s = r.id
+       |  WHERE r.lbl < e.d),
        |g_o_comp AS (SELECT id, min(lbl) AS component FROM g_o_reach GROUP BY id),
        |g_o_touch AS (
        |  SELECT DISTINCT c.component FROM g_o_comp c JOIN g_o_hit h ON c.id = h.id),

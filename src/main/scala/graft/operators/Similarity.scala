@@ -668,13 +668,19 @@ object Similarity {
     * `maxCandidates` require): per-block counts (default cap 65,536
     * rows ≈ 2·10⁹ candidate pairs for that one block — already past
     * where the recommended path, [[semDedup]]'s cluster blocking with
-    * its `nClusters` knob, should take over) are broadcast-joined
-    * back onto the probe side with an `assert_true` predicate. The
-    * guard lives INSIDE the plan — the count side prunes to the
-    * block column's lineage and the assert is a codegen row
-    * predicate, so no extra action or driver round-trip runs (a
-    * separate pre-count job re-executed the whole upstream quantizer
-    * and measured +0.8 s on `q_semdedup`).
+    * its `nClusters` knob, should take over) are joined back onto the
+    * probe side with an `assert_true` predicate. The guard lives
+    * INSIDE the plan — the count side prunes to the block column's
+    * lineage and the assert is a codegen row predicate, so no extra
+    * action or driver round-trip runs (a separate pre-count job
+    * re-executed the whole upstream quantizer and measured +0.8 s on
+    * `q_semdedup`). The count-table join carries NO broadcast hint:
+    * its cardinality is the number of distinct blocks, which under
+    * fine blocking (per-bucket LSH) is O(corpus) — a forced broadcast
+    * would turn the guard itself into a driver/executor memory
+    * hazard. AQE upgrades it to a broadcast join at runtime whenever
+    * the aggregated counts actually fit, so coarse blocking pays
+    * nothing for the safety.
     */
   def cosineNearDupPairs(
       vecs: DataFrame,
@@ -692,7 +698,7 @@ object Similarity {
     // NULL blocks never satisfy the equi-join below, so losing them to
     // the guard's inner join changes nothing.
     val counts = v.groupBy("block").agg(count(lit(1)).as("__bn"))
-    val guarded = v.join(broadcast(counts), Seq("block"))
+    val guarded = v.join(counts, Seq("block"))
       .filter(assert_true(col("__bn") <= lit(maxBlockSize),
         concat(lit("cosineNearDupPairs: block '"), col("block").cast("string"),
           lit("' has "), col("__bn").cast("string"),
