@@ -523,6 +523,72 @@ object TextQueries {
       Tables.documents(s, d), "doc_id", "text",
       queryFilter = col("doc_id") < 10, m = 3, k = 5)
 
+  /** Late-interaction MaxSim re-rank ([[Retrieval.maxSimRerank]]):
+    * docs 0-7 as queries over the corpus, SimHash-Hamming shortlist
+    * of 16, token-level MaxSim top-5. Binary token signatures make
+    * every pairwise score `64 − 2·hamming` — integer until the one
+    * final division by `64·|q|` — so the oracle replays the entire
+    * path (signatures, shortlist ranking, interaction maxima)
+    * hash-exactly.
+    */
+  private def maxsimQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    graft.operators.Retrieval.maxSimRerank(
+      docs, "doc_id", "text",
+      docs.filter(col("doc_id") < 8), "doc_id", "text",
+      shortlist = 16, topK = 5)
+  }
+
+  private val maxsimSql = {
+    val toks = duckToks("text")
+    s"""WITH mx_th AS (
+       |  SELECT doc_id,
+       |    list_transform($toks, t -> ${TextAnalysis.tokenHash64DuckSql("t")}) AS th
+       |  FROM documents),
+       |mx_sig AS MATERIALIZED (
+       |  SELECT doc_id, CAST(list_sum(list_transform(range(64), j ->
+       |    CASE WHEN 2 * coalesce(list_sum(list_transform(th, h ->
+       |           (h >> CAST(j AS INTEGER)) & 1)), 0) > len(th)
+       |         THEN ${Dedup.pow2Signed64Array}[j + 1] ELSE 0 END)) AS BIGINT) AS sig
+       |  FROM mx_th WHERE len(th) > 0),
+       |mx_d AS MATERIALIZED (
+       |  SELECT doc_id, list_distinct($toks) AS toks FROM documents
+       |  WHERE len($toks) > 0),
+       |mx_q AS (
+       |  SELECT doc_id AS query_id, sig AS qsig FROM mx_sig WHERE doc_id < 8),
+       |mx_short AS MATERIALIZED (
+       |  SELECT query_id, doc_id FROM (
+       |    SELECT q.query_id, d.doc_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY bit_count(xor(d.sig, q.qsig)), d.doc_id) AS r
+       |    FROM mx_sig d JOIN mx_q q ON d.doc_id <> q.query_id) t
+       |  WHERE r <= 16),
+       |mx_dt AS MATERIALIZED (
+       |  SELECT doc_id, ${TextAnalysis.tokenHash64DuckSql("u.t")} AS th
+       |  FROM mx_d, unnest(toks) AS u(t)),
+       |mx_qt AS (
+       |  SELECT d.doc_id AS query_id, len(d.toks) AS nq, t.th AS qh
+       |  FROM mx_d d JOIN mx_dt t ON t.doc_id = d.doc_id
+       |  WHERE d.doc_id < 8),
+       |mx_c AS (
+       |  SELECT s.query_id, s.doc_id, q.nq, q.qh,
+       |    max(64 - 2 * bit_count(xor(d.th, q.qh))) AS m
+       |  FROM mx_short s
+       |  JOIN mx_dt d ON d.doc_id = s.doc_id
+       |  JOIN mx_qt q ON q.query_id = s.query_id
+       |  GROUP BY 1, 2, 3, 4),
+       |mx_sc AS (
+       |  SELECT query_id, doc_id,
+       |    ${Det.roundSql(
+              "CAST(sum(m) AS DOUBLE) / CAST(64 * nq AS DOUBLE)", 6)} AS maxsim
+       |  FROM mx_c GROUP BY query_id, doc_id, nq)
+       |SELECT query_id, doc_id, maxsim, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY maxsim DESC, doc_id) AS INTEGER) AS rank
+       |  FROM mx_sc) t
+       |WHERE rank <= 5""".stripMargin
+  }
+
   /** Decontamination over the deterministic 90/10 split: how much of
     * each validation doc's 8-gram mass the train side already
     * contains ([[Dedup.contamination]]). Planted near-dup pairs that
@@ -2148,6 +2214,7 @@ object TextQueries {
          |  FROM hn_scores) t
          |WHERE rank <= 5""".stripMargin
     }, headline = true),
+    QueryDef("q_maxsim_rerank", maxsimQ, Some(maxsimSql), headline = true),
     QueryDef("q_score_sweep", scoreSweepQ, Some(
       s"""WITH s AS (
          |  SELECT

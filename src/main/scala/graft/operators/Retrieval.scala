@@ -383,4 +383,100 @@ object Retrieval {
       .select(col("query_id"), col("__x.id").as("neg_id"),
         col("__x.score").as("score"), (col("__pos") + 1).cast("int").as("rank"))
   }
+
+  /** Late-interaction re-ranking (MaxSim over binary token
+    * signatures — the quantized form of ColBERT scoring, Khattab &
+    * Zaharia, SIGIR '20): every DISTINCT token of query and document
+    * embeds as its 64-bit [[TextAnalysis.tokenHash64]] signature, a
+    * token-pair similarity is the ±1-component dot product — which
+    * for sign vectors is exactly `64 − 2·hamming` — and
+    * `score(q, d) = Σ_{t∈q} max_{u∈d} (64 − 2·ham(t, u)) / (64·|q|)`
+    * ∈ [−1, 1]. Integer end-to-end until one final double division,
+    * so the whole path is engine-exact (the DuckDB twin replays it
+    * hash-exactly — no float dot products anywhere).
+    *
+    * Two stages, the shape late-interaction serving actually deploys
+    * (coarse candidate generation, token-level interaction only on
+    * the survivors):
+    *
+    *  1. '''Shortlist''': document-level [[Dedup.simhash64]]
+    *     signatures, Hamming-ranked per query. The query signature
+    *     set is broadcast (caller-bounded — the serving contract,
+    *     like [[mmr]]'s shortlist) against a linear scan of corpus
+    *     signatures; the `shortlist` closest per query survive via
+    *     the bounded-heap [[graft.functions.TopKExpr]] (score
+    *     `64 − hamming` makes TopK's (score desc, id asc) order
+    *     (hamming asc, id asc) — partials ship ≤ `shortlist` ids per
+    *     partition, no corpus-wide window).
+    *  2. '''MaxSim''': the shortlist joins back to per-token
+    *     signatures; interaction work is bounded by
+    *     |queries| · `shortlist` · |q-tokens| · |d-tokens| — the
+    *     caller's knobs, never corpus-quadratic. The per-query-token
+    *     maximum and the per-pair sum are two keyed aggregates
+    *     (map-side partials absorb token skew); the final cut is the
+    *     same bounded heap.
+    *
+    * Query docs never match themselves (id equality excluded, as in
+    * the KNN family); docs with no tokens drop from both sides (no
+    * interaction to score). Output: `(query_id, doc_id, maxsim 6-dp,
+    * rank ≤ topK by maxsim DESC then doc_id)`.
+    */
+  def maxSimRerank(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,
+      qIdCol: String,
+      qTextCol: String,
+      shortlist: Int = 32,
+      topK: Int = 5): DataFrame = {
+    require(shortlist >= topK,
+      s"maxSimRerank: shortlist ($shortlist) must be >= topK ($topK)")
+    def prep(df: DataFrame, id: String, text: String, out: String) =
+      Materialize(df
+        .select(col(id).as(out),
+          array_distinct(TextAnalysis.tokens(col(text))).as("__toks"),
+          Dedup.simhash64(col(text)).as("__sig"))
+        .filter(size(col("__toks")) > 0))
+    val d = prep(corpus, idCol, textCol, "doc_id")
+    val q = prep(queries, qIdCol, qTextCol, "query_id")
+
+    val short = d.select(col("doc_id"), col("__sig"))
+      .crossJoin(broadcast(q.select(col("query_id"), col("__sig").as("__qsig"))))
+      .filter(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id"),
+        (lit(64) - bit_count(col("__sig").bitwiseXOR(col("__qsig"))))
+          .cast("double").as("__bscore"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKExpr.topK(
+        col("__bscore"), col("doc_id"), shortlist).as("__top"))
+      .select(col("query_id"), explode(col("__top.id")).as("doc_id"))
+
+    val dTok = d.select(col("doc_id"), explode(col("__toks")).as("__t"))
+      .select(col("doc_id"), TextAnalysis.tokenHash64(col("__t")).as("__th"))
+    val qTok = q.select(col("query_id"), size(col("__toks")).as("__nq"),
+        explode(col("__toks")).as("__t"))
+      .select(col("query_id"), col("__nq"),
+        TextAnalysis.tokenHash64(col("__t")).as("__qh"))
+
+    val scored = short
+      .join(dTok, Seq("doc_id"))
+      .join(qTok, Seq("query_id"))
+      .groupBy(col("query_id"), col("doc_id"), col("__nq"), col("__qh"))
+      .agg(max(lit(64) - lit(2) *
+        bit_count(col("__th").bitwiseXOR(col("__qh")))).as("__m"))
+      .groupBy(col("query_id"), col("doc_id"), col("__nq"))
+      .agg(sum(col("__m")).as("__s"))
+      .select(col("query_id"), col("doc_id"),
+        graft.functions.Det.round(
+          col("__s").cast("double") / (col("__nq") * lit(64)).cast("double"),
+          6).as("maxsim"))
+    scored.groupBy("query_id")
+      .agg(graft.functions.TopKExpr.topK(
+        col("maxsim"), col("doc_id"), topK).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__x")))
+      .select(col("query_id"), col("__x.id").as("doc_id"),
+        col("__x.score").as("maxsim"),
+        (col("__pos") + 1).cast("int").as("rank"))
+  }
 }

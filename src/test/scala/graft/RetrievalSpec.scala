@@ -179,4 +179,62 @@ class RetrievalSpec extends SparkSpecBase {
       "q", "d", "rank", k = 10).orderBy("query_id").collect().toSeq
     assert(a === b)
   }
+
+  // ---- maxSimRerank (round 11) ----
+
+  private def msCorpus = Seq(
+    (0L, "alpha beta gamma delta"),             // query
+    (1L, "alpha beta gamma delta"),             // exact token twin -> maxsim 1
+    (2L, "alpha beta gamma zeta"),              // 3/4 tokens shared
+    (3L, "omega psi chi phi"),                  // disjoint
+    (4L, ""),                                   // empty -> dropped both sides
+    (5L, "alpha alpha alpha beta gamma delta")  // same DISTINCT set as 0
+  ).toDF("doc_id", "text")
+
+  test("maxSimRerank: token-set twins score exactly 1.0 and rank first; self and empty excluded") {
+    val got = Retrieval.maxSimRerank(
+      msCorpus, "doc_id", "text",
+      msCorpus.filter(col("doc_id") === 0), "doc_id", "text",
+      shortlist = 10, topK = 10)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(!got.exists(_._1 == 0L), "query must not match itself")
+    assert(!got.exists(_._1 == 4L), "empty-token doc must drop")
+    val byId = got.map(t => t._1 -> t).toMap
+    // identical DISTINCT token sets: every query token finds an exact
+    // signature match, so maxsim = 64*|q| / (64*|q|) = 1.0 exactly;
+    // the tie between docs 1 and 5 breaks by doc_id
+    assert(byId(1L)._2 === 1.0 && byId(1L)._3 === 1)
+    assert(byId(5L)._2 === 1.0 && byId(5L)._3 === 2)
+    // 3/4 overlap beats the disjoint doc; everything stays in [-1, 1]
+    assert(byId(2L)._2 < 1.0 && byId(2L)._2 > byId(3L)._2)
+    assert(got.forall(t => t._2 >= -1.0 && t._2 <= 1.0))
+  }
+
+  test("maxSimRerank: topK bounds output per query with dense 1..k ranks") {
+    val docs = (0L to 40L).map(i => (i, s"tok$i shared common words"))
+      .toDF("doc_id", "text")
+    val got = Retrieval.maxSimRerank(
+      docs, "doc_id", "text",
+      docs.filter(col("doc_id") < 2), "doc_id", "text",
+      shortlist = 8, topK = 3).collect()
+    val perQ = got.groupBy(_.getLong(0))
+    assert(perQ.keySet === Set(0L, 1L))
+    perQ.foreach { case (_, rows) =>
+      assert(rows.length <= 3)
+      assert(rows.map(_.getInt(3)).sorted.toSeq === (1 to rows.length))
+    }
+  }
+
+  test("maxSimRerank: stable under repartitioning (integer interaction core)") {
+    val base = Retrieval.maxSimRerank(
+      msCorpus, "doc_id", "text",
+      msCorpus.filter(col("doc_id") < 2), "doc_id", "text",
+      shortlist = 4, topK = 3).collect().toSet
+    val shuffled = Retrieval.maxSimRerank(
+      msCorpus.repartition(7), "doc_id", "text",
+      msCorpus.filter(col("doc_id") < 2), "doc_id", "text",
+      shortlist = 4, topK = 3).collect().toSet
+    assert(base === shuffled)
+    assert(base.nonEmpty)
+  }
 }
