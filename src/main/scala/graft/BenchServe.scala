@@ -1,7 +1,8 @@
 package graft
 
 /** Serving-latency percentiles for the persisted-index ANN paths
-  * (`q_knn_cosine`, `q_binary_knn`, `q_pq_knn`, `q_ivf_pq_knn`).
+  * (`q_knn_cosine`, `q_binary_knn`, `q_pq_knn`, `q_ivf_pq_knn`) and
+  * the late-interaction re-ranker (`q_maxsim_rerank` — round 11).
   *
   * A serving path's contract is per-invocation latency distribution,
   * which [[Bench]]'s min-of-N (a throughput-style steady-state
@@ -21,7 +22,8 @@ object BenchServe {
     val n = sys.env.getOrElse("SPARK_GRAFT_SERVE_N", "25").toInt
     val names =
       if (args.nonEmpty) args.toSeq
-      else Seq("q_knn_cosine", "q_binary_knn", "q_pq_knn", "q_ivf_pq_knn")
+      else Seq("q_knn_cosine", "q_binary_knn", "q_pq_knn", "q_ivf_pq_knn",
+        "q_maxsim_rerank")
     val spark = GraftSession.get()
     def runOnce(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)

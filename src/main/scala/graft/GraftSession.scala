@@ -28,7 +28,15 @@ object GraftSession {
       .config("spark.driver.host", "127.0.0.1")
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
 
-  def get(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
+  // Default to the REAL core count: the old fallback of 4 silently
+  // undersized any run that forgot SPARK_GRAFT_CPUS — the exact trap
+  // BASELINE.md documents (local[4] manufactured a fake +1.29
+  // exponent in round 10, and again inflated round-11's first 100×
+  // probes 3-5× before being caught). The driver exports
+  // SPARK_GRAFT_CPUS=32 explicitly; now an env-less local run matches
+  // it instead of quietly starving.
+  def get(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)): SparkSession = {
     val spark = builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

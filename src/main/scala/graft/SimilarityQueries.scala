@@ -25,7 +25,7 @@ object SimilarityQueries {
   }
 
   /** ANN scale path: same query shape as [[knn]] through the
-    * LSH-bucketed index. Oracle: [[Similarity.rhpBucketDuckSql]]
+    * LSH-bucketed index. Oracle: [[Similarity.rhpBucketDuckCtes]]
     * buckets + the 9-probe (own bucket ∪ single-bit flips) equi-join,
     * re-ranked by the [[duckCos]] twin.
     */
@@ -446,10 +446,7 @@ object SimilarityQueries {
     QueryDef("q_lsh_knn", lshKnnQ, Some {
       val probes = "[b0" +
         (0 until 8).map(i => s", xor(b0, ${1L << i})").mkString + "]"
-      s"""WITH bkt AS (
-         |  SELECT vec_id, embedding,
-         |    CAST(${Similarity.rhpBucketDuckSql("embedding", 64, 8)} AS BIGINT) AS b0
-         |  FROM embeddings),
+      s"""WITH ${Similarity.rhpBucketDuckCtes(64, 8)},
          |probes AS (
          |  SELECT q.vec_id AS query_id, q.embedding AS qv, u.pb AS bucket
          |  FROM bkt q, unnest($probes) AS u(pb)

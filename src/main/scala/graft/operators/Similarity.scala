@@ -125,23 +125,37 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** DuckDB scalar twin of [[rhpBucket]], in the lockstep-generator
+  /** DuckDB CTE twin of [[rhpBucket]], in the lockstep-generator
     * house style (Classifier.linearScoreDuckSql, Dedup's CTE chains):
-    * the SAME [[rhpPlanes]] call inlines the ±1 components as SQL
-    * literals, each plane's dot product is the SAME sequential
-    * left fold (`list_reduce` over `list_prepend(0.0, …)` ≡ Spark's
-    * `aggregate(zip_with(…), 0.0, _+_)` — identical FP association,
-    * so the sign test is bit-exact), and the bucket assembles as a
-    * sum of disjoint power-of-two CASE terms (≡ the bitwise OR).
+    * the SAME [[rhpPlanes]] call emits the ±1 components — but as a
+    * MATERIALIZED `nBits`-row plane TABLE rather than literals inside
+    * the fold lambda (DuckDB 1.0 re-materializes an array literal per
+    * element evaluation; the literal form measured 3.5 s for 2 000
+    * vectors at sf0.01, this form 0.05 s, identical rows — the
+    * round-11 oracle-performance discipline, CLAUDE.md). Each plane's
+    * dot product is the SAME sequential left fold (`list_reduce` over
+    * `list_prepend(0.0, …)` ≡ Spark's `aggregate(zip_with(…), 0.0,
+    * _+_)` — identical FP association, so the sign test is
+    * bit-exact), and the bucket assembles as an integer SUM of
+    * disjoint power-of-two CASE terms over the plane rows (≡ the
+    * bitwise OR; order-independent because the addends are disjoint
+    * bits). Emits `rhp(i, plane)` and `{out}(vec_id, embedding, b0)`
+    * over the `embeddings` table.
     */
-  def rhpBucketDuckSql(vecExpr: String, dim: Int, nBits: Int): String =
-    rhpPlanes(dim, nBits).zipWithIndex.map { case (plane, i) =>
-      val lit = plane.mkString("[", ",", "]")
-      val dot = s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
-        s"[$vecExpr[i]::DOUBLE * CAST(($lit)[i] AS DOUBLE) " +
-        s"for i in range(1, ${dim + 1})]), (a, x) -> a + x)"
-      s"(CASE WHEN $dot >= 0 THEN ${1L << i} ELSE 0 END)"
-    }.mkString("(", "\n     + ", ")")
+  def rhpBucketDuckCtes(dim: Int, nBits: Int, out: String = "bkt"): String = {
+    val planesLit = rhpPlanes(dim, nBits)
+      .map(_.mkString("[", ",", "]")).mkString("[", ", ", "]")
+    s"""rhp AS MATERIALIZED (
+       |  SELECT CAST(u.i AS INTEGER) AS i, ($planesLit)[u.i + 1] AS plane
+       |  FROM unnest(range($nBits)) AS u(i)),
+       |$out AS MATERIALIZED (
+       |  SELECT e.vec_id, e.embedding,
+       |    CAST(sum(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |        [e.embedding[k]::DOUBLE * CAST(r.plane[k] AS DOUBLE) for k in range(1, ${dim + 1})]),
+       |        (a, x) -> a + x) >= 0 THEN (CAST(1 AS BIGINT) << r.i) ELSE 0 END) AS BIGINT) AS b0
+       |  FROM embeddings e CROSS JOIN rhp r
+       |  GROUP BY e.vec_id, e.embedding)""".stripMargin
+  }
 
   /** Deterministic ±1 hyperplane components (splitmix64; `seed`
     * selects the hash table — each LSH table uses independent planes).
