@@ -225,6 +225,20 @@ class RetrievalSpec extends SparkSpecBase {
     }
   }
 
+  test("maxSimRerank plan: bounded heaps only — no window, no corpus-side sort") {
+    val plan = Retrieval.maxSimRerank(
+      msCorpus, "doc_id", "text",
+      msCorpus.filter(col("doc_id") < 2), "doc_id", "text",
+      shortlist = 4, topK = 3).queryExecution.executedPlan.toString
+    // both cuts run in the bounded-heap TopK aggregate, never a
+    // windowed rank over the corpus (the Dedup no-per-hash-window
+    // discipline, applied to retrieval)
+    assert(!plan.contains("windowspecdefinition"),
+      s"corpus-wide window leaked into the maxSim plan:\n$plan")
+    assert(plan.toLowerCase.contains("topkagg"),
+      s"bounded-heap TopK aggregate missing from the maxSim plan:\n$plan")
+  }
+
   test("maxSimRerank: stable under repartitioning (integer interaction core)") {
     val base = Retrieval.maxSimRerank(
       msCorpus, "doc_id", "text",
