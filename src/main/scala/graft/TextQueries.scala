@@ -935,6 +935,38 @@ object TextQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Video near-duplicate detection — shared-SCENE semantics
+    * ([[Multimodal.videoNearDup]], round 11): docs 0-49 render as 25
+    * planted pairs — doc `2k` and `2k+1` embed the identical 30-frame
+    * scene run (shared seed `k+7000`) ahead of 10 own frames, so the
+    * sampled (every-2nd-frame) fingerprint sets share 15 of 20
+    * members and Jaccard = 15/25 = 0.6 — while docs 50-199 are
+    * all-unique scenes. Pairing is exact frame-set Jaccard through
+    * the lossless geometric double-block ([[Dedup.setJaccardPairs]]),
+    * position-shift-invariant, never a cartesian. Oracle-exact:
+    * DuckDB never touches a payload byte — pattern frame energies are
+    * the closed form `Σ ((v + i·w) mod 256)²` with `(v, w)` from the
+    * same emulated splitmix64 as the audio/image oracles
+    * ([[Multimodal.videoEnergyPatternDuckCtes]]), and the block join
+    * replays the `q_ngram_jaccard` shape.
+    */
+  private def videoNeardup(s: SparkSession, d: String): DataFrame = {
+    val planted = Tables.documents(s, d)
+      .select(col("doc_id")).filter(col("doc_id") < 200)
+      .select(
+        col("doc_id"),
+        (col("doc_id") + 5000L).as("__seed"),
+        when(col("doc_id") < 50, expr("doc_id div 2") + 7000L)
+          .otherwise(lit(0L)).as("__shseed"),
+        when(col("doc_id") < 50, lit(0)).otherwise(lit(-1)).as("__shfrom"),
+        when(col("doc_id") < 50, lit(30)).otherwise(lit(0)).as("__shcount"))
+    Multimodal.videoNearDup(
+        Multimodal.withPatternVideo(
+          planted, "__seed", "__shseed", "__shfrom", "__shcount"),
+        "doc_id", "video")
+      .orderBy("id_a", "id_b")
+  }
+
   /** Sequence packing: assign each doc to a fixed-256-token training
     * sequence (concat-then-chunk rule; [[Packing.concatChunkPack]]'s
     * two-pass distributed prefix sum — no single-partition window).
@@ -2033,6 +2065,36 @@ object TextQueries {
                |  FROM documents WHERE doc_id < 200""".stripMargin)},
          |${Dedup.hamming64PairsDuckCtes("au_sigs", "aup_")}
          |SELECT id_a, id_b, hamming FROM aup_pairs""".stripMargin)),
+    QueryDef("q_video_neardup", videoNeardup, Some(
+      s"""WITH ${Multimodal.videoEnergyPatternDuckCtes(
+             """SELECT doc_id,
+               |    CAST(doc_id + 5000 AS HUGEINT) AS seed,
+               |    CAST(CASE WHEN doc_id < 50 THEN doc_id // 2 + 7000
+               |              ELSE 0 END AS HUGEINT) AS shseed,
+               |    CASE WHEN doc_id < 50 THEN 0 ELSE -1 END AS shfrom,
+               |    CASE WHEN doc_id < 50 THEN 30 ELSE 0 END AS shcount
+               |  FROM documents WHERE doc_id < 200""".stripMargin)},
+         |vid_sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+         |           FROM vid_fr GROUP BY 1),
+         |vid_blk AS (
+         |  SELECT doc_id, e, unnest([g, g + 1]) AS blk
+         |  FROM (SELECT f.doc_id, f.e,
+         |          length(printf('%b', greatest(s.n, 1))) - 1 AS g
+         |        FROM vid_fr f JOIN vid_sz s USING (doc_id))),
+         |vid_inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(count(DISTINCT a.e) AS BIGINT) AS n_inter
+         |  FROM vid_blk a JOIN vid_blk b
+         |    ON a.blk = b.blk AND a.e = b.e AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, jaccard FROM (
+         |  SELECT id_a, id_b,
+         |    floor(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) * 10000.0 + 0.5)
+         |      / 10000.0 AS jaccard
+         |  FROM vid_inter
+         |  JOIN vid_sz sa ON id_a = sa.doc_id
+         |  JOIN vid_sz sb ON id_b = sb.doc_id) t
+         |WHERE jaccard >= 0.5""".stripMargin)),
     QueryDef("q_contamination", contaminationQ, Some(contaminationSql), headline = true),
     QueryDef("q_lm_score", lmScoreQ, Some(lmScoreSql), headline = true),
     QueryDef("q_lin_score", linScoreQ, Some(

@@ -562,6 +562,34 @@ object Dedup {
         val g = (length(bin(greatest(size(col("sh")), lit(1)))) - 1).cast("long")
         base.withColumn("blocks", array(g, g + 1))
     }
+    jaccardTail(blocked, threshold)
+  }
+
+  /** Exact Jaccard over ANY per-doc element-set frame `(doc_id,
+    * sh: array<long>)` with the geometric double-block —
+    * [[ngramJaccardPairs]]' machinery opened up for non-text sets
+    * (round 11: sampled video-frame fingerprints,
+    * [[Multimodal.videoNearDup]]). The caller supplies the elements
+    * ALREADY deduplicated (`array_distinct`) so `|sh|` is the true
+    * set size; the lossless-≥0.5 geometric blocking argument is the
+    * same as for shingles. Output `(id_a, id_b, jaccard)` at 4 dp.
+    */
+  def setJaccardPairs(
+      sets: DataFrame,
+      idCol: String,
+      setCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold >= 0.5,
+      s"geometric blocking is lossless only for threshold >= 0.5 (got $threshold)")
+    val base = sets.select(col(idCol).as("doc_id"), col(setCol).as("sh"))
+    val g = (length(bin(greatest(size(col("sh")), lit(1)))) - 1).cast("long")
+    jaccardTail(base.withColumn("blocks", array(g, g + 1)), threshold)
+  }
+
+  /** Shared tail of [[ngramJaccardPairs]] / [[setJaccardPairs]]:
+    * blocked `(doc_id, sh, blocks)` → thresholded Jaccard pairs.
+    */
+  private def jaccardTail(blocked: DataFrame, threshold: Double): DataFrame = {
     // Materialized once: `blocked` feeds the self-join's BOTH sides
     // plus the size lookup — three instantiations of the shingle
     // pass otherwise (see minhashCandidates). One compact row per

@@ -834,6 +834,218 @@ object Multimodal {
        |    AND a.k % 9 < 8
        |  GROUP BY a.doc_id)""".stripMargin
 
+  // ---- Video: sampled-frame fingerprints + shared-scene Jaccard ----
+  //
+  // The third modality through the near-dup discipline (round 11).
+  // Image and audio fingerprint the WHOLE payload into one 64-bit sig
+  // (banded-Hamming pairs); video near-dup has different semantics —
+  // two videos are near-duplicates when they SHARE SCENES, at any
+  // offset — so the unit of fingerprinting is the sampled frame and
+  // the pair measure is exact Jaccard over each video's SET of frame
+  // fingerprints ([[Dedup.setJaccardPairs]]' geometric double-block,
+  // never all pairs). No JVM video codec exists in this container, so
+  // the DEMUX is the stubbed step (fixed-size frame slices behind an
+  // 8-byte magic — the [[sampleFrameOffsets]] envelope); the
+  // fingerprint itself is real byte arithmetic: per sampled frame the
+  // exact integer energy Σ byte², portable to the SQL oracle. A
+  // production deployment swaps the demux for a real container parser
+  // and (optionally) the energy for `xxhash64(slice)` — same plan
+  // shape, at the cost of the hash-exact oracle (xxhash has no DuckDB
+  // twin; CLAUDE.md's rows-only note).
+
+  /** Encode one deterministic PATTERN VIDEO: an 8-byte `GRAFTVID`
+    * magic then `frames` frames of `frameBytes` bytes, frame `k`'s
+    * byte `i` = `(v_k + i·w_k) mod 256` where `(v_k, w_k)` derive
+    * from `splitmix64(seed·173 + k)` (`v = z mod_u 256`,
+    * `w = (z div_u 256) mod_u 255 + 1`) — a byte ramp whose exact
+    * energy `Σ byte²` the oracle can replay without touching bytes.
+    * Frames `[sharedFrom, sharedFrom + sharedCount)` derive from
+    * `sharedSeed` (indexed from the run start) instead: two videos
+    * given the same `(sharedSeed, sharedCount)` embed an identical
+    * SCENE RUN — possibly at different offsets — which is exactly
+    * what frame-set Jaccard detects and positional hashing would
+    * miss.
+    */
+  def encodePatternVideo(
+      seed: Long,
+      frames: Int = 40,
+      frameBytes: Int = 32,
+      sharedSeed: Long = 0L,
+      sharedFrom: Int = -1,
+      sharedCount: Int = 0): Array[Byte] = {
+    require(frames > 0 && frameBytes > 0, "frames and frameBytes must be positive")
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val out = new Array[Byte](8 + frames * frameBytes)
+    System.arraycopy("GRAFTVID".getBytes("US-ASCII"), 0, out, 0, 8)
+    var k = 0
+    while (k < frames) {
+      val z =
+        if (k >= sharedFrom && k < sharedFrom + sharedCount)
+          mix(sharedSeed * 173L + (k - sharedFrom))
+        else mix(seed * 173L + k)
+      val v = java.lang.Long.remainderUnsigned(z, 256L)
+      val w = java.lang.Long.remainderUnsigned(
+        java.lang.Long.divideUnsigned(z, 256L), 255L) + 1L
+      var i = 0
+      while (i < frameBytes) {
+        out(8 + k * frameBytes + i) = ((v + i * w) % 256L).toByte
+        i += 1
+      }
+      k += 1
+    }
+    out
+  }
+
+  /** Attach a synthetic pattern video per row ([[withPatternWav]]'s
+    * video twin). `shFromCol < 0` or `shCountCol == 0` means no
+    * shared run.
+    */
+  def withPatternVideo(
+      df: DataFrame,
+      seedCol: String,
+      shSeedCol: String,
+      shFromCol: String,
+      shCountCol: String,
+      out: String = "video"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField(out, BinaryType))
+    val si = df.schema.fieldIndex(seedCol)
+    val ssi = df.schema.fieldIndex(shSeedCol)
+    val sfi = df.schema.fieldIndex(shFromCol)
+    val sci = df.schema.fieldIndex(shCountCol)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = encodePatternVideo(
+          row.getAs[Number](si).longValue(),
+          sharedSeed = row.getAs[Number](ssi).longValue(),
+          sharedFrom = row.getAs[Number](sfi).intValue(),
+          sharedCount = row.getAs[Number](sci).intValue())
+        Row.fromSeq(row.toSeq :+ bytes)
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** Exact integer energies (`Σ byte²`, bytes unsigned) of every
+    * `everyN`-th fixed-size frame slice behind `headerBytes` — the
+    * per-frame fingerprint [[videoNearDup]] builds its sets from.
+    * Trailing partial frames are ignored (a demuxer would not emit
+    * them); payloads shorter than one frame yield an empty array.
+    */
+  def videoFrameEnergies(
+      bytes: Array[Byte],
+      headerBytes: Int,
+      frameBytes: Int,
+      everyN: Int): Array[Long] = {
+    require(frameBytes > 0 && everyN > 0 && headerBytes >= 0,
+      "frameBytes and everyN must be positive, headerBytes non-negative")
+    val n = math.max((bytes.length - headerBytes) / frameBytes, 0)
+    val out = new scala.collection.mutable.ArrayBuffer[Long]((n + everyN - 1) / math.max(everyN, 1))
+    var k = 0
+    while (k < n) {
+      if (k % everyN == 0) {
+        var e = 0L
+        var i = 0
+        while (i < frameBytes) {
+          val b = (bytes(headerBytes + k * frameBytes + i) & 0xFF).toLong
+          e += b * b
+          i += 1
+        }
+        out += e
+      }
+      k += 1
+    }
+    out.toArray
+  }
+
+  /** Attach the sampled-frame energy array per row (`mapPartitions`,
+    * map-only — slice and fingerprint in one pass; payload bytes
+    * never shuffle, only the fixed-width energy array does).
+    */
+  def withFrameEnergies(
+      df: DataFrame,
+      bytesCol: String,
+      headerBytes: Int = 8,
+      frameBytes: Int = 32,
+      everyN: Int = 2,
+      out: String = "frames"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField(out, ArrayType(LongType, containsNull = false), nullable = false))
+    val idx = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](idx)
+        require(bytes != null, s"withFrameEnergies: null $bytesCol cell — filter " +
+          "null payloads out (or fill them) before fingerprinting")
+        Row.fromSeq(row.toSeq :+
+          videoFrameEnergies(bytes, headerBytes, frameBytes, everyN).toSeq)
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** Video near-duplicate pairs: shared-scene detection as exact
+    * Jaccard ≥ `threshold` over each video's DISTINCT sampled-frame
+    * fingerprint set ([[videoFrameEnergies]]), through
+    * [[Dedup.setJaccardPairs]]' lossless geometric double-block —
+    * positional-shift-invariant (a scene moved to a different offset
+    * still matches) and never a cartesian. Output
+    * `(id_a, id_b, jaccard)` at 4 dp.
+    */
+  def videoNearDup(
+      df: DataFrame,
+      idCol: String,
+      bytesCol: String,
+      headerBytes: Int = 8,
+      frameBytes: Int = 32,
+      everyN: Int = 2,
+      threshold: Double = 0.5): DataFrame =
+    Dedup.setJaccardPairs(
+      withFrameEnergies(df.select(col(idCol), col(bytesCol)), bytesCol,
+        headerBytes, frameBytes, everyN)
+        .select(col(idCol).as("doc_id"),
+          array_distinct(col("frames")).as("sh")),
+      "doc_id", "sh", threshold)
+
+  /** DuckDB CTE chain predicting the sampled-frame energy SETS of
+    * [[withPatternVideo]] payloads closed-form — `q_video_neardup`'s
+    * oracle root, with DuckDB never touching a payload byte: frame
+    * `k`'s bytes are the ramp `(v + i·w) mod 256`, so its energy is
+    * `Σ_{i<frameBytes} ((v + i·w) mod 256)²` with `(v, w)` from the
+    * same emulated splitmix64 the audio/image oracles use.
+    * `seedCteBody` must yield `(doc_id, seed HUGEINT, shseed HUGEINT,
+    * shfrom, shcount)`; the chain samples every `everyN`-th of
+    * `frames` frames and ends at `{prefix}fr (doc_id, e)` — the
+    * DISTINCT fingerprint set, ready for the Jaccard block join.
+    */
+  def videoEnergyPatternDuckCtes(
+      seedCteBody: String,
+      frames: Int = 40,
+      frameBytes: Int = 32,
+      everyN: Int = 2,
+      prefix: String = "vid_"): String =
+    s"""${prefix}seed AS ($seedCteBody),
+       |${prefix}z1 AS (
+       |  SELECT doc_id, u.k,
+       |    ((CASE WHEN u.k >= shfrom AND u.k < shfrom + shcount
+       |           THEN shseed * 173 + (u.k - shfrom)
+       |           ELSE seed * 173 + u.k END)
+       |      + $mix64Golden::HUGEINT) % $mix64W64 AS z
+       |  FROM ${prefix}seed, unnest(range(0, $frames)) AS u(k)
+       |  WHERE u.k % $everyN = 0),
+       |${mix64ChainDuckCtes(prefix, Seq.empty)},
+       |${prefix}vw AS (
+       |  SELECT doc_id, k, z % 256 AS v, (z // 256) % 255 + 1 AS w
+       |  FROM ${prefix}z6),
+       |${prefix}en AS (
+       |  SELECT doc_id, k,
+       |    CAST(SUM(((v + u.i * w) % 256) * ((v + u.i * w) % 256)) AS BIGINT) AS e
+       |  FROM ${prefix}vw, unnest(range(0, $frameBytes)) AS u(i)
+       |  GROUP BY 1, 2),
+       |${prefix}fr AS (SELECT DISTINCT doc_id, e FROM ${prefix}en)""".stripMargin
+
   private val mix64W64 = "18446744073709551616::HUGEINT"
   private val mix64Golden = new java.math.BigInteger("9E3779B97F4A7C15", 16)
 
@@ -844,7 +1056,7 @@ object Multimodal {
     */
   private def mix64ChainDuckCtes(prefix: String, carry: Seq[String]): String = {
     val w32 = "4294967296::HUGEINT"
-    val cols = carry.mkString(", ")
+    val cols = if (carry.isEmpty) "" else carry.mkString(", ") + ", "
     def xorStage(shift: Int): String = {
       val sh = s"${1L << shift}"
       s"""(xor(CAST(z // $w32 AS BIGINT),
@@ -857,19 +1069,19 @@ object Multimodal {
          |      + (((z // $w32) * $c::HUGEINT) % $w32) * $w32) % $mix64W64 AS z""".stripMargin
     def u(hex: String) = new java.math.BigInteger(hex, 16)
     s"""${prefix}z2 AS (
-       |  SELECT doc_id, $cols, k, ${xorStage(30)}
+       |  SELECT doc_id, ${cols}k, ${xorStage(30)}
        |  FROM ${prefix}z1),
        |${prefix}z3 AS (
-       |  SELECT doc_id, $cols, k, ${mulStage(u("BF58476D1CE4E5B9"))}
+       |  SELECT doc_id, ${cols}k, ${mulStage(u("BF58476D1CE4E5B9"))}
        |  FROM ${prefix}z2),
        |${prefix}z4 AS (
-       |  SELECT doc_id, $cols, k, ${xorStage(27)}
+       |  SELECT doc_id, ${cols}k, ${xorStage(27)}
        |  FROM ${prefix}z3),
        |${prefix}z5 AS (
-       |  SELECT doc_id, $cols, k, ${mulStage(u("94D049BB133111EB"))}
+       |  SELECT doc_id, ${cols}k, ${mulStage(u("94D049BB133111EB"))}
        |  FROM ${prefix}z4),
        |${prefix}z6 AS (
-       |  SELECT doc_id, $cols, k, ${xorStage(31)}
+       |  SELECT doc_id, ${cols}k, ${xorStage(31)}
        |  FROM ${prefix}z5)""".stripMargin
   }
 

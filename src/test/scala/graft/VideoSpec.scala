@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+
+/** Video path (round 11): sampled-frame energy fingerprints over
+  * pattern containers, shared-scene Jaccard pairing through the
+  * geometric double-block, and the offset-shift invariance the
+  * frame-SET semantics exist for.
+  */
+class VideoSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val F = 32 // frameBytes
+
+  test("videoFrameEnergies: exact byte^2 sums per sampled frame; short/partial payloads safe") {
+    val bytes = Multimodal.encodePatternVideo(seed = 42L, frames = 6, frameBytes = F)
+    val all = Multimodal.videoFrameEnergies(bytes, headerBytes = 8, frameBytes = F, everyN = 1)
+    assert(all.length === 6)
+    // recompute frame 0's energy directly from the payload bytes
+    val manual = (0 until F).map { i =>
+      val b = (bytes(8 + i) & 0xFF).toLong; b * b
+    }.sum
+    assert(all(0) === manual)
+    // everyN=2 samples frames 0, 2, 4
+    val sampled = Multimodal.videoFrameEnergies(bytes, 8, F, everyN = 2)
+    assert(sampled.toSeq === Seq(all(0), all(2), all(4)))
+    // shorter than one frame -> empty, no crash; trailing partial frame ignored
+    assert(Multimodal.videoFrameEnergies(Array.fill[Byte](7)(1), 8, F, 1).isEmpty)
+    assert(Multimodal.videoFrameEnergies(bytes.take(8 + F + 3), 8, F, 1).length === 1)
+  }
+
+  test("videoNearDup: planted shared-scene pair at exact Jaccard 0.6; strangers absent") {
+    // docs 0/1 share a 30-frame scene (seed 99) ahead of 10 own frames;
+    // docs 2/3 are unrelated single scenes.
+    val rows = Seq(
+      (0L, 10L, 99L, 0, 30),
+      (1L, 11L, 99L, 0, 30),
+      (2L, 12L, 0L, -1, 0),
+      (3L, 13L, 0L, -1, 0)
+    ).toDF("doc_id", "__seed", "__shseed", "__shfrom", "__shcount")
+    val got = Multimodal.videoNearDup(
+      Multimodal.withPatternVideo(rows, "__seed", "__shseed", "__shfrom", "__shcount"),
+      "doc_id", "video")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // sampled sets: 15 shared of 20 each -> 15/(20+20-15) = 0.6
+    assert(got.toSeq === Seq((0L, 1L, 0.6)))
+  }
+
+  test("videoNearDup: a scene shifted by an even offset still matches (set semantics)") {
+    // doc 0 embeds the scene at frame 0, doc 1 at frame 2 — positional
+    // hashing would miss it; the sampled frame SET intersects on the
+    // same 15 scene fingerprints (even shift preserves sampled
+    // scene-relative parity).
+    val rows = Seq(
+      (0L, 10L, 99L, 0, 30),
+      (1L, 11L, 99L, 2, 30)
+    ).toDF("doc_id", "__seed", "__shseed", "__shfrom", "__shcount")
+    val got = Multimodal.videoNearDup(
+      Multimodal.withPatternVideo(rows, "__seed", "__shseed", "__shfrom", "__shcount"),
+      "doc_id", "video")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length === 1 && got(0)._1 === 0L && got(0)._2 === 1L)
+    assert(got(0)._3 >= 0.5)
+  }
+
+  test("videoNearDup: stable under repartitioning; threshold gate respected") {
+    val rows = (0L until 12L).map { i =>
+      if (i < 4) (i, i + 10L, (i / 2) + 99L, 0, 30) // two planted pairs
+      else (i, i + 10L, 0L, -1, 0)
+    }.toDF("doc_id", "__seed", "__shseed", "__shfrom", "__shcount")
+    def run(df: org.apache.spark.sql.DataFrame) = Multimodal.videoNearDup(
+      Multimodal.withPatternVideo(df, "__seed", "__shseed", "__shfrom", "__shcount"),
+      "doc_id", "video").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = run(rows)
+    val b = run(rows.repartition(7))
+    assert(a === b)
+    assert(a === Set((0L, 1L), (2L, 3L)))
+  }
+}
