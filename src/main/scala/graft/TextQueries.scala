@@ -935,6 +935,42 @@ object TextQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Streaming video near-dup gate replay
+    * ([[graft.streaming.VideoGate]] — the FIFTH modality through the
+    * shared [[graft.streaming.SigGate]] core): the `q_video_neardup`
+    * planted corpus in two parity micro-batches (even `doc_id`s then
+    * odd), so every planted scene-sharing pair straddles the batch
+    * boundary and the odd twin must be rejected via STATE, not
+    * intra-batch CC. The gate minhashes each video's sampled-frame
+    * energy multiset directly (energies are already < p — no
+    * re-hashing), so the oracle composes three existing chains:
+    * closed-form pattern energies
+    * ([[Multimodal.videoEnergyPatternDuckCtes]]) → the minhash
+    * signature/band/candidate tail
+    * ([[Dedup.minhashPairsFromHsDuckCtes]]) → the two-batch gate
+    * replay ([[Dedup.gateReplayDuckCtes]]).
+    */
+  private def streamVideoGate(s: SparkSession, d: String): DataFrame = {
+    val planted = Tables.documents(s, d)
+      .select(col("doc_id")).filter(col("doc_id") < 200)
+      .select(
+        col("doc_id"),
+        (col("doc_id") + 5000L).as("__seed"),
+        when(col("doc_id") < 50, expr("doc_id div 2") + 7000L)
+          .otherwise(lit(0L)).as("__shseed"),
+        when(col("doc_id") < 50, lit(0)).otherwise(lit(-1)).as("__shfrom"),
+        when(col("doc_id") < 50, lit(30)).otherwise(lit(0)).as("__shcount"))
+    val vids = Multimodal.withPatternVideo(
+      planted, "__seed", "__shseed", "__shfrom", "__shcount")
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_vidgate_state").toString
+    val a0 = graft.streaming.VideoGate.acceptBatch(
+      vids.filter(col("doc_id") % 2 === 0), 0L, "doc_id", "video", stateDir)
+    val a1 = graft.streaming.VideoGate.acceptBatch(
+      vids.filter(col("doc_id") % 2 =!= 0), 1L, "doc_id", "video", stateDir)
+    a0.union(a1).select("doc_id")
+  }
+
   /** Video near-duplicate detection — shared-SCENE semantics
     * ([[Multimodal.videoNearDup]], round 11): docs 0-49 render as 25
     * planted pairs — doc `2k` and `2k+1` embed the identical 30-frame
@@ -1908,6 +1944,22 @@ object TextQueries {
          |${Dedup.gateReplayDuckCtes("mh_pairs", exact = false)}
          |SELECT doc_id FROM gate_accept""".stripMargin),
       headline = true),
+    QueryDef("q_stream_video_gate", streamVideoGate, Some(
+      s"""WITH RECURSIVE ${Multimodal.videoEnergyPatternDuckCtes(
+             """SELECT doc_id,
+               |    CAST(doc_id + 5000 AS HUGEINT) AS seed,
+               |    CAST(CASE WHEN doc_id < 50 THEN doc_id // 2 + 7000
+               |              ELSE 0 END AS HUGEINT) AS shseed,
+               |    CASE WHEN doc_id < 50 THEN 0 ELSE -1 END AS shfrom,
+               |    CASE WHEN doc_id < 50 THEN 30 ELSE 0 END AS shcount
+               |  FROM documents WHERE doc_id < 200""".stripMargin)},
+         |vg_hs AS (
+         |  SELECT doc_id, list(e ORDER BY k) AS hs
+         |  FROM vid_en GROUP BY doc_id),
+         |${Dedup.minhashPairsFromHsDuckCtes("vg_hs")},
+         |vg_univ AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+         |${Dedup.gateReplayDuckCtes("mh_pairs", exact = false, table = "vg_univ")}
+         |SELECT doc_id FROM gate_accept""".stripMargin)),
     QueryDef("q_stream_curate", streamCurateQ,
       Some(streamCurateOracle(exact = false)), headline = true),
     QueryDef("q_stream_curate_exact", streamCurateExactQ,

@@ -828,8 +828,6 @@ object Dedup {
       bands: Int = 16,
       threshold: Double = 0.5,
       table: String = "documents"): String = {
-    require(n % bands == 0, s"signature length $n must divide into $bands bands")
-    val rows = n / bands
     val p = graft.functions.ShingleHashModExpr.P
     val b = graft.functions.ShingleHashModExpr.B
     // the k-term modular fold of ShingleHashModExpr, unrolled over
@@ -838,9 +836,6 @@ object Dedup {
       s"(($acc * $b + th[i + $j]) % $p)"
     }
     val foldShort = s"list_reduce(th, (a, x) -> (a * $b + x) % $p)"
-    val coefs = minhashCoefs(n)
-    val aLit = coefs.map(_._1).mkString("[", ", ", "]")
-    val bLit = coefs.map(_._2).mkString("[", ", ", "]")
     // DuckDB-performance shape (round 11): the first cut evaluated the
     // n-element coefficient-array LITERALS inside a lambda, which
     // DuckDB 1.0 re-materializes per (gram × lane) evaluation — the
@@ -865,10 +860,32 @@ object Dedup {
        |         ELSE list_transform(range(len(th) - ${k - 1}), i -> $fold)
        |    END AS hs
        |  FROM mh_th),
-       |mh_coef AS MATERIALIZED (
+       |${minhashPairsFromHsDuckCtes("mh_hs", n, bands, threshold)}""".stripMargin
+  }
+
+  /** The signature/band/candidate tail of [[minhashCandDuckCtes]]
+    * over ANY per-doc mod-p element-list CTE `hsCte(doc_id,
+    * hs: BIGINT list, every element in [0, p))` — factored (round 11)
+    * so non-text element sets replay the identical chain (video frame
+    * energies are < 2²¹, already in the hash domain —
+    * `q_stream_video_gate`). Emits `mh_coef` … `mh_pairs`; same
+    * DuckDB-performance shape notes as [[minhashCandDuckCtes]].
+    */
+  def minhashPairsFromHsDuckCtes(
+      hsCte: String,
+      n: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5): String = {
+    require(n % bands == 0, s"signature length $n must divide into $bands bands")
+    val rows = n / bands
+    val p = graft.functions.ShingleHashModExpr.P
+    val coefs = minhashCoefs(n)
+    val aLit = coefs.map(_._1).mkString("[", ", ", "]")
+    val bLit = coefs.map(_._2).mkString("[", ", ", "]")
+    s"""mh_coef AS MATERIALIZED (
        |  SELECT u.j AS j, $aLit[u.j + 1] AS ca, $bLit[u.j + 1] AS cb
        |  FROM unnest(range($n)) AS u(j)),
-       |mh_g AS (SELECT DISTINCT doc_id, unnest(hs) AS h FROM mh_hs),
+       |mh_g AS (SELECT DISTINCT doc_id, unnest(hs) AS h FROM $hsCte),
        |mh_sigr AS (
        |  SELECT g.doc_id, c.j, min((c.ca * g.h + c.cb) % $p) AS m
        |  FROM mh_g g CROSS JOIN mh_coef c GROUP BY 1, 2),
@@ -887,8 +904,10 @@ object Dedup {
        |    round(CAST(len(list_filter(range($n), j ->
        |      sa.sig[j + 1] = sb.sig[j + 1])) AS DOUBLE) / $n, 4) AS est_jaccard
        |  FROM mh_cand0 JOIN mh_sigs sa ON sa.doc_id = id_a
-       |  JOIN mh_sigs sb ON sb.doc_id = id_b)""".stripMargin +
-      s",\nmh_pairs AS MATERIALIZED (SELECT id_a, id_b, est_jaccard FROM mh_cand WHERE est_jaccard >= $threshold)"
+       |  JOIN mh_sigs sb ON sb.doc_id = id_b),
+       |mh_pairs AS MATERIALIZED (
+       |  SELECT id_a, id_b, est_jaccard FROM mh_cand
+       |  WHERE est_jaccard >= $threshold)""".stripMargin
   }
 
   /** DuckDB recursive-CTE connected components over a pair CTE with

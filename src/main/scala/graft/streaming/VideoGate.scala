@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Materialize, Multimodal}
+
+/** Streaming VIDEO near-dup gate — the fifth modality through the
+  * shared gate core ([[SigGate]]): first-wins dedup of a video stream
+  * by shared-scene similarity, with the same table-backed state,
+  * batch-ordered semantics, and idempotent batch-id partitioning as
+  * [[NearDupGate]] (text MinHash) and [[Hamming64Gate]] (SimHash /
+  * image / audio / embedding signatures).
+  *
+  * Signature scheme: each video's sampled-frame energy multiset
+  * ([[Multimodal.videoFrameEnergies]] — exact integer Σ byte² per
+  * every-Nth slice) IS the element set, and the gate minhashes it
+  * directly: energies are < frameBytes·255² < 2³¹−1, already inside
+  * the mod-p hash domain, so the SAME lane coefficients, banding, and
+  * estimated-Jaccard verification as the text gate apply unchanged —
+  * and the SAME oracle chain replays them
+  * ([[Dedup.minhashPairsFromHsDuckCtes]] over closed-form pattern
+  * energies). Estimated Jaccard is the minhash estimate of the exact
+  * frame-set Jaccard [[Multimodal.videoNearDup]] computes in batch —
+  * the standard LSH trade (a pair near the threshold can land on
+  * either side of it; the decision is deterministic given the lane
+  * constants, and the oracle reproduces it bit-for-bit).
+  */
+object VideoGate {
+
+  /** One micro-batch step — [[NearDupGate.acceptBatch]]'s video twin:
+    * returns the accepted subset of `batch` and commits banded
+    * signatures to `stateDir/batch_id=<id>`. State is shared-schema
+    * with the text gate (`doc_id, sig, band, bucket, keeper,
+    * batch_id`), read through [[NearDupGate.readState]].
+    */
+  def acceptBatch(
+      batch: DataFrame,
+      batchId: Long,
+      idCol: String,
+      bytesCol: String,
+      stateDir: String,
+      headerBytes: Int = 8,
+      frameBytes: Int = 32,
+      everyN: Int = 2,
+      n: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      exact: Boolean = false): DataFrame = {
+    require(n % bands == 0, s"signature length $n must divide into $bands bands")
+    val rows = n / bands
+    val energies = Multimodal.withFrameEnergies(
+      batch.select(col(idCol), col(bytesCol)), bytesCol,
+      headerBytes, frameBytes, everyN)
+    // Payloads too short for one frame still need a signature (the
+    // state schema is fixed): the empty element set signs as [0],
+    // mirroring the text chain's zero-token case.
+    val hs = when(size(col("frames")) === 0, array(lit(0L)))
+      .otherwise(col("frames"))
+    val sigs = Materialize(energies
+      .select(col(idCol).as("doc_id"),
+        graft.functions.HashExprs.minhashSig(hs, n).as("sig"))
+      .withColumn("band", explode(Dedup.lshBands(col("sig"), bands, rows)))
+      .select(col("doc_id"), col("sig"), col("band.band"), col("band.bucket")))
+    val state = NearDupGate.readState(batch.sparkSession, stateDir)
+      .filter(col("batch_id") < batchId)
+    SigGate.acceptBatch(
+      batch, batchId, idCol,
+      bandedSigs = sigs,
+      state = state,
+      matchCond =
+        col("a.band") === col("s.band") &&
+        col("a.bucket") === col("s.bucket") &&
+        Dedup.estJaccard(col("a.sig"), col("s.sig"), n) >= threshold,
+      intraPairs = Dedup.candidatesFromBandedSigs(sigs, n, threshold),
+      stateDir = stateDir,
+      exact = exact)
+  }
+}

@@ -65,6 +65,34 @@ class VideoSpec extends SparkSpecBase {
     assert(got(0)._3 >= 0.5)
   }
 
+  test("VideoGate: cross-batch scene twin rejected via state; replay idempotent") {
+    // 36 of 40 frames shared -> sampled sets share 18 of 20 (Jaccard
+    // ~0.82), far above the 0.5 gate threshold on the minhash estimate.
+    val rows = Seq(
+      (0L, 10L, 99L, 0, 36), // batch 0 — accepted (first-wins)
+      (1L, 11L, 99L, 0, 36), // batch 1 — scene twin of 0, rejected via STATE
+      (2L, 12L, 0L, -1, 0),  // batch 0 — unique, accepted
+      (3L, 13L, 0L, -1, 0)   // batch 1 — unique, accepted
+    ).toDF("doc_id", "__seed", "__shseed", "__shfrom", "__shcount")
+    val vids = Multimodal.withPatternVideo(
+      rows, "__seed", "__shseed", "__shfrom", "__shcount")
+    val state = java.nio.file.Files
+      .createTempDirectory("vidgate_spec").toString
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val a0 = ids(graft.streaming.VideoGate.acceptBatch(
+      vids.filter(col("doc_id") % 2 === 0), 0L, "doc_id", "video", state))
+    val a1 = ids(graft.streaming.VideoGate.acceptBatch(
+      vids.filter(col("doc_id") % 2 =!= 0), 1L, "doc_id", "video", state))
+    assert(a0 === Set(0L, 2L))
+    assert(a1 === Set(3L), "the scene twin must be rejected by state, not accepted")
+    // failure-recovery replay of batch 1 overwrites its own partition
+    // and returns the same acceptance
+    val a1b = ids(graft.streaming.VideoGate.acceptBatch(
+      vids.filter(col("doc_id") % 2 =!= 0), 1L, "doc_id", "video", state))
+    assert(a1b === a1)
+  }
+
   test("videoNearDup: stable under repartitioning; threshold gate respected") {
     val rows = (0L until 12L).map { i =>
       if (i < 4) (i, i + 10L, (i / 2) + 99L, 0, 30) // two planted pairs
