@@ -935,6 +935,46 @@ object TextQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Cross-modal dedup (round 11): ONE connected-components collapse
+    * over the UNION of pair sets from two modalities — text MinHash
+    * candidates over the full corpus plus image dHash pairs over the
+    * planted-PNG corpus (`q_image_dedup`'s derivation) — so a doc
+    * kept by text evidence alone can still be dropped because its
+    * IMAGE matches another doc's, and mixed chains (text pair (a,b) +
+    * image pair (b,c)) merge into one component with one keeper. This
+    * is multi-signal curation as pair-set ALGEBRA: modalities stay on
+    * their own banded equi-join shapes, only (id, id) pairs meet —
+    * the union adds no new shuffle class, and CC is the same driver
+    * union-find under its 1M-edge cap. Output: surviving docs, as in
+    * `q_dedup_docs`.
+    */
+  private def crossmodalDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val textPairs = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .select("id_a", "id_b")
+    val plantedImgs = docs
+      .select(col("doc_id")).filter(col("doc_id") < 150)
+      .select(
+        col("doc_id"),
+        when(col("doc_id") < 30, expr("doc_id div 3"))
+          .otherwise(col("doc_id") + 2000L).as("__seed"),
+        when(col("doc_id") < 30, pmod(col("doc_id"), lit(3)) * 4)
+          .otherwise(lit(0)).cast("int").as("__delta"),
+        when(col("doc_id") < 30 && pmod(col("doc_id"), lit(3)) =!= 0,
+          (pmod(col("doc_id"), lit(3)) * 20 + pmod(col("doc_id"), lit(13)))
+            .cast("int"))
+          .otherwise(lit(-1)).as("__flip"))
+    val imgPairs = Multimodal.imageNearDup(
+        Multimodal.withPatternPng(plantedImgs, "__seed", "__delta", "__flip"),
+        "doc_id", "img", maxHamming = 3)
+      .select("id_a", "id_b")
+    val losers = Dedup.connectedComponents(textPairs.union(imgPairs))
+      .filter(col("id") =!= col("component"))
+      .select(col("id"))
+    docs.join(losers, docs("doc_id") === losers("id"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars")
+  }
+
   /** Streaming video near-dup gate replay
     * ([[graft.streaming.VideoGate]] — the FIFTH modality through the
     * shared [[graft.streaming.SigGate]] core): the `q_video_neardup`
@@ -2117,6 +2157,28 @@ object TextQueries {
                |  FROM documents WHERE doc_id < 200""".stripMargin)},
          |${Dedup.hamming64PairsDuckCtes("au_sigs", "aup_")}
          |SELECT id_a, id_b, hamming FROM aup_pairs""".stripMargin)),
+    QueryDef("q_crossmodal_dedup", crossmodalDedup, Some(
+      s"""WITH RECURSIVE ${Dedup.minhashCandDuckCtes(duckToks("text"))},
+         |${Multimodal.dHashPatternDuckCtes(
+             """SELECT doc_id,
+               |    CAST(CASE WHEN doc_id < 30 THEN doc_id // 3
+               |              ELSE doc_id + 2000 END AS HUGEINT) AS seed,
+               |    CASE WHEN doc_id < 30 THEN (doc_id % 3) * 4
+               |         ELSE 0 END AS delta,
+               |    CASE WHEN doc_id < 30 AND doc_id % 3 <> 0
+               |         THEN (doc_id % 3) * 20 + doc_id % 13
+               |         ELSE -1 END AS flip
+               |  FROM documents WHERE doc_id < 150""".stripMargin)},
+         |${Dedup.hamming64PairsDuckCtes("im_sigs", "imp_")},
+         |un_pairs AS (
+         |  SELECT id_a, id_b FROM mh_pairs
+         |  UNION
+         |  SELECT id_a, id_b FROM imp_pairs),
+         |${Dedup.ccDuckCtes("un_pairs")},
+         |losers AS (SELECT id FROM cc_comp WHERE id <> component)
+         |SELECT d.doc_id, d.lang, d.source, d.n_chars
+         |FROM documents d LEFT JOIN losers l ON d.doc_id = l.id
+         |WHERE l.id IS NULL""".stripMargin)),
     QueryDef("q_video_neardup", videoNeardup, Some(
       s"""WITH ${Multimodal.videoEnergyPatternDuckCtes(
              """SELECT doc_id,

@@ -351,4 +351,26 @@ class DedupSpec extends SparkSpecBase {
       .collect().head
     assert(solo.getLong(2) === 0L && solo.getLong(3) === 1000000L)
   }
+
+  test("cross-modal pair-set union: mixed text+image chains collapse to one keeper") {
+    // text evidence links (1,2); image evidence links (2,3) — neither
+    // modality alone merges all three, the UNION does, and the keeper
+    // is the component min exactly as in single-modality CC dedup.
+    val textPairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val imgPairs = Seq((2L, 3L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(textPairs.union(imgPairs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // query-level containment on the real corpus: adding image pairs
+    // can only SHRINK the kept set relative to text-only dedup
+    val d = "/root/testdata/sf0.001"
+    if (new java.io.File(s"$d/documents.parquet").exists()) {
+      def kept(n: String) = QueryCatalog.byName(n).fn(spark, d)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val cross = kept("q_crossmodal_dedup")
+      val textOnly = kept("q_dedup_docs")
+      assert(cross.subsetOf(textOnly))
+      assert(cross.nonEmpty)
+    }
+  }
 }
