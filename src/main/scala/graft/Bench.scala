@@ -94,8 +94,14 @@ object Bench {
     // complete JSON artifact on disk. The driver's contract line (below)
     // is deliberately NOT the full-detail channel — see the tail-budget
     // note.
+    // Locale.ROOT throughout this output: f-interpolation uses the
+    // default locale, and a comma-decimal locale would corrupt the
+    // driver-parsed JSON line — the exact failure this section exists
+    // to prevent.
+    def fmt3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     results.foreach { case (k, v) =>
-      println(f"[bench] $k $v%.3f")
+      println(s"[bench] $k ${fmt3(v)}")
     }
     val fullJson = results
       .map { case (k, v) => "\"" + k + "\":" + v }
@@ -113,9 +119,11 @@ object Bench {
     // "omitted":N (always the cheapest queries — full detail is in
     // BENCHFULL.json / the [bench] lines above).
     val TailBudget = 1600 // chars; tail is 2000 minus sbt's trailer
-    def sig3(v: Double): String =
-      if (v >= 100) f"$v%.0f" else if (v >= 10) f"$v%.1f"
-      else if (v >= 1) f"$v%.2f" else f"$v%.3f"
+    def sig3(v: Double): String = {
+      val pat = if (v >= 100) "%.0f" else if (v >= 10) "%.1f"
+        else if (v >= 1) "%.2f" else "%.3f"
+      String.format(java.util.Locale.ROOT, pat, Double.box(v))
+    }
     val total = results.map(_._2).sum
     val sfName = new java.io.File(sfDir).getName
     val head = s"""{"metric":"total","value":${sig3(total)},"unit":"sec","queries":{"""
@@ -123,10 +131,19 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + sig3(v) }
     val tailFmt = (omitted: Int) => s"""},"omitted":$omitted,"sf":"$sfName"}"""
     val fixed = head.length + tailFmt(results.size).length
+    // Entries are sorted most-expensive-first; STOP at the first one
+    // that doesn't fit (rather than continuing to pack cheaper,
+    // shorter-named ones) so "omitted" is always exactly the cheapest
+    // tail — an expensive query can never be silently dropped while
+    // cheaper ones stay.
     val kept = scala.collection.mutable.ArrayBuffer[String]()
     var len = fixed
+    var full = false
     entries.foreach { e =>
-      if (len + e.length + 1 <= TailBudget) { kept += e; len += e.length + 1 }
+      if (!full) {
+        if (len + e.length + 1 <= TailBudget) { kept += e; len += e.length + 1 }
+        else full = true
+      }
     }
     println(head + kept.mkString(",") + tailFmt(results.size - kept.size))
     spark.stop()

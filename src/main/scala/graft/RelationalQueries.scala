@@ -414,16 +414,26 @@ object RelationalQueries {
   /** Mergeable-sketch serving path ([[graft.operators.Sketches]]):
     * per-(event_type, day) HLL partials — the table an ingest job
     * would persist — merged down to distinct users per event_type.
-    * Rows-only driver check (Datasketches HLL ≠ DuckDB's estimator);
-    * merge ≡ direct sketch is spec-pinned instead.
+    * Datasketches register internals ≠ DuckDB's estimator, so the
+    * driver check is tolerance-bounded (see [[approxDistinct]]): the
+    * output carries the exact per-type distinct (DuckDB-reproducible)
+    * plus a boolean attesting the MERGED estimate is within 10% of it
+    * (lgK=12 ≈ 2% rel. err; deterministic given data). Merge ≡
+    * direct-sketch equality stays spec-pinned in `SketchesSpec`.
     */
   private def hllMergeQ(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
       .withColumn("day", to_date(col("ts")))
-    graft.operators.Sketches.hllMerge(
+    val est = graft.operators.Sketches.hllMerge(
       graft.operators.Sketches.hllPartials(
         ev, Seq("event_type"), "day", "user_id"),
       Seq("event_type"))
+    val exact = ev.groupBy("event_type")
+      .agg(count_distinct(col("user_id")).as("exact_users"))
+    est.join(exact, "event_type")
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_distinct").cast("long") - col("exact_users")) * lit(100L) <=
+          lit(10L) * col("exact_users")).as("merge_within_10pct"))
   }
 
   /** Mergeable-histogram quantile serving
@@ -450,15 +460,36 @@ object RelationalQueries {
     * per-(event_type, day) theta partials — the persistable slice
     * table — answering "users who clicked AND purchased / clicked
     * only / purchased only" by sketch intersection/difference, with
-    * NO join or re-scan of the raw history. Rows-only driver check
-    * (approximate); estimate-vs-exact is spec-pinned (`SketchesSpec`).
+    * NO join or re-scan of the raw history. The estimates have no
+    * SQL twin, so the driver check is tolerance-bounded (see
+    * [[approxDistinct]]): the output carries the three EXACT set
+    * sizes (DuckDB: INTERSECT/EXCEPT counts) plus booleans attesting
+    * each estimate is within 10% (or ±3 for near-empty sets — a
+    * relative bound is vacuous at exact=0). lgK=12 ≈ 3% rel. err and
+    * sketches below nominal capacity are exact, so the flags are
+    * deterministic and stable. Estimate-vs-exact across the full
+    * algebra stays spec-pinned in `SketchesSpec`.
     */
   private def thetaAudienceQ(s: SparkSession, d: String): DataFrame = {
     import graft.operators.Sketches
     val ev = Tables.events(s, d).withColumn("day", to_date(col("ts")))
-    Sketches.thetaOverlap(
+    val est = Sketches.thetaOverlap(
       Sketches.thetaPartials(ev, Seq("event_type"), "day", "user_id"),
       "event_type", "click", "purchase")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id")).distinct()
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id")).distinct()
+    val exact = clicks.intersect(purchases).agg(count(lit(1)).as("both_exact"))
+      .crossJoin(clicks.except(purchases).agg(count(lit(1)).as("only_click_exact")))
+      .crossJoin(purchases.except(clicks).agg(count(lit(1)).as("only_purchase_exact")))
+    def ok(estC: Column, exC: Column): Column =
+      abs(estC - exC) * lit(100L) <= lit(10L) * exC || abs(estC - exC) <= lit(3L)
+    est.crossJoin(exact).select(
+      col("both_exact"), col("only_click_exact"), col("only_purchase_exact"),
+      ok(col("both"), col("both_exact")).as("both_ok"),
+      ok(col("only_a"), col("only_click_exact")).as("only_click_ok"),
+      ok(col("only_b"), col("only_purchase_exact")).as("only_purchase_ok"))
   }
 
   /** DISTINCT — partial/final hash aggregate, no sort. */
@@ -1011,14 +1042,24 @@ object RelationalQueries {
 
   /** HLL sketch distinct count — the 100 TB form of
     * [[distinctCount]]: mergeable fixed-size sketches instead of an
-    * expanded exact-distinct shuffle. Hash-based and order-
-    * insensitive, so deterministic (rows-only driver check; the
-    * approximation has no SQL twin).
+    * expanded exact-distinct shuffle. The estimate itself has no SQL
+    * twin (HLL++ register state is Spark-internal), so the DRIVER
+    * check is tolerance-bounded: the output carries the exact count
+    * (which DuckDB reproduces) plus a boolean attesting the estimate
+    * landed within 10% of it — rsd=0.02 puts 10% at 5 sigma, and the
+    * estimate is deterministic given the data, so the flag is stable.
+    * A drifting estimator flips the flag and the driver's hash
+    * compare fails loudly on the exact row.
     */
   private def approxDistinct(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy("event_type")
-      .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"))
+      .agg(
+        count_distinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), rsd = 0.02).as("__est"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("__est") - col("exact_users")) * lit(100L) <=
+          lit(10L) * col("exact_users")).as("est_within_10pct"))
 
   /** GROUPING SETS via the SQL surface: arbitrary grouping lattice in
     * one Expand pass.
@@ -1148,16 +1189,19 @@ object RelationalQueries {
       Tables.orders(s, d).select("o_orderkey", "o_orderstatus", "o_orderpriority"),
       "id", Seq(col("o_orderkey")))
 
-  /** The BENCHED profile: [[graft.operators.Profile.approx]] over the
-    * same five columns — HLL distincts, so the plan is a plain
-    * partial/final aggregate with NO Expand (the exact variant's
-    * N-way row amplification is an audit cost, not a steady-state
-    * one; at 100 TB this is the profile you run per ingest). Rows-only
-    * driver check: HLL cardinalities are Spark-internal, not
-    * SQL-reproducible in DuckDB.
+  /** The BENCHED profile bound: [[graft.operators.Profile
+    * .approxBounded]] over the same five columns — HLL estimates
+    * cross-checked in-plan against the exact distincts, emitting
+    * `(col_name, n_distinct, est_within_15pct)`. HLL cardinalities
+    * are Spark-internal and not SQL-reproducible, so this is the
+    * driver-BOUNDED form: DuckDB reproduces the exact count and the
+    * TRUE flags, and an estimator drifting past 15% (rsd=0.05 → 3
+    * sigma) flips a flag and fails the hash compare. The pure
+    * no-Expand serving plan remains [[graft.operators
+    * .Profile.approx]], spec-pinned in `ProfileSpec`.
     */
   private def profileApproxQ(s: SparkSession, d: String): DataFrame =
-    graft.operators.Profile.approx(
+    graft.operators.Profile.approxBounded(
       Tables.orders(s, d),
       Seq("o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate",
         "o_totalprice"))
@@ -1626,8 +1670,19 @@ object RelationalQueries {
                Seq("((user_id % 1024) + 1024) % 1024",
                  "((event_id % 1024) + 1024) % 1024"), bits = 10)} AS zkey
          |FROM events""".stripMargin)),
-    QueryDef("q_hll_merge", hllMergeQ, None),
-    QueryDef("q_theta_audience", thetaAudienceQ, None),
+    QueryDef("q_hll_merge", hllMergeQ, Some(
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  TRUE AS merge_within_10pct
+        |FROM events GROUP BY event_type""".stripMargin)),
+    QueryDef("q_theta_audience", thetaAudienceQ, Some(
+      """WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+        |     p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        |SELECT
+        |  CAST((SELECT count(*) FROM (SELECT * FROM c INTERSECT SELECT * FROM p)) AS BIGINT) AS both_exact,
+        |  CAST((SELECT count(*) FROM (SELECT * FROM c EXCEPT SELECT * FROM p)) AS BIGINT) AS only_click_exact,
+        |  CAST((SELECT count(*) FROM (SELECT * FROM p EXCEPT SELECT * FROM c)) AS BIGINT) AS only_purchase_exact,
+        |  TRUE AS both_ok, TRUE AS only_click_ok, TRUE AS only_purchase_ok""".stripMargin)),
     QueryDef("q_hist_quantile", histQuantileQ, Some {
       // total=0 guard mirrors Spark's histogramQuantile NULL (without
       // it, cum=0 >= ceil(q*0)=0 matches bin 0 and yields 16.0).
@@ -1924,7 +1979,11 @@ object RelationalQueries {
         |SELECT e.event_id, e.event_type, e.value,
         |  CAST(len(list_filter(b.bounds, x -> e.value > x)) AS INTEGER) AS bin
         |FROM events e JOIN b USING (event_type)""".stripMargin)),
-    QueryDef("q_approx_distinct", approxDistinct, None),
+    QueryDef("q_approx_distinct", approxDistinct, Some(
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  TRUE AS est_within_10pct
+        |FROM events GROUP BY event_type""".stripMargin)),
     QueryDef("q_percentiles", percentiles, Some(
       """SELECT event_type,
         |  floor(quantile_cont(value, 0.5) * 10000.0 + 0.5) / 10000.0 AS p50,
@@ -2226,7 +2285,15 @@ object RelationalQueries {
         |  ${mean("o_totalprice")} AS mean
         |FROM orders""".stripMargin
     }),
-    QueryDef("q_profile_approx", profileApproxQ, None, headline = true),
+    QueryDef("q_profile_approx", profileApproxQ, Some(
+      Seq("o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate",
+          "o_totalprice")
+        .map(c =>
+          s"""SELECT '$c' AS col_name,
+             |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+             |  TRUE AS est_within_15pct
+             |FROM orders""".stripMargin)
+        .mkString("\nUNION ALL\n")), headline = true),
     QueryDef("q_dense_ids", denseIdsQ, Some(
       """SELECT CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS id,
         |  o_orderkey, o_orderstatus, o_orderpriority

@@ -111,13 +111,15 @@ object Verify {
     println(f"[verify] done: $ok ok, $bad failed," +
       f" ${(System.nanoTime() - t0) / 1e9}%.0fs total")
     spark.stop()
-    // Hard exit 0: streaming replays can leave non-daemon threads
+    // Hard exit: streaming replays can leave non-daemon threads
     // (state-store maintenance pools). A JVM that hangs here reads as
     // a FAILED run to the driver even though every per-query parquet
     // is already on disk — and a failed run is indistinguishable from
-    // an empty round. Always 0: even with per-query failures the
-    // completed outputs are comparable, and a nonzero rc risks the
-    // driver discarding the whole dump.
-    sys.exit(0)
+    // an empty round. Exit 0 whenever ANYTHING succeeded (partial
+    // failures still leave comparable outputs, and a nonzero rc risks
+    // the driver discarding the whole dump) — but a run where EVERY
+    // query failed (or the outDir was never writable) has nothing to
+    // compare, so rc-based callers get the total-failure signal.
+    sys.exit(if (ok > 0) 0 else 1)
   }
 }

@@ -289,20 +289,36 @@ object Dedup {
     * loop; other types use an exact changed-label count (one extra
     * (id,label) join per iteration).
     *
-    * Distributed path: min-label propagation — every id converges to
-    * the minimum id reachable within `maxIter` hops; each iteration
-    * is one equi-join + min-aggregation (both shuffle only (id,
-    * label) pairs). Stops as soon as the labels reach a fixpoint:
-    * propagation is monotone (a label only ever decreases), so the
-    * labels changed iff their sum changed — one scalar aggregate per
-    * iteration over the already-cut label frame, in place of
-    * `maxIter` unconditional rounds. `maxIter` stays as the upper
-    * bound for pathological chain components (the driver path has no
-    * hop bound — it computes the true closure).
+    * Distributed path: min-label propagation WITH pointer jumping —
+    * each iteration takes, per id, the min over (its own label, its
+    * neighbors' labels, its label's label). The label-of-label term
+    * is the doubling step: reach grows geometrically, so a chain of
+    * propagation diameter d converges in O(log d) rounds instead of
+    * d (the default `maxIter` = 16 therefore covers any component a
+    * real corpus can produce — diameter beyond 2^16 — where the old
+    * neighbor-only loop at 5 rounds silently split chains longer
+    * than 5 hops). Each iteration is two equi-joins + one
+    * min-aggregation, all shuffling only (id, label) pairs. Stops as
+    * soon as the labels reach a fixpoint: propagation is monotone (a
+    * label only ever decreases), so the labels changed iff their sum
+    * changed — one scalar aggregate per iteration over the
+    * already-cut label frame. Correctness of the fixpoint as an
+    * EXACT component labeling: a label is always the id of some
+    * vertex reachable from its owner, and at fixpoint every edge's
+    * endpoints carry equal labels, so each component is uniformly
+    * labeled by its minimum id.
+    *
+    * If the loop exhausts `maxIter` without reaching the fixpoint it
+    * THROWS (IllegalStateException) rather than returning an
+    * under-merged labeling — a split component manifests as silent
+    * duplicate keepers downstream, the one failure mode a dedup
+    * operator must never have. The fixpoint check makes the
+    * generous default free for converged graphs (the loop exits the
+    * round after convergence regardless of the bound).
     */
   def connectedComponents(
       pairs: DataFrame,
-      maxIter: Int = 5,
+      maxIter: Int = 16,
       driverMaxEdges: Long = 1L << 20): DataFrame = {
     import org.apache.spark.sql.types._
     val idType = pairs.schema(pairs.columns.indexOf("id_a")).dataType
@@ -346,11 +362,19 @@ object Dedup {
       val viaNeighbors = edges
         .join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("id"), col("component"))
+      // Pointer jumping: label(label(id)). Labels are always ids (a
+      // min over ids), so the self-equi-join resolves each label's
+      // own current label — the doubling step that makes long chains
+      // converge in O(log diameter) rounds.
+      val viaLabels = labels.as("l1")
+        .join(labels.as("l2"), col("l1.component") === col("l2.id"))
+        .select(col("l1.id").as("id"), col("l2.component").as("component"))
       // Cut lineage each round: without this, iteration i re-derives
       // iterations 0..i-1 every time `labels` is evaluated.
       val prev = labels
       labels = Materialize(labels.select(col("id"), col("component"))
         .union(viaNeighbors)
+        .union(viaLabels)
         .groupBy("id")
         .agg(min("component").as("component")))
       converged =
@@ -365,6 +389,11 @@ object Dedup {
       Materialize.release(prev)
       i += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within maxIter=$maxIter rounds " +
+        "(pointer-jumping covers diameter 2^maxIter — this graph is " +
+        "pathological); raise maxIter rather than consume an under-merged " +
+        "labeling: split components mean silent duplicate keepers downstream")
     labels
   }
 

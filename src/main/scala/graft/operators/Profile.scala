@@ -52,6 +52,38 @@ object Profile {
   def approx(df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame =
     profile(df, cols, c => approx_count_distinct(col(c), rsd))
 
+  /** [[approx]] with a driver-checkable bound: per column, the EXACT
+    * distinct count (SQL-reproducible in any engine) plus a boolean
+    * attesting the HLL estimate landed within `pct`% of it. This is
+    * the audit form — it pays the exact-distinct Expand the pure
+    * [[approx]] serving plan avoids, in exchange for every run
+    * cross-checking the estimator against ground truth (both
+    * aggregates share the single scan). Integer comparison
+    * (|est−exact|·100 ≤ pct·exact) so the flag is engine-portable
+    * and, HLL being deterministic given the data, stable.
+    */
+  def approxBounded(
+      df: DataFrame,
+      cols: Seq[String],
+      rsd: Double = 0.05,
+      pct: Int = 15): DataFrame = {
+    require(cols.nonEmpty, "Profile: no columns to profile")
+    require(cols.forall(c => !c.contains("`") && !c.contains("'")),
+      "Profile: column names must not contain backticks or quotes")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count_distinct(col(c)).as(s"__d_$c"),
+        approx_count_distinct(col(c), rsd).as(s"__a_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c => s"'$c', `__d_$c`, `__a_$c`").mkString(", ")
+    one.select(expr(s"stack(${cols.size}, $stackArgs)")
+        .as(Seq("col_name", "n_distinct", "__a")))
+      .select(col("col_name"), col("n_distinct"),
+        (abs(col("__a") - col("n_distinct")) * lit(100L) <=
+          lit(pct.toLong) * col("n_distinct")).as(s"est_within_${pct}pct"))
+  }
+
   /** Expectation checking — assertion rules evaluated in ONE pass:
     * each rule is a boolean Column; the output is one row per rule
     * with its violation count (null predicate results count as

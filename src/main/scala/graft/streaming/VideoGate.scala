@@ -48,6 +48,14 @@ object VideoGate {
       threshold: Double = 0.5,
       exact: Boolean = false): DataFrame = {
     require(n % bands == 0, s"signature length $n must divide into $bands bands")
+    // The minhash-of-energies scheme is only sound while every frame
+    // energy stays inside the mod-p hash domain (lane coefficients and
+    // the oracle replay both assume it, and a·h must not overflow
+    // Long): Σ byte² over one frame is < frameBytes·255², so bound the
+    // frame size rather than trust the scaladoc claim.
+    require(frameBytes.toLong * 255L * 255L < graft.functions.ShingleHashModExpr.P,
+      s"frameBytes=$frameBytes can produce frame energies >= 2^31-1, " +
+        "outside the minhash lane domain — use smaller slices")
     val rows = n / bands
     val energies = Multimodal.withFrameEnergies(
       batch.select(col(idCol), col(bytesCol)), bytesCol,

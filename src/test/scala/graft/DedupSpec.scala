@@ -99,6 +99,28 @@ class DedupSpec extends SparkSpecBase {
     assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("distributed loop collapses a diameter-8 chain within 5 rounds (pointer jumping)") {
+    // Planted regression for the round-11 under-merge: a 9-node chain
+    // (propagation diameter 8) above a zero driver cap. Neighbor-only
+    // min-label propagation needs 8 rounds, so the old maxIter=5
+    // default silently split this into multiple keepers; the
+    // label-of-label doubling step converges it in ~4. Pinning
+    // maxIter=5 here (not the new default) proves the algorithm got
+    // faster, not just the bound bigger.
+    val chain = (1L to 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(chain, maxIter = 5, driverMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === (1L to 9L).map(_ -> 1L).toMap)
+  }
+
+  test("distributed loop throws on non-convergence instead of under-merging") {
+    val chain = (1L to 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val ex = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 1, driverMaxEdges = 0L).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("distributed loop matches the driver union-find fast path") {
     // Deterministic pseudo-random graph with chains, stars, and
     // singleton pairs — big enough to exercise multi-hop merging.
