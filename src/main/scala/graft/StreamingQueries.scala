@@ -286,14 +286,6 @@ object StreamingQueries {
         count(when(col("a_id").isNull, 1)).as("n_unmatched_purchases"))
   }
 
-  /** One CDC change row for the MemoryStream replay. */
-  final case class CdcChange(
-      c_custkey: Long,
-      ts: Timestamp,
-      event_id: Long,
-      op: String,
-      new_bal: Double)
-
   /** Streaming CDC twin of `q_merge_upsert`, driver-checked: the
     * events change log replays through the REAL `writeStream` +
     * `foreachBatch` path ([[graft.streaming.CdcStream]]) in two
@@ -304,27 +296,25 @@ object StreamingQueries {
     * batch query: end state ≡ one-shot merge of the full log.
     */
   private def streamCdc(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val base = Tables.customer(s, d).select("c_custkey", "c_name", "c_acctbal")
     val changes = Tables.events(s, d).select(
-        col("user_id").as("c_custkey"),
-        col("ts").cast("timestamp").as("ts"),
-        col("event_id"),
-        when(col("event_type") === "click", lit("D")).otherwise(lit("U")).as("op"),
-        col("value").as("new_bal"))
-      .as[CdcChange].collect()
-    val (b0, b1) = changes.partition(_.event_id % 2 == 0)
+      col("user_id").as("c_custkey"),
+      col("ts").cast("timestamp").as("ts"),
+      col("event_id"),
+      when(col("event_type") === "click", lit("D")).otherwise(lit("U")).as("op"),
+      col("value").as("new_bal"))
     val tableDir = java.nio.file.Files.createTempDirectory("graft_cdc_table").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_cdc_ckpt").toString
-    val input = MemoryStream[CdcChange](s)
+    val replay = new graft.streaming.FileReplay(s, changes.schema)
+    replay.add(changes.filter(col("event_id") % 2 === 0))
     val q = graft.streaming.CdcStream.stream(
-      input.toDF(), tableDir, ckpt, base,
+      replay.stream, tableDir, ckpt, base,
       keyCols = Seq("c_custkey"), orderCols = Seq("ts", "event_id"),
       opCol = "op", updateCols = Map("c_acctbal" -> "new_bal"))
     try {
-      input.addData(b0.toSeq); q.processAllAvailable()
-      input.addData(b1.toSeq); q.processAllAvailable()
+      q.processAllAvailable()
+      replay.add(changes.filter(col("event_id") % 2 =!= 0))
+      q.processAllAvailable()
     } finally q.stop()
     graft.streaming.CdcStream.readTable(s, tableDir)
       .select(col("c_custkey"),
@@ -343,7 +333,6 @@ object StreamingQueries {
     */
   private def streamFunnel(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.FunnelStream
     import graft.streaming.FunnelStream.FunnelEvent
     val stages = Seq("view", "click", "purchase")
@@ -351,17 +340,30 @@ object StreamingQueries {
       .filter(col("event_type").isin(stages: _*))
       .select(col("user_id"), col("event_type"), col("event_id"),
         unix_micros(col("ts").cast("timestamp")).as("ts_us"))
-      .as[FunnelEvent].collect()
-      .sortBy(e => (e.ts_us, e.event_id))
-    val (b0, b1) = evs.splitAt(evs.length / 2)
-    val input = MemoryStream[FunnelEvent](s)
-    val out = FunnelStream.fold(input.toDS(), stages)
+    // Time-split WITHOUT a collect: batch 0 is the first half in
+    // (ts_us, event_id) order, found by the boundary pair (one
+    // scalar-row action over the sorted half; event_id is unique, so
+    // "≤ boundary" reproduces the old sorted splitAt exactly).
+    val n = evs.count()
+    val bound = evs.orderBy("ts_us", "event_id").limit((n / 2).toInt)
+      .agg(max(struct(col("ts_us"), col("event_id"))).as("b")).head()
+    val firstHalf: org.apache.spark.sql.Column =
+      if (bound.isNullAt(0)) lit(false)
+      else {
+        val b = bound.getStruct(0)
+        col("ts_us") < b.getLong(0) ||
+          (col("ts_us") === b.getLong(0) && col("event_id") <= b.getLong(1))
+      }
+    val replay = new graft.streaming.FileReplay(s, evs.schema)
+    replay.add(evs.filter(firstHalf))
+    val out = FunnelStream.fold(replay.stream.as[FunnelEvent], stages)
     val name = s"graft_stream_snap_${snapN.incrementAndGet()}"
     val q = out.toDF().writeStream.outputMode("update")
       .format("memory").queryName(name).start()
     try {
-      input.addData(b0.toSeq); q.processAllAvailable()
-      input.addData(b1.toSeq); q.processAllAvailable()
+      q.processAllAvailable()
+      replay.add(evs.filter(!firstHalf))
+      q.processAllAvailable()
     } finally q.stop()
     def ts(i: Int) = timestamp_micros(try_element_at(col("__r"), lit(i)))
       .cast("timestamp_ntz")
@@ -385,7 +387,6 @@ object StreamingQueries {
     */
   private def streamFunnelExact(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.FunnelStream
     import graft.streaming.FunnelStream.FunnelEventT
     val stages = Seq("view", "click", "purchase")
@@ -393,21 +394,30 @@ object StreamingQueries {
       .filter(col("event_type").isin(stages: _*))
       .select(col("user_id"), col("event_type"), col("event_id"),
         col("ts").cast("timestamp").as("ts"))
-      .as[FunnelEventT].collect()
-    val (b0, b1) = evs.partition(_.event_id % 2 == 0)
-    val maxMs = evs.map(_.ts.getTime).max
-    val spanDays = ((maxMs - evs.map(_.ts.getTime).min) / 86400000L + 2L).toInt
-    val flush = evs.map(_.user_id).distinct.map(u => FunnelEventT(
-      u, "flush", Long.MaxValue,
-      new Timestamp(maxMs + (spanDays + 1L) * 86400000L)))
-    val input = MemoryStream[FunnelEventT](s)
+    // Scalar span bounds (one 1-row action — driver-bounded by
+    // construction, unlike the old whole-table collect).
+    val mm = evs.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
+    val (minMs, maxMs) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
+    val spanDays = ((maxMs - minMs) / 86400000L + 2L).toInt
+    // Past-everything sentinel per user (any non-stage type): drives
+    // the terminal watermark over the tail so the closing no-data
+    // batch drains every buffered group.
+    val flush = evs.select(col("user_id")).distinct().select(
+      col("user_id"), lit("flush").as("event_type"),
+      lit(Long.MaxValue).as("event_id"),
+      lit(new Timestamp(maxMs + (spanDays + 1L) * 86400000L)).as("ts"))
+    val replay = new graft.streaming.FileReplay(s, evs.schema)
+    replay.add(evs.filter(col("event_id") % 2 === 0))
     val name = s"graft_stream_snap_${snapN.incrementAndGet()}"
-    val q = FunnelStream.foldExact(input.toDS(), stages, s"$spanDays days").toDF()
+    val q = FunnelStream.foldExact(replay.stream.as[FunnelEventT], stages,
+        s"$spanDays days").toDF()
       .writeStream.outputMode("update").format("memory").queryName(name).start()
     try {
-      input.addData(b0.toSeq); q.processAllAvailable()
-      input.addData(b1.toSeq); q.processAllAvailable()
-      input.addData(flush.toSeq); q.processAllAvailable()
+      q.processAllAvailable()
+      replay.add(evs.filter(col("event_id") % 2 =!= 0))
+      q.processAllAvailable()
+      replay.add(flush)
+      q.processAllAvailable()
     } finally q.stop()
     def ts(i: Int) = timestamp_micros(try_element_at(col("__r"), lit(i)))
       .cast("timestamp_ntz")
@@ -421,7 +431,7 @@ object StreamingQueries {
 
   /** Transactional manifest sink, driver-checked: events stream into
     * a warehouse directory in two micro-batches through
-    * [[graft.streaming.FunnelStream]]-style MemoryStream replay —
+    * [[graft.streaming.FileReplay]] two-batch replay —
     * each batch commits its zone+bloom manifest entries in the same
     * foreachBatch — then a bloom-pruned point read serves the result
     * with NO rebuild step. Oracle ≡ the plain equality filter
@@ -429,24 +439,20 @@ object StreamingQueries {
     * streaming-ingest path).
     */
   private def streamManifest(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    final case class Ev(event_id: Long, user_id: Long, event_type: String, value: Double)
     val evs = Tables.events(s, d)
       .select("event_id", "user_id", "event_type", "value")
-      .as[(Long, Long, String, Double)].collect()
-    val (b0, b1) = evs.partition(_._1 % 2 == 0)
     val dir = java.nio.file.Files.createTempDirectory("graft_msink_data").toString
     val mdir = java.nio.file.Files.createTempDirectory("graft_msink_meta").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_msink_ckpt").toString
-    val input = MemoryStream[(Long, Long, String, Double)](s)
+    val replay = new graft.streaming.FileReplay(s, evs.schema)
+    replay.add(evs.filter(col("event_id") % 2 === 0))
     val q = graft.sources.ManifestedSink.sink(
-      input.toDF().toDF("event_id", "user_id", "event_type", "value")
-        .repartition(8, col("user_id")),
+      replay.stream.repartition(8, col("user_id")),
       dir, mdir, cols = Seq("user_id"), bloomCols = Seq("user_id"), ckpt)
     try {
-      input.addData(b0.toSeq); q.processAllAvailable()
-      input.addData(b1.toSeq); q.processAllAvailable()
+      q.processAllAvailable()
+      replay.add(evs.filter(col("event_id") % 2 =!= 0))
+      q.processAllAvailable()
     } finally q.stop()
     val manifest = graft.sources.ManifestedSink.readManifest(s, mdir).get
     graft.sources.Manifest.prunedReadEq(s, manifest, Map("user_id" -> 73L))
@@ -469,21 +475,18 @@ object StreamingQueries {
     * stream ≡ batch is itself the driver gate.
     */
   private def streamAggView(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val evs = Tables.events(s, d)
       .select(col("event_id"), col("event_type"), col("value"))
-      .as[(Long, String, Double)].collect()
-    val (b0, b1) = evs.partition(_._1 % 2 == 0)
     val stateDir = java.nio.file.Files.createTempDirectory("graft_aggview").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_aggview_ckpt").toString
-    val input = MemoryStream[(Long, String, Double)](s)
+    val replay = new graft.streaming.FileReplay(s, evs.schema)
+    replay.add(evs.filter(col("event_id") % 2 === 0))
     val q = graft.streaming.AggStream.stream(
-      input.toDF().toDF("event_id", "event_type", "value"),
-      stateDir, ckpt, Seq("event_type"), "value")
+      replay.stream, stateDir, ckpt, Seq("event_type"), "value")
     try {
-      input.addData(b0.toSeq); q.processAllAvailable()
-      input.addData(b1.toSeq); q.processAllAvailable()
+      q.processAllAvailable()
+      replay.add(evs.filter(col("event_id") % 2 =!= 0))
+      q.processAllAvailable()
     } finally q.stop()
     graft.streaming.AggStream.serve(s, stateDir, Seq("event_type"))
       .select(col("event_type"), col("n").cast("long").as("n"),
@@ -508,26 +511,27 @@ object StreamingQueries {
       OutputMode.Append())
       .agg(count(lit(1)).as("n_rows"))
 
-  /** No-op MEMORYSTREAM replay baseline: driver collect + two parity
-    * micro-batches through a stateless pass-through — the harness
-    * share of the collect-and-replay queries (`q_stream_aggview`,
-    * `q_stream_cdc`, `q_stream_neardup*`). See [[streamNoopFile]].
+  /** No-op two-batch REPLAY baseline: parity micro-batches staged as
+    * parquet and driven through a stateless pass-through file-source
+    * stream ([[graft.streaming.FileReplay]]) — the harness share of
+    * the two-batch replay queries (`q_stream_aggview`, `q_stream_cdc`,
+    * `q_stream_neardup*`), which all use the same staging + source
+    * since round 12 (the MemoryStream fixture and its whole-table
+    * driver collect are gone). See [[streamNoopFile]].
     */
   private def streamNoopReplay(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val evs = Tables.events(s, d)
       .select(col("event_id"), col("event_type"), col("value"))
-      .as[(Long, String, Double)].collect()
-    val (b0, b1) = evs.partition(_._1 % 2 == 0)
-    val input = MemoryStream[(Long, String, Double)](s)
+    val replay = new graft.streaming.FileReplay(s, evs.schema)
+    replay.add(evs.filter(col("event_id") % 2 === 0))
     val name = s"graft_stream_snap_${snapN.incrementAndGet()}"
-    val q = input.toDF().toDF("event_id", "event_type", "value")
+    val q = replay.stream
       .writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName(name).start()
     try {
-      input.addData(b0.toSeq); q.processAllAvailable()
-      input.addData(b1.toSeq); q.processAllAvailable()
+      q.processAllAvailable()
+      replay.add(evs.filter(col("event_id") % 2 =!= 0))
+      q.processAllAvailable()
     } finally q.stop()
     s.table(name).agg(count(lit(1)).as("n_rows"))
   }

@@ -241,7 +241,7 @@ object TextQueries {
     * `q_curate`): quality gate → near-dup gate → per-language
     * 5000-token budget → 90/10 split, over the documents table in two
     * parity micro-batches through the REAL `writeStream` path
-    * (MemoryStream → foreachBatch → partitioned accepted table).
+    * (file-source replay → foreachBatch → partitioned accepted table).
     * Oracle: the stage twins composed per batch — the quality-gated
     * universe roots [[Dedup.minhashCandDuckCtes]] +
     * [[Dedup.gateReplayDuckCtes]], whose per-batch accepted sets
@@ -310,26 +310,21 @@ object TextQueries {
        |FROM sc_all""".stripMargin
   }
 
-  /** Replay harness core for the streaming curation queries. NOTE:
-    * this collects the whole documents table (including full text) to
-    * the driver to feed `MemoryStream` — a VERIFY-SCALE harness shape,
-    * not a production path (production feeds the same
-    * [[graft.streaming.StreamCurate]] stages from a real source). At
-    * the 100×-docs probe scale (500k docs) the collect needs
-    * `SPARK_DRIVER_MEM` raised, same as CLAUDE.md records for
-    * `q_novelty` at the old 8g default heap.
+  /** Replay harness core for the streaming curation queries: the
+    * documents table replays in two parity micro-batches through a
+    * FILE-SOURCE stream ([[graft.streaming.FileReplay]]) — each batch
+    * is a distributed parquet write into the temp source dir, so no
+    * corpus row ever materializes on the driver (round 12; the
+    * earlier MemoryStream fixture collected the whole table and was
+    * heap-bound at the 100×-docs probes).
     */
   private def streamCurateImpl(
       s: SparkSession, d: String, exact: Boolean): DataFrame = {
-    import s.implicits._
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
-      .as[(Long, String, String)].collect()
-    val (b0, b1) = docs.partition(_._1 % 2 == 0)
     def tmp(tag: String) =
       java.nio.file.Files.createTempDirectory(s"graft_scur_$tag").toString
     val (nd, bud, acc, ckp) = (tmp("nd"), tmp("budget"), tmp("acc"), tmp("ckpt"))
-    val input = MemoryStream[(Long, String, String)](s)
+    val replay = new graft.streaming.FileReplay(s, docs.schema)
     // Micro-batch jobs inside foreachBatch inherit the session's
     // shuffle partitioning WITHOUT AQE coalescing (the frame descends
     // from a streaming plan), so size them to batch volume like the
@@ -338,13 +333,15 @@ object TextQueries {
     val old = s.conf.get(key)
     s.conf.set(key, s.conf.get("spark.graft.streaming.shufflePartitions", "8"))
     try {
+      replay.add(docs.filter(col("doc_id") % 2 === 0))
       val q = graft.streaming.StreamCurate.gate(
-        input.toDF().toDF("doc_id", "lang", "text"),
+        replay.stream,
         "doc_id", "text", "lang", nd, bud, acc, ckp,
         budgetPerLang = 5000L, validPct = 10, exact = exact)
       try {
-        input.addData(b0.toSeq); q.processAllAvailable()
-        input.addData(b1.toSeq); q.processAllAvailable()
+        q.processAllAvailable()
+        replay.add(docs.filter(col("doc_id") % 2 =!= 0))
+        q.processAllAvailable()
       } finally q.stop()
     } finally s.conf.set(key, old)
     s.read.parquet(acc).select("doc_id", "lang", "n_tokens", "split")
