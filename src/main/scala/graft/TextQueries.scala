@@ -1040,6 +1040,35 @@ object TextQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** [[videoNeardup]] over REAL MJPEG-in-AVI containers (round 12):
+    * the same planted shared-scene layout (docs 0-49 pair up via a
+    * 30-frame shared run, 50-119 all-unique), but each payload is a
+    * genuinely muxed AVI — RIFF chunk tree, MJPEG '00dc' frames —
+    * demuxed by the RIFF walk and decoded frame-by-frame with
+    * `javax.imageio` ([[Multimodal.videoNearDupAvi]]). Each frame is
+    * one uniform gray, which round-trips the JPEG encode/decode
+    * bit-exactly at quality 1.0 (all 256 grays spec-pinned), so the
+    * oracle predicts the DECODED energies closed-form
+    * (`width·height·g²`, [[Multimodal.videoEnergyAviDuckCtes]]) and
+    * the whole real-decode path stays hash-exact.
+    */
+  private def videoNeardupAvi(s: SparkSession, d: String): DataFrame = {
+    val planted = Tables.documents(s, d)
+      .select(col("doc_id")).filter(col("doc_id") < 120)
+      .select(
+        col("doc_id"),
+        (col("doc_id") + 6000L).as("__seed"),
+        when(col("doc_id") < 50, expr("doc_id div 2") + 8000L)
+          .otherwise(lit(0L)).as("__shseed"),
+        when(col("doc_id") < 50, lit(0)).otherwise(lit(-1)).as("__shfrom"),
+        when(col("doc_id") < 50, lit(30)).otherwise(lit(0)).as("__shcount"))
+    Multimodal.videoNearDupAvi(
+        Multimodal.withMjpegAviVideo(
+          planted, "__seed", "__shseed", "__shfrom", "__shcount"),
+        "doc_id", "video")
+      .orderBy("id_a", "id_b")
+  }
+
   /** Sequence packing: assign each doc to a fixed-256-token training
     * sequence (concat-then-chunk rule; [[Packing.concatChunkPack]]'s
     * two-pass distributed prefix sum — no single-partition window).
@@ -2205,6 +2234,36 @@ object TextQueries {
          |  FROM vid_inter
          |  JOIN vid_sz sa ON id_a = sa.doc_id
          |  JOIN vid_sz sb ON id_b = sb.doc_id) t
+         |WHERE jaccard >= 0.5""".stripMargin)),
+    QueryDef("q_video_neardup_avi", videoNeardupAvi, Some(
+      s"""WITH ${Multimodal.videoEnergyAviDuckCtes(
+             """SELECT doc_id,
+               |    CAST(doc_id + 6000 AS HUGEINT) AS seed,
+               |    CAST(CASE WHEN doc_id < 50 THEN doc_id // 2 + 8000
+               |              ELSE 0 END AS HUGEINT) AS shseed,
+               |    CASE WHEN doc_id < 50 THEN 0 ELSE -1 END AS shfrom,
+               |    CASE WHEN doc_id < 50 THEN 30 ELSE 0 END AS shcount
+               |  FROM documents WHERE doc_id < 120""".stripMargin)},
+         |vav_sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+         |           FROM vav_fr GROUP BY 1),
+         |vav_blk AS (
+         |  SELECT doc_id, e, unnest([g, g + 1]) AS blk
+         |  FROM (SELECT f.doc_id, f.e,
+         |          length(printf('%b', greatest(s.n, 1))) - 1 AS g
+         |        FROM vav_fr f JOIN vav_sz s USING (doc_id))),
+         |vav_inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(count(DISTINCT a.e) AS BIGINT) AS n_inter
+         |  FROM vav_blk a JOIN vav_blk b
+         |    ON a.blk = b.blk AND a.e = b.e AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, jaccard FROM (
+         |  SELECT id_a, id_b,
+         |    floor(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) * 10000.0 + 0.5)
+         |      / 10000.0 AS jaccard
+         |  FROM vav_inter
+         |  JOIN vav_sz sa ON id_a = sa.doc_id
+         |  JOIN vav_sz sb ON id_b = sb.doc_id) t
          |WHERE jaccard >= 0.5""".stripMargin)),
     QueryDef("q_contamination", contaminationQ, Some(contaminationSql), headline = true),
     QueryDef("q_lm_score", lmScoreQ, Some(lmScoreSql), headline = true),

@@ -843,15 +843,16 @@ object Multimodal {
   // offset — so the unit of fingerprinting is the sampled frame and
   // the pair measure is exact Jaccard over each video's SET of frame
   // fingerprints ([[Dedup.setJaccardPairs]]' geometric double-block,
-  // never all pairs). No JVM video codec exists in this container, so
-  // the DEMUX is the stubbed step (fixed-size frame slices behind an
-  // 8-byte magic — the [[sampleFrameOffsets]] envelope); the
-  // fingerprint itself is real byte arithmetic: per sampled frame the
-  // exact integer energy Σ byte², portable to the SQL oracle. A
-  // production deployment swaps the demux for a real container parser
-  // and (optionally) the energy for `xxhash64(slice)` — same plan
-  // shape, at the cost of the hash-exact oracle (xxhash has no DuckDB
-  // twin; CLAUDE.md's rows-only note).
+  // never all pairs). TWO demux paths exist: the REAL container path
+  // ([[demuxMjpegAvi]], round 12 — a RIFF walk plus per-frame
+  // `javax.imageio` JPEG decode, no native codec needed) and the
+  // fixed-slice PATTERN path (frame slices behind an 8-byte magic —
+  // the [[sampleFrameOffsets]] envelope), kept for formats with no
+  // JVM codec. Both fingerprint with exact integer energies portable
+  // to the SQL oracle; a production deployment handling other
+  // containers swaps the demux and (optionally) the energy for
+  // `xxhash64(frame)` — same plan shape, at the cost of the
+  // hash-exact oracle (xxhash has no DuckDB twin).
 
   /** Encode one deterministic PATTERN VIDEO: an 8-byte `GRAFTVID`
     * magic then `frames` frames of `frameBytes` bytes, frame `k`'s
@@ -874,12 +875,7 @@ object Multimodal {
       sharedFrom: Int = -1,
       sharedCount: Int = 0): Array[Byte] = {
     require(frames > 0 && frameBytes > 0, "frames and frameBytes must be positive")
-    def mix(z0: Long): Long = {
-      var z = z0 + 0x9E3779B97F4A7C15L
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z ^ (z >>> 31)
-    }
+    def mix(z0: Long): Long = splitmix64(z0)
     val out = new Array[Byte](8 + frames * frameBytes)
     System.arraycopy("GRAFTVID".getBytes("US-ASCII"), 0, out, 0, 8)
     var k = 0
@@ -1045,6 +1041,298 @@ object Multimodal {
        |  FROM ${prefix}vw, unnest(range(0, $frameBytes)) AS u(i)
        |  GROUP BY 1, 2),
        |${prefix}fr AS (SELECT DISTINCT doc_id, e FROM ${prefix}en)""".stripMargin
+
+  // ---- REAL MJPEG-in-AVI demux (round 12) ----
+  //
+  // Upgrades the video modality from the magic-header stub to an
+  // actual container format: AVI is a RIFF chunk tree, so the demux
+  // is a pure byte walk — find the 'movi' LIST, hand each
+  // '..dc'/'..db' frame chunk (a complete baseline JPEG in an MJPEG
+  // stream) to the JDK's `javax.imageio` — which keeps the
+  // no-native-codec rule the PNG (image) and WAV (audio) paths
+  // established. The per-frame fingerprint is the exact integer
+  // energy Σ sample² over the DECODED raster (band 0). For the
+  // oracle-paired fixtures every frame is one uniform gray, which
+  // survives the JPEG round trip bit-exactly at quality 1.0
+  // (flat 8×8 blocks are DC-only and the DC step is 1 — pinned for
+  // ALL 256 gray values in `VideoSpec`), so DuckDB predicts decoded
+  // energies closed-form (`width·height·g²`) without touching a
+  // byte.
+
+  private def fourCC(s: String): Array[Byte] = {
+    require(s.length == 4, s"fourCC must be 4 bytes: '$s'")
+    s.getBytes("US-ASCII")
+  }
+
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >>> 8) & 0xFF).toByte,
+      ((v >>> 16) & 0xFF).toByte, ((v >>> 24) & 0xFF).toByte)
+
+  /** One RIFF chunk: fourcc + little-endian size + body, padded to an
+    * even boundary (the declared size excludes the pad byte).
+    */
+  private def riffChunk(cc: String, body: Array[Byte]): Array[Byte] = {
+    val pad = body.length % 2
+    val out = new Array[Byte](8 + body.length + pad)
+    System.arraycopy(fourCC(cc), 0, out, 0, 4)
+    System.arraycopy(le32(body.length), 0, out, 4, 4)
+    System.arraycopy(body, 0, out, 8, body.length)
+    out
+  }
+
+  private def riffList(kind: String, body: Array[Byte]): Array[Byte] =
+    riffChunk("LIST", fourCC(kind) ++ body)
+
+  /** One uniform-gray baseline JPEG (TYPE_BYTE_GRAY, quality 1.0) —
+    * the frame payload whose decode is bit-exact (see section note).
+    */
+  def encodeGrayJpeg(gray: Int, width: Int = 32, height: Int = 32): Array[Byte] = {
+    require(gray >= 0 && gray <= 255, s"gray out of range: $gray")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setSamples(0, 0, width, height, 0,
+      Array.fill(width * height)(gray))
+    val bos = new java.io.ByteArrayOutputStream()
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = w.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(1.0f)
+    w.setOutput(new javax.imageio.stream.MemoryCacheImageOutputStream(bos))
+    try w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    finally w.dispose()
+    bos.toByteArray
+  }
+
+  /** Mux JPEG frames into a standard MJPEG-in-AVI container:
+    * `RIFF('AVI ' LIST('hdrl' avih LIST('strl' strh strf))
+    * LIST('movi' '00dc'…))` with a real MainAVIHeader /
+    * AVIStreamHeader('vids'/'MJPG') / BITMAPINFOHEADER — byte-walkable
+    * by any AVI reader, not just [[demuxMjpegAvi]].
+    */
+  def muxMjpegAvi(
+      frames: Seq[Array[Byte]],
+      width: Int,
+      height: Int,
+      fps: Int = 10): Array[Byte] = {
+    require(frames.nonEmpty, "muxMjpegAvi: no frames")
+    require(fps > 0, "fps must be positive")
+    val maxFrame = frames.map(_.length).max
+    val avih = le32(1000000 / fps) ++ le32(maxFrame * fps) ++ le32(0) ++
+      le32(0x10 /* AVIF_HASINDEX off, AVIF_WASCAPTUREFILE off; 0x10 = AVIF_ISINTERLEAVED */) ++
+      le32(frames.length) ++ le32(0) ++ le32(1) ++ le32(maxFrame) ++
+      le32(width) ++ le32(height) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val strh = fourCC("vids") ++ fourCC("MJPG") ++ le32(0) ++ le32(0) ++
+      le32(0) ++ le32(1) /* scale */ ++ le32(fps) /* rate */ ++ le32(0) ++
+      le32(frames.length) ++ le32(maxFrame) ++ le32(-1) /* quality */ ++
+      le32(0) /* sampleSize */ ++
+      // rcFrame: four little-endian shorts (left, top, right, bottom)
+      Array[Byte](0, 0, 0, 0,
+        (width & 0xFF).toByte, ((width >>> 8) & 0xFF).toByte,
+        (height & 0xFF).toByte, ((height >>> 8) & 0xFF).toByte)
+    val strf = le32(40) ++ le32(width) ++ le32(height) ++
+      Array[Byte](1, 0, 24, 0) /* planes, bitcount */ ++ fourCC("MJPG") ++
+      le32(width * height * 3) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val hdrl = riffList("hdrl",
+      riffChunk("avih", avih) ++
+        riffList("strl", riffChunk("strh", strh) ++ riffChunk("strf", strf)))
+    val movi = riffList("movi",
+      frames.iterator.map(f => riffChunk("00dc", f))
+        .foldLeft(Array.emptyByteArray)(_ ++ _))
+    riffChunk("RIFF", fourCC("AVI ") ++ hdrl ++ movi)
+  }
+
+  /** RIFF walk: the video-stream frame payloads (`..dc`/`..db`
+    * chunks, anywhere under the tree — `rec ` interleave lists
+    * included) of an AVI container, in file order. Throws on
+    * non-RIFF/non-AVI bytes.
+    */
+  def demuxMjpegAvi(bytes: Array[Byte]): Array[Array[Byte]] = {
+    def le(off: Int): Int =
+      (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8) |
+        ((bytes(off + 2) & 0xFF) << 16) | ((bytes(off + 3) & 0xFF) << 24)
+    def cc(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+    require(bytes.length >= 12 && cc(0) == "RIFF" && cc(8) == "AVI ",
+      "demuxMjpegAvi: not a RIFF/AVI container")
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def walk(start: Int, end: Int): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        val id = cc(off)
+        val size = le(off + 4)
+        require(size >= 0 && off + 8 + size <= end,
+          s"demuxMjpegAvi: chunk '$id' overruns its parent")
+        if (id == "LIST") walk(off + 12, off + 8 + size)
+        else if (size > 0 && id.length == 4 &&
+            (id.substring(2) == "dc" || id.substring(2) == "db"))
+          out += java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + size)
+        off += 8 + size + (size % 2)
+      }
+    }
+    walk(12, math.min(bytes.length, 8 + le(4)))
+    out.toArray
+  }
+
+  /** Exact integer energies (Σ band-0 sample², i.e. Σ gray² for
+    * grayscale frames) of every `everyN`-th DECODED frame of a real
+    * AVI payload — [[videoFrameEnergies]]' real-container twin.
+    */
+  def aviFrameEnergies(bytes: Array[Byte], everyN: Int = 2): Array[Long] = {
+    require(everyN > 0, "everyN must be positive")
+    val frames = demuxMjpegAvi(bytes)
+    val out = new scala.collection.mutable.ArrayBuffer[Long](
+      (frames.length + everyN - 1) / everyN)
+    var k = 0
+    while (k < frames.length) {
+      if (k % everyN == 0) {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(frames(k)))
+        require(img != null, s"aviFrameEnergies: frame $k is not a decodable image")
+        val r = img.getRaster
+        var e = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val v = r.getSample(x, y, 0).toLong
+            e += v * v
+            x += 1
+          }
+          y += 1
+        }
+        out += e
+      }
+      k += 1
+    }
+    out.toArray
+  }
+
+  /** Attach the decoded sampled-frame energy array of a REAL AVI
+    * payload per row ([[withFrameEnergies]]' real-demux twin —
+    * map-only, payload bytes never shuffle).
+    */
+  def withAviFrameEnergies(
+      df: DataFrame,
+      bytesCol: String,
+      everyN: Int = 2,
+      out: String = "frames"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField(out, ArrayType(LongType, containsNull = false), nullable = false))
+    val idx = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](idx)
+        require(bytes != null, s"withAviFrameEnergies: null $bytesCol cell — " +
+          "filter null payloads out (or fill them) before fingerprinting")
+        Row.fromSeq(row.toSeq :+ aviFrameEnergies(bytes, everyN).toSeq)
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** [[videoNearDup]] over REAL MJPEG-in-AVI payloads: shared-scene
+    * Jaccard on decoded-frame energy sets, same lossless geometric
+    * double-block, real demux + `javax.imageio` decode in the scan
+    * stage.
+    */
+  def videoNearDupAvi(
+      df: DataFrame,
+      idCol: String,
+      bytesCol: String,
+      everyN: Int = 2,
+      threshold: Double = 0.5): DataFrame =
+    Dedup.setJaccardPairs(
+      withAviFrameEnergies(df.select(col(idCol), col(bytesCol)), bytesCol, everyN)
+        .select(col(idCol).as("doc_id"),
+          array_distinct(col("frames")).as("sh")),
+      "doc_id", "sh", threshold)
+
+  /** Attach one REAL muxed MJPEG-in-AVI video per row: frame `k` is a
+    * single uniform gray `g_k = splitmix64(seed·173 + k) mod_u 256`
+    * (the same seed rule as [[encodePatternVideo]]'s `v_k`; frames in
+    * `[shFrom, shFrom + shCount)` draw from `shSeed` indexed from the
+    * run start). Uniform-gray JPEG frames decode bit-exactly (see
+    * section note), so the fingerprint energies are the closed form
+    * `width·height·g_k²` the oracle replays
+    * ([[videoEnergyAviDuckCtes]]). Per-gray JPEG bytes are memoized
+    * per partition — at most 256 encodes regardless of row count.
+    */
+  def withMjpegAviVideo(
+      df: DataFrame,
+      seedCol: String,
+      shSeedCol: String,
+      shFromCol: String,
+      shCountCol: String,
+      frames: Int = 40,
+      width: Int = 32,
+      height: Int = 32,
+      out: String = "video"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField(out, BinaryType))
+    val si = df.schema.fieldIndex(seedCol)
+    val ssi = df.schema.fieldIndex(shSeedCol)
+    val sfi = df.schema.fieldIndex(shFromCol)
+    val sci = df.schema.fieldIndex(shCountCol)
+    df.mapPartitions { rows =>
+      val jpegByGray = scala.collection.mutable.HashMap.empty[Int, Array[Byte]]
+      def jpeg(g: Int): Array[Byte] =
+        jpegByGray.getOrElseUpdate(g, encodeGrayJpeg(g, width, height))
+      rows.map { row =>
+        val seed = row.getAs[Number](si).longValue()
+        val shSeed = row.getAs[Number](ssi).longValue()
+        val shFrom = row.getAs[Number](sfi).intValue()
+        val shCount = row.getAs[Number](sci).intValue()
+        val fs = (0 until frames).map { k =>
+          val z =
+            if (k >= shFrom && k < shFrom + shCount)
+              splitmix64(shSeed * 173L + (k - shFrom))
+            else splitmix64(seed * 173L + k)
+          jpeg(java.lang.Long.remainderUnsigned(z, 256L).toInt)
+        }
+        Row.fromSeq(row.toSeq :+ muxMjpegAvi(fs, width, height))
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** DuckDB CTE chain predicting the DECODED sampled-frame energy
+    * sets of [[withMjpegAviVideo]] payloads closed-form —
+    * `q_video_neardup_avi`'s oracle root. Same contract as
+    * [[videoEnergyPatternDuckCtes]] (`seedCteBody` yields `(doc_id,
+    * seed HUGEINT, shseed HUGEINT, shfrom, shcount)`; chain ends at
+    * `{prefix}fr (doc_id, e)`), but the per-frame energy is the
+    * uniform-gray closed form `width·height·g²` with
+    * `g = splitmix64(...) mod_u 256` — valid because the uniform-gray
+    * JPEG round trip is bit-exact (spec-pinned for all 256 grays).
+    */
+  def videoEnergyAviDuckCtes(
+      seedCteBody: String,
+      frames: Int = 40,
+      everyN: Int = 2,
+      width: Int = 32,
+      height: Int = 32,
+      prefix: String = "vav_"): String =
+    s"""${prefix}seed AS ($seedCteBody),
+       |${prefix}z1 AS (
+       |  SELECT doc_id, u.k,
+       |    ((CASE WHEN u.k >= shfrom AND u.k < shfrom + shcount
+       |           THEN shseed * 173 + (u.k - shfrom)
+       |           ELSE seed * 173 + u.k END)
+       |      + $mix64Golden::HUGEINT) % $mix64W64 AS z
+       |  FROM ${prefix}seed, unnest(range(0, $frames)) AS u(k)
+       |  WHERE u.k % $everyN = 0),
+       |${mix64ChainDuckCtes(prefix, Seq.empty)},
+       |${prefix}en AS (
+       |  SELECT doc_id, k,
+       |    CAST((z % 256) * (z % 256) * ${width.toLong * height} AS BIGINT) AS e
+       |  FROM ${prefix}z6),
+       |${prefix}fr AS (SELECT DISTINCT doc_id, e FROM ${prefix}en)""".stripMargin
+
+  /** The splitmix64 finalizer ([[encodePatternVideo]] /
+    * [[withMjpegAviVideo]]'s shared frame-seed mix).
+    */
+  private[graft] def splitmix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
 
   private val mix64W64 = "18446744073709551616::HUGEINT"
   private val mix64Golden = new java.math.BigInteger("9E3779B97F4A7C15", 16)

@@ -56,10 +56,62 @@ object VideoGate {
     require(frameBytes.toLong * 255L * 255L < graft.functions.ShingleHashModExpr.P,
       s"frameBytes=$frameBytes can produce frame energies >= 2^31-1, " +
         "outside the minhash lane domain — use smaller slices")
-    val rows = n / bands
     val energies = Multimodal.withFrameEnergies(
       batch.select(col(idCol), col(bytesCol)), bytesCol,
       headerBytes, frameBytes, everyN)
+    fromEnergies(batch, batchId, idCol, energies, stateDir, n, bands,
+      threshold, exact)
+  }
+
+  /** [[acceptBatch]] over REAL MJPEG-in-AVI payloads (round 12): the
+    * frame element set is [[Multimodal.withAviFrameEnergies]] —
+    * RIFF-walk demux + per-frame `javax.imageio` decode — instead of
+    * the fixed-slice pattern envelope; everything from the minhash
+    * signature on is the shared path. Decoded energies are bounded
+    * by pixelCount·255², which no static `require` can check (frame
+    * dimensions live inside the payload), so the hash-domain guard
+    * runs IN PLAN per element — a frame too large for the mod-p
+    * domain fails the batch loudly instead of silently corrupting
+    * the lane algebra.
+    */
+  def acceptBatchAvi(
+      batch: DataFrame,
+      batchId: Long,
+      idCol: String,
+      bytesCol: String,
+      stateDir: String,
+      everyN: Int = 2,
+      n: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      exact: Boolean = false): DataFrame = {
+    require(n % bands == 0, s"signature length $n must divide into $bands bands")
+    val p = graft.functions.ShingleHashModExpr.P
+    val energies = Multimodal.withAviFrameEnergies(
+        batch.select(col(idCol), col(bytesCol)), bytesCol, everyN)
+      .withColumn("frames", transform(col("frames"), e =>
+        when(e < lit(p), e).otherwise(raise_error(concat(
+          lit("VideoGate.acceptBatchAvi: decoded frame energy "), e,
+          lit(s" >= 2^31-1 — frame too large for the minhash lane domain"))))))
+    fromEnergies(batch, batchId, idCol, energies, stateDir, n, bands,
+      threshold, exact)
+  }
+
+  /** The shared gate core over any `(idCol, frames array<long>)`
+    * energy frame: minhash signature → banding → state match →
+    * [[SigGate.acceptBatch]].
+    */
+  private def fromEnergies(
+      batch: DataFrame,
+      batchId: Long,
+      idCol: String,
+      energies: DataFrame,
+      stateDir: String,
+      n: Int,
+      bands: Int,
+      threshold: Double,
+      exact: Boolean): DataFrame = {
+    val rows = n / bands
     // Payloads too short for one frame still need a signature (the
     // state schema is fixed): the empty element set signs as [0],
     // mirroring the text chain's zero-token case.

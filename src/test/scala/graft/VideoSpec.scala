@@ -93,6 +93,85 @@ class VideoSpec extends SparkSpecBase {
     assert(a1b === a1)
   }
 
+  test("AVI: uniform-gray JPEG round-trips bit-exactly for ALL 256 grays (oracle invariant)") {
+    // The q_video_neardup_avi oracle predicts DECODED energies as
+    // width*height*g^2 — valid iff the JPEG encode/decode is identity
+    // on uniform-gray frames at quality 1.0. Pin it for the whole
+    // gray domain at the fixture frame size so a codec behavior
+    // change fails HERE, not as a silent oracle mismatch.
+    for (g <- 0 until 256) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.encodeGrayJpeg(g)))
+      val px = img.getRaster.getSamples(0, 0, 32, 32, 0, new Array[Int](32 * 32))
+      assert(px.forall(_ == g), s"gray $g decoded to ${px.find(_ != g)}")
+    }
+  }
+
+  test("AVI: mux -> demux round-trips the exact frame payloads (RIFF walk)") {
+    val frames = Seq(7, 130, 255, 0).map(Multimodal.encodeGrayJpeg(_))
+    val avi = Multimodal.muxMjpegAvi(frames, 32, 32)
+    assert(new String(avi, 0, 4, "US-ASCII") === "RIFF")
+    assert(new String(avi, 8, 4, "US-ASCII") === "AVI ")
+    val back = Multimodal.demuxMjpegAvi(avi)
+    assert(back.length === 4)
+    for ((f, b) <- frames.zip(back)) assert(java.util.Arrays.equals(f, b))
+    // odd-sized frame payloads exercise the even-padding rule
+    val odd = Array[Byte](1, 2, 3)
+    val avi2 = Multimodal.muxMjpegAvi(Seq(odd, odd), 1, 1)
+    assert(Multimodal.demuxMjpegAvi(avi2).forall(java.util.Arrays.equals(_, odd)))
+    // non-AVI bytes refuse loudly
+    intercept[IllegalArgumentException] {
+      Multimodal.demuxMjpegAvi("GRAFTVID0123456789".getBytes("US-ASCII"))
+    }
+  }
+
+  test("AVI: decoded frame energies are width*height*g^2; videoNearDupAvi finds the planted pair") {
+    val rows = Seq(
+      (0L, 10L, 99L, 0, 30),
+      (1L, 11L, 99L, 0, 30),
+      (2L, 12L, 0L, -1, 0),
+      (3L, 13L, 0L, -1, 0)
+    ).toDF("doc_id", "__seed", "__shseed", "__shfrom", "__shcount")
+    val vids = Multimodal.withMjpegAviVideo(
+      rows, "__seed", "__shseed", "__shfrom", "__shcount")
+    // energies of doc 0 match the closed form the oracle uses
+    val bytes = vids.filter(col("doc_id") === 0L)
+      .select("video").head().getAs[Array[Byte]](0)
+    val got = Multimodal.aviFrameEnergies(bytes, everyN = 2)
+    val want = (0 until 40 by 2).map { k =>
+      val z = if (k < 30) Multimodal.splitmix64(99L * 173L + k)
+              else Multimodal.splitmix64(10L * 173L + k)
+      val g = java.lang.Long.remainderUnsigned(z, 256L)
+      32L * 32L * g * g
+    }
+    assert(got.toSeq === want)
+    // the planted pair is found over real demuxed+decoded bytes
+    val pairs = Multimodal.videoNearDupAvi(vids, "doc_id", "video")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet === Set((0L, 1L)))
+  }
+
+  test("AVI VideoGate: cross-batch scene twin rejected via state over real bytes") {
+    val rows = Seq(
+      (0L, 10L, 99L, 0, 36), // batch 0 — accepted (first-wins)
+      (1L, 11L, 99L, 0, 36), // batch 1 — scene twin of 0, rejected via STATE
+      (2L, 12L, 0L, -1, 0),  // batch 0 — unique, accepted
+      (3L, 13L, 0L, -1, 0)   // batch 1 — unique, accepted
+    ).toDF("doc_id", "__seed", "__shseed", "__shfrom", "__shcount")
+    val vids = Multimodal.withMjpegAviVideo(
+      rows, "__seed", "__shseed", "__shfrom", "__shcount")
+    val state = java.nio.file.Files
+      .createTempDirectory("vidgate_avi_spec").toString
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val a0 = ids(graft.streaming.VideoGate.acceptBatchAvi(
+      vids.filter(col("doc_id") % 2 === 0), 0L, "doc_id", "video", state))
+    val a1 = ids(graft.streaming.VideoGate.acceptBatchAvi(
+      vids.filter(col("doc_id") % 2 =!= 0), 1L, "doc_id", "video", state))
+    assert(a0 === Set(0L, 2L))
+    assert(a1 === Set(3L), "the scene twin must be rejected by state, not accepted")
+  }
+
   test("videoNearDup: stable under repartitioning; threshold gate respected") {
     val rows = (0L until 12L).map { i =>
       if (i < 4) (i, i + 10L, (i / 2) + 99L, 0, 30) // two planted pairs
