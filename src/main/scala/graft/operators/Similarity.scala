@@ -676,6 +676,12 @@ object Similarity {
     * column) then exact cosine ≥ threshold within buckets — the
     * equi-join-on-bucket discipline again: no global cross product.
     *
+    * PREFER [[semDedup]] (cluster blocking with an `nClusters` knob)
+    * or [[cosineNearDupPairsAuto]] (degrades by sub-blocking instead
+    * of failing) when block sizes are not under your control — this
+    * operator's contract is EXHAUSTIVE pairs within caller blocks,
+    * and exhaustive is inherently quadratic in the block.
+    *
     * The within-block self-join is quadratic in block size and the
     * blocking column is CALLER-supplied, so a hot block must fail
     * loudly rather than melt the stage (the mirror of [[mmr]]'s
@@ -726,6 +732,123 @@ object Similarity {
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         Det.round(cosine(col("a.v"), col("b.v")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
+  }
+
+  /** [[cosineNearDupPairs]] that DEGRADES instead of failing on a hot
+    * block (round 12): blocks over `maxBlockSize` are recursively
+    * re-blocked by a seeded nearest-centroid quantizer (the SemDeDup
+    * blocking idea applied within the block: `fanout` deterministic
+    * hash-seeded members per block as centroids, rows assigned to
+    * their 6-dp-rounded-cosine-nearest seed — one Lloyd assignment
+    * step per level, up to `maxDepth` levels), and any block still
+    * hot after `maxDepth` quantizer levels — the degenerate case of
+    * more-than-cap NEAR-IDENTICAL vectors, which no similarity
+    * quantizer can separate — is hash-split to bounded buckets whose
+    * hubs (min-id member per bucket) are chained pairwise so
+    * CONNECTIVITY survives the split.
+    *
+    * Contract change vs [[cosineNearDupPairs]]: the output is a
+    * RECALL-BOUNDED, connectivity-preserving subset of the ≥threshold
+    * pairs, not the exhaustive list — a pair straddling two sub-blocks
+    * is lost exactly as a pair straddling two SemDeDup clusters is
+    * (and a degenerate near-identical block keeps its duplicate GROUP
+    * recoverable via the hub chain while its quadratic pair list —
+    * up to n²/2 rows that downstream CC never needed — is the thing
+    * deliberately not produced). Exhaustiveness within caller blocks
+    * is [[cosineNearDupPairs]]'s contract; group-level dedup at
+    * corpus scale is this one's.
+    *
+    * Every step is deterministic (portable id hash for seeds and
+    * bucket salts, [[Det]]-rounded cosine with id tie-breaks), so
+    * results are repartition-stable. All shuffles are keyed
+    * equi-joins/aggregates; per-level driver work is one `isEmpty`
+    * probe on an already-materialized frame.
+    */
+  def cosineNearDupPairsAuto(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      blockCol: Column,
+      threshold: Double,
+      maxBlockSize: Long = 1L << 16,
+      fanout: Int = 16,
+      maxDepth: Int = 3): DataFrame = {
+    require(fanout >= 2, s"fanout must be >= 2, got $fanout")
+    require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
+    require(maxBlockSize >= 2, s"maxBlockSize must be >= 2, got $maxBlockSize")
+    def norm(df: DataFrame): DataFrame = df.select("vec_id", "v", "block")
+    var v = Materialize(vecs
+      .select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+        blockCol.cast("string").as("block"))
+      .filter(col("block").isNotNull))
+    val bounded = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var bridgeHubs: Option[DataFrame] = None
+    var depth = 0
+    var remaining = true
+    while (remaining) {
+      val counts = v.groupBy("block").agg(count(lit(1)).as("__bn"))
+      val tagged = v.join(counts, Seq("block"))
+      bounded += norm(tagged.filter(col("__bn") <= maxBlockSize))
+      val hot = tagged.filter(col("__bn") > maxBlockSize)
+      if (hot.isEmpty) remaining = false
+      else if (depth >= maxDepth) {
+        // Terminal hash split: bucket count sized to land buckets at
+        // ~half the cap; hubs chain across adjacent buckets of the
+        // same parent so a split duplicate group stays one component.
+        val split = Materialize(hot
+          .withColumn("__bkt", pmod(xxhash64(col("vec_id").cast("string")),
+            ceil(col("__bn") * lit(2.0) / lit(maxBlockSize.toDouble)).cast("long")))
+          .select(col("vec_id"), col("v"),
+            concat(col("block"), lit("#"), col("__bkt").cast("string")).as("block"),
+            col("block").as("__parent"), col("__bkt")))
+        bounded += norm(split)
+        bridgeHubs = Some(split.groupBy(col("__parent"), col("__bkt"))
+          .agg(min_by(struct(col("vec_id"), col("v")), col("vec_id")).as("__h"))
+          .select(col("__parent"), col("__bkt"),
+            col("__h.vec_id").as("vec_id"), col("__h.v").as("v")))
+        remaining = false
+      } else {
+        // One quantizer level: fanout hash-salted min-hash seeds per
+        // hot block, rows to their rounded-cosine-nearest seed.
+        val withHash = hot.select(col("vec_id"), col("v"), col("block"),
+          TextAnalysis.tokenHashP(col("vec_id").cast("string")).as("__h"),
+          pmod(xxhash64(col("vec_id").cast("string")), lit(fanout)).as("__salt"))
+        val seeds = withHash.groupBy(col("block"), col("__salt"))
+          .agg(min_by(struct(col("vec_id"), col("v")),
+            struct(col("__h"), col("vec_id"))).as("__s"))
+          .select(col("block"), col("__s.vec_id").as("__seed_id"),
+            col("__s.v").as("__sv"))
+        v = Materialize(hot.select(col("vec_id"), col("v"), col("block"))
+          .join(seeds, Seq("block"))
+          .select(col("vec_id"), col("v"), col("block"), col("__seed_id"),
+            Det.round(cosine(col("v"), col("__sv")), 6).as("__cs"))
+          .groupBy("vec_id")
+          .agg(any_value(col("v")).as("v"),
+            concat(any_value(col("block")), lit("/"),
+              min_by(col("__seed_id"), struct(-col("__cs"), col("__seed_id")))
+                .cast("string")).as("block")))
+        depth += 1
+      }
+    }
+    val u = Materialize(bounded.reduce(_ unionAll _))
+    val intra = u.as("a").join(u.as("b"),
+        col("a.block") === col("b.block") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        Det.round(cosine(col("a.v"), col("b.v")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+    bridgeHubs match {
+      case None => intra
+      case Some(hubs) =>
+        val chain = hubs.as("a").join(hubs.as("b"),
+            col("a.__parent") === col("b.__parent") &&
+            col("a.__bkt") + 1 === col("b.__bkt"))
+          .select(
+            least(col("a.vec_id"), col("b.vec_id")).as("id_a"),
+            greatest(col("a.vec_id"), col("b.vec_id")).as("id_b"),
+            Det.round(cosine(col("a.v"), col("b.v")), 6).as("cos_sim"))
+          .filter(col("cos_sim") >= threshold)
+        intra.unionAll(chain)
+    }
   }
 
   // ---- Product quantization (Jégou, Douze, Schmid 2011, "Product

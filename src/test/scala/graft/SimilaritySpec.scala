@@ -268,6 +268,54 @@ class SimilaritySpec extends SparkSpecBase {
       0.95, maxBlockSize = 6).collect()
   }
 
+  test("cosineNearDupPairsAuto: hot block sub-blocks and produces pairs where the strict form asserts") {
+    // One caller block of 24 spread-out vectors plus two planted
+    // IDENTICAL-vector dup pairs, cap at 8: cosineNearDupPairs throws;
+    // the auto form quantizer-splits the block and still surfaces both
+    // planted pairs (identical vectors score identically against every
+    // seed, so they co-locate deterministically).
+    val spread = (0 until 24).map { i =>
+      val a = i * 0.26
+      (100L + i, Seq(math.cos(a).toFloat, math.sin(a).toFloat), 0)
+    }
+    val dups = Seq(
+      (1L, Seq(0.6f, 0.8f), 0), (2L, Seq(0.6f, 0.8f), 0),
+      (3L, Seq(-0.8f, 0.6f), 0), (4L, Seq(-0.8f, 0.6f), 0))
+    val df = (spread ++ dups).toDF("vec_id", "embedding", "label")
+    intercept[Exception] {
+      Similarity.cosineNearDupPairs(df, "vec_id", "embedding", col("label"),
+        0.999, maxBlockSize = 8).collect()
+    }
+    val got = Similarity.cosineNearDupPairsAuto(df, "vec_id", "embedding",
+        col("label"), 0.999, maxBlockSize = 8, fanout = 4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)) && got.contains((3L, 4L)),
+      s"planted identical pairs must survive sub-blocking, got $got")
+    // deterministic under repartitioning
+    val again = Similarity.cosineNearDupPairsAuto(df.repartition(7), "vec_id",
+        "embedding", col("label"), 0.999, maxBlockSize = 8, fanout = 4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again === got)
+  }
+
+  test("cosineNearDupPairsAuto: degenerate identical-vector block stays ONE component via hub chain") {
+    // 40 identical vectors — no similarity quantizer can split them, so
+    // the terminal hash split + hub chain must keep the duplicate group
+    // connected while never producing the 780-pair quadratic list.
+    val df = (0L until 40L).map(i => (i, Seq(0.6f, 0.8f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val pairs = Similarity.cosineNearDupPairsAuto(df, "vec_id", "embedding",
+      col("label"), 0.99, maxBlockSize = 8, fanout = 4, maxDepth = 2)
+    val comp = graft.operators.Dedup.connectedComponents(
+        pairs.select(col("id_a"), col("id_b")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.keySet === (0L until 40L).toSet,
+      "every member of the degenerate block must appear in some pair")
+    assert(comp.values.toSet === Set(0L),
+      s"the duplicate group must collapse to one component, got ${comp.values.toSet}")
+    assert(pairs.count() < 780L, "the quadratic pair list must not be materialized")
+  }
+
   test("semDedup: planted near-duplicate groups collapse to min id; singletons survive") {
     val rnd = new scala.util.Random(7)
     def unit(v: Array[Double]) = {
