@@ -100,12 +100,7 @@ object Retrieval {
     require(k >= 1, "mmr: k must be positive")
     require(lambda >= 0.0 && lambda <= 1.0, "mmr: lambda must be in [0, 1]")
     val spark = candidates.sparkSession
-    val base = candidates.select(
-      col(idCol).cast("long").as("id"), col(relCol).cast("double").as("rel"),
-      col(vecCol).as("__v"))
-    val n = base.count()
-    require(n <= maxCandidates,
-      s"mmr re-ranks a bounded shortlist; got $n rows > $maxCandidates — cut with the retriever first")
+    val base = mmrGuardedBase(candidates, idCol, relCol, vecCol, maxCandidates)
     val a = base.select(col("id").as("ia"), col("__v").as("va"))
     val b = base.select(col("id").as("ib"), col("__v").as("vb"))
     val sims = a.join(b, col("ia") < col("ib"))
@@ -133,6 +128,33 @@ object Retrieval {
     selected.zipWithIndex
       .map { case (id, i) => (id, i + 1) }
       .toDF(idCol, "mmr_rank")
+  }
+
+  /** [[mmr]]'s shortlist frame with its bound folded INTO the plan
+    * (the hot-block-guard discipline, round 12): a 1-row in-plan
+    * count crossJoined back with an `assert_true` row predicate, so
+    * no separate driver-side count job runs before the real work (the
+    * old `base.count()` require was one extra job per call). The
+    * count side prunes to the id column only. Package-private so the
+    * spec can pin the guard's plan shape.
+    */
+  private[graft] def mmrGuardedBase(
+      candidates: DataFrame,
+      idCol: String,
+      relCol: String,
+      vecCol: String,
+      maxCandidates: Int): DataFrame = {
+    val raw = candidates.select(
+      col(idCol).cast("long").as("id"), col(relCol).cast("double").as("rel"),
+      col(vecCol).as("__v"))
+    raw
+      .crossJoin(broadcast(raw.select("id").agg(count(lit(1)).as("__n"))))
+      .filter(assert_true(col("__n") <= lit(maxCandidates.toLong),
+        concat(lit("mmr re-ranks a bounded shortlist; got "),
+          col("__n").cast("string"),
+          lit(s" rows > maxCandidates=$maxCandidates — cut with the" +
+            " retriever first"))).isNull)
+      .drop("__n")
   }
 
   /** The rank-`i` nDCG discount weights `1/log2(i+1)` for `i` in

@@ -101,11 +101,28 @@ class RetrievalSpec extends SparkSpecBase {
     assert(got(2L) === 3)
     // k beyond the candidate count returns them all, ranked
     assert(Retrieval.mmr(cand, "id", "rel", "vec", k = 10).count() === 3L)
-    // unbounded shortlists are refused — MMR is O(k*n) sequential
+    // unbounded shortlists are refused — MMR is O(k*n) sequential.
+    // The bound is an IN-PLAN assert_true (no separate pre-count job),
+    // so it surfaces as the task-level USER_RAISED error.
     val big = (0L until 50L).map(i => (i, 0.5, e1)).toDF("id", "rel", "vec")
-    intercept[IllegalArgumentException] {
+    val e = intercept[Exception] {
       Retrieval.mmr(big, "id", "rel", "vec", k = 3, maxCandidates = 10)
     }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + chain(t.getCause)
+    assert(chain(e).contains("maxCandidates=10"))
+  }
+
+  test("mmr: shortlist guard runs in-plan (assert_true predicate, no driver pre-count)") {
+    val e1 = Seq(1.0f, 0.0f, 0.0f, 0.0f)
+    val cand = Seq((1L, 0.99, e1), (2L, 0.5, Seq(0f, 1f, 0f, 0f)))
+      .toDF("id", "rel", "vec")
+    val guarded = Retrieval.mmrGuardedBase(cand, "id", "rel", "vec", 10)
+    val plan = guarded.queryExecution.optimizedPlan.toString()
+    assert(plan.contains("assert_true") || plan.contains("raise_error"),
+      s"the shortlist bound must be an in-plan predicate, got:\n$plan")
+    // and it passes rows through untouched when under the cap
+    assert(guarded.count() === 2L)
   }
 
   test("rankEval: hand-computed metrics incl. nDCG on a known run") {
