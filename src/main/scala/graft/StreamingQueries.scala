@@ -8,9 +8,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 
 /** Driver-checkable streaming rows (SURVEY §2.7): each query runs a
   * REAL Structured Streaming query — file source over the events
-  * parquet, watermarks / stateful operators, memory-sink snapshot
-  * after `processAllAvailable` — and returns the emitted rows as a
-  * batch frame for `Verify` to dump against the DuckDB oracle.
+  * parquet, watermarks / stateful operators, foreachBatch parquet
+  * snapshot staging read back after `processAllAvailable` — and
+  * returns the emitted rows as a batch frame for `Verify` to dump
+  * against the DuckDB oracle.
   *
   * Determinism contract: the whole corpus arrives in ONE micro-batch
   * (a single parquet file, no `maxFilesPerTrigger`), so
@@ -23,9 +24,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *    ≤ that mark. Both facts are SQL-expressible, which is what
   *    makes these streaming paths oracle-checkable at all.
   *
-  * The memory sink is the snapshot harness (bounded: emitted
-  * aggregates, not the stream); production sinks are the parquet /
-  * foreachBatch paths in `Warehouse` / `FuelPipeline`.
+  * The snapshot harness stages emission through foreachBatch parquet
+  * (executor-side, never a driver collect — round 12); production
+  * sinks are the parquet / foreachBatch paths in `Warehouse` /
+  * `FuelPipeline`. The small per-user-state funnel replays keep the
+  * memory sink (their output is bounded by the user domain).
   */
 object StreamingQueries {
 
@@ -43,8 +46,14 @@ object StreamingQueries {
     * ts normalization (nanos-as-long or µs timestamp) as
     * [[Tables.events]].
     */
+  // Testdata files are immutable, so the footer-derived schema is
+  // cacheable per dir — one fewer footer-read job per streaming query.
+  private val eventsSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
-    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val schema = eventsSchemaCache.computeIfAbsent(d,
+      dir => s.read.parquet(s"$dir/events.parquet").schema)
     // Glob form: the file-stream source requires a directory basePath;
     // the corpus table is a single file, so glob it under its parent.
     val raw = s.readStream.schema(schema).parquet(s"$d/*events.parquet")
@@ -59,7 +68,7 @@ object StreamingQueries {
   private val snapN = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Run a streaming frame to completion (all source data + closing
-    * no-data watermark batches) and return the memory-sink snapshot.
+    * no-data watermark batches) and return the emitted-rows snapshot.
     *
     * Stateful streams size their shuffle (= state) partitioning to
     * STATE VOLUME, not core count — `spark.graft.streaming
@@ -79,14 +88,33 @@ object StreamingQueries {
     val s = df.sparkSession
     val key = "spark.sql.shuffle.partitions"
     val old = s.conf.get(key)
-    val name = s"graft_stream_snap_${snapN.incrementAndGet()}"
+    // Snapshot staging is foreachBatch -> parquet (round 12), not the
+    // memory sink: the memory sink converts and collects every emitted
+    // row ON THE DRIVER (0.3-0.4 s per corpus-sized replay at sf0.1,
+    // and heap-bound at probe scale, the exact hazard the file-source
+    // replays removed from the input side); a distributed parquet
+    // append keeps emission executor-side and the read-back IS the
+    // snapshot. Complete mode overwrites per batch (each batch is the
+    // full result, last one wins) = the memory sink's truncate-and-
+    // reload. Checkpoint logs go to tmpfs (Scratch.ckptDir) — pure
+    // harness metadata, measured ~0.1-0.2 s of fsync latency per
+    // replay on disk-backed /tmp.
+    val out = java.nio.file.Files.createTempDirectory("graft_snap_out").toString
+    val saveMode = if (mode == OutputMode.Complete()) "overwrite" else "append"
     s.conf.set(key, s.conf.get("spark.graft.streaming.shufflePartitions", "8"))
     try {
-      val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+      val q = df.writeStream.outputMode(mode)
+        .option("checkpointLocation", graft.streaming.Scratch.ckptDir())
+        .foreachBatch((b: DataFrame, _: Long) =>
+          b.write.mode(saveMode).parquet(out))
+        .start()
       try q.processAllAvailable()
       finally q.stop()
     } finally s.conf.set(key, old)
-    s.table(name)
+    // Explicit schema: a replay that emitted nothing leaves no parquet
+    // footer to infer from, and the snapshot must still be a typed
+    // empty frame.
+    s.read.schema(df.schema).parquet(out)
   }
 
   /** St4/A3 streaming twin, driver-checked: complete-mode
@@ -304,7 +332,7 @@ object StreamingQueries {
       when(col("event_type") === "click", lit("D")).otherwise(lit("U")).as("op"),
       col("value").as("new_bal"))
     val tableDir = java.nio.file.Files.createTempDirectory("graft_cdc_table").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdc_ckpt").toString
+    val ckpt = graft.streaming.Scratch.ckptDir("graft_cdc_ckpt")
     val replay = new graft.streaming.FileReplay(s, changes.schema)
     replay.add(changes.filter(col("event_id") % 2 === 0))
     val q = graft.streaming.CdcStream.stream(
@@ -359,6 +387,7 @@ object StreamingQueries {
     val out = FunnelStream.fold(replay.stream.as[FunnelEvent], stages)
     val name = s"graft_stream_snap_${snapN.incrementAndGet()}"
     val q = out.toDF().writeStream.outputMode("update")
+      .option("checkpointLocation", graft.streaming.Scratch.ckptDir())
       .format("memory").queryName(name).start()
     try {
       q.processAllAvailable()
@@ -411,7 +440,9 @@ object StreamingQueries {
     val name = s"graft_stream_snap_${snapN.incrementAndGet()}"
     val q = FunnelStream.foldExact(replay.stream.as[FunnelEventT], stages,
         s"$spanDays days").toDF()
-      .writeStream.outputMode("update").format("memory").queryName(name).start()
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", graft.streaming.Scratch.ckptDir())
+      .format("memory").queryName(name).start()
     try {
       q.processAllAvailable()
       replay.add(evs.filter(col("event_id") % 2 =!= 0))
@@ -443,7 +474,7 @@ object StreamingQueries {
       .select("event_id", "user_id", "event_type", "value")
     val dir = java.nio.file.Files.createTempDirectory("graft_msink_data").toString
     val mdir = java.nio.file.Files.createTempDirectory("graft_msink_meta").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_msink_ckpt").toString
+    val ckpt = graft.streaming.Scratch.ckptDir("graft_msink_ckpt")
     val replay = new graft.streaming.FileReplay(s, evs.schema)
     replay.add(evs.filter(col("event_id") % 2 === 0))
     val q = graft.sources.ManifestedSink.sink(
@@ -478,7 +509,7 @@ object StreamingQueries {
     val evs = Tables.events(s, d)
       .select(col("event_id"), col("event_type"), col("value"))
     val stateDir = java.nio.file.Files.createTempDirectory("graft_aggview").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_aggview_ckpt").toString
+    val ckpt = graft.streaming.Scratch.ckptDir("graft_aggview_ckpt")
     val replay = new graft.streaming.FileReplay(s, evs.schema)
     replay.add(evs.filter(col("event_id") % 2 === 0))
     val q = graft.streaming.AggStream.stream(
@@ -524,16 +555,19 @@ object StreamingQueries {
       .select(col("event_id"), col("event_type"), col("value"))
     val replay = new graft.streaming.FileReplay(s, evs.schema)
     replay.add(evs.filter(col("event_id") % 2 === 0))
-    val name = s"graft_stream_snap_${snapN.incrementAndGet()}"
+    val out = java.nio.file.Files.createTempDirectory("graft_noop_out").toString
     val q = replay.stream
       .writeStream.outputMode(OutputMode.Append())
-      .format("memory").queryName(name).start()
+      .option("checkpointLocation", graft.streaming.Scratch.ckptDir())
+      .foreachBatch((b: DataFrame, _: Long) =>
+        b.write.mode("append").parquet(out))
+      .start()
     try {
       q.processAllAvailable()
       replay.add(evs.filter(col("event_id") % 2 =!= 0))
       q.processAllAvailable()
     } finally q.stop()
-    s.table(name).agg(count(lit(1)).as("n_rows"))
+    s.read.schema(evs.schema).parquet(out).agg(count(lit(1)).as("n_rows"))
   }
 
   def defs: Seq[QueryDef] = Seq(

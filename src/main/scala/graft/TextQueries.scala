@@ -323,7 +323,8 @@ object TextQueries {
     val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
     def tmp(tag: String) =
       java.nio.file.Files.createTempDirectory(s"graft_scur_$tag").toString
-    val (nd, bud, acc, ckp) = (tmp("nd"), tmp("budget"), tmp("acc"), tmp("ckpt"))
+    val (nd, bud, acc) = (tmp("nd"), tmp("budget"), tmp("acc"))
+    val ckp = graft.streaming.Scratch.ckptDir("graft_scur_ckpt")
     val replay = new graft.streaming.FileReplay(s, docs.schema)
     // Micro-batch jobs inside foreachBatch inherit the session's
     // shuffle partitioning WITHOUT AQE coalescing (the frame descends
