@@ -130,18 +130,19 @@ object TextQueries {
   private def epochShuffle(s: SparkSession, d: String): DataFrame =
     Sampling.epochOrder(Tables.documents(s, d).select(col("doc_id")), "doc_id")
 
-  /** True token budgets under a corpus-trained BPE vocab
-    * ([[Bpe.trainMerges]] → map-only [[Bpe.tokenCount]]): the
-    * learned-tokenizer upgrade over the regex proxy. Deterministic
-    * (total-ordered dict cut and merge ties) but not SQL-expressible
-    * — the merge table is a trained artifact, so the driver records
-    * rows-only and `BpeSpec` pins the algorithm.
+  /** True token budgets under the COMMITTED BPE vocabulary
+    * ([[graft.operators.BpeVocab]] → map-only [[Bpe.tokenCount]]):
+    * encoding under a fixed shipped tokenizer, the production
+    * steady-state. Driver-checked hash-exact since round 12 — the
+    * oracle inlines the committed merge table and replays the encode
+    * itself in SQL ([[Bpe.bpeTokensDuckSql]]'s rank-ordered recursive
+    * CTE). Training stays covered by `q_bpe_roundtrip` (per-run
+    * trained merges, decode-roundtrip oracle) and `BpeSpec`.
     */
-  private def bpeTokensQ(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val merges = Bpe.trainMerges(docs, "text", numMerges = 200, maxWords = 5000)
-    docs.select(col("doc_id"), Bpe.tokenCount(col("text"), merges).as("n_bpe_tokens"))
-  }
+  private def bpeTokensQ(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      Bpe.tokenCount(col("text"), graft.operators.BpeVocab.merges)
+        .as("n_bpe_tokens"))
 
   /** Encode→decode roundtrip under the end-of-word marker: the
     * learned tokenizer must be lossless up to whitespace
@@ -2526,7 +2527,9 @@ object TextQueries {
          |SELECT doc_id, quality FROM q
          |WHERE (((doc_id % 2147483647) * 2654435761) % 2147483647)
          |    < quality * 2147483647.0""".stripMargin)),
-    QueryDef("q_bpe_tokens", bpeTokensQ, None),
+    QueryDef("q_bpe_tokens", bpeTokensQ, Some(
+      Bpe.bpeTokensDuckSql(graft.operators.BpeVocab.merges,
+        e => TextAnalysis.tokensDuckSql(e)))),
     QueryDef("q_bpe_roundtrip", bpeRoundtripQ, Some {
       val toks = duckToks("text")
       s"SELECT doc_id, array_to_string($toks, ' ') AS decoded FROM documents"

@@ -126,4 +126,71 @@ object Bpe {
     */
   def tokenCount(text: Column, merges: Seq[Merge]): Column =
     size(encode(text, merges))
+
+  /** DuckDB replay of [[tokenCount]] under a FIXED merge table
+    * (round 12 — the `q_bpe_tokens` oracle): per-doc token counts
+    * computed by actually running the BPE encode in SQL.
+    *
+    * Replay strategy: the greedy lowest-rank-first loop
+    * ([[graft.functions.BpeEncodeExpr]]) is equivalent to ONE
+    * exhaustive pass per merge IN RANK ORDER, because trained ranks
+    * are topologically ordered — a pair's composite symbols can only
+    * come from strictly earlier merges, and fusing a pair never
+    * re-creates that same pair nor any lower-ranked one (fusions
+    * replace two symbols with one; the new adjacencies always involve
+    * the composite). So the recursive CTE steps `it = rank`, joining
+    * ONE merge row per iteration — no aggregates in the recursive
+    * term, bounded depth = merge count.
+    *
+    * Symbol-sequence state is ONE VARCHAR (the CLAUDE.md fold-state
+    * discipline): symbols joined by TWO spaces with single-space
+    * padding, so the rank-`r` exhaustive fuse is a plain `replace` of
+    * `' a  b '` with `' ab '` — boundary-anchored (symbols never
+    * contain spaces) and correct on consecutive occurrences because
+    * each match consumes only one space of each double gap.
+    * Encoding runs once per DISTINCT corpus word (materialized CTE),
+    * then joins back to per-doc token instances.
+    */
+  def bpeTokensDuckSql(
+      merges: Seq[Merge],
+      toksOf: String => String,
+      table: String = "documents",
+      idCol: String = "doc_id",
+      textCol: String = "text"): String = {
+    require(merges.nonEmpty, "bpeTokensDuckSql: empty merge table")
+    def q(s: String) = "'" + s.replace("'", "''") + "'"
+    val values = merges.zipWithIndex
+      .map { case ((a, b), r) => s"($r, ${q(a)}, ${q(b)})" }
+      .mkString(", ")
+    s"""WITH RECURSIVE
+       |bpe_m AS MATERIALIZED (
+       |  SELECT * FROM (VALUES $values) t(r, a, b)),
+       |bpe_w AS MATERIALIZED (
+       |  SELECT DISTINCT u.w
+       |  FROM $table, unnest(${toksOf(textCol)}) AS u(w)),
+       |bpe_it AS (
+       |  SELECT w,
+       |    ' ' || array_to_string([w[i] for i in range(1, len(w) + 1)], '  ')
+       |      || ' ' AS s,
+       |    0 AS it
+       |  FROM bpe_w
+       |  UNION ALL
+       |  SELECT b.w,
+       |    replace(b.s, ' ' || m.a || '  ' || m.b || ' ',
+       |                 ' ' || m.a || m.b || ' '),
+       |    b.it + 1
+       |  FROM bpe_it b JOIN bpe_m m ON m.r = b.it),
+       |bpe_n AS (
+       |  SELECT w, len(string_split(trim(s), '  ')) AS n
+       |  FROM bpe_it WHERE it = ${merges.length}),
+       |bpe_doc AS (
+       |  SELECT d.$idCol, u.w
+       |  FROM $table d, unnest(${toksOf(s"d.$textCol")}) AS u(w)),
+       |bpe_agg AS (
+       |  SELECT t.$idCol, sum(f.n) AS n
+       |  FROM bpe_doc t JOIN bpe_n f ON f.w = t.w
+       |  GROUP BY 1)
+       |SELECT d.$idCol, CAST(coalesce(a.n, 0) AS INTEGER) AS n_bpe_tokens
+       |FROM $table d LEFT JOIN bpe_agg a USING ($idCol)""".stripMargin
+  }
 }
