@@ -40,17 +40,27 @@ object ScaleGen {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val dst = if (args.length > 1) args(1) else "/tmp/graft_sf1"
     val copies = if (args.length > 2) args(2).toInt else 10
-    val docsOnly = args.length > 3 && args(3) == "docs"
+    val mode = if (args.length > 3) args(3) else "all"
+    val docsOnly = mode == "docs" || mode == "dupes"
     val spark = GraftSession.get()
 
+    // `dupes` mode (round 12): copies keep the text VERBATIM — the
+    // dup-heavy crawl shape, where every doc has `copies − 1` exact
+    // twins. The opposite trade to the default injective prefixing:
+    // quality rules see natural tokens (the prefix rewrite defeats
+    // the stopword-ratio rule wholesale) and the near-dup/CC chain
+    // gets its worst case — copy-sized duplicate cliques whose edge
+    // count exceeds the CC driver cap, forcing the distributed
+    // pointer-jumping loop.
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val maxDoc = docs.agg(max("doc_id")).head.getLong(0) + 1
     (0 until copies).map { c =>
       docs.select(
         (col("doc_id") + lit(c * maxDoc)).as("doc_id"),
-        concat_ws(" ",
+        (if (mode == "dupes") col("text")
+         else concat_ws(" ",
           transform(graft.operators.TextAnalysis.tokens(col("text")),
-            t => concat(lit(s"c${c}_"), t))).as("text"),
+            t => concat(lit(s"c${c}_"), t)))).as("text"),
         col("lang"), col("source"))
     }.reduce(_ union _)
       .withColumn("n_chars", length(col("text")).cast("long"))

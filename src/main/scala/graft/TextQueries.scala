@@ -346,7 +346,16 @@ object TextQueries {
         q.processAllAvailable()
       } finally q.stop()
     } finally s.conf.set(key, old)
-    s.read.parquet(acc).select("doc_id", "lang", "n_tokens", "split")
+    // Explicit schema: a replay whose gates accept NOTHING (legal —
+    // e.g. a corpus the quality rules reject wholesale) leaves no
+    // parquet footer to infer from, and the empty result must still
+    // be a typed frame, not an inference crash.
+    import org.apache.spark.sql.types._
+    s.read.schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("n_tokens", LongType), StructField("split", StringType))))
+      .parquet(acc)
+      .select("doc_id", "lang", "n_tokens", "split")
   }
 
   /** [[streamNeardup]] in EXACT mode: keeper-tagged rejected

@@ -1245,6 +1245,83 @@ object Multimodal {
           array_distinct(col("frames")).as("sh")),
       "doc_id", "sh", threshold)
 
+  /** Sampled RAW FRAME BYTES of an AVI payload (`array<binary>`,
+    * map-only) — the input to hash fingerprinting.
+    */
+  def withAviFrames(
+      df: DataFrame,
+      bytesCol: String,
+      everyN: Int = 2,
+      out: String = "frames"): DataFrame = {
+    require(everyN > 0, "everyN must be positive")
+    val outSchema = StructType(df.schema.fields :+
+      StructField(out, ArrayType(BinaryType, containsNull = false), nullable = false))
+    val idx = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](idx)
+        require(bytes != null, s"withAviFrames: null $bytesCol cell")
+        val fs = demuxMjpegAvi(bytes)
+        Row.fromSeq(row.toSeq :+
+          fs.indices.collect { case k if k % everyN == 0 => fs(k) }.toSeq)
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** [[videoNearDupAvi]] with 64-BIT HASH fingerprints — the
+    * 100 TB-scale form. The exact-energy fingerprint is what makes
+    * the driver oracle possible, but its value domain is bounded
+    * (≤ pixelCount·255²): the round-12 scale probe measured the pair
+    * join going collision-quadratic past ~10⁴ videos (400k sampled
+    * frames into a ~2M-value domain → candidate pairs ∝ n²/domain).
+    * `xxhash64` over the raw frame bytes has a 2⁶⁴ domain — collision
+    * growth is negligible at any corpus size — at the documented cost
+    * of the hash-exact oracle (no DuckDB xxhash64 twin; spec-pinned
+    * instead). Hashing raw container bytes detects shared scenes
+    * muxed from the SAME encode; re-encoded content needs the decoded
+    * path ([[aviFrameEnergies]] or a perceptual per-frame hash).
+    */
+  def videoNearDupAviHashed(
+      df: DataFrame,
+      idCol: String,
+      bytesCol: String,
+      everyN: Int = 2,
+      threshold: Double = 0.5): DataFrame =
+    Dedup.setJaccardPairs(
+      withAviFrames(df.select(col(idCol), col(bytesCol)), bytesCol, everyN)
+        .select(col(idCol).as("doc_id"),
+          array_distinct(transform(col("frames"), f => xxhash64(f))).as("sh")),
+      "doc_id", "sh", threshold)
+
+  /** [[videoNearDup]] (pattern envelope) with 64-bit hash
+    * fingerprints — see [[videoNearDupAviHashed]] for why hashes are
+    * the at-scale fingerprint. Slices every `everyN`-th fixed-size
+    * frame behind `headerBytes` and hashes the raw slice in-plan
+    * (`xxhash64` over a substring of the binary column — codegen'd,
+    * no JVM row loop at all).
+    */
+  def videoNearDupHashed(
+      df: DataFrame,
+      idCol: String,
+      bytesCol: String,
+      headerBytes: Int = 8,
+      frameBytes: Int = 32,
+      everyN: Int = 2,
+      threshold: Double = 0.5): DataFrame = {
+    val b = col(bytesCol)
+    val nFrames = greatest(
+      ((octet_length(b) - headerBytes) / frameBytes).cast("long"), lit(0L))
+    val sampled = when(nFrames > 0,
+        sequence(lit(0L), nFrames - 1, lit(everyN.toLong)))
+      .otherwise(array().cast("array<bigint>"))
+    val hashes = transform(sampled, k =>
+      xxhash64(substr(b, lit(headerBytes.toLong) + k * frameBytes + 1L,
+        lit(frameBytes.toLong))))
+    Dedup.setJaccardPairs(
+      df.select(col(idCol).as("doc_id"), array_distinct(hashes).as("sh")),
+      "doc_id", "sh", threshold)
+  }
+
   /** Attach one REAL muxed MJPEG-in-AVI video per row: frame `k` is a
     * single uniform gray `g_k = splitmix64(seed·173 + k) mod_u 256`
     * (the same seed rule as [[encodePatternVideo]]'s `v_k`; frames in

@@ -172,6 +172,32 @@ class VideoSpec extends SparkSpecBase {
     assert(a1 === Set(3L), "the scene twin must be rejected by state, not accepted")
   }
 
+  test("hashed fingerprints: pattern and AVI variants find the planted pair, match the energy path") {
+    val rows = Seq(
+      (0L, 10L, 99L, 0, 30),
+      (1L, 11L, 99L, 0, 30),
+      (2L, 12L, 0L, -1, 0),
+      (3L, 13L, 0L, -1, 0)
+    ).toDF("doc_id", "__seed", "__shseed", "__shfrom", "__shcount")
+    // pattern envelope: in-plan slice+xxhash64 pairs ≡ energy pairs
+    // (identical frame bytes hash identically; the planted layout has
+    // no energy collisions, so the pair SETS coincide)
+    val vids = Multimodal.withPatternVideo(
+      rows, "__seed", "__shseed", "__shfrom", "__shcount")
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsOf(Multimodal.videoNearDupHashed(vids, "doc_id", "video")) ===
+      pairsOf(Multimodal.videoNearDup(vids, "doc_id", "video")))
+    // AVI: raw-frame xxhash64 finds the same planted pair
+    val avis = Multimodal.withMjpegAviVideo(
+      rows, "__seed", "__shseed", "__shfrom", "__shcount")
+    assert(pairsOf(Multimodal.videoNearDupAviHashed(avis, "doc_id", "video"))
+      .contains((0L, 1L)))
+    // no fabricated pairs among the unique-scene docs
+    assert(!pairsOf(Multimodal.videoNearDupAviHashed(avis, "doc_id", "video"))
+      .exists(p => p._1 >= 2L))
+  }
+
   test("videoNearDup: stable under repartitioning; threshold gate respected") {
     val rows = (0L until 12L).map { i =>
       if (i < 4) (i, i + 10L, (i / 2) + 99L, 0, 30) // two planted pairs
