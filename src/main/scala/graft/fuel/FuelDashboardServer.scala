@@ -1,0 +1,120 @@
+package graft.fuel
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path}
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+/** PUSH-style dashboard serving (round 12) — the last functional
+  * delta against the reference's Dash callback server
+  * (`DataAnalysis.py:59-63`): Dash pushes updated figures to the
+  * browser per interval; the static-HTML twin previously relied on a
+  * client-side meta-refresh poll. This server closes the gap with
+  * Server-Sent Events on pure JDK machinery (`com.sun.net.httpserver`
+  * — the same no-dependency posture as the MQTT broker/client and the
+  * OAuth2 REST source):
+  *
+  *  - `GET /` serves the CURRENT dashboard html (the file
+  *    [[FuelPipeline]]'s live tick atomically republishes), with a
+  *    three-line `EventSource` script injected before `</body>` and
+  *    any meta-refresh tag stripped — the browser holds ONE idle
+  *    connection instead of polling;
+  *  - `GET /events` is the SSE stream: one `data: refresh` event
+  *    whenever the underlying file's (mtime, size) changes — detected
+  *    by a server-side watch thread, so the push latency is the watch
+  *    period (default 250 ms), not the client's refresh interval.
+  *
+  * The file stays the unit of publication (atomic rename = a
+  * consistent snapshot per tick, exactly the pipeline's contract);
+  * the server adds only the notification channel. Scale shape: the
+  * dashboard is a bounded artifact (three aggregate charts), so
+  * serving is O(connections) with no Spark involvement at all —
+  * query work stays in the streaming tick that renders the file.
+  */
+final class FuelDashboardServer(
+    htmlPath: Path,
+    port: Int = 0,
+    watchMillis: Long = 250L) {
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  private val listeners =
+    java.util.Collections.synchronizedList(
+      new java.util.ArrayList[HttpExchange]())
+  @volatile private var running = true
+
+  private def stamp(): (Long, Long) =
+    if (Files.exists(htmlPath))
+      (Files.getLastModifiedTime(htmlPath).toMillis, Files.size(htmlPath))
+    else (0L, 0L)
+
+  /** The served page: current file content, meta-refresh stripped,
+    * SSE reload script injected.
+    */
+  private def page(): Array[Byte] = {
+    val raw =
+      if (Files.exists(htmlPath)) new String(Files.readAllBytes(htmlPath), UTF_8)
+      else "<!doctype html><html><body>dashboard not yet published</body></html>"
+    val noPoll = raw.replaceAll("""<meta http-equiv="refresh"[^>]*>""", "")
+    val script =
+      """<script>new EventSource('/events').onmessage=()=>location.reload();</script>"""
+    (if (noPoll.contains("</body>"))
+       noPoll.replace("</body>", script + "</body>")
+     else noPoll + script).getBytes(UTF_8)
+  }
+
+  server.createContext("/", (ex: HttpExchange) => {
+    if (ex.getRequestURI.getPath == "/events") {
+      ex.getResponseHeaders.set("Content-Type", "text/event-stream")
+      ex.getResponseHeaders.set("Cache-Control", "no-cache")
+      ex.sendResponseHeaders(200, 0)
+      // a comment line confirms the stream is live without forcing a
+      // reload; real events follow from the watcher
+      ex.getResponseBody.write(": connected\n\n".getBytes(UTF_8))
+      ex.getResponseBody.flush()
+      listeners.add(ex)
+    } else {
+      val body = page()
+      ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body)
+      ex.close()
+    }
+  })
+
+  private val watcher = new Thread(() => {
+    var last = stamp()
+    while (running) {
+      Thread.sleep(watchMillis)
+      val now = stamp()
+      if (now != last && now._2 > 0) {
+        last = now
+        val snapshot = listeners.toArray(Array.empty[HttpExchange])
+        snapshot.foreach { ex =>
+          try {
+            ex.getResponseBody.write("data: refresh\n\n".getBytes(UTF_8))
+            ex.getResponseBody.flush()
+          } catch { case _: java.io.IOException =>
+            listeners.remove(ex)
+            try ex.close() catch { case _: Throwable => }
+          }
+        }
+      }
+    }
+  }, "graft-dashboard-watch")
+  watcher.setDaemon(true)
+
+  server.start()
+  watcher.start()
+
+  /** `http://127.0.0.1:<boundPort>` — port resolved when 0 was asked. */
+  def address: String = s"http://127.0.0.1:${server.getAddress.getPort}"
+
+  def close(): Unit = {
+    running = false
+    val snapshot = listeners.toArray(Array.empty[HttpExchange])
+    snapshot.foreach(ex => try ex.close() catch { case _: Throwable => })
+    listeners.clear()
+    server.stop(0)
+  }
+}

@@ -30,6 +30,12 @@ object FuelPipeline {
   def main(args: Array[String]): Unit = {
     val Array(pricesDir, stationsDir, warehouseDir) = args.take(3)
     val dashboardPath = args.lift(3)
+    // Optional 5th arg: a port to PUSH-serve the dashboard on for the
+    // run's duration (SSE reload on each republish tick — the Dash
+    // callback-server twin; 0 picks a free port).
+    val dashServer = for (p <- args.lift(4); d <- dashboardPath) yield
+      new FuelDashboardServer(java.nio.file.Paths.get(d), p.toInt)
+    dashServer.foreach(s => println(s"[pipeline] dashboard live at ${s.address}/"))
     val spark = graft.GraftSession.get()
     val qs = start(spark, pricesDir, stationsDir, warehouseDir, dashboardPath)
     qs.foreach(_.processAllAvailable())
@@ -53,6 +59,7 @@ object FuelPipeline {
         generatedAt = java.time.Instant.now().toString))
       println(s"[pipeline] dashboard -> $p")
     }
+    dashServer.foreach(_.close())
     spark.stop()
   }
 

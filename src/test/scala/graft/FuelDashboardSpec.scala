@@ -75,4 +75,39 @@ class FuelDashboardSpec extends SparkSpecBase {
     val listing = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
     try assert(listing.count() === 1) finally listing.close()
   }
+
+  test("push server: serves injected SSE page and pushes refresh on file change") {
+    val tmp = java.nio.file.Files.createTempFile("graft_dash", ".html")
+    java.nio.file.Files.writeString(tmp,
+      """<!doctype html><html><head><meta http-equiv="refresh" content="2"></head>""" +
+        """<body>v1</body></html>""")
+    val srv = new fuel.FuelDashboardServer(tmp, port = 0, watchMillis = 50L)
+    try {
+      // GET /: content served, meta-refresh poll stripped, SSE script injected
+      val page = new String(
+        new java.net.URL(srv.address + "/").openStream().readAllBytes(), "UTF-8")
+      assert(page.contains("v1"))
+      assert(!page.contains("http-equiv"), "the poll tag must be stripped")
+      assert(page.contains("EventSource('/events')"))
+      // /events: one idle connection; a republish pushes `refresh`
+      val conn = new java.net.URL(srv.address + "/events").openConnection()
+      conn.setReadTimeout(5000)
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(conn.getInputStream, "UTF-8"))
+      assert(in.readLine() === ": connected")
+      // atomic republish, the pipeline's publication contract
+      val staged = java.nio.file.Files.createTempFile("graft_dash_stage", ".html")
+      java.nio.file.Files.writeString(staged, "<html><body>v2</body></html>")
+      java.nio.file.Files.move(staged, tmp,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      var line = in.readLine()
+      while (line != null && line.isEmpty) line = in.readLine()
+      assert(line === "data: refresh", s"expected SSE refresh push, got '$line'")
+      // the served page now reflects the new snapshot
+      val page2 = new String(
+        new java.net.URL(srv.address + "/").openStream().readAllBytes(), "UTF-8")
+      assert(page2.contains("v2"))
+    } finally srv.close()
+  }
 }
