@@ -1051,6 +1051,37 @@ object TextQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Streaming video gate over REAL MJPEG-in-AVI containers
+    * (round 12 — [[graft.streaming.VideoGate.acceptBatchAvi]]): the
+    * `q_video_neardup_avi` planted corpus in two parity micro-batches,
+    * so every planted scene-sharing pair straddles the batch boundary
+    * and the odd twin must be rejected via STATE. Every byte the gate
+    * fingerprints comes out of a RIFF demux + `javax.imageio` decode,
+    * and the oracle still replays it closed-form: decoded uniform-gray
+    * energies ([[Multimodal.videoEnergyAviDuckCtes]]) → the minhash
+    * signature/band/candidate tail → the two-batch gate replay.
+    */
+  private def streamVideoGateAvi(s: SparkSession, d: String): DataFrame = {
+    val planted = Tables.documents(s, d)
+      .select(col("doc_id")).filter(col("doc_id") < 120)
+      .select(
+        col("doc_id"),
+        (col("doc_id") + 6000L).as("__seed"),
+        when(col("doc_id") < 50, expr("doc_id div 2") + 8000L)
+          .otherwise(lit(0L)).as("__shseed"),
+        when(col("doc_id") < 50, lit(0)).otherwise(lit(-1)).as("__shfrom"),
+        when(col("doc_id") < 50, lit(30)).otherwise(lit(0)).as("__shcount"))
+    val vids = Multimodal.withMjpegAviVideo(
+      planted, "__seed", "__shseed", "__shfrom", "__shcount")
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_vidgate_avi_state").toString
+    val a0 = graft.streaming.VideoGate.acceptBatchAvi(
+      vids.filter(col("doc_id") % 2 === 0), 0L, "doc_id", "video", stateDir)
+    val a1 = graft.streaming.VideoGate.acceptBatchAvi(
+      vids.filter(col("doc_id") % 2 =!= 0), 1L, "doc_id", "video", stateDir)
+    a0.union(a1).select("doc_id")
+  }
+
   /** [[videoNeardup]] over REAL MJPEG-in-AVI containers (round 12):
     * the same planted shared-scene layout (docs 0-49 pair up via a
     * 30-frame shared run, 50-119 all-unique), but each payload is a
@@ -2036,6 +2067,22 @@ object TextQueries {
          |${Dedup.minhashPairsFromHsDuckCtes("vg_hs")},
          |vg_univ AS (SELECT doc_id FROM documents WHERE doc_id < 200),
          |${Dedup.gateReplayDuckCtes("mh_pairs", exact = false, table = "vg_univ")}
+         |SELECT doc_id FROM gate_accept""".stripMargin)),
+    QueryDef("q_stream_video_gate_avi", streamVideoGateAvi, Some(
+      s"""WITH RECURSIVE ${Multimodal.videoEnergyAviDuckCtes(
+             """SELECT doc_id,
+               |    CAST(doc_id + 6000 AS HUGEINT) AS seed,
+               |    CAST(CASE WHEN doc_id < 50 THEN doc_id // 2 + 8000
+               |              ELSE 0 END AS HUGEINT) AS shseed,
+               |    CASE WHEN doc_id < 50 THEN 0 ELSE -1 END AS shfrom,
+               |    CASE WHEN doc_id < 50 THEN 30 ELSE 0 END AS shcount
+               |  FROM documents WHERE doc_id < 120""".stripMargin)},
+         |vga_hs AS (
+         |  SELECT doc_id, list(e ORDER BY k) AS hs
+         |  FROM vav_en GROUP BY doc_id),
+         |${Dedup.minhashPairsFromHsDuckCtes("vga_hs")},
+         |vga_univ AS (SELECT doc_id FROM documents WHERE doc_id < 120),
+         |${Dedup.gateReplayDuckCtes("mh_pairs", exact = false, table = "vga_univ")}
          |SELECT doc_id FROM gate_accept""".stripMargin)),
     QueryDef("q_stream_curate", streamCurateQ,
       Some(streamCurateOracle(exact = false)), headline = true),
