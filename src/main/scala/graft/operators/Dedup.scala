@@ -169,6 +169,40 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** STAR-candidate variant of [[candidatesFromBandedSigs]] — the
+    * dup-heavy-corpus mitigation (round 12): a k-member duplicate
+    * clique puts k²/2 pairs through est-Jaccard verification in the
+    * all-pairs form (the 300×-dupes probe measured ~5.6M verified
+    * pairs per batch, 323 s standalone gate), but downstream
+    * connected components only need CONNECTIVITY. Here each (band,
+    * bucket) group verifies every member against the group's MIN-id
+    * hub only — O(k) pairs per bucket — so an exact-duplicate clique
+    * (identical signatures, est-Jaccard 1 to its hub) collapses to
+    * one component at linear cost.
+    *
+    * Recall trade, stated precisely: a pair (x, y) survives iff some
+    * shared bucket's hub h has est(x,h) ≥ t AND est(y,h) ≥ t — lossless
+    * for true-duplicate cliques and for any bucket whose hub is itself
+    * a near-dup of both sides; a borderline pair whose only similar
+    * intermediary is NOT a hub is lost. Pair-set consumers
+    * (decontamination reports, oracle-pinned pair queries) must keep
+    * the all-pairs form; keeper-dedup at crawl scale is what this is
+    * for.
+    */
+  private[graft] def starCandidatesFromBandedSigs(
+      sigs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    val hubs = sigs.groupBy(col("band"), col("bucket"))
+      .agg(min_by(struct(col("doc_id"), col("sig")), col("doc_id")).as("__h"))
+      .select(col("band"), col("bucket"),
+        col("__h.doc_id").as("hub_id"), col("__h.sig").as("hub_sig"))
+    sigs.join(hubs, Seq("band", "bucket"))
+      .filter(col("doc_id") =!= col("hub_id"))
+      .select(col("hub_id").as("id_a"), col("doc_id").as("id_b"),
+        estJaccard(col("sig"), col("hub_sig"), n).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= threshold)
+  }
+
   /** SimHash-64: per token, a 64-bit token hash votes ±1 on each of
     * 64 bits; sign of the vote sum sets the bit. Near-dups differ in
     * few bits (Hamming distance). The 64-lane vote runs in the native

@@ -102,7 +102,8 @@ object NearDupGate {
       n: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.5,
-      exact: Boolean = false): DataFrame = {
+      exact: Boolean = false,
+      starIntra: Boolean = false): DataFrame = {
     val spark = batch.sparkSession
     val sigs = Dedup.bandedSignatures(batch, idCol, textCol, k, n, bands)
     // A replayed batch must not match its own previously-committed
@@ -118,7 +119,14 @@ object NearDupGate {
         col("a.band") === col("s.band") &&
         col("a.bucket") === col("s.bucket") &&
         Dedup.estJaccard(col("a.sig"), col("s.sig"), n) >= threshold,
-      intraPairs = Dedup.candidatesFromBandedSigs(sigs, n, threshold),
+      // starIntra: the dup-heavy-corpus knob — hub-star candidates
+      // (O(k) verified pairs per k-member bucket instead of k²/2;
+      // exact for true-duplicate cliques, recall-bounded for
+      // borderline pairs — see starCandidatesFromBandedSigs). The
+      // state match above is unchanged either way.
+      intraPairs =
+        if (starIntra) Dedup.starCandidatesFromBandedSigs(sigs, n, threshold)
+        else Dedup.candidatesFromBandedSigs(sigs, n, threshold),
       stateDir = stateDir,
       exact = exact)
   }

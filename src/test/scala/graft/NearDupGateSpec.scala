@@ -94,6 +94,31 @@ class NearDupGateSpec extends SparkSpecBase {
   private val chainB = chainA.replace("t04 t05", "x04 x05")
   private val chainC = chainB.replace("t15 t16", "y15 y16")
 
+  test("starIntra: exact-dup cliques collapse identically to all-pairs; O(k) verified pairs") {
+    // A 12-member exact-duplicate clique plus uniques: star candidates
+    // (every member vs the bucket's min-id hub) must produce the SAME
+    // acceptance as the all-pairs form — identical signatures make
+    // est-Jaccard to the hub exactly 1 — while verifying O(k) pairs
+    // instead of k(k-1)/2.
+    val clique = (100L until 112L).map(_ -> baseA)
+    val uniques = Seq(20L -> baseB, 30L -> "short unique text")
+    val b0 = docsDf((clique ++ uniques): _*)
+    val sAll = tmp("ndg_all"); val sStar = tmp("ndg_star")
+    val accAll = NearDupGate.acceptBatch(b0, 0L, "doc_id", "text", sAll)
+      .select("doc_id").as[Long].collect().toSet
+    val accStar = NearDupGate.acceptBatch(b0, 0L, "doc_id", "text", sStar,
+        starIntra = true)
+      .select("doc_id").as[Long].collect().toSet
+    assert(accStar === accAll)
+    assert(accStar === Set(100L, 20L, 30L))
+    // later batch: state rejection works the same in star mode
+    val acc1 = NearDupGate.acceptBatch(
+        docsDf(200L -> baseA, 210L -> "another fresh unique line of words here"),
+        1L, "doc_id", "text", sStar, starIntra = true)
+      .select("doc_id").as[Long].collect().toSet
+    assert(acc1 === Set(210L))
+  }
+
   test("exact mode: a doc matching only a REJECTED doc is rejected; default mode accepts it") {
     // Premise check on the minhash estimates the gate actually uses:
     // edges are exactly A–B and B–C, never A–C.
