@@ -92,6 +92,24 @@ class DedupSpec extends SparkSpecBase {
     assert((exact -- mh).isEmpty, s"missed: ${(exact -- mh).take(5)}")
   }
 
+  test("dropNearDuplicates star mode: identical keepers on cliques + near-dups, O(k) pair shape") {
+    // 8-member exact clique, one near-dup pair, uniques: star
+    // (hub-only verification) must keep exactly what all-pairs keeps.
+    val docs = ((0L until 8L).map(i => (100L + i, base)) ++ Seq(
+      (1L, base.replace("warm", "cold") + " tail"),
+      (200L, "completely different unique sentence about parquet files and shuffles"),
+      (201L, "another unrelated line mentioning watermarks and state stores")))
+      .toDF("doc_id", "text")
+    def keepers(star: Boolean) =
+      Dedup.dropNearDuplicates(docs, "doc_id", "text", star = star)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = keepers(star = false)
+    assert(keepers(star = true) === all)
+    assert(all.contains(200L) && all.contains(201L))
+    assert(all.count(id => id >= 100L && id < 108L) <= 1,
+      s"clique must collapse, got $all")
+  }
+
   test("connectedComponents collapses chains to the min id") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
     val comp = Dedup.connectedComponents(pairs)
