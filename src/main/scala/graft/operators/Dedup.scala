@@ -297,6 +297,28 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** STAR variant of [[hamming64PairsFromBanded]] — the
+    * banded-Hamming family's dup-heavy-corpus form (the same trade as
+    * [[starCandidatesFromBandedSigs]], see its scaladoc): each
+    * (band, bucket) group verifies members against the group's
+    * MIN-id hub only, O(k) `bit_count` checks per bucket. Exact for
+    * identical-signature cliques; recall-bounded for borderline pairs
+    * whose only ≤-maxHamming intermediary is not a hub.
+    */
+  private[graft] def starHamming64PairsFromBanded(
+      banded: DataFrame, maxHamming: Int): DataFrame = {
+    val hubs = banded.groupBy(col("band"), col("bucket"))
+      .agg(min_by(struct(col("doc_id"), col("sig")), col("doc_id")).as("__h"))
+      .select(col("band"), col("bucket"),
+        col("__h.doc_id").as("hub_id"), col("__h.sig").as("hub_sig"))
+    banded.join(hubs, Seq("band", "bucket"))
+      .filter(col("doc_id") =!= col("hub_id"))
+      .select(col("hub_id").as("id_a"), col("doc_id").as("id_b"),
+        hamming64(col("sig"), col("hub_sig")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Connected components over an undirected near-dup pair list —
     * the step that turns pairwise candidates into dedup groups, with
     * every member labeled by its component's minimum id.

@@ -59,7 +59,8 @@ object Hamming64Gate {
       sigCol: String,
       stateDir: String,
       maxHamming: Int = 3,
-      exact: Boolean = false): DataFrame = {
+      exact: Boolean = false,
+      starIntra: Boolean = false): DataFrame = {
     val spark = batch.sparkSession
     val sigs = Dedup.banded64(
       batch.select(col(idCol).cast("long").as("doc_id"),
@@ -74,7 +75,12 @@ object Hamming64Gate {
         col("a.band") === col("s.band") &&
         col("a.bucket") === col("s.bucket") &&
         Dedup.hamming64(col("a.sig"), col("s.sig")) <= maxHamming,
-      intraPairs = Dedup.hamming64PairsFromBanded(sigs, maxHamming),
+      // starIntra: hub-only bucket verification for dup-heavy
+      // corpora (O(k) bit_count checks per bucket; exact for
+      // identical-signature cliques) — see starHamming64PairsFromBanded.
+      intraPairs =
+        if (starIntra) Dedup.starHamming64PairsFromBanded(sigs, maxHamming)
+        else Dedup.hamming64PairsFromBanded(sigs, maxHamming),
       stateDir = stateDir,
       exact = exact)
   }

@@ -46,7 +46,8 @@ object VideoGate {
       n: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.5,
-      exact: Boolean = false): DataFrame = {
+      exact: Boolean = false,
+      starIntra: Boolean = false): DataFrame = {
     require(n % bands == 0, s"signature length $n must divide into $bands bands")
     // The minhash-of-energies scheme is only sound while every frame
     // energy stays inside the mod-p hash domain (lane coefficients and
@@ -60,7 +61,7 @@ object VideoGate {
       batch.select(col(idCol), col(bytesCol)), bytesCol,
       headerBytes, frameBytes, everyN)
     fromEnergies(batch, batchId, idCol, energies, stateDir, n, bands,
-      threshold, exact)
+      threshold, exact, starIntra)
   }
 
   /** [[acceptBatch]] over REAL MJPEG-in-AVI payloads (round 12): the
@@ -84,7 +85,8 @@ object VideoGate {
       n: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.5,
-      exact: Boolean = false): DataFrame = {
+      exact: Boolean = false,
+      starIntra: Boolean = false): DataFrame = {
     require(n % bands == 0, s"signature length $n must divide into $bands bands")
     val p = graft.functions.ShingleHashModExpr.P
     val energies = Multimodal.withAviFrameEnergies(
@@ -94,7 +96,7 @@ object VideoGate {
           lit("VideoGate.acceptBatchAvi: decoded frame energy "), e,
           lit(s" >= 2^31-1 — frame too large for the minhash lane domain"))))))
     fromEnergies(batch, batchId, idCol, energies, stateDir, n, bands,
-      threshold, exact)
+      threshold, exact, starIntra)
   }
 
   /** The shared gate core over any `(idCol, frames array<long>)`
@@ -110,7 +112,8 @@ object VideoGate {
       n: Int,
       bands: Int,
       threshold: Double,
-      exact: Boolean): DataFrame = {
+      exact: Boolean,
+      starIntra: Boolean = false): DataFrame = {
     val rows = n / bands
     // Payloads too short for one frame still need a signature (the
     // state schema is fixed): the empty element set signs as [0],
@@ -132,7 +135,9 @@ object VideoGate {
         col("a.band") === col("s.band") &&
         col("a.bucket") === col("s.bucket") &&
         Dedup.estJaccard(col("a.sig"), col("s.sig"), n) >= threshold,
-      intraPairs = Dedup.candidatesFromBandedSigs(sigs, n, threshold),
+      intraPairs =
+        if (starIntra) Dedup.starCandidatesFromBandedSigs(sigs, n, threshold)
+        else Dedup.candidatesFromBandedSigs(sigs, n, threshold),
       stateDir = stateDir,
       exact = exact)
   }

@@ -34,6 +34,27 @@ class Hamming64GateSpec extends SparkSpecBase {
     assert(acc === Set(10L, 20L))
   }
 
+  test("starIntra: identical-signature cliques collapse exactly like all-pairs") {
+    // 10 identical signatures + distinct ones: hub verification
+    // (hamming to the bucket min-id = 0) must accept the same set as
+    // all-pairs, with O(k) bit_count checks instead of k(k-1)/2.
+    val clique = (100L until 110L).map(_ -> sigA)
+    val b0 = sigsDf((clique ++ Seq(20L -> ~sigA, 30L -> (~sigA ^ 0xF0F0L))): _*)
+    val sAll = tmp("h64_all"); val sStar = tmp("h64_star")
+    val accAll = Hamming64Gate.acceptBatch(b0, 0L, "id", "sig", sAll)
+      .select("id").as[Long].collect().toSet
+    val accStar = Hamming64Gate.acceptBatch(b0, 0L, "id", "sig", sStar,
+        starIntra = true)
+      .select("id").as[Long].collect().toSet
+    assert(accStar === accAll)
+    assert(accStar.contains(100L) && !accStar.exists(id => id > 100L && id < 110L))
+    // state rejection unchanged in star mode
+    val acc1 = Hamming64Gate.acceptBatch(sigsDf(200L -> (sigA ^ 0x1L)),
+        1L, "id", "sig", sStar, starIntra = true)
+      .select("id").as[Long].collect().toSet
+    assert(acc1 === Set.empty[Long])
+  }
+
   test("later batch rejects sigs near an earlier accepted one; replay is idempotent") {
     val state = tmp("h64_state")
     Hamming64Gate.acceptBatch(sigsDf(10L -> sigA), 0L, "id", "sig", state).collect()
