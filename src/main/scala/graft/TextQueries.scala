@@ -201,6 +201,19 @@ object TextQueries {
     Dedup.dropNearDuplicates(Tables.documents(s, d), "doc_id", "text")
       .select("doc_id", "lang", "source", "n_chars")
 
+  /** [[dedupDocs]] in hub-STAR candidate mode (round 12 — the
+    * dup-heavy-corpus form, 19× measured at 300×-dupes): each LSH
+    * bucket verifies members against its min-id hub only. The oracle
+    * replays the EXACT star semantics ([[Dedup.starPairsDuckCtes]]
+    * over the shared signature chain), so the recall-bounded pair
+    * subset is itself hash-checked — not merely spec-asserted equal
+    * on cliques.
+    */
+  private def dedupDocsStar(s: SparkSession, d: String): DataFrame =
+    Dedup.dropNearDuplicates(Tables.documents(s, d), "doc_id", "text",
+      star = true)
+      .select("doc_id", "lang", "source", "n_chars")
+
   /** Quality-ranked dedup ([[Dedup.dropNearDuplicatesBy]]): same
     * near-dup components as `q_dedup_docs`, but each component keeps
     * its LONGEST member (ties to the smaller id) — the keeper policy
@@ -2031,6 +2044,14 @@ object TextQueries {
          |FROM documents d LEFT JOIN losers l ON d.doc_id = l.id
          |WHERE l.id IS NULL""".stripMargin),
       headline = true),
+    QueryDef("q_dedup_docs_star", dedupDocsStar, Some(
+      s"""WITH RECURSIVE ${Dedup.minhashCandDuckCtes(duckToks("text"))},
+         |${Dedup.starPairsDuckCtes()},
+         |${Dedup.ccDuckCtes("mh_spairs")},
+         |losers AS (SELECT id FROM cc_comp WHERE id <> component)
+         |SELECT d.doc_id, d.lang, d.source, d.n_chars
+         |FROM documents d LEFT JOIN losers l ON d.doc_id = l.id
+         |WHERE l.id IS NULL""".stripMargin)),
     QueryDef("q_dedup_best", dedupBest, Some(
       s"""WITH RECURSIVE ${Dedup.minhashCandDuckCtes(duckToks("text"))},
          |${Dedup.ccDuckCtes("mh_pairs")},

@@ -1008,6 +1008,34 @@ object Dedup {
        |  WHERE est_jaccard >= $threshold)""".stripMargin
   }
 
+  /** Hub-STAR pair CTEs appended after [[minhashCandDuckCtes]] (which
+    * provides `mh_banded`/`mh_sigs`) — the oracle twin of
+    * [[starCandidatesFromBandedSigs]]: per (band, bucket) the min-id
+    * hub, members verified against it at est-Jaccard ≥ threshold.
+    * Ends at `mh_spairs (id_a, id_b, est_jaccard)`, MATERIALIZED for
+    * the recursive CC downstream. (Both engines block on the band
+    * slice — Spark via xxhash64 of the slice, the oracle via slice
+    * equality; identical grouping up to a 2⁻⁶⁴ hash collision, the
+    * standing assumption of the whole minhash oracle family.)
+    */
+  def starPairsDuckCtes(n: Int = 64, threshold: Double = 0.5): String =
+    s"""mh_hub AS (
+       |  SELECT band, bucket, min(doc_id) AS hub_id
+       |  FROM mh_banded GROUP BY 1, 2),
+       |mh_scand AS (
+       |  SELECT DISTINCT h.hub_id AS id_a, b.doc_id AS id_b
+       |  FROM mh_banded b
+       |  JOIN mh_hub h ON h.band = b.band AND h.bucket = b.bucket
+       |  WHERE b.doc_id <> h.hub_id),
+       |mh_spairs AS MATERIALIZED (
+       |  SELECT id_a, id_b, est_jaccard FROM (
+       |    SELECT id_a, id_b,
+       |      round(CAST(len(list_filter(range($n), j ->
+       |        sa.sig[j + 1] = sb.sig[j + 1])) AS DOUBLE) / $n, 4) AS est_jaccard
+       |    FROM mh_scand JOIN mh_sigs sa ON sa.doc_id = id_a
+       |    JOIN mh_sigs sb ON sb.doc_id = id_b) t
+       |  WHERE est_jaccard >= $threshold)""".stripMargin
+
   /** DuckDB recursive-CTE connected components over a pair CTE with
     * columns `(id_a, id_b)` — the oracle twin of
     * [[connectedComponents]]'s min-label contract: `cc_comp(id,
