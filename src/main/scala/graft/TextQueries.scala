@@ -250,6 +250,30 @@ object TextQueries {
     a0.union(a1).select("doc_id")
   }
 
+  /** [[streamNeardup]] with the intra-batch candidates in hub-STAR
+    * mode (`starIntra = true` — the dup-heavy-corpus mitigation, 19×
+    * measured at 300×-dupes): each micro-batch verifies bucket
+    * members against the batch's own min-id hub only, while the
+    * cross-history state match stays the full bucket join. Oracle:
+    * [[Dedup.starPairsParityDuckCtes]] (per-batch hubs — the batch's
+    * min id per bucket, NOT the corpus hub filtered by parity)
+    * feeding [[Dedup.gateReplayDuckCtes]]'s intra-pair overrides, so
+    * the scale path's recall-bounded acceptance set is itself
+    * hash-checked, not merely spec-asserted equal on cliques.
+    */
+  private def streamNeardupStar(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_ndgate_star_state").toString
+    val a0 = graft.streaming.NearDupGate.acceptBatch(
+      docs.filter(col("doc_id") % 2 === 0), 0L, "doc_id", "text", stateDir,
+      starIntra = true)
+    val a1 = graft.streaming.NearDupGate.acceptBatch(
+      docs.filter(col("doc_id") % 2 =!= 0), 1L, "doc_id", "text", stateDir,
+      starIntra = true)
+    a0.union(a1).select("doc_id")
+  }
+
   /** The composed curation pipeline as ONE driven stream
     * ([[graft.streaming.StreamCurate]] — the streaming twin of
     * `q_curate`): quality gate → near-dup gate → per-language
@@ -2071,6 +2095,14 @@ object TextQueries {
     QueryDef("q_stream_neardup", streamNeardup, Some(
       s"""WITH RECURSIVE ${Dedup.minhashCandDuckCtes(duckToks("text"))},
          |${Dedup.gateReplayDuckCtes("mh_pairs", exact = false)}
+         |SELECT doc_id FROM gate_accept""".stripMargin),
+      headline = true),
+    QueryDef("q_stream_neardup_star", streamNeardupStar, Some(
+      s"""WITH RECURSIVE ${Dedup.minhashCandDuckCtes(duckToks("text"))},
+         |${Dedup.starPairsParityDuckCtes()},
+         |${Dedup.gateReplayDuckCtes("mh_pairs", exact = false,
+             intraEvenCte = Some("mh_spairs_e"),
+             intraOddCte = Some("mh_spairs_o"))}
          |SELECT doc_id FROM gate_accept""".stripMargin),
       headline = true),
     QueryDef("q_stream_video_gate", streamVideoGate, Some(

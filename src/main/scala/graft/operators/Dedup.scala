@@ -1036,6 +1036,40 @@ object Dedup {
        |    JOIN mh_sigs sb ON sb.doc_id = id_b) t
        |  WHERE est_jaccard >= $threshold)""".stripMargin
 
+  /** Per-PARITY hub-star pair CTEs (appended after
+    * [[minhashCandDuckCtes]]) — the oracle twin of the STREAMING star
+    * gate's intra-batch candidates (`q_stream_neardup_star`): the
+    * two-parity-batch replay computes [[starCandidatesFromBandedSigs]]
+    * WITHIN each micro-batch, so each batch's hubs are the min id of
+    * ITS OWN rows in a (band, bucket) — NOT the corpus-wide hub
+    * filtered by parity (a corpus hub of even id would leave the odd
+    * batch's bucket hubless, and vice versa; signatures themselves
+    * are per-doc, so the corpus-wide `mh_banded` filtered by parity
+    * IS each batch's banded-signature set). Emits `mh_spairs_e` /
+    * `mh_spairs_o` `(id_a, id_b, est_jaccard)`, MATERIALIZED for the
+    * recursive CC downstream.
+    */
+  def starPairsParityDuckCtes(n: Int = 64, threshold: Double = 0.5): String = {
+    def side(par: Int, suf: String): String =
+      s"""mh_hub_$suf AS (
+         |  SELECT band, bucket, min(doc_id) AS hub_id
+         |  FROM mh_banded WHERE doc_id % 2 = $par GROUP BY 1, 2),
+         |mh_scand_$suf AS (
+         |  SELECT DISTINCT h.hub_id AS id_a, b.doc_id AS id_b
+         |  FROM mh_banded b
+         |  JOIN mh_hub_$suf h ON h.band = b.band AND h.bucket = b.bucket
+         |  WHERE b.doc_id % 2 = $par AND b.doc_id <> h.hub_id),
+         |mh_spairs_$suf AS MATERIALIZED (
+         |  SELECT id_a, id_b, est_jaccard FROM (
+         |    SELECT id_a, id_b,
+         |      round(CAST(len(list_filter(range($n), j ->
+         |        sa.sig[j + 1] = sb.sig[j + 1])) AS DOUBLE) / $n, 4) AS est_jaccard
+         |    FROM mh_scand_$suf JOIN mh_sigs sa ON sa.doc_id = id_a
+         |    JOIN mh_sigs sb ON sb.doc_id = id_b) t
+         |  WHERE est_jaccard >= $threshold)""".stripMargin
+    side(0, "e") + ",\n" + side(1, "o")
+  }
+
   /** DuckDB recursive-CTE connected components over a pair CTE with
     * columns `(id_a, id_b)` — the oracle twin of
     * [[connectedComponents]]'s min-label contract: `cc_comp(id,
@@ -1096,18 +1130,33 @@ object Dedup {
     * (default the `documents` corpus; `q_stream_embed_gate` replays
     * over `embeddings.vec_id`). The emitted id column is always
     * `doc_id` — the gate's output name, whatever the source.
+    *
+    * `intraEvenCte`/`intraOddCte` override the INTRA-batch candidate
+    * pairs with already-parity-restricted CTEs (the star gate's
+    * per-batch hub pairs, [[starPairsParityDuckCtes]]); the
+    * cross-history hit check (`g_o_hit`) always stays on `pairsCte` —
+    * [[graft.streaming.SigGate]]'s state match predicate is the full
+    * bucket join whatever the intra-candidate mode.
     */
   def gateReplayDuckCtes(
       pairsCte: String,
       exact: Boolean,
       table: String = "documents",
-      idCol: String = "doc_id"): String = {
+      idCol: String = "doc_id",
+      intraEvenCte: Option[String] = None,
+      intraOddCte: Option[String] = None): String = {
     val state =
       if (exact) "SELECT doc_id FROM g_univ WHERE doc_id % 2 = 0"
       else "SELECT doc_id FROM g_acc0"
+    val ePairs = intraEvenCte.map(c => s"SELECT id_a, id_b FROM $c")
+      .getOrElse(
+        s"SELECT id_a, id_b FROM $pairsCte WHERE id_a % 2 = 0 AND id_b % 2 = 0")
+    val oPairs = intraOddCte.map(c => s"SELECT id_a, id_b FROM $c")
+      .getOrElse(
+        s"SELECT id_a, id_b FROM $pairsCte WHERE id_a % 2 = 1 AND id_b % 2 = 1")
     s"""g_univ AS (SELECT $idCol AS doc_id FROM $table),
        |g_e_pairs AS (
-       |  SELECT id_a, id_b FROM $pairsCte WHERE id_a % 2 = 0 AND id_b % 2 = 0),
+       |  $ePairs),
        |g_e_edges AS MATERIALIZED (
        |  SELECT id_a AS s, id_b AS d FROM g_e_pairs
        |  UNION
@@ -1128,7 +1177,7 @@ object Dedup {
        |    ON s.doc_id = CASE WHEN p.id_a % 2 = 0 THEN p.id_a ELSE p.id_b END
        |  WHERE (p.id_a % 2) <> (p.id_b % 2)),
        |g_o_pairs AS (
-       |  SELECT id_a, id_b FROM $pairsCte WHERE id_a % 2 = 1 AND id_b % 2 = 1),
+       |  $oPairs),
        |g_o_edges AS MATERIALIZED (
        |  SELECT id_a AS s, id_b AS d FROM g_o_pairs
        |  UNION

@@ -744,8 +744,13 @@ object Similarity {
     * hot after `maxDepth` quantizer levels — the degenerate case of
     * more-than-cap NEAR-IDENTICAL vectors, which no similarity
     * quantizer can separate — is hash-split to bounded buckets whose
-    * hubs (min-id member per bucket) are chained pairwise so
-    * CONNECTIVITY survives the split.
+    * hubs (min-id member per bucket) are STAR-connected to the
+    * parent's min-bucket hub so CONNECTIVITY survives the split.
+    * (Star, not an adjacent-index chain: hash buckets can be EMPTY —
+    * `pmod` of a hash has no occupancy guarantee — and a chain link
+    * through a missing index would silently break the group; the
+    * anchor hub always exists, and one dissimilar hub now costs only
+    * its own link, never the whole downstream path. Round-13 fix.)
     *
     * Contract change vs [[cosineNearDupPairs]]: the output is a
     * RECALL-BOUNDED, connectivity-preserving subset of the ≥threshold
@@ -777,9 +782,21 @@ object Similarity {
     require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
     require(maxBlockSize >= 2, s"maxBlockSize must be >= 2, got $maxBlockSize")
     def norm(df: DataFrame): DataFrame = df.select("vec_id", "v", "block")
+    // Internal block names must be INJECTIVE in their derivation: a
+    // caller block containing '/' or '#' must never equal a
+    // synthesized sub-block of some other block (silently merging
+    // unrelated blocks). Entry blocks get an `r` marker; every
+    // synthesized child prefixes the PARENT'S LENGTH (`<len>:`), so
+    // the parent segment is uniquely recoverable and distinct
+    // (parent, seed/bucket) derivations can never collide — children
+    // start with a digit, entry names with 'r'.
+    def childName(parent: Column, sep: String, tag: Column): Column =
+      concat(length(parent).cast("string"), lit(":"), parent, lit(sep),
+        tag.cast("string"))
     var v = Materialize(vecs
       .select(col(idCol).as("vec_id"), col(vecCol).as("v"),
-        blockCol.cast("string").as("block"))
+        concat(lit("r"), blockCol.cast("string")).as("block"))
+      // concat null-propagates, so a NULL caller block stays NULL
       .filter(col("block").isNotNull))
     val bounded = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var bridgeHubs: Option[DataFrame] = None
@@ -793,13 +810,13 @@ object Similarity {
       if (hot.isEmpty) remaining = false
       else if (depth >= maxDepth) {
         // Terminal hash split: bucket count sized to land buckets at
-        // ~half the cap; hubs chain across adjacent buckets of the
-        // same parent so a split duplicate group stays one component.
+        // ~half the cap; hubs star-connect to the parent's min-bucket
+        // hub so a split duplicate group stays one component.
         val split = Materialize(hot
           .withColumn("__bkt", pmod(xxhash64(col("vec_id").cast("string")),
             ceil(col("__bn") * lit(2.0) / lit(maxBlockSize.toDouble)).cast("long")))
           .select(col("vec_id"), col("v"),
-            concat(col("block"), lit("#"), col("__bkt").cast("string")).as("block"),
+            childName(col("block"), "#", col("__bkt")).as("block"),
             col("block").as("__parent"), col("__bkt")))
         bounded += norm(split)
         bridgeHubs = Some(split.groupBy(col("__parent"), col("__bkt"))
@@ -824,9 +841,9 @@ object Similarity {
             Det.round(cosine(col("v"), col("__sv")), 6).as("__cs"))
           .groupBy("vec_id")
           .agg(any_value(col("v")).as("v"),
-            concat(any_value(col("block")), lit("/"),
-              min_by(col("__seed_id"), struct(-col("__cs"), col("__seed_id")))
-                .cast("string")).as("block")))
+            childName(any_value(col("block")), "/",
+              min_by(col("__seed_id"), struct(-col("__cs"), col("__seed_id"))))
+              .as("block")))
         depth += 1
       }
     }
@@ -839,13 +856,19 @@ object Similarity {
     bridgeHubs match {
       case None => intra
       case Some(hubs) =>
-        val chain = hubs.as("a").join(hubs.as("b"),
-            col("a.__parent") === col("b.__parent") &&
-            col("a.__bkt") + 1 === col("b.__bkt"))
+        // Star to the min-__bkt hub, which is always PRESENT (it is
+        // derived from occupied buckets) — an adjacent-index join
+        // (`__bkt + 1`) breaks silently at any hash-empty bucket.
+        val anchor = hubs.groupBy("__parent")
+          .agg(min_by(struct(col("vec_id"), col("v")), col("__bkt")).as("__a"))
+          .select(col("__parent"), col("__a.vec_id").as("anchor_id"),
+            col("__a.v").as("anchor_v"))
+        val chain = hubs.join(anchor, "__parent")
+          .filter(col("vec_id") =!= col("anchor_id"))
           .select(
-            least(col("a.vec_id"), col("b.vec_id")).as("id_a"),
-            greatest(col("a.vec_id"), col("b.vec_id")).as("id_b"),
-            Det.round(cosine(col("a.v"), col("b.v")), 6).as("cos_sim"))
+            least(col("vec_id"), col("anchor_id")).as("id_a"),
+            greatest(col("vec_id"), col("anchor_id")).as("id_b"),
+            Det.round(cosine(col("v"), col("anchor_v")), 6).as("cos_sim"))
           .filter(col("cos_sim") >= threshold)
         intra.unionAll(chain)
     }

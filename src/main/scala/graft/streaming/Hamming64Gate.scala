@@ -60,7 +60,8 @@ object Hamming64Gate {
       stateDir: String,
       maxHamming: Int = 3,
       exact: Boolean = false,
-      starIntra: Boolean = false): DataFrame = {
+      starIntra: Boolean = false,
+      autoStarPairsCap: Long = SigGate.defaultAutoStarPairsCap): DataFrame = {
     val spark = batch.sparkSession
     val sigs = Dedup.banded64(
       batch.select(col(idCol).cast("long").as("doc_id"),
@@ -79,7 +80,8 @@ object Hamming64Gate {
       // corpora (O(k) bit_count checks per bucket; exact for
       // identical-signature cliques) — see starHamming64PairsFromBanded.
       intraPairs =
-        if (starIntra) Dedup.starHamming64PairsFromBanded(sigs, maxHamming)
+        if (SigGate.useStar(sigs, starIntra, autoStarPairsCap))
+          Dedup.starHamming64PairsFromBanded(sigs, maxHamming)
         else Dedup.hamming64PairsFromBanded(sigs, maxHamming),
       stateDir = stateDir,
       exact = exact)

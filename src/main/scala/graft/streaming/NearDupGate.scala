@@ -103,7 +103,8 @@ object NearDupGate {
       bands: Int = 16,
       threshold: Double = 0.5,
       exact: Boolean = false,
-      starIntra: Boolean = false): DataFrame = {
+      starIntra: Boolean = false,
+      autoStarPairsCap: Long = SigGate.defaultAutoStarPairsCap): DataFrame = {
     val spark = batch.sparkSession
     val sigs = Dedup.bandedSignatures(batch, idCol, textCol, k, n, bands)
     // A replayed batch must not match its own previously-committed
@@ -119,13 +120,17 @@ object NearDupGate {
         col("a.band") === col("s.band") &&
         col("a.bucket") === col("s.bucket") &&
         Dedup.estJaccard(col("a.sig"), col("s.sig"), n) >= threshold,
-      // starIntra: the dup-heavy-corpus knob — hub-star candidates
-      // (O(k) verified pairs per k-member bucket instead of k²/2;
-      // exact for true-duplicate cliques, recall-bounded for
-      // borderline pairs — see starCandidatesFromBandedSigs). The
-      // state match above is unchanged either way.
+      // Hub-star candidates (O(k) verified pairs per k-member bucket
+      // instead of k²/2; exact for true-duplicate cliques,
+      // recall-bounded for borderline pairs — see
+      // starCandidatesFromBandedSigs): forced by `starIntra`, or
+      // AUTO-tripped when the bucket-occupancy probe estimates the
+      // all-pairs verification load past `autoStarPairsCap` (round 13
+      // — the 19× dup-heavy mitigation is now default behavior, not a
+      // caller knob). The state match above is unchanged either way.
       intraPairs =
-        if (starIntra) Dedup.starCandidatesFromBandedSigs(sigs, n, threshold)
+        if (SigGate.useStar(sigs, starIntra, autoStarPairsCap))
+          Dedup.starCandidatesFromBandedSigs(sigs, n, threshold)
         else Dedup.candidatesFromBandedSigs(sigs, n, threshold),
       stateDir = stateDir,
       exact = exact)

@@ -47,7 +47,8 @@ object VideoGate {
       bands: Int = 16,
       threshold: Double = 0.5,
       exact: Boolean = false,
-      starIntra: Boolean = false): DataFrame = {
+      starIntra: Boolean = false,
+      autoStarPairsCap: Long = SigGate.defaultAutoStarPairsCap): DataFrame = {
     require(n % bands == 0, s"signature length $n must divide into $bands bands")
     // The minhash-of-energies scheme is only sound while every frame
     // energy stays inside the mod-p hash domain (lane coefficients and
@@ -61,7 +62,7 @@ object VideoGate {
       batch.select(col(idCol), col(bytesCol)), bytesCol,
       headerBytes, frameBytes, everyN)
     fromEnergies(batch, batchId, idCol, energies, stateDir, n, bands,
-      threshold, exact, starIntra)
+      threshold, exact, starIntra, autoStarPairsCap)
   }
 
   /** [[acceptBatch]] over REAL MJPEG-in-AVI payloads (round 12): the
@@ -86,7 +87,8 @@ object VideoGate {
       bands: Int = 16,
       threshold: Double = 0.5,
       exact: Boolean = false,
-      starIntra: Boolean = false): DataFrame = {
+      starIntra: Boolean = false,
+      autoStarPairsCap: Long = SigGate.defaultAutoStarPairsCap): DataFrame = {
     require(n % bands == 0, s"signature length $n must divide into $bands bands")
     val p = graft.functions.ShingleHashModExpr.P
     val energies = Multimodal.withAviFrameEnergies(
@@ -96,7 +98,7 @@ object VideoGate {
           lit("VideoGate.acceptBatchAvi: decoded frame energy "), e,
           lit(s" >= 2^31-1 — frame too large for the minhash lane domain"))))))
     fromEnergies(batch, batchId, idCol, energies, stateDir, n, bands,
-      threshold, exact, starIntra)
+      threshold, exact, starIntra, autoStarPairsCap)
   }
 
   /** The shared gate core over any `(idCol, frames array<long>)`
@@ -113,7 +115,8 @@ object VideoGate {
       bands: Int,
       threshold: Double,
       exact: Boolean,
-      starIntra: Boolean = false): DataFrame = {
+      starIntra: Boolean = false,
+      autoStarPairsCap: Long = SigGate.defaultAutoStarPairsCap): DataFrame = {
     val rows = n / bands
     // Payloads too short for one frame still need a signature (the
     // state schema is fixed): the empty element set signs as [0],
@@ -136,7 +139,8 @@ object VideoGate {
         col("a.bucket") === col("s.bucket") &&
         Dedup.estJaccard(col("a.sig"), col("s.sig"), n) >= threshold,
       intraPairs =
-        if (starIntra) Dedup.starCandidatesFromBandedSigs(sigs, n, threshold)
+        if (SigGate.useStar(sigs, starIntra, autoStarPairsCap))
+          Dedup.starCandidatesFromBandedSigs(sigs, n, threshold)
         else Dedup.candidatesFromBandedSigs(sigs, n, threshold),
       stateDir = stateDir,
       exact = exact)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 import graft.operators.Dedup
-import graft.streaming.NearDupGate
+import graft.streaming.{NearDupGate, SigGate}
 
 /** Streaming MinHash near-dup gate: first-wins across micro-batches,
   * chain collapse to the earliest keeper, idempotent batch replay, and
@@ -117,6 +117,38 @@ class NearDupGateSpec extends SparkSpecBase {
         1L, "doc_id", "text", sStar, starIntra = true)
       .select("doc_id").as[Long].collect().toSet
     assert(acc1 === Set(210L))
+  }
+
+  test("autoStarPairsCap: dup-heavy batches trip the star switch by default args semantics") {
+    // Round 13: the 19× dup-heavy mitigation is default BEHAVIOR, not
+    // a caller knob — a bucket-occupancy probe over the materialized
+    // signatures flips to hub-star when the estimated all-pairs
+    // verification load crosses the cap. A 12-member clique is
+    // 12·11/2 = 66 estimated pairs per shared bucket: cap 50 trips
+    // (acceptance must equal the forced-star run), cap MaxValue pins
+    // all-pairs (equal here too — cliques are exact under star).
+    val clique = (100L until 112L).map(_ -> baseA)
+    val uniques = Seq(20L -> baseB, 30L -> "short unique text")
+    val b0 = docsDf((clique ++ uniques): _*)
+    val sAuto = tmp("ndg_auto"); val sPin = tmp("ndg_pin")
+    val accAuto = NearDupGate.acceptBatch(b0, 0L, "doc_id", "text", sAuto,
+        autoStarPairsCap = 50L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(accAuto === Set(100L, 20L, 30L))
+    val accPinned = NearDupGate.acceptBatch(b0, 0L, "doc_id", "text", sPin,
+        autoStarPairsCap = Long.MaxValue)
+      .select("doc_id").as[Long].collect().toSet
+    assert(accPinned === accAuto)
+    // the probe itself: sum of k·(k−1)/2 over (band, bucket)
+    // occupancies — the clique's identical signatures share one
+    // 12-member bucket in each of the 16 bands, so 16 · 66 = 1056
+    // estimated pairs (uniques are singletons: 0).
+    val sigs = graft.operators.Dedup.bandedSignatures(b0, "doc_id", "text")
+    assert(SigGate.estIntraPairs(sigs) === 16L * 66L)
+    // empty batch: probe reads 0, no crash on the null sum
+    val empty = b0.filter(b0("doc_id") < 0L)
+    assert(SigGate.estIntraPairs(
+      graft.operators.Dedup.bandedSignatures(empty, "doc_id", "text")) === 0L)
   }
 
   test("exact mode: a doc matching only a REJECTED doc is rejected; default mode accepts it") {

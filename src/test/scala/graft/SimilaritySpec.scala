@@ -316,6 +316,55 @@ class SimilaritySpec extends SparkSpecBase {
     assert(pairs.count() < 780L, "the quadratic pair list must not be materialized")
   }
 
+  test("cosineNearDupPairsAuto: hub star survives hash-EMPTY buckets (round-13 fix)") {
+    // Terminal hash split at a small cap: pmod of a hash makes no
+    // occupancy promise, so some bucket indices are empty. The old
+    // adjacent-index hub chain (`__bkt + 1`) silently broke at every
+    // gap, splitting the degenerate duplicate group into several
+    // components; the star to the min-bucket hub must not.
+    val n = 40
+    val cap = 4L // nb = ceil(40 * 2 / 4) = 20 buckets for 40 ids
+    val df = (0L until n.toLong).map(i => (i, Seq(0.6f, 0.8f), 0))
+      .toDF("vec_id", "embedding", "label")
+    // Precondition: the planted shape actually HAS a gap (otherwise
+    // this spec would no longer cover the regression). The terminal
+    // split buckets ids by pmod(xxhash64(idString), 20) — replay it.
+    val occupied = spark.range(n)
+      .select(pmod(xxhash64(col("id").cast("string")), lit(20L)).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(occupied.size < 20,
+      s"planted ids occupy all 20 buckets — regrow the fixture (got $occupied)")
+    val pairs = Similarity.cosineNearDupPairsAuto(df, "vec_id", "embedding",
+      col("label"), 0.99, maxBlockSize = cap, fanout = 4, maxDepth = 1)
+    val comp = graft.operators.Dedup.connectedComponents(
+        pairs.select(col("id_a"), col("id_b")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.keySet === (0L until n.toLong).toSet)
+    assert(comp.values.toSet === Set(0L),
+      s"group must stay ONE component across empty buckets, got ${comp.values.toSet}")
+  }
+
+  test("cosineNearDupPairsAuto: caller blocks containing '#'/'/' never merge with synthesized sub-blocks") {
+    // Old naming appended "#<bkt>" / "/<seed>" directly, so a caller
+    // block literally named like a synthesized child (here "b#0",
+    // with vectors IDENTICAL to block b's) merged into b's bucket-0
+    // sub-block and produced cross-block pairs. Names are now
+    // derivation-injective (entry marker + length-delimited parents):
+    // no pair may straddle the two caller blocks.
+    val hot = (0L until 24L).map(i => (i, Seq(0.6f, 0.8f), "b"))
+    val decoy = Seq((100L, Seq(0.6f, 0.8f), "b#0"), (101L, Seq(0.6f, 0.8f), "b#0"))
+    val df = (hot ++ decoy).toDF("vec_id", "embedding", "label")
+    val pairs = Similarity.cosineNearDupPairsAuto(df, "vec_id", "embedding",
+        col("label"), 0.99, maxBlockSize = 8, fanout = 4, maxDepth = 1)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cross = pairs.filter { case (a, b) => (a < 100L) != (b < 100L) }
+    assert(cross.isEmpty, s"caller blocks must never merge, got cross pairs $cross")
+    // both blocks still dedup internally
+    assert(pairs.contains((100L, 101L)))
+    assert(pairs.exists { case (a, b) => a < 100L && b < 100L })
+  }
+
   test("semDedup: planted near-duplicate groups collapse to min id; singletons survive") {
     val rnd = new scala.util.Random(7)
     def unit(v: Array[Double]) = {
