@@ -1088,6 +1088,37 @@ object TextQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** The PRODUCTION video fingerprint, driver-checked (round 13):
+    * [[Multimodal.videoNearDupHashed]] — `xxhash64` over raw 32-byte
+    * frame slices (2⁶⁴ value domain; the at-scale form after the
+    * exact-energy fingerprint's bounded domain measured
+    * collision-quadratic past ~10⁴ videos) over the same planted
+    * corpus as `q_video_neardup`. Oracle-exact: per sampled frame
+    * DuckDB rebuilds the 32 closed-form pattern bytes, packs 4
+    * little-endian words, and replays XXH64 in HUGEINT wraparound SQL
+    * ([[Multimodal.videoHashPatternDuckCtes]] /
+    * [[graft.operators.Xxh64Duck]]), then the identical
+    * size-double-block set-Jaccard tail. Shared scenes share raw
+    * encodes here (same muxed bytes), so the planted pairs surface
+    * exactly as in the energy form.
+    */
+  private def videoNeardupHashed(s: SparkSession, d: String): DataFrame = {
+    val planted = Tables.documents(s, d)
+      .select(col("doc_id")).filter(col("doc_id") < 200)
+      .select(
+        col("doc_id"),
+        (col("doc_id") + 5000L).as("__seed"),
+        when(col("doc_id") < 50, expr("doc_id div 2") + 7000L)
+          .otherwise(lit(0L)).as("__shseed"),
+        when(col("doc_id") < 50, lit(0)).otherwise(lit(-1)).as("__shfrom"),
+        when(col("doc_id") < 50, lit(30)).otherwise(lit(0)).as("__shcount"))
+    Multimodal.videoNearDupHashed(
+        Multimodal.withPatternVideo(
+          planted, "__seed", "__shseed", "__shfrom", "__shcount"),
+        "doc_id", "video")
+      .orderBy("id_a", "id_b")
+  }
+
   /** Streaming video gate over REAL MJPEG-in-AVI containers
     * (round 12 — [[graft.streaming.VideoGate.acceptBatchAvi]]): the
     * `q_video_neardup_avi` planted corpus in two parity micro-batches,
@@ -2346,6 +2377,37 @@ object TextQueries {
          |  JOIN vid_sz sa ON id_a = sa.doc_id
          |  JOIN vid_sz sb ON id_b = sb.doc_id) t
          |WHERE jaccard >= 0.5""".stripMargin)),
+    QueryDef("q_video_neardup_hashed", videoNeardupHashed, Some(
+      s"""WITH ${Multimodal.videoHashPatternDuckCtes(
+             """SELECT doc_id,
+               |    CAST(doc_id + 5000 AS HUGEINT) AS seed,
+               |    CAST(CASE WHEN doc_id < 50 THEN doc_id // 2 + 7000
+               |              ELSE 0 END AS HUGEINT) AS shseed,
+               |    CASE WHEN doc_id < 50 THEN 0 ELSE -1 END AS shfrom,
+               |    CASE WHEN doc_id < 50 THEN 30 ELSE 0 END AS shcount
+               |  FROM documents WHERE doc_id < 200""".stripMargin)},
+         |vh_sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+         |          FROM vh_fr GROUP BY 1),
+         |vh_blk AS (
+         |  SELECT doc_id, e, unnest([g, g + 1]) AS blk
+         |  FROM (SELECT f.doc_id, f.e,
+         |          length(printf('%b', greatest(s.n, 1))) - 1 AS g
+         |        FROM vh_fr f JOIN vh_sz s USING (doc_id))),
+         |vh_inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(count(DISTINCT a.e) AS BIGINT) AS n_inter
+         |  FROM vh_blk a JOIN vh_blk b
+         |    ON a.blk = b.blk AND a.e = b.e AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, jaccard FROM (
+         |  SELECT id_a, id_b,
+         |    floor(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) * 10000.0 + 0.5)
+         |      / 10000.0 AS jaccard
+         |  FROM vh_inter
+         |  JOIN vh_sz sa ON id_a = sa.doc_id
+         |  JOIN vh_sz sb ON id_b = sb.doc_id) t
+         |WHERE jaccard >= 0.5""".stripMargin),
+      headline = true),
     QueryDef("q_video_neardup_avi", videoNeardupAvi, Some(
       s"""WITH ${Multimodal.videoEnergyAviDuckCtes(
              """SELECT doc_id,

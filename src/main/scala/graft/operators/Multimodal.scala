@@ -1042,6 +1042,51 @@ object Multimodal {
        |  GROUP BY 1, 2),
        |${prefix}fr AS (SELECT DISTINCT doc_id, e FROM ${prefix}en)""".stripMargin
 
+  /** DuckDB CTE chain predicting the 64-bit HASH fingerprint sets of
+    * [[videoNearDupHashed]] over pattern payloads — the oracle root
+    * of `q_video_neardup_hashed`, closing the round-12 "production
+    * form is oracle-exempt" gap. Same seed contract as
+    * [[videoEnergyPatternDuckCtes]]; per sampled frame the chain
+    * rebuilds the 32 closed-form pattern bytes `(v + i·w) mod 256`,
+    * packs them into 4 little-endian HUGEINT words, and runs the
+    * XXH64 emulation ([[Xxh64Duck.words32DuckCtes]] — spec-pinned to
+    * Spark's `xxhash64` via its JVM model). Ends at `{prefix}fr
+    * (doc_id, e)` with `e` the SIGNED 64-bit hash; `frameBytes` is
+    * fixed at 32 (the one-stripe-no-tail XXH64 shape the emulation
+    * covers — also [[videoNearDupHashed]]'s default slice).
+    */
+  def videoHashPatternDuckCtes(
+      seedCteBody: String,
+      frames: Int = 40,
+      everyN: Int = 2,
+      prefix: String = "vh_"): String = {
+    // little-endian word j of the pattern frame: Σ_t byte(8j+t)·256^t,
+    // each term < 256^8 and the 8-term sum < 2^64 — no mod needed.
+    def word(j: Int): String =
+      (0 until 8).map { t =>
+        s"((v + ${8 * j + t} * w) % 256) * ${java.math.BigInteger.valueOf(256L).pow(t)}::HUGEINT"
+      }.mkString("(", "\n      + ", s") AS w${j + 1}")
+    s"""${prefix}seed AS ($seedCteBody),
+       |${prefix}z1 AS (
+       |  SELECT doc_id, u.k,
+       |    ((CASE WHEN u.k >= shfrom AND u.k < shfrom + shcount
+       |           THEN shseed * 173 + (u.k - shfrom)
+       |           ELSE seed * 173 + u.k END)
+       |      + $mix64Golden::HUGEINT) % $mix64W64 AS z
+       |  FROM ${prefix}seed, unnest(range(0, $frames)) AS u(k)
+       |  WHERE u.k % $everyN = 0),
+       |${mix64ChainDuckCtes(prefix, Seq.empty)},
+       |${prefix}vw AS (
+       |  SELECT doc_id, k, z % 256 AS v, (z // 256) % 255 + 1 AS w
+       |  FROM ${prefix}z6),
+       |${prefix}wd AS (
+       |  SELECT doc_id, k,
+       |    ${(0 until 4).map(word).mkString(",\n    ")}
+       |  FROM ${prefix}vw),
+       |${Xxh64Duck.words32DuckCtes(s"${prefix}wd", s"${prefix}x")},
+       |${prefix}fr AS (SELECT DISTINCT doc_id, h AS e FROM ${prefix}xxh)""".stripMargin
+  }
+
   // ---- REAL MJPEG-in-AVI demux (round 12) ----
   //
   // Upgrades the video modality from the magic-header stub to an
