@@ -27,6 +27,20 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
+      // Streaming checkpoint metadata through the FileSystem-based
+      // manager instead of the FileContext default: both are
+      // rename-atomic on a LOCAL filesystem (this session is
+      // local-only by construction), and the FileContext path pays
+      // ~25-30 ms of per-op setup that the FileSystem path doesn't —
+      // measured 33→8 ms walCommit / 38→8 ms commitOffsets /
+      // 34→12 ms source latestOffset per micro-batch (round 13), i.e.
+      // ~0.1 s per trigger cycle of pure harness. A deployment whose
+      // checkpoints live on an object store or HDFS should NOT
+      // inherit this: rename-overwrite semantics differ there, which
+      // is exactly why Spark defaults to FileContext.
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        "org.apache.spark.sql.execution.streaming.checkpointing." +
+          "FileSystemBasedCheckpointFileManager")
 
   // Default to the REAL core count: the old fallback of 4 silently
   // undersized any run that forgot SPARK_GRAFT_CPUS — the exact trap

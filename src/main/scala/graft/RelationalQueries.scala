@@ -356,8 +356,7 @@ object RelationalQueries {
     * be invisible in the result.
     */
   private def manifestPrunedQ(s: SparkSession, d: String): DataFrame = {
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_zlayout").toString
+    val dir = graft.streaming.Scratch.tmpDir("graft_zlayout")
     graft.operators.Layout.zorderBy(
         Tables.events(s, d).select("event_id", "user_id", "event_type", "value"),
         Seq("user_id", "value"), numPartitions = 16)
@@ -380,8 +379,7 @@ object RelationalQueries {
     * is pinned in ManifestSpec.
     */
   private def manifestBloomQ(s: SparkSession, d: String): DataFrame = {
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_bloomlayout").toString
+    val dir = graft.streaming.Scratch.tmpDir("graft_bloomlayout")
     Tables.events(s, d).select("event_id", "user_id", "event_type", "value")
       .repartition(16, col("user_id"))
       .write.mode("overwrite").parquet(dir)
@@ -398,8 +396,7 @@ object RelationalQueries {
     * Oracle is the plain IN filter.
     */
   private def manifestInQ(s: SparkSession, d: String): DataFrame = {
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_bloomin").toString
+    val dir = graft.streaming.Scratch.tmpDir("graft_bloomin")
     Tables.events(s, d).select("event_id", "user_id", "event_type", "value")
       .repartition(16, col("user_id"))
       .write.mode("overwrite").parquet(dir)
@@ -1202,6 +1199,23 @@ object RelationalQueries {
     */
   private def profileApproxQ(s: SparkSession, d: String): DataFrame =
     graft.operators.Profile.approxBounded(
+      Tables.orders(s, d),
+      Seq("o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate",
+        "o_totalprice"))
+
+  /** The PRODUCTION profile serving plan ([[graft.operators.Profile
+    * .approx]] — HLL distincts, NO exact-distinct Expand), restored
+    * to the bench (round-12 verdict: `q_profile_approx` now benches
+    * the audit form, which is 3.6× slower BY DESIGN, so a regression
+    * in the plan a 100 TB run would actually serve had become
+    * invisible). HLL estimates are Spark-internal and not
+    * SQL-reproducible, so this is a deliberately rows-only driver
+    * entry — the family's value-level correctness is pinned by the
+    * hash-exact audit twin (`q_profile_approx`: same scan, exact
+    * counts + 15% flags) and `ProfileSpec`.
+    */
+  private def profileServeQ(s: SparkSession, d: String): DataFrame =
+    graft.operators.Profile.approx(
       Tables.orders(s, d),
       Seq("o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate",
         "o_totalprice"))
@@ -2294,6 +2308,7 @@ object RelationalQueries {
              |  TRUE AS est_within_15pct
              |FROM orders""".stripMargin)
         .mkString("\nUNION ALL\n")), headline = true),
+    QueryDef("q_profile_serve", profileServeQ, None, headline = true),
     QueryDef("q_dense_ids", denseIdsQ, Some(
       """SELECT CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS id,
         |  o_orderkey, o_orderstatus, o_orderpriority

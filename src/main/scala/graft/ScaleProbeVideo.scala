@@ -78,8 +78,7 @@ object ScaleProbeVideo {
       time("video_gate", n, reps = 1) {
         val vids = Multimodal.withPatternVideo(planted(n), "__seed",
           "__shseed", "__shfrom", "__shcount")
-        val state = java.nio.file.Files
-          .createTempDirectory("probe_vidgate").toString
+        val state = graft.streaming.Scratch.tmpDir("probe_vidgate")
         graft.streaming.VideoGate.acceptBatch(
           vids.filter(col("doc_id") % 2 === 0), 0L, "doc_id", "video", state)
           .write.format("noop").mode("overwrite").save()

@@ -78,8 +78,7 @@ object SimilarityQueries {
     val sigs = Tables.embeddings(s, d)
       .select(col("vec_id").as("doc_id"),
         Embeddings.signBits64(col("embedding")).as("sig"))
-    val stateDir = java.nio.file.Files
-      .createTempDirectory("graft_ebgate_state").toString
+    val stateDir = graft.streaming.Scratch.tmpDir("graft_ebgate_state")
     val a0 = graft.streaming.Hamming64Gate.acceptBatch(
       sigs.filter(col("doc_id") % 2 === 0), 0L, "doc_id", "sig", stateDir,
       maxHamming = 6)

@@ -99,7 +99,7 @@ object StreamingQueries {
     // reload. Checkpoint logs go to tmpfs (Scratch.ckptDir) — pure
     // harness metadata, measured ~0.1-0.2 s of fsync latency per
     // replay on disk-backed /tmp.
-    val out = java.nio.file.Files.createTempDirectory("graft_snap_out").toString
+    val out = graft.streaming.Scratch.tmpDir("graft_snap_out")
     val saveMode = if (mode == OutputMode.Complete()) "overwrite" else "append"
     s.conf.set(key, s.conf.get("spark.graft.streaming.shufflePartitions", "8"))
     try {
@@ -331,7 +331,7 @@ object StreamingQueries {
       col("event_id"),
       when(col("event_type") === "click", lit("D")).otherwise(lit("U")).as("op"),
       col("value").as("new_bal"))
-    val tableDir = java.nio.file.Files.createTempDirectory("graft_cdc_table").toString
+    val tableDir = graft.streaming.Scratch.tmpDir("graft_cdc_table")
     val ckpt = graft.streaming.Scratch.ckptDir("graft_cdc_ckpt")
     val replay = new graft.streaming.FileReplay(s, changes.schema)
     replay.add(changes.filter(col("event_id") % 2 === 0))
@@ -472,8 +472,8 @@ object StreamingQueries {
   private def streamManifest(s: SparkSession, d: String): DataFrame = {
     val evs = Tables.events(s, d)
       .select("event_id", "user_id", "event_type", "value")
-    val dir = java.nio.file.Files.createTempDirectory("graft_msink_data").toString
-    val mdir = java.nio.file.Files.createTempDirectory("graft_msink_meta").toString
+    val dir = graft.streaming.Scratch.tmpDir("graft_msink_data")
+    val mdir = graft.streaming.Scratch.tmpDir("graft_msink_meta")
     val ckpt = graft.streaming.Scratch.ckptDir("graft_msink_ckpt")
     val replay = new graft.streaming.FileReplay(s, evs.schema)
     replay.add(evs.filter(col("event_id") % 2 === 0))
@@ -508,7 +508,7 @@ object StreamingQueries {
   private def streamAggView(s: SparkSession, d: String): DataFrame = {
     val evs = Tables.events(s, d)
       .select(col("event_id"), col("event_type"), col("value"))
-    val stateDir = java.nio.file.Files.createTempDirectory("graft_aggview").toString
+    val stateDir = graft.streaming.Scratch.tmpDir("graft_aggview")
     val ckpt = graft.streaming.Scratch.ckptDir("graft_aggview_ckpt")
     val replay = new graft.streaming.FileReplay(s, evs.schema)
     replay.add(evs.filter(col("event_id") % 2 === 0))
@@ -555,7 +555,7 @@ object StreamingQueries {
       .select(col("event_id"), col("event_type"), col("value"))
     val replay = new graft.streaming.FileReplay(s, evs.schema)
     replay.add(evs.filter(col("event_id") % 2 === 0))
-    val out = java.nio.file.Files.createTempDirectory("graft_noop_out").toString
+    val out = graft.streaming.Scratch.tmpDir("graft_noop_out")
     val q = replay.stream
       .writeStream.outputMode(OutputMode.Append())
       .option("checkpointLocation", graft.streaming.Scratch.ckptDir())

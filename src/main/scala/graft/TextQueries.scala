@@ -186,6 +186,53 @@ object TextQueries {
     Dedup.dedupCorpusLines(lined, "doc_id", "text")
   }
 
+  /** WARC crawl-container ingest roundtrip ([[graft.sources.Warc]],
+    * round 13): the documents corpus is MUXED distributedly into
+    * per-partition `.warc.gz` files (per-record gzip members — the
+    * Common Crawl layout), read back through the streaming WARC
+    * parser with its dead-letter split, and reduced to
+    * engine-checkable fields. The oracle is the roundtrip identity:
+    * every parsed record must reproduce its source row's UTF-8 byte
+    * length and character count — a corrupted header, a mis-framed
+    * payload, or a dropped record all break the hash.
+    */
+  private def warcIngest(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val dir = graft.streaming.Scratch.tmpDir("graft_warc_ingest")
+    docs.repartition(8, col("doc_id")).foreachPartition {
+      (it: Iterator[org.apache.spark.sql.Row]) =>
+        val recs = it.map { r =>
+          graft.sources.Warc.renderRecord(
+            "conversion", s"<urn:uuid:graft-${r.getLong(0)}>",
+            s"https://graft.test/doc/${r.getLong(0)}",
+            "2026-01-01T00:00:00Z", "text/plain",
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }.toSeq
+        if (recs.nonEmpty) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, f"part-$pid%05d.warc.gz"),
+            graft.sources.Warc.gzipMembers(recs))
+        }
+        ()
+    }
+    val (recs, rejects) =
+      graft.sources.Warc.readWithRejects(s, dir + "/*.warc.gz")
+    // synthesized members must all be well-formed — surface a parser
+    // regression as a loud failure, not silently fewer rows
+    val guarded = recs.join(
+      rejects.agg(count(lit(1)).as("__nrej")).filter(
+        assert_true(col("__nrej") === 0L,
+          concat(lit("q_warc_ingest: "), col("__nrej").cast("string"),
+            lit(" rejects on well-formed input"))).isNull))
+    guarded.select(
+      regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+        .cast("long").as("doc_id"),
+      col("content_length"),
+      length(col("payload")).as("n_chars"),
+      col("warc_type"))
+  }
+
   /** Deterministic 90/10 train/validation split. */
   private def trainSplit(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
@@ -239,8 +286,7 @@ object TextQueries {
     */
   private def streamNeardup(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
-    val stateDir = java.nio.file.Files
-      .createTempDirectory("graft_ndgate_state").toString
+    val stateDir = graft.streaming.Scratch.tmpDir("graft_ndgate_state")
     val a0 = graft.streaming.NearDupGate.acceptBatch(
       docs.filter(col("doc_id") % 2 === 0), 0L, "doc_id", "text", stateDir)
     // acceptBatch commits batch-0 state eagerly (its write is an
@@ -263,8 +309,7 @@ object TextQueries {
     */
   private def streamNeardupStar(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
-    val stateDir = java.nio.file.Files
-      .createTempDirectory("graft_ndgate_star_state").toString
+    val stateDir = graft.streaming.Scratch.tmpDir("graft_ndgate_star_state")
     val a0 = graft.streaming.NearDupGate.acceptBatch(
       docs.filter(col("doc_id") % 2 === 0), 0L, "doc_id", "text", stateDir,
       starIntra = true)
@@ -360,7 +405,7 @@ object TextQueries {
       s: SparkSession, d: String, exact: Boolean): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
     def tmp(tag: String) =
-      java.nio.file.Files.createTempDirectory(s"graft_scur_$tag").toString
+      graft.streaming.Scratch.tmpDir(s"graft_scur_$tag")
     val (nd, bud, acc) = (tmp("nd"), tmp("budget"), tmp("acc"))
     val ckp = graft.streaming.Scratch.ckptDir("graft_scur_ckpt")
     val replay = new graft.streaming.FileReplay(s, docs.schema)
@@ -404,8 +449,7 @@ object TextQueries {
     */
   private def streamNeardupExact(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
-    val stateDir = java.nio.file.Files
-      .createTempDirectory("graft_ndgate_exact_state").toString
+    val stateDir = graft.streaming.Scratch.tmpDir("graft_ndgate_exact_state")
     val a0 = graft.streaming.NearDupGate.acceptBatch(
       docs.filter(col("doc_id") % 2 === 0), 0L, "doc_id", "text", stateDir,
       exact = true)
@@ -425,8 +469,7 @@ object TextQueries {
   private def streamSimhashGate(s: SparkSession, d: String): DataFrame = {
     val sigs = Tables.documents(s, d)
       .select(col("doc_id"), Dedup.simhash64(col("text")).as("sig"))
-    val stateDir = java.nio.file.Files
-      .createTempDirectory("graft_h64gate_state").toString
+    val stateDir = graft.streaming.Scratch.tmpDir("graft_h64gate_state")
     val a0 = graft.streaming.Hamming64Gate.acceptBatch(
       sigs.filter(col("doc_id") % 2 === 0), 0L, "doc_id", "sig", stateDir)
     val a1 = graft.streaming.Hamming64Gate.acceptBatch(
@@ -513,8 +556,7 @@ object TextQueries {
   private def streamHllRegistersQ(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d).select(col("doc_id"), col("source"),
       explode(TextAnalysis.tokens(col("text"))).as("tok"))
-    val stateDir = java.nio.file.Files
-      .createTempDirectory("graft_hllreg_state").toString
+    val stateDir = graft.streaming.Scratch.tmpDir("graft_hllreg_state")
     graft.streaming.SketchStream.appendPortable(
       toks.filter(col("doc_id") % 2 === 0), 0L, stateDir, Seq("source"), col("tok"))
     graft.streaming.SketchStream.appendPortable(
@@ -540,8 +582,7 @@ object TextQueries {
   private def streamTokenBudgetQ(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
       size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
-    val stateDir = java.nio.file.Files
-      .createTempDirectory("graft_budget_state").toString
+    val stateDir = graft.streaming.Scratch.tmpDir("graft_budget_state")
     val a0 = graft.streaming.BudgetGate.acceptBatch(
       docs.filter(col("doc_id") % 2 === 0), 0L,
       "lang", "doc_id", "n_tokens", stateDir, budget = 5000L)
@@ -1047,8 +1088,7 @@ object TextQueries {
         when(col("doc_id") < 50, lit(30)).otherwise(lit(0)).as("__shcount"))
     val vids = Multimodal.withPatternVideo(
       planted, "__seed", "__shseed", "__shfrom", "__shcount")
-    val stateDir = java.nio.file.Files
-      .createTempDirectory("graft_vidgate_state").toString
+    val stateDir = graft.streaming.Scratch.tmpDir("graft_vidgate_state")
     val a0 = graft.streaming.VideoGate.acceptBatch(
       vids.filter(col("doc_id") % 2 === 0), 0L, "doc_id", "video", stateDir)
     val a1 = graft.streaming.VideoGate.acceptBatch(
@@ -1141,8 +1181,7 @@ object TextQueries {
         when(col("doc_id") < 50, lit(30)).otherwise(lit(0)).as("__shcount"))
     val vids = Multimodal.withMjpegAviVideo(
       planted, "__seed", "__shseed", "__shfrom", "__shcount")
-    val stateDir = java.nio.file.Files
-      .createTempDirectory("graft_vidgate_avi_state").toString
+    val stateDir = graft.streaming.Scratch.tmpDir("graft_vidgate_avi_state")
     val a0 = graft.streaming.VideoGate.acceptBatchAvi(
       vids.filter(col("doc_id") % 2 === 0), 0L, "doc_id", "video", stateDir)
     val a1 = graft.streaming.VideoGate.acceptBatchAvi(
@@ -2107,6 +2146,12 @@ object TextQueries {
          |SELECT d.doc_id, d.lang, d.source, d.n_chars
          |FROM documents d LEFT JOIN losers l ON d.doc_id = l.id
          |WHERE l.id IS NULL""".stripMargin)),
+    QueryDef("q_warc_ingest", warcIngest, Some(
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  'conversion' AS warc_type
+        |FROM documents""".stripMargin)),
     QueryDef("q_dedup_best", dedupBest, Some(
       s"""WITH RECURSIVE ${Dedup.minhashCandDuckCtes(duckToks("text"))},
          |${Dedup.ccDuckCtes("mh_pairs")},

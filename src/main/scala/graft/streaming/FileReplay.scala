@@ -40,8 +40,9 @@ import org.apache.spark.sql.types.StructType
   * 100×-dupes probe measured 2.5× on exactly that.)
   */
 final class FileReplay(spark: SparkSession, schema: StructType) {
-  val dir: String =
-    java.nio.file.Files.createTempDirectory("graft_replay_src").toString
+  // Exit-swept ([[Scratch.register]]): the staged batches are
+  // corpus-sized and used to outlive the process (round-13 ADVICE).
+  val dir: String = Scratch.tmpDir("graft_replay_src")
 
   /** The streaming frame to build the query on. Nullability is
     * relaxed on every field: parquet round-trips drop nullability

@@ -18,10 +18,55 @@ package graft.streaming
 object Scratch {
   private val shm = java.nio.file.Paths.get("/dev/shm")
 
+  // Every harness temp dir registers for exit-time deletion: the
+  // dirs die WITH the query semantically, but nothing used to delete
+  // them, so repeated bench/probe/verify runs accumulated
+  // corpus-sized leftovers on /tmp and (worse — it's RAM) checkpoint
+  // shells on /dev/shm across process lifetimes (round-13 ADVICE).
+  // One hook, registered lazily on first use; a dir that is already
+  // gone (or still being written by a crashed task) is skipped, not
+  // fatal — cleanup must never mask the real failure.
+  private val registered =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+  private lazy val hookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      registered.forEach { p =>
+        try deleteRecursively(p) catch { case _: Throwable => () }
+      }
+    }, "graft-scratch-sweep"))
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file._
+    if (Files.exists(p)) {
+      Files.walkFileTree(p, new SimpleFileVisitor[Path] {
+        override def visitFile(f: Path, a: attribute.BasicFileAttributes) = {
+          Files.deleteIfExists(f); FileVisitResult.CONTINUE
+        }
+        override def postVisitDirectory(d: Path, e: java.io.IOException) = {
+          Files.deleteIfExists(d); FileVisitResult.CONTINUE
+        }
+      })
+    }
+  }
+
+  /** Register an existing directory for exit-time deletion. */
+  def register(dir: java.nio.file.Path): java.nio.file.Path = {
+    hookInstalled
+    registered.add(dir)
+    dir
+  }
+
+  /** A fresh exit-swept temp directory (disk-backed) — the harness
+    * replacement for bare `Files.createTempDirectory`.
+    */
+  def tmpDir(prefix: String): String =
+    register(java.nio.file.Files.createTempDirectory(prefix)).toString
+
   /** A fresh checkpoint directory on tmpfs when available. */
   def ckptDir(prefix: String = "graft_ckpt"): String =
-    if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
-      java.nio.file.Files.createTempDirectory(shm, prefix).toString
-    else
-      java.nio.file.Files.createTempDirectory(prefix).toString
+    register(
+      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
+        java.nio.file.Files.createTempDirectory(shm, prefix)
+      else
+        java.nio.file.Files.createTempDirectory(prefix)).toString
 }

@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import graft.sources.Warc
+
+/** WARC/WET crawl-container ingest: deterministic synthetic archive
+  * bytes (the `MiniMqttBroker` discipline — no fixtures fetched,
+  * everything rendered in-test), plain and per-record-gzip-member
+  * layouts, and the dead-letter split under four malformation modes.
+  */
+class WarcSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private def rec(id: Int, text: String): Array[Byte] =
+    Warc.renderRecord(
+      warcType = "conversion",
+      recordId = s"<urn:uuid:0000-$id>",
+      targetUri = s"https://graft.test/doc/$id",
+      warcDate = "2026-08-15T00:00:00Z",
+      contentType = "text/plain",
+      payload = text.getBytes(StandardCharsets.UTF_8))
+
+  private def tmpFile(name: String, bytes: Array[Byte]): String = {
+    val dir = Paths.get(graft.streaming.Scratch.tmpDir("graft_warc_spec"))
+    val f = dir.resolve(name)
+    Files.write(f, bytes)
+    f.toString
+  }
+
+  test("plain WARC: records parse with fields, UTF-8 payloads intact") {
+    val bytes = rec(1, "hello world") ++ rec(2, "héllo wörld — ünïcode") ++
+      rec(3, "")
+    val path = tmpFile("a.warc", bytes)
+    val (records, rejects) = Warc.readWithRejects(spark, path)
+    assert(rejects.count() === 0L)
+    val got = records
+      .select("target_uri", "payload", "content_length", "warc_type")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+    assert(got.map(_._1) === Seq(
+      "https://graft.test/doc/1", "https://graft.test/doc/2",
+      "https://graft.test/doc/3"))
+    assert(got(1)._2 === "héllo wörld — ünïcode")
+    assert(got(1)._3 ===
+      "héllo wörld — ünïcode".getBytes(StandardCharsets.UTF_8).length.toLong)
+    assert(got(2)._2 === "" && got(2)._3 === 0L)
+    assert(got.forall(_._4 == "conversion"))
+  }
+
+  test("gzip: per-record members AND one whole-file member both decode") {
+    val members = Warc.gzipMembers(Seq(rec(10, "ten"), rec(11, "eleven")))
+    val whole = Warc.gzipMembers(Seq(rec(10, "ten") ++ rec(11, "eleven")))
+    for ((tag, bytes) <- Seq("members" -> members, "whole" -> whole)) {
+      val path = tmpFile(s"$tag.warc.gz", bytes)
+      val (records, rejects) = Warc.readWithRejects(spark, path)
+      assert(rejects.count() === 0L, tag)
+      assert(records.select("target_uri").as[String].collect().sorted.toSeq ===
+        Seq("https://graft.test/doc/10", "https://graft.test/doc/11"), tag)
+    }
+  }
+
+  test("dead letters: bad Content-Length / garbage / oversize reject and RESYNC; truncation rejects") {
+    val good1 = rec(1, "first good")
+    val badLen = new String(rec(2, "bad"), StandardCharsets.ISO_8859_1)
+      .replace("Content-Length: 3", "Content-Length: xyz")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    val garbage = "not a warc record at all\r\nstill not\r\n"
+      .getBytes(StandardCharsets.US_ASCII)
+    val big = rec(4, "x" * 100)
+    val good2 = rec(5, "second good")
+    val truncated = rec(6, "will be cut").dropRight(10)
+    val bytes = good1 ++ garbage ++ badLen ++ big ++ good2 ++ truncated
+    val path = tmpFile("dead.warc", bytes)
+    val (records, rejects) = Warc.readWithRejects(spark, path,
+      maxPayloadBytes = 64)
+    // resync recovers every well-formed record around the dead ones
+    assert(records.select("target_uri").as[String].collect().sorted.toSeq ===
+      Seq("https://graft.test/doc/1", "https://graft.test/doc/5"))
+    val reasons = rejects.select("reason").as[String].collect().toSeq
+    assert(reasons.exists(_.contains("bad Content-Length")), reasons)
+    assert(reasons.exists(_.contains("expected WARC/ version line")), reasons)
+    assert(reasons.exists(_.contains("maxPayloadBytes")), reasons)
+    assert(reasons.exists(_.contains("truncated")), reasons)
+  }
+
+  test("multi-file glob parallelism: records carry their source file") {
+    val d = graft.streaming.Scratch.tmpDir("graft_warc_many")
+    (0 until 4).foreach { i =>
+      Files.write(Paths.get(d, s"part-$i.warc.gz"),
+        Warc.gzipMembers(Seq(rec(100 + i, s"doc $i"))))
+    }
+    val (records, rejects) = Warc.readWithRejects(spark, d + "/*.warc.gz")
+    assert(rejects.count() === 0L)
+    assert(records.count() === 4L)
+    assert(records.select("file").distinct().count() === 4L)
+  }
+}
