@@ -46,14 +46,25 @@ object StreamingQueries {
     * ts normalization (nanos-as-long or µs timestamp) as
     * [[Tables.events]].
     */
-  // Testdata files are immutable, so the footer-derived schema is
-  // cacheable per dir — one fewer footer-read job per streaming query.
+  // The footer-derived schema is cacheable — one fewer footer-read
+  // job per streaming query — but NOT per dir alone: events.ts has
+  // shipped as both TIMESTAMP(NANOS)-as-long and TIMESTAMP(MICROS)
+  // across testdata generations, so a regenerated-in-place dir in a
+  // long-lived session would silently keep the WRONG by-schema ts
+  // normalization. Key on (dir, mtime, size) of the parquet file so a
+  // rewrite invalidates the entry (round-13 ADVICE).
   private val eventsSchemaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), org.apache.spark.sql.types.StructType]()
 
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
-    val schema = eventsSchemaCache.computeIfAbsent(d,
-      dir => s.read.parquet(s"$dir/events.parquet").schema)
+    val f = java.nio.file.Paths.get(d, "events.parquet")
+    val key = (d,
+      if (java.nio.file.Files.exists(f))
+        java.nio.file.Files.getLastModifiedTime(f).toMillis else 0L,
+      if (java.nio.file.Files.isRegularFile(f))
+        java.nio.file.Files.size(f) else 0L)
+    val schema = eventsSchemaCache.computeIfAbsent(key,
+      _ => s.read.parquet(s"$d/events.parquet").schema)
     // Glob form: the file-stream source requires a directory basePath;
     // the corpus table is a single file, so glob it under its parent.
     val raw = s.readStream.schema(schema).parquet(s"$d/*events.parquet")

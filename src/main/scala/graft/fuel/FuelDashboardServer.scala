@@ -55,7 +55,11 @@ final class FuelDashboardServer(
     val raw =
       if (Files.exists(htmlPath)) new String(Files.readAllBytes(htmlPath), UTF_8)
       else "<!doctype html><html><body>dashboard not yet published</body></html>"
-    val noPoll = raw.replaceAll("""<meta http-equiv="refresh"[^>]*>""", "")
+    // (?i) + quote-agnostic: a single-quoted or differently-cased
+    // refresh tag would otherwise survive and leave the page polling
+    // AND SSE-reloading simultaneously (round-13 ADVICE).
+    val noPoll = raw.replaceAll(
+      """(?i)<meta\s+http-equiv=["']?refresh["']?[^>]*>""", "")
     val script =
       """<script>new EventSource('/events').onmessage=()=>location.reload();</script>"""
     (if (noPoll.contains("</body>"))
