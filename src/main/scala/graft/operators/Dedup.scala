@@ -263,7 +263,14 @@ object Dedup {
     * ([[graft.streaming.Hamming64Gate]]), which matches batch rows
     * against persisted state on the same `(band, bucket)` keys.
     */
-  private[graft] def banded64(sigs: DataFrame, maxHamming: Int): DataFrame = {
+  private[graft] def banded64(sigs: DataFrame, maxHamming: Int): DataFrame =
+    Materialize(band64Cols(sigs, maxHamming))
+
+  /** The banding projection of [[banded64]] WITHOUT the Materialize
+    * cut — for frames consumed exactly once (re-banding compact gate
+    * state on read), where a cut would only add a write.
+    */
+  private[graft] def band64Cols(sigs: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
       s"banded-Hamming blocking: maxHamming must be in [0, 15], got $maxHamming " +
         "(bands of < 4 bits lose blocking selectivity)")
@@ -274,11 +281,11 @@ object Dedup {
       val mask = if (width == 64) -1L else (1L << width) - 1L
       struct(lit(i).as("band"), lit(bounds(i)).as("lo"), lit(mask).as("m"))
     }: _*)
-    Materialize(sigs.withColumn("__b", explode(bandsLit))
+    sigs.withColumn("__b", explode(bandsLit))
       .withColumn("band", col("__b.band"))
       .withColumn("bucket",
         call_function("shiftright", col("sig"), col("__b.lo")).bitwiseAND(col("__b.m")))
-      .drop("__b"))
+      .drop("__b")
   }
 
   /** The verify pass of [[hamming64Candidates]]: bucket self-join +

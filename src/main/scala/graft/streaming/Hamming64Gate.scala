@@ -30,16 +30,24 @@ object Hamming64Gate {
   private def stateSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("sig", LongType),
-    StructField("band", IntegerType),
-    StructField("bucket", LongType),
     StructField("keeper", LongType),
     StructField("batch_id", LongType)))
 
+  /** COMPACT state since round 13 (one row per doc — see
+    * [[NearDupGate.readState]]'s rationale; here the saving is the
+    * `maxHamming + 1` band-row multiplier). Legacy banded layouts
+    * collapse to their distinct doc rows on read; callers re-band
+    * via [[Dedup.band64Cols]].
+    */
   def readState(spark: SparkSession, stateDir: String): DataFrame =
-    try spark.read.parquet(stateDir)
-      .select(col("doc_id"), col("sig"), col("band"), col("bucket"),
-        col("keeper"), col("batch_id").cast("long"))
-    catch {
+    try {
+      val raw = spark.read.parquet(stateDir)
+      val compact = raw.select(col("doc_id"), col("sig"), col("keeper"),
+        col("batch_id").cast("long"))
+      if (raw.columns.contains("band"))
+        compact.dropDuplicates("doc_id", "batch_id")
+      else compact
+    } catch {
       case _: org.apache.spark.sql.AnalysisException => // no state yet
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema)
@@ -67,7 +75,9 @@ object Hamming64Gate {
       batch.select(col(idCol).cast("long").as("doc_id"),
         col(sigCol).cast("long").as("sig")),
       maxHamming)
-    val state = readState(spark, stateDir).filter(col("batch_id") < batchId)
+    val state = Dedup.band64Cols(
+      readState(spark, stateDir).filter(col("batch_id") < batchId),
+      maxHamming)
     SigGate.acceptBatch(
       batch, batchId, idCol,
       bandedSigs = sigs,

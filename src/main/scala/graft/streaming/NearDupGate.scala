@@ -62,28 +62,48 @@ object NearDupGate {
   private def stateSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("sig", ArrayType(LongType)),
-    StructField("band", IntegerType),
-    StructField("bucket", LongType),
     StructField("keeper", LongType),
     StructField("batch_id", LongType)))
 
-  /** Accepted-signature state: all batch partitions under `stateDir`
-    * (with their `batch_id`), or an empty frame before the first
-    * batch commits. State written before the `keeper` column existed
-    * (accepted-only rows) reads back with `keeper = doc_id`.
+  /** Accepted-signature state, COMPACT since round 13: ONE row per
+    * doc `(doc_id, sig, keeper, batch_id)`. Band/bucket rows are
+    * DERIVABLE from the signature, so persisting them (the round-8
+    * layout) multiplied state bytes ×bands for nothing — the 64-lane
+    * signature array is the bulk of every row, and the exact-mode
+    * state of a 100 TB stream is corpus-sized: at 16 bands the old
+    * layout wrote and re-scanned ~16× the bytes every micro-batch
+    * (the 300×-dupes exact-mode probe was state-write dominated).
+    * Callers re-band on read ([[bandState]] — a codegen explode,
+    * no shuffle). Legacy layouts read back compatibly: banded rows
+    * collapse to their distinct doc rows; pre-keeper rows read as
+    * `keeper = doc_id`.
     */
   def readState(spark: SparkSession, stateDir: String): DataFrame =
     try {
       val raw = spark.read.parquet(stateDir)
       val keeper =
         if (raw.columns.contains("keeper")) col("keeper") else col("doc_id")
-      raw.select(col("doc_id"), col("sig"), col("band"), col("bucket"),
+      val compact = raw.select(col("doc_id"), col("sig"),
         keeper.as("keeper"), col("batch_id").cast("long"))
+      if (raw.columns.contains("band"))
+        compact.dropDuplicates("doc_id", "batch_id")
+      else compact
     } catch {
       case _: org.apache.spark.sql.AnalysisException => // no state yet
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema)
     }
+
+  /** Re-derive the banded `(doc_id, sig, band, bucket, keeper,
+    * batch_id)` rows from compact state — the join shape
+    * [[SigGate.acceptBatch]]'s match condition wants.
+    */
+  private[streaming] def bandState(
+      compact: DataFrame, bands: Int, rows: Int): DataFrame =
+    compact
+      .withColumn("__b", explode(Dedup.lshBands(col("sig"), bands, rows)))
+      .select(col("doc_id"), col("sig"), col("__b.band").as("band"),
+        col("__b.bucket").as("bucket"), col("keeper"), col("batch_id"))
 
   /** One micro-batch step: returns the accepted subset of `batch` and
     * commits signatures to `stateDir/batch_id=<id>` (accepted only,
@@ -109,7 +129,9 @@ object NearDupGate {
     val sigs = Dedup.bandedSignatures(batch, idCol, textCol, k, n, bands)
     // A replayed batch must not match its own previously-committed
     // signatures: state is everything from strictly EARLIER batches.
-    val state = readState(spark, stateDir).filter(col("batch_id") < batchId)
+    val state = bandState(
+      readState(spark, stateDir).filter(col("batch_id") < batchId),
+      bands, n / bands)
     SigGate.acceptBatch(
       batch, batchId, idCol,
       bandedSigs = sigs,

@@ -108,13 +108,20 @@ private[graft] object SigGate {
       .select(col("id"), col("keeper")))
     val rejected = resolved.filter(col("id") =!= col("keeper"))
     val accepted = batch.join(rejected, batch(idCol) === rejected("id"), "left_anti")
+    // State is written COMPACT — one (doc_id, sig, keeper) row per
+    // doc; band/bucket rows are derivable from the signature and the
+    // reader re-expands them (NearDupGate.bandState / the gates'
+    // banding passes). Persisting the banded form multiplied state
+    // bytes ×bands: the signature is the bulk of each row, and
+    // exact-mode state is corpus-sized at stream scale.
+    val compact = bandedSigs.select(col("doc_id"), col("sig"))
+      .dropDuplicates("doc_id")
     val stateOut =
       if (exact)
-        bandedSigs.join(resolved, bandedSigs("doc_id") === resolved("id"))
-          .select(bandedSigs("doc_id"), col("sig"), col("band"), col("bucket"),
-            col("keeper"))
+        compact.join(resolved, compact("doc_id") === resolved("id"))
+          .select(compact("doc_id"), col("sig"), col("keeper"))
       else
-        bandedSigs.join(rejected, bandedSigs("doc_id") === rejected("id"), "left_anti")
+        compact.join(rejected, compact("doc_id") === rejected("id"), "left_anti")
           .withColumn("keeper", col("doc_id"))
     stateOut
       .withColumn("batch_id", lit(batchId))

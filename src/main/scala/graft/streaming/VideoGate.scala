@@ -128,8 +128,10 @@ object VideoGate {
         graft.functions.HashExprs.minhashSig(hs, n).as("sig"))
       .withColumn("band", explode(Dedup.lshBands(col("sig"), bands, rows)))
       .select(col("doc_id"), col("sig"), col("band.band"), col("band.bucket")))
-    val state = NearDupGate.readState(batch.sparkSession, stateDir)
-      .filter(col("batch_id") < batchId)
+    val state = NearDupGate.bandState(
+      NearDupGate.readState(batch.sparkSession, stateDir)
+        .filter(col("batch_id") < batchId),
+      bands, rows)
     SigGate.acceptBatch(
       batch, batchId, idCol,
       bandedSigs = sigs,
