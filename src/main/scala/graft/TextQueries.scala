@@ -233,6 +233,56 @@ object TextQueries {
       col("warc_type"))
   }
 
+  /** STREAMING WARC ingest ([[graft.sources.Warc.stream]], round 13):
+    * the documents corpus muxed in two parity micro-batches into a
+    * watched drop directory, parsed by the streaming ingest (paths
+    * via the pruned `binaryFile` listing; payloads stream inside
+    * tasks), landed idempotently under `batch_id` partitions, and
+    * read back. Same roundtrip-identity oracle as `q_warc_ingest` —
+    * the batch split is semantics-free for ingest (record union is
+    * batching-invariant), which is exactly what the shared oracle
+    * asserts.
+    */
+  private def streamWarcIngest(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val drop = graft.streaming.Scratch.tmpDir("graft_warc_drop")
+    val recsDir = graft.streaming.Scratch.tmpDir("graft_warc_recs")
+    val rejsDir = graft.streaming.Scratch.tmpDir("graft_warc_rejs")
+    val ckpt = graft.streaming.Scratch.ckptDir("graft_warc_ckpt")
+    def mux(part: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      part.repartition(4, col("doc_id")).foreachPartition {
+        (it: Iterator[org.apache.spark.sql.Row]) =>
+          val recs = it.map { r =>
+            graft.sources.Warc.renderRecord(
+              "conversion", s"<urn:uuid:graft-${r.getLong(0)}>",
+              s"https://graft.test/doc/${r.getLong(0)}",
+              "2026-01-01T00:00:00Z", "text/plain",
+              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }.toSeq
+          if (recs.nonEmpty) {
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(drop, f"$tag-$pid%05d.warc.gz"),
+              graft.sources.Warc.gzipMembers(recs))
+          }
+          ()
+      }
+    }
+    val q = graft.sources.Warc.stream(s, drop, recsDir, rejsDir, ckpt)
+    try {
+      mux(docs.filter(col("doc_id") % 2 === 0), "b0")
+      q.processAllAvailable()
+      mux(docs.filter(col("doc_id") % 2 =!= 0), "b1")
+      q.processAllAvailable()
+    } finally q.stop()
+    graft.sources.Warc.readRecords(s, recsDir).select(
+      regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+        .cast("long").as("doc_id"),
+      col("content_length"),
+      length(col("payload")).as("n_chars"),
+      col("warc_type"))
+  }
+
   /** Deterministic 90/10 train/validation split. */
   private def trainSplit(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
@@ -2147,6 +2197,12 @@ object TextQueries {
          |FROM documents d LEFT JOIN losers l ON d.doc_id = l.id
          |WHERE l.id IS NULL""".stripMargin)),
     QueryDef("q_warc_ingest", warcIngest, Some(
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  'conversion' AS warc_type
+        |FROM documents""".stripMargin)),
+    QueryDef("q_stream_warc_ingest", streamWarcIngest, Some(
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
         |  CAST(length(text) AS BIGINT) AS n_chars,

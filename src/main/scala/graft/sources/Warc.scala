@@ -251,6 +251,69 @@ object Warc {
     (records, rejects)
   }
 
+  // ---- streaming ingest ----
+
+  /** Streaming WARC ingest: watch `dropDir` for new archive files and
+    * land parsed records under `recordsDir/batch_id=<id>` and dead
+    * letters under `rejectsDir/batch_id=<id>` (the gate family's
+    * idempotent dynamic-partition-overwrite discipline — a replayed
+    * micro-batch overwrites its own partition).
+    *
+    * The `binaryFile` stream source is used as the FILE LISTING
+    * mechanism only: the plan selects just `path`, so column pruning
+    * keeps payload bytes out of the stream entirely — each batch's
+    * paths (bounded metadata, like a manifest catalog) route into the
+    * same per-file streaming parse as the batch reader, and payloads
+    * stream record-by-record inside tasks exactly as
+    * [[readWithRejects]] does.
+    */
+  def stream(
+      spark: SparkSession,
+      dropDir: String,
+      recordsDir: String,
+      rejectsDir: String,
+      checkpointDir: String,
+      maxPayloadBytes: Int = 16 << 20): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("binaryFile")
+      // the format's fixed schema, stated explicitly (streaming
+      // sources don't infer); only `path` is ever selected, so
+      // column pruning keeps `content` out of the stream
+      .schema(StructType(Seq(
+        StructField("path", StringType),
+        StructField("modificationTime", TimestampType),
+        StructField("length", LongType),
+        StructField("content", BinaryType))))
+      .load(dropDir)
+      .select(col("path"))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val paths = b.select("path").collect().map(_.getString(0))
+        if (paths.nonEmpty) {
+          val (records, rejects) =
+            readWithRejects(spark, paths.mkString(","), maxPayloadBytes)
+          records.withColumn("batch_id", lit(id))
+            .write.partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(recordsDir)
+          rejects.withColumn("batch_id", lit(id))
+            .write.partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(rejectsDir)
+        }
+        ()
+      }
+      .start()
+
+  /** Read the streaming-ingest records table back (explicit schema —
+    * a stream whose every file was rejected legally leaves nothing
+    * to infer from).
+    */
+  def readRecords(spark: SparkSession, recordsDir: String): DataFrame =
+    spark.read
+      .schema(recordSchema.add("batch_id", LongType))
+      .parquet(recordsDir)
+
   // ---- writer (fixtures + WET export) ----
 
   /** Render one WARC record (CRLF framing, `Content-Length` +

@@ -86,6 +86,35 @@ class WarcSpec extends SparkSpecBase {
     assert(reasons.exists(_.contains("truncated")), reasons)
   }
 
+  test("streaming ingest: drop-dir batches land idempotently; dead letters routed") {
+    val drop = graft.streaming.Scratch.tmpDir("graft_warc_sdrop")
+    val recs = graft.streaming.Scratch.tmpDir("graft_warc_srecs")
+    val rejs = graft.streaming.Scratch.tmpDir("graft_warc_srejs")
+    val ckpt = graft.streaming.Scratch.ckptDir("graft_warc_sckpt")
+    Files.write(Paths.get(drop, "a.warc.gz"),
+      Warc.gzipMembers(Seq(rec(1, "one"), rec(2, "two"))))
+    val q = Warc.stream(spark, drop, recs, rejs, ckpt)
+    try {
+      q.processAllAvailable()
+      // batch 2: one good file and one with a dead-letter record
+      Files.write(Paths.get(drop, "b.warc.gz"),
+        Warc.gzipMembers(Seq(rec(3, "three"))))
+      val broken = new String(rec(4, "bad"), StandardCharsets.ISO_8859_1)
+        .replace("Content-Length: 3", "Content-Length: zz")
+        .getBytes(StandardCharsets.ISO_8859_1)
+      Files.write(Paths.get(drop, "c.warc"), rec(5, "five") ++ broken)
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = Warc.readRecords(spark, recs)
+    assert(out.select("target_uri").as[String].collect().sorted.toSeq ===
+      (Seq(1, 2, 3, 5).map(i => s"https://graft.test/doc/$i")))
+    // both micro-batches present as partitions
+    assert(out.select("batch_id").distinct().count() === 2L)
+    val rj = spark.read.parquet(rejs)
+    assert(rj.count() === 1L)
+    assert(rj.select("reason").as[String].head.contains("bad Content-Length"))
+  }
+
   test("multi-file glob parallelism: records carry their source file") {
     val d = graft.streaming.Scratch.tmpDir("graft_warc_many")
     (0 until 4).foreach { i =>
