@@ -314,6 +314,26 @@ object Warc {
       .schema(recordSchema.add("batch_id", LongType))
       .parquet(recordsDir)
 
+  /** WET conversion records as a `documents`-shaped frame — the
+    * bridge from crawl ingest into the curation stack (quality gate →
+    * dedup → budget → split all key on `(doc_id, text, lang,
+    * source)`). `doc_id` is `xxhash64(record_id)` — deterministic,
+    * 2⁶⁴-domain (collision odds are the corpus-hash standing
+    * assumption), and independent of file/offset so re-sharded
+    * archives keep stable ids; `source` is the target URI's host
+    * (the unit domain-quota sampling keys on); `lang` is left for
+    * [[graft.operators.TextAnalysis]]'s langid pass (`null` here —
+    * WET records don't carry one).
+    */
+  def wetDocuments(records: DataFrame): DataFrame =
+    records.filter(col("warc_type") === "conversion")
+      .select(
+        xxhash64(col("record_id")).as("doc_id"),
+        col("payload").as("text"),
+        lit(null).cast(StringType).as("lang"),
+        regexp_extract(col("target_uri"), "^[a-z]+://([^/]+)", 1).as("source"),
+        length(col("payload")).cast(LongType).as("n_chars"))
+
   // ---- writer (fixtures + WET export) ----
 
   /** Render one WARC record (CRLF framing, `Content-Length` +

@@ -115,6 +115,27 @@ class WarcSpec extends SparkSpecBase {
     assert(rj.select("reason").as[String].head.contains("bad Content-Length"))
   }
 
+  test("wetDocuments: conversion records bridge to the documents shape") {
+    val bytes = rec(1, "hello world") ++
+      Warc.renderRecord("request", "<urn:uuid:req-1>",
+        "https://graft.test/doc/1", "2026-08-15T00:00:00Z",
+        "application/http", "GET / HTTP/1.1".getBytes(StandardCharsets.UTF_8))
+    val path = tmpFile("wet.warc", bytes)
+    val (records, _) = Warc.readWithRejects(spark, path)
+    val docs = Warc.wetDocuments(records)
+    assert(docs.columns.toSeq ===
+      Seq("doc_id", "text", "lang", "source", "n_chars"))
+    val row = docs.collect()
+    assert(row.length === 1, "non-conversion records are excluded")
+    assert(row(0).getString(1) === "hello world")
+    assert(row(0).getString(3) === "graft.test")
+    assert(row(0).getLong(4) === 11L)
+    // id is the deterministic record-id hash
+    val expected = spark.sql(
+      "SELECT xxhash64('<urn:uuid:0000-1>')").head.getLong(0)
+    assert(row(0).getLong(0) === expected)
+  }
+
   test("multi-file glob parallelism: records carry their source file") {
     val d = graft.streaming.Scratch.tmpDir("graft_warc_many")
     (0 until 4).foreach { i =>
