@@ -196,9 +196,13 @@ object TextQueries {
     * length and character count — a corrupted header, a mis-framed
     * payload, or a dropped record all break the hash.
     */
-  private def warcIngest(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).select("doc_id", "text")
-    val dir = graft.streaming.Scratch.tmpDir("graft_warc_ingest")
+  /** Distributed mux of a `(doc_id, text)` frame into per-partition
+    * `.warc.gz` files (per-record gzip members) under `dir` — the
+    * shared front half of the crawl-ingest queries. URIs encode the
+    * doc_id so parsers can recover it without hashing.
+    */
+  private def muxWarcGz(
+      docs: org.apache.spark.sql.DataFrame, dir: String, tag: String): Unit = {
     docs.repartition(8, col("doc_id")).foreachPartition {
       (it: Iterator[org.apache.spark.sql.Row]) =>
         val recs = it.map { r =>
@@ -211,11 +215,17 @@ object TextQueries {
         if (recs.nonEmpty) {
           val pid = org.apache.spark.TaskContext.getPartitionId()
           java.nio.file.Files.write(
-            java.nio.file.Paths.get(dir, f"part-$pid%05d.warc.gz"),
+            java.nio.file.Paths.get(dir, f"$tag-$pid%05d.warc.gz"),
             graft.sources.Warc.gzipMembers(recs))
         }
         ()
     }
+  }
+
+  private def warcIngest(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val dir = graft.streaming.Scratch.tmpDir("graft_warc_ingest")
+    muxWarcGz(docs, dir, "part")
     val (recs, rejects) =
       graft.sources.Warc.readWithRejects(s, dir + "/*.warc.gz")
     // synthesized members must all be well-formed — surface a parser
@@ -231,6 +241,39 @@ object TextQueries {
       col("content_length"),
       length(col("payload")).as("n_chars"),
       col("warc_type"))
+  }
+
+  /** The crawl FLAGSHIP composition (round 13): raw web-archive
+    * bytes → training split in one hash-exact pipeline. The corpus is
+    * muxed into `.warc.gz`, parsed back through [[graft.sources
+    * .Warc]] (dead letters and all), quality-gated
+    * ([[TextAnalysis.qualityGate]] — Gopher-style rules), near-dup
+    * deduplicated ([[Dedup.dropNearDuplicates]] — banded MinHash +
+    * CC min-id keepers), and 90/10 split by the deterministic id
+    * hash (leakage-safe by construction: near-dup components were
+    * collapsed to one keeper BEFORE splitting, so no pair can
+    * straddle). Oracle: the roundtrip identity composes the three
+    * existing stage twins — `qualityGateSql` → the minhash/CC chains
+    * over the gated universe → the split CASE — exactly the batch
+    * `q_curate` discipline with the crawl container in front.
+    */
+  private def crawlCurate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val dir = graft.streaming.Scratch.tmpDir("graft_crawl_curate")
+    muxWarcGz(docs, dir, "seg")
+    val (recs, _) = graft.sources.Warc.readWithRejects(s, dir + "/*.warc.gz")
+    val parsed = recs.select(
+      regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+        .cast("long").as("doc_id"),
+      col("payload").as("text"))
+    val pass = TextAnalysis.qualityGate(parsed, "doc_id", "text")
+      .filter(col("pass") === 1).select("doc_id")
+    val gated = parsed.join(pass, Seq("doc_id"), "left_semi")
+    Dedup.dropNearDuplicates(gated, "doc_id", "text")
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        when(TextAnalysis.splitBucket(col("doc_id")) < 90, "train")
+          .otherwise("valid").as("split"))
   }
 
   /** STREAMING WARC ingest ([[graft.sources.Warc.stream]], round 13):
@@ -249,30 +292,11 @@ object TextQueries {
     val recsDir = graft.streaming.Scratch.tmpDir("graft_warc_recs")
     val rejsDir = graft.streaming.Scratch.tmpDir("graft_warc_rejs")
     val ckpt = graft.streaming.Scratch.ckptDir("graft_warc_ckpt")
-    def mux(part: org.apache.spark.sql.DataFrame, tag: String): Unit = {
-      part.repartition(4, col("doc_id")).foreachPartition {
-        (it: Iterator[org.apache.spark.sql.Row]) =>
-          val recs = it.map { r =>
-            graft.sources.Warc.renderRecord(
-              "conversion", s"<urn:uuid:graft-${r.getLong(0)}>",
-              s"https://graft.test/doc/${r.getLong(0)}",
-              "2026-01-01T00:00:00Z", "text/plain",
-              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          }.toSeq
-          if (recs.nonEmpty) {
-            val pid = org.apache.spark.TaskContext.getPartitionId()
-            java.nio.file.Files.write(
-              java.nio.file.Paths.get(drop, f"$tag-$pid%05d.warc.gz"),
-              graft.sources.Warc.gzipMembers(recs))
-          }
-          ()
-      }
-    }
     val q = graft.sources.Warc.stream(s, drop, recsDir, rejsDir, ckpt)
     try {
-      mux(docs.filter(col("doc_id") % 2 === 0), "b0")
+      muxWarcGz(docs.filter(col("doc_id") % 2 === 0), drop, "b0")
       q.processAllAvailable()
-      mux(docs.filter(col("doc_id") % 2 =!= 0), "b1")
+      muxWarcGz(docs.filter(col("doc_id") % 2 =!= 0), drop, "b1")
       q.processAllAvailable()
     } finally q.stop()
     graft.sources.Warc.readRecords(s, recsDir).select(
@@ -2202,6 +2226,20 @@ object TextQueries {
         |  CAST(length(text) AS BIGINT) AS n_chars,
         |  'conversion' AS warc_type
         |FROM documents""".stripMargin)),
+    QueryDef("q_crawl_curate", crawlCurate, Some(
+      s"""WITH RECURSIVE cr_gated AS (
+         |  SELECT d.doc_id, d.text
+         |  FROM documents d JOIN ($qualityGateSql) qg
+         |    ON qg.doc_id = d.doc_id AND qg.pass = 1),
+         |${Dedup.minhashCandDuckCtes(duckToks("text"), table = "cr_gated")},
+         |${Dedup.ccDuckCtes("mh_pairs")},
+         |losers AS (SELECT id FROM cc_comp WHERE id <> component)
+         |SELECT g.doc_id, CAST(length(g.text) AS BIGINT) AS n_chars,
+         |  CASE WHEN (((g.doc_id % 2147483647) * 2654435761) % 2147483647) % 100 < 90
+         |       THEN 'train' ELSE 'valid' END AS split
+         |FROM cr_gated g LEFT JOIN losers l ON g.doc_id = l.id
+         |WHERE l.id IS NULL""".stripMargin),
+      headline = true),
     QueryDef("q_stream_warc_ingest", streamWarcIngest, Some(
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
