@@ -203,7 +203,11 @@ object TextQueries {
     */
   private def muxWarcGz(
       docs: org.apache.spark.sql.DataFrame, dir: String, tag: String): Unit = {
-    docs.repartition(8, col("doc_id")).foreachPartition {
+    // Shards scale with the session's parallelism (a fixed shard
+    // count would serialize the gzip encode at 100×): one .warc.gz
+    // per non-empty shard.
+    val shards = docs.sparkSession.sparkContext.defaultParallelism
+    docs.repartition(shards, col("doc_id")).foreachPartition {
       (it: Iterator[org.apache.spark.sql.Row]) =>
         val recs = it.map { r =>
           graft.sources.Warc.renderRecord(

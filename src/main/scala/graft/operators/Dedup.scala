@@ -169,6 +169,32 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** Default trip point for the dup-heavy AUTO star switch — shared
+    * by the batch keeper-dedup entry points here and the streaming
+    * gate family ([[graft.streaming.SigGate]] delegates): ~1M
+    * estimated verified pairs. Calibration: the 300×-dupes stress
+    * corpus measures ~5.6M verified pairs (323 s of all-pairs
+    * verification in the streaming probe), while the sf0.1 oracle
+    * corpus sits orders of magnitude below — all-pairs-pinned oracle
+    * queries never trip.
+    */
+  val defaultAutoStarPairsCap: Long = 1L << 20
+
+  /** Estimated all-pairs verification load of a banded-signature
+    * frame: Σ over (band, bucket) occupancies k of k·(k−1)/2 — one
+    * aggregate over the (already materialized) sigs, collected as a
+    * single row. An upper bound on distinct verified pairs (a pair
+    * sharing m buckets counts m times): the right direction for a
+    * load-shedding trip wire.
+    */
+  private[graft] def estIntraPairs(sigs: DataFrame): Long = {
+    val row = sigs.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * (col("c") - 1)).as("p"))
+      .collect()(0)
+    if (row.isNullAt(0)) 0L else row.getLong(0) / 2
+  }
+
   /** STAR-candidate variant of [[candidatesFromBandedSigs]] — the
     * dup-heavy-corpus mitigation (round 12): a k-member duplicate
     * clique puts k²/2 pairs through est-Jaccard verification in the
@@ -521,7 +547,11 @@ object Dedup {
     * true-duplicate cliques (CC only needs connectivity, and exact
     * copies score 1 against their hub). Measured 19× faster on a
     * 300-way-duplicated corpus with the identical keeper set; the
-    * all-pairs default remains the exhaustive-recall form.
+    * all-pairs default remains the exhaustive-recall form BELOW
+    * `autoStarPairsCap` — past it the bucket-occupancy probe
+    * ([[estIntraPairs]], round 13) flips to star automatically, the
+    * same default-safety contract as the streaming gates (pass
+    * `Long.MaxValue` to pin all-pairs unconditionally).
     */
   def dropNearDuplicates(
       docs: DataFrame,
@@ -531,10 +561,12 @@ object Dedup {
       n: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.5,
-      star: Boolean = false): DataFrame = {
+      star: Boolean = false,
+      autoStarPairsCap: Long = defaultAutoStarPairsCap): DataFrame = {
     val sigs = bandedSignatures(docs, idCol, textCol, k, n, bands)
     val pairs =
-      if (star) starCandidatesFromBandedSigs(sigs, n, threshold)
+      if (star || estIntraPairs(sigs) > autoStarPairsCap)
+        starCandidatesFromBandedSigs(sigs, n, threshold)
       else candidatesFromBandedSigs(sigs, n, threshold)
     val comp = connectedComponents(pairs)
     val losers = comp.filter(col("id") =!= col("component")).select(col("id"))
@@ -601,8 +633,16 @@ object Dedup {
       k: Int = 3,
       n: Int = 64,
       bands: Int = 16,
-      threshold: Double = 0.5): DataFrame = {
-    val pairs = minhashCandidates(docs, idCol, textCol, k, n, bands, threshold)
+      threshold: Double = 0.5,
+      autoStarPairsCap: Long = defaultAutoStarPairsCap): DataFrame = {
+    // Same auto star switch as [[dropNearDuplicates]]: quality-ranked
+    // keeper selection operates on components, and star preserves
+    // clique connectivity — the contract trade is identical.
+    val sigs = bandedSignatures(docs, idCol, textCol, k, n, bands)
+    val pairs =
+      if (estIntraPairs(sigs) > autoStarPairsCap)
+        starCandidatesFromBandedSigs(sigs, n, threshold)
+      else candidatesFromBandedSigs(sigs, n, threshold)
     val comp = connectedComponents(pairs)
     // Score only the docs that sit in some duplicate component —
     // singletons never reach the aggregate (they keep themselves).

@@ -17,33 +17,18 @@ import graft.operators.{Dedup, Materialize}
   */
 private[graft] object SigGate {
 
-  /** Default trip point for the dup-heavy AUTO star switch
-    * ([[estIntraPairs]] > cap → hub-star intra candidates): ~1M
-    * verified pairs per micro-batch. Calibration: the 300×-dupes
-    * stress corpus measured ~5.6M verified pairs/batch at 323 s of
-    * all-pairs verification (BASELINE.md round 12) — well past the
-    * cap — while the sf0.1 documents corpus sits orders of magnitude
-    * below it, so oracle-pinned all-pairs queries never trip.
+  /** Shared with the batch keeper-dedup entry points — see
+    * [[Dedup.defaultAutoStarPairsCap]] for the calibration.
     */
-  val defaultAutoStarPairsCap: Long = 1L << 20
+  val defaultAutoStarPairsCap: Long = Dedup.defaultAutoStarPairsCap
 
-  /** Estimated intra-batch verification load of the all-pairs
-    * candidate join: Σ over (band, bucket) occupancies k of
-    * k·(k−1)/2. One aggregate over the already-MATERIALIZED banded
-    * signatures collected as a single row — none of the upstream
-    * signature pipeline re-executes (the trap a driver-side pre-count
-    * normally springs; here the probe input is the Materialize cut).
-    * An upper bound on distinct verified pairs (a pair sharing m
-    * buckets is counted m times) — the right direction for a
-    * load-shedding trip wire.
+  /** [[Dedup.estIntraPairs]] — kept here as the streaming-facing
+    * name (one aggregate over the already-MATERIALIZED banded
+    * signatures; none of the upstream signature pipeline re-executes,
+    * the trap a driver-side pre-count normally springs).
     */
-  private[graft] def estIntraPairs(sigs: DataFrame): Long = {
-    val row = sigs.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("c"))
-      .agg(sum(col("c") * (col("c") - 1)).as("p"))
-      .collect()(0)
-    if (row.isNullAt(0)) 0L else row.getLong(0) / 2
-  }
+  private[graft] def estIntraPairs(sigs: DataFrame): Long =
+    Dedup.estIntraPairs(sigs)
 
   /** The auto-star decision shared by every gate: forced by the
     * caller knob, or tripped by the bucket-occupancy probe. Gates

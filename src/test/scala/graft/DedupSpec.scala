@@ -174,6 +174,26 @@ class DedupSpec extends SparkSpecBase {
     assert(labels(viaDriver = false) === expect)
   }
 
+  test("batch auto-star: a dup-heavy corpus trips the switch with identical keepers; MaxValue pins all-pairs") {
+    // Round 13: the same default-safety contract as the streaming
+    // gates — an 8-member clique is 8·7/2 = 28 estimated pairs per
+    // shared bucket (×16 bands); cap 100 trips star, cap MaxValue
+    // pins all-pairs, keepers identical either way (cliques are exact
+    // under star). dropNearDuplicatesBy gets the same switch.
+    val docs = ((0L until 8L).map(i => (100L + i, base)) ++ Seq(
+      (200L, "completely different unique sentence about parquet files and shuffles")))
+      .toDF("doc_id", "text")
+    def keepers(cap: Long) =
+      Dedup.dropNearDuplicates(docs, "doc_id", "text", autoStarPairsCap = cap)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keepers(100L) === Set(100L, 200L))
+    assert(keepers(Long.MaxValue) === keepers(100L))
+    val byQuality = Dedup.dropNearDuplicatesBy(docs, "doc_id", "text",
+        keepBy = length(col("text")), autoStarPairsCap = 100L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(byQuality === Set(100L, 200L))
+  }
+
   test("dropNearDuplicates works with string doc ids end to end") {
     val chain = Seq(
       ("docA", base),
