@@ -280,6 +280,25 @@ object TextQueries {
           .otherwise("valid").as("split"))
   }
 
+  /** The WET→documents bridge driver-checked END TO END — including
+    * the hashed ids (round 13): `wetDocuments` assigns
+    * `doc_id = xxhash64(record_id)`, and the oracle reconstructs each
+    * record id string and replays Spark's XXH64 over it in SQL
+    * ([[graft.operators.Xxh64Duck.ascii31DuckCtes]] — the
+    * arbitrary-short-ASCII generalization of the 32-byte chain:
+    * CASE-gated word/4-byte/tail rounds, one chain for all lengths).
+    * So the crawl bridge's identity column is itself hash-exact, not
+    * just its payload stats.
+    */
+  private def wetDocumentsQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val dir = graft.streaming.Scratch.tmpDir("graft_wet_docs")
+    muxWarcGz(docs, dir, "seg")
+    val (recs, _) = graft.sources.Warc.readWithRejects(s, dir + "/*.warc.gz")
+    graft.sources.Warc.wetDocuments(recs)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+  }
+
   /** STREAMING WARC ingest ([[graft.sources.Warc.stream]], round 13):
     * the documents corpus muxed in two parity micro-batches into a
     * watched drop directory, parsed by the streaming ingest (paths
@@ -2244,6 +2263,15 @@ object TextQueries {
          |FROM cr_gated g LEFT JOIN losers l ON g.doc_id = l.id
          |WHERE l.id IS NULL""".stripMargin),
       headline = true),
+    QueryDef("q_wet_documents", wetDocumentsQ, Some(
+      s"""WITH wd_in AS (
+         |  SELECT doc_id, 0 AS k,
+         |    '<urn:uuid:graft-' || CAST(doc_id AS VARCHAR) || '>' AS s
+         |  FROM documents),
+         |${graft.operators.Xxh64Duck.ascii31DuckCtes("wd_in")}
+         |SELECT x.h AS doc_id, 'graft.test' AS source,
+         |  CAST(length(d.text) AS BIGINT) AS n_chars
+         |FROM xs_xh x JOIN documents d ON d.doc_id = x.doc_id""".stripMargin)),
     QueryDef("q_stream_warc_ingest", streamWarcIngest, Some(
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS content_length,

@@ -79,6 +79,58 @@ private[graft] object Xxh64Duck {
     hash32(word(0), word(1), word(2), word(3), seed)
   }
 
+  /** Fully general XXH64 over any byte array — the reference model
+    * for the SHORT-input SQL chain ([[ascii31DuckCtes]]: < 32 bytes,
+    * no stripes) and the documentation of the full algorithm the
+    * 32-byte fast path above specializes. Spec-pinned equal to
+    * Spark's `xxhash64` on random lengths 0‥100.
+    */
+  def hashBytes(b: Array[Byte], seed: Long = SparkSeed): Long = {
+    val len = b.length
+    def word(off: Int): Long = {
+      var w = 0L
+      var t = 7
+      while (t >= 0) { w = (w << 8) | (b(off + t) & 0xFFL); t -= 1 }
+      w
+    }
+    var off = 0
+    var h =
+      if (len >= 32) {
+        var v1 = seed + P1 + P2; var v2 = seed + P2
+        var v3 = seed; var v4 = seed - P1
+        while (off <= len - 32) {
+          v1 = stripe(v1, word(off)); v2 = stripe(v2, word(off + 8))
+          v3 = stripe(v3, word(off + 16)); v4 = stripe(v4, word(off + 24))
+          off += 32
+        }
+        var acc = rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)
+        acc = (acc ^ stripe(0L, v1)) * P1 + P4
+        acc = (acc ^ stripe(0L, v2)) * P1 + P4
+        acc = (acc ^ stripe(0L, v3)) * P1 + P4
+        (acc ^ stripe(0L, v4)) * P1 + P4
+      } else seed + P5
+    h += len
+    while (off <= len - 8) {
+      h = rotl(h ^ stripe(0L, word(off)), 27) * P1 + P4
+      off += 8
+    }
+    if (off <= len - 4) {
+      var k = 0L
+      var t = 3
+      while (t >= 0) { k = (k << 8) | (b(off + t) & 0xFFL); t -= 1 }
+      h = rotl(h ^ (k * P1), 23) * P2 + P3
+      off += 4
+    }
+    while (off < len) {
+      h = rotl(h ^ ((b(off) & 0xFFL) * P5), 11) * P1
+      off += 1
+    }
+    h ^= h >>> 33; h *= P2
+    h ^= h >>> 29; h *= P3
+    h ^= h >>> 32
+    h
+  }
+
   // ---- DuckDB SQL transliteration ----
 
   private val W64 = "18446744073709551616::HUGEINT"
@@ -111,6 +163,87 @@ private[graft] object Xxh64Duck {
   /** `x ^ (x >>> s)` — the xor-shift avalanche step. */
   private def xorShiftExpr(c: String, s: Int): String =
     xorExpr(c, s"($c) // ${pow2(s)}::HUGEINT")
+
+  /** Staged CTE chain computing [[hashBytes]] over SHORT ASCII
+    * strings — input CTE `fromCte (doc_id, k, s VARCHAR)` with every
+    * value UNDER 32 BYTES (the no-stripe path; the caller guarantees
+    * it — record ids / uris of known shape), output `{prefix}xh
+    * (doc_id, k, h BIGINT)` equal to Spark's `xxhash64(s)`.
+    *
+    * One chain serves all lengths 0‥31: byte reads are DEFENSIVE
+    * (`0` past the end) and every tail op is CASE-gated on the row's
+    * byte length, mirroring [[hashBytes]]' loop structure — up to 3
+    * full 8-byte word merges, at most one 4-byte chunk, at most 3
+    * tail bytes, then the avalanche. ASCII only: DuckDB `ord` reads
+    * code points, which equal bytes exactly on 7-bit input.
+    */
+  def ascii31DuckCtes(
+      fromCte: String,
+      prefix: String = "xs_",
+      seed: Long = SparkSeed): String = {
+    // defensive byte read at 1-based char position (SQL expr)
+    def byteAt(pos: String): String =
+      s"coalesce(ord(nullif(substr(s, CAST($pos AS INTEGER), 1), '')), 0)"
+    def wordSum(startPos: String, nBytes: Int): String =
+      (0 until nBytes).map { t =>
+        s"${byteAt(s"($startPos) + $t")} * ${pow2(8 * t)}::HUGEINT"
+      }.mkString("(", "\n      + ", ")")
+    val sel = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[String])]
+    val carry = Seq("s", "L", "nb")
+    // L = byte length; nb = trailing single bytes after words + the
+    // 4-byte chunk; h0 = seed + P5 + L
+    sel += "b0" -> Seq("s", "strlen(s) AS L",
+      "strlen(s) - 8 * (strlen(s) // 8) - CASE WHEN (strlen(s) % 8) >= 4 THEN 4 ELSE 0 END AS nb",
+      s"(${u(seed + P5)}::HUGEINT + strlen(s)) % $W64 AS h")
+    // up to three full 8-byte word merges
+    for (i <- 0 until 3) {
+      val cond = s"L >= ${8 * (i + 1)}"
+      sel += s"w${i}a" -> (carry ++ Seq("h", s"${wordSum(s"${8 * i + 1}", 8)} AS w"))
+      sel += s"w${i}b" -> (carry ++ Seq("h", s"${mulExpr("w", P2)} AS w"))
+      sel += s"w${i}c" -> (carry ++ Seq("h", s"${rotlExpr("w", 31)} AS w"))
+      sel += s"w${i}d" -> (carry ++ Seq("h", s"${mulExpr("w", P1)} AS w"))
+      sel += s"w${i}e" -> (carry ++ Seq(
+        s"CASE WHEN $cond THEN ${xorExpr("h", "w")} ELSE h END AS h"))
+      sel += s"w${i}f" -> (carry ++ Seq(
+        s"CASE WHEN $cond THEN (${mulExpr(rotlExpr("h", 27), P1)} + ${u(P4)}::HUGEINT) % $W64 ELSE h END AS h"))
+    }
+    // at most one 4-byte chunk, at the first position past the words
+    val cond4 = "(L % 8) >= 4"
+    sel += "fa" -> (carry ++ Seq("h",
+      s"${wordSum("8 * (L // 8) + 1", 4)} AS w"))
+    sel += "fb" -> (carry ++ Seq("h", s"${mulExpr("w", P1)} AS w"))
+    sel += "fc" -> (carry ++ Seq(
+      s"CASE WHEN $cond4 THEN ${xorExpr("h", "w")} ELSE h END AS h"))
+    sel += "fd" -> (carry ++ Seq(
+      s"CASE WHEN $cond4 THEN (${mulExpr(rotlExpr("h", 23), P2)} + ${u(P3)}::HUGEINT) % $W64 ELSE h END AS h"))
+    // at most three trailing bytes
+    for (j <- 0 until 3) {
+      val cond = s"nb > $j"
+      sel += s"t${j}a" -> (carry ++ Seq("h",
+        s"${mulExpr(byteAt(s"L - nb + $j + 1"), P5)} AS w"))
+      sel += s"t${j}b" -> (carry ++ Seq(
+        s"CASE WHEN $cond THEN ${xorExpr("h", "w")} ELSE h END AS h"))
+      sel += s"t${j}c" -> (carry ++ Seq(
+        s"CASE WHEN $cond THEN ${mulExpr(rotlExpr("h", 11), P1)} ELSE h END AS h"))
+    }
+    sel += "z1" -> Seq(s"${xorShiftExpr("h", 33)} AS h")
+    sel += "z2" -> Seq(s"${mulExpr("h", P2)} AS h")
+    sel += "z3" -> Seq(s"${xorShiftExpr("h", 29)} AS h")
+    sel += "z4" -> Seq(s"${mulExpr("h", P3)} AS h")
+    sel += "z5" -> Seq(s"${xorShiftExpr("h", 32)} AS h")
+    val stages = sel.toSeq
+    val body = stages.zipWithIndex.map { case ((name, cols), ix) =>
+      val from = if (ix == 0) fromCte else s"$prefix${stages(ix - 1)._1}"
+      s"""$prefix$name AS (
+         |  SELECT doc_id, k, ${cols.mkString(",\n    ")}
+         |  FROM $from)""".stripMargin
+    }.mkString(",\n")
+    s"""$body,
+       |${prefix}xh AS (
+       |  SELECT doc_id, k,
+       |    CAST(CASE WHEN h >= ${pow2(63)}::HUGEINT THEN h - $W64 ELSE h END AS BIGINT) AS h
+       |  FROM $prefix${stages.last._1})""".stripMargin
+  }
 
   /** The staged CTE chain computing [[hash32]] over an input CTE
     * `fromCte (doc_id, k, w1, w2, w3, w4)` of HUGEINT words in

@@ -48,6 +48,35 @@ class Xxh64DuckSpec extends SparkSpecBase {
     }
   }
 
+  test("general model == Spark xxhash64 for random lengths 0..100 (stripes, words, 4-byte, tail)") {
+    val rnd = new scala.util.Random(29)
+    val rows = (0 until 300).map { i =>
+      val b = new Array[Byte](rnd.nextInt(101)); rnd.nextBytes(b)
+      (i.toLong, b)
+    } ++ (0 until 40).map { l => // every short length exactly once
+      val b = Array.tabulate[Byte](l)(t => ((t * 37 + l) % 256).toByte)
+      ((1000 + l).toLong, b)
+    }
+    val got = rows.toDF("id", "b")
+      .select(col("id"), xxhash64(col("b")).as("h"))
+      .as[(Long, Long)].collect().toMap
+    rows.foreach { case (i, b) =>
+      assert(got(i) === Xxh64Duck.hashBytes(b),
+        s"general model diverges at fixture $i (len ${b.length})")
+    }
+  }
+
+  test("general model == Spark xxhash64 on ASCII strings (the record-id shape)") {
+    val ids = (0 until 50).map(i => (i.toLong, s"<urn:uuid:graft-${i * 977}>"))
+    val got = ids.toDF("id", "s")
+      .select(col("id"), xxhash64(col("s")).as("h"))
+      .as[(Long, Long)].collect().toMap
+    ids.foreach { case (i, s) =>
+      assert(got(i) === Xxh64Duck.hashBytes(
+        s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)))
+    }
+  }
+
   test("pattern-frame slices hash to the model over the closed-form bytes") {
     // The q_video_neardup_hashed corpus shape: frame k of a pattern
     // video has byte i = (v + i·w) mod 256 — the slice Spark hashes
