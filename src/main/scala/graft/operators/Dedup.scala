@@ -587,6 +587,17 @@ object Dedup {
     * 31-bit-hash bucket as [[TextAnalysis.splitBucket]]. Output:
     * `(doc_id, split_key, bucket, split)` with `split ∈ {train,
     * valid}` and `P(valid) = validPct / 100`.
+    *
+    * Scale posture, DELIBERATELY conservative: this operator keeps
+    * the all-pairs candidate join with NO auto-star switch — its one
+    * job is that no near-dup pair straddles the split, and the star
+    * rule's measured 94.6%-recall bound (`StarRecallSpec`) means a
+    * lost borderline edge could put a pair astride the boundary. On
+    * a dup-heavy corpus, dedup FIRST and split the keepers (the
+    * `q_crawl_curate` composition — components collapse before the
+    * split, making the id-hash split leakage-safe trivially and the
+    * auto-star mitigation applicable); splitting a corpus that still
+    * CONTAINS its duplicate cliques is the expensive path by nature.
     */
   def leakageSafeSplit(
       docs: DataFrame,
