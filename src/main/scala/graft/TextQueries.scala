@@ -177,6 +177,24 @@ object TextQueries {
     * doc, and prefix lines dedup exactly where near-dup docs share
     * their opening.
     */
+  /** Gopher repetition-filter suite
+    * ([[TextAnalysis.repetitionSignals]], round 13): each doc is
+    * PLANTED into a lined shape (banner, 72-char head, banner again,
+    * full text) so every signal has real surface — the duplicated
+    * banner drives the dup-line fractions, natural token repetition
+    * drives the top-n-gram ones, and short docs (head == text)
+    * exercise the boundary. Integer-ppm end to end; the oracle
+    * mirrors every list expression 1:1.
+    */
+  private def gopherRepetitionQ(s: SparkSession, d: String): DataFrame = {
+    val banner = "accept all cookies to continue"
+    val lined = Tables.documents(s, d).select(
+      col("doc_id"),
+      concat(lit(banner), lit("\n"), substring(col("text"), 1, 72),
+        lit("\n"), lit(banner), lit("\n"), col("text")).as("text"))
+    TextAnalysis.repetitionSignals(lined, "doc_id", "text")
+  }
+
   private def corpusLineDedupQ(s: SparkSession, d: String): DataFrame = {
     val banner = "graft cookie banner: accept all cookies to continue"
     val lined = Tables.documents(s, d).select(
@@ -2182,6 +2200,57 @@ object TextQueries {
     QueryDef("q_text_stats", textStats, Some(statsSql), headline = true),
     QueryDef("q_quality_score", qualityScore, Some(qualitySql)),
     QueryDef("q_quality_gate", qualityGateQ, Some(qualityGateSql), headline = true),
+    QueryDef("q_gopher_repetition", gopherRepetitionQ, Some {
+      val toks = duckToks("t")
+      s"""WITH rp_lined AS (
+         |  SELECT doc_id,
+         |    'accept all cookies to continue' || chr(10) || substr(text, 1, 72)
+         |      || chr(10) || 'accept all cookies to continue' || chr(10) || text AS t
+         |  FROM documents),
+         |rp_arr AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(t, chr(10)), l -> len(trim(l)) > 0) AS ls,
+         |    $toks AS ts
+         |  FROM rp_lined),
+         |rp_g AS (
+         |  SELECT doc_id, ls, ts,
+         |    CASE WHEN len(ts) >= 2 THEN list_transform(
+         |        range(1, CAST(len(ts) AS BIGINT)),
+         |        i -> ts[CAST(i AS INTEGER)] || ' ' || ts[CAST(i + 1 AS INTEGER)])
+         |      ELSE CAST([] AS VARCHAR[]) END AS g2,
+         |    CASE WHEN len(ts) >= 3 THEN list_transform(
+         |        range(1, CAST(len(ts) AS BIGINT) - 1),
+         |        i -> ts[CAST(i AS INTEGER)] || ' ' || ts[CAST(i + 1 AS INTEGER)]
+         |          || ' ' || ts[CAST(i + 2 AS INTEGER)])
+         |      ELSE CAST([] AS VARCHAR[]) END AS g3
+         |  FROM rp_arr),
+         |rp_m AS (
+         |  SELECT doc_id,
+         |    CAST(len(ls) AS BIGINT) AS nl,
+         |    CAST(len(ts) AS BIGINT) AS nt,
+         |    CAST(len(ls) - len(list_distinct(ls)) AS BIGINT) AS dupl,
+         |    CAST(coalesce(list_sum(list_transform(ls, x ->
+         |      CASE WHEN len(list_filter(ls, y -> y = x)) > 1
+         |           THEN length(x) ELSE 0 END)), 0) AS BIGINT) AS dupchars,
+         |    CAST(coalesce(list_sum(list_transform(ls, x -> length(x))), 0)
+         |      AS BIGINT) AS chars,
+         |    CAST(coalesce(list_max(list_transform(g2, b ->
+         |      len(list_filter(g2, x -> x = b)))), 0) AS BIGINT) AS c2,
+         |    CAST(coalesce(list_max(list_transform(g3, b ->
+         |      len(list_filter(g3, x -> x = b)))), 0) AS BIGINT) AS c3
+         |  FROM rp_g)
+         |SELECT doc_id, nl AS n_lines,
+         |  (dupl * 1000000) // greatest(nl, 1) AS dup_line_ppm,
+         |  (dupchars * 1000000) // greatest(chars, 1) AS dup_line_char_ppm,
+         |  (c2 * 2000000) // greatest(nt, 1) AS top2_ppm,
+         |  (c3 * 3000000) // greatest(nt, 1) AS top3_ppm,
+         |  CASE WHEN (dupl * 1000000) // greatest(nl, 1) <= 300000
+         |        AND (dupchars * 1000000) // greatest(chars, 1) <= 200000
+         |        AND (c2 * 2000000) // greatest(nt, 1) <= 200000
+         |        AND (c3 * 3000000) // greatest(nt, 1) <= 180000
+         |       THEN 1 ELSE 0 END AS pass
+         |FROM rp_m""".stripMargin
+    }),
     QueryDef("q_lang_id", langIdQ, Some(langIdSql)),
     // confusion matrix of the declared `lang` vs the n-gram language
     // id — the model-eval query shape: one scan, one aggregate; the

@@ -382,6 +382,95 @@ object TextAnalysis {
   def lines(text: Column): Column =
     filter(split(text, "\n"), l => length(trim(l)) > 0)
 
+  /** Gopher-style REPETITION signal suite (Rae et al. 2021,
+    * "Scaling Language Models", Table A1 — the within-document
+    * repetition family; [[qualityGate]]'s single `repetition` rule
+    * samples it): per document over non-empty newline lines and
+    * whitespace tokens,
+    *
+    *  - `dup_line_ppm` — fraction of lines occurring more than once
+    *    (`(n − n_distinct) / n`),
+    *  - `dup_line_char_ppm` — fraction of characters sitting in
+    *    lines that occur more than once,
+    *  - `top2_ppm` / `top3_ppm` — fraction of token instances
+    *    covered by the single most frequent 2-gram / 3-gram
+    *    (`max_count · n / n_tokens`),
+    *
+    * all in integer ppm (`count · 10⁶ div total` — engine-portable,
+    * no floating division anywhere), plus `pass` = 1 iff every
+    * fraction is under its Gopher-ish threshold (30% dup lines, 20%
+    * dup-line chars, 20% top-2-gram, 18% top-3-gram).
+    *
+    * Scale shape — aggregate + join, NEVER in-array occurrence
+    * counting: the obvious per-doc `filter(arr, _ === x)` count is
+    * O(units²) in the DOCUMENT's own size, which a 100k-token page
+    * turns into 10¹⁰ comparisons inside one task (the same class of
+    * bug as the per-hash windows the dup-span plan pins against).
+    * Instead ONE explode emits `(doc, kind, unit)` rows — lines,
+    * tokens, 2-grams, 3-grams tagged in a single pass over staged
+    * arrays — and keyed counts + a conditional per-kind rollup
+    * produce every signal with map-side partials; work is
+    * O(units log units) and skew-free (the keys carry the doc id).
+    * Docs with no units (empty text) rejoin with zero defaults.
+    */
+  def repetitionSignals(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // try_element_at + a floor-1 sequence bound: codegen evaluates
+    // BOTH when-branches (the CLAUDE.md ANSI element_at trap), so the
+    // discarded short-doc branch must be unable to throw — a negative
+    // sequence bound would auto-step DOWN through index 0 and ANSI
+    // element_at rejects it even guarded.
+    def grams(t: Column, n: Int): Column =
+      when(size(t) >= n,
+        transform(sequence(lit(1), greatest(size(t) - (n - 1), lit(1))), i =>
+          concat_ws(" ", (0 until n).map(o => try_element_at(t, i + o)): _*)))
+        .otherwise(array().cast("array<string>"))
+    def tagged(arr: Column, kind: String): Column =
+      transform(arr, u => struct(lit(kind).as("kind"), u.as("unit")))
+    val units = docs.select(col(idCol), col(textCol))
+      .withColumn("__lines", lines(col(textCol)))
+      .withColumn("__toks", tokens(col(textCol)))
+      .select(col(idCol), explode(concat(
+        tagged(col("__lines"), "L"), tagged(col("__toks"), "T"),
+        tagged(grams(col("__toks"), 2), "2"),
+        tagged(grams(col("__toks"), 3), "3"))).as("u"))
+      .select(col(idCol), col("u.kind").as("kind"), col("u.unit").as("unit"))
+    val counts = units.groupBy(col(idCol), col("kind"), col("unit"))
+      .agg(count(lit(1)).as("c"))
+    def kindAgg(kind: String, e: Column): Column =
+      coalesce(max(when(col("kind") === kind, e)), lit(0L))
+    val rolled = counts.groupBy(col(idCol), col("kind"))
+      .agg(sum(col("c")).as("total"),
+        sum(when(col("c") > 1, col("c") * length(col("unit")).cast("long"))
+          .otherwise(lit(0L))).as("dupchars"),
+        sum(col("c") * length(col("unit")).cast("long")).as("chars"),
+        (sum(col("c")) - count(lit(1))).as("dupn"),
+        max(col("c")).as("maxc"))
+      .groupBy(col(idCol))
+      .agg(
+        kindAgg("L", col("total")).as("__nl"),
+        kindAgg("T", col("total")).as("__nt"),
+        kindAgg("L", col("dupn")).as("__dupl"),
+        kindAgg("L", col("dupchars")).as("__dupchars"),
+        kindAgg("L", col("chars")).as("__chars"),
+        kindAgg("2", col("maxc")).as("__c2"),
+        kindAgg("3", col("maxc")).as("__c3"))
+    docs.select(col(idCol)).join(rolled, Seq(idCol), "left")
+      .select(col(idCol) +: Seq("__nl", "__nt", "__dupl", "__dupchars",
+        "__chars", "__c2", "__c3").map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+      .selectExpr(idCol,
+        "__nl AS n_lines",
+        "(__dupl * CAST(1000000 AS BIGINT)) div greatest(__nl, 1) AS dup_line_ppm",
+        "(__dupchars * CAST(1000000 AS BIGINT)) div greatest(__chars, 1) AS dup_line_char_ppm",
+        "(__c2 * CAST(2000000 AS BIGINT)) div greatest(__nt, 1) AS top2_ppm",
+        "(__c3 * CAST(3000000 AS BIGINT)) div greatest(__nt, 1) AS top3_ppm")
+      .withColumn("pass",
+        when(col("dup_line_ppm") <= 300000L &&
+          col("dup_line_char_ppm") <= 200000L &&
+          col("top2_ppm") <= 200000L && col("top3_ppm") <= 180000L, 1)
+          .otherwise(0))
+  }
+
   /** Fraction of array elements that repeat an earlier element,
     * 4 dp: `(n - n_distinct) / n`. 0 for the empty array.
     */

@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.TextAnalysis
+
+/** Gopher repetition-filter suite: hand-computed fractions, empty/
+  * degenerate docs, and the aggregate+join (no in-array O(n²)
+  * counting) plan shape.
+  */
+class RepetitionSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private def run(rows: (Long, String)*) =
+    TextAnalysis.repetitionSignals(rows.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getInt(6))).toMap
+
+  test("hand-computed: duplicated banner lines and a dominant bigram") {
+    // doc 1: lines = [dup, alpha beta gamma delta, dup] → 3 lines,
+    // dup appears twice: dup_line = 2... no — duplicated LINES are
+    // n − n_distinct = 3 − 2 = 1 → 1/3; dup chars = 2·3 = 6 of
+    // 3 + 22 + 3 = 28. Tokens = [dup, alpha, beta, gamma, delta,
+    // dup] → nt 6; bigrams all distinct (c2 1) → top2 = 2/6;
+    // trigrams distinct (c3 1) → top3 = 3/6.
+    val got = run(1L -> "dup\nalpha beta gamma delta\ndup")
+    val (nl, dupLine, dupChar, top2, top3, pass) = got(1L)
+    assert(nl === 3L)
+    assert(dupLine === 1000000L / 3)
+    assert(dupChar === 6L * 1000000L / 28)
+    assert(top2 === 2L * 1000000L / 6)
+    assert(top3 === 3L * 1000000L / 6)
+    assert(pass === 0) // dup_line 33% > 30%, top2 33% > 20%
+  }
+
+  test("clean doc passes; empty doc yields zeros and passes") {
+    // a clean doc must be LONG enough that all-distinct n-grams sit
+    // under the thresholds (top3 = 3/nt ≤ 18% needs nt ≥ 17 — the
+    // Gopher rules are calibrated for real documents, and the
+    // quality gate's length rule already rejects sub-10-token docs)
+    val got = run(
+      1L -> ("one two three four five six seven eight nine ten eleven " +
+        "twelve thirteen fourteen fifteen sixteen seventeen eighteen"),
+      2L -> "",
+      3L -> "x x x x x x x x") // one token repeated: top2 = max c2=7 → 14/8
+    assert(got(1L)._6 === 1, got(1L))
+    assert(got(2L) === ((0L, 0L, 0L, 0L, 0L, 1)))
+    val (_, _, _, top2, top3, pass) = got(3L)
+    assert(top2 === 7L * 2000000L / 8)
+    assert(top3 === 6L * 3000000L / 8)
+    assert(pass === 0)
+  }
+
+  test("plan: no in-array occurrence counting — the explode/aggregate shape") {
+    val df = TextAnalysis.repetitionSignals(
+      Seq((1L, "a b c\nd e f")).toDF("doc_id", "text"), "doc_id", "text")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Generate explode"), "units come from ONE explode")
+    // the O(n²) shape would nest ArrayFilter inside ArrayTransform
+    assert(!plan.contains("array_filter(array_transform"),
+      "no quadratic in-array counting")
+  }
+}
