@@ -2250,7 +2250,7 @@ object TextQueries {
          |        AND (c3 * 3000000) // greatest(nt, 1) <= 180000
          |       THEN 1 ELSE 0 END AS pass
          |FROM rp_m""".stripMargin
-    }),
+    }, headline = true),
     QueryDef("q_lang_id", langIdQ, Some(langIdSql)),
     // confusion matrix of the declared `lang` vs the n-gram language
     // id — the model-eval query shape: one scan, one aggregate; the
