@@ -592,6 +592,28 @@ object TextQueries {
     a0.union(a1).select("doc_id")
   }
 
+  /** [[streamSimhashGate]] with hub-STAR intra candidates
+    * (round 13 — the 64-bit gate family's dup-heavy form now in the
+    * hard gate alongside `q_stream_neardup_star`):
+    * [[graft.streaming.Hamming64Gate.acceptBatch]]`(starIntra =
+    * true)` over the two parity batches, oracle =
+    * [[Dedup.starHamming64ParityDuckCtes]] (per-batch hubs over the
+    * shared `sh_banded` chain) composed into the gate replay's
+    * intra-pair overrides.
+    */
+  private def streamSimhashGateStar(s: SparkSession, d: String): DataFrame = {
+    val sigs = Tables.documents(s, d)
+      .select(col("doc_id"), Dedup.simhash64(col("text")).as("sig"))
+    val stateDir = graft.streaming.Scratch.tmpDir("graft_h64gate_star_state")
+    val a0 = graft.streaming.Hamming64Gate.acceptBatch(
+      sigs.filter(col("doc_id") % 2 === 0), 0L, "doc_id", "sig", stateDir,
+      starIntra = true)
+    val a1 = graft.streaming.Hamming64Gate.acceptBatch(
+      sigs.filter(col("doc_id") % 2 =!= 0), 1L, "doc_id", "sig", stateDir,
+      starIntra = true)
+    a0.union(a1).select("doc_id")
+  }
+
   // Synthetic-but-fixed 64-dim model: the Spark plan and the DuckDB
   // oracle inline the SAME vector from this one definition.
   private val linWeights: Seq[Double] =
@@ -2420,6 +2442,13 @@ object TextQueries {
     QueryDef("q_stream_simhash_gate", streamSimhashGate, Some(
       s"""WITH RECURSIVE ${Dedup.simhashCandDuckCtes(duckToks("text"))},
          |${Dedup.gateReplayDuckCtes("sh_pairs", exact = false)}
+         |SELECT doc_id FROM gate_accept""".stripMargin)),
+    QueryDef("q_stream_simhash_gate_star", streamSimhashGateStar, Some(
+      s"""WITH RECURSIVE ${Dedup.simhashCandDuckCtes(duckToks("text"))},
+         |${Dedup.starHamming64ParityDuckCtes()},
+         |${Dedup.gateReplayDuckCtes("sh_pairs", exact = false,
+             intraEvenCte = Some("sh_spairs_e"),
+             intraOddCte = Some("sh_spairs_o"))}
          |SELECT doc_id FROM gate_accept""".stripMargin)),
     QueryDef("q_doc_chunks", docChunks, Some {
       val toks = duckToks("text")

@@ -1128,6 +1128,40 @@ object Dedup {
     side(0, "e") + ",\n" + side(1, "o")
   }
 
+  /** Per-PARITY hub-star pair CTEs for the 64-BIT banded family
+    * (appended after [[simhashCandDuckCtes]] /
+    * [[hamming64PairsDuckCtes]], which provide `{prefix}banded`) —
+    * the oracle twin of [[starHamming64PairsFromBanded]] computed
+    * WITHIN each parity micro-batch, exactly as
+    * [[starPairsParityDuckCtes]] is for the minhash gate. `sigsCte`
+    * names the `(doc_id, sig)` signature table for verification.
+    * Emits `{prefix}spairs_e` / `{prefix}spairs_o`
+    * `(id_a, id_b, hamming)` filtered to `≤ maxHamming`.
+    */
+  def starHamming64ParityDuckCtes(
+      prefix: String = "sh_",
+      sigsCte: String = "sh_sigs",
+      maxHamming: Int = 3): String = {
+    def side(par: Int, suf: String): String =
+      s"""${prefix}hub_$suf AS (
+         |  SELECT band, bucket, min(doc_id) AS hub_id
+         |  FROM ${prefix}banded WHERE doc_id % 2 = $par GROUP BY 1, 2),
+         |${prefix}scand_$suf AS (
+         |  SELECT DISTINCT h.hub_id AS id_a, b.doc_id AS id_b
+         |  FROM ${prefix}banded b
+         |  JOIN ${prefix}hub_$suf h ON h.band = b.band AND h.bucket = b.bucket
+         |  WHERE b.doc_id % 2 = $par AND b.doc_id <> h.hub_id),
+         |${prefix}spairs_$suf AS MATERIALIZED (
+         |  SELECT id_a, id_b, hamming FROM (
+         |    SELECT c.id_a, c.id_b,
+         |      CAST(bit_count(xor(sa.sig, sb.sig)) AS INTEGER) AS hamming
+         |    FROM ${prefix}scand_$suf c
+         |    JOIN $sigsCte sa ON sa.doc_id = c.id_a
+         |    JOIN $sigsCte sb ON sb.doc_id = c.id_b) t
+         |  WHERE hamming <= $maxHamming)""".stripMargin
+    side(0, "e") + ",\n" + side(1, "o")
+  }
+
   /** DuckDB recursive-CTE connected components over a pair CTE with
     * columns `(id_a, id_b)` — the oracle twin of
     * [[connectedComponents]]'s min-label contract: `cc_comp(id,
