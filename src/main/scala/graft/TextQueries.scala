@@ -1233,6 +1233,37 @@ object TextQueries {
     a0.union(a1).select("doc_id")
   }
 
+  /** [[streamVideoGate]] with hub-STAR intra candidates (round 13 —
+    * the THIRD gate family's dup-heavy form driver-checked, after
+    * `q_stream_neardup_star` and `q_stream_simhash_gate_star`):
+    * [[graft.streaming.VideoGate.acceptBatch]]`(starIntra = true)`
+    * over the planted two-parity corpus; the video chain minhashes
+    * frame-energy sets, so [[Dedup.starPairsParityDuckCtes]] applies
+    * VERBATIM over the `mh_banded`/`mh_sigs` the energy oracle tail
+    * already emits.
+    */
+  private def streamVideoGateStar(s: SparkSession, d: String): DataFrame = {
+    val planted = Tables.documents(s, d)
+      .select(col("doc_id")).filter(col("doc_id") < 200)
+      .select(
+        col("doc_id"),
+        (col("doc_id") + 5000L).as("__seed"),
+        when(col("doc_id") < 50, expr("doc_id div 2") + 7000L)
+          .otherwise(lit(0L)).as("__shseed"),
+        when(col("doc_id") < 50, lit(0)).otherwise(lit(-1)).as("__shfrom"),
+        when(col("doc_id") < 50, lit(30)).otherwise(lit(0)).as("__shcount"))
+    val vids = Multimodal.withPatternVideo(
+      planted, "__seed", "__shseed", "__shfrom", "__shcount")
+    val stateDir = graft.streaming.Scratch.tmpDir("graft_vidgate_star_state")
+    val a0 = graft.streaming.VideoGate.acceptBatch(
+      vids.filter(col("doc_id") % 2 === 0), 0L, "doc_id", "video", stateDir,
+      starIntra = true)
+    val a1 = graft.streaming.VideoGate.acceptBatch(
+      vids.filter(col("doc_id") % 2 =!= 0), 1L, "doc_id", "video", stateDir,
+      starIntra = true)
+    a0.union(a1).select("doc_id")
+  }
+
   /** Video near-duplicate detection — shared-SCENE semantics
     * ([[Multimodal.videoNearDup]], round 11): docs 0-49 render as 25
     * planted pairs — doc `2k` and `2k+1` embed the identical 30-frame
@@ -2429,6 +2460,26 @@ object TextQueries {
          |${Dedup.minhashPairsFromHsDuckCtes("vga_hs")},
          |vga_univ AS (SELECT doc_id FROM documents WHERE doc_id < 120),
          |${Dedup.gateReplayDuckCtes("mh_pairs", exact = false, table = "vga_univ")}
+         |SELECT doc_id FROM gate_accept""".stripMargin)),
+    QueryDef("q_stream_video_gate_star", streamVideoGateStar, Some(
+      s"""WITH RECURSIVE ${Multimodal.videoEnergyPatternDuckCtes(
+             """SELECT doc_id,
+               |    CAST(doc_id + 5000 AS HUGEINT) AS seed,
+               |    CAST(CASE WHEN doc_id < 50 THEN doc_id // 2 + 7000
+               |              ELSE 0 END AS HUGEINT) AS shseed,
+               |    CASE WHEN doc_id < 50 THEN 0 ELSE -1 END AS shfrom,
+               |    CASE WHEN doc_id < 50 THEN 30 ELSE 0 END AS shcount
+               |  FROM documents WHERE doc_id < 200""".stripMargin)},
+         |vgs_hs AS (
+         |  SELECT doc_id, list(e ORDER BY k) AS hs
+         |  FROM vid_en GROUP BY doc_id),
+         |${Dedup.minhashPairsFromHsDuckCtes("vgs_hs")},
+         |${Dedup.starPairsParityDuckCtes()},
+         |vgs_univ AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+         |${Dedup.gateReplayDuckCtes("mh_pairs", exact = false,
+             table = "vgs_univ",
+             intraEvenCte = Some("mh_spairs_e"),
+             intraOddCte = Some("mh_spairs_o"))}
          |SELECT doc_id FROM gate_accept""".stripMargin)),
     QueryDef("q_stream_curate", streamCurateQ,
       Some(streamCurateOracle(exact = false)), headline = true),
