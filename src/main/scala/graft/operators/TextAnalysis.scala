@@ -427,11 +427,24 @@ object TextAnalysis {
         .otherwise(array().cast("array<string>"))
     def tagged(arr: Column, kind: String): Column =
       transform(arr, u => struct(lit(kind).as("kind"), u.as("unit")))
-    val units = docs.select(col(idCol), col(textCol))
+    // Array-LEVEL metrics (counts and char sums that need no
+    // occurrence information) stay MAP-SIDE — only the units whose
+    // per-value occurrence counts matter (lines for the dup metrics,
+    // n-grams for the top-coverage maxima) enter the shuffle. Tokens
+    // used to ride the explode purely to count themselves: a third of
+    // the shuffle rows for one `size()`.
+    val staged = docs.select(col(idCol), col(textCol))
       .withColumn("__lines", lines(col(textCol)))
       .withColumn("__toks", tokens(col(textCol)))
+    val mapSide = staged.select(col(idCol),
+      size(col("__lines")).cast("long").as("__nl"),
+      size(col("__toks")).cast("long").as("__nt"),
+      size(array_distinct(col("__lines"))).cast("long").as("__ndl"),
+      aggregate(col("__lines"), lit(0L),
+        (acc, x) => acc + length(x).cast("long")).as("__chars"))
+    val units = staged
       .select(col(idCol), explode(concat(
-        tagged(col("__lines"), "L"), tagged(col("__toks"), "T"),
+        tagged(col("__lines"), "L"),
         tagged(grams(col("__toks"), 2), "2"),
         tagged(grams(col("__toks"), 3), "3"))).as("u"))
       .select(col(idCol), col("u.kind").as("kind"), col("u.unit").as("unit"))
@@ -440,22 +453,17 @@ object TextAnalysis {
     def kindAgg(kind: String, e: Column): Column =
       coalesce(max(when(col("kind") === kind, e)), lit(0L))
     val rolled = counts.groupBy(col(idCol), col("kind"))
-      .agg(sum(col("c")).as("total"),
+      .agg(
         sum(when(col("c") > 1, col("c") * length(col("unit")).cast("long"))
           .otherwise(lit(0L))).as("dupchars"),
-        sum(col("c") * length(col("unit")).cast("long")).as("chars"),
-        (sum(col("c")) - count(lit(1))).as("dupn"),
         max(col("c")).as("maxc"))
       .groupBy(col(idCol))
       .agg(
-        kindAgg("L", col("total")).as("__nl"),
-        kindAgg("T", col("total")).as("__nt"),
-        kindAgg("L", col("dupn")).as("__dupl"),
         kindAgg("L", col("dupchars")).as("__dupchars"),
-        kindAgg("L", col("chars")).as("__chars"),
         kindAgg("2", col("maxc")).as("__c2"),
         kindAgg("3", col("maxc")).as("__c3"))
-    docs.select(col(idCol)).join(rolled, Seq(idCol), "left")
+    mapSide.join(rolled, Seq(idCol), "left")
+      .withColumn("__dupl", col("__nl") - col("__ndl"))
       .select(col(idCol) +: Seq("__nl", "__nt", "__dupl", "__dupchars",
         "__chars", "__c2", "__c3").map(c => coalesce(col(c), lit(0L)).as(c)): _*)
       .selectExpr(idCol,
