@@ -236,9 +236,18 @@ object TextQueries {
         }.toSeq
         if (recs.nonEmpty) {
           val pid = org.apache.spark.TaskContext.getPartitionId()
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(dir, f"$tag-$pid%05d.warc.gz"),
-            graft.sources.Warc.gzipMembers(recs))
+          // Atomic landing ([[graft.sources.Warc.stream]]'s producer
+          // contract): the streaming drop-dir variant busy-polls the
+          // directory while these shards are being written, and a
+          // file listed half-written is ingested truncated FOREVER
+          // (the source tracks paths, never re-reads). Stage under a
+          // hidden dot-name (file sources ignore them), then
+          // same-filesystem ATOMIC_MOVE into place.
+          val name = f"$tag-$pid%05d.warc.gz"
+          val tmp = java.nio.file.Paths.get(dir, s".$name.tmp")
+          java.nio.file.Files.write(tmp, graft.sources.Warc.gzipMembers(recs))
+          java.nio.file.Files.move(tmp, java.nio.file.Paths.get(dir, name),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         }
         ()
     }

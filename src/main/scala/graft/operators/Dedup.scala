@@ -195,6 +195,27 @@ object Dedup {
     if (row.isNullAt(0)) 0L else row.getLong(0) / 2
   }
 
+  /** The auto-star decision shared by the batch keeper-dedup entry
+    * points and the streaming gate family ([[graft.streaming.SigGate
+    * .useStar]] delegates here): forced by the caller knob, or
+    * tripped by the bucket-occupancy probe past `cap`. Deterministic
+    * for given contents. `cap = Long.MaxValue` pins all-pairs
+    * semantics AND short-circuits the probe (no estimate runs); a
+    * trip is LOGGED so a data-dependent semantics switch is
+    * observable in driver logs, never silent.
+    */
+  private[graft] def useStar(
+      sigs: DataFrame, force: Boolean, cap: Long): Boolean =
+    force || (cap != Long.MaxValue && {
+      val est = estIntraPairs(sigs)
+      val trip = est > cap
+      if (trip) org.slf4j.LoggerFactory.getLogger("graft.Dedup").warn(
+        s"auto-star tripped: estimated intra-bucket pairs $est > cap $cap " +
+          "— bucket verification switches to hub-star candidates " +
+          "(recall bound: StarRecallSpec / SURVEY §8)")
+      trip
+    })
+
   /** STAR-candidate variant of [[candidatesFromBandedSigs]] — the
     * dup-heavy-corpus mitigation (round 12): a k-member duplicate
     * clique puts k²/2 pairs through est-Jaccard verification in the
@@ -565,7 +586,7 @@ object Dedup {
       autoStarPairsCap: Long = defaultAutoStarPairsCap): DataFrame = {
     val sigs = bandedSignatures(docs, idCol, textCol, k, n, bands)
     val pairs =
-      if (star || estIntraPairs(sigs) > autoStarPairsCap)
+      if (useStar(sigs, star, autoStarPairsCap))
         starCandidatesFromBandedSigs(sigs, n, threshold)
       else candidatesFromBandedSigs(sigs, n, threshold)
     val comp = connectedComponents(pairs)
@@ -651,7 +672,7 @@ object Dedup {
     // clique connectivity — the contract trade is identical.
     val sigs = bandedSignatures(docs, idCol, textCol, k, n, bands)
     val pairs =
-      if (estIntraPairs(sigs) > autoStarPairsCap)
+      if (useStar(sigs, force = false, autoStarPairsCap))
         starCandidatesFromBandedSigs(sigs, n, threshold)
       else candidatesFromBandedSigs(sigs, n, threshold)
     val comp = connectedComponents(pairs)

@@ -42,11 +42,13 @@ object Hamming64Gate {
   def readState(spark: SparkSession, stateDir: String): DataFrame =
     try {
       val raw = spark.read.parquet(stateDir)
-      val compact = raw.select(col("doc_id"), col("sig"), col("keeper"),
-        col("batch_id").cast("long"))
-      if (raw.columns.contains("band"))
-        compact.dropDuplicates("doc_id", "batch_id")
-      else compact
+      // Unconditional (doc_id, batch_id) dedupe — no-op for compact
+      // state, required for legacy/mixed layouts (see
+      // [[NearDupGate.readState]]: footer sampling makes a
+      // column-presence gate unreliable on mixed stateDirs).
+      raw.select(col("doc_id"), col("sig"), col("keeper"),
+          col("batch_id").cast("long"))
+        .dropDuplicates("doc_id", "batch_id")
     } catch {
       case _: org.apache.spark.sql.AnalysisException => // no state yet
         spark.createDataFrame(

@@ -83,11 +83,16 @@ object NearDupGate {
       val raw = spark.read.parquet(stateDir)
       val keeper =
         if (raw.columns.contains("keeper")) col("keeper") else col("doc_id")
-      val compact = raw.select(col("doc_id"), col("sig"),
-        keeper.as("keeper"), col("batch_id").cast("long"))
-      if (raw.columns.contains("band"))
-        compact.dropDuplicates("doc_id", "batch_id")
-      else compact
+      // Dedupe UNCONDITIONALLY on (doc_id, batch_id): a no-op for
+      // compact state, and correct for legacy banded layouts AND for
+      // a stateDir that mixes both across batch partitions — column
+      // presence there depends on which parquet footer Spark samples
+      // (no mergeSchema), so gating the collapse on a "band" column
+      // would leave ×bands duplicate legacy rows when a compact
+      // footer wins the sample.
+      raw.select(col("doc_id"), col("sig"),
+          keeper.as("keeper"), col("batch_id").cast("long"))
+        .dropDuplicates("doc_id", "batch_id")
     } catch {
       case _: org.apache.spark.sql.AnalysisException => // no state yet
         spark.createDataFrame(

@@ -31,14 +31,25 @@ private[graft] object SigGate {
     Dedup.estIntraPairs(sigs)
 
   /** The auto-star decision shared by every gate: forced by the
-    * caller knob, or tripped by the bucket-occupancy probe. Gates
-    * pass `Long.MaxValue` as `cap` to pin all-pairs semantics
-    * unconditionally (oracle replay harnesses do). Deterministic for
-    * given batch contents — occupancies are data, not partitioning.
+    * caller knob, or tripped by the bucket-occupancy probe.
+    * Deterministic for given batch contents — occupancies are data,
+    * not partitioning.
+    *
+    * `cap = Long.MaxValue` pins all-pairs semantics unconditionally
+    * (and short-circuits the probe entirely — no estimate is
+    * computed). The DRIVER-CHECKED replay queries deliberately run
+    * the DEFAULT cap instead: their oracles stay valid because the
+    * calibration ([[Dedup.defaultAutoStarPairsCap]]) puts the oracle
+    * corpora orders of magnitude below the trip point, and running
+    * defaults is the point — the hard gate exercises exactly the
+    * configuration a production caller gets. A trip is LOGGED
+    * (warn) so a data-dependent semantics switch is observable, and
+    * the star semantics themselves carry their own hash-exact oracle
+    * rows (`q_dedup_docs_star`, `q_stream_neardup_star`, …).
     */
   private[graft] def useStar(
       sigs: DataFrame, starIntra: Boolean, cap: Long): Boolean =
-    starIntra || estIntraPairs(sigs) > cap
+    Dedup.useStar(sigs, starIntra, cap)
 
   /** One micro-batch acceptance step over pre-banded signatures.
     *

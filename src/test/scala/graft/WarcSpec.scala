@@ -136,6 +136,59 @@ class WarcSpec extends SparkSpecBase {
     assert(row(0).getLong(0) === expected)
   }
 
+  test("readPathsWithRejects: comma-and-glob-metachar filenames read as themselves; vanished path is a dead letter") {
+    val d = graft.streaming.Scratch.tmpDir("graft_warc_oddnames")
+    // a comma-join would split this into two bogus paths; a glob pass
+    // would brace-expand / char-class it
+    val odd = Seq("seg,a{0}.warc.gz", "seg[1]b*.warc.gz")
+    odd.zipWithIndex.foreach { case (name, i) =>
+      Files.write(Paths.get(d, name),
+        Warc.gzipMembers(Seq(rec(200 + i, s"odd $i"))))
+    }
+    val paths = odd.map(n => Paths.get(d, n).toString) :+
+      (d + "/does-not-exist.warc.gz")
+    val (records, rejects) = Warc.readPathsWithRejects(spark, paths)
+    assert(records.select("target_uri").as[String].collect().sorted.toSeq ===
+      Seq("https://graft.test/doc/200", "https://graft.test/doc/201"))
+    val rj = rejects.collect()
+    assert(rj.length === 1)
+    assert(rj(0).getString(2).startsWith("open failed:"), rj(0).getString(2))
+  }
+
+  test("streaming ingest survives comma/brace filenames in the drop dir") {
+    val drop = graft.streaming.Scratch.tmpDir("graft_warc_odddrop")
+    val recs = graft.streaming.Scratch.tmpDir("graft_warc_oddrecs")
+    val rejs = graft.streaming.Scratch.tmpDir("graft_warc_oddrejs")
+    val ckpt = graft.streaming.Scratch.ckptDir("graft_warc_oddckpt")
+    Files.write(Paths.get(drop, "crawl,part{7}.warc.gz"),
+      Warc.gzipMembers(Seq(rec(301, "odd one"))))
+    val q = Warc.stream(spark, drop, recs, rejs, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val out = Warc.readRecords(spark, recs)
+    assert(out.select("target_uri").as[String].collect().toSeq ===
+      Seq("https://graft.test/doc/301"))
+    assert(spark.read.schema(Warc.rejectSchema.add("batch_id", "long"))
+      .parquet(rejs).count() === 0L)
+  }
+
+  test("over-long header line: explicit dead letter, later records resync cleanly") {
+    val longLine = ("X-Junk: " + "j" * (1 << 16)) + "\r\n"
+    val bad = {
+      // inject the over-long header INSIDE a record's header block
+      val base = new String(rec(7, "pay"), StandardCharsets.ISO_8859_1)
+      base.replace("Content-Type: text/plain\r\n",
+        "Content-Type: text/plain\r\n" + longLine)
+        .getBytes(StandardCharsets.ISO_8859_1)
+    }
+    val bytes = rec(1, "ok before") ++ bad ++ rec(9, "ok after")
+    val path = tmpFile("longline.warc", bytes)
+    val (records, rejects) = Warc.readWithRejects(spark, path)
+    assert(records.select("target_uri").as[String].collect().sorted.toSeq ===
+      Seq("https://graft.test/doc/1", "https://graft.test/doc/9"))
+    val reasons = rejects.select("reason").as[String].collect().toSeq
+    assert(reasons.exists(_.contains("header line exceeds")), reasons)
+  }
+
   test("multi-file glob parallelism: records carry their source file") {
     val d = graft.streaming.Scratch.tmpDir("graft_warc_many")
     (0 until 4).foreach { i =>
