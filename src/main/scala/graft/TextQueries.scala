@@ -2291,9 +2291,9 @@ object TextQueries {
          |    CAST(len(ls) AS BIGINT) AS nl,
          |    CAST(len(ts) AS BIGINT) AS nt,
          |    CAST(len(ls) - len(list_distinct(ls)) AS BIGINT) AS dupl,
-         |    CAST(coalesce(list_sum(list_transform(ls, x ->
-         |      CASE WHEN len(list_filter(ls, y -> y = x)) > 1
-         |           THEN length(x) ELSE 0 END)), 0) AS BIGINT) AS dupchars,
+         |    CAST(coalesce(list_sum(list_transform(list_distinct(ls), x ->
+         |      (len(list_filter(ls, y -> y = x)) - 1) * length(x))), 0)
+         |      AS BIGINT) AS dupchars,
          |    CAST(coalesce(list_sum(list_transform(ls, x -> length(x))), 0)
          |      AS BIGINT) AS chars,
          |    CAST(coalesce(list_max(list_transform(g2, b ->

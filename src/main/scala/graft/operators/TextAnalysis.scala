@@ -388,10 +388,18 @@ object TextAnalysis {
     * samples it): per document over non-empty newline lines and
     * whitespace tokens,
     *
-    *  - `dup_line_ppm` — fraction of lines occurring more than once
-    *    (`(n − n_distinct) / n`),
+    *  - `dup_line_ppm` — fraction of lines that REPEAT an earlier
+    *    line (`(n − n_distinct) / n` — repeats-only: a line occurring
+    *    c times contributes c−1),
     *  - `dup_line_char_ppm` — fraction of characters sitting in
-    *    lines that occur more than once,
+    *    REPEAT occurrences of duplicated lines (`Σ (c−1)·len` over
+    *    distinct line values with c > 1, against total line chars) —
+    *    the SAME repeats-only convention as `dup_line_ppm`, matching
+    *    the DataTrove/NeMo reading of Rae et al. Table A1. (Through
+    *    round 13 this metric counted ALL occurrences, `c·len`; both
+    *    readings are defensible, but one suite must not mix
+    *    conventions or gate thresholds don't transfer — pinned
+    *    repeats-only in `RepetitionSpec`.)
     *  - `top2_ppm` / `top3_ppm` — fraction of token instances
     *    covered by the single most frequent 2-gram / 3-gram
     *    (`max_count · n / n_tokens`),
@@ -454,7 +462,10 @@ object TextAnalysis {
       coalesce(max(when(col("kind") === kind, e)), lit(0L))
     val rolled = counts.groupBy(col(idCol), col("kind"))
       .agg(
-        sum(when(col("c") > 1, col("c") * length(col("unit")).cast("long"))
+        // repeats-only: (c−1)·len per duplicated line value — the
+        // same convention as dup_line_ppm (scaladoc)
+        sum(when(col("c") > 1,
+            (col("c") - 1) * length(col("unit")).cast("long"))
           .otherwise(lit(0L))).as("dupchars"),
         max(col("c")).as("maxc"))
       .groupBy(col(idCol))

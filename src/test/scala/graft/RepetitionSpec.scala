@@ -16,21 +16,35 @@ class RepetitionSpec extends SparkSpecBase {
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
           r.getInt(6))).toMap
 
-  test("hand-computed: duplicated banner lines and a dominant bigram") {
+  test("hand-computed: duplicated banner lines and a dominant bigram (repeats-only char convention)") {
     // doc 1: lines = [dup, alpha beta gamma delta, dup] → 3 lines,
-    // dup appears twice: dup_line = 2... no — duplicated LINES are
-    // n − n_distinct = 3 − 2 = 1 → 1/3; dup chars = 2·3 = 6 of
-    // 3 + 22 + 3 = 28. Tokens = [dup, alpha, beta, gamma, delta,
-    // dup] → nt 6; bigrams all distinct (c2 1) → top2 = 2/6;
-    // trigrams distinct (c3 1) → top3 = 3/6.
+    // duplicated LINES are n − n_distinct = 3 − 2 = 1 → 1/3;
+    // dup chars use the SAME repeats-only convention (DataTrove/NeMo
+    // reading of Rae et al. Table A1, pinned round 14): (c−1)·len =
+    // (2−1)·3 = 3 of 3 + 22 + 3 = 28 total line chars. Tokens =
+    // [dup, alpha, beta, gamma, delta, dup] → nt 6; bigrams all
+    // distinct (c2 1) → top2 = 2/6; trigrams distinct (c3 1) →
+    // top3 = 3/6.
     val got = run(1L -> "dup\nalpha beta gamma delta\ndup")
     val (nl, dupLine, dupChar, top2, top3, pass) = got(1L)
     assert(nl === 3L)
     assert(dupLine === 1000000L / 3)
-    assert(dupChar === 6L * 1000000L / 28)
+    assert(dupChar === 3L * 1000000L / 28)
     assert(top2 === 2L * 1000000L / 6)
     assert(top3 === 3L * 1000000L / 6)
     assert(pass === 0) // dup_line 33% > 30%, top2 33% > 20%
+  }
+
+  test("convention parity: dup_line_char_ppm equals dup_line_ppm on uniform-length lines") {
+    // With every line the same length, the repeats-only char fraction
+    // must EQUAL the repeats-only line fraction — the property that
+    // fails if the two metrics ever diverge in convention again
+    // (the all-occurrences reading gives 2/4 chars vs 1/4 lines).
+    val got = run(1L -> "aaaa\nbbbb\ncccc\naaaa")
+    val (_, dupLine, dupChar, _, _, _) = got(1L)
+    assert(dupLine === 1000000L / 4)
+    assert(dupChar === dupLine,
+      "char and line dup metrics must share the repeats-only convention")
   }
 
   test("clean doc passes; empty doc yields zeros and passes") {
