@@ -1205,17 +1205,21 @@ object RelationalQueries {
 
   /** The PRODUCTION profile serving plan ([[graft.operators.Profile
     * .approx]] — HLL distincts, NO exact-distinct Expand), restored
-    * to the bench (round-12 verdict: `q_profile_approx` now benches
-    * the audit form, which is 3.6× slower BY DESIGN, so a regression
-    * in the plan a 100 TB run would actually serve had become
-    * invisible). HLL estimates are Spark-internal and not
-    * SQL-reproducible, so this is a deliberately rows-only driver
-    * entry — the family's value-level correctness is pinned by the
-    * hash-exact audit twin (`q_profile_approx`: same scan, exact
-    * counts + 15% flags) and `ProfileSpec`.
+    * to the bench in round 12 and DRIVER-CHECKED since round 14
+    * ([[graft.operators.Profile.approxAudited]]): the round-13
+    * verdict flagged this as the one gate entry with no check of any
+    * kind. The serving aggregate is unchanged; per column a
+    * single-distinct two-phase aggregate (plain hash agg over a scan
+    * pruned to that column — still NO Expand, plan-pinned in
+    * `ProfileSpec`) supplies the exact count the HLL estimate is
+    * flag-checked against in-plan. Every output column is
+    * oracle-exact (the raw estimate is excluded from the
+    * projection), so rows+schema+hash are all hard-gated while the
+    * estimator drifting past 15% would flip a flag and fail the
+    * hash.
     */
   private def profileServeQ(s: SparkSession, d: String): DataFrame =
-    graft.operators.Profile.approx(
+    graft.operators.Profile.approxAudited(
       Tables.orders(s, d),
       Seq("o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate",
         "o_totalprice"))
@@ -2308,7 +2312,35 @@ object RelationalQueries {
              |  TRUE AS est_within_15pct
              |FROM orders""".stripMargin)
         .mkString("\nUNION ALL\n")), headline = true),
-    QueryDef("q_profile_serve", profileServeQ, None, headline = true),
+    QueryDef("q_profile_serve", profileServeQ, Some {
+      // the q_profile exact stats per column, plus the TRUE flag the
+      // Spark side computes in-plan from its (excluded) HLL estimate
+      def mean(c: String) = graft.functions.Det.roundSql(
+        s"CAST(sum(CAST($c AS DECIMAL(38,4))) AS DOUBLE) / CAST(count($c) AS DOUBLE)", 4)
+      val specs = Seq( // (col, cast min/max, string sum_len, numeric mean)
+        ("o_custkey", true, false, true),
+        ("o_orderstatus", false, true, false),
+        ("o_orderpriority", false, true, false),
+        ("o_orderdate", true, false, false),
+        ("o_totalprice", true, false, true))
+      specs.map { case (c, castMm, strLen, num) =>
+        val mm =
+          if (castMm) s"CAST(min($c) AS VARCHAR) AS min_s, CAST(max($c) AS VARCHAR) AS max_s"
+          else s"min($c) AS min_s, max($c) AS max_s"
+        val sl = if (strLen) s"CAST(sum(length($c)) AS BIGINT)"
+                 else "CAST(NULL AS BIGINT)"
+        val mn = if (num) mean(c) else "CAST(NULL AS DOUBLE)"
+        s"""SELECT '$c' AS col_name,
+           |  CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  $mm,
+           |  $sl AS sum_len,
+           |  $mn AS mean,
+           |  TRUE AS est_within_15pct
+           |FROM orders""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    }, headline = true),
     QueryDef("q_dense_ids", denseIdsQ, Some(
       """SELECT CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS id,
         |  o_orderkey, o_orderstatus, o_orderpriority

@@ -84,6 +84,47 @@ object Profile {
           lit(pct.toLong) * col("n_distinct")).as(s"est_within_${pct}pct"))
   }
 
+  /** The SERVING profile plan ([[approx]] — HLL distincts, NO
+    * exact-distinct Expand) with a driver-checkable projection: the
+    * full exact stats plus, per column, `est_within_<pct>pct` — the
+    * HLL estimate cross-checked against an exact distinct count. The
+    * raw estimate itself is EXCLUDED from the output (it is
+    * Spark-internal, not SQL-reproducible), so every emitted column
+    * is oracle-exact while the flag still fails loudly if the
+    * estimator drifts past `pct`% (HLL is deterministic given the
+    * data, so the flag is stable, not flaky).
+    *
+    * How the exact side stays Expand-free: N distinct aggregates in
+    * ONE aggregate is what Catalyst plans as an Expand (N× row
+    * amplification over the scan — the [[exact]] audit plan this
+    * serving path exists to avoid). Instead each column gets its OWN
+    * single-distinct aggregate — planned as a plain two-phase hash
+    * aggregate over a scan pruned to THAT column. Total bytes read
+    * across the N audit scans ≈ the one N-column serving scan
+    * (columnar pruning), with no row amplification anywhere; the N
+    * one-row results union and broadcast-join back to the serving
+    * rows. Plan-pinned Expand-free in `ProfileSpec`.
+    */
+  def approxAudited(
+      df: DataFrame,
+      cols: Seq[String],
+      rsd: Double = 0.05,
+      pct: Int = 15): DataFrame = {
+    require(cols.nonEmpty, "Profile: no columns to profile")
+    val serve = approx(df, cols, rsd)
+    val exact = cols.map { c =>
+      df.agg(count_distinct(col(c)).as("__nd_exact"))
+        .select(lit(c).as("col_name"), col("__nd_exact"))
+    }.reduce(_.unionAll(_))
+    serve.join(broadcast(exact), Seq("col_name"))
+      .select(
+        col("col_name"), col("n_rows"), col("n_nulls"),
+        col("__nd_exact").as("n_distinct"),
+        col("min_s"), col("max_s"), col("sum_len"), col("mean"),
+        (abs(col("n_distinct") - col("__nd_exact")) * lit(100L) <=
+          lit(pct.toLong) * col("__nd_exact")).as(s"est_within_${pct}pct"))
+  }
+
   /** Expectation checking — assertion rules evaluated in ONE pass:
     * each rule is a boolean Column; the output is one row per rule
     * with its violation count (null predicate results count as

@@ -74,6 +74,31 @@ class ProfileSpec extends SparkSpecBase {
     }
   }
 
+  test("approxAudited: Expand-free plan, exact stats, flags true; per-column pruned audit scans") {
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+    val cols = Seq("o_custkey", "o_orderstatus")
+    val audited = Profile.approxAudited(orders, cols)
+    val plan = audited.queryExecution.executedPlan.toString
+    // the whole point vs Profile.exact: NO Expand anywhere — the
+    // audit side is one single-distinct two-phase aggregate per
+    // column (1 serving scan + N pruned audit scans)
+    assert(!plan.contains("Expand"), plan.take(600))
+    assert("Scan parquet".r.findAllIn(plan).length === 1 + cols.size,
+      plan.take(600))
+    val rows = audited.collect().map(r => r.getString(0) -> r).toMap
+    val exact = Profile.exact(orders, cols)
+      .collect().map(r => r.getString(0) -> r).toMap
+    cols.foreach { c =>
+      // every emitted column is the EXACT value (estimate excluded)
+      assert(rows(c).getLong(3) === exact(c).getLong(3), c)
+      assert(rows(c).getLong(1) === exact(c).getLong(1), c)
+      assert(rows(c).getString(4) === exact(c).getString(4), c)
+      // the in-plan flag attests the (hidden) HLL estimate at rsd
+      // 0.05 sits within 15% of the exact count
+      assert(rows(c).getBoolean(8), s"$c estimate drifted past 15%")
+    }
+  }
+
   test("histogramDrift: identical samples read zero; a shift shows up as TV distance") {
     val a = (1 to 1000).map(i => (i % 100).toDouble).toDF("v")
     val same = Profile.histogramDrift(a, a, "v", 0.0, 100.0, 10)
