@@ -253,6 +253,118 @@ object TextQueries {
     }
   }
 
+  /** Distributed mux of `(doc_id, text)` into `.warc.gz` files of
+    * WARC `response` records — each payload a rendered HTTP response
+    * (status line, headers, CRLF CRLF, [[pageShellStr]] HTML page):
+    * the Common Crawl primary-artifact shape, the raw-crawl front
+    * door's fixture. Partition 0 additionally plants four records the
+    * extraction filters must route OUT (a 404 page, a 200 image/png,
+    * a 200 page declaring charset=iso-8859-1, and a `request`
+    * record) — if any leaks through, its hashed id surfaces a row the
+    * oracle doesn't have.
+    */
+  private def muxWarcHttpGz(
+      docs: org.apache.spark.sql.DataFrame, dir: String, tag: String): Unit = {
+    def httpResponse(status: String, contentType: String, body: Array[Byte]): Array[Byte] = {
+      val head = (s"HTTP/1.1 $status\r\n" +
+        s"Content-Type: $contentType\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n")
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      head ++ body
+    }
+    def response(recId: String, uri: String, payload: Array[Byte]): Array[Byte] =
+      graft.sources.Warc.renderRecord(
+        "response", recId, uri, "2026-01-01T00:00:00Z",
+        "application/http; msgtype=response", payload)
+    val shards = docs.sparkSession.sparkContext.defaultParallelism
+    docs.repartition(shards, col("doc_id")).foreachPartition {
+      (it: Iterator[org.apache.spark.sql.Row]) =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val junk: Seq[Array[Byte]] =
+          if (pid != 0) Seq.empty
+          else Seq(
+            response("<urn:uuid:graft-junk-404>", "https://graft.test/junk/404",
+              httpResponse("404 Not Found", "text/html; charset=utf-8",
+                "<html><body>gone</body></html>".getBytes("UTF-8"))),
+            response("<urn:uuid:graft-junk-png>", "https://graft.test/junk/png",
+              httpResponse("200 OK", "image/png", Array[Byte](0x50, 0x4e, 0x47))),
+            response("<urn:uuid:graft-junk-latin>", "https://graft.test/junk/latin",
+              httpResponse("200 OK", "text/html; charset=iso-8859-1",
+                "<html><body>café</body></html>".getBytes("UTF-8"))),
+            graft.sources.Warc.renderRecord(
+              "request", "<urn:uuid:graft-junk-req>",
+              "https://graft.test/junk/req", "2026-01-01T00:00:00Z",
+              "application/http; msgtype=request",
+              "GET /junk HTTP/1.1\r\nHost: graft.test\r\n\r\n".getBytes("UTF-8")))
+        val recs = junk ++ it.map { r =>
+          val id = r.getLong(0)
+          response(s"<urn:uuid:graft-$id>", s"https://graft.test/doc/$id",
+            httpResponse("200 OK", "text/html; charset=utf-8",
+              pageShellStr(id, r.getString(1))
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        }.toSeq
+        if (recs.nonEmpty) {
+          val name = f"$tag-$pid%05d.warc.gz"
+          val tmp = java.nio.file.Paths.get(dir, s".$name.tmp")
+          java.nio.file.Files.write(tmp, graft.sources.Warc.gzipMembers(recs))
+          java.nio.file.Files.move(tmp, java.nio.file.Paths.get(dir, name),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        }
+        ()
+    }
+  }
+
+  /** The raw-crawl bridge driver-checked end to end
+    * ([[graft.sources.Warc.responseDocuments]], round 14): HTTP
+    * `response` records → envelope split → charset/status/media-type
+    * routing → [[TextAnalysis.stripHtml]] → documents shape. The
+    * oracle rebuilds each page from `documents`, strips it with the
+    * identical SQL chain, and replays the xxhash64 record-id chain
+    * ([[graft.operators.Xxh64Duck.ascii31DuckCtes]]) — so ids, hosts
+    * AND extracted-text lengths are all hash-exact, and any planted
+    * junk record leaking past the filters surfaces as an extra row.
+    */
+  private def warcHtmlDocs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val dir = graft.streaming.Scratch.tmpDir("graft_warc_html_docs")
+    muxWarcHttpGz(docs, dir, "seg")
+    val (recs, _) = graft.sources.Warc.readWithRejects(s, dir + "/*.warc.gz")
+    graft.sources.Warc.responseDocuments(recs)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+  }
+
+  /** The raw-crawl FLAGSHIP (round 14): WARC `response` bytes →
+    * HTTP envelope split → HTML→text extraction → quality gate →
+    * near-dup dedup → leakage-safe split — `q_crawl_curate` with the
+    * real Common Crawl front door in place of WET. Doc ids are
+    * recovered from the target URI (the fixture encodes them) so the
+    * oracle joins the curation chain back to `documents`; the
+    * xxhash64 production ids are hash-checked by `q_warc_html_docs`.
+    * Oracle: the page rebuild + strip chain (`duckStripHtml`) feeds
+    * the SAME stage twins `q_crawl_curate` composes — the gate over
+    * the EXTRACTED text, the minhash/CC chains over the gated
+    * universe, the split CASE.
+    */
+  private def warcHtmlCurate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val dir = graft.streaming.Scratch.tmpDir("graft_warc_html_curate")
+    muxWarcHttpGz(docs, dir, "seg")
+    val (recs, _) = graft.sources.Warc.readWithRejects(s, dir + "/*.warc.gz")
+    val extracted = graft.sources.Warc.responseDocuments(recs)
+      .select(
+        regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+          .cast("long").as("doc_id"),
+        col("text"))
+    val pass = TextAnalysis.qualityGate(extracted, "doc_id", "text")
+      .filter(col("pass") === 1).select("doc_id")
+    val gated = extracted.join(pass, Seq("doc_id"), "left_semi")
+    Dedup.dropNearDuplicates(gated, "doc_id", "text")
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        when(TextAnalysis.splitBucket(col("doc_id")) < 90, "train")
+          .otherwise("valid").as("split"))
+  }
+
   private def warcIngest(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
     val dir = graft.streaming.Scratch.tmpDir("graft_warc_ingest")
@@ -1738,7 +1850,10 @@ object TextQueries {
   private def qualityGateQ(s: SparkSession, d: String): DataFrame =
     TextAnalysis.qualityGate(Tables.documents(s, d), "doc_id", "text")
 
-  private val qualityGateSql = {
+  /** [[qualityGateSql]] over any `(doc_id, text)` table — the gate
+    * twin the crawl-curation oracles nest over EXTRACTED text.
+    */
+  private def qualityGateSqlOver(table: String): String = {
     // COALESCEs mirror the Spark side exactly: NULL text = empty doc
     // (fails length/stopwords/token_len), and DuckDB's list_sum over
     // an empty list is NULL where Spark's aggregate starts at 0.
@@ -1753,7 +1868,7 @@ object TextQueries {
                    |      / greatest(len(t), 1)""".stripMargin)
     val dtf = r4("CAST(len(t) - len(list_distinct(t)) AS DOUBLE) / greatest(len(t), 1)")
     // Rule order matches the Spark array: alphabetical.
-    s"""WITH staged AS (SELECT doc_id, $toks AS t, text FROM documents),
+    s"""WITH staged AS (SELECT doc_id, $toks AS t, text FROM $table),
        |sig AS (SELECT doc_id, len(t) AS n_tok,
        |  $awl AS awl, $pr AS pr, $sr AS sr, $dtf AS dtf
        |FROM staged)
@@ -1770,6 +1885,8 @@ object TextQueries {
        |       THEN 1 ELSE 0 END AS pass
        |FROM sig""".stripMargin
   }
+
+  private val qualityGateSql = qualityGateSqlOver("documents")
 
   private val langIdSql = {
     val toks = duckToks("lower(text)")
@@ -1829,15 +1946,71 @@ object TextQueries {
     * regex engines agree; NULL text null-propagates identically
     * through `||`/`concat`.
     */
-  private def stripHtmlQ(s: SparkSession, d: String): DataFrame = {
-    val id = col("doc_id").cast("string")
-    val html = concat(
+  /** The deterministic page shell shared by `q_strip_html` and the
+    * raw-WARC HTML fixtures (Spark-column form) — script/style/
+    * comment blocks, tags, entities, an outlink around the doc text.
+    */
+  private def pageShellCol(
+      id: org.apache.spark.sql.Column,
+      text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val idS = id.cast("string")
+    concat(
       lit("<html><head><title>t</title><style>p { color: red; }</style>"),
       lit("<script>var x = 1 < 2 && \"a\";</script></head><body><!-- note -->"),
-      lit("<h1>Doc "), id, lit("</h1><p class=\"b\">"),
-      col("text"),
-      lit("</p><a href=\"http://ex.com/d/"), id,
+      lit("<h1>Doc "), idS, lit("</h1><p class=\"b\">"),
+      text,
+      lit("</p><a href=\"http://ex.com/d/"), idS,
       lit("\">link</a> &amp; tail &lt;raw&gt; &quot;q&quot;&nbsp;end</body></html>"))
+  }
+
+  /** [[pageShellCol]] rendered in fixture-writer tasks — MUST stay
+    * byte-identical to the column form (oracles rebuild the page in
+    * SQL and strip it).
+    */
+  private def pageShellStr(id: Long, text: String): String =
+    "<html><head><title>t</title><style>p { color: red; }</style>" +
+      "<script>var x = 1 < 2 && \"a\";</script></head><body><!-- note -->" +
+      s"""<h1>Doc $id</h1><p class="b">""" + text +
+      s"""</p><a href="http://ex.com/d/$id">link</a>""" +
+      " &amp; tail &lt;raw&gt; &quot;q&quot;&nbsp;end</body></html>"
+
+  /** The page-shell rebuild as a DuckDB expression over `(doc_id,
+    * text)` — the SQL twin of [[pageShellCol]]/[[pageShellStr]].
+    */
+  // single line, NO leading "||": this splices through multiple
+  // levels of stripMargin (duckStripHtml, the QueryDef strings), and
+  // each level eats one leading pipe from a "||" continuation line
+  private val duckPageShell =
+    "'<html><head><title>t</title><style>p { color: red; }</style>' || " +
+      "'<script>var x = 1 < 2 && \"a\";</script></head><body><!-- note -->' || " +
+      "'<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p class=\"b\">' || " +
+      "text || " +
+      "'</p><a href=\"http://ex.com/d/' || CAST(doc_id AS VARCHAR) || " +
+      "'\">link</a> &amp; tail &lt;raw&gt; &quot;q&quot;&nbsp;end</body></html>'"
+
+  /** [[TextAnalysis.stripHtml]]'s DuckDB twin over an HTML expression
+    * — every pattern backreference-free so java.util.regex and RE2
+    * agree; stage order identical (blocks → tags → entities → `&amp;`
+    * last → whitespace collapse).
+    */
+  private def duckStripHtml(htmlExpr: String): String =
+    s"""trim(regexp_replace(
+       |      replace(
+       |        replace(replace(replace(replace(replace(
+       |          regexp_replace(
+       |            regexp_replace(
+       |              regexp_replace(
+       |                regexp_replace($htmlExpr, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+       |                '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+       |              '(?s)<!--.*?-->', ' ', 'g'),
+       |            '<[^>]*>', ' ', 'g'),
+       |          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+       |          '&#39;', chr(39)), '&nbsp;', ' '),
+       |        '&amp;', '&'),
+       |      '\\s+', ' ', 'g'))""".stripMargin
+
+  private def stripHtmlQ(s: SparkSession, d: String): DataFrame = {
+    val html = pageShellCol(col("doc_id"), col("text"))
     Tables.documents(s, d).select(
       col("doc_id"),
       TextAnalysis.stripHtml(html).as("clean"),
@@ -1846,37 +2019,17 @@ object TextQueries {
   }
 
   private val stripHtmlSql =
-    """WITH h AS (
-      |  SELECT doc_id,
-      |    '<html><head><title>t</title><style>p { color: red; }</style>'
-      |    || '<script>var x = 1 < 2 && "a";</script></head><body><!-- note -->'
-      |    || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p class="b">'
-      |    || text
-      |    || '</p><a href="http://ex.com/d/' || CAST(doc_id AS VARCHAR)
-      |    || '">link</a> &amp; tail &lt;raw&gt; &quot;q&quot;&nbsp;end</body></html>'
-      |      AS html
-      |  FROM documents),
-      |s AS (
-      |  SELECT doc_id, html,
-      |    trim(regexp_replace(
-      |      replace(
-      |        replace(replace(replace(replace(replace(
-      |          regexp_replace(
-      |            regexp_replace(
-      |              regexp_replace(
-      |                regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
-      |                '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
-      |              '(?s)<!--.*?-->', ' ', 'g'),
-      |            '<[^>]*>', ' ', 'g'),
-      |          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-      |          '&#39;', chr(39)), '&nbsp;', ' '),
-      |        '&amp;', '&'),
-      |      '\s+', ' ', 'g')) AS clean
-      |  FROM h)
-      |SELECT doc_id, clean, CAST(length(clean) AS BIGINT) AS n_chars,
-      |  CASE WHEN html IS NULL THEN NULL
-      |       ELSE regexp_extract(html, '(?i)href\s*=\s*"([^"]*)"', 1) END AS first_link
-      |FROM s""".stripMargin
+    s"""WITH h AS (
+       |  SELECT doc_id, $duckPageShell AS html
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, html,
+       |    ${duckStripHtml("html")} AS clean
+       |  FROM h)
+       |SELECT doc_id, clean, CAST(length(clean) AS BIGINT) AS n_chars,
+       |  CASE WHEN html IS NULL THEN NULL
+       |       ELSE regexp_extract(html, '(?i)href\\s*=\\s*"([^"]*)"', 1) END AS first_link
+       |FROM s""".stripMargin
 
   /** Inverted-index build ([[graft.operators.Keywords.invertedIndex]])
     * probed at three vocabulary terms; postings serialize to a
@@ -2409,6 +2562,35 @@ object TextQueries {
         |  CAST(length(text) AS BIGINT) AS n_chars,
         |  'conversion' AS warc_type
         |FROM documents""".stripMargin)),
+    QueryDef("q_warc_html_docs", warcHtmlDocs, Some(
+      s"""WITH wd_in AS (
+         |  SELECT doc_id, 0 AS k,
+         |    '<urn:uuid:graft-' || CAST(doc_id AS VARCHAR) || '>' AS s
+         |  FROM documents),
+         |${graft.operators.Xxh64Duck.ascii31DuckCtes("wd_in")},
+         |wh_clean AS (
+         |  SELECT doc_id, ${duckStripHtml(s"($duckPageShell)")} AS clean
+         |  FROM documents)
+         |SELECT x.h AS doc_id, 'graft.test' AS source,
+         |  CAST(length(c.clean) AS BIGINT) AS n_chars
+         |FROM xs_xh x JOIN wh_clean c ON c.doc_id = x.doc_id""".stripMargin)),
+    QueryDef("q_warc_html_curate", warcHtmlCurate, Some(
+      s"""WITH RECURSIVE wh_docs AS MATERIALIZED (
+         |  SELECT doc_id, ${duckStripHtml(s"($duckPageShell)")} AS text
+         |  FROM documents),
+         |wh_gated AS MATERIALIZED (
+         |  SELECT d.doc_id, d.text
+         |  FROM wh_docs d JOIN (${qualityGateSqlOver("wh_docs")}) qg
+         |    ON qg.doc_id = d.doc_id AND qg.pass = 1),
+         |${Dedup.minhashCandDuckCtes(duckToks("text"), table = "wh_gated")},
+         |${Dedup.ccDuckCtes("mh_pairs")},
+         |losers AS (SELECT id FROM cc_comp WHERE id <> component)
+         |SELECT g.doc_id, CAST(length(g.text) AS BIGINT) AS n_chars,
+         |  CASE WHEN (((g.doc_id % 2147483647) * 2654435761) % 2147483647) % 100 < 90
+         |       THEN 'train' ELSE 'valid' END AS split
+         |FROM wh_gated g LEFT JOIN losers l ON g.doc_id = l.id
+         |WHERE l.id IS NULL""".stripMargin),
+      headline = true),
     QueryDef("q_dedup_best", dedupBest, Some(
       s"""WITH RECURSIVE ${Dedup.minhashCandDuckCtes(duckToks("text"))},
          |${Dedup.ccDuckCtes("mh_pairs")},

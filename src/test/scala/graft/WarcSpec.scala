@@ -189,6 +189,49 @@ class WarcSpec extends SparkSpecBase {
     assert(reasons.exists(_.contains("header line exceeds")), reasons)
   }
 
+  test("httpParts + responseDocuments: envelope split, status/media-type/charset routing, stripHtml bridge") {
+    def http(status: String, ct: String, body: String): Array[Byte] =
+      (s"HTTP/1.1 $status\r\nContent-Type: $ct\r\n" +
+        s"Content-Length: ${body.getBytes("UTF-8").length}\r\n\r\n" + body)
+        .getBytes(StandardCharsets.UTF_8)
+    def resp(n: Int, payload: Array[Byte]): Array[Byte] =
+      Warc.renderRecord("response", s"<urn:uuid:resp-$n>",
+        s"https://site$n.example/p/$n", "2026-08-15T00:00:00Z",
+        "application/http; msgtype=response", payload)
+    val keepHtml = "<html><body><h1>Keep</h1><p>alpha &amp; beta</p></body></html>"
+    val bytes =
+      resp(1, http("200 OK", "text/html; charset=utf-8", keepHtml)) ++
+      resp(2, http("200 OK", "text/html", "<p>no charset kept</p>")) ++
+      resp(3, http("404 Not Found", "text/html; charset=utf-8", "<p>gone</p>")) ++
+      resp(4, http("200 OK", "application/json", """{"k":1}""")) ++
+      resp(5, http("200 OK", "text/html; charset=iso-8859-1", "<p>latin</p>")) ++
+      rec(6, "a WET conversion record, not a response")
+    val path = tmpFile("http.warc", bytes)
+    val (records, rejects) = Warc.readWithRejects(spark, path)
+    assert(rejects.count() === 0L)
+    // the split itself, on the kept record
+    val parts = Warc.httpParts(records.filter($"warc_type" === "response"))
+      .select("record_id", "http_status", "http_content_type", "http_charset",
+        "http_body")
+      .collect().map(r => r.getString(0) ->
+        (r.getInt(1), r.getString(2), r.getString(3), r.getString(4))).toMap
+    assert(parts("<urn:uuid:resp-1>") ===
+      ((200, "text/html; charset=utf-8", "utf-8", keepHtml)))
+    assert(parts("<urn:uuid:resp-3>")._1 === 404)
+    assert(parts("<urn:uuid:resp-2>")._3 === "", "unspecified charset is empty")
+    // the bridge: only 200 + text/html + (utf-8|unset) survive
+    val docs = Warc.responseDocuments(records)
+    val got = docs.collect().map(r =>
+      (r.getString(5), r.getString(1), r.getString(3))).sortBy(_._1)
+    assert(got.map(_._1).toSeq ===
+      Seq("https://site1.example/p/1", "https://site2.example/p/2"))
+    assert(got(0)._2 === "Keep alpha & beta", "markup stripped, entity decoded")
+    assert(got(0)._3 === "site1.example")
+    // production ids are the record-id hash
+    val expected = spark.sql("SELECT xxhash64('<urn:uuid:resp-1>')").head.getLong(0)
+    assert(docs.filter($"source" === "site1.example").head.getLong(0) === expected)
+  }
+
   test("multi-file glob parallelism: records carry their source file") {
     val d = graft.streaming.Scratch.tmpDir("graft_warc_many")
     (0 until 4).foreach { i =>
