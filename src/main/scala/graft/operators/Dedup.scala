@@ -136,14 +136,27 @@ object Dedup {
       textCol: String,
       k: Int = 3,
       n: Int = 64,
+      bands: Int = 16): DataFrame =
+    Materialize(bandedSigsPlan(docs, idCol, textCol, k, n, bands))
+
+  /** The UN-materialized banded-signature plan of [[bandedSignatures]]
+    * — factored so [[sigsWithStarDecision]] can attach the occupancy
+    * probe BEFORE the materialization cut.
+    */
+  private[graft] def bandedSigsPlan(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      n: Int = 64,
       bands: Int = 16): DataFrame = {
     require(n % bands == 0, s"signature length $n must divide into $bands bands")
     val rows = n / bands
-    Materialize(docs.select(
+    docs.select(
         col(idCol).as("doc_id"),
         minhashSignature(col(textCol), k, n).as("sig"))
       .withColumn("band", explode(lshBands(col("sig"), bands, rows)))
-      .select(col("doc_id"), col("sig"), col("band.band"), col("band.bucket")))
+      .select(col("doc_id"), col("sig"), col("band.band"), col("band.bucket"))
   }
 
   /** Signature-estimated Jaccard: fraction of agreeing minhash lanes. */
@@ -206,15 +219,100 @@ object Dedup {
     */
   private[graft] def useStar(
       sigs: DataFrame, force: Boolean, cap: Long): Boolean =
+    useStar(() => estIntraPairs(sigs), force, cap)
+
+  private[graft] def useStar(
+      est: () => Long, force: Boolean, cap: Long): Boolean =
     force || (cap != Long.MaxValue && {
-      val est = estIntraPairs(sigs)
-      val trip = est > cap
+      val e = est()
+      val trip = e > cap
       if (trip) org.slf4j.LoggerFactory.getLogger("graft.Dedup").warn(
-        s"auto-star tripped: estimated intra-bucket pairs $est > cap $cap " +
+        s"auto-star tripped: estimated intra-bucket pairs $e > cap $cap " +
           "— bucket verification switches to hub-star candidates " +
           "(recall bound: StarRecallSpec / SURVEY §8)")
       trip
     })
+
+  /** AMS/F2 lane count for [[materializeSigsProbed]]: relative std
+    * ≈ √(2/lanes) ≈ 25% — ample for a trip wire whose calibration
+    * points sit orders of magnitude apart (the sf0.1 oracle corpora
+    * estimate ~10³–10⁴ pairs, the cap is 2²⁰, the 300×-dupes stress
+    * ~5.6M), and DETERMINISTIC for given data (fixed hash, integer
+    * sums), so decisions never flap run to run.
+    */
+  private[graft] val f2Lanes = 32
+
+  /** Materialize a banded-signature plan with the auto-star
+    * occupancy probe riding the SAME job (round 14 — the round-13
+    * verdict's zero-pass task; [[estIntraPairs]] was an extra
+    * aggregate+collect per micro-batch, ~1.8 s/query at 300×-dupes).
+    *
+    * Σ k² over (band, bucket) occupancies is the second frequency
+    * moment F2 of the bucket-key stream — estimable WITHOUT grouping
+    * (observe metrics are global aggregates) by the AMS sketch:
+    * per lane i, Sᵢ = Σ_rows ±1 keyed by bit i of
+    * xxhash64(band, bucket); E[Sᵢ²] = F2, averaged over [[f2Lanes]]
+    * lanes, and estPairs = (F2 − N) / 2. The lane sums attach as
+    * CollectMetrics on the frame the materialization cut executes
+    * anyway (measured: +0.75 s inside an 8M-row localCheckpoint vs a
+    * separate 1.46 s exact job — and, the point, ZERO extra jobs).
+    *
+    * The estimate thunk reads the plan's observed metrics after the
+    * (eager) cut; if the active [[Materialize]] strategy ran its
+    * action through a different query execution (persist mode's
+    * count runs a fresh planning whose CollectMetrics accumulator is
+    * not this plan's), it falls back to the exact [[estIntraPairs]]
+    * aggregate over the cut frame — correctness-neutral, one extra
+    * job, logged.
+    */
+  private[graft] def materializeSigsProbed(
+      banded: DataFrame): (DataFrame, () => Long) = {
+    val staged = banded.withColumn("__f2h",
+      xxhash64(col("band"), col("bucket")))
+    val metrics = count(lit(1)).as("n") +: (0 until f2Lanes).map { i =>
+      sum(when(shiftright(col("__f2h"), i).bitwiseAND(lit(1L)) === 1L,
+          lit(1L)).otherwise(lit(-1L))).as(s"s$i")
+    }
+    // name-based observe: a plain CollectMetrics plan node, no
+    // Observation listener to leak one-per-micro-batch
+    val observed = staged.observe("graft_f2_probe", metrics.head, metrics.tail: _*)
+    val cut = Materialize(observed).drop("__f2h")
+    val est = () => {
+      val mm = observed.queryExecution.observedMetrics
+      if (mm.isEmpty) {
+        org.slf4j.LoggerFactory.getLogger("graft.Dedup").warn(
+          "sigs occupancy probe: observed metrics unavailable for this " +
+            "materialization strategy — falling back to the exact aggregate")
+        estIntraPairs(cut)
+      } else {
+        val row = mm.values.head
+        val n = row.getAs[Long]("n")
+        if (n == 0L) 0L
+        else {
+          val f2 = (0 until f2Lanes).map { i =>
+            val s = row.getAs[Long](s"s$i"); s.toDouble * s
+          }.sum / f2Lanes
+          math.max(0L, ((f2 - n) / 2).toLong)
+        }
+      }
+    }
+    (cut, est)
+  }
+
+  /** Materialize banded signatures AND make the star decision with
+    * zero extra jobs: when the decision is already pinned (forced
+    * star, or `cap = Long.MaxValue` all-pairs) the plain cut runs
+    * with NO probe attached; otherwise the F2 probe rides the
+    * materialization and [[useStar]] consumes its estimate. Returns
+    * `(materialized sigs, use star candidates)`.
+    */
+  private[graft] def sigsWithStarDecision(
+      plan: DataFrame, force: Boolean, cap: Long): (DataFrame, Boolean) =
+    if (force || cap == Long.MaxValue) (Materialize(plan), force)
+    else {
+      val (sigs, est) = materializeSigsProbed(plan)
+      (sigs, useStar(est, force = false, cap))
+    }
 
   /** STAR-candidate variant of [[candidatesFromBandedSigs]] — the
     * dup-heavy-corpus mitigation (round 12): a k-member duplicate
@@ -584,10 +682,10 @@ object Dedup {
       threshold: Double = 0.5,
       star: Boolean = false,
       autoStarPairsCap: Long = defaultAutoStarPairsCap): DataFrame = {
-    val sigs = bandedSignatures(docs, idCol, textCol, k, n, bands)
+    val (sigs, starNow) = sigsWithStarDecision(
+      bandedSigsPlan(docs, idCol, textCol, k, n, bands), star, autoStarPairsCap)
     val pairs =
-      if (useStar(sigs, star, autoStarPairsCap))
-        starCandidatesFromBandedSigs(sigs, n, threshold)
+      if (starNow) starCandidatesFromBandedSigs(sigs, n, threshold)
       else candidatesFromBandedSigs(sigs, n, threshold)
     val comp = connectedComponents(pairs)
     val losers = comp.filter(col("id") =!= col("component")).select(col("id"))
@@ -670,10 +768,11 @@ object Dedup {
     // Same auto star switch as [[dropNearDuplicates]]: quality-ranked
     // keeper selection operates on components, and star preserves
     // clique connectivity — the contract trade is identical.
-    val sigs = bandedSignatures(docs, idCol, textCol, k, n, bands)
+    val (sigs, starNow) = sigsWithStarDecision(
+      bandedSigsPlan(docs, idCol, textCol, k, n, bands),
+      force = false, autoStarPairsCap)
     val pairs =
-      if (useStar(sigs, force = false, autoStarPairsCap))
-        starCandidatesFromBandedSigs(sigs, n, threshold)
+      if (starNow) starCandidatesFromBandedSigs(sigs, n, threshold)
       else candidatesFromBandedSigs(sigs, n, threshold)
     val comp = connectedComponents(pairs)
     // Score only the docs that sit in some duplicate component —

@@ -73,10 +73,14 @@ object Hamming64Gate {
       starIntra: Boolean = false,
       autoStarPairsCap: Long = SigGate.defaultAutoStarPairsCap): DataFrame = {
     val spark = batch.sparkSession
-    val sigs = Dedup.banded64(
-      batch.select(col(idCol).cast("long").as("doc_id"),
-        col(sigCol).cast("long").as("sig")),
-      maxHamming)
+    // star decision via the zero-extra-job F2 probe riding the
+    // banded-signature materialization (Dedup.sigsWithStarDecision)
+    val (sigs, starNow) = Dedup.sigsWithStarDecision(
+      Dedup.band64Cols(
+        batch.select(col(idCol).cast("long").as("doc_id"),
+          col(sigCol).cast("long").as("sig")),
+        maxHamming),
+      starIntra, autoStarPairsCap)
     val state = Dedup.band64Cols(
       readState(spark, stateDir).filter(col("batch_id") < batchId),
       maxHamming)
@@ -92,8 +96,7 @@ object Hamming64Gate {
       // corpora (O(k) bit_count checks per bucket; exact for
       // identical-signature cliques) — see starHamming64PairsFromBanded.
       intraPairs =
-        if (SigGate.useStar(sigs, starIntra, autoStarPairsCap))
-          Dedup.starHamming64PairsFromBanded(sigs, maxHamming)
+        if (starNow) Dedup.starHamming64PairsFromBanded(sigs, maxHamming)
         else Dedup.hamming64PairsFromBanded(sigs, maxHamming),
       stateDir = stateDir,
       exact = exact)

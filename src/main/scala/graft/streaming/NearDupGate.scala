@@ -131,7 +131,13 @@ object NearDupGate {
       starIntra: Boolean = false,
       autoStarPairsCap: Long = SigGate.defaultAutoStarPairsCap): DataFrame = {
     val spark = batch.sparkSession
-    val sigs = Dedup.bandedSignatures(batch, idCol, textCol, k, n, bands)
+    // The star decision rides the signature materialization itself
+    // (F2 occupancy probe as observe metrics — zero extra jobs per
+    // micro-batch; Dedup.materializeSigsProbed) unless it's already
+    // pinned by starIntra / a MaxValue cap.
+    val (sigs, starNow) = Dedup.sigsWithStarDecision(
+      Dedup.bandedSigsPlan(batch, idCol, textCol, k, n, bands),
+      starIntra, autoStarPairsCap)
     // A replayed batch must not match its own previously-committed
     // signatures: state is everything from strictly EARLIER batches.
     val state = bandState(
@@ -156,8 +162,7 @@ object NearDupGate {
       // — the 19× dup-heavy mitigation is now default behavior, not a
       // caller knob). The state match above is unchanged either way.
       intraPairs =
-        if (SigGate.useStar(sigs, starIntra, autoStarPairsCap))
-          Dedup.starCandidatesFromBandedSigs(sigs, n, threshold)
+        if (starNow) Dedup.starCandidatesFromBandedSigs(sigs, n, threshold)
         else Dedup.candidatesFromBandedSigs(sigs, n, threshold),
       stateDir = stateDir,
       exact = exact)

@@ -22,34 +22,31 @@ private[graft] object SigGate {
     */
   val defaultAutoStarPairsCap: Long = Dedup.defaultAutoStarPairsCap
 
-  /** [[Dedup.estIntraPairs]] — kept here as the streaming-facing
-    * name (one aggregate over the already-MATERIALIZED banded
-    * signatures; none of the upstream signature pipeline re-executes,
-    * the trap a driver-side pre-count normally springs).
+  /** [[Dedup.estIntraPairs]] — the EXACT occupancy aggregate, kept as
+    * the streaming-facing name for specs and as
+    * [[Dedup.materializeSigsProbed]]'s fallback. The gates themselves
+    * no longer call it per batch: since round 14 the estimate rides
+    * the signature materialization as F2 observe metrics
+    * ([[Dedup.sigsWithStarDecision]] — zero extra jobs).
     */
   private[graft] def estIntraPairs(sigs: DataFrame): Long =
     Dedup.estIntraPairs(sigs)
 
-  /** The auto-star decision shared by every gate: forced by the
-    * caller knob, or tripped by the bucket-occupancy probe.
-    * Deterministic for given batch contents — occupancies are data,
-    * not partitioning.
-    *
-    * `cap = Long.MaxValue` pins all-pairs semantics unconditionally
-    * (and short-circuits the probe entirely — no estimate is
-    * computed). The DRIVER-CHECKED replay queries deliberately run
-    * the DEFAULT cap instead: their oracles stay valid because the
-    * calibration ([[Dedup.defaultAutoStarPairsCap]]) puts the oracle
-    * corpora orders of magnitude below the trip point, and running
-    * defaults is the point — the hard gate exercises exactly the
-    * configuration a production caller gets. A trip is LOGGED
-    * (warn) so a data-dependent semantics switch is observable, and
-    * the star semantics themselves carry their own hash-exact oracle
-    * rows (`q_dedup_docs_star`, `q_stream_neardup_star`, …).
-    */
-  private[graft] def useStar(
-      sigs: DataFrame, starIntra: Boolean, cap: Long): Boolean =
-    Dedup.useStar(sigs, starIntra, cap)
+  // The auto-star decision contract ([[Dedup.useStar]] /
+  // [[Dedup.sigsWithStarDecision]] — every gate routes its banded
+  // sigs through it): forced by the caller knob, or tripped by the
+  // bucket-occupancy probe riding the signature materialization.
+  // Deterministic for given batch contents. `cap = Long.MaxValue`
+  // pins all-pairs semantics unconditionally (no estimate computed,
+  // no probe node attached). The DRIVER-CHECKED replay queries
+  // deliberately run the DEFAULT cap instead: their oracles stay
+  // valid because the calibration (Dedup.defaultAutoStarPairsCap)
+  // puts the oracle corpora orders of magnitude below the trip
+  // point, and running defaults is the point — the hard gate
+  // exercises exactly the configuration a production caller gets. A
+  // trip is LOGGED (warn) so a data-dependent semantics switch is
+  // observable, and the star semantics carry their own hash-exact
+  // oracle rows (q_dedup_docs_star, q_stream_neardup_star, …).
 
   /** One micro-batch acceptance step over pre-banded signatures.
     *

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Materialize, Multimodal}
+import graft.operators.{Dedup, Multimodal}
 
 /** Streaming VIDEO near-dup gate — the fifth modality through the
   * shared gate core ([[SigGate]]): first-wins dedup of a video stream
@@ -123,11 +123,15 @@ object VideoGate {
     // mirroring the text chain's zero-token case.
     val hs = when(size(col("frames")) === 0, array(lit(0L)))
       .otherwise(col("frames"))
-    val sigs = Materialize(energies
-      .select(col(idCol).as("doc_id"),
-        graft.functions.HashExprs.minhashSig(hs, n).as("sig"))
-      .withColumn("band", explode(Dedup.lshBands(col("sig"), bands, rows)))
-      .select(col("doc_id"), col("sig"), col("band.band"), col("band.bucket")))
+    // star decision via the zero-extra-job F2 probe riding the
+    // banded-signature materialization (Dedup.sigsWithStarDecision)
+    val (sigs, starNow) = Dedup.sigsWithStarDecision(
+      energies
+        .select(col(idCol).as("doc_id"),
+          graft.functions.HashExprs.minhashSig(hs, n).as("sig"))
+        .withColumn("band", explode(Dedup.lshBands(col("sig"), bands, rows)))
+        .select(col("doc_id"), col("sig"), col("band.band"), col("band.bucket")),
+      starIntra, autoStarPairsCap)
     val state = NearDupGate.bandState(
       NearDupGate.readState(batch.sparkSession, stateDir)
         .filter(col("batch_id") < batchId),
@@ -141,8 +145,7 @@ object VideoGate {
         col("a.bucket") === col("s.bucket") &&
         Dedup.estJaccard(col("a.sig"), col("s.sig"), n) >= threshold,
       intraPairs =
-        if (SigGate.useStar(sigs, starIntra, autoStarPairsCap))
-          Dedup.starCandidatesFromBandedSigs(sigs, n, threshold)
+        if (starNow) Dedup.starCandidatesFromBandedSigs(sigs, n, threshold)
         else Dedup.candidatesFromBandedSigs(sigs, n, threshold),
       stateDir = stateDir,
       exact = exact)
