@@ -189,6 +189,38 @@ class WarcSpec extends SparkSpecBase {
     assert(reasons.exists(_.contains("header line exceeds")), reasons)
   }
 
+  test("manifested landing: a replayed batch rolls back its prior attempt; committed read hides orphans") {
+    val d = graft.streaming.Scratch.tmpDir("graft_warc_mf")
+    val recs = graft.streaming.Scratch.tmpDir("graft_warc_mfrecs")
+    val rejs = graft.streaming.Scratch.tmpDir("graft_warc_mfrejs")
+    val f0 = Paths.get(d, "b0.warc.gz")
+    Files.write(f0, Warc.gzipMembers(Seq(rec(1, "one"), rec(2, "two"))))
+    Warc.landBatch(spark, Seq(f0.toString), 0L, recs, rejs)
+    val f1 = Paths.get(d, "b1.warc.gz")
+    Files.write(f1, Warc.gzipMembers(Seq(rec(3, "three"))))
+    Warc.landBatch(spark, Seq(f1.toString), 1L, recs, rejs)
+    assert(Warc.readRecords(spark, recs).count() === 3L)
+    // foreachBatch re-delivery: batch 1 replays (same id, same file)
+    // — the manifest transaction sweeps the prior attempt's files, so
+    // nothing double-lands
+    Warc.landBatch(spark, Seq(f1.toString), 1L, recs, rejs)
+    val out = Warc.readRecords(spark, recs)
+    assert(out.count() === 3L, "replayed batch must not double-land")
+    assert(out.select("target_uri").as[String].collect().sorted.toSeq ===
+      Seq(1, 2, 3).map(i => s"https://graft.test/doc/$i"))
+    // committed view: an uncommitted orphan parquet (a crash between
+    // data write and manifest publish) is invisible to readRecords
+    val orphanRows = out.limit(1)
+    orphanRows.write.mode("append").parquet(recs)
+    assert(Warc.readRecords(spark, recs).count() === 3L,
+      "readRecords must read the manifest's file list, not the directory")
+    // the manifest's change feed: batch 1's rows only
+    val changed = graft.sources.ManifestedSink.readChangesSince(
+      spark, Warc.manifestDir(recs), sinceBatchId = 0L)
+    assert(changed.select("target_uri").as[String].collect().toSeq ===
+      Seq("https://graft.test/doc/3"))
+  }
+
   test("httpParts + responseDocuments: envelope split, status/media-type/charset routing, stripHtml bridge") {
     def http(status: String, ct: String, body: String): Array[Byte] =
       (s"HTTP/1.1 $status\r\nContent-Type: $ct\r\n" +
