@@ -350,11 +350,16 @@ object TextQueries {
     val dir = graft.streaming.Scratch.tmpDir("graft_warc_html_curate")
     muxWarcHttpGz(docs, dir, "seg")
     val (recs, _) = graft.sources.Warc.readWithRejects(s, dir + "/*.warc.gz")
-    val extracted = graft.sources.Warc.responseDocuments(recs)
-      .select(
-        regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
-          .cast("long").as("doc_id"),
-        col("text"))
+    // Materialized: the gate, the keeper semi-join and the dedup
+    // signatures all reference this frame, and each un-cut reference
+    // would re-run the envelope split + strip-chain regexes over
+    // every payload (the parse cut upstream only caches raw records).
+    val extracted = graft.operators.Materialize(
+      graft.sources.Warc.responseDocuments(recs)
+        .select(
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          col("text")))
     val pass = TextAnalysis.qualityGate(extracted, "doc_id", "text")
       .filter(col("pass") === 1).select("doc_id")
     val gated = extracted.join(pass, Seq("doc_id"), "left_semi")
