@@ -264,6 +264,40 @@ class WarcSpec extends SparkSpecBase {
     assert(docs.filter($"source" === "site1.example").head.getLong(0) === expected)
   }
 
+  test("charset-faithful HTTP decode: a real latin-1 page survives; undeclared/unknown fall back to utf-8") {
+    def http(ct: String, body: Array[Byte]): Array[Byte] =
+      (s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes("US-ASCII") ++ body
+    def resp(n: Int, payload: Array[Byte]): Array[Byte] =
+      Warc.renderRecord("response", s"<urn:uuid:cs-$n>",
+        s"https://cs$n.example/p", "2026-08-15T00:00:00Z",
+        "application/http; msgtype=response", payload)
+    val latinHtml = "<html><body>café au résumé</body></html>"
+    val bytes =
+      // genuinely latin-1-ENCODED body, correctly declared
+      resp(1, http("text/html; charset=iso-8859-1",
+        latinHtml.getBytes(StandardCharsets.ISO_8859_1))) ++
+      // utf-8 body, declared
+      resp(2, http("text/html; charset=utf-8",
+        "<p>über</p>".getBytes(StandardCharsets.UTF_8))) ++
+      // unknown charset declared: falls back to utf-8-replace, never throws
+      resp(3, http("text/html; charset=klingon-9",
+        "<p>plain ascii</p>".getBytes(StandardCharsets.UTF_8)))
+    val path = tmpFile("charset.warc", bytes)
+    val (records, rejects) = Warc.readWithRejects(spark, path)
+    assert(rejects.count() === 0L)
+    // the latin-1 body decoded by its declared charset — é intact
+    val docs = Warc.responseDocuments(records,
+      keepCharsets = Set("", "utf-8", "iso-8859-1", "klingon-9"))
+    val texts = docs.select("source", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(texts("cs1.example") === "café au résumé")
+    assert(texts("cs2.example") === "über")
+    assert(texts("cs3.example") === "plain ascii")
+    // and the default conservative keep set still routes latin-1 out
+    assert(Warc.responseDocuments(records).count() === 1L)
+  }
+
   test("multi-file glob parallelism: records carry their source file") {
     val d = graft.streaming.Scratch.tmpDir("graft_warc_many")
     (0 until 4).foreach { i =>
