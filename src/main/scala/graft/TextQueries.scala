@@ -2014,6 +2014,27 @@ object TextQueries {
        |        '&amp;', '&'),
        |      '\\s+', ' ', 'g'))""".stripMargin
 
+  /** Unicode NFC normalization ([[TextAnalysis.normalizeUnicode]]):
+    * each doc gets four planted DECOMPOSED sequences (combining
+    * acute/diaeresis/grave after base letters) appended; NFC composes
+    * them, so `clean` differs from the input and `n_after` =
+    * `n_before − 4`. Oracle: DuckDB `nfc_normalize` over the
+    * byte-identical planted string (combining marks via `chr`) —
+    * both engines implement Unicode canonical composition, and
+    * `length` counts codepoints in both.
+    */
+  private def unicodeNfcQ(s: SparkSession, d: String): DataFrame = {
+    // DECOMPOSED on purpose: base letter + combining mark (U+0301
+    // acute, U+0308 diaeresis, U+0300 grave), which NFC composes
+    val deco = concat(col("text"),
+      lit(" café naïve et déjà"))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextAnalysis.normalizeUnicode(deco).as("clean"),
+      length(deco).cast("long").as("n_before"),
+      length(TextAnalysis.normalizeUnicode(deco)).cast("long").as("n_after"))
+  }
+
   private def stripHtmlQ(s: SparkSession, d: String): DataFrame = {
     val html = pageShellCol(col("doc_id"), col("text"))
     Tables.documents(s, d).select(
@@ -2311,6 +2332,16 @@ object TextQueries {
          |  END AS oov_ppm
          |FROM documents d LEFT JOIN vc_stats st ON d.doc_id = st.doc_id""".stripMargin
     }),
+    QueryDef("q_unicode_nfc", unicodeNfcQ, Some(
+      """WITH un_in AS (
+        |  SELECT doc_id,
+        |    text || ' cafe' || chr(769) || ' nai' || chr(776) || 've et de'
+        |      || chr(769) || 'ja' || chr(768) AS t
+        |  FROM documents)
+        |SELECT doc_id, nfc_normalize(t) AS clean,
+        |  CAST(length(t) AS BIGINT) AS n_before,
+        |  CAST(length(nfc_normalize(t)) AS BIGINT) AS n_after
+        |FROM un_in""".stripMargin)),
     QueryDef("q_strip_html", stripHtmlQ, Some(stripHtmlSql),
       headline = true),
     QueryDef("q_sentences", sentencesQ, Some(

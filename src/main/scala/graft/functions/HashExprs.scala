@@ -54,6 +54,10 @@ object HashExprs {
   def charGramHashes(text: Column, l: Int): Column =
     Bridge.column(CharGramHashExpr(Bridge.expression(text), l))
 
+  /** Column API: Unicode normalization (see [[NormalizeExpr]]). */
+  def normalize(text: Column, form: String): Column =
+    Bridge.column(NormalizeExpr(Bridge.expression(text), form))
+
   /** Expose the native expressions to the SQL surface:
     * `graft_minhash_sig(array<long>)`, `graft_simhash64(array<long>)`,
     * `graft_char_gram_hashes(string, l)` (per-position rolling gram

@@ -272,6 +272,20 @@ object TextAnalysis {
   def redactDigits(text: Column, mask: String = "#"): Column =
     regexp_replace(text, "[0-9]+", mask)
 
+  /** Unicode normalization — the canonicalization pass that runs
+    * BEFORE anything hash-based (exact dedup, fingerprints, vocab
+    * builds): composed and decomposed renderings of the same visible
+    * text ("é" as U+00E9 vs `e`+U+0301) hash differently until
+    * normalized. `form` ∈ NFC (default — the web's canonical form,
+    * DuckDB-oracle-able via `nfc_normalize`), NFD, NFKC, NFKD (the
+    * compatibility folds — ligatures `ﬁ`→`fi`, fullwidth→ASCII —
+    * aggressive LLM-corpus cleanup). Native codegen'd expression
+    * ([[graft.functions.NormalizeExpr]]), map-only, with a
+    * no-allocation fast path for already-normalized rows.
+    */
+  def normalizeUnicode(text: Column, form: String = "NFC"): Column =
+    graft.functions.HashExprs.normalize(text, form)
+
   // ---- HTML → text extraction ----
   //
   // The raw-crawl front of a training-data pipeline: WARC/WET records

@@ -63,6 +63,31 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(chunksOf("a", 3, 1) === Seq("a"))
   }
 
+  test("normalizeUnicode: NFC composes, NFD decomposes, NFKC folds ligatures/fullwidth; invalid form rejected") {
+    // decomposed e + U+0301 composes to U+00E9 under NFC
+    assert(one[String](TextAnalysis.normalizeUnicode(col("text")),
+      "café") === "café")
+    // already-NFC text passes through unchanged (the fast path)
+    assert(one[String](TextAnalysis.normalizeUnicode(col("text")),
+      "café") === "café")
+    // NFD: the inverse
+    assert(one[String](TextAnalysis.normalizeUnicode(col("text"), "NFD"),
+      "café") === "café")
+    // NFKC compatibility folds: fi ligature U+FB01 and fullwidth A
+    // U+FF21 — what LLM-corpus cleanup wants before tokenization
+    assert(one[String](TextAnalysis.normalizeUnicode(col("text"), "NFKC"),
+      "ﬁle Ａ") === "file A")
+    // NFC leaves compatibility characters ALONE (canonical only)
+    assert(one[String](TextAnalysis.normalizeUnicode(col("text")),
+      "ﬁle") === "ﬁle")
+    // null-safe
+    assert(spark.sql("SELECT CAST(NULL AS STRING) AS text")
+      .select(TextAnalysis.normalizeUnicode(col("text"))).head.isNullAt(0))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.normalizeUnicode(col("text"), "NFX")
+    }
+  }
+
   test("redactDigits masks every digit run") {
     assert(one[String](TextAnalysis.redactDigits(col("text")),
       "call 555 at 10am room42") === "call # at #am room#")
