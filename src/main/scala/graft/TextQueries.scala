@@ -474,6 +474,78 @@ object TextQueries {
       col("warc_type"))
   }
 
+  /** Deterministic CDXJ index fixture built IN-PLAN from documents
+    * (so the oracle replays every field from the same source): one
+    * capture per doc at `https://s<id%5>.graft.test/doc/<id>` —
+    * status 404 every 13th, content digest `md5(text)`, the SURT via
+    * the REAL [[graft.operators.Urls.surt]] column — plus a second
+    * capture of the same content at a different (file, offset) every
+    * 7th doc (the duplicate-fetch reality the fetch plan collapses),
+    * and three malformed junk lines for the dead-letter split.
+    * Written as gzip text shards (the cdx-NNNNN.gz deployment shape).
+    */
+  private def muxCdxGz(docs: org.apache.spark.sql.DataFrame, dir: String): Unit = {
+    val url = concat(lit("https://s"), (col("doc_id") % 5).cast("string"),
+      lit(".graft.test/doc/"), col("doc_id").cast("string"))
+    def line(status: org.apache.spark.sql.Column, offset: org.apache.spark.sql.Column,
+        file: org.apache.spark.sql.Column) = concat(
+      graft.operators.Urls.surt(url), lit(" 20260101000000 {\"url\": \""), url,
+      lit("\", \"mime\": \"text/html\", \"status\": \""), status,
+      lit("\", \"digest\": \""), md5(col("text")),
+      lit("\", \"length\": \""), length(col("text")).cast("string"),
+      lit("\", \"offset\": \""), offset.cast("string"),
+      lit("\", \"filename\": \""), file, lit("\"}"))
+    val status = when(col("doc_id") % 13 === 0, lit("404")).otherwise(lit("200"))
+    val f1 = concat(lit("crawl/seg-"), (col("doc_id") % 10).cast("string"),
+      lit(".warc.gz"))
+    val base = docs.select(line(status, col("doc_id") * 1000, f1).as("value"))
+    val second = docs.filter(col("doc_id") % 7 === 0)
+      .select(line(status, col("doc_id") * 1000 + 7,
+        lit("crawl/seg-x.warc.gz")).as("value"))
+    val sess = docs.sparkSession
+    import sess.implicits._
+    val junk = Seq(
+      "not a cdx line",
+      "test,junk)/a 2026bad {\"url\": \"https://junk/a\"}",
+      "test,junk)/b 20260101000000 {\"status\": \"200\"}").toDF("value")
+    base.union(second).union(junk)
+      .coalesce(8)
+      .write.option("compression", "gzip").mode("overwrite").text(dir)
+  }
+
+  /** CDX index ingest roundtrip ([[graft.sources.Cdx]]): the fixture
+    * index parses back field-exact — SURT (the [[Urls.surt]] twin is
+    * part of the oracle), timestamp, url, mime, status, digest,
+    * byte ranges — with the three junk lines dead-lettered (in-plan
+    * zero-tolerance guard: exactly 3 rejects or the hash breaks).
+    */
+  private def cdxIngest(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val dir = graft.streaming.Scratch.tmpDir("graft_cdx_ingest") + "/idx"
+    muxCdxGz(docs, dir)
+    val (recs, rejects) = graft.sources.Cdx.readWithRejects(s, dir)
+    val guarded = recs.join(
+      rejects.agg(count(lit(1)).as("__nrej")).filter(
+        assert_true(col("__nrej") === 3L,
+          concat(lit("q_cdx_ingest: expected 3 rejects, got "),
+            col("__nrej").cast("string"))).isNull))
+    guarded.select("surt", "ts", "url", "mime", "status", "digest",
+      "length", "offset", "warc_file")
+  }
+
+  /** Content-dedup fetch plan ([[graft.sources.Cdx.fetchPlan]]): one
+    * capture per 200-status digest (deterministic (file, offset)
+    * minimum) + copy counts — the index-first bandwidth cut. Oracle
+    * replays the grouping over the same derived captures.
+    */
+  private def cdxFetchPlan(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val dir = graft.streaming.Scratch.tmpDir("graft_cdx_plan") + "/idx"
+    muxCdxGz(docs, dir)
+    val (recs, _) = graft.sources.Cdx.readWithRejects(s, dir)
+    graft.sources.Cdx.fetchPlan(recs)
+  }
+
   /** Deterministic 90/10 train/validation split. */
   private def trainSplit(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
@@ -2598,6 +2670,51 @@ object TextQueries {
         |  CAST(length(text) AS BIGINT) AS n_chars,
         |  'conversion' AS warc_type
         |FROM documents""".stripMargin)),
+    QueryDef("q_cdx_ingest", cdxIngest, Some(
+      """WITH cx AS (
+        |  SELECT doc_id, text,
+        |    'https://s' || CAST(doc_id % 5 AS VARCHAR) || '.graft.test/doc/'
+        |      || CAST(doc_id AS VARCHAR) AS url,
+        |    'test,graft,s' || CAST(doc_id % 5 AS VARCHAR) || ')/doc/'
+        |      || CAST(doc_id AS VARCHAR) AS surt,
+        |    md5(text) AS digest,
+        |    CAST(CASE WHEN doc_id % 13 = 0 THEN 404 ELSE 200 END AS INTEGER) AS status
+        |  FROM documents)
+        |SELECT surt, '20260101000000' AS ts, url, 'text/html' AS mime, status,
+        |  digest, CAST(length(text) AS BIGINT) AS length,
+        |  CAST(doc_id * 1000 AS BIGINT) AS offset,
+        |  'crawl/seg-' || CAST(doc_id % 10 AS VARCHAR) || '.warc.gz' AS warc_file
+        |FROM cx
+        |UNION ALL
+        |SELECT surt, '20260101000000', url, 'text/html', status,
+        |  digest, CAST(length(text) AS BIGINT),
+        |  CAST(doc_id * 1000 + 7 AS BIGINT), 'crawl/seg-x.warc.gz'
+        |FROM cx WHERE doc_id % 7 = 0""".stripMargin)),
+    QueryDef("q_cdx_fetch_plan", cdxFetchPlan, Some(
+      """WITH cx AS (
+        |  SELECT doc_id, text,
+        |    'https://s' || CAST(doc_id % 5 AS VARCHAR) || '.graft.test/doc/'
+        |      || CAST(doc_id AS VARCHAR) AS url,
+        |    md5(text) AS digest
+        |  FROM documents WHERE doc_id % 13 <> 0),
+        |caps AS (
+        |  SELECT digest, url,
+        |    'crawl/seg-' || CAST(doc_id % 10 AS VARCHAR) || '.warc.gz' AS warc_file,
+        |    CAST(doc_id * 1000 AS BIGINT) AS "offset",
+        |    CAST(length(text) AS BIGINT) AS length
+        |  FROM cx
+        |  UNION ALL
+        |  SELECT digest, url, 'crawl/seg-x.warc.gz',
+        |    CAST(doc_id * 1000 + 7 AS BIGINT), CAST(length(text) AS BIGINT)
+        |  FROM cx WHERE doc_id % 7 = 0),
+        |ranked AS (
+        |  SELECT digest, url, warc_file, "offset", length,
+        |    row_number() OVER (PARTITION BY digest ORDER BY warc_file, "offset") AS rn,
+        |    count(*) OVER (PARTITION BY digest) AS nc
+        |  FROM caps)
+        |SELECT digest, url, warc_file, "offset", length,
+        |  CAST(nc AS BIGINT) AS n_copies
+        |FROM ranked WHERE rn = 1""".stripMargin)),
     QueryDef("q_warc_html_docs", warcHtmlDocs, Some(
       s"""WITH wd_in AS (
          |  SELECT doc_id, 0 AS k,

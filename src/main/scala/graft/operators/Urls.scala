@@ -51,6 +51,26 @@ object Urls {
   def host(url: Column): Column =
     lower(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)", 1))
 
+  /** SURT (Sort-friendly URI Reordering Transform) key — the index
+    * key of the web-archive world (Common Crawl CDX files key every
+    * capture by it): host labels REVERSED and comma-joined so one
+    * domain's captures sort contiguously (`org,example,sub)/path`),
+    * then `)` and the path+query. Simplified-standard
+    * canonicalization: everything lowercased, `www.` folded, scheme /
+    * userinfo / default port dropped, fragment dropped. Map-only
+    * column arithmetic (split + reverse + join), no UDF; empty string
+    * for inputs with no `scheme://` head (same contract as [[host]]).
+    */
+  def surt(url: Column): Column = {
+    val h = regexp_replace(host(url), "^www\\.", "")
+    val tail = lower(regexp_replace(
+      regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)", 1),
+      "/+$", ""))
+    when(h === "", lit(""))
+      .otherwise(concat(
+        array_join(reverse(split(h, "\\.")), ","), lit(")"), tail))
+  }
+
   /** Site key for per-domain policies: [[host]] with a leading
     * `www.` stripped. True eTLD+1 grouping needs the public-suffix
     * list (a data file, not an algorithm); the `www` fold covers the

@@ -1,0 +1,100 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Common Crawl CDX(J) index ingest — the OTHER crawl front door:
+  * before anyone fetches a WARC byte, they query the capture index
+  * (`cdx-NNNNN.gz`: one line per capture, `SURT timestamp {JSON}`)
+  * to select urls, dedupe content by digest, and build a fetch plan
+  * of (warc file, offset, length) ranges. An index-first pipeline
+  * downloads a fraction of the crawl; this source makes that plan a
+  * DataFrame.
+  *
+  * Format (CDXJ, the since-2015 layout): three space-delimited
+  * fields — the SURT key ([[graft.operators.Urls.surt]]'s shape), a
+  * 14-digit `yyyyMMddHHmmss` timestamp, and a JSON blob carrying
+  * `url`, `mime`, `status`, `digest`, `length`, `offset`,
+  * `filename`. Parsing is ALL in-plan column arithmetic
+  * (`split(limit=3)` + `get_json_object` — codegen'd, no UDF): gzip
+  * text shards read per FILE exactly like the WARC segments (the
+  * index ships as ~300 unsplittable .gz shards; files map to tasks).
+  *
+  * Malformed lines follow the dead-letter discipline: anything that
+  * doesn't shape up (missing fields, non-numeric timestamp, JSON
+  * without a url) lands in the rejects frame as `(line, reason)` —
+  * one pass, split off a single materialized cut.
+  */
+object Cdx {
+
+  /** Read CDXJ shards into `(records, rejects)`.
+    * Records: `(surt, ts, url, mime, status, digest, length, offset,
+    * warc_file)`; `ts` stays the raw 14-digit string (timezone-free
+    * by construction — parse downstream if event-time semantics are
+    * wanted).
+    */
+  def readWithRejects(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val raw = spark.read.text(path).select(col("value").as("line"))
+    val parts = split(col("line"), " ", 3)
+    val staged = graft.operators.Materialize(
+      raw.withColumn("__surt", try_element_at(parts, lit(1)))
+        .withColumn("__ts", try_element_at(parts, lit(2)))
+        .withColumn("__json", try_element_at(parts, lit(3)))
+        .withColumn("__url", get_json_object(col("__json"), "$.url"))
+        .withColumn("__ok",
+          col("__ts").rlike("^[0-9]{14}$") && col("__url").isNotNull &&
+          get_json_object(col("__json"), "$.status").rlike("^[0-9]{3}$") &&
+          get_json_object(col("__json"), "$.offset").rlike("^[0-9]+$") &&
+          get_json_object(col("__json"), "$.length").rlike("^[0-9]+$")))
+    val records = staged.filter(col("__ok"))
+      .select(
+        col("__surt").as("surt"),
+        col("__ts").as("ts"),
+        col("__url").as("url"),
+        get_json_object(col("__json"), "$.mime").as("mime"),
+        get_json_object(col("__json"), "$.status").cast("int").as("status"),
+        get_json_object(col("__json"), "$.digest").as("digest"),
+        get_json_object(col("__json"), "$.length").cast("long").as("length"),
+        get_json_object(col("__json"), "$.offset").cast("long").as("offset"),
+        get_json_object(col("__json"), "$.filename").as("warc_file"))
+    val rejects = staged.filter(!coalesce(col("__ok"), lit(false)))
+      .select(col("line"),
+        when(col("__json").isNull, "expected 'surt ts {json}'")
+          .when(!col("__ts").rlike("^[0-9]{14}$"), "bad timestamp")
+          .when(col("__url").isNull, "json missing url")
+          .otherwise("bad status/offset/length").as("reason"))
+    (records, rejects)
+  }
+
+  /** The content-dedup FETCH PLAN: of all 200-status captures sharing
+    * a content digest (the same page fetched from many urls / many
+    * times — most of a crawl's bytes), keep ONE capture — the
+    * deterministic `(warc_file, offset)` minimum — plus the copy
+    * count. Downloading this plan instead of the raw index is the
+    * standard index-first bandwidth cut. One hash aggregate with
+    * map-side partials (`min_by` + count), shuffle keyed by digest;
+    * no window, no self-join.
+    */
+  def fetchPlan(records: DataFrame): DataFrame =
+    records.filter(col("status") === 200)
+      .groupBy(col("digest"))
+      .agg(
+        min_by(
+          struct(col("url"), col("warc_file"), col("offset"), col("length")),
+          struct(col("warc_file"), col("offset"))).as("__pick"),
+        count(lit(1)).as("n_copies"))
+      .select(col("digest"),
+        col("__pick.url").as("url"),
+        col("__pick.warc_file").as("warc_file"),
+        col("__pick.offset").as("offset"),
+        col("__pick.length").as("length"),
+        col("n_copies"))
+
+  /** Render one CDXJ line (fixtures + index export). */
+  def renderLine(
+      surt: String, ts: String, url: String, mime: String, status: Int,
+      digest: String, length: Long, offset: Long, filename: String): String =
+    s"""$surt $ts {"url": "$url", "mime": "$mime", "status": "$status", """ +
+      s""""digest": "$digest", "length": "$length", "offset": "$offset", """ +
+      s""""filename": "$filename"}"""
+}
