@@ -546,6 +546,44 @@ object TextQueries {
     graft.sources.Cdx.fetchPlan(recs)
   }
 
+  /** robots.txt compliance decisions ([[graft.operators.Robots]]):
+    * five hosts, four with deterministic robots bodies — hosts 0–2
+    * carry a `graftbot` group (Disallow `/p<k>/`, longer Allow
+    * `/p<k>/doc/1` — exercising longest-match override) plus an
+    * irrelevant `*` group; host 3 has NO matching agent group so the
+    * `*` fallback (Disallow `/p1/`) governs; host 4 publishes no
+    * robots at all (allowed). The oracle is the CLOSED FORM of those
+    * rules over each doc's URL (the image/audio closed-form-oracle
+    * discipline) — the parser itself is spec-pinned in `RobotsSpec`.
+    */
+  private def robotsFilterQ(s: SparkSession, d: String): DataFrame = {
+    val sess = s
+    import sess.implicits._
+    val k = (col("doc_id") % 5).cast("string")
+    val p = (col("doc_id") % 4).cast("string")
+    val url = concat(lit("https://s"), k, lit(".graft.test/p"), p,
+      lit("/doc/"), col("doc_id").cast("string"))
+    val robots = (0 until 4).map { kk =>
+      val body =
+        if (kk < 3)
+          s"# graft robots\nUser-agent: graftbot\nDisallow: /p$kk/\n" +
+            s"Allow: /p$kk/doc/1\n\nUser-agent: *\nDisallow: /tmp/\n"
+        else
+          "User-agent: otherbot\nDisallow: /\n\nUser-agent: *\nDisallow: /p1/\n"
+      (s"s$kk.graft.test", body)
+    }.toDF("host", "body")
+    val rules = robots.select(col("host"),
+      graft.operators.Robots.rulesFor(col("body"), "graftbot/1.0").as("__rules"))
+    val path = regexp_extract(col("url"),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    Tables.documents(s, d).select(col("doc_id"), url.as("url"))
+      .join(broadcast(rules),
+        graft.operators.Urls.host(col("url")) === col("host"), "left")
+      .select(col("doc_id"), col("url"),
+        graft.operators.Robots.isAllowed(col("__rules"), path)
+          .cast("int").as("allowed"))
+  }
+
   /** Deterministic 90/10 train/validation split. */
   private def trainSplit(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
@@ -2670,6 +2708,20 @@ object TextQueries {
         |  CAST(length(text) AS BIGINT) AS n_chars,
         |  'conversion' AS warc_type
         |FROM documents""".stripMargin)),
+    QueryDef("q_robots_filter", robotsFilterQ, Some(
+      """WITH u AS (
+        |  SELECT doc_id, doc_id % 5 AS k, doc_id % 4 AS p,
+        |    '/p' || CAST(doc_id % 4 AS VARCHAR) || '/doc/'
+        |      || CAST(doc_id AS VARCHAR) AS path
+        |  FROM documents)
+        |SELECT doc_id,
+        |  'https://s' || CAST(k AS VARCHAR) || '.graft.test' || path AS url,
+        |  CAST(CASE
+        |    WHEN k = 4 THEN 1
+        |    WHEN k = 3 THEN CASE WHEN starts_with(path, '/p1/') THEN 0 ELSE 1 END
+        |    WHEN p = k THEN CASE WHEN CAST(doc_id AS VARCHAR) LIKE '1%' THEN 1 ELSE 0 END
+        |    ELSE 1 END AS INTEGER) AS allowed
+        |FROM u""".stripMargin)),
     QueryDef("q_cdx_ingest", cdxIngest, Some(
       """WITH cx AS (
         |  SELECT doc_id, text,

@@ -58,6 +58,12 @@ object HashExprs {
   def normalize(text: Column, form: String): Column =
     Bridge.column(NormalizeExpr(Bridge.expression(text), form))
 
+  /** Column API: robots.txt governing rules for an agent (see
+    * [[RobotsRulesExpr]]).
+    */
+  def robotsRules(body: Column, agent: String): Column =
+    Bridge.column(RobotsRulesExpr(Bridge.expression(body), agent))
+
   /** Expose the native expressions to the SQL surface:
     * `graft_minhash_sig(array<long>)`, `graft_simhash64(array<long>)`,
     * `graft_char_gram_hashes(string, l)` (per-position rolling gram
