@@ -2145,6 +2145,37 @@ object TextQueries {
       length(TextAnalysis.normalizeUnicode(deco)).cast("long").as("n_after"))
   }
 
+  // the boilerplate-laden page each doc is wrapped in for the
+  // main-content queries — nav/newsletter/related/footer blocks the
+  // extractor must drop, the <p> prose it must keep; ONE LINE in both
+  // engines (multi-level stripMargin splicing eats leading pipes)
+  private val mcPageHead =
+    "<html><head><title>t</title></head><body><nav><a href=\"/\">Home</a> " +
+      "<a href=\"/about\">About</a> <a href=\"/contact\">Contact</a></nav>" +
+      "<div>Subscribe to our newsletter!</div><p>"
+  private val mcPageTail =
+    "</p><div>Related: <a href=\"/r1\">More on this topic from our archive" +
+      " pages</a></div><footer><a href=\"/privacy\">Privacy</a> (c) 2026" +
+      " graft</footer></body></html>"
+  private val mcPageDuck =
+    s"'${mcPageHead.replace("\"", "\"")}' || text || '$mcPageTail'"
+
+  /** Main-content extraction ([[TextAnalysis.mainContent]] —
+    * length + link-density block scoring, the jusText/readability
+    * core): each doc rendered into a page with nav, newsletter,
+    * link-dense "related" and footer boilerplate around its prose;
+    * the extractor must return exactly the prose block (or nothing
+    * for sub-80-char docs). Oracle: the identical block split +
+    * per-block scoring replayed via [[TextAnalysis.mainContentDuckSql]].
+    */
+  private def mainContentQ(s: SparkSession, d: String): DataFrame = {
+    val page = concat(lit(mcPageHead), col("text"), lit(mcPageTail))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextAnalysis.mainContent(page).as("content"),
+      length(TextAnalysis.mainContent(page)).cast("long").as("n_chars"))
+  }
+
   private def stripHtmlQ(s: SparkSession, d: String): DataFrame = {
     val html = pageShellCol(col("doc_id"), col("text"))
     Tables.documents(s, d).select(
@@ -2442,6 +2473,14 @@ object TextQueries {
          |  END AS oov_ppm
          |FROM documents d LEFT JOIN vc_stats st ON d.doc_id = st.doc_id""".stripMargin
     }),
+    QueryDef("q_main_content", mainContentQ, Some(
+      s"""WITH mc AS (
+         |  SELECT doc_id,
+         |    ${TextAnalysis.mainContentDuckSql(mcPageDuck)} AS content
+         |  FROM documents)
+         |SELECT doc_id, content,
+         |  CAST(length(content) AS BIGINT) AS n_chars
+         |FROM mc""".stripMargin)),
     QueryDef("q_unicode_nfc", unicodeNfcQ, Some(
       """WITH un_in AS (
         |  SELECT doc_id,

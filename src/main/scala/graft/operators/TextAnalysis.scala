@@ -324,6 +324,96 @@ object TextAnalysis {
   def extractLinks(html: Column): Column =
     regexp_extract_all(html, lit("(?i)href\\s*=\\s*\"([^\"]*)\""), lit(1))
 
+  // ---- Main-content extraction (boilerplate removal) ----
+  //
+  // [[stripHtml]] flattens the WHOLE page — nav bars, cookie banners,
+  // footers and all — which is why production pipelines run a
+  // content extractor (jusText, trafilatura, readability) instead of
+  // a bare tag strip. This is the length + link-density core of that
+  // family (Kohlschütter et al.'s boilerplate signals; the arc90
+  // readability heuristic): split on block-level tags, score each
+  // block, keep the prose. Everything is integer/regex arithmetic
+  // shared verbatim with the DuckDB twin.
+
+  private val blockSplitRe =
+    "(?i)</?(?:p|div|h[1-6]|li|ul|ol|table|thead|tbody|tr|td|th|br|" +
+      "section|article|header|footer|nav|aside|blockquote)[^>]*>"
+  private val anchorRe = "(?is)<a[^>]*>(.*?)</a>"
+
+  /** Inline cleanup of one block: remaining tags → spaces, the six
+    * ubiquitous entities decoded (`&amp;` last), whitespace
+    * collapsed — [[stripHtml]]'s tail without the block logic.
+    */
+  private def stripInline(b: Column): Column = {
+    val noTags = regexp_replace(b, "<[^>]*>", " ")
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ")
+      .foldLeft(noTags) { case (c, (e, v)) => replace(c, lit(e), lit(v)) }
+    trim(regexp_replace(replace(ent, lit("&amp;"), lit("&")), "\\s+", " "))
+  }
+
+  /** Main prose content of an HTML page: script/style/comment blocks
+    * drop, the rest splits into blocks on block-level tags, and a
+    * block survives iff its cleaned text has ≥ `minChars` characters
+    * AND at most a third of them sit inside `<a>` anchors (integer
+    * compare `3·link_chars ≤ chars` — no division). Surviving blocks
+    * join with newlines, in document order. Declared simplifications
+    * vs full jusText: no stopword-density class, no neighbor
+    * promotion — length + link density alone remove nav/footer/
+    * related-links boilerplate, which is the bulk of the win.
+    *
+    * Map-only: one staged block array per row; per-block work is one
+    * transform → filter → transform chain (each stage referenced
+    * once — the Catalyst HOF re-inline trap), no shuffle, no UDF.
+    */
+  def mainContent(html: Column, minChars: Int = 80): Column = {
+    val noScript  = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle   = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val blocks = split(noComment, blockSplitRe)
+    val scored = transform(blocks, b => struct(
+      stripInline(b).as("t"),
+      aggregate(regexp_extract_all(b, lit(anchorRe), lit(1)), lit(0L),
+        (acc, a) => acc + length(stripInline(a)).cast("long")).as("lc")))
+    val kept = filter(scored, s =>
+      length(s.getField("t")) >= minChars &&
+      s.getField("lc") * 3 <= length(s.getField("t")).cast("long"))
+    array_join(transform(kept, s => s.getField("t")), "\n")
+  }
+
+  /** The DuckDB twin of [[mainContent]] over an HTML expression —
+    * spliced into oracle SQL (same regexes, same integer compares;
+    * `list_sum` over an anchorless block is NULL where Spark's fold
+    * seeds 0, and `array_to_string` over an all-boilerplate page's
+    * EMPTY keep list is NULL where Spark's `array_join` is '' —
+    * hence both COALESCEs).
+    */
+  def mainContentDuckSql(htmlExpr: String, minChars: Int = 80): String = {
+    def stripInlineSql(e: String) =
+      s"""trim(regexp_replace(replace(
+         |  replace(replace(replace(replace(replace(
+         |    regexp_replace($e, '<[^>]*>', ' ', 'g'),
+         |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+         |    '&#39;', chr(39)), '&nbsp;', ' '),
+         |  '&amp;', '&'), '\\s+', ' ', 'g'))""".stripMargin
+    val blockRe = blockSplitRe.replace("'", "''")
+    s"""coalesce(array_to_string(list_transform(list_filter(
+       |  list_transform(
+       |    string_split_regex(
+       |      regexp_replace(regexp_replace(regexp_replace($htmlExpr,
+       |        '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+       |        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+       |        '(?s)<!--.*?-->', ' ', 'g'),
+       |      '$blockRe'),
+       |    b -> struct_pack(
+       |      t := ${stripInlineSql("b")},
+       |      lc := coalesce(list_sum(list_transform(
+       |        regexp_extract_all(b, '${anchorRe.replace("'", "''")}', 1),
+       |        a -> length(${stripInlineSql("a")}))), 0))),
+       |  s -> length(s.t) >= $minChars AND s.lc * 3 <= length(s.t)),
+       |  s -> s.t), chr(10)), '')""".stripMargin
+  }
+
   // ---- Typed PII redaction ----
   //
   // Replacement tokens (not bare masks) follow the published corpus

@@ -88,6 +88,24 @@ class TextAnalysisSpec extends SparkSpecBase {
     }
   }
 
+  test("mainContent: keeps long low-link blocks, drops nav/footer/link-dense/short boilerplate") {
+    val prose = "The quick brown fox jumps over the lazy dog while the " +
+      "engine scans partitions and the optimizer prunes every column it can."
+    val page = "<html><body>" +
+      "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a></nav>" +
+      "<div>Short promo!</div>" +
+      s"<p>$prose</p>" +
+      "<div>Related: <a href=\"/r\">a very long anchor text that dominates this block entirely</a></div>" +
+      s"<blockquote>$prose again with enough characters to clear the bar easily, surely.</blockquote>" +
+      "<footer><a href=\"/p\">Privacy</a> (c) graft</footer></body></html>"
+    val got = one[String](TextAnalysis.mainContent(col("text")), page)
+    assert(got === prose + "\n" + prose +
+      " again with enough characters to clear the bar easily, surely.")
+    // all-boilerplate page -> empty
+    assert(one[String](TextAnalysis.mainContent(col("text")),
+      "<html><body><nav><a href=\"/\">Home</a></nav></body></html>") === "")
+  }
+
   test("redactDigits masks every digit run") {
     assert(one[String](TextAnalysis.redactDigits(col("text")),
       "call 555 at 10am room42") === "call # at #am room#")
