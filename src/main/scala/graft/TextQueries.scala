@@ -263,8 +263,16 @@ object TextQueries {
     * record) — if any leaks through, its hashed id surfaces a row the
     * oracle doesn't have.
     */
+  /** `multiHost = true` spreads docs over five hosts with varied
+    * paths (`https://s<id%5>.graft.test/p<id%4>/doc/<id>`) and plants
+    * per-host `robots.txt` RESPONSE records (hosts 0–2: a `graftbot`
+    * group with a longest-match Allow override; host 3: only a `*`
+    * fallback; host 4: none) — the self-contained-archive fixture for
+    * the robots-enforced flagship.
+    */
   private def muxWarcHttpGz(
-      docs: org.apache.spark.sql.DataFrame, dir: String, tag: String): Unit = {
+      docs: org.apache.spark.sql.DataFrame, dir: String, tag: String,
+      multiHost: Boolean = false): Unit = {
     def httpResponse(status: String, contentType: String, body: Array[Byte]): Array[Byte] = {
       val head = (s"HTTP/1.1 $status\r\n" +
         s"Content-Type: $contentType\r\n" +
@@ -280,6 +288,21 @@ object TextQueries {
     docs.repartition(shards, col("doc_id")).foreachPartition {
       (it: Iterator[org.apache.spark.sql.Row]) =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
+        val robots: Seq[Array[Byte]] =
+          if (pid != 0 || !multiHost) Seq.empty
+          else (0 until 4).map { kk =>
+            val body =
+              if (kk < 3)
+                s"# graft robots\nUser-agent: graftbot\nDisallow: /p$kk/\n" +
+                  s"Allow: /p$kk/doc/1\n\nUser-agent: *\nDisallow: /tmp/\n"
+              else
+                "User-agent: otherbot\nDisallow: /\n\n" +
+                  "User-agent: *\nDisallow: /p1/\n"
+            response(s"<urn:uuid:graft-robots-$kk>",
+              s"https://s$kk.graft.test/robots.txt",
+              httpResponse("200 OK", "text/plain; charset=utf-8",
+                body.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+          }
         val junk: Seq[Array[Byte]] =
           if (pid != 0) Seq.empty
           else Seq(
@@ -296,9 +319,13 @@ object TextQueries {
               "https://graft.test/junk/req", "2026-01-01T00:00:00Z",
               "application/http; msgtype=request",
               "GET /junk HTTP/1.1\r\nHost: graft.test\r\n\r\n".getBytes("UTF-8")))
-        val recs = junk ++ it.map { r =>
+        val recs = robots ++ junk ++ it.map { r =>
           val id = r.getLong(0)
-          response(s"<urn:uuid:graft-$id>", s"https://graft.test/doc/$id",
+          val uri =
+            if (multiHost)
+              s"https://s${id % 5}.graft.test/p${id % 4}/doc/$id"
+            else s"https://graft.test/doc/$id"
+          response(s"<urn:uuid:graft-$id>", uri,
             httpResponse("200 OK", "text/html; charset=utf-8",
               pageShellStr(id, r.getString(1))
                 .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
@@ -363,6 +390,43 @@ object TextQueries {
     val pass = TextAnalysis.qualityGate(extracted, "doc_id", "text")
       .filter(col("pass") === 1).select("doc_id")
     val gated = extracted.join(pass, Seq("doc_id"), "left_semi")
+    Dedup.dropNearDuplicates(gated, "doc_id", "text")
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        when(TextAnalysis.splitBucket(col("doc_id")) < 90, "train")
+          .otherwise("valid").as("split"))
+  }
+
+  /** The SELF-CONTAINED-ARCHIVE flagship (round 14): robots
+    * enforcement needs no side channel — the crawl's own `robots.txt`
+    * fetches ride the archive as response records. One pass builds
+    * the per-host rules table ([[graft.sources.Warc.robotsTable]]),
+    * the HTML responses extract to text, disallowed URLs leave
+    * (agent `graftbot` — hosts 0–2 disallow their own `/p<k>/` path
+    * with a longest-match Allow carve-out, host 3 only has a `*`
+    * fallback, host 4 publishes nothing), and the survivors run the
+    * usual curation tail (gate → dedup → split). Oracle: the robots
+    * decision's CLOSED FORM (the `q_robots_filter` CASE) folded into
+    * the `q_warc_html_curate` stage-twin chain.
+    */
+  private def warcRobotsCurate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val dir = graft.streaming.Scratch.tmpDir("graft_warc_robots")
+    muxWarcHttpGz(docs, dir, "seg", multiHost = true)
+    val (recs, _) = graft.sources.Warc.readWithRejects(s, dir + "/*.warc.gz")
+    val robots = graft.sources.Warc.robotsTable(recs)
+    val extracted = graft.operators.Materialize(
+      graft.sources.Warc.responseDocuments(recs)
+        .select(
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          col("text"), col("target_uri")))
+    val allowed = graft.operators.Robots.filterAllowed(
+        extracted, "target_uri", robots, "host", "body", "graftbot/1.0")
+      .select("doc_id", "text")
+    val pass = TextAnalysis.qualityGate(allowed, "doc_id", "text")
+      .filter(col("pass") === 1).select("doc_id")
+    val gated = allowed.join(pass, Seq("doc_id"), "left_semi")
     Dedup.dropNearDuplicates(gated, "doc_id", "text")
       .select(col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
@@ -2818,6 +2882,27 @@ object TextQueries {
          |SELECT x.h AS doc_id, 'graft.test' AS source,
          |  CAST(length(c.clean) AS BIGINT) AS n_chars
          |FROM xs_xh x JOIN wh_clean c ON c.doc_id = x.doc_id""".stripMargin)),
+    QueryDef("q_crawl_robots_curate", warcRobotsCurate, Some(
+      s"""WITH RECURSIVE wr_docs AS MATERIALIZED (
+         |  SELECT doc_id, ${duckStripHtml(s"($duckPageShell)")} AS text
+         |  FROM documents
+         |  WHERE NOT (
+         |    (doc_id % 5 <= 2 AND doc_id % 4 = doc_id % 5
+         |       AND CAST(doc_id AS VARCHAR) NOT LIKE '1%')
+         |    OR (doc_id % 5 = 3 AND doc_id % 4 = 1))),
+         |wr_gated AS MATERIALIZED (
+         |  SELECT d.doc_id, d.text
+         |  FROM wr_docs d JOIN (${qualityGateSqlOver("wr_docs")}) qg
+         |    ON qg.doc_id = d.doc_id AND qg.pass = 1),
+         |${Dedup.minhashCandDuckCtes(duckToks("text"), table = "wr_gated")},
+         |${Dedup.ccDuckCtes("mh_pairs")},
+         |losers AS (SELECT id FROM cc_comp WHERE id <> component)
+         |SELECT g.doc_id, CAST(length(g.text) AS BIGINT) AS n_chars,
+         |  CASE WHEN (((g.doc_id % 2147483647) * 2654435761) % 2147483647) % 100 < 90
+         |       THEN 'train' ELSE 'valid' END AS split
+         |FROM wr_gated g LEFT JOIN losers l ON g.doc_id = l.id
+         |WHERE l.id IS NULL""".stripMargin),
+      headline = true),
     QueryDef("q_warc_html_curate", warcHtmlCurate, Some(
       s"""WITH RECURSIVE wh_docs AS MATERIALIZED (
          |  SELECT doc_id, ${duckStripHtml(s"($duckPageShell)")} AS text

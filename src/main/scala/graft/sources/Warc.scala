@@ -586,6 +586,23 @@ object Warc {
         length(col("__text")).cast(LongType).as("n_chars"),
         col("target_uri"))
 
+  /** Per-host robots.txt bodies from the ARCHIVE ITSELF — crawls
+    * store their `robots.txt` fetches as ordinary `response` records,
+    * so retroactive politeness ([[graft.operators.Robots]]) needs no
+    * side channel: HTTP-200 responses whose target path is
+    * `/robots.txt` become one `(host, body)` row per host
+    * (deterministic min-record-id pick when a host was fetched more
+    * than once). Host keys come from [[graft.operators.Urls.host]] —
+    * the same key [[graft.operators.Robots.filterAllowed]] joins on.
+    */
+  def robotsTable(records: DataFrame): DataFrame =
+    httpParts(records.filter(col("warc_type") === "response" &&
+        col("content_type").startsWith("application/http") &&
+        col("target_uri").endsWith("/robots.txt")))
+      .filter(col("http_status") === 200)
+      .groupBy(graft.operators.Urls.host(col("target_uri")).as("host"))
+      .agg(min_by(col("http_body"), col("record_id")).as("body"))
+
   // ---- writer (fixtures + WET export) ----
 
   /** Render one WARC record (CRLF framing, `Content-Length` +
