@@ -263,6 +263,9 @@ object Warc {
     * charset; with this decode, adding e.g. `"iso-8859-1"` to the
     * keep set yields correctly-decoded text, not replacement chars.
     */
+  private val CharsetRe = java.util.regex.Pattern
+    .compile("(?mi)^content-type:[^\\r\\n]*charset=\\s*\"?([A-Za-z0-9_-]+)")
+
   private[graft] def decodePayload(
       payload: Array[Byte], warcContentType: String): String = {
     def utf8 = new String(payload, StandardCharsets.UTF_8)
@@ -278,9 +281,7 @@ object Warc {
     }
     if (sep < 0) return utf8
     val head = new String(payload, 0, sep + 4, StandardCharsets.ISO_8859_1)
-    val m = java.util.regex.Pattern
-      .compile("(?mi)^content-type:[^\\r\\n]*charset=\\s*\"?([A-Za-z0-9_-]+)")
-      .matcher(head)
+    val m = CharsetRe.matcher(head)
     if (!m.find()) return utf8
     val name = m.group(1)
     val cs =
