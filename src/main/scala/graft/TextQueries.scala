@@ -507,6 +507,36 @@ object TextQueries {
       .select(col("doc_id"), col("source"), col("n_chars"))
   }
 
+  /** [[TextAnalysis.mainContent]] as a CRAWL-PATH citizen: the same
+    * response archive as `q_warc_html_docs`, but the body runs the
+    * boilerplate-removing extractor instead of the flat strip — on
+    * the fixture's page shell that drops the `<h1>Doc N</h1>` heading
+    * (short block) and the link/entity tail, keeping only the prose
+    * `<p>` block when it clears 80 chars. Oracle:
+    * [[TextAnalysis.mainContentDuckSql]] over the rebuilt page.
+    */
+  private def warcMainDocs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val dir = graft.streaming.Scratch.tmpDir("graft_warc_main")
+    muxWarcHttpGz(docs, dir, "seg")
+    val (recs, _) = graft.sources.Warc.readWithRejects(s, dir + "/*.warc.gz")
+    val pages = graft.sources.Warc.httpParts(recs
+        .filter(col("warc_type") === "response" &&
+          col("content_type").startsWith("application/http")))
+      // same routing as responseDocuments incl. the charset keep set
+      // (the fixture's planted iso-8859-1 junk page must route OUT
+      // here too — its /junk/ URI has no doc id)
+      .filter(col("http_status") === 200 &&
+        col("http_content_type").startsWith("text/html") &&
+        col("http_charset").isin("", "utf-8"))
+    pages.select(
+        regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+          .cast("long").as("doc_id"),
+        TextAnalysis.mainContent(col("http_body")).as("content"))
+      .select(col("doc_id"), col("content"),
+        length(col("content")).cast("long").as("n_chars"))
+  }
+
   /** STREAMING WARC ingest ([[graft.sources.Warc.stream]], round 13):
     * the documents corpus muxed in two parity micro-batches into a
     * watched drop directory, parsed by the streaming ingest (paths
@@ -2882,6 +2912,14 @@ object TextQueries {
          |SELECT x.h AS doc_id, 'graft.test' AS source,
          |  CAST(length(c.clean) AS BIGINT) AS n_chars
          |FROM xs_xh x JOIN wh_clean c ON c.doc_id = x.doc_id""".stripMargin)),
+    QueryDef("q_warc_main_docs", warcMainDocs, Some(
+      s"""WITH wm AS (
+         |  SELECT doc_id,
+         |    ${TextAnalysis.mainContentDuckSql(s"($duckPageShell)")} AS content
+         |  FROM documents)
+         |SELECT doc_id, content,
+         |  CAST(length(content) AS BIGINT) AS n_chars
+         |FROM wm""".stripMargin)),
     QueryDef("q_crawl_robots_curate", warcRobotsCurate, Some(
       s"""WITH RECURSIVE wr_docs AS MATERIALIZED (
          |  SELECT doc_id, ${duckStripHtml(s"($duckPageShell)")} AS text
