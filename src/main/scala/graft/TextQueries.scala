@@ -2218,6 +2218,36 @@ object TextQueries {
        |        '&amp;', '&'),
        |      '\\s+', ' ', 'g'))""".stripMargin
 
+  /** C4 filter suite ([[TextAnalysis.c4CleanLines]]/[[TextAnalysis
+    * .c4DocPass]] — Raffel et al. 2020 §2.2, the other canonical
+    * published web-filter set beside the Gopher gate): each doc is
+    * planted into a lined shape exercising every rule — a kept
+    * prefix sentence, a "javascript" line, a sub-5-word line, a
+    * no-terminal-punctuation line, a constant kept sentence, the
+    * full text as a sentence, plus "lorem ipsum" (every 17th doc)
+    * and a curly-brace code line (every 19th) that doom the whole
+    * page. Oracle mirrors the lined shape and both rule sets 1:1.
+    */
+  private def c4FiltersQ(s: SparkSession, d: String): DataFrame = {
+    val lined = concat(
+      substring(col("text"), 1, 60), lit(".\n"),
+      lit("enable javascript to continue.\n"),
+      lit("too short.\n"),
+      lit("no terminal punctuation here at all\n"),
+      lit("Another perfectly ordinary sentence with enough words here.\n"),
+      col("text"), lit("."),
+      when(col("doc_id") % 17 === 0,
+        lit("\nLorem Ipsum dolor sit amet.")).otherwise(lit("")),
+      when(col("doc_id") % 19 === 0,
+        lit("\nconfig = { mode: on }.")).otherwise(lit("")))
+    val clean = TextAnalysis.c4CleanLines(lined)
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      clean.as("clean"),
+      size(TextAnalysis.lines(clean)).cast("long").as("n_kept"),
+      TextAnalysis.c4DocPass(clean).as("pass"))
+  }
+
   /** Unicode NFC normalization ([[TextAnalysis.normalizeUnicode]]):
     * each doc gets four planted DECOMPOSED sequences (combining
     * acute/diaeresis/grave after base letters) appended; NFC composes
@@ -2567,6 +2597,37 @@ object TextQueries {
          |  END AS oov_ppm
          |FROM documents d LEFT JOIN vc_stats st ON d.doc_id = st.doc_id""".stripMargin
     }),
+    QueryDef("q_c4_filters", c4FiltersQ, Some(
+      """WITH c4_in AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 60) || '.' || chr(10)
+        |    || 'enable javascript to continue.' || chr(10)
+        |    || 'too short.' || chr(10)
+        |    || 'no terminal punctuation here at all' || chr(10)
+        |    || 'Another perfectly ordinary sentence with enough words here.' || chr(10)
+        |    || text || '.'
+        |    || CASE WHEN doc_id % 17 = 0
+        |            THEN chr(10) || 'Lorem Ipsum dolor sit amet.' ELSE '' END
+        |    || CASE WHEN doc_id % 19 = 0
+        |            THEN chr(10) || 'config = { mode: on }.' ELSE '' END AS t
+        |  FROM documents),
+        |c4_clean AS (
+        |  SELECT doc_id,
+        |    coalesce(array_to_string(list_filter(
+        |      list_filter(string_split(t, chr(10)), l -> len(trim(l)) > 0),
+        |      l -> regexp_matches(l, '[.!?"]$')
+        |        AND len(string_split_regex(l, '\s+')) >= 5
+        |        AND NOT contains(lower(l), 'javascript')), chr(10)), '') AS clean
+        |  FROM c4_in)
+        |SELECT doc_id, clean,
+        |  CAST(len(list_filter(string_split(clean, chr(10)),
+        |    l -> len(trim(l)) > 0)) AS BIGINT) AS n_kept,
+        |  CASE WHEN len(list_filter(string_split(clean, chr(10)),
+        |         l -> len(trim(l)) > 0)) >= 3
+        |        AND NOT contains(lower(clean), 'lorem ipsum')
+        |        AND NOT contains(clean, '{')
+        |       THEN 1 ELSE 0 END AS pass
+        |FROM c4_clean""".stripMargin)),
     QueryDef("q_main_content", mainContentQ, Some(
       s"""WITH mc AS (
          |  SELECT doc_id,

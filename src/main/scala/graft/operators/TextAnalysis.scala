@@ -594,6 +594,41 @@ object TextAnalysis {
           .otherwise(0))
   }
 
+  // ---- C4 filters (Raffel et al. 2020 §2.2) ----
+  //
+  // The OTHER canonical published web-filter set beside the Gopher
+  // rules ([[qualityGate]]/[[repetitionSignals]]): C4 cleans at LINE
+  // level first (keep only sentence-like lines), then drops whole
+  // pages on document signals. Everything here is line/array
+  // arithmetic over codegen'd regex — map-only, engine-portable.
+
+  /** C4 line cleaning: keep only lines that end in a terminal
+    * punctuation mark (`.` `!` `?` `"`), have ≥ `minWords`
+    * whitespace words, and don't mention "javascript" (the
+    * enable-JS boilerplate rule); survivors re-join with newlines in
+    * order. Returns '' when nothing survives.
+    */
+  def c4CleanLines(text: Column, minWords: Int = 5): Column =
+    array_join(
+      filter(lines(text), l =>
+        l.rlike("[.!?\"]$") &&
+        size(split(l, "\\s+")) >= minWords &&
+        !lower(l).contains("javascript")),
+      "\n")
+
+  /** C4 document verdict over the CLEANED text: 1 iff ≥ `minLines`
+    * sentence-like lines survived (the paper's ≥3-sentences rule —
+    * every kept line ends in terminal punctuation, so kept lines are
+    * the line-level restatement), the page contains no "lorem ipsum"
+    * placeholder and no `{` (the code-not-prose tell). Case-folded
+    * like the paper's filters.
+    */
+  def c4DocPass(cleaned: Column, minLines: Int = 3): Column =
+    when(
+      size(lines(cleaned)) >= minLines &&
+      !lower(cleaned).contains("lorem ipsum") &&
+      !cleaned.contains("{"), 1).otherwise(0)
+
   /** Fraction of array elements that repeat an earlier element,
     * 4 dp: `(n - n_distinct) / n`. 0 for the empty array.
     */

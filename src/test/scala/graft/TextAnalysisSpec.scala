@@ -106,6 +106,36 @@ class TextAnalysisSpec extends SparkSpecBase {
       "<html><body><nav><a href=\"/\">Home</a></nav></body></html>") === "")
   }
 
+  test("c4 filters: line rules (terminal punct, >=5 words, javascript) and doc rules (>=3 lines, lorem ipsum, brace)") {
+    import graft.operators.TextAnalysis.{c4CleanLines, c4DocPass}
+    val doc = "This sentence is long enough and ends properly.\n" +
+      "Please enable JavaScript to view comments.\n" +
+      "Too short here.\n" +
+      "this line never terminates and goes on\n" +
+      "A second good sentence clears every single bar!\n" +
+      "Is a third good sentence also surviving the cut?"
+    val clean = one[String](c4CleanLines(col("text")), doc)
+    assert(clean ===
+      "This sentence is long enough and ends properly.\n" +
+        "A second good sentence clears every single bar!\n" +
+        "Is a third good sentence also surviving the cut?")
+    assert(one[Int](c4DocPass(c4CleanLines(col("text"))), doc) === 1)
+    // two surviving lines -> below the 3-sentence floor
+    assert(one[Int](c4DocPass(c4CleanLines(col("text"))),
+      "One good long sentence that certainly ends here.\n" +
+        "Another good long sentence that certainly ends here.") === 0)
+    // lorem ipsum / brace doom an otherwise-passing page
+    assert(one[Int](c4DocPass(c4CleanLines(col("text"))),
+      doc + "\nLorem ipsum dolor sit amet consectetur.") === 0)
+    assert(one[Int](c4DocPass(c4CleanLines(col("text"))),
+      doc + "\nvar config = { some: code, here: now };.") === 0)
+    // quote terminal counts; all-filtered page yields '' and fails
+    assert(one[String](c4CleanLines(col("text")),
+      "He said it was \"entirely fine to quote this.\"") ===
+      "He said it was \"entirely fine to quote this.\"")
+    assert(one[Int](c4DocPass(c4CleanLines(col("text"))), "nope\nnah") === 0)
+  }
+
   test("redactDigits masks every digit run") {
     assert(one[String](TextAnalysis.redactDigits(col("text")),
       "call 555 at 10am room42") === "call # at #am room#")
