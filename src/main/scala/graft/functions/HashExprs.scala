@@ -85,6 +85,13 @@ object HashExprs {
           s"graft_char_gram_hashes: gram length must be an int literal, got $other")
       }))
     Bridge.registerFunction(spark, "graft_cosine")(es => CosineSimExpr(es(0), es(1)))
+    Bridge.registerFunction(spark, "graft_normalize")(es =>
+      NormalizeExpr(es(0), es(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(f, _) if f != null =>
+          f.toString
+        case other => throw new IllegalArgumentException(
+          s"graft_normalize: form must be a string literal, got $other")
+      }))
     // Registry builders must return a CONCRETE catalyst tree — going
     // through the Column API would leave UnresolvedFunction nodes the
     // analyzer never revisits (codegen then dies on them).

@@ -73,6 +73,20 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(hits === 50L) // all true members admitted (no false negatives)
   }
 
+  test("graft_normalize from spark.sql: NFC composes, literal form enforced") {
+    HashExprs.registerSql(spark)
+    // NOTE Spark's chr() is byte-ASCII (mod 256), not codepoint like
+    // DuckDB's — combining marks must be literals on the Spark side
+    assert(spark.sql(
+      "SELECT graft_normalize('café', 'NFC')").head.getString(0)
+      === "café")
+    assert(spark.sql(
+      "SELECT graft_normalize('ﬁ', 'NFKC')").head.getString(0) === "fi")
+    intercept[Exception] {
+      spark.sql("SELECT graft_normalize('x', lower('NFC'))").collect()
+    }
+  }
+
   test("SQL surface runs a full query (spark.sql over temp views)") {
     Tables.events(spark, "/root/testdata/sf0.001").createOrReplaceTempView("sql_events")
     val n = spark.sql(
