@@ -992,6 +992,21 @@ object RelationalQueries {
       stages = Seq("view", "click", "purchase"),
       tiebreakCol = "event_id")
 
+  /** Contiguous sequence-pattern occurrences
+    * ([[Relational.matchPattern]] — the CEP/MATCH_RECOGNIZE
+    * contiguous case, vs [[funnelQ]]'s subsequence first-reach):
+    * click → view → purchase as three CONSECUTIVE events within an
+    * hour, all (overlapping) occurrences counted per user plus the
+    * first match's span. Oracle: the identical lead-window
+    * formulation with integer-microsecond span arithmetic.
+    */
+  private def matchPatternQ(s: SparkSession, d: String): DataFrame =
+    Relational.matchPattern(Tables.events(s, d),
+      "user_id", "ts", "event_type",
+      pattern = Seq("click", "view", "purchase"),
+      maxSpanSeconds = 3600L,
+      tiebreakCol = "event_id")
+
   private[graft] val funnelSql =
     """WITH e AS (
       |  SELECT user_id, ts, event_type FROM events
@@ -1988,6 +2003,28 @@ object RelationalQueries {
         |FROM numbered GROUP BY user_id, session_id""".stripMargin),
       headline = true),
     QueryDef("q_funnel", funnelQ, Some(funnelSql), headline = true),
+    QueryDef("q_match_pattern", matchPatternQ, Some(
+      """WITH mp AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lead(event_type, 1) OVER w AS t1,
+        |    lead(event_type, 2) OVER w AS t2,
+        |    lead(ts, 2) OVER w AS e
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |hits AS (
+        |  SELECT user_id, ts, event_id, e FROM mp
+        |  WHERE event_type = 'click' AND t1 = 'view' AND t2 = 'purchase'
+        |    AND epoch_us(e) - epoch_us(ts) <= CAST(3600 AS BIGINT) * 1000000),
+        |agg AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_matches,
+        |    min(ts) AS first_start
+        |  FROM hits GROUP BY user_id),
+        |firsts AS (
+        |  SELECT user_id, e,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM hits)
+        |SELECT a.user_id, a.n_matches, a.first_start, f.e AS first_end
+        |FROM agg a JOIN firsts f ON f.user_id = a.user_id AND f.rn = 1""".stripMargin)),
     QueryDef("q_quantile_bins", quantileBinsQ, headline = true, oracle = Some(
       """WITH b AS (
         |  SELECT event_type,

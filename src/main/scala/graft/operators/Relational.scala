@@ -696,6 +696,58 @@ object Relational {
         size(col("__ts")).cast("int").as("stages_reached"): _*)
   }
 
+  /** Contiguous sequence-pattern detection — the common
+    * MATCH_RECOGNIZE / CEP case (the multi-pattern-over-event-streams
+    * shape of SIGMOD'19's detection engines), as one keyed window
+    * pass: an occurrence of `pattern` is `pattern.size` CONSECUTIVE
+    * events of a key's `(ts, tiebreak)`-ordered timeline whose labels
+    * match in order and whose whole span fits `maxSpanSeconds`.
+    * Overlapping occurrences all count (sliding semantics — the
+    * well-defined contiguous reading; [[funnel]] covers the
+    * subsequence/first-reach reading). Output: one row per key with
+    * ≥ 1 match — `(key, n_matches, first_start, first_end)`.
+    *
+    * Scale shape: per-key window with bounded `lead` frames (the
+    * [[graft.operators.Examples.nextEvent]] discipline — one shuffle
+    * by key, task size bounded by one key's history, never a global
+    * sort), then one hash aggregate; the span test is integer
+    * microsecond arithmetic, engine-portable.
+    */
+  def matchPattern(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      typeCol: String,
+      pattern: Seq[String],
+      maxSpanSeconds: Long,
+      tiebreakCol: String): DataFrame = {
+    require(pattern.size >= 2, "matchPattern needs at least two labels")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(col(tsCol), col(tiebreakCol))
+    val labelsOk = pattern.zipWithIndex.map {
+      case (p, 0) => col(typeCol) === p
+      case (p, i) => lead(col(typeCol), i).over(w) === p
+    }.reduce(_ && _)
+    val endTs = lead(col(tsCol), pattern.size - 1).over(w)
+    events
+      .select(col(keyCol), col(tsCol), col(typeCol), col(tiebreakCol))
+      .withColumn("__end", endTs)
+      // ts may arrive as TIMESTAMP_NTZ (the events table does) —
+      // cast through TIMESTAMP for unix_micros; the DIFFERENCE is
+      // timezone-invariant regardless (and the session pins UTC)
+      .withColumn("__hit", labelsOk &&
+        unix_micros(col("__end").cast("timestamp")) -
+          unix_micros(col(tsCol).cast("timestamp")) <=
+          maxSpanSeconds * 1000000L)
+      .filter(col("__hit"))
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_matches"),
+        min(col(tsCol)).as("first_start"),
+        min_by(col("__end"), struct(col(tsCol), col(tiebreakCol)))
+          .as("first_end"))
+  }
+
   /** k-pass funnel for unbounded per-user histories: stage i is a
     * filtered min-aggregate joined to stage i-1's reach times (all
     * shuffles user-keyed, so the exchanges after the first reuse the

@@ -169,4 +169,34 @@ class FunnelSpec extends SparkSpecBase {
       .map(r => r.getAs[Int]("stages_reached") -> r.getAs[Long]("count")).toMap
     assert(reach.keySet.subsetOf(Set(0, 1, 2, 3)))
   }
+
+  test("matchPattern: contiguous occurrences, overlap counting, span cutoff, tail safety") {
+    def mp(rows: Seq[(Long, Timestamp, String, Long)], spanS: Long = 3600L) =
+      Relational.matchPattern(
+        rows.toDF("user_id", "ts", "event_type", "event_id"),
+        "user_id", "ts", "event_type", Seq("a", "b", "a"), spanS, "event_id")
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getTimestamp(2), r.getTimestamp(3))).toMap
+
+    // u1: a b a b a -> two OVERLAPPING contiguous matches (pos 1, 3)
+    val u1 = Seq(
+      (1L, ts(1), "a", 1L), (1L, ts(2), "b", 2L), (1L, ts(3), "a", 3L),
+      (1L, ts(4), "b", 4L), (1L, ts(5), "a", 5L))
+    // u2: a b X a -> the intruder breaks contiguity, no match
+    val u2 = Seq(
+      (2L, ts(1), "a", 6L), (2L, ts(2), "b", 7L), (2L, ts(3), "x", 8L),
+      (2L, ts(4), "a", 9L))
+    // u3: labels match but the span exceeds the cutoff
+    val u3 = Seq(
+      (3L, ts(1), "a", 10L), (3L, ts(2), "b", 11L), (3L, ts(50), "a", 12L))
+    val got = mp(u1 ++ u2 ++ u3, spanS = 10 * 60L)
+    assert(got.keySet === Set(1L))
+    assert(got(1L) === ((2L, ts(1), ts(3))))
+    // widen the span: u3 matches too
+    val wide = mp(u1 ++ u2 ++ u3, spanS = 3600L)
+    assert(wide(3L) === ((1L, ts(1), ts(50))))
+    // a timeline shorter than the pattern matches nothing (tail leads
+    // are null and must drop, not throw)
+    assert(mp(Seq((4L, ts(1), "a", 13L), (4L, ts(2), "b", 14L))).isEmpty)
+  }
 }
