@@ -1007,6 +1007,20 @@ object RelationalQueries {
       maxSpanSeconds = 3600L,
       tiebreakCol = "event_id")
 
+  /** Time-series subsequence similarity
+    * ([[graft.operators.TimeSeries.similarSubsequences]]): the 20
+    * per-user event-value windows (length 8) most correlated with a
+    * spike-shaped query pattern — Pearson over integer-quantized
+    * values (2-decimal telemetry → exact cents), one fixed-shape
+    * double expression, IEEE-exact sqrt, Det-rounded. Oracle: the
+    * identical windowed integer sums + correlation in SQL.
+    */
+  private def seriesSimilarQ(s: SparkSession, d: String): DataFrame =
+    graft.operators.TimeSeries.similarSubsequences(
+      Tables.events(s, d), "user_id", "ts", "value",
+      query = Seq(1.0, 2.0, 4.0, 8.0, 8.0, 4.0, 2.0, 1.0),
+      k = 20, tiebreakCol = "event_id", scale = 2)
+
   private[graft] val funnelSql =
     """WITH e AS (
       |  SELECT user_id, ts, event_type FROM events
@@ -2003,6 +2017,15 @@ object RelationalQueries {
         |FROM numbered GROUP BY user_id, session_id""".stripMargin),
       headline = true),
     QueryDef("q_funnel", funnelQ, Some(funnelSql), headline = true),
+    QueryDef("q_series_similar", seriesSimilarQ, Some(
+      s"""WITH ts_src AS (
+         |  SELECT user_id AS key, ts AS start_ts, event_id AS tie,
+         |    CAST(round(value * 100) AS BIGINT) AS v10
+         |  FROM events),
+         |${graft.operators.TimeSeries.similarDuckSql(
+             "ts_src",
+             query = Seq(1.0, 2.0, 4.0, 8.0, 8.0, 4.0, 2.0, 1.0),
+             k = 20, scale = 2)}""".stripMargin)),
     QueryDef("q_match_pattern", matchPatternQ, Some(
       """WITH mp AS (
         |  SELECT user_id, ts, event_id, event_type,
