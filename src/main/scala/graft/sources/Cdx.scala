@@ -34,34 +34,41 @@ object Cdx {
     * wanted).
     */
   def readWithRejects(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types._
     val raw = spark.read.text(path).select(col("value").as("line"))
     val parts = split(col("line"), " ", 3)
+    // ONE from_json per line (malformed JSON → null struct), never a
+    // get_json_object per field — each of those re-parses the whole
+    // blob, and at index scale (~3×10⁹ captures/crawl) a 7-field
+    // extraction would pay the JSON parse seven times per line
+    val jsonSchema = StructType(Seq("url", "mime", "status", "digest",
+      "length", "offset", "filename").map(StructField(_, StringType)))
     val staged = graft.operators.Materialize(
       raw.withColumn("__surt", try_element_at(parts, lit(1)))
         .withColumn("__ts", try_element_at(parts, lit(2)))
         .withColumn("__json", try_element_at(parts, lit(3)))
-        .withColumn("__url", get_json_object(col("__json"), "$.url"))
+        .withColumn("__j", from_json(col("__json"), jsonSchema))
         .withColumn("__ok",
-          col("__ts").rlike("^[0-9]{14}$") && col("__url").isNotNull &&
-          get_json_object(col("__json"), "$.status").rlike("^[0-9]{3}$") &&
-          get_json_object(col("__json"), "$.offset").rlike("^[0-9]+$") &&
-          get_json_object(col("__json"), "$.length").rlike("^[0-9]+$")))
+          col("__ts").rlike("^[0-9]{14}$") && col("__j.url").isNotNull &&
+          col("__j.status").rlike("^[0-9]{3}$") &&
+          col("__j.offset").rlike("^[0-9]+$") &&
+          col("__j.length").rlike("^[0-9]+$")))
     val records = staged.filter(col("__ok"))
       .select(
         col("__surt").as("surt"),
         col("__ts").as("ts"),
-        col("__url").as("url"),
-        get_json_object(col("__json"), "$.mime").as("mime"),
-        get_json_object(col("__json"), "$.status").cast("int").as("status"),
-        get_json_object(col("__json"), "$.digest").as("digest"),
-        get_json_object(col("__json"), "$.length").cast("long").as("length"),
-        get_json_object(col("__json"), "$.offset").cast("long").as("offset"),
-        get_json_object(col("__json"), "$.filename").as("warc_file"))
+        col("__j.url").as("url"),
+        col("__j.mime").as("mime"),
+        col("__j.status").cast("int").as("status"),
+        col("__j.digest").as("digest"),
+        col("__j.length").cast("long").as("length"),
+        col("__j.offset").cast("long").as("offset"),
+        col("__j.filename").as("warc_file"))
     val rejects = staged.filter(!coalesce(col("__ok"), lit(false)))
       .select(col("line"),
         when(col("__json").isNull, "expected 'surt ts {json}'")
           .when(!col("__ts").rlike("^[0-9]{14}$"), "bad timestamp")
-          .when(col("__url").isNull, "json missing url")
+          .when(col("__j.url").isNull, "json missing url")
           .otherwise("bad status/offset/length").as("reason"))
     (records, rejects)
   }
