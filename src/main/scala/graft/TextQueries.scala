@@ -2282,7 +2282,7 @@ object TextQueries {
       " pages</a></div><footer><a href=\"/privacy\">Privacy</a> (c) 2026" +
       " graft</footer></body></html>"
   private val mcPageDuck =
-    s"'${mcPageHead.replace("\"", "\"")}' || text || '$mcPageTail'"
+    s"'$mcPageHead' || text || '$mcPageTail'"
 
   /** Main-content extraction ([[TextAnalysis.mainContent]] —
     * length + link-density block scoring, the jusText/readability
