@@ -266,10 +266,33 @@ object TextQueries {
   /** `multiHost = true` spreads docs over five hosts with varied
     * paths (`https://s<id%5>.graft.test/p<id%4>/doc/<id>`) and plants
     * per-host `robots.txt` RESPONSE records (hosts 0–2: a `graftbot`
-    * group with a longest-match Allow override; host 3: only a `*`
-    * fallback; host 4: none) — the self-contained-archive fixture for
-    * the robots-enforced flagship.
+    * group with literal longest-match rules PLUS RFC 9309 §2.2.3
+    * patterns — a `*`-interior Disallow out-scoring the literal
+    * Allow, a `$`-anchored Allow out-scoring both — and an
+    * `aftbot/1.0` containment-trap group; host 3: only a `*`
+    * fallback with `$`-anchored carve-outs; host 4: none; plus a
+    * deep-path decoy robots capture for host 0) — the
+    * self-contained-archive fixture for the robots-enforced flagship.
     */
+  /** Memoized fixture staging: each muxed `.warc.gz` archive is a
+    * pure function of (sf dir, fixture key), so within one JVM the
+    * first caller builds it and every later call (bench timed runs
+    * after the warmup pass, repeated verify invocations) reuses the
+    * directory. This keeps fixture CONSTRUCTION out of timed bench
+    * regions — the BENCH rows for the crawl queries measure the
+    * engine, not the fixture writer (BASELINE.md records the one-time
+    * staging share) — without changing what any query reads.
+    */
+  private val stagedFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stagedDir(key: String, d: String)(build: String => Unit): String =
+    stagedFixtures.computeIfAbsent(s"$key|$d", _ => {
+      val dir = graft.streaming.Scratch.tmpDir(key)
+      build(dir)
+      dir
+    })
+
   private def muxWarcHttpGz(
       docs: org.apache.spark.sql.DataFrame, dir: String, tag: String,
       multiHost: Boolean = false): Unit = {
@@ -293,15 +316,37 @@ object TextQueries {
           else (0 until 4).map { kk =>
             val body =
               if (kk < 3)
-                s"# graft robots\nUser-agent: graftbot\nDisallow: /p$kk/\n" +
-                  s"Allow: /p$kk/doc/1\n\nUser-agent: *\nDisallow: /tmp/\n"
+                // the aftbot/1.0 group is the containment trap: its
+                // token is a SUBSTRING of "graftbot/1.0" (and longer
+                // than "graftbot") but not a prefix of the product
+                // token — RFC matching must ignore it or every page
+                // on the host disappears. The graftbot group mixes
+                // literal prefixes with a `*`-interior Disallow that
+                // out-scores the longer-matching literal Allow, and a
+                // `$`-anchored Allow that out-scores the wildcard.
+                s"# graft robots\nUser-agent: aftbot/1.0\nDisallow: /\n\n" +
+                  s"User-agent: graftbot\nDisallow: /p$kk/\n" +
+                  s"Allow: /p$kk/doc/1\nDisallow: /p*/doc/*7*\n" +
+                  s"Allow: /p*/doc/*77$$\n\nUser-agent: *\nDisallow: /tmp/\n"
               else
                 "User-agent: otherbot\nDisallow: /\n\n" +
-                  "User-agent: *\nDisallow: /p1/\n"
+                  "User-agent: *\nDisallow: /p1/\n" +
+                  "Allow: /p1/doc/*33$\nAllow: /p1/doc/13$\n"
             response(s"<urn:uuid:graft-robots-$kk>",
               s"https://s$kk.graft.test/robots.txt",
               httpResponse("200 OK", "text/plain; charset=utf-8",
                 body.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+          } :+ {
+            // deep-path decoy: a 200 text/plain capture of
+            // .../mirror/robots.txt whose record id sorts BEFORE the
+            // real root fetch — if robotsTable ever regresses to
+            // suffix matching, min_by picks this Disallow-everything
+            // body for host 0 and the oracle loses every s0 page.
+            response("<urn:uuid:graft-decoy-0>",
+              "https://s0.graft.test/mirror/robots.txt",
+              httpResponse("200 OK", "text/plain; charset=utf-8",
+                "User-agent: *\nDisallow: /\n"
+                  .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
           }
         val junk: Seq[Array[Byte]] =
           if (pid != 0) Seq.empty
@@ -353,8 +398,8 @@ object TextQueries {
     */
   private def warcHtmlDocs(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
-    val dir = graft.streaming.Scratch.tmpDir("graft_warc_html_docs")
-    muxWarcHttpGz(docs, dir, "seg")
+    val dir = stagedDir("graft_warc_http", d)(
+      muxWarcHttpGz(docs, _, "seg"))
     val (recs, _) = graft.sources.Warc.readWithRejects(s, dir + "/*.warc.gz")
     graft.sources.Warc.responseDocuments(recs)
       .select(col("doc_id"), col("source"), col("n_chars"))
@@ -374,8 +419,8 @@ object TextQueries {
     */
   private def warcHtmlCurate(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
-    val dir = graft.streaming.Scratch.tmpDir("graft_warc_html_curate")
-    muxWarcHttpGz(docs, dir, "seg")
+    val dir = stagedDir("graft_warc_http", d)(
+      muxWarcHttpGz(docs, _, "seg"))
     val (recs, _) = graft.sources.Warc.readWithRejects(s, dir + "/*.warc.gz")
     // Materialized: the gate, the keeper semi-join and the dedup
     // signatures all reference this frame, and each un-cut reference
@@ -403,16 +448,21 @@ object TextQueries {
     * the per-host rules table ([[graft.sources.Warc.robotsTable]]),
     * the HTML responses extract to text, disallowed URLs leave
     * (agent `graftbot` — hosts 0–2 disallow their own `/p<k>/` path
-    * with a longest-match Allow carve-out, host 3 only has a `*`
-    * fallback, host 4 publishes nothing), and the survivors run the
-    * usual curation tail (gate → dedup → split). Oracle: the robots
-    * decision's CLOSED FORM (the `q_robots_filter` CASE) folded into
-    * the `q_warc_html_curate` stage-twin chain.
+    * with a longest-match literal Allow carve-out PLUS RFC 9309
+    * §2.2.3 patterns: a `*`-interior Disallow out-scoring the
+    * literal Allow and a `$`-anchored Allow out-scoring the
+    * wildcard; host 3 only has a `*` fallback with `$`-anchored
+    * carve-outs; host 4 publishes nothing; a deep-path decoy robots
+    * capture and an `aftbot/1.0` containment-trap group must both be
+    * ignored), and the survivors run the usual curation tail
+    * (gate → dedup → split). Oracle: the robots decision's CLOSED
+    * FORM (the `q_robots_filter` CASE) folded into the
+    * `q_warc_html_curate` stage-twin chain.
     */
   private def warcRobotsCurate(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
-    val dir = graft.streaming.Scratch.tmpDir("graft_warc_robots")
-    muxWarcHttpGz(docs, dir, "seg", multiHost = true)
+    val dir = stagedDir("graft_warc_robots", d)(
+      muxWarcHttpGz(docs, _, "seg", multiHost = true))
     val (recs, _) = graft.sources.Warc.readWithRejects(s, dir + "/*.warc.gz")
     val robots = graft.sources.Warc.robotsTable(recs)
     val extracted = graft.operators.Materialize(
@@ -434,10 +484,51 @@ object TextQueries {
           .otherwise("valid").as("split"))
   }
 
+  /** The PRODUCTION-EXTRACTOR crawl flagship (round 15): the same
+    * response archive as `q_warc_html_curate`, but the body runs
+    * [[TextAnalysis.mainContent]] (the jusText-core boilerplate
+    * remover — `q_warc_html_curate`'s flat strip curates nav bars and
+    * cookie banners; this one doesn't) before the usual tail
+    * (gate → near-dup dedup → leakage-safe split). Oracle:
+    * [[TextAnalysis.mainContentDuckSql]] over the rebuilt page
+    * composed with the identical stage twins. Routing matches
+    * `responseDocuments` (200, text/html, utf-8-or-unspecified), so
+    * all four planted junk records stay out.
+    */
+  private def warcMainCurate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val dir = stagedDir("graft_warc_http", d)(
+      muxWarcHttpGz(docs, _, "seg"))
+    val (recs, _) = graft.sources.Warc.readWithRejects(s, dir + "/*.warc.gz")
+    val pages = graft.sources.Warc.httpParts(recs
+        .filter(col("warc_type") === "response" &&
+          col("content_type").startsWith("application/http")))
+      .filter(col("http_status") === 200 &&
+        col("http_content_type").startsWith("text/html") &&
+        col("http_charset").isin("", "utf-8"))
+    // Materialized for the same reason as q_warc_html_curate: gate,
+    // keeper semi-join and dedup signatures all reference the frame,
+    // and each un-cut reference would re-run the envelope split plus
+    // the block-scoring extractor over every payload.
+    val extracted = graft.operators.Materialize(
+      pages.select(
+        regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+          .cast("long").as("doc_id"),
+        TextAnalysis.mainContent(col("http_body")).as("text")))
+    val pass = TextAnalysis.qualityGate(extracted, "doc_id", "text")
+      .filter(col("pass") === 1).select("doc_id")
+    val gated = extracted.join(pass, Seq("doc_id"), "left_semi")
+    Dedup.dropNearDuplicates(gated, "doc_id", "text")
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        when(TextAnalysis.splitBucket(col("doc_id")) < 90, "train")
+          .otherwise("valid").as("split"))
+  }
+
   private def warcIngest(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
-    val dir = graft.streaming.Scratch.tmpDir("graft_warc_ingest")
-    muxWarcGz(docs, dir, "part")
+    val dir = stagedDir("graft_warc_ingest", d)(
+      muxWarcGz(docs, _, "part"))
     val (recs, rejects) =
       graft.sources.Warc.readWithRejects(s, dir + "/*.warc.gz")
     // synthesized members must all be well-formed — surface a parser
@@ -471,8 +562,8 @@ object TextQueries {
     */
   private def crawlCurate(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
-    val dir = graft.streaming.Scratch.tmpDir("graft_crawl_curate")
-    muxWarcGz(docs, dir, "seg")
+    val dir = stagedDir("graft_warc_gz", d)(
+      muxWarcGz(docs, _, "seg"))
     val (recs, _) = graft.sources.Warc.readWithRejects(s, dir + "/*.warc.gz")
     val parsed = recs.select(
       regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
@@ -500,8 +591,8 @@ object TextQueries {
     */
   private def wetDocumentsQ(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
-    val dir = graft.streaming.Scratch.tmpDir("graft_wet_docs")
-    muxWarcGz(docs, dir, "seg")
+    val dir = stagedDir("graft_warc_gz", d)(
+      muxWarcGz(docs, _, "seg"))
     val (recs, _) = graft.sources.Warc.readWithRejects(s, dir + "/*.warc.gz")
     graft.sources.Warc.wetDocuments(recs)
       .select(col("doc_id"), col("source"), col("n_chars"))
@@ -517,8 +608,8 @@ object TextQueries {
     */
   private def warcMainDocs(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
-    val dir = graft.streaming.Scratch.tmpDir("graft_warc_main")
-    muxWarcHttpGz(docs, dir, "seg")
+    val dir = stagedDir("graft_warc_http", d)(
+      muxWarcHttpGz(docs, _, "seg"))
     val (recs, _) = graft.sources.Warc.readWithRejects(s, dir + "/*.warc.gz")
     val pages = graft.sources.Warc.httpParts(recs
         .filter(col("warc_type") === "response" &&
@@ -640,14 +731,123 @@ object TextQueries {
     graft.sources.Cdx.fetchPlan(recs)
   }
 
+  /** A REAL archive-plus-index fixture: every doc becomes an HTTP
+    * response record in `seg-<pid>.warc.gz` (own gzip member), docs
+    * with `doc_id % 7 == 0` get a second byte-identical capture in
+    * `xtra-<pid>.warc.gz` (distinct WARC record id, same payload →
+    * same content digest — the re-crawl shape), and a true CDXJ shard
+    * `idx-<pid>.cdx` records each capture's ACTUAL `(filename,
+    * offset, length)` from [[graft.sources.Warc.gzipMembersIndexed]].
+    * Unlike [[muxCdxGz]] (synthetic ranges for parse tests), these
+    * ranges really dereference.
+    */
+  private def muxWarcCdxGz(
+      docs: org.apache.spark.sql.DataFrame, dir: String): Unit = {
+    val shards = docs.sparkSession.sparkContext.defaultParallelism
+    docs.repartition(shards, col("doc_id")).foreachPartition {
+      (it: Iterator[org.apache.spark.sql.Row]) =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def digestOf(b: Array[Byte]): String =
+          md.digest(b).map(x => f"$x%02x").mkString
+        val rows = it.map { r => (r.getLong(0), r.getString(1)) }.toSeq
+        if (rows.nonEmpty) {
+          def page(id: Long, text: String): Array[Byte] = {
+            val body = pageShellStr(id, text)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            (s"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+              s"Content-Length: ${body.length}\r\n\r\n")
+              .getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ body
+          }
+          def record(recId: String, id: Long, pg: Array[Byte]): Array[Byte] =
+            graft.sources.Warc.renderRecord("response", recId,
+              s"https://graft.test/doc/$id", "2026-01-01T00:00:00Z",
+              "application/http; msgtype=response", pg)
+          def writeAtomic(name: String, bytes: Array[Byte]): Unit = {
+            val tmp = java.nio.file.Paths.get(dir, s".$name.tmp")
+            java.nio.file.Files.write(tmp, bytes)
+            java.nio.file.Files.move(tmp, java.nio.file.Paths.get(dir, name),
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          }
+          val segName = f"seg-$pid%05d.warc.gz"
+          val xtraName = f"xtra-$pid%05d.warc.gz"
+          val pages = rows.map { case (id, text) => (id, page(id, text)) }
+          val (segBytes, segIdx) = graft.sources.Warc.gzipMembersIndexed(
+            pages.map { case (id, pg) => record(s"<urn:uuid:graft-$id>", id, pg) })
+          writeAtomic(segName, segBytes)
+          val dups = pages.filter { case (id, _) => id % 7 == 0 }
+          val (xtraBytes, xtraIdx) = graft.sources.Warc.gzipMembersIndexed(
+            dups.map { case (id, pg) => record(s"<urn:uuid:graft-dup-$id>", id, pg) })
+          if (dups.nonEmpty) writeAtomic(xtraName, xtraBytes)
+          def cdxLine(id: Long, pg: Array[Byte], ts: String,
+              file: String, off: Long, len: Long): String =
+            graft.sources.Cdx.renderLine(
+              s"test,graft)/doc/$id", ts, s"https://graft.test/doc/$id",
+              "text/html", 200, digestOf(pg), len, off, file)
+          val lines =
+            pages.zip(segIdx).map { case ((id, pg), (off, len)) =>
+              cdxLine(id, pg, "20260101000000", segName, off, len) } ++
+            dups.zip(xtraIdx).map { case ((id, pg), (off, len)) =>
+              cdxLine(id, pg, "20260102000000", xtraName, off, len) }
+          writeAtomic(f"idx-$pid%05d.cdx",
+            lines.mkString("", "\n", "\n")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+        ()
+    }
+  }
+
+  /** CLOSING THE CDX LOOP (round 15): fetch plan → ranged fetch —
+    * the real Common Crawl access pattern. The index is read and
+    * deduped to one capture per content digest
+    * ([[graft.sources.Cdx.fetchPlan]]), the plan's `(warc_file,
+    * offset, length)` ranges are dereferenced against the segment
+    * files ([[graft.sources.Warc.fetchRanged]] — one open per file,
+    * ascending-offset seeks, payloads never shuffle), and the fetched
+    * records extract to documents. The planted re-crawl duplicates
+    * (`doc_id % 7 == 0`, byte-identical second capture) must be
+    * planned AWAY (min `(file, offset)` picks the `seg-` capture over
+    * `xtra-`), so the fetched set is EXACTLY one record per doc —
+    * which is what the oracle hash-checks, copy counts included.
+    * Zero dead letters tolerated (in-plan guard): every planned range
+    * must dereference to a well-formed record.
+    */
+  private def cdxFetchJoin(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val dir = stagedDir("graft_cdx_fetch", d)(muxWarcCdxGz(docs, _))
+    val (cdx, _) = graft.sources.Cdx.readWithRejects(s, dir + "/*.cdx")
+    val plan = graft.sources.Cdx.fetchPlan(cdx)
+    val (recs, rejects) = graft.sources.Warc.fetchRanged(s, plan, baseDir = dir)
+    val guarded = recs.join(
+      rejects.agg(count(lit(1)).as("__nrej")).filter(
+        assert_true(col("__nrej") === 0L,
+          concat(lit("q_cdx_fetch_join: "), col("__nrej").cast("string"),
+            lit(" dead letters on planned ranges"))).isNull))
+    val fetched = graft.sources.Warc.responseDocuments(guarded)
+      .select(
+        regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+          .cast("long").as("doc_id"),
+        col("n_chars"), col("target_uri"))
+    fetched.join(plan.select(col("url"), col("n_copies")),
+        fetched("target_uri") === col("url"))
+      .select("doc_id", "n_chars", "n_copies")
+  }
+
   /** robots.txt compliance decisions ([[graft.operators.Robots]]):
     * five hosts, four with deterministic robots bodies — hosts 0–2
-    * carry a `graftbot` group (Disallow `/p<k>/`, longer Allow
-    * `/p<k>/doc/1` — exercising longest-match override) plus an
-    * irrelevant `*` group; host 3 has NO matching agent group so the
-    * `*` fallback (Disallow `/p1/`) governs; host 4 publishes no
-    * robots at all (allowed). The oracle is the CLOSED FORM of those
-    * rules over each doc's URL (the image/audio closed-form-oracle
+    * carry a `graftbot` group (Disallow `/p<k>/`, longer literal
+    * Allow `/p<k>/doc/1`, a `*`-interior Disallow — pattern
+    * `"/p" * "/doc/" * "7" *` — that OUT-SCORES the literal Allow on
+    * raw pattern octets, and a `$`-anchored Allow — `… "77" $` —
+    * that out-scores the wildcard Disallow) plus an `aftbot/1.0`
+    * containment-trap group (a
+    * substring of the full agent string, NOT a prefix of the product
+    * token — it must never bind) and an irrelevant `*` group; host 3
+    * has NO matching agent group so the `*` fallback governs
+    * (Disallow `/p1/` with `$`-anchored Allow carve-outs for ids
+    * ending `33` and for id 13 exactly); host 4 publishes no robots
+    * at all (allowed). The oracle is the CLOSED FORM of those rules
+    * over each doc's URL (the image/audio closed-form-oracle
     * discipline) — the parser itself is spec-pinned in `RobotsSpec`.
     */
   private def robotsFilterQ(s: SparkSession, d: String): DataFrame = {
@@ -660,10 +860,13 @@ object TextQueries {
     val robots = (0 until 4).map { kk =>
       val body =
         if (kk < 3)
-          s"# graft robots\nUser-agent: graftbot\nDisallow: /p$kk/\n" +
-            s"Allow: /p$kk/doc/1\n\nUser-agent: *\nDisallow: /tmp/\n"
+          s"# graft robots\nUser-agent: aftbot/1.0\nDisallow: /\n\n" +
+            s"User-agent: graftbot\nDisallow: /p$kk/\n" +
+            s"Allow: /p$kk/doc/1\nDisallow: /p*/doc/*7*\n" +
+            s"Allow: /p*/doc/*77$$\n\nUser-agent: *\nDisallow: /tmp/\n"
         else
-          "User-agent: otherbot\nDisallow: /\n\nUser-agent: *\nDisallow: /p1/\n"
+          "User-agent: otherbot\nDisallow: /\n\nUser-agent: *\nDisallow: /p1/\n" +
+            "Allow: /p1/doc/*33$\nAllow: /p1/doc/13$\n"
       (s"s$kk.graft.test", body)
     }.toDF("host", "body")
     val rules = robots.select(col("host"),
@@ -2912,7 +3115,12 @@ object TextQueries {
         |  'https://s' || CAST(k AS VARCHAR) || '.graft.test' || path AS url,
         |  CAST(CASE
         |    WHEN k = 4 THEN 1
-        |    WHEN k = 3 THEN CASE WHEN starts_with(path, '/p1/') THEN 0 ELSE 1 END
+        |    WHEN k = 3 THEN CASE
+        |      WHEN p <> 1 THEN 1
+        |      WHEN CAST(doc_id AS VARCHAR) LIKE '%33' OR doc_id = 13 THEN 1
+        |      ELSE 0 END
+        |    WHEN CAST(doc_id AS VARCHAR) LIKE '%77' THEN 1
+        |    WHEN CAST(doc_id AS VARCHAR) LIKE '%7%' THEN 0
         |    WHEN p = k THEN CASE WHEN CAST(doc_id AS VARCHAR) LIKE '1%' THEN 1 ELSE 0 END
         |    ELSE 1 END AS INTEGER) AS allowed
         |FROM u""".stripMargin)),
@@ -2961,6 +3169,14 @@ object TextQueries {
         |SELECT digest, url, warc_file, "offset", length,
         |  CAST(nc AS BIGINT) AS n_copies
         |FROM ranked WHERE rn = 1""".stripMargin)),
+    QueryDef("q_cdx_fetch_join", cdxFetchJoin, Some(
+      s"""WITH cfj AS (
+         |  SELECT doc_id, ${duckStripHtml(s"($duckPageShell)")} AS clean
+         |  FROM documents)
+         |SELECT doc_id, CAST(length(clean) AS BIGINT) AS n_chars,
+         |  CAST(CASE WHEN doc_id % 7 = 0 THEN 2 ELSE 1 END AS BIGINT)
+         |    AS n_copies
+         |FROM cfj""".stripMargin)),
     QueryDef("q_warc_html_docs", warcHtmlDocs, Some(
       s"""WITH wd_in AS (
          |  SELECT doc_id, 0 AS k,
@@ -2986,9 +3202,12 @@ object TextQueries {
          |  SELECT doc_id, ${duckStripHtml(s"($duckPageShell)")} AS text
          |  FROM documents
          |  WHERE NOT (
-         |    (doc_id % 5 <= 2 AND doc_id % 4 = doc_id % 5
-         |       AND CAST(doc_id AS VARCHAR) NOT LIKE '1%')
-         |    OR (doc_id % 5 = 3 AND doc_id % 4 = 1))),
+         |    (doc_id % 5 <= 2 AND CAST(doc_id AS VARCHAR) NOT LIKE '%77'
+         |       AND (CAST(doc_id AS VARCHAR) LIKE '%7%'
+         |         OR (doc_id % 4 = doc_id % 5
+         |             AND CAST(doc_id AS VARCHAR) NOT LIKE '1%')))
+         |    OR (doc_id % 5 = 3 AND doc_id % 4 = 1
+         |       AND NOT (CAST(doc_id AS VARCHAR) LIKE '%33' OR doc_id = 13)))),
          |wr_gated AS MATERIALIZED (
          |  SELECT d.doc_id, d.text
          |  FROM wr_docs d JOIN (${qualityGateSqlOver("wr_docs")}) qg
@@ -3017,6 +3236,24 @@ object TextQueries {
          |  CASE WHEN (((g.doc_id % 2147483647) * 2654435761) % 2147483647) % 100 < 90
          |       THEN 'train' ELSE 'valid' END AS split
          |FROM wh_gated g LEFT JOIN losers l ON g.doc_id = l.id
+         |WHERE l.id IS NULL""".stripMargin),
+      headline = true),
+    QueryDef("q_warc_main_curate", warcMainCurate, Some(
+      s"""WITH RECURSIVE wm_docs AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    ${TextAnalysis.mainContentDuckSql(s"($duckPageShell)")} AS text
+         |  FROM documents),
+         |wm_gated AS MATERIALIZED (
+         |  SELECT d.doc_id, d.text
+         |  FROM wm_docs d JOIN (${qualityGateSqlOver("wm_docs")}) qg
+         |    ON qg.doc_id = d.doc_id AND qg.pass = 1),
+         |${Dedup.minhashCandDuckCtes(duckToks("text"), table = "wm_gated")},
+         |${Dedup.ccDuckCtes("mh_pairs")},
+         |losers AS (SELECT id FROM cc_comp WHERE id <> component)
+         |SELECT g.doc_id, CAST(length(g.text) AS BIGINT) AS n_chars,
+         |  CASE WHEN (((g.doc_id % 2147483647) * 2654435761) % 2147483647) % 100 < 90
+         |       THEN 'train' ELSE 'valid' END AS split
+         |FROM wm_gated g LEFT JOIN losers l ON g.doc_id = l.id
          |WHERE l.id IS NULL""".stripMargin),
       headline = true),
     QueryDef("q_dedup_best", dedupBest, Some(

@@ -96,7 +96,11 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val t0 = System.nanoTime()
     var ok, bad = 0
-    QueryCatalog.all.foreach { qd =>
+    // Optional subset for local iteration (comma-separated names):
+    // the driver never sets this, so its runs stay full-catalog.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    QueryCatalog.all.filter(qd => only.forall(_.contains(qd.name))).foreach { qd =>
       val s = System.nanoTime()
       runOne(spark, qd, sfDir, outDir, timeoutS) match {
         case None =>

@@ -2,8 +2,9 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.Bridge
 
-import graft.functions.RobotsRulesExpr
+import graft.functions.RobotsAllowExpr
 
 /** robots.txt compliance filtering — the retroactive-politeness pass
   * a training-data pipeline runs over crawl corpora: exclusion
@@ -12,28 +13,30 @@ import graft.functions.RobotsRulesExpr
   * URL, and disallowed pages leave the corpus even though the crawl
   * already fetched them.
   *
-  * Semantics implemented (the REP core, RFC 9309): per host, the
-  * applicable group is the one whose `User-agent` token is the
-  * LONGEST case-insensitive substring of the caller's agent (the `*`
-  * group as fallback; consecutive agent lines share one group); a URL
-  * path is evaluated against the group's `Allow`/`Disallow` prefix
-  * rules by LONGEST-MATCH, allow winning length ties; no matching
-  * rule (or no robots.txt at all) means allowed. Declared
-  * simplifications, spec-pinned: no `$`-anchor / `*`-wildcard
-  * patterns inside rule paths (prefix semantics only — the dominant
-  * rule shape), `Crawl-delay`/`Sitemap` ignored.
+  * Semantics implemented (RFC 9309, including §2.2.3 patterns): per
+  * host, the applicable group is the one whose `User-agent` token is
+  * the LONGEST case-insensitive PREFIX of the caller's PRODUCT TOKEN
+  * (the agent string up to the first `/`; the `*` group as fallback;
+  * consecutive agent lines share one group); a URL path is evaluated
+  * against the group's `Allow`/`Disallow` rules with full `*`
+  * wildcard and trailing-`$` end-anchor support, most-octets-wins
+  * specificity (raw pattern length, the googlebot convention), allow
+  * winning length ties; an empty URL path evaluates as `/`; no
+  * matching rule (or no robots.txt at all) means allowed.
+  * `Crawl-delay`/`Sitemap` are ignored (spec-pinned).
   *
   * Scale shape: rule extraction is a native codegen'd expression
   * ([[graft.functions.RobotsRulesExpr]] — one pass over each robots
   * body, no UDF); the robots table is per-HOST (tiny next to the
   * corpus) and broadcast-joins onto documents; the allow decision is
-  * pure array arithmetic over the matched rules. Map-only after one
-  * broadcast join.
+  * a second native single-pass expression
+  * ([[graft.functions.RobotsAllowExpr]] — no per-row regex compile).
+  * Map-only after one broadcast join.
   */
 object Robots {
 
-  /** Applicable `(prefix, allow)` rules of a robots.txt body for
-    * `agent` — `array<struct<prefix,allow>>` in file order; empty
+  /** Applicable `(pattern, allow)` rules of a robots.txt body for
+    * `agent` — `array<struct<pattern,allow>>` in file order; empty
     * array when no group applies or the body is empty; NULL body →
     * NULL (callers coalesce to allowed).
     */
@@ -41,25 +44,22 @@ object Robots {
     graft.functions.HashExprs.robotsRules(body, agent)
 
   /** Longest-match allow decision for a URL PATH against [[rulesFor]]
-    * output: among rules whose prefix starts the path, the longest
-    * wins (ties → allow, per the Google/RFC 9309 convention); no
+    * output ([[graft.functions.RobotsAllowExpr]]: `*`/`$` patterns,
+    * most-octets specificity, ties → allow, empty path → `/`); no
     * match or NULL rules → allowed.
     */
-  def isAllowed(rules: Column, path: Column): Column = {
-    val matched = filter(rules, r =>
-      startswith(path, r.getField("prefix")))
-    // order by (prefix length, allow) so a length tie resolves to
-    // allow = 1; array_max over int-pair structs is lexicographic
-    val best = array_max(transform(matched, r =>
-      struct(length(r.getField("prefix")).as("l"),
-        r.getField("allow").cast("int").as("a"))))
-    coalesce(best.getField("a") === 1, lit(true))
-  }
+  def isAllowed(rules: Column, path: Column): Column =
+    coalesce(
+      Bridge.column(RobotsAllowExpr(
+        Bridge.expression(rules), Bridge.expression(path))),
+      lit(true))
 
   /** Filter `docs` to robots-allowed URLs: `robots` carries one row
     * per host (`hostCol`, `bodyCol`); documents join by
     * [[Urls.host]] of their URL (broadcast — the robots table is
-    * host-cardinality), hosts with no robots row are allowed.
+    * host-cardinality), hosts with no robots row are allowed. A URL
+    * with no path component (`https://example.com`) extracts as the
+    * empty string and is evaluated as `/` by the matcher.
     */
   def filterAllowed(
       docs: DataFrame,

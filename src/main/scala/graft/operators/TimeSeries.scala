@@ -86,7 +86,11 @@ object TimeSeries {
 
   /** The DuckDB twin of one [[similarSubsequences]] call over a
     * `(key, start_ts, tie, v10)` source CTE — same integer sums, same
-    * fixed-shape correlation, same cut.
+    * fixed-shape correlation, same cut. The quantized query pattern
+    * lives in a MATERIALIZED `(i, qv)` coefficient CTE joined by
+    * position (the documented minhash-lane fix) — a list literal
+    * inside a per-window lambda would be re-materialized by DuckDB
+    * 1.0 once per element evaluation, quadratic in pattern length.
     */
   def similarDuckSql(
       srcCte: String,
@@ -100,19 +104,26 @@ object TimeSeries {
     val sqq = q.map(x => x * x).sum
     val qLit = q.mkString("[", ", ", "]")
     val denomQ = (n * sqq - sq * sq).toDouble
-    s"""ts_win AS (
+    s"""ts_q AS MATERIALIZED (
+       |  SELECT CAST(u.i AS INTEGER) AS i,
+       |    ($qLit)[CAST(u.i AS INTEGER)] AS qv
+       |  FROM unnest(range(1, ${n + 1})) AS u(i)),
+       |ts_win AS (
        |  SELECT key, start_ts, tie,
        |    list(v10) OVER (PARTITION BY key ORDER BY start_ts, tie
        |      ROWS BETWEEN CURRENT ROW AND ${n - 1} FOLLOWING) AS w
        |  FROM $srcCte),
-       |ts_sums AS (
-       |  SELECT key, start_ts, tie,
+       |ts_base AS (
+       |  SELECT key, start_ts, tie, w,
        |    CAST(list_sum(w) AS BIGINT) AS sw,
-       |    CAST(list_sum(list_transform(w, x -> x * x)) AS BIGINT) AS sww,
-       |    CAST(list_sum(list_transform(range(1, ${n + 1}),
-       |      i -> w[CAST(i AS INTEGER)]
-       |        * ($qLit)[CAST(i AS INTEGER)])) AS BIGINT) AS swq
+       |    CAST(list_sum(list_transform(w, x -> x * x)) AS BIGINT) AS sww
        |  FROM ts_win WHERE len(w) = $n),
+       |ts_sums AS (
+       |  SELECT b.key, b.start_ts, b.tie,
+       |    min(b.sw) AS sw, min(b.sww) AS sww,
+       |    CAST(sum(b.w[q.i] * q.qv) AS BIGINT) AS swq
+       |  FROM ts_base b, ts_q q
+       |  GROUP BY b.key, b.start_ts, b.tie),
        |ts_corr AS (
        |  SELECT key, start_ts, tie,
        |    ${graft.functions.Det.roundSql(

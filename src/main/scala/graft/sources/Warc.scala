@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.{BufferedInputStream, ByteArrayOutputStream, EOFException, InputStream, PushbackInputStream}
+import java.io.{BufferedInputStream, ByteArrayInputStream, ByteArrayOutputStream, EOFException, InputStream, PushbackInputStream}
 import java.nio.charset.StandardCharsets
 import java.util.zip.{GZIPInputStream, GZIPOutputStream}
 
@@ -369,6 +369,86 @@ object Warc {
         null, null, null, null, null, null, null, file, pos, reason)
     }
 
+  /** RANGED record fetch — the index-first Common Crawl access
+    * pattern that consumes [[graft.sources.Cdx.fetchPlan]]: each plan
+    * row names `(warc_file, offset, length)`; exactly those bytes are
+    * read (every record is its OWN gzip member in a `.warc.gz`, so a
+    * byte range is independently decompressible) and the one record
+    * inside is parsed. This is how a pipeline downloads the deduped
+    * fraction of a crawl instead of whole segments.
+    *
+    * Scale shape: plan rows shuffle by `warc_file` and sort by offset
+    * within partitions, so each task opens a segment file ONCE and
+    * seeks forward through its ranges in ascending order (monotone
+    * sequential I/O — the same access order an HTTP-range client
+    * would batch); payload bytes never enter the shuffle (the plan is
+    * metadata-sized — one row per distinct digest). Unopenable files
+    * and unparseable ranges are dead letters `(file, offset, reason)`
+    * per the reader's discipline, never task failures. `paths`
+    * resolve relative to `baseDir` when the plan stores bare segment
+    * names (the CDX `filename` convention).
+    */
+  def fetchRanged(
+      spark: SparkSession,
+      plan: DataFrame,
+      baseDir: String = "",
+      maxPayloadBytes: Int = 16 << 20): (DataFrame, DataFrame) = {
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val bc = spark.sparkContext.broadcast(hconf)
+    val base = if (baseDir.isEmpty || baseDir.endsWith("/")) baseDir
+               else baseDir + "/"
+    val rows = plan
+      .select(col("warc_file").cast(StringType),
+        col("offset").cast(LongType), col("length").cast(LongType))
+      .repartition(col("warc_file"))
+      .sortWithinPartitions(col("warc_file"), col("offset"))
+      .rdd.mapPartitions { it =>
+        var openFile: String = null
+        var in: org.apache.hadoop.fs.FSDataInputStream = null
+        def close(): Unit = { if (in != null) { in.close(); in = null } }
+        val out = it.flatMap { r =>
+          val file = r.getString(0)
+          val offset = r.getLong(1)
+          val length = r.getLong(2)
+          try {
+            if (file != openFile) {
+              close()
+              val hp = new org.apache.hadoop.fs.Path(base + file)
+              in = hp.getFileSystem(bc.value.value).open(hp)
+              openFile = file
+            }
+            require(length <= maxPayloadBytes.toLong + (1L << 20),
+              s"range $length bytes exceeds maxPayloadBytes=$maxPayloadBytes")
+            in.seek(offset)
+            val buf = new Array[Byte](length.toInt)
+            in.readFully(buf)
+            parseStream(new ByteArrayInputStream(buf), maxPayloadBytes).map {
+              case Right(rec) => Row(
+                rec.warcType, rec.recordId, rec.targetUri, rec.warcDate,
+                rec.contentType, rec.contentLength, rec.payload, file,
+                null, null)
+              case Left((_, reason)) => Row(
+                null, null, null, null, null, null, null, file, offset,
+                reason)
+            }
+          } catch {
+            case e: Exception =>
+              openFile = null; close()
+              Iterator(Row(null, null, null, null, null, null, null, file,
+                offset, s"range fetch failed: ${e.getMessage}"))
+          }
+        }
+        // exhaust-then-close: flatMap consumers pull lazily, so the
+        // stream must outlive the row iterator
+        new Iterator[Row] {
+          def hasNext: Boolean = { val h = out.hasNext; if (!h) close(); h }
+          def next(): Row = out.next()
+        }
+      }
+    splitUnified(spark, rows)
+  }
+
   private def splitUnified(
       spark: SparkSession,
       rows: org.apache.spark.rdd.RDD[Row]): (DataFrame, DataFrame) = {
@@ -590,16 +670,20 @@ object Warc {
   /** Per-host robots.txt bodies from the ARCHIVE ITSELF — crawls
     * store their `robots.txt` fetches as ordinary `response` records,
     * so retroactive politeness ([[graft.operators.Robots]]) needs no
-    * side channel: HTTP-200 responses whose target path is
-    * `/robots.txt` become one `(host, body)` row per host
-    * (deterministic min-record-id pick when a host was fetched more
-    * than once). Host keys come from [[graft.operators.Urls.host]] —
-    * the same key [[graft.operators.Robots.filterAllowed]] joins on.
+    * side channel: HTTP-200 responses whose target path is EXACTLY
+    * the root `/robots.txt` (RFC 9309 §2.3 — a deep-path capture like
+    * `https://host/mirror/robots.txt` is just a page, and must never
+    * displace the governing root file) become one `(host, body)` row
+    * per host (deterministic min-record-id pick when a host was
+    * fetched more than once). Host keys come from
+    * [[graft.operators.Urls.host]] — the same key
+    * [[graft.operators.Robots.filterAllowed]] joins on.
     */
   def robotsTable(records: DataFrame): DataFrame =
     httpParts(records.filter(col("warc_type") === "response" &&
         col("content_type").startsWith("application/http") &&
-        col("target_uri").endsWith("/robots.txt")))
+        col("target_uri").rlike(
+          "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+/robots\\.txt$")))
       .filter(col("http_status") === 200)
       .groupBy(graft.operators.Urls.host(col("target_uri")).as("host"))
       .agg(min_by(col("http_body"), col("record_id")).as("body"))
@@ -630,6 +714,23 @@ object Warc {
     out.write(head); out.write(payload)
     out.write("\r\n\r\n".getBytes(StandardCharsets.US_ASCII))
     out.toByteArray
+  }
+
+  /** [[gzipMembers]] that also returns each member's `(offset,
+    * length)` in the output — the byte ranges a CDX index records so
+    * [[fetchRanged]] can pull one record without touching the rest of
+    * the segment.
+    */
+  def gzipMembersIndexed(
+      records: Seq[Array[Byte]]): (Array[Byte], Seq[(Long, Long)]) = {
+    val out = new ByteArrayOutputStream()
+    val idx = records.map { r =>
+      val off = out.size.toLong
+      val gz = new GZIPOutputStream(out)
+      gz.write(r); gz.finish(); gz.close()
+      (off, out.size.toLong - off)
+    }
+    (out.toByteArray, idx)
   }
 
   /** Concatenate each rendered record as its OWN gzip member — the

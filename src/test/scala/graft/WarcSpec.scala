@@ -309,4 +309,37 @@ class WarcSpec extends SparkSpecBase {
     assert(records.count() === 4L)
     assert(records.select("file").distinct().count() === 4L)
   }
+
+  test("fetchRanged: gzipMembersIndexed ranges dereference to exactly their record; bad ranges dead-letter") {
+    val d = graft.streaming.Scratch.tmpDir("graft_warc_ranged")
+    val recs = (0 until 5).map(i => rec(200 + i, s"ranged doc $i"))
+    val (bytes, idx) = Warc.gzipMembersIndexed(recs)
+    Files.write(Paths.get(d, "seg.warc.gz"), bytes)
+    // member offsets tile the file exactly
+    assert(idx.head._1 === 0L)
+    assert(idx.sliding(2).forall { case Seq((o1, l1), (o2, _)) => o1 + l1 === o2 })
+    assert(idx.last._1 + idx.last._2 === bytes.length.toLong)
+    // fetch records 1 and 3 only (out-of-order plan rows: the fetch
+    // sorts by offset within the file's partition)
+    val plan = Seq(
+      ("seg.warc.gz", idx(3)._1, idx(3)._2),
+      ("seg.warc.gz", idx(1)._1, idx(1)._2)
+    ).toDF("warc_file", "offset", "length")
+    val (got, rejects) = Warc.fetchRanged(spark, plan, baseDir = d)
+    assert(rejects.count() === 0L)
+    val uris = got.select("target_uri").as[String].collect().sorted.toSeq
+    assert(uris === Seq("https://graft.test/doc/201", "https://graft.test/doc/203"))
+    // a range into the middle of a member and a missing file both
+    // dead-letter without failing the healthy row in the same plan
+    val bad = Seq(
+      ("seg.warc.gz", idx(2)._1 + 3L, idx(2)._2),
+      ("nope.warc.gz", 0L, 10L),
+      ("seg.warc.gz", idx(0)._1, idx(0)._2)
+    ).toDF("warc_file", "offset", "length")
+    val (got2, rej2) = Warc.fetchRanged(spark, bad, baseDir = d)
+    assert(got2.count() === 1L)
+    assert(rej2.count() === 2L)
+    assert(got2.select("target_uri").as[String].head ===
+      "https://graft.test/doc/200")
+  }
 }
