@@ -1007,6 +1007,20 @@ object RelationalQueries {
       maxSpanSeconds = 3600L,
       tiebreakCol = "event_id")
 
+  /** Quantified CEP ([[graft.operators.Relational.matchPatternPlus]]):
+    * `click view+ purchase` — greedy one-label repetition over the
+    * run-length-encoded per-user label stream, anchors at the last
+    * `click` / first `purchase` events, 1 h anchor span. Oracle: the
+    * identical RLE (lag-break + running sum), neighbor-run lag/lead,
+    * and per-key aggregate in SQL.
+    */
+  private def matchPatternPlusQ(s: SparkSession, d: String): DataFrame =
+    Relational.matchPatternPlus(Tables.events(s, d),
+      "user_id", "ts", "event_type",
+      first = "click", plus = "view", last = "purchase",
+      maxSpanSeconds = 3600L,
+      tiebreakCol = "event_id")
+
   /** Time-series subsequence similarity
     * ([[graft.operators.TimeSeries.similarSubsequences]]): the 20
     * per-user event-value windows (length 8) most correlated with a
@@ -2048,6 +2062,45 @@ object RelationalQueries {
         |  FROM hits)
         |SELECT a.user_id, a.n_matches, a.first_start, f.e AS first_end
         |FROM agg a JOIN firsts f ON f.user_id = a.user_id AND f.rn = 1""".stripMargin)),
+    QueryDef("q_match_pattern_plus", matchPatternPlusQ, Some(
+      """WITH mq_brk AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |              OR lag(event_type) OVER w <> event_type
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |mq_run AS (
+        |  SELECT user_id, ts, event_type,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM mq_brk),
+        |mq_runs AS (
+        |  SELECT user_id, run, min(event_type) AS label,
+        |    count(*) AS len, min(ts) AS first_ts, max(ts) AS last_ts
+        |  FROM mq_run GROUP BY user_id, run),
+        |mq_nb AS (
+        |  SELECT user_id, run, label, len,
+        |    lag(label) OVER w2 AS pl, lag(last_ts) OVER w2 AS pend,
+        |    lead(label) OVER w2 AS nl, lead(first_ts) OVER w2 AS nstart
+        |  FROM mq_runs
+        |  WINDOW w2 AS (PARTITION BY user_id ORDER BY run)),
+        |mq_hits AS (
+        |  SELECT user_id, run, len, pend, nstart FROM mq_nb
+        |  WHERE label = 'view' AND pl = 'click' AND nl = 'purchase'
+        |    AND epoch_us(nstart) - epoch_us(pend)
+        |        <= CAST(3600 AS BIGINT) * 1000000),
+        |mq_agg AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_matches,
+        |    min(pend) AS first_start
+        |  FROM mq_hits GROUP BY user_id),
+        |mq_first AS (
+        |  SELECT user_id, nstart, len,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY run) AS rn
+        |  FROM mq_hits)
+        |SELECT a.user_id, a.n_matches, a.first_start,
+        |  f.nstart AS first_end, CAST(f.len AS BIGINT) AS first_plus_len
+        |FROM mq_agg a JOIN mq_first f ON f.user_id = a.user_id AND f.rn = 1""".stripMargin)),
     QueryDef("q_quantile_bins", quantileBinsQ, headline = true, oracle = Some(
       """WITH b AS (
         |  SELECT event_type,

@@ -581,7 +581,131 @@ object StreamingQueries {
     s.read.schema(evs.schema).parquet(out).agg(count(lit(1)).as("n_rows"))
   }
 
+  /** The DASHBOARD TRIO as ONE streaming replay (round 15): the
+    * reference's live surface recomputes three standing queries every
+    * 1 s tick (`DataAnalysis.py:55-63`); the round-14 verdict's 1.12 s
+    * number timed the BATCH trio — this measures the actual streaming
+    * cadence. The events stream replays in two micro-batches (ticks)
+    * feeding THREE concurrent queries: the running mean
+    * (complete-mode agg — `q_bar_avg`'s twin), the flagship profile
+    * (complete-mode latest-per-group state, with the dimension join +
+    * ordered string agg recomputed per tick inside `foreachBatch` —
+    * exactly the SSE dashboard's recompute), and the full series
+    * (append passthrough). Output: the FINAL tick's three surfaces as
+    * one tagged union; oracle = stream ≡ batch — the same union
+    * restated over `q_bar_avg` / `q_flagship_profile` /
+    * `q_line_series` SQL.
+    */
+  private def streamDashboard(s: SparkSession, d: String): DataFrame = {
+    val evs = Tables.events(s, d)
+      .select("user_id", "event_type", "event_id", "ts", "value")
+    val cust = Tables.customer(s, d)
+      .select("c_custkey", "c_name", "c_mktsegment")
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    val barOut = graft.streaming.Scratch.tmpDir("graft_dash_bar")
+    val profOut = graft.streaming.Scratch.tmpDir("graft_dash_prof")
+    val lineOut = graft.streaming.Scratch.tmpDir("graft_dash_line")
+    val replay = new graft.streaming.FileReplay(s, evs.schema)
+    replay.add(evs.filter(col("event_id") % 2 === 0))
+    s.conf.set(key, s.conf.get("spark.graft.streaming.shufflePartitions", "8"))
+    try {
+      val src = replay.stream
+      val bar = src.groupBy("event_type")
+        .agg(graft.functions.Det.round(
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double") / count(lit(1)), 2).as("avg_value"))
+      val latest = src.groupBy("user_id", "event_type")
+        .agg(max_by(col("value"), struct(col("ts"), col("event_id")))
+          .as("value"))
+      def start(df: DataFrame, mode: String)(
+          sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+        df.writeStream.outputMode(mode)
+          .option("checkpointLocation", graft.streaming.Scratch.ckptDir())
+          .foreachBatch((b: DataFrame, _: Long) => sink(b))
+          .start()
+      val qBar = start(bar, "complete")(
+        _.write.mode("overwrite").parquet(barOut))
+      val qProf = start(latest, "complete") { b =>
+        // the per-TICK dashboard recompute: dim join + ordered agg
+        val info = when(col("value").isNotNull,
+            concat(col("event_type"), lit(": "), col("value").cast("string")))
+          .otherwise(lit(""))
+        cust.join(b, cust("c_custkey") === b("user_id"), "left_outer")
+          .withColumn("info", info)
+          .groupBy("c_custkey", "c_name", "c_mktsegment")
+          .agg(concat_ws("<br>", sort_array(collect_list(col("info"))))
+            .as("events_info"))
+          .write.mode("overwrite").parquet(profOut)
+      }
+      val qLine = start(
+        src.select("event_type", "ts", "value", "event_id"), "append")(
+        _.write.mode("append").parquet(lineOut))
+      val qs = Seq(qBar, qProf, qLine)
+      try {
+        qs.foreach(_.processAllAvailable())
+        replay.add(evs.filter(col("event_id") % 2 =!= 0))
+        qs.foreach(_.processAllAvailable())
+      } finally qs.foreach(_.stop())
+    } finally s.conf.set(key, old)
+    val nullS = lit(null).cast("string")
+    val nullD = lit(null).cast("double")
+    val barF = s.read
+      .schema("event_type STRING, avg_value DOUBLE").parquet(barOut)
+      .select(lit("bar").as("surface"), lit(0L).as("k1"),
+        col("event_type").as("k2"), nullS.as("val_str"),
+        col("avg_value").as("val_num"))
+    // inferred schema on purpose: the profile frame inherits the
+    // customer table's native key type and is never empty (left join
+    // FROM the dimension)
+    val profF = s.read.parquet(profOut)
+      .select(lit("profile").as("surface"),
+        col("c_custkey").cast("long").as("k1"),
+        col("c_mktsegment").as("k2"),
+        concat(col("c_name"), lit("|"), col("events_info")).as("val_str"),
+        nullD.as("val_num"))
+    val lineF = s.read
+      .schema(evs.select("event_type", "ts", "value", "event_id").schema)
+      .parquet(lineOut)
+      .select(lit("line").as("surface"), col("event_id").as("k1"),
+        col("event_type").as("k2"), nullS.as("val_str"),
+        col("value").as("val_num"))
+    barF.union(profF).union(lineF)
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_stream_dashboard", streamDashboard, Some(
+      """WITH sd_latest AS (
+        |  SELECT user_id, event_type, value FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY user_id, event_type
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events) t WHERE rn = 1),
+        |sd_prof AS (
+        |  SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+        |    string_agg(
+        |      CASE WHEN l.value IS NOT NULL
+        |           THEN l.event_type || ': ' || CAST(l.value AS VARCHAR)
+        |           ELSE '' END, '<br>'
+        |      ORDER BY
+        |      CASE WHEN l.value IS NOT NULL
+        |           THEN l.event_type || ': ' || CAST(l.value AS VARCHAR)
+        |           ELSE '' END) AS events_info
+        |  FROM customer c LEFT JOIN sd_latest l ON c.c_custkey = l.user_id
+        |  GROUP BY c.c_custkey, c.c_name, c.c_mktsegment)
+        |SELECT 'bar' AS surface, CAST(0 AS BIGINT) AS k1,
+        |  event_type AS k2, CAST(NULL AS VARCHAR) AS val_str,
+        |  floor(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    / count(*) * 100.0 + 0.5) / 100.0 AS val_num
+        |FROM events GROUP BY event_type
+        |UNION ALL
+        |SELECT 'profile', c_custkey, c_mktsegment,
+        |  c_name || '|' || events_info, CAST(NULL AS DOUBLE)
+        |FROM sd_prof
+        |UNION ALL
+        |SELECT 'line', event_id, event_type, CAST(NULL AS VARCHAR), value
+        |FROM events""".stripMargin),
+      headline = true),
     QueryDef("q_stream_noop_file", streamNoopFile, Some(
       "SELECT CAST(count(*) AS BIGINT) AS n_rows FROM events"),
       headline = true),

@@ -356,9 +356,13 @@ object TextQueries {
                 "<html><body>gone</body></html>".getBytes("UTF-8"))),
             response("<urn:uuid:graft-junk-png>", "https://graft.test/junk/png",
               httpResponse("200 OK", "image/png", Array[Byte](0x50, 0x4e, 0x47))),
+            // REAL latin-1 bytes (é = 0xE9, not the UTF-8 pair):
+            // conservative-keep-set queries route this page out;
+            // q_warc_html_docs widens the set and must decode it
+            // faithfully, not as mojibake
             response("<urn:uuid:graft-junk-latin>", "https://graft.test/junk/latin",
               httpResponse("200 OK", "text/html; charset=iso-8859-1",
-                "<html><body>café</body></html>".getBytes("UTF-8"))),
+                "<html><body>café</body></html>".getBytes("ISO-8859-1"))),
             graft.sources.Warc.renderRecord(
               "request", "<urn:uuid:graft-junk-req>",
               "https://graft.test/junk/req", "2026-01-01T00:00:00Z",
@@ -395,13 +399,21 @@ object TextQueries {
     * ([[graft.operators.Xxh64Duck.ascii31DuckCtes]]) — so ids, hosts
     * AND extracted-text lengths are all hash-exact, and any planted
     * junk record leaking past the filters surfaces as an extra row.
+    * Round 15: the keep set is WIDENED to include `iso-8859-1` (with
+    * utf-8 that covers the overwhelming majority of the web), so the
+    * planted latin-1 page — REAL 0xE9 bytes, non-ASCII content —
+    * must survive with its text decoded faithfully (4 chars, `café`),
+    * which the oracle pins as a closed-form row keyed by the same
+    * xxhash64 record-id chain. The 404/png/request junk still routes
+    * out.
     */
   private def warcHtmlDocs(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
     val dir = stagedDir("graft_warc_http", d)(
       muxWarcHttpGz(docs, _, "seg"))
     val (recs, _) = graft.sources.Warc.readWithRejects(s, dir + "/*.warc.gz")
-    graft.sources.Warc.responseDocuments(recs)
+    graft.sources.Warc.responseDocuments(recs,
+        keepCharsets = Set("", "utf-8", "iso-8859-1"))
       .select(col("doc_id"), col("source"), col("n_chars"))
   }
 
@@ -2472,6 +2484,41 @@ object TextQueries {
       length(TextAnalysis.normalizeUnicode(deco)).cast("long").as("n_after"))
   }
 
+  /** Unicode NFKC normalization with a CLOSED-FORM oracle (round 15):
+    * DuckDB has no `nfkc_normalize`, so the fixture plants characters
+    * whose compatibility decompositions are pinned by the Unicode
+    * standard — ligatures (ﬁ ﬂ ﬀ ﬃ), circled digits (①②③),
+    * fullwidth forms (Ａｂｃ１２３), superscripts (² ³), roman
+    * numeral Ⅸ and squared units (㎞ ㎡) — one variant per
+    * `doc_id % 6`, plus a canonically DECOMPOSED `cafe` + U+0301
+    * suffix on every row (NFKC also composes). The oracle is a CASE
+    * table of the known images; the normalizer itself is the same
+    * native [[graft.functions.NormalizeExpr]] the NFC query
+    * exercises. Inputs are otherwise ASCII by construction (NFKC
+    * identity), so the expected outputs are exact, not
+    * ICU-version-dependent.
+    */
+  private def unicodeNfkcQ(s: SparkSession, d: String): DataFrame = {
+    val planted = Seq(
+      "ﬁle ﬂow", // ﬁle ﬂow → file flow
+      "①②③", // ①②③ → 123
+      "Ａｂｃ１２３", // Ａｂｃ１２３ → Abc123
+      "x²y³", // x²y³ → x2y3
+      "Ⅸ㎞㎡", // Ⅸ㎞㎡ → IXkmm2
+      "ﬀ oﬃce") // ﬀ oﬃce → ff office
+    val variant = (0 until 6).foldLeft(lit(planted(5))) { (acc, i) =>
+      when(col("doc_id") % 6 === i, lit(planted(i))).otherwise(acc)
+    }
+    val raw = concat(lit("v"), col("doc_id").cast("string"), lit(" "),
+      variant, lit(" café"))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextAnalysis.normalizeUnicode(raw, "NFKC").as("clean"),
+      length(raw).cast("long").as("n_before"),
+      length(TextAnalysis.normalizeUnicode(raw, "NFKC")).cast("long")
+        .as("n_after"))
+  }
+
   // the boilerplate-laden page each doc is wrapped in for the
   // main-content queries — nav/newsletter/related/footer blocks the
   // extractor must drop, the <p> prose it must keep; ONE LINE in both
@@ -2849,6 +2896,29 @@ object TextQueries {
         |  CAST(length(t) AS BIGINT) AS n_before,
         |  CAST(length(nfc_normalize(t)) AS BIGINT) AS n_after
         |FROM un_in""".stripMargin)),
+    QueryDef("q_unicode_nfkc", unicodeNfkcQ, Some(
+      // the CASE table of Unicode-standard compatibility images: the
+      // planted inputs' NFKC forms are all ASCII, the composed suffix
+      // is caf + chr(233); input codepoint counts are per-variant
+      // constants (7,3,6,4,3,6) + 'v'+id+' ' (2+digits) + 6 suffix
+      """WITH nk AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 6 AS INTEGER)
+        |      WHEN 0 THEN 'file flow' WHEN 1 THEN '123'
+        |      WHEN 2 THEN 'Abc123' WHEN 3 THEN 'x2y3'
+        |      WHEN 4 THEN 'IXkmm2' ELSE 'ff office' END AS img,
+        |    CASE CAST(doc_id % 6 AS INTEGER)
+        |      WHEN 0 THEN 7 WHEN 1 THEN 3 WHEN 2 THEN 6
+        |      WHEN 3 THEN 4 WHEN 4 THEN 3 ELSE 6 END AS plen
+        |  FROM documents)
+        |SELECT doc_id,
+        |  'v' || CAST(doc_id AS VARCHAR) || ' ' || img || ' caf'
+        |    || chr(233) AS clean,
+        |  CAST(2 + length(CAST(doc_id AS VARCHAR)) + plen + 6 AS BIGINT)
+        |    AS n_before,
+        |  CAST(length('v' || CAST(doc_id AS VARCHAR) || ' ' || img
+        |    || ' caf' || chr(233)) AS BIGINT) AS n_after
+        |FROM nk""".stripMargin)),
     QueryDef("q_strip_html", stripHtmlQ, Some(stripHtmlSql),
       headline = true),
     QueryDef("q_sentences", sentencesQ, Some(
@@ -3181,14 +3251,19 @@ object TextQueries {
       s"""WITH wd_in AS (
          |  SELECT doc_id, 0 AS k,
          |    '<urn:uuid:graft-' || CAST(doc_id AS VARCHAR) || '>' AS s
-         |  FROM documents),
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT -1, 0, '<urn:uuid:graft-junk-latin>'),
          |${graft.operators.Xxh64Duck.ascii31DuckCtes("wd_in")},
          |wh_clean AS (
          |  SELECT doc_id, ${duckStripHtml(s"($duckPageShell)")} AS clean
          |  FROM documents)
          |SELECT x.h AS doc_id, 'graft.test' AS source,
          |  CAST(length(c.clean) AS BIGINT) AS n_chars
-         |FROM xs_xh x JOIN wh_clean c ON c.doc_id = x.doc_id""".stripMargin)),
+         |FROM xs_xh x JOIN wh_clean c ON c.doc_id = x.doc_id
+         |UNION ALL
+         |SELECT x.h, 'graft.test', CAST(4 AS BIGINT)
+         |FROM xs_xh x WHERE x.doc_id = -1""".stripMargin)),
     QueryDef("q_warc_main_docs", warcMainDocs, Some(
       s"""WITH wm AS (
          |  SELECT doc_id,

@@ -748,6 +748,77 @@ object Relational {
           .as("first_end"))
   }
 
+  /** [[matchPattern]] with a GREEDY one-label quantifier — the
+    * `A B+ C` MATCH_RECOGNIZE shape (the dominant CEP pattern the
+    * fixed-length contiguous form can't express). Semantics: the
+    * key's `(ts, tiebreak)`-ordered label stream is RUN-LENGTH
+    * encoded first; a match is a maximal run of `plus`-labeled events
+    * whose adjacent previous run is `first`-labeled and adjacent next
+    * run is `last`-labeled, anchored at the LAST `first`-event and
+    * the FIRST `last`-event (so `A A B B C` matches once with
+    * `plus_len = 2` — greedy `B+` consumes the whole run, the
+    * AFTER MATCH SKIP PAST LAST ROW discipline: each run yields at
+    * most one match, overlap-free by construction), with the
+    * anchor-to-anchor span inside `maxSpanSeconds`. Output: one row
+    * per key with ≥ 1 match — `(key, n_matches, first_start,
+    * first_end, first_plus_len)`.
+    *
+    * Scale shape: ONE shuffle by key — the RLE window, the per-run
+    * aggregate (grouping on `(key, run)` is satisfied by the key
+    * partitioning, no second exchange), the neighbor-run window and
+    * the final per-key aggregate all reuse it; task size stays
+    * bounded by one key's history, never a global sort.
+    */
+  def matchPatternPlus(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      typeCol: String,
+      first: String,
+      plus: String,
+      last: String,
+      maxSpanSeconds: Long,
+      tiebreakCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__k").orderBy(col("__ts"), col("__tie"))
+    val prevType = lag(col("__t"), 1).over(w)
+    val runId = sum(
+      when(prevType.isNull || prevType =!= col("__t"), 1L).otherwise(0L))
+      .over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow))
+    val runs = events
+      .select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
+        col(typeCol).as("__t"), col(tiebreakCol).as("__tie"))
+      .withColumn("__run", runId)
+      .groupBy(col("__k"), col("__run"))
+      .agg(
+        min(col("__t")).as("__label"), // constant within a run
+        count(lit(1)).as("__len"),
+        min(col("__ts")).as("__first_ts"),
+        max(col("__ts")).as("__last_ts"))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy("__k").orderBy(col("__run"))
+    val hits = runs
+      .withColumn("__pl", lag(col("__label"), 1).over(w2))
+      .withColumn("__pend", lag(col("__last_ts"), 1).over(w2))
+      .withColumn("__nl", lead(col("__label"), 1).over(w2))
+      .withColumn("__nstart", lead(col("__first_ts"), 1).over(w2))
+      .filter(col("__label") === plus &&
+        col("__pl") === first && col("__nl") === last &&
+        unix_micros(col("__nstart").cast("timestamp")) -
+          unix_micros(col("__pend").cast("timestamp")) <=
+          maxSpanSeconds * 1000000L)
+    hits.groupBy(col("__k"))
+      .agg(
+        count(lit(1)).as("n_matches"),
+        min(col("__pend")).as("first_start"),
+        min_by(col("__nstart"), col("__run")).as("first_end"),
+        min_by(col("__len"), col("__run")).cast("long")
+          .as("first_plus_len"))
+      .withColumnRenamed("__k", keyCol)
+  }
+
   /** k-pass funnel for unbounded per-user histories: stage i is a
     * filtered min-aggregate joined to stage i-1's reach times (all
     * shuffles user-keyed, so the exchanges after the first reuse the

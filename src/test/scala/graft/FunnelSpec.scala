@@ -199,4 +199,66 @@ class FunnelSpec extends SparkSpecBase {
     // are null and must drop, not throw)
     assert(mp(Seq((4L, ts(1), "a", 13L), (4L, ts(2), "b", 14L))).isEmpty)
   }
+
+  test("matchPatternPlus: greedy B+, run anchors, intruders, overlap-free runs, span cutoff") {
+    def mpp(rows: Seq[(Long, Timestamp, String, Long)], spanS: Long = 3600L) =
+      Relational.matchPatternPlus(
+        rows.toDF("user_id", "ts", "event_type", "event_id"),
+        "user_id", "ts", "event_type", "a", "b", "c", spanS, "event_id")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getTimestamp(2), r.getTimestamp(3), r.getLong(4))))
+        .toMap
+
+    // u1: a b b b c -> ONE match, the whole run (plus_len 3)
+    val u1 = Seq(
+      (1L, ts(1), "a", 1L), (1L, ts(2), "b", 2L), (1L, ts(3), "b", 3L),
+      (1L, ts(4), "b", 4L), (1L, ts(5), "c", 5L))
+    // u2: a b c with a single b (B+ means >= 1)
+    val u2 = Seq(
+      (2L, ts(1), "a", 6L), (2L, ts(2), "b", 7L), (2L, ts(3), "c", 8L))
+    // u3: a c — no b run at all, no match
+    val u3 = Seq((3L, ts(1), "a", 9L), (3L, ts(2), "c", 10L))
+    // u4: a b x c — the intruder splits the runs, no match
+    val u4 = Seq(
+      (4L, ts(1), "a", 11L), (4L, ts(2), "b", 12L), (4L, ts(3), "x", 13L),
+      (4L, ts(4), "c", 14L))
+    // u5: a a b b c -> anchors at the LAST a and the FIRST c
+    val u5 = Seq(
+      (5L, ts(1), "a", 15L), (5L, ts(2), "a", 16L), (5L, ts(3), "b", 17L),
+      (5L, ts(4), "b", 18L), (5L, ts(5), "c", 19L))
+    // u6: two disjoint matches; the first one anchors the firsts
+    val u6 = Seq(
+      (6L, ts(1), "a", 20L), (6L, ts(2), "b", 21L), (6L, ts(3), "c", 22L),
+      (6L, ts(10), "a", 23L), (6L, ts(11), "b", 24L), (6L, ts(12), "b", 25L),
+      (6L, ts(13), "c", 26L))
+    // u7: span from last-a to first-c exceeds the cutoff
+    val u7 = Seq(
+      (7L, ts(1), "a", 27L), (7L, ts(2), "b", 28L), (7L, ts(50), "c", 29L))
+    // u8: b b c (no leading a) and a b b (no trailing c)
+    val u8 = Seq(
+      (8L, ts(1), "b", 30L), (8L, ts(2), "b", 31L), (8L, ts(3), "c", 32L),
+      (8L, ts(10), "a", 33L), (8L, ts(11), "b", 34L), (8L, ts(12), "b", 35L))
+    val got = mpp(u1 ++ u2 ++ u3 ++ u4 ++ u5 ++ u6 ++ u7 ++ u8,
+      spanS = 10 * 60L)
+    assert(got.keySet === Set(1L, 2L, 5L, 6L))
+    assert(got(1L) === ((1L, ts(1), ts(5), 3L)))
+    assert(got(2L) === ((1L, ts(1), ts(3), 1L)))
+    assert(got(5L) === ((1L, ts(2), ts(5), 2L)),
+      "anchor = LAST first-label event, FIRST last-label event")
+    assert(got(6L) === ((2L, ts(1), ts(3), 1L)))
+    // widen the span: u7 matches
+    assert(mpp(u7)(7L) === ((1L, ts(1), ts(50), 1L)))
+  }
+
+  test("matchPatternPlus plan: ONE shuffle — RLE window, run aggregate, neighbor window and key aggregate all reuse the key partitioning") {
+    val df = Relational.matchPatternPlus(
+      Tables.events(spark, "/root/testdata/sf0.001"),
+      "user_id", "ts", "event_type", "click", "view", "purchase",
+      3600L, "event_id")
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = "(?i)exchange hashpartitioning".r
+      .findAllIn(plan).size
+    assert(exchanges === 1,
+      s"expected one hash exchange, got $exchanges:\n$plan")
+  }
 }
