@@ -845,6 +845,43 @@ object TextQueries {
       .select("doc_id", "n_chars", "n_copies")
   }
 
+  /** STREAMING CDX fetch ([[graft.streaming.CdxFetchStream]]) — the
+    * index-first crawl loop run INCREMENTALLY: index lines replay in
+    * two micro-batches (batch 0: primary captures of even doc ids;
+    * batch 1: primary captures of odd ids PLUS every re-crawl
+    * duplicate capture — so batch 1 carries already-fetched digests
+    * across the batch boundary AND intra-batch duplicates of its own
+    * docs), and only never-seen digests dereference. Cross-batch
+    * dedup failing would land the even `%7==0` docs twice; in-batch
+    * plan failing would land odd `%7==0` docs twice; either surfaces
+    * as extra rows against the one-row-per-doc oracle.
+    */
+  private def streamCdxFetch(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val dir = stagedDir("graft_cdx_fetch", d)(muxWarcCdxGz(docs, _))
+    val lines = s.read.text(dir + "/*.cdx").select(col("value").as("line"))
+    // parity of the capture's doc id, recoverable from the url field
+    val docId = regexp_extract(col("line"), "/doc/(\\d+)\"", 1).cast("long")
+    val primary = col("line").contains("\"filename\": \"seg-")
+    val stateDir = graft.streaming.Scratch.tmpDir("graft_cdxf_state")
+    val recsDir = graft.streaming.Scratch.tmpDir("graft_cdxf_recs")
+    val n0 = graft.streaming.CdxFetchStream.fetchBatch(
+      lines.filter(docId % 2 === 0 && primary), 0L, stateDir, recsDir, dir)
+    val n1 = graft.streaming.CdxFetchStream.fetchBatch(
+      lines.filter(docId % 2 =!= 0 || !primary), 1L, stateDir, recsDir, dir)
+    val landed = s.read.schema(
+        org.apache.spark.sql.types.StructType(
+          graft.sources.Warc.recordSchema.fields :+
+            org.apache.spark.sql.types.StructField("batch_id",
+              org.apache.spark.sql.types.LongType)))
+      .parquet(recsDir)
+    graft.sources.Warc.responseDocuments(landed.drop("batch_id"))
+      .select(
+        regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+          .cast("long").as("doc_id"),
+        col("n_chars"))
+  }
+
   /** robots.txt compliance decisions ([[graft.operators.Robots]]):
     * five hosts, four with deterministic robots bodies — hosts 0–2
     * carry a `graftbot` group (Disallow `/p<k>/`, longer literal
@@ -3247,6 +3284,12 @@ object TextQueries {
          |  CAST(CASE WHEN doc_id % 7 = 0 THEN 2 ELSE 1 END AS BIGINT)
          |    AS n_copies
          |FROM cfj""".stripMargin)),
+    QueryDef("q_stream_cdx_fetch", streamCdxFetch, Some(
+      s"""WITH scf AS (
+         |  SELECT doc_id, ${duckStripHtml(s"($duckPageShell)")} AS clean
+         |  FROM documents)
+         |SELECT doc_id, CAST(length(clean) AS BIGINT) AS n_chars
+         |FROM scf""".stripMargin)),
     QueryDef("q_warc_html_docs", warcHtmlDocs, Some(
       s"""WITH wd_in AS (
          |  SELECT doc_id, 0 AS k,

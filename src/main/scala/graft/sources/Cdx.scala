@@ -33,9 +33,16 @@ object Cdx {
     * by construction — parse downstream if event-time semantics are
     * wanted).
     */
-  def readWithRejects(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+  def readWithRejects(spark: SparkSession, path: String): (DataFrame, DataFrame) =
+    parseLines(spark.read.text(path).select(col("value").as("line")))
+
+  /** The parsing core of [[readWithRejects]] over an in-memory
+    * `line`-column frame — the shape a STREAMING index feed hands to
+    * per-batch parsing ([[graft.streaming.CdxFetchStream]]), where
+    * the lines arrive as micro-batch rows, not as a path glob.
+    */
+  def parseLines(raw: DataFrame): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.types._
-    val raw = spark.read.text(path).select(col("value").as("line"))
     val parts = split(col("line"), " ", 3)
     // ONE from_json per line (malformed JSON → null struct), never a
     // get_json_object per field — each of those re-parses the whole

@@ -64,4 +64,51 @@ class CdxSpec extends SparkSpecBase {
     assert(plan("d1") === (("u2", "a.warc", 5L, 3L)))
     assert(plan("d2") === (("u4", "c.warc", 1L, 1L)))
   }
+
+  test("CdxFetchStream: never-seen digests fetch once; cross-batch dups skip; batch replay is idempotent") {
+    import graft.sources.Warc
+    val dir = graft.streaming.Scratch.tmpDir("graft_cdxf_spec")
+    def rec(id: Int): Array[Byte] = {
+      val body = s"<html><body>doc $id body text</body></html>"
+        .getBytes("UTF-8")
+      val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n")
+        .getBytes("US-ASCII") ++ body
+      Warc.renderRecord("response", s"<urn:uuid:cdxf-$id>",
+        s"https://graft.test/doc/$id", "2026-01-01T00:00:00Z",
+        "application/http; msgtype=response", http)
+    }
+    val (bytes, idx) = Warc.gzipMembersIndexed(Seq(rec(1), rec(2), rec(3)))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "seg.warc.gz"), bytes)
+    def line(id: Int, i: Int, file: String = "seg.warc.gz"): String =
+      Cdx.renderLine(s"test,graft)/doc/$id", "20260101000000",
+        s"https://graft.test/doc/$id", "text/html", 200,
+        s"digest-$id", idx(i)._2, idx(i)._1, file)
+    val stateDir = graft.streaming.Scratch.tmpDir("graft_cdxf_spec_state")
+    val recsDir = graft.streaming.Scratch.tmpDir("graft_cdxf_spec_recs")
+    import graft.streaming.CdxFetchStream
+    // batch 0: docs 1 and 2
+    val n0 = CdxFetchStream.fetchBatch(
+      Seq(line(1, 0), line(2, 1)).toDF("line"), 0L, stateDir, recsDir, dir)
+    assert(n0 === 2L)
+    // batch 1: doc 3 (new), doc 1 again (seen — must not re-fetch),
+    // and doc 3 duplicated in-batch (planned to one capture)
+    val n1 = CdxFetchStream.fetchBatch(
+      Seq(line(3, 2), line(1, 0), line(3, 2)).toDF("line"),
+      1L, stateDir, recsDir, dir)
+    assert(n1 === 1L)
+    def landedUris(): Seq[String] = spark.read.parquet(recsDir)
+      .select("target_uri").as[String].collect().sorted.toSeq
+    val afterOnce = landedUris()
+    assert(afterOnce === Seq(1, 2, 3).map(i => s"https://graft.test/doc/$i"))
+    // replaying batch 1 (failure recovery) overwrites its own
+    // partition — same landed set, no duplicate fetch of doc 1
+    // (state reads are strictly-earlier-batch)
+    val n1b = CdxFetchStream.fetchBatch(
+      Seq(line(3, 2), line(1, 0), line(3, 2)).toDF("line"),
+      1L, stateDir, recsDir, dir)
+    assert(n1b === 1L)
+    assert(landedUris() === afterOnce)
+  }
 }
