@@ -37,6 +37,19 @@ object SimilarityQueries {
       k = 5, dim = 64, nBits = 8, probeHamming = 1)
   }
 
+  /** [[lshKnnQ]] at multi-probe rung 2 (round 15 — the 37-probe
+    * Hamming-2 ladder step; was an honest `require` guard before):
+    * same index, same scoring, strictly more candidates. Oracle: the
+    * same probe-list replay with the pair-flip set enumerated.
+    */
+  private def lshKnnProbe2Q(s: SparkSession, d: String): DataFrame = {
+    val em = Tables.embeddings(s, d)
+    Similarity.lshKnn(
+      em.filter(col("vec_id") < 10), em,
+      "vec_id", "vec_id", "embedding", "embedding",
+      k = 5, dim = 64, nBits = 8, probeHamming = 2)
+  }
+
   /** Binary-signature ANN serving path ([[Similarity.binaryKnn]]):
     * 64-dim floats → one sign-bit BIGINT, Hamming-popcount shortlist
     * of 32, exact cosine re-rank to top-5. Same query shape as
@@ -464,6 +477,27 @@ object SimilarityQueries {
       s"""WITH ${Similarity.rhpBucketDuckCtes(64, 8)},
          |probes AS (
          |  SELECT q.vec_id AS query_id, q.embedding AS qv, u.pb AS bucket
+         |  FROM bkt q, unnest($probes) AS u(pb)
+         |  WHERE q.vec_id < 10),
+         |cand AS (
+         |  SELECT p.query_id, c.vec_id AS neighbor_id,
+         |    floor((${duckCos("p.qv", "c.embedding")}) * 1000000.0 + 0.5) / 1000000.0 AS sim
+         |  FROM probes p JOIN bkt c ON c.b0 = p.bucket AND c.vec_id <> p.query_id)
+         |SELECT query_id, neighbor_id, sim, rank FROM (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+         |  FROM cand) t
+         |WHERE rank <= 5""".stripMargin
+    }),
+    QueryDef("q_lsh_knn_probe2", lshKnnProbe2Q, Some {
+      val singles = (0 until 8).map(i => s", xor(b0, ${1L << i})").mkString
+      val pairs = (for { i <- 0 until 7; j <- (i + 1) until 8 }
+        yield s", xor(b0, ${(1L << i) | (1L << j)})").mkString
+      val probes = s"[b0$singles$pairs]"
+      s"""WITH ${Similarity.rhpBucketDuckCtes(64, 8)},
+         |probes AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, q.embedding AS qv,
+         |    u.pb AS bucket
          |  FROM bkt q, unnest($probes) AS u(pb)
          |  WHERE q.vec_id < 10),
          |cand AS (

@@ -91,6 +91,33 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall >= 0.8, s"recall=$recall")
   }
 
+  test("lshKnn multi-probe ladder: recall monotone in probeHamming; rung 2 reaches past rung 1") {
+    val rnd = new scala.util.Random(29)
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat).toSeq
+    }
+    val centers = Array.fill(40)(Array.fill(16)(rnd.nextGaussian()))
+    val vecs = (0 until 320).map { i =>
+      val c = centers(i % 40)
+      (i.toLong, unit(c.map(x => x + 0.25 * rnd.nextGaussian())))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val qs = df.filter(col("vec_id") < 40)
+    def pairs(r: org.apache.spark.sql.DataFrame) =
+      r.select("query_id", "neighbor_id").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val bf = pairs(Similarity.bruteForceKnn(qs, df, "vec_id", "vec_id",
+      "embedding", "embedding", k = 5))
+    def rung(h: Int) = pairs(Similarity.lshKnn(qs, df, "vec_id", "vec_id",
+      "embedding", "embedding", k = 5, dim = 16, nBits = 10, probeHamming = h))
+    val r = (0 to 2).map(h => (bf & rung(h)).size.toDouble / bf.size)
+    assert(r(0) <= r(1) + 1e-9 && r(1) <= r(2) + 1e-9,
+      s"recall ladder must be monotone: $r")
+    assert(r(2) > r(0), s"rung 2 must reach neighbors rung 0 misses: $r")
+    assert(r(2) >= 0.8, s"rung-2 recall=${r(2)}")
+  }
+
   test("lshKnnMultiTable: more tables, more recall (vs single-table, same bits)") {
     val rnd = new scala.util.Random(13)
     def unit(v: Array[Double]) = {
