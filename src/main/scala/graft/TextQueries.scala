@@ -845,6 +845,60 @@ object TextQueries {
       .select("doc_id", "n_chars", "n_copies")
   }
 
+  /** robots.txt `Sitemap:` directives + governing-group `Crawl-delay`
+    * ([[graft.operators.Robots.sitemaps]] / `crawlDelay`, round 15):
+    * per-doc synthetic bodies carry a `graftbot` group with a
+    * fractional delay (a SECOND declaration that must lose —
+    * first-wins pinned), a `*` group with a decoy delay of 9 that
+    * must NOT bind, and two sitemap directives in mixed key case
+    * (global per the sitemaps protocol — extracted regardless of
+    * group). Oracle: the closed form of both extractions.
+    */
+  private def robotsSitemapsQ(s: SparkSession, d: String): DataFrame = {
+    val k = (col("doc_id") % 5).cast("string")
+    val id = col("doc_id").cast("string")
+    val body = concat(
+      lit("# graft\nUser-agent: graftbot\nDisallow: /p/\nCrawl-delay: "),
+      ((col("doc_id") % 4) + 1).cast("string"),
+      lit(".5\nCrawl-delay: 7\n\nUser-agent: *\nCrawl-delay: 9\nDisallow: /x/\n"),
+      lit("Sitemap: https://s"), k, lit(".graft.test/sm/"), id,
+      lit("-a.xml\n# note\nsitemap: https://s"), k, lit(".graft.test/sm/"), id,
+      lit("-b.xml\n"))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      explode(graft.operators.Robots.sitemaps(body)).as("sitemap"),
+      graft.operators.Robots.crawlDelay(body, "graftbot/1.0")
+        .as("crawl_delay_s"))
+  }
+
+  /** Politeness-scheduled fetch plan ([[graft.sources.Cdx.schedule]],
+    * round 15): the content-deduped fetch plan joined to per-host
+    * crawl delays (host 4 declares none → NULL → schedules at 0) and
+    * laid out `slot × delay` seconds apart within each host — the
+    * frontier a `Crawl-delay`-honoring fetcher consumes. One keyed
+    * window; hosts are the natural parallelism unit (per-host serial
+    * BY DESIGN). Oracle: the fetch-plan CTE chain + the same
+    * row_number window.
+    */
+  private def fetchScheduleQ(s: SparkSession, d: String): DataFrame = {
+    val sess = s
+    import sess.implicits._
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val dir = graft.streaming.Scratch.tmpDir("graft_cdx_sched") + "/idx"
+    muxCdxGz(docs, dir)
+    val (recs, _) = graft.sources.Cdx.readWithRejects(s, dir)
+    val plan = graft.sources.Cdx.fetchPlan(recs)
+      .withColumn("host", graft.operators.Urls.host(col("url")))
+    val delays = Seq(
+      ("s0.graft.test", 0.5), ("s1.graft.test", 1.0),
+      ("s2.graft.test", 1.5), ("s3.graft.test", 2.0))
+      .toDF("host", "delay_s")
+    graft.sources.Cdx.schedule(
+        plan.join(broadcast(delays), Seq("host"), "left"),
+        "host", "delay_s", Seq("warc_file", "offset"))
+      .select("digest", "url", "host", "slot", "not_before_s")
+  }
+
   /** STREAMING CDX fetch ([[graft.streaming.CdxFetchStream]]) — the
     * index-first crawl loop run INCREMENTALLY: index lines replay in
     * two micro-batches (batch 0: primary captures of even doc ids;
@@ -2556,6 +2610,32 @@ object TextQueries {
         .as("n_after"))
   }
 
+  /** Unicode NFD/NFKD with CLOSED-FORM oracles (round 15 — completing
+    * the normalization family: NFC has the DuckDB-native twin, NFKC
+    * the round-15 CASE table; the DECOMPOSITION forms get the same
+    * treatment). Planted per `doc_id % 4`: composed `é` (NFD splits
+    * to `e` + U+0301), ligature+composed (NFKD also folds `ﬁ`→`fi`,
+    * NFD leaves the ligature — compatibility vs canonical pinned
+    * against each other), fullwidth+circled (canonically inert, NFKD
+    * folds to ASCII), superscript. Images are fixed by the Unicode
+    * standard; combining marks enter the SQL via `chr()`.
+    */
+  private def unicodeNfdQ(s: SparkSession, d: String): DataFrame = {
+    val planted = Seq("é", "ﬁé", "Ａ①", "x²")
+    val variant = (0 until 4).foldLeft(lit(planted(3))) { (acc, i) =>
+      when(col("doc_id") % 4 === i, lit(planted(i))).otherwise(acc)
+    }
+    val raw = concat(lit("w"), col("doc_id").cast("string"), lit(" "), variant)
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextAnalysis.normalizeUnicode(raw, "NFD").as("clean_nfd"),
+      TextAnalysis.normalizeUnicode(raw, "NFKD").as("clean_nfkd"),
+      length(TextAnalysis.normalizeUnicode(raw, "NFD")).cast("long")
+        .as("n_nfd"),
+      length(TextAnalysis.normalizeUnicode(raw, "NFKD")).cast("long")
+        .as("n_nfkd"))
+  }
+
   // the boilerplate-laden page each doc is wrapped in for the
   // main-content queries — nav/newsletter/related/footer blocks the
   // extractor must drop, the <p> prose it must keep; ONE LINE in both
@@ -2956,6 +3036,30 @@ object TextQueries {
         |  CAST(length('v' || CAST(doc_id AS VARCHAR) || ' ' || img
         |    || ' caf' || chr(233)) AS BIGINT) AS n_after
         |FROM nk""".stripMargin)),
+    QueryDef("q_unicode_nfd", unicodeNfdQ, Some(
+      // chr(769)=combining acute, chr(64257)=fi ligature,
+      // chr(65313)=fullwidth A, chr(9312)=circled 1, chr(178)=²
+      """WITH nd AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 4 AS INTEGER)
+        |      WHEN 0 THEN 'e' || chr(769)
+        |      WHEN 1 THEN chr(64257) || 'e' || chr(769)
+        |      WHEN 2 THEN chr(65313) || chr(9312)
+        |      ELSE 'x' || chr(178) END AS img_nfd,
+        |    CASE CAST(doc_id % 4 AS INTEGER)
+        |      WHEN 0 THEN 'e' || chr(769)
+        |      WHEN 1 THEN 'fie' || chr(769)
+        |      WHEN 2 THEN 'A1'
+        |      ELSE 'x2' END AS img_nfkd
+        |  FROM documents)
+        |SELECT doc_id,
+        |  'w' || CAST(doc_id AS VARCHAR) || ' ' || img_nfd AS clean_nfd,
+        |  'w' || CAST(doc_id AS VARCHAR) || ' ' || img_nfkd AS clean_nfkd,
+        |  CAST(length('w' || CAST(doc_id AS VARCHAR) || ' ' || img_nfd)
+        |    AS BIGINT) AS n_nfd,
+        |  CAST(length('w' || CAST(doc_id AS VARCHAR) || ' ' || img_nfkd)
+        |    AS BIGINT) AS n_nfkd
+        |FROM nd""".stripMargin)),
     QueryDef("q_strip_html", stripHtmlQ, Some(stripHtmlSql),
       headline = true),
     QueryDef("q_sentences", sentencesQ, Some(
@@ -3290,6 +3394,54 @@ object TextQueries {
          |  FROM documents)
          |SELECT doc_id, CAST(length(clean) AS BIGINT) AS n_chars
          |FROM scf""".stripMargin)),
+    QueryDef("q_robots_sitemaps", robotsSitemapsQ, Some(
+      """WITH rs AS (
+        |  SELECT doc_id,
+        |    'https://s' || CAST(doc_id % 5 AS VARCHAR) || '.graft.test/sm/'
+        |      || CAST(doc_id AS VARCHAR) AS base,
+        |    CAST(doc_id % 4 + 1 AS DOUBLE) + 0.5 AS delay_s
+        |  FROM documents)
+        |SELECT doc_id, base || sfx AS sitemap, delay_s AS crawl_delay_s
+        |FROM rs, unnest(['-a.xml', '-b.xml']) AS u(sfx)""".stripMargin)),
+    QueryDef("q_fetch_schedule", fetchScheduleQ, Some(
+      """WITH fs_cx AS (
+        |  SELECT doc_id, text,
+        |    'https://s' || CAST(doc_id % 5 AS VARCHAR) || '.graft.test/doc/'
+        |      || CAST(doc_id AS VARCHAR) AS url,
+        |    md5(text) AS digest
+        |  FROM documents WHERE doc_id % 13 <> 0),
+        |fs_caps AS (
+        |  SELECT digest, url,
+        |    'crawl/seg-' || CAST(doc_id % 10 AS VARCHAR) || '.warc.gz' AS warc_file,
+        |    CAST(doc_id * 1000 AS BIGINT) AS "offset"
+        |  FROM fs_cx
+        |  UNION ALL
+        |  SELECT digest, url, 'crawl/seg-x.warc.gz',
+        |    CAST(doc_id * 1000 + 7 AS BIGINT)
+        |  FROM fs_cx WHERE doc_id % 7 = 0),
+        |fs_plan AS (
+        |  SELECT digest, url, warc_file, "offset" FROM (
+        |    SELECT digest, url, warc_file, "offset",
+        |      row_number() OVER (PARTITION BY digest
+        |        ORDER BY warc_file, "offset") AS rn
+        |    FROM fs_caps) t WHERE rn = 1),
+        |fs_host AS (
+        |  SELECT digest, url, warc_file, "offset",
+        |    regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host
+        |  FROM fs_plan),
+        |fs_delay AS (
+        |  SELECT *, CASE host
+        |    WHEN 's0.graft.test' THEN 0.5 WHEN 's1.graft.test' THEN 1.0
+        |    WHEN 's2.graft.test' THEN 1.5 WHEN 's3.graft.test' THEN 2.0
+        |    ELSE NULL END AS delay_s
+        |  FROM fs_host)
+        |SELECT digest, url, host,
+        |  CAST(row_number() OVER (PARTITION BY host
+        |    ORDER BY warc_file, "offset") - 1 AS BIGINT) AS slot,
+        |  CAST((row_number() OVER (PARTITION BY host
+        |    ORDER BY warc_file, "offset") - 1) AS DOUBLE)
+        |    * coalesce(delay_s, 0.0) AS not_before_s
+        |FROM fs_delay""".stripMargin)),
     QueryDef("q_warc_html_docs", warcHtmlDocs, Some(
       s"""WITH wd_in AS (
          |  SELECT doc_id, 0 AS k,

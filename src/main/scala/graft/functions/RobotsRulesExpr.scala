@@ -43,7 +43,9 @@ case class RobotsRulesExpr(child: Expression, agent: String)
 object RobotsRulesExpr {
 
   private final case class Group(
-      tokens: ArrayBuffer[String], rules: ArrayBuffer[(String, Boolean)])
+      tokens: ArrayBuffer[String], rules: ArrayBuffer[(String, Boolean)]) {
+    var crawlDelay: java.lang.Double = null
+  }
 
   /** The PRODUCT TOKEN of a crawler agent string per RFC 9309 §2.2.1:
     * the agent identifier up to (not including) the first `/` —
@@ -70,7 +72,7 @@ object RobotsRulesExpr {
     * their raw pattern text — `*` wildcards and the `$` end anchor
     * are interpreted at match time by [[RobotsAllowExpr]].
     */
-  def compute(body: UTF8String, agent: String): ArrayData = {
+  private def selectGroup(body: UTF8String, agent: String): Group = {
     val token = productToken(agent)
     val groups = ArrayBuffer.empty[Group]
     var current: Group = null
@@ -97,8 +99,17 @@ object RobotsRulesExpr {
             inAgentRun = false
             if (current != null && value.nonEmpty)
               current.rules += ((value, key == "allow"))
-          case _ => // Crawl-delay / Sitemap / unknown: close the
-            // agent run but contribute nothing
+          case "crawl-delay" =>
+            // the de-facto extension (not RFC 9309, but honored by
+            // most crawlers): per-GROUP fetch spacing in seconds;
+            // unparseable values are ignored like any unknown line
+            inAgentRun = false
+            if (current != null && current.crawlDelay == null)
+              try current.crawlDelay = java.lang.Double.valueOf(value)
+              catch { case _: NumberFormatException => }
+          case _ => // Sitemap / unknown: close the agent run but
+            // contribute nothing (Sitemap is GLOBAL, not per-group —
+            // graft.operators.Robots.sitemaps extracts it)
             inAgentRun = false
         }
       }
@@ -115,12 +126,54 @@ object RobotsRulesExpr {
       }
       if (score > bestScore) { bestScore = score; best = g }
     }
+    best
+  }
+
+  def compute(body: UTF8String, agent: String): ArrayData = {
+    val best = selectGroup(body, agent)
     val rules = if (best == null) ArrayBuffer.empty[(String, Boolean)]
                 else best.rules
     new GenericArrayData(rules.map { case (p, a) =>
       new GenericInternalRow(Array[Any](UTF8String.fromString(p), a))
     }.toArray[Any])
   }
+
+  /** The governing group's `Crawl-delay` in seconds for `agent` —
+    * null when the group declares none (or no group applies). First
+    * declaration wins within a group.
+    */
+  def computeDelay(body: UTF8String, agent: String): java.lang.Double = {
+    val best = selectGroup(body, agent)
+    if (best == null) null else best.crawlDelay
+  }
+}
+
+/** Governing-group `Crawl-delay` extraction (see
+  * [[RobotsRulesExpr.computeDelay]]) — same group selection as the
+  * rule list, one codegen'd pass, nullable double seconds.
+  */
+case class RobotsCrawlDelayExpr(child: Expression, agent: String)
+    extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    RobotsRulesExpr.computeDelay(input.asInstanceOf[UTF8String], agent)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val agentRef = ctx.addReferenceObj("agent", agent, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, c => {
+      val boxed = ctx.freshName("delay")
+      s"""java.lang.Double $boxed =
+         |  graft.functions.RobotsRulesExpr.computeDelay($c, $agentRef);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.doubleValue(); }""".stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Longest-match allow decision for one URL path against a

@@ -54,6 +54,26 @@ object Robots {
         Bridge.expression(rules), Bridge.expression(path))),
       lit(true))
 
+  /** The governing group's `Crawl-delay` for `agent`, in seconds
+    * (nullable double — null when the group declares none, no group
+    * applies, or the robots body is NULL). The de-facto extension
+    * most crawlers honor; the politeness scheduler
+    * ([[graft.sources.Cdx.schedule]]) spaces a host's planned fetches
+    * by it.
+    */
+  def crawlDelay(body: Column, agent: String): Column =
+    Bridge.column(graft.functions.RobotsCrawlDelayExpr(
+      Bridge.expression(body), agent))
+
+  /** `Sitemap:` directives of a robots body — GLOBAL per the sitemaps
+    * protocol (not per-group, unlike rules/crawl-delay), so this is
+    * pure column arithmetic: one case-insensitive anchored
+    * regexp_extract_all, array of URLs in file order (empty when
+    * none). The crawl frontier's seed list.
+    */
+  def sitemaps(body: Column): Column =
+    regexp_extract_all(body, lit("(?im)^\\s*sitemap\\s*:\\s*(\\S+)"), lit(1))
+
   /** Filter `docs` to robots-allowed URLs: `robots` carries one row
     * per host (`hostCol`, `bodyCol`); documents join by
     * [[Urls.host]] of their URL (broadcast — the robots table is

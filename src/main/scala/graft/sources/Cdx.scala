@@ -104,6 +104,35 @@ object Cdx {
         col("__pick.length").as("length"),
         col("n_copies"))
 
+  /** Politeness-scheduled fetch plan: within each host, planned
+    * fetches lay out `delaySecondsCol` seconds apart — `slot` is the
+    * 0-based per-host fetch rank (deterministic `orderCols` order,
+    * ties impossible when the order includes the unique byte range)
+    * and `not_before_s` the earliest polite fetch time relative to
+    * the host's first fetch. This is the frontier shape a
+    * `Crawl-delay`-honoring fetcher consumes
+    * ([[graft.operators.Robots.crawlDelay]] supplies the per-host
+    * delay); rows with a NULL delay schedule at 0 (no declared
+    * spacing — politeness is the crawler's own default then).
+    *
+    * One keyed window — shuffle by host, task size bounded by one
+    * host's plan (hosts are the natural parallelism unit of polite
+    * fetching: the schedule is per-host serial BY DESIGN, and
+    * distinct hosts fetch concurrently).
+    */
+  def schedule(
+      plan: DataFrame,
+      hostCol: String,
+      delaySecondsCol: String,
+      orderCols: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(hostCol).orderBy(orderCols.map(col): _*)
+    plan
+      .withColumn("slot", (row_number().over(w) - 1).cast("long"))
+      .withColumn("not_before_s",
+        col("slot") * coalesce(col(delaySecondsCol), lit(0.0)))
+  }
+
   /** Render one CDXJ line (fixtures + index export). */
   def renderLine(
       surt: String, ts: String, url: String, mime: String, status: Int,

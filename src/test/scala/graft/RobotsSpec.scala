@@ -157,6 +157,36 @@ class RobotsSpec extends SparkSpecBase {
     assert(kept === Seq(2L, 3L))
   }
 
+  test("crawlDelay: governing group's value, first declaration wins, unparseable ignored, null-safe") {
+    def delay(body: String, agent: String): Option[Double] = {
+      val r = Seq(body).toDF("body")
+        .select(Robots.crawlDelay(col("body"), agent)).head
+      if (r.isNullAt(0)) None else Some(r.getDouble(0))
+    }
+    val b = "User-agent: graftbot\nCrawl-delay: 1.5\nCrawl-delay: 7\n\n" +
+      "User-agent: *\nCrawl-delay: 9\n"
+    assert(delay(b, "graftbot/1.0") === Some(1.5),
+      "governing group's FIRST declaration wins; the * decoy must not bind")
+    assert(delay(b, "otherbot") === Some(9.0))
+    assert(delay("User-agent: *\nDisallow: /\n", "bot") === None,
+      "no declaration → null, not 0")
+    assert(delay("User-agent: *\nCrawl-delay: soon\nCrawl-delay: 4\n", "bot")
+      === Some(4.0), "unparseable value ignored like any unknown line")
+    assert(Seq("x").toDF("b")
+      .select(Robots.crawlDelay(lit(null).cast("string"), "bot")).head.isNullAt(0))
+  }
+
+  test("sitemaps: global extraction, mixed key case, file order, empty when none") {
+    val b = "User-agent: *\nDisallow: /\nSitemap: https://a.test/s1.xml\n" +
+      "# c\nsitemap: https://a.test/s2.xml\nSiteMap:https://a.test/s3.xml\n"
+    val got = Seq(b).toDF("body")
+      .select(Robots.sitemaps(col("body"))).head.getSeq[String](0)
+    assert(got === Seq("https://a.test/s1.xml", "https://a.test/s2.xml",
+      "https://a.test/s3.xml"))
+    assert(Seq("User-agent: *\nDisallow: /\n").toDF("body")
+      .select(Robots.sitemaps(col("body"))).head.getSeq[String](0).isEmpty)
+  }
+
   test("robotsTable: only the ROOT /robots.txt governs — deep-path captures never displace it") {
     val http = (body: String) =>
       s"HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=utf-8\r\n" +
