@@ -143,6 +143,19 @@ object Dedup {
     * — factored so [[sigsWithStarDecision]] can attach the occupancy
     * probe BEFORE the materialization cut.
     */
+  /** The compact `(doc_id, sig)` plan — what the round-15 compact
+    * materialization cuts; [[bandedSigsPlan]] is its band explode.
+    */
+  private[graft] def compactSigsPlan(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      n: Int = 64): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      minhashSignature(col(textCol), k, n).as("sig"))
+
   private[graft] def bandedSigsPlan(
       docs: DataFrame,
       idCol: String,
@@ -151,12 +164,7 @@ object Dedup {
       n: Int = 64,
       bands: Int = 16): DataFrame = {
     require(n % bands == 0, s"signature length $n must divide into $bands bands")
-    val rows = n / bands
-    docs.select(
-        col(idCol).as("doc_id"),
-        minhashSignature(col(textCol), k, n).as("sig"))
-      .withColumn("band", explode(lshBands(col("sig"), bands, rows)))
-      .select(col("doc_id"), col("sig"), col("band.band"), col("band.bucket"))
+    bandExplode(compactSigsPlan(docs, idCol, textCol, k, n), bands, n / bands)
   }
 
   /** Signature-estimated Jaccard: fraction of agreeing minhash lanes. */
@@ -165,21 +173,60 @@ object Dedup {
       size(filter(zip_with(a, b, (x, y) => x === y), x => x))
         .cast("double") / n, 4)
 
+  /** One signature row per doc out of a banded frame — the band-0
+    * slice (every doc carries exactly one band-0 row, and all of a
+    * doc's rows hold the identical sig), so this is a narrow FILTER
+    * over the materialized frame, never a 24M-row dropDuplicates
+    * shuffle of 520-byte sig payloads.
+    */
+  private def sigPerDoc(sigs: DataFrame): DataFrame =
+    sigs.filter(col("band") === 0).select(col("doc_id"), col("sig"))
+
+  /** Attach both sides' signatures to deduped id pairs and verify
+    * ONCE per pair — the shared tail of the candidate generators.
+    * With a small pair set AQE broadcasts the pairs, so the sig
+    * lookups stay map-side; at dup-heavy scale the joins shuffle
+    * |docs| sig rows once each, instead of the banded frame's
+    * |docs|×bands sig copies.
+    */
+  private def verifyPairs(
+      pairs: DataFrame, sigs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    val perDoc = sigPerDoc(sigs)
+    pairs
+      .join(perDoc.select(col("doc_id").as("id_a"), col("sig").as("__sa")),
+        Seq("id_a"))
+      .join(perDoc.select(col("doc_id").as("id_b"), col("sig").as("__sb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        estJaccard(col("__sa"), col("__sb"), n).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
   /** LSH bucket self-join over [[bandedSignatures]] output: candidate
     * pairs sharing any (band, bucket), verified by estimated Jaccard.
+    *
+    * Pairing runs over the NARROW `(doc_id, band, bucket)` projection
+    * and signatures join back AFTER the pair `distinct` (round 15): a
+    * pair sharing m bands used to ship both 64-lane sigs and evaluate
+    * [[estJaccard]] m times before the distinct — at the
+    * 1.5M-doc/300-way-clique probe that was ~13 GB exchanged and 24M
+    * verifications where 0.7 GB and 1.5M suffice (the banded frame is
+    * |docs|×bands rows of ~540 B each; the slim pairing rows are
+    * 28 B). Output is unchanged: est_jaccard is deterministic per
+    * pair, so distinct-then-verify ≡ verify-then-distinct.
     */
   private[graft] def candidatesFromBandedSigs(
       sigs: DataFrame, n: Int, threshold: Double): DataFrame = {
-    val a = sigs.as("a")
-    val b = sigs.as("b")
-    a.join(b,
+    val slim = sigs.select(col("doc_id"), col("band"), col("bucket"))
+    val a = slim.as("a")
+    val b = slim.as("b")
+    val pairs = a.join(b,
         col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") &&
         col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        estJaccard(col("a.sig"), col("b.sig"), n).as("est_jaccard"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-      .filter(col("est_jaccard") >= threshold)
+    verifyPairs(pairs, sigs, n, threshold)
   }
 
   /** Default trip point for the dup-heavy AUTO star switch — shared
@@ -314,6 +361,82 @@ object Dedup {
       (sigs, useStar(est, force = false, cap))
     }
 
+  /** Band-explode a compact `(doc_id, sig)` frame into the
+    * `(doc_id, sig, band, bucket)` shape every candidate generator
+    * consumes — a codegen explode, no shuffle (the
+    * [[graft.streaming.NearDupGate.bandState]] re-banding move).
+    */
+  private[graft] def bandExplode(
+      compact: DataFrame, bands: Int, rows: Int): DataFrame =
+    compact
+      .withColumn("__b", explode(lshBands(col("sig"), bands, rows)))
+      .select(col("doc_id"), col("sig"),
+        col("__b.band").as("band"), col("__b.bucket").as("bucket"))
+
+  /** [[materializeSigsProbed]] over the COMPACT `(doc_id, sig)` plan:
+    * the cut stores ONE row per doc instead of one per band — the
+    * round-13 NearDupGate state insight applied to the batch path
+    * (the 64-lane signature array is the bulk of every row, so the
+    * exploded cut wrote and re-scanned ×bands the bytes; at the
+    * 1.5M-doc probe that is a ~13 GB localCheckpoint vs ~0.8 GB).
+    * The F2 occupancy probe rides the compact cut by folding each
+    * row's own band hashes in-place (same multiset of (band, bucket)
+    * hashes as the exploded probe, so the estimate is IDENTICAL);
+    * consumers re-band post-cut via [[bandExplode]].
+    */
+  private[graft] def materializeCompactProbed(
+      compact: DataFrame, bands: Int, rows: Int): (DataFrame, () => Long) = {
+    val staged = compact.withColumn("__f2hs",
+      transform(lshBands(col("sig"), bands, rows),
+        b => xxhash64(b.getField("band"), b.getField("bucket"))))
+    val metrics = sum(size(col("__f2hs")).cast("long")).as("n") +:
+      (0 until f2Lanes).map { i =>
+        sum(aggregate(col("__f2hs"), lit(0L), (acc, h) =>
+          acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, lit(1L))
+            .otherwise(lit(-1L)))).as(s"s$i")
+      }
+    val observed = staged.observe("graft_f2_probe", metrics.head, metrics.tail: _*)
+    val cut = Materialize(observed).drop("__f2hs")
+    val est = () => {
+      val mm = observed.queryExecution.observedMetrics
+      if (mm.isEmpty) {
+        org.slf4j.LoggerFactory.getLogger("graft.Dedup").warn(
+          "sigs occupancy probe: observed metrics unavailable for this " +
+            "materialization strategy — falling back to the exact aggregate")
+        estIntraPairs(bandExplode(cut, bands, rows))
+      } else {
+        val row = mm.values.head
+        if (row.isNullAt(row.fieldIndex("n"))) 0L // empty input: sum = null
+        else {
+          val n = row.getAs[Long]("n")
+          if (n == 0L) 0L
+          else {
+            val f2 = (0 until f2Lanes).map { i =>
+              val s = row.getAs[Long](s"s$i"); s.toDouble * s
+            }.sum / f2Lanes
+            math.max(0L, ((f2 - n) / 2).toLong)
+          }
+        }
+      }
+    }
+    (cut, est)
+  }
+
+  /** [[sigsWithStarDecision]] with the COMPACT materialization — the
+    * minhash-family entry points' default since round 15. Takes the
+    * un-exploded `(doc_id, sig)` plan, returns the BANDED frame
+    * (re-derived post-cut) and the star decision.
+    */
+  private[graft] def sigsWithStarDecisionCompact(
+      compact: DataFrame, bands: Int, rows: Int,
+      force: Boolean, cap: Long): (DataFrame, Boolean) =
+    if (force || cap == Long.MaxValue)
+      (bandExplode(Materialize(compact), bands, rows), force)
+    else {
+      val (cut, est) = materializeCompactProbed(compact, bands, rows)
+      (bandExplode(cut, bands, rows), useStar(est, force = false, cap))
+    }
+
   /** STAR-candidate variant of [[candidatesFromBandedSigs]] — the
     * dup-heavy-corpus mitigation (round 12): a k-member duplicate
     * clique puts k²/2 pairs through est-Jaccard verification in the
@@ -336,16 +459,21 @@ object Dedup {
     */
   private[graft] def starCandidatesFromBandedSigs(
       sigs: DataFrame, n: Int, threshold: Double): DataFrame = {
-    val hubs = sigs.groupBy(col("band"), col("bucket"))
-      .agg(min_by(struct(col("doc_id"), col("sig")), col("doc_id")).as("__h"))
-      .select(col("band"), col("bucket"),
-        col("__h.doc_id").as("hub_id"), col("__h.sig").as("hub_sig"))
-    sigs.join(hubs, Seq("band", "bucket"))
+    // Narrow pairing (round 15, same reshape as
+    // [[candidatesFromBandedSigs]]): hub selection and the member↔hub
+    // pairing move only `(doc_id, band, bucket)`; signatures join
+    // back once per DISTINCT pair. This is the star path's own
+    // scale case — dup-heavy corpora — where each 300-way clique's
+    // members used to ship their 64-lane sigs through all 16 band
+    // partitions and verify 16×.
+    val slim = sigs.select(col("doc_id"), col("band"), col("bucket"))
+    val hubs = slim.groupBy(col("band"), col("bucket"))
+      .agg(min(col("doc_id")).as("hub_id"))
+    val pairs = slim.join(hubs, Seq("band", "bucket"))
       .filter(col("doc_id") =!= col("hub_id"))
-      .select(col("hub_id").as("id_a"), col("doc_id").as("id_b"),
-        estJaccard(col("sig"), col("hub_sig"), n).as("est_jaccard"))
+      .select(col("hub_id").as("id_a"), col("doc_id").as("id_b"))
       .distinct()
-      .filter(col("est_jaccard") >= threshold)
+    verifyPairs(pairs, sigs, n, threshold)
   }
 
   /** SimHash-64: per token, a 64-bit token hash votes ±1 on each of
@@ -682,8 +810,9 @@ object Dedup {
       threshold: Double = 0.5,
       star: Boolean = false,
       autoStarPairsCap: Long = defaultAutoStarPairsCap): DataFrame = {
-    val (sigs, starNow) = sigsWithStarDecision(
-      bandedSigsPlan(docs, idCol, textCol, k, n, bands), star, autoStarPairsCap)
+    val (sigs, starNow) = sigsWithStarDecisionCompact(
+      compactSigsPlan(docs, idCol, textCol, k, n), bands, n / bands,
+      star, autoStarPairsCap)
     val pairs =
       if (starNow) starCandidatesFromBandedSigs(sigs, n, threshold)
       else candidatesFromBandedSigs(sigs, n, threshold)
@@ -768,8 +897,8 @@ object Dedup {
     // Same auto star switch as [[dropNearDuplicates]]: quality-ranked
     // keeper selection operates on components, and star preserves
     // clique connectivity — the contract trade is identical.
-    val (sigs, starNow) = sigsWithStarDecision(
-      bandedSigsPlan(docs, idCol, textCol, k, n, bands),
+    val (sigs, starNow) = sigsWithStarDecisionCompact(
+      compactSigsPlan(docs, idCol, textCol, k, n), bands, n / bands,
       force = false, autoStarPairsCap)
     val pairs =
       if (starNow) starCandidatesFromBandedSigs(sigs, n, threshold)

@@ -135,8 +135,8 @@ object NearDupGate {
     // (F2 occupancy probe as observe metrics — zero extra jobs per
     // micro-batch; Dedup.materializeSigsProbed) unless it's already
     // pinned by starIntra / a MaxValue cap.
-    val (sigs, starNow) = Dedup.sigsWithStarDecision(
-      Dedup.bandedSigsPlan(batch, idCol, textCol, k, n, bands),
+    val (sigs, starNow) = Dedup.sigsWithStarDecisionCompact(
+      Dedup.compactSigsPlan(batch, idCol, textCol, k, n), bands, n / bands,
       starIntra, autoStarPairsCap)
     // A replayed batch must not match its own previously-committed
     // signatures: state is everything from strictly EARLIER batches.

@@ -125,13 +125,11 @@ object VideoGate {
       .otherwise(col("frames"))
     // star decision via the zero-extra-job F2 probe riding the
     // banded-signature materialization (Dedup.sigsWithStarDecision)
-    val (sigs, starNow) = Dedup.sigsWithStarDecision(
+    val (sigs, starNow) = Dedup.sigsWithStarDecisionCompact(
       energies
         .select(col(idCol).as("doc_id"),
-          graft.functions.HashExprs.minhashSig(hs, n).as("sig"))
-        .withColumn("band", explode(Dedup.lshBands(col("sig"), bands, rows)))
-        .select(col("doc_id"), col("sig"), col("band.band"), col("band.bucket")),
-      starIntra, autoStarPairsCap)
+          graft.functions.HashExprs.minhashSig(hs, n).as("sig")),
+      bands, rows, starIntra, autoStarPairsCap)
     val state = NearDupGate.bandState(
       NearDupGate.readState(batch.sparkSession, stateDir)
         .filter(col("batch_id") < batchId),

@@ -52,6 +52,26 @@ class F2ProbeSpec extends SparkSpecBase {
     assert(estEmpty() === 0L)
   }
 
+  test("compact probe ≡ exploded probe: identical estimate, identical banded rows, empty reads 0") {
+    val docs = corpus(12)
+    // same multiset of (band, bucket) hashes → bit-identical estimate
+    val (_, estBanded) = Dedup.materializeSigsProbed(
+      Dedup.bandedSigsPlan(docs, "doc_id", "text"))
+    val (compactCut, estCompact) = Dedup.materializeCompactProbed(
+      Dedup.compactSigsPlan(docs, "doc_id", "text"), bands = 16, rows = 4)
+    assert(estCompact() === estBanded())
+    // re-banding the compact cut reproduces the exploded frame exactly
+    val rebanded = Dedup.bandExplode(compactCut, 16, 4)
+      .select("doc_id", "band", "bucket")
+    val direct = Dedup.bandedSigsPlan(docs, "doc_id", "text")
+      .select("doc_id", "band", "bucket")
+    assert(rebanded.exceptAll(direct).isEmpty && direct.exceptAll(rebanded).isEmpty)
+    val (_, estE) = Dedup.materializeCompactProbed(
+      Dedup.compactSigsPlan(docs.filter($"doc_id" < 0), "doc_id", "text"),
+      bands = 16, rows = 4)
+    assert(estE() === 0L)
+  }
+
   test("mixed corpus (many buckets): estimate concentrates within 25% of exact") {
     // hundreds of distinct buckets — the production regime, where the
     // lane sums concentrate (variance spreads over many keys)
