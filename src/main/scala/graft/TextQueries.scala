@@ -923,12 +923,8 @@ object TextQueries {
       lines.filter(docId % 2 === 0 && primary), 0L, stateDir, recsDir, dir)
     val n1 = graft.streaming.CdxFetchStream.fetchBatch(
       lines.filter(docId % 2 =!= 0 || !primary), 1L, stateDir, recsDir, dir)
-    val landed = s.read.schema(
-        org.apache.spark.sql.types.StructType(
-          graft.sources.Warc.recordSchema.fields :+
-            org.apache.spark.sql.types.StructField("batch_id",
-              org.apache.spark.sql.types.LongType)))
-      .parquet(recsDir)
+    // committed manifest view: crash orphans invisible
+    val landed = graft.sources.Warc.readRecords(s, recsDir)
     graft.sources.Warc.responseDocuments(landed.drop("batch_id"))
       .select(
         regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)

@@ -18,12 +18,17 @@ import org.apache.spark.sql.types._
   * executor state store ([[NearDupGate]]'s reasoning: a crawl's
   * digest set is corpus-sized, and the membership check is a
   * broadcast-or-shuffle anti-join, not a per-key lookup). Exactly
-  * once: records and state both commit with dynamic partition
-  * overwrite keyed by `batch_id`, so a replayed micro-batch
-  * overwrites its own partitions instead of fetching or recording
-  * twice — and a replayed batch must not anti-join against its OWN
-  * committed digests, so state reads filter to strictly earlier
-  * batches.
+  * once: fetched records land under the MANIFEST TRANSACTION
+  * ([[graft.sources.ManifestedSink.appendBatch]] — the
+  * [[graft.sources.Warc.landBatch]] discipline: a re-delivered batch
+  * sweeps its prior attempt's files before re-applying, crash
+  * orphans are invisible to the committed read, and consumers get
+  * `record_id`-bloom + `target_uri`/`warc_type`-zone pruned point
+  * reads over the fetched table); digest state keeps the
+  * `batch_id`-partition dynamic-overwrite discipline (append-only
+  * metadata, no point-read consumers). A replayed batch must not
+  * anti-join against its OWN committed digests, so state reads
+  * filter to strictly earlier batches.
   *
   * Scale shape per batch: parse is column arithmetic; the anti-join
   * shuffles index METADATA only (one row per capture — payload bytes
@@ -78,18 +83,17 @@ object CdxFetchStream {
     try {
       val (recs, _) =
         graft.sources.Warc.fetchRanged(spark, plan, baseDir, maxPayloadBytes)
-      val landed = recs.withColumn("batch_id", lit(batchId))
-      landed.write.partitionBy("batch_id")
-        .option("partitionOverwriteMode", "dynamic")
-        .mode("overwrite").parquet(recordsDir)
+      graft.sources.ManifestedSink.appendBatch(
+        recs.withColumn("batch_id", lit(batchId)),
+        recordsDir, graft.sources.Warc.manifestDir(recordsDir),
+        cols = Seq("target_uri", "warc_type"),
+        bloomCols = Seq("record_id"),
+        batchId = batchId)
       plan.select(col("digest")).withColumn("batch_id", lit(batchId))
         .write.partitionBy("batch_id")
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite").parquet(stateDir)
-      spark.read.schema(
-        StructType(graft.sources.Warc.recordSchema.fields :+
-          StructField("batch_id", LongType)))
-        .parquet(recordsDir)
+      graft.sources.Warc.readRecords(spark, recordsDir)
         .filter(col("batch_id") === batchId).count()
     } finally graft.operators.Materialize.release(plan)
   }

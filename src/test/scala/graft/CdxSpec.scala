@@ -98,8 +98,10 @@ class CdxSpec extends SparkSpecBase {
       Seq(line(3, 2), line(1, 0), line(3, 2)).toDF("line"),
       1L, stateDir, recsDir, dir)
     assert(n1 === 1L)
-    def landedUris(): Seq[String] = spark.read.parquet(recsDir)
-      .select("target_uri").as[String].collect().sorted.toSeq
+    // committed MANIFEST view (the landing is ManifestedSink-backed)
+    def landedUris(): Seq[String] =
+      graft.sources.Warc.readRecords(spark, recsDir)
+        .select("target_uri").as[String].collect().sorted.toSeq
     val afterOnce = landedUris()
     assert(afterOnce === Seq(1, 2, 3).map(i => s"https://graft.test/doc/$i"))
     // replaying batch 1 (failure recovery) overwrites its own
