@@ -609,6 +609,12 @@ object StreamingQueries {
     val replay = new graft.streaming.FileReplay(s, evs.schema)
     replay.add(evs.filter(col("event_id") % 2 === 0))
     s.conf.set(key, s.conf.get("spark.graft.streaming.shufflePartitions", "8"))
+    // accumulated as each start() RETURNS (ADVICE r15): if the second
+    // or third start throws, the earlier queries must still stop —
+    // leaked queries leave state-store providers resident in the
+    // shared bench JVM (the Bench phasing contamination)
+    val started = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.streaming.StreamingQuery]
     try {
       val src = replay.stream
       val bar = src.groupBy("event_type")
@@ -619,11 +625,14 @@ object StreamingQueries {
         .agg(max_by(col("value"), struct(col("ts"), col("event_id")))
           .as("value"))
       def start(df: DataFrame, mode: String)(
-          sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
-        df.writeStream.outputMode(mode)
+          sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+        val q = df.writeStream.outputMode(mode)
           .option("checkpointLocation", graft.streaming.Scratch.ckptDir())
           .foreachBatch((b: DataFrame, _: Long) => sink(b))
           .start()
+        started += q
+        q
+      }
       val qBar = start(bar, "complete")(
         _.write.mode("overwrite").parquet(barOut))
       val qProf = start(latest, "complete") { b =>
@@ -642,12 +651,16 @@ object StreamingQueries {
         src.select("event_type", "ts", "value", "event_id"), "append")(
         _.write.mode("append").parquet(lineOut))
       val qs = Seq(qBar, qProf, qLine)
-      try {
-        qs.foreach(_.processAllAvailable())
-        replay.add(evs.filter(col("event_id") % 2 =!= 0))
-        qs.foreach(_.processAllAvailable())
-      } finally qs.foreach(_.stop())
-    } finally s.conf.set(key, old)
+      qs.foreach(_.processAllAvailable())
+      replay.add(evs.filter(col("event_id") % 2 =!= 0))
+      qs.foreach(_.processAllAvailable())
+    } finally {
+      started.foreach { q =>
+        try q.stop()
+        catch { case _: Exception => } // stop the rest regardless
+      }
+      s.conf.set(key, old)
+    }
     val nullS = lit(null).cast("string")
     val nullD = lit(null).cast("double")
     val barF = s.read

@@ -61,6 +61,24 @@ object RobotsRulesExpr {
     (if (slash >= 0) agent.substring(0, slash) else agent).trim.toLowerCase
   }
 
+  /** The product token of a GROUP's `User-agent:` value — the robots
+    * body side of the match. Google's parser extracts the product
+    * token from the group line too (a site publishing
+    * `User-agent: graftbot/1.0` means to bind graftbot, not a bot
+    * whose product token happens to contain a slash), so the value is
+    * truncated at its first non-product-token octet (anything outside
+    * `[a-z_-]` after lowercasing, the robots.cc alphabet). `*` is the
+    * wildcard group, kept verbatim; a value with NO leading
+    * product-token octet (e.g. `1bot`) yields the empty string, which
+    * [[selectGroup]] skips — an empty token is a prefix of everything
+    * and would otherwise bind like a second `*`.
+    */
+  def groupToken(value: String): String = {
+    val v = value.trim.toLowerCase
+    if (v.startsWith("*")) "*"
+    else v.takeWhile(c => (c >= 'a' && c <= 'z') || c == '_' || c == '-')
+  }
+
   /** Parse `body` and return the governing group's rules for `agent`:
     * groups are runs of consecutive `User-agent` lines followed by
     * their rules; the winner is the group whose agent token is the
@@ -94,7 +112,12 @@ object RobotsRulesExpr {
               groups += current
               inAgentRun = true
             }
-            if (value.nonEmpty) current.tokens += value.toLowerCase
+            if (value.nonEmpty) {
+              // tokenize the group value too (ADVICE r15): a group
+              // line `User-agent: graftbot/1.0` must bind graftbot
+              val t = groupToken(value)
+              if (t.nonEmpty) current.tokens += t
+            }
           case "allow" | "disallow" =>
             inAgentRun = false
             if (current != null && value.nonEmpty)
@@ -102,11 +125,17 @@ object RobotsRulesExpr {
           case "crawl-delay" =>
             // the de-facto extension (not RFC 9309, but honored by
             // most crawlers): per-GROUP fetch spacing in seconds;
-            // unparseable values are ignored like any unknown line
+            // unparseable values are ignored like any unknown line.
+            // Strict decimal form only (ADVICE r15): Double.valueOf
+            // also accepts NaN/Infinity/hex-floats/'1.5d', and a
+            // hostile NaN delay would poison the politeness
+            // scheduler's not_before_s (slot × NaN) instead of being
+            // ignored — a delay is a plain non-negative decimal or
+            // nothing
             inAgentRun = false
-            if (current != null && current.crawlDelay == null)
-              try current.crawlDelay = java.lang.Double.valueOf(value)
-              catch { case _: NumberFormatException => }
+            if (current != null && current.crawlDelay == null &&
+                value.matches("[0-9]+(\\.[0-9]+)?"))
+              current.crawlDelay = java.lang.Double.valueOf(value)
           case _ => // Sitemap / unknown: close the agent run but
             // contribute nothing (Sitemap is GLOBAL, not per-group —
             // graft.operators.Robots.sitemaps extracts it)

@@ -395,10 +395,17 @@ object Dedup {
           acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, lit(1L))
             .otherwise(lit(-1L)))).as(s"s$i")
       }
+    // __f2hs stays a staged column BELOW the observe (33 metric
+    // expressions reference it — inlining the transform would
+    // re-evaluate the band hashing 33× per row) but is projected away
+    // ABOVE it, so the checkpoint holds ONLY (doc_id, sig): staging
+    // it into the cut carried ~bands×8 B/row of dead weight the
+    // compact path exists to avoid (ADVICE r15)
     val observed = staged.observe("graft_f2_probe", metrics.head, metrics.tail: _*)
-    val cut = Materialize(observed).drop("__f2hs")
+    val cutPlan = observed.drop("__f2hs")
+    val cut = Materialize(cutPlan)
     val est = () => {
-      val mm = observed.queryExecution.observedMetrics
+      val mm = cutPlan.queryExecution.observedMetrics
       if (mm.isEmpty) {
         org.slf4j.LoggerFactory.getLogger("graft.Dedup").warn(
           "sigs occupancy probe: observed metrics unavailable for this " +

@@ -407,6 +407,12 @@ object Warc {
         var openFile: String = null
         var in: org.apache.hadoop.fs.FSDataInputStream = null
         def close(): Unit = { if (in != null) { in.close(); in = null } }
+        // backstop for short-circuiting consumers (limit/take/early
+        // join termination): the exhaust-then-close wrapper below
+        // never fires if the iterator is abandoned mid-way, and the
+        // handle would live until executor shutdown
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => close()))
         val out = it.flatMap { r =>
           val file = r.getString(0)
           val offset = r.getLong(1)

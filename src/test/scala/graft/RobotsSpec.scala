@@ -69,6 +69,26 @@ class RobotsSpec extends SparkSpecBase {
       "graftbot/1.0 (+https://graft.test)", "/v/x"))
   }
 
+  test("group VALUES tokenize too: 'User-agent: graftbot/1.0' binds graftbot (ADVICE r15)") {
+    // a site publishing a versioned group line means the product
+    // token — the robots.cc convention extracts it from BOTH sides
+    val versioned = "User-agent: graftbot/1.0\nDisallow: /g/\n\nUser-agent: *\nDisallow: /s/\n"
+    assert(!allowed(versioned, "graftbot/1.0 (+https://graft.test)", "/g/x"),
+      "the versioned group line must bind its own crawler")
+    assert(!allowed(versioned, "graftbot", "/g/x"))
+    assert(allowed(versioned, "graftbot/1.0", "/s/x"),
+      "a bound agent ignores the * group")
+    // truncation is at the first non-[a-z_-] octet, not just '/'
+    assert(!allowed("User-agent: graft-bot v2\nDisallow: /v/\n",
+      "graft-bot/2.0", "/v/x"))
+    // a value with NO leading product-token octet yields an empty
+    // token, which must match NOTHING (an empty prefix would bind
+    // every agent like a second *)
+    val junk = "User-agent: 1bot\nDisallow: /\n\nUser-agent: *\nDisallow: /w/\n"
+    assert(allowed(junk, "graftbot", "/x") && !allowed(junk, "graftbot", "/w/x"),
+      "an untokenizable group value must not become a wildcard")
+  }
+
   test("longest-match rules: allow overrides shorter disallow; ties go to allow; no match allows") {
     assert(!allowed(body, "graftbot", "/private/secret"))
     assert(allowed(body, "graftbot", "/private/pub/doc"),
@@ -174,6 +194,16 @@ class RobotsSpec extends SparkSpecBase {
       === Some(4.0), "unparseable value ignored like any unknown line")
     assert(Seq("x").toDF("b")
       .select(Robots.crawlDelay(lit(null).cast("string"), "bot")).head.isNullAt(0))
+    // ADVICE r15: Double.valueOf-isms are NOT delays — a hostile
+    // NaN/Infinity would poison the scheduler's slot × delay product;
+    // Java-only float spellings and negatives are unparseable too
+    Seq("NaN", "Infinity", "-Infinity", "1.5d", "0x1p2", "-1", "-0.5",
+        "1e3", ".5", "5.").foreach { v =>
+      assert(delay(s"User-agent: *\nCrawl-delay: $v\nCrawl-delay: 2\n", "bot")
+        === Some(2.0), s"'$v' must be ignored (first VALID declaration wins)")
+    }
+    assert(delay("User-agent: *\nCrawl-delay: 0\n", "bot") === Some(0.0),
+      "zero is a valid declared delay")
   }
 
   test("sitemaps: global extraction, mixed key case, file order, empty when none") {
