@@ -365,6 +365,26 @@ object SimilarityQueries {
       dim, m, ksub, k = 5, nProbe = 3, shortlist = 20)
   }
 
+  /** Plain-IVF serving path ([[Similarity.ivfKnn]]): coarse cells
+    * prune the corpus, EXACT cosine scores the probed cells' members
+    * directly — the no-PQ middle rung of the ANN ladder (IVF-Flat in
+    * faiss terms; right when the corpus fits but the all-pairs scan
+    * doesn't). Shares the memoized IVF index with [[ivfPqKnnQ]].
+    * Hash-exact: the quantizer is engine-exact and the probe score is
+    * Det-rounded, so the oracle is [[Similarity.kmeansDuckCtes]]'s
+    * probe set + exact cosine over probed-cell candidates.
+    */
+  private def ivfKnnQ(s: SparkSession, d: String): DataFrame = {
+    val em = Tables.embeddings(s, d)
+    val (index, cents) = ivfIndexCache.computeIfAbsent(d, _ => {
+      val (ix, ct) = Similarity.ivfIndex(em, "vec_id", "embedding", nCentroids = 8)
+      (graft.operators.Materialize(ix), graft.operators.Materialize(ct))
+    })
+    Similarity.ivfKnn(
+      em.filter(col("vec_id") < 10), index, cents, em,
+      "vec_id", "vec_id", "embedding", "embedding", k = 5, nProbe = 3)
+  }
+
   /** Retrieval-quality eval ([[Retrieval.rankEval]]): the 10-nearest
     * run of the first 10 query vectors scored against label-match
     * qrels (same-label vectors are the relevant set) — per query
@@ -606,6 +626,34 @@ object SimilarityQueries {
               candCte = Some("ivf_cand"))}
          |SELECT query_id, neighbor_id, sim, rank FROM pq_topk""".stripMargin
     }, headline = true),
+    QueryDef("q_ivf_knn", ivfKnnQ, Some {
+      val probeSim = graft.functions.Det.roundSql(
+        Similarity.cosineDuckSql("q.v", "s.cv"), 6)
+      s"""WITH ${Similarity.kmeansDuckCtes()},
+         |ivf_probe AS (
+         |  SELECT query_id, centroid_id FROM (
+         |    SELECT q.vec_id AS query_id, s.centroid_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY $probeSim DESC, s.centroid_id) AS rn
+         |    FROM km_c q CROSS JOIN km_cent2 s
+         |    WHERE q.vec_id < 10) t
+         |  WHERE rn <= 3),
+         |ivf_scored AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id,
+         |    ${graft.functions.Det.roundSql(
+                Similarity.cosineDuckSql("q.v", "n.v"), 6)} AS sim
+         |  FROM ivf_probe p
+         |  JOIN km_assign a USING (centroid_id)
+         |  JOIN km_c q ON q.vec_id = p.query_id
+         |  JOIN km_c n ON n.vec_id = a.vec_id
+         |  WHERE a.vec_id <> p.query_id)
+         |SELECT query_id, neighbor_id, sim, rank FROM (
+         |  SELECT query_id, neighbor_id, sim,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+         |  FROM ivf_scored) t
+         |WHERE rank <= 5""".stripMargin
+    }),
     QueryDef("q_pq_knn", pqKnnQ, Some(
       s"""WITH ${Similarity.pqKnnDuckCtes(
             table = "embeddings", idCol = "vec_id", vecCol = "embedding",

@@ -643,9 +643,12 @@ object Similarity {
       nProbe: Int = 3,
       excludeSelf: Boolean = true): DataFrame = {
     val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
+    // probe score ROUNDED like ivfPqKnn's (and assign's): the probe
+    // set is then engine-replayable, which is what lets the composed
+    // query be oracle-checked hash-exact
     val probes = q.crossJoin(broadcast(centroids))
       .select(col("query_id"), col("__qv"), col("centroid_id"),
-        cosine(col("__qv"), col("cv")).as("cs"))
+        Det.round(cosine(col("__qv"), col("cv")), 6).as("cs"))
       .withColumn("__pr", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cs").desc, col("centroid_id"))))
       .filter(col("__pr") <= nProbe)
