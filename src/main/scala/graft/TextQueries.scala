@@ -754,7 +754,8 @@ object TextQueries {
     * ranges really dereference.
     */
   private def muxWarcCdxGz(
-      docs: org.apache.spark.sql.DataFrame, dir: String): Unit = {
+      docs: org.apache.spark.sql.DataFrame, dir: String,
+      multiHost: Boolean = false, plantBad: Boolean = false): Unit = {
     val shards = docs.sparkSession.sparkContext.defaultParallelism
     docs.repartition(shards, col("doc_id")).foreachPartition {
       (it: Iterator[org.apache.spark.sql.Row]) =>
@@ -762,6 +763,10 @@ object TextQueries {
         val md = java.security.MessageDigest.getInstance("MD5")
         def digestOf(b: Array[Byte]): String =
           md.digest(b).map(x => f"$x%02x").mkString
+        def hostOf(id: Long): String =
+          if (multiHost) s"s${id % 5}.graft.test" else "graft.test"
+        def surtHost(id: Long): String =
+          hostOf(id).split('.').reverse.mkString(",")
         val rows = it.map { r => (r.getLong(0), r.getString(1)) }.toSeq
         if (rows.nonEmpty) {
           def page(id: Long, text: String): Array[Byte] = {
@@ -773,7 +778,7 @@ object TextQueries {
           }
           def record(recId: String, id: Long, pg: Array[Byte]): Array[Byte] =
             graft.sources.Warc.renderRecord("response", recId,
-              s"https://graft.test/doc/$id", "2026-01-01T00:00:00Z",
+              s"https://${hostOf(id)}/doc/$id", "2026-01-01T00:00:00Z",
               "application/http; msgtype=response", pg)
           def writeAtomic(name: String, bytes: Array[Byte]): Unit = {
             val tmp = java.nio.file.Paths.get(dir, s".$name.tmp")
@@ -794,13 +799,26 @@ object TextQueries {
           def cdxLine(id: Long, pg: Array[Byte], ts: String,
               file: String, off: Long, len: Long): String =
             graft.sources.Cdx.renderLine(
-              s"test,graft)/doc/$id", ts, s"https://graft.test/doc/$id",
+              s"${surtHost(id)})/doc/$id", ts, s"https://${hostOf(id)}/doc/$id",
               "text/html", 200, digestOf(pg), len, off, file)
           val lines =
             pages.zip(segIdx).map { case ((id, pg), (off, len)) =>
               cdxLine(id, pg, "20260101000000", segName, off, len) } ++
             dups.zip(xtraIdx).map { case ((id, pg), (off, len)) =>
-              cdxLine(id, pg, "20260102000000", xtraName, off, len) }
+              cdxLine(id, pg, "20260102000000", xtraName, off, len) } ++
+            // planted dead-letter ranges (`plantBad`): a unique digest
+            // whose range points 2 bytes INTO a gzip member — never
+            // decompressible, so the planned fetch must dead-letter it
+            // while consuming its schedule slot
+            (if (plantBad)
+               pages.zip(segIdx).collect {
+                 case ((id, _), (off, len)) if id % 11 == 3 =>
+                   graft.sources.Cdx.renderLine(
+                     s"${surtHost(id)})/bad/$id", "20260103000000",
+                     s"https://${hostOf(id)}/bad/$id", "text/html", 200,
+                     s"BAD-$id", len, off + 2, segName)
+               }
+             else Seq.empty)
           writeAtomic(f"idx-$pid%05d.cdx",
             lines.mkString("", "\n", "\n")
               .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -930,6 +948,78 @@ object TextQueries {
         regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
           .cast("long").as("doc_id"),
         col("n_chars"))
+  }
+
+  /** POLITENESS ENFORCED ON THE FETCH PATH (round 16): the full
+    * polite-crawl composition — CDX index → content-deduped fetch
+    * plan → per-host `Crawl-delay`s extracted from robots bodies
+    * ([[graft.operators.Robots.crawlDelay]]) → politeness schedule
+    * ([[graft.sources.Cdx.schedule]]) → scheduled ranged fetch
+    * ([[graft.sources.Warc.fetchScheduled]]), which dereferences each
+    * host's ranges strictly in slot order and stamps every record
+    * with `fetch_seq`, its ACTUAL per-host fetch position. The oracle
+    * pins `fetch_seq == slot` row by row — the politeness contract
+    * itself, which breaks if anything ever splits a host across
+    * tasks or reorders within one — plus the schedule closed form and
+    * the extracted page lengths.
+    *
+    * The fixture is multi-host (5 hosts; 4 declare delays via robots,
+    * one publishes none → schedules at 0 spacing) and plants
+    * dead-letter ranges (`doc_id % 11 == 3`: a unique digest whose
+    * range points 2 bytes into a gzip member). The in-plan guard
+    * asserts EXACTLY the planted count dead-letters; their consumed
+    * slots must leave every later record's `fetch_seq == slot` intact
+    * — dead letters unaffected AND non-disruptive.
+    */
+  private def politeFetchQ(s: SparkSession, d: String): DataFrame = {
+    val sess = s
+    import sess.implicits._
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val dir = stagedDir("graft_cdx_polite", d)(
+      muxWarcCdxGz(docs, _, multiHost = true, plantBad = true))
+    val (cdx, _) = graft.sources.Cdx.readWithRejects(s, dir + "/*.cdx")
+    val hosted = graft.sources.Cdx.fetchPlan(cdx)
+      .withColumn("host", graft.operators.Urls.host(col("url")))
+    val robots = Seq(
+      ("s0.graft.test",
+        "User-agent: graftbot\nCrawl-delay: 0.5\n\nUser-agent: *\nCrawl-delay: 9\n"),
+      ("s1.graft.test",
+        "User-agent: graftbot/1.0\nCrawl-delay: 1\n\nUser-agent: *\nCrawl-delay: 9\n"),
+      ("s2.graft.test",
+        "User-agent: graftbot\nCrawl-delay: 1.5\nCrawl-delay: 8\n"),
+      ("s3.graft.test", "User-agent: graftbot\nCrawl-delay: 2\n"))
+      .toDF("host", "body")
+    val delays = robots.select(col("host"),
+      graft.operators.Robots.crawlDelay(col("body"), "graftbot/1.0")
+        .as("delay_s"))
+    // slot order by URL: unique per capture and engine-replayable
+    // (the synthetic-range queries order by (warc_file, offset); here
+    // the REAL byte offsets are not closed-form, the url is)
+    val plan = graft.operators.Materialize(graft.sources.Cdx.schedule(
+      hosted.join(broadcast(delays), Seq("host"), "left"),
+      "host", "delay_s", orderCols = Seq("url")))
+    try {
+      val (recs, rejects) =
+        graft.sources.Warc.fetchScheduled(s, plan, baseDir = dir)
+      val expected = docs.filter(col("doc_id") % 11 === 3)
+        .agg(count(lit(1)).as("__nbad"))
+      val guard = rejects.agg(count(lit(1)).as("__nrej"))
+        .crossJoin(expected)
+        .filter(assert_true(col("__nrej") === col("__nbad"),
+          concat(lit("q_polite_fetch: "), col("__nrej").cast("string"),
+            lit(" dead letters, planted "), col("__nbad").cast("string")))
+          .isNull)
+        .select(lit(1).as("__g"))
+      graft.sources.Warc.httpParts(recs.filter(col("warc_type") === "response"))
+        .filter(col("http_status") === 200)
+        .join(guard)
+        .select(
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          col("host"), col("slot"), col("not_before_s"), col("fetch_seq"),
+          length(graft.operators.TextAnalysis.stripHtml(col("http_body")))
+            .cast("long").as("n_chars"))
+    } finally graft.operators.Materialize.release(plan)
   }
 
   /** robots.txt compliance decisions ([[graft.operators.Robots]]):
@@ -3390,6 +3480,37 @@ object TextQueries {
          |  FROM documents)
          |SELECT doc_id, CAST(length(clean) AS BIGINT) AS n_chars
          |FROM scf""".stripMargin)),
+    QueryDef("q_polite_fetch", politeFetchQ, Some(
+      s"""WITH pf_docs AS (
+         |  SELECT doc_id,
+         |    's' || CAST(doc_id % 5 AS VARCHAR) || '.graft.test' AS host
+         |  FROM documents),
+         |pf_caps AS (
+         |  SELECT doc_id, host,
+         |    'https://' || host || '/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         |    TRUE AS good
+         |  FROM pf_docs
+         |  UNION ALL
+         |  SELECT doc_id, host,
+         |    'https://' || host || '/bad/' || CAST(doc_id AS VARCHAR), FALSE
+         |  FROM pf_docs WHERE doc_id % 11 = 3),
+         |pf_sched AS (
+         |  SELECT doc_id, host, good,
+         |    CAST(row_number() OVER (PARTITION BY host ORDER BY url) - 1
+         |      AS BIGINT) AS slot,
+         |    CASE host WHEN 's0.graft.test' THEN 0.5
+         |      WHEN 's1.graft.test' THEN 1.0 WHEN 's2.graft.test' THEN 1.5
+         |      WHEN 's3.graft.test' THEN 2.0 ELSE NULL END AS delay_s
+         |  FROM pf_caps),
+         |pf_clean AS (
+         |  SELECT doc_id, ${duckStripHtml(s"($duckPageShell)")} AS clean
+         |  FROM documents)
+         |SELECT s.doc_id, s.host, s.slot,
+         |  CAST(s.slot AS DOUBLE) * coalesce(s.delay_s, 0.0) AS not_before_s,
+         |  s.slot AS fetch_seq,
+         |  CAST(length(c.clean) AS BIGINT) AS n_chars
+         |FROM pf_sched s JOIN pf_clean c ON c.doc_id = s.doc_id
+         |WHERE s.good""".stripMargin), headline = true),
     QueryDef("q_robots_sitemaps", robotsSitemapsQ, Some(
       """WITH rs AS (
         |  SELECT doc_id,

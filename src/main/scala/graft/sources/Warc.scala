@@ -455,6 +455,146 @@ object Warc {
     splitUnified(spark, rows)
   }
 
+  /** [[recordSchema]] plus the schedule provenance each politely
+    * fetched record carries: the host it was fetched from, its
+    * planned `slot`/`not_before_s` ([[graft.sources.Cdx.schedule]]'s
+    * contract), and `fetch_seq` — the 0-based position at which the
+    * range was ACTUALLY dereferenced within its host. A correct
+    * polite fetch has `fetch_seq == slot` for every row; the equality
+    * is what the oracle pins (it breaks the moment anything splits a
+    * host across tasks or reorders within one).
+    */
+  val scheduledRecordSchema: StructType = StructType(
+    recordSchema.fields ++ Seq(
+      StructField("host", StringType),
+      StructField("slot", LongType),
+      StructField("not_before_s", DoubleType),
+      StructField("fetch_seq", LongType)))
+
+  private val scheduledUnifiedSchema: StructType = StructType(
+    scheduledRecordSchema.fields :+
+      StructField("pos", LongType) :+
+      StructField("_reject_reason", StringType))
+
+  /** POLITENESS-ENFORCED ranged fetch — [[fetchRanged]] driven by a
+    * [[graft.sources.Cdx.schedule]] output instead of raw ranges: the
+    * plan (`warc_file, offset, length, host, slot, not_before_s`)
+    * repartitions by HOST and iterates in slot order, so each host's
+    * ranges dereference strictly in their scheduled sequence — the
+    * per-host serial contract a `Crawl-delay`-honoring fetcher
+    * promises. Hosts are the parallelism unit (distinct hosts fetch
+    * concurrently; one host never splits across tasks), which is
+    * exactly the shape an origin-paced HTTP fetcher needs.
+    *
+    * Trade-off vs [[fetchRanged]]'s by-file order, stated: politeness
+    * order wins over archive I/O order, so a segment file shared by
+    * several hosts re-opens per host run (the LRU-1 handle still
+    * rides monotone offsets WITHIN a host when the schedule's
+    * orderCols were `(warc_file, offset)`). At 100 TB the polite
+    * fetcher is HTTP-ranged against origins, where per-host seriality
+    * is the whole point and there is no shared file to reopen.
+    *
+    * `paceWallClock` additionally sleeps each fetch until
+    * `not_before_s` seconds after its host's FIRST fetch in the task
+    * (default off: archival replays and tests verify ORDER, which is
+    * the deterministic half of politeness; wall-clock spacing only
+    * matters against live origins).
+    *
+    * Dead letters are unaffected: an unparseable or unreadable range
+    * rejects as `(file, pos, reason)` exactly like [[fetchRanged]],
+    * and — the pin — still CONSUMES its fetch_seq, so later rows'
+    * `fetch_seq == slot` equality survives failures mid-host.
+    */
+  def fetchScheduled(
+      spark: SparkSession,
+      plan: DataFrame,
+      baseDir: String = "",
+      maxPayloadBytes: Int = 16 << 20,
+      paceWallClock: Boolean = false): (DataFrame, DataFrame) = {
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val bc = spark.sparkContext.broadcast(hconf)
+    val base = if (baseDir.isEmpty || baseDir.endsWith("/")) baseDir
+               else baseDir + "/"
+    val pace = paceWallClock
+    val rows = plan
+      .select(col("warc_file").cast(StringType),
+        col("offset").cast(LongType), col("length").cast(LongType),
+        col("host").cast(StringType), col("slot").cast(LongType),
+        col("not_before_s").cast(DoubleType))
+      .repartition(col("host"))
+      .sortWithinPartitions(col("host"), col("slot"))
+      .rdd.mapPartitions { it =>
+        var openFile: String = null
+        var in: org.apache.hadoop.fs.FSDataInputStream = null
+        def close(): Unit = { if (in != null) { in.close(); in = null } }
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => close()))
+        var curHost: String = null
+        var seq = -1L
+        var anchorNanos = 0L
+        val out = it.flatMap { r =>
+          val file = r.getString(0)
+          val offset = r.getLong(1)
+          val length = r.getLong(2)
+          val host = r.getString(3)
+          val slot = r.getLong(4)
+          val nb = if (r.isNullAt(5)) 0.0 else r.getDouble(5)
+          if (host != curHost) {
+            curHost = host; seq = -1L; anchorNanos = System.nanoTime()
+          }
+          seq += 1
+          if (pace && nb > 0.0) {
+            val dueNanos = anchorNanos + (nb * 1e9).toLong
+            var now = System.nanoTime()
+            while (now < dueNanos) {
+              Thread.sleep(math.max(1L, (dueNanos - now) / 1000000L))
+              now = System.nanoTime()
+            }
+          }
+          try {
+            if (file != openFile) {
+              close()
+              val hp = new org.apache.hadoop.fs.Path(base + file)
+              in = hp.getFileSystem(bc.value.value).open(hp)
+              openFile = file
+            }
+            require(length <= maxPayloadBytes.toLong + (1L << 20),
+              s"range $length bytes exceeds maxPayloadBytes=$maxPayloadBytes")
+            in.seek(offset)
+            val buf = new Array[Byte](length.toInt)
+            in.readFully(buf)
+            parseStream(new ByteArrayInputStream(buf), maxPayloadBytes).map {
+              case Right(rec) => Row(
+                rec.warcType, rec.recordId, rec.targetUri, rec.warcDate,
+                rec.contentType, rec.contentLength, rec.payload, file,
+                host, slot, nb, seq, null, null)
+              case Left((_, reason)) => Row(
+                null, null, null, null, null, null, null, file,
+                host, slot, nb, seq, offset, reason)
+            }
+          } catch {
+            case e: Exception =>
+              openFile = null; close()
+              Iterator(Row(null, null, null, null, null, null, null, file,
+                host, slot, nb, seq, offset,
+                s"range fetch failed: ${e.getMessage}"))
+          }
+        }
+        new Iterator[Row] {
+          def hasNext: Boolean = { val h = out.hasNext; if (!h) close(); h }
+          def next(): Row = out.next()
+        }
+      }
+    val unified = graft.operators.Materialize(
+      spark.createDataFrame(rows, scheduledUnifiedSchema))
+    val records = unified.filter(col("_reject_reason").isNull)
+      .select(scheduledRecordSchema.fieldNames.map(col).toSeq: _*)
+    val rejects = unified.filter(col("_reject_reason").isNotNull)
+      .select(col("file"), col("pos"), col("_reject_reason").as("reason"))
+    (records, rejects)
+  }
+
   private def splitUnified(
       spark: SparkSession,
       rows: org.apache.spark.rdd.RDD[Row]): (DataFrame, DataFrame) = {

@@ -33,10 +33,13 @@ import org.apache.spark.sql.types._
   * Scale shape per batch: parse is column arithmetic; the anti-join
   * shuffles index METADATA only (one row per capture — payload bytes
   * never enter any shuffle); the in-batch dedup is the fetchPlan
-  * aggregate; the ranged fetch opens each segment file once in
-  * ascending-offset order. A batch of already-seen digests costs one
-  * metadata join and zero I/O — the bandwidth property that makes
-  * index-first ingestion worth it.
+  * aggregate; the fetch is POLITENESS-SCHEDULED (round 16): the plan
+  * runs through [[graft.sources.Cdx.schedule]] and dereferences per
+  * host in slot order ([[graft.sources.Warc.fetchScheduled]] — one
+  * task per host, ascending `(warc_file, offset)` within it), so the
+  * loop now APPLIES the politeness it advertises. A batch of
+  * already-seen digests costs one metadata join and zero I/O — the
+  * bandwidth property that makes index-first ingestion worth it.
   */
 object CdxFetchStream {
 
@@ -57,12 +60,18 @@ object CdxFetchStream {
     }
 
   /** One micro-batch step: parse `lines`, plan the never-seen-before
-    * 200-status digests, fetch their ranges from `baseDir`, land the
-    * records under `recordsDir/batch_id=<id>` and the newly fetched
-    * digests under `stateDir/batch_id=<id>`. Returns the landed
-    * record count (the driver-side progress signal). Deterministic
-    * given batch contents + prior state; idempotent under replay of
-    * the same `batchId`.
+    * 200-status digests, SCHEDULE the plan politely ([[graft.sources
+    * .Cdx.schedule]]: per-host slots spaced by `hostDelays`' declared
+    * `Crawl-delay`s — hosts absent from it schedule at 0 spacing),
+    * fetch the ranges from `baseDir` in slot order per host
+    * ([[graft.sources.Warc.fetchScheduled]]), land the records under
+    * `recordsDir/batch_id=<id>` and the newly fetched digests under
+    * `stateDir/batch_id=<id>`. Returns the landed record count (the
+    * driver-side progress signal). Deterministic given batch contents
+    * + prior state; idempotent under replay of the same `batchId`.
+    * The landed schema is unchanged — schedule provenance columns are
+    * consumed by the fetcher's ordering and dropped before the
+    * manifest transaction.
     */
   def fetchBatch(
       lines: DataFrame,
@@ -70,7 +79,9 @@ object CdxFetchStream {
       stateDir: String,
       recordsDir: String,
       baseDir: String,
-      maxPayloadBytes: Int = 16 << 20): Long = {
+      maxPayloadBytes: Int = 16 << 20,
+      hostDelays: Option[DataFrame] = None,
+      paceWallClock: Boolean = false): Long = {
     val spark = lines.sparkSession
     val (records, _) = graft.sources.Cdx.parseLines(lines)
     val seen = readState(spark, stateDir)
@@ -78,13 +89,22 @@ object CdxFetchStream {
       .select("digest")
     val fresh = records.filter(col("status") === 200)
       .join(seen, Seq("digest"), "left_anti")
+    val hosted = graft.sources.Cdx.fetchPlan(fresh)
+      .withColumn("host", graft.operators.Urls.host(col("url")))
+    val delayed = hostDelays match {
+      // the delay table is host-cardinality — broadcast by construction
+      case Some(dl) => hosted.join(broadcast(dl), Seq("host"), "left")
+      case None     => hosted.withColumn("delay_s", lit(null).cast("double"))
+    }
     val plan = graft.operators.Materialize(
-      graft.sources.Cdx.fetchPlan(fresh))
+      graft.sources.Cdx.schedule(delayed, "host", "delay_s",
+        orderCols = Seq("warc_file", "offset")))
     try {
-      val (recs, _) =
-        graft.sources.Warc.fetchRanged(spark, plan, baseDir, maxPayloadBytes)
+      val (recs, _) = graft.sources.Warc.fetchScheduled(
+        spark, plan, baseDir, maxPayloadBytes, paceWallClock)
       graft.sources.ManifestedSink.appendBatch(
-        recs.withColumn("batch_id", lit(batchId)),
+        recs.select(graft.sources.Warc.recordSchema.fieldNames.map(col).toSeq: _*)
+          .withColumn("batch_id", lit(batchId)),
         recordsDir, graft.sources.Warc.manifestDir(recordsDir),
         cols = Seq("target_uri", "warc_type"),
         bloomCols = Seq("record_id"),
@@ -106,11 +126,14 @@ object CdxFetchStream {
       stateDir: String,
       recordsDir: String,
       baseDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String,
+      hostDelays: Option[DataFrame] = None,
+      paceWallClock: Boolean = false): StreamingQuery =
     lines.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (b: DataFrame, id: Long) =>
-        fetchBatch(b, id, stateDir, recordsDir, baseDir)
+        fetchBatch(b, id, stateDir, recordsDir, baseDir,
+          hostDelays = hostDelays, paceWallClock = paceWallClock)
         ()
       }
       .start()

@@ -342,4 +342,45 @@ class WarcSpec extends SparkSpecBase {
     assert(got2.select("target_uri").as[String].head ===
       "https://graft.test/doc/200")
   }
+
+  test("fetchScheduled: per-host slot order (fetch_seq == slot), dead letters consume slots, pacing") {
+    val d = graft.streaming.Scratch.tmpDir("graft_warc_sched")
+    val recs = (0 until 6).map(i => rec(300 + i, s"sched doc $i"))
+    val (bytes, idx) = Warc.gzipMembersIndexed(recs)
+    Files.write(Paths.get(d, "seg.warc.gz"), bytes)
+    // two hosts interleaved over one segment file; slots deliberately
+    // NOT in offset order within host b (politeness order must win
+    // over archive I/O order), plus a dead-letter range mid-host-a
+    val plan = Seq(
+      ("seg.warc.gz", idx(0)._1, idx(0)._2, "a.test", 0L, 0.0),
+      ("seg.warc.gz", idx(2)._1 + 3L, idx(2)._2, "a.test", 1L, 0.5), // bad
+      ("seg.warc.gz", idx(4)._1, idx(4)._2, "a.test", 2L, 1.0),
+      ("seg.warc.gz", idx(5)._1, idx(5)._2, "b.test", 0L, 0.0),
+      ("seg.warc.gz", idx(1)._1, idx(1)._2, "b.test", 1L, 0.25)
+    ).toDF("warc_file", "offset", "length", "host", "slot", "not_before_s")
+    val (got, rej) = Warc.fetchScheduled(spark, plan, baseDir = d)
+    assert(rej.count() === 1L, "the planted mid-member range dead-letters")
+    val rows = got.select("host", "slot", "fetch_seq", "target_uri")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).sortBy(r => (r._1, r._2)).toSeq
+    // fetch_seq == slot for EVERY landed record — including host a's
+    // slot-2 row, whose predecessor dead-lettered (failures consume
+    // their slot, they don't shift the sequence)
+    assert(rows.forall { case (_, slot, seq, _) => slot === seq },
+      s"fetch order must equal slot order, got $rows")
+    assert(rows.map(_._4) === Seq(
+      "https://graft.test/doc/300", "https://graft.test/doc/304",
+      "https://graft.test/doc/305", "https://graft.test/doc/301"))
+    // wall-clock pacing: 2 ranges 0.3 s apart must take >= 0.3 s
+    val paced = Seq(
+      ("seg.warc.gz", idx(0)._1, idx(0)._2, "p.test", 0L, 0.0),
+      ("seg.warc.gz", idx(1)._1, idx(1)._2, "p.test", 1L, 0.3)
+    ).toDF("warc_file", "offset", "length", "host", "slot", "not_before_s")
+    val t0 = System.nanoTime()
+    val (pGot, pRej) =
+      Warc.fetchScheduled(spark, paced, baseDir = d, paceWallClock = true)
+    assert(pGot.count() === 2L && pRej.count() === 0L)
+    assert((System.nanoTime() - t0) / 1e9 >= 0.3,
+      "paceWallClock must hold the slot-1 fetch until not_before_s")
+  }
 }
