@@ -1022,6 +1022,61 @@ object TextQueries {
     } finally graft.operators.Materialize.release(plan)
   }
 
+  /** CRAWL FRONTIER from sitemap seeds ([[graft.operators.Frontier]],
+    * round 16) — the operator between the crawl stack's two ends:
+    * per-doc sitemap XML bodies yield `<loc>` seeds
+    * ([[graft.operators.Frontier.sitemapLocs]]); the frontier
+    * canonicalizes them to SURT keys, collapses the planted
+    * cross-listing duplicates (every `doc_id % 9 == 0` sitemap also
+    * lists one shared hub URL; `% 9 == 3` sitemaps list a
+    * case+default-port variant of their own URL that must FOLD to the
+    * same key), anti-joins the already-fetched state (`% 6 == 0`
+    * seeds are crawled already — including ones whose variant
+    * listing arrived this round), gates through per-host robots
+    * (`/p2/` disallowed on the four robots-publishing hosts; the
+    * fifth publishes none → allowed), and lays the survivors out
+    * politely with robots-extracted `Crawl-delay` spacing. Oracle:
+    * the closed form of every stage.
+    */
+  private def crawlFrontierQ(s: SparkSession, d: String): DataFrame = {
+    val sess = s
+    import sess.implicits._
+    val k = (col("doc_id") % 5).cast("string")
+    val p = (col("doc_id") % 4).cast("string")
+    val id = col("doc_id").cast("string")
+    val own = concat(lit("https://s"), k, lit(".graft.test/p"), p,
+      lit("/doc/"), id)
+    val variant = concat(lit("https://S"), k, lit(".GRAFT.test:443/p"), p,
+      lit("/doc/"), id)
+    val xml = concat(
+      lit("<?xml version=\"1.0\"?>\n<urlset>\n  <url><loc> "), own,
+      lit(" </loc></url>\n"),
+      when(col("doc_id") % 9 === 3,
+        concat(lit("  <url><LOC>"), variant, lit("</LOC></url>\n")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 9 === 0,
+        lit("  <url><loc>https://shared.graft.test/hub</loc></url>\n"))
+        .otherwise(lit("")),
+      lit("</urlset>\n"))
+    val docs = Tables.documents(s, d)
+    val seeds = docs.select(
+      explode(graft.operators.Frontier.sitemapLocs(xml)).as("url"))
+    val fetched = docs.filter(col("doc_id") % 6 === 0)
+      .select(graft.operators.Urls.surt(own).as("surt"))
+    val robots = Seq(
+      ("s0.graft.test",
+        "User-agent: graftbot\nDisallow: /p2/\nCrawl-delay: 0.5\n\n" +
+          "User-agent: *\nDisallow: /\n"),
+      ("s1.graft.test",
+        "User-agent: graftbot/1.0\nDisallow: /p2/\nCrawl-delay: 1\n"),
+      ("s2.graft.test",
+        "User-agent: graftbot\nDisallow: /p2/\nCrawl-delay: 1.5\nCrawl-delay: 8\n"),
+      ("s3.graft.test", "User-agent: graftbot\nDisallow: /p2/\nCrawl-delay: 2\n"))
+      .toDF("host", "body")
+    graft.operators.Frontier.build(
+      seeds, "url", fetched, "surt", robots, "host", "body", "graftbot/1.0")
+  }
+
   /** robots.txt compliance decisions ([[graft.operators.Robots]]):
     * five hosts, four with deterministic robots bodies — hosts 0–2
     * carry a `graftbot` group (Disallow `/p<k>/`, longer literal
@@ -3511,6 +3566,51 @@ object TextQueries {
          |  CAST(length(c.clean) AS BIGINT) AS n_chars
          |FROM pf_sched s JOIN pf_clean c ON c.doc_id = s.doc_id
          |WHERE s.good""".stripMargin), headline = true),
+    QueryDef("q_crawl_frontier", crawlFrontierQ, Some(
+      """WITH cf_base AS (
+        |  SELECT doc_id, CAST(doc_id % 5 AS VARCHAR) AS k,
+        |    CAST(doc_id % 4 AS VARCHAR) AS p,
+        |    CAST(doc_id AS VARCHAR) AS i
+        |  FROM documents),
+        |cf_seed AS (
+        |  SELECT 'test,graft,s' || k || ')/p' || p || '/doc/' || i AS surt,
+        |    'https://s' || k || '.graft.test/p' || p || '/doc/' || i AS url
+        |  FROM cf_base
+        |  UNION ALL
+        |  SELECT 'test,graft,s' || k || ')/p' || p || '/doc/' || i,
+        |    'https://S' || k || '.GRAFT.test:443/p' || p || '/doc/' || i
+        |  FROM cf_base WHERE doc_id % 9 = 3
+        |  UNION ALL
+        |  SELECT 'test,graft,shared)/hub', 'https://shared.graft.test/hub'
+        |  FROM cf_base WHERE doc_id % 9 = 0),
+        |cf_dedup AS (
+        |  SELECT surt, min(url) AS url, CAST(count(*) AS BIGINT) AS n_listed
+        |  FROM cf_seed GROUP BY surt),
+        |cf_fetched AS (
+        |  SELECT 'test,graft,s' || k || ')/p' || p || '/doc/' || i AS surt
+        |  FROM cf_base WHERE doc_id % 6 = 0),
+        |cf_fresh AS (
+        |  SELECT d.surt, d.url, d.n_listed
+        |  FROM cf_dedup d LEFT JOIN cf_fetched f USING (surt)
+        |  WHERE f.surt IS NULL),
+        |cf_host AS (
+        |  SELECT surt, url, n_listed,
+        |    regexp_extract(surt, '^test,graft,([^)]+)\)', 1) AS lbl,
+        |    regexp_extract(surt, '\)(.*)$', 1) AS path
+        |  FROM cf_fresh),
+        |cf_gated AS (
+        |  SELECT surt, url, lbl || '.graft.test' AS host, n_listed,
+        |    CASE lbl WHEN 's0' THEN 0.5 WHEN 's1' THEN 1.0
+        |      WHEN 's2' THEN 1.5 WHEN 's3' THEN 2.0 ELSE NULL END AS delay_s
+        |  FROM cf_host
+        |  WHERE NOT (lbl IN ('s0', 's1', 's2', 's3')
+        |             AND path LIKE '/p2/%'))
+        |SELECT surt, url, host, n_listed,
+        |  CAST(row_number() OVER (PARTITION BY host ORDER BY surt) - 1
+        |    AS BIGINT) AS slot,
+        |  CAST(row_number() OVER (PARTITION BY host ORDER BY surt) - 1
+        |    AS DOUBLE) * coalesce(delay_s, 0.0) AS not_before_s
+        |FROM cf_gated""".stripMargin), headline = true),
     QueryDef("q_robots_sitemaps", robotsSitemapsQ, Some(
       """WITH rs AS (
         |  SELECT doc_id,

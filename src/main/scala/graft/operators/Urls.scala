@@ -71,6 +71,15 @@ object Urls {
         array_join(reverse(split(h, "\\.")), ","), lit(")"), tail))
   }
 
+  /** Host back out of a [[surt]] key: the comma-joined reversed
+    * labels before `)` re-reversed and dot-joined
+    * (`org,example,sub)/p` → `sub.example.org`). The canonical
+    * (lowercased, `www`-folded) host by construction — what frontier
+    * robots/schedule decisions key on.
+    */
+  def hostFromSurt(surt: Column): Column =
+    array_join(reverse(split(substring_index(surt, ")", 1), ",")), ".")
+
   /** Site key for per-domain policies: [[host]] with a leading
     * `www.` stripped. True eTLD+1 grouping needs the public-suffix
     * list (a data file, not an algorithm); the `www` fold covers the
