@@ -1422,6 +1422,53 @@ object TextQueries {
         .withColumn("is_en", col("lang") === "en"),
       "lin_score", "is_en")
 
+  /** TRAINED quality/LID filter, the training half (round 16 —
+    * [[Classifier.perceptronTrain]]): a fixed-3-iteration batch
+    * perceptron learns an is-English classifier over hashed
+    * bag-of-words features from the corpus's own `lang` labels — the
+    * CCNet/fastText-LID story run INSIDE the engine, integer-exact so
+    * the whole training trajectory replays in SQL
+    * ([[Classifier.perceptronDuckCtes]]). Output: the dense
+    * (feature, weight) table, bias at feature `dim`.
+    */
+  private val perceptronDim = 64
+  private val perceptronIters = 3
+
+  private def perceptronTrainQ(s: SparkSession, d: String): DataFrame = {
+    val sess = s
+    import sess.implicits._
+    val w = Classifier.perceptronTrain(
+      Tables.documents(s, d).select("text", "lang"),
+      "text", col("lang") === "en", perceptronDim, perceptronIters)
+    w.zipWithIndex.map { case (wt, f) => (f, wt) }.toSeq
+      .toDF("feature", "weight")
+  }
+
+  /** The composed TRAIN → GATE loop ([[Classifier.perceptronScore]]):
+    * the weights [[perceptronTrainQ]] just learned score every
+    * document map-only (weights ride as an array literal — the
+    * serving path), and the gate keeps predicted-English. End-to-end
+    * reproducible: the oracle replays training AND serving in one
+    * statement.
+    */
+  private def perceptronGateQ(s: SparkSession, d: String): DataFrame = {
+    val w = Classifier.perceptronTrain(
+      Tables.documents(s, d).select("text", "lang"),
+      "text", col("lang") === "en", perceptronDim, perceptronIters)
+    Tables.documents(s, d).select(col("doc_id"),
+        Classifier.perceptronScore(col("text"), w).as("score"))
+      .withColumn("kept", col("score") > 0L)
+  }
+
+  /** Shared oracle prelude for the perceptron pair: the labeled
+    * token-list CTE + the unrolled training rounds. */
+  private def perceptronOracleCtes: String =
+    s"""pt_docs AS (
+       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+       |    ${TextAnalysis.tokensDuckSql("coalesce(text, '')")} AS toks
+       |  FROM documents),
+       |${Classifier.perceptronDuckCtes(perceptronDim, perceptronIters)}""".stripMargin
+
   /** Per-language token budget ([[graft.operators.Sampling
     * .tokenBudgetPerGroup]]): each language keeps documents in
     * deterministic hash order until 5 000 tokens are spent — mixture
@@ -4108,6 +4155,21 @@ object TextQueries {
          |  ${Classifier.linearScoreDuckSql(duckToks("coalesce(text, '')"), linWeights, 0.25)}
          |    AS lin_score
          |FROM documents""".stripMargin)),
+    QueryDef("q_perceptron_train", perceptronTrainQ, Some(
+      s"""WITH $perceptronOracleCtes
+         |SELECT CAST(u.f AS INTEGER) AS feature,
+         |  CAST(coalesce(w.w, 0) AS BIGINT) AS weight
+         |FROM range(0, ${perceptronDim + 1}) AS u(f)
+         |LEFT JOIN pt_w$perceptronIters w ON w.f = u.f""".stripMargin),
+      headline = true),
+    QueryDef("q_perceptron_gate", perceptronGateQ, Some(
+      s"""WITH $perceptronOracleCtes,
+         |pt_serve AS (
+         |  SELECT d.doc_id, coalesce(sum(w.w * d.cnt), 0) AS s
+         |  FROM pt_feat d LEFT JOIN pt_w$perceptronIters w USING (f)
+         |  GROUP BY d.doc_id)
+         |SELECT doc_id, CAST(s AS BIGINT) AS score, s > 0 AS kept
+         |FROM pt_serve""".stripMargin)),
     QueryDef("q_token_budget", tokenBudgetQ, Some {
       val toks = duckToks("text")
       s"""WITH t AS (

@@ -109,6 +109,122 @@ object Classifier {
       .drop(s)
   }
 
+  /** Fixed-iteration BATCH PERCEPTRON over hashed bag-of-words
+    * features — the distributed TRAINER behind this object's serving
+    * path, closing the CCNet/DataComp quality-filter loop (train the
+    * gate in the same engine that applies it). Labels come from any
+    * boolean column expression (language-ID: `lang = 'en'`; quality:
+    * a heuristic gate's verdict); features are [[featureId]] hashed
+    * token-INSTANCE counts with the classic x₀=1 bias augmentation as
+    * feature `dim`.
+    *
+    * INTEGER-EXACT end to end: labels are ±1, counts are integers,
+    * and the batch update `w += Σ_misclassified y·x` (Rosenblatt's
+    * perceptron in its batch form; a doc is misclassified when
+    * `y·(w·x) ≤ 0`) never leaves ℤ — no learning-rate float, no
+    * sigmoid, no rounding machinery at all — so training replays
+    * bit-exactly in any engine ([[perceptronDuckCtes]] is the DuckDB
+    * twin, the `kmeansDuckCtes` discipline made trivial by integer
+    * arithmetic).
+    *
+    * Scale shape: featurization (tokenize + hash) runs ONCE into a
+    * Materialize cut; each iteration is one MAP-ONLY scoring pass
+    * (the current weights ride the plan as a dim+1 array literal —
+    * the serving trick) plus one hash aggregate whose result is ≤
+    * dim+1 gradient rows collected to the driver (the codebook-sized
+    * bounded collect). T iterations = T corpus passes, no iterative
+    * plan nesting, nothing driver-side but the weight vector.
+    *
+    * Returns the dense weight vector of length `dim + 1` (index `dim`
+    * = bias).
+    */
+  def perceptronTrain(
+      df: DataFrame,
+      textCol: String,
+      label: Column,
+      dim: Int,
+      iters: Int): Array[Long] = {
+    require(dim >= 1, "perceptronTrain: dim must be positive")
+    require(iters >= 1, "perceptronTrain: iters must be positive")
+    val toks = TextAnalysis.tokens(coalesce(col(textCol), lit("")))
+    val data = Materialize(df.select(
+      when(label, 1).otherwise(-1).cast("int").as("__y"),
+      transform(toks, t => featureId(t, dim)).as("__f")))
+    try {
+      val w = Array.fill(dim + 1)(0L)
+      (1 to iters).foreach { _ =>
+        val wLit = array(w.map(lit).toSeq: _*)
+        val score = aggregate(col("__f"), lit(w(dim)),
+          (acc, f) => acc + element_at(wLit, f + 1))
+        val grad = data.withColumn("__s", score)
+          .filter(col("__y").cast("long") * col("__s") <= 0L)
+          .select(col("__y"),
+            explode(concat(col("__f"), array(lit(dim)))).as("__ff"))
+          .groupBy("__ff")
+          .agg(sum(col("__y").cast("long")).as("__g"))
+          .collect() // ≤ dim+1 rows — the bounded codebook collect
+        grad.foreach(r => w(r.getInt(0)) += r.getLong(1))
+      }
+      w
+    } finally Materialize.release(data)
+  }
+
+  /** Integer score of `textCol` under a [[perceptronTrain]] weight
+    * vector: `w[dim] + Σ_token-instances w[featureId(token)]` — the
+    * serving fold, map-only, weights as an array literal.
+    */
+  def perceptronScore(textCol: Column, w: Array[Long]): Column = {
+    val dim = w.length - 1
+    val wLit = array(w.map(lit).toSeq: _*)
+    aggregate(
+      transform(TextAnalysis.tokens(coalesce(textCol, lit(""))),
+        t => featureId(t, dim)),
+      lit(w(dim)),
+      (acc, f) => acc + element_at(wLit, f + 1))
+  }
+
+  /** DuckDB CTE chain replaying [[perceptronTrain]] step for step —
+    * unrolled iterations, all-integer. Expects a `${prefix}_docs` CTE
+    * upstream with `(doc_id, y, toks)` (`y` ±1, `toks` the token
+    * list); emits `${prefix}_feat` (hashed instance counts + bias
+    * feature `dim`) and `${prefix}_w1 … ${prefix}_w<iters>` weight
+    * tables (sparse — consumers densify against `range(0, dim+1)`).
+    * Iteration 1 is the w=0 special case: every doc scores 0 and
+    * `y·0 ≤ 0` marks ALL docs misclassified, so `w1` is the full
+    * label-weighted count table. Keep in lockstep with the trainer.
+    */
+  def perceptronDuckCtes(dim: Int, iters: Int, prefix: String = "pt"): String = {
+    val p = prefix
+    val fid = featureIdDuckSql("u.t", dim)
+    val feat =
+      s"""${p}_feat AS (
+         |  SELECT doc_id, y, f, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT doc_id, y, $fid AS f
+         |    FROM ${p}_docs, unnest(toks) AS u(t)
+         |    UNION ALL
+         |    SELECT doc_id, y, $dim FROM ${p}_docs) s
+         |  GROUP BY 1, 2, 3),
+         |${p}_w1 AS (
+         |  SELECT f, sum(y * cnt) AS w FROM ${p}_feat GROUP BY f)""".stripMargin
+    val rounds = (2 to iters).map { r =>
+      s"""${p}_s$r AS (
+         |  SELECT d.doc_id, any_value(d.y) AS y,
+         |    coalesce(sum(w.w * d.cnt), 0) AS s
+         |  FROM ${p}_feat d LEFT JOIN ${p}_w${r - 1} w USING (f)
+         |  GROUP BY d.doc_id),
+         |${p}_g$r AS (
+         |  SELECT f.f, sum(f.y * f.cnt) AS gw
+         |  FROM ${p}_feat f JOIN ${p}_s$r s ON s.doc_id = f.doc_id
+         |  WHERE s.y * s.s <= 0
+         |  GROUP BY 1),
+         |${p}_w$r AS (
+         |  SELECT coalesce(a.f, b.f) AS f,
+         |    coalesce(a.w, 0) + coalesce(b.gw, 0) AS w
+         |  FROM ${p}_w${r - 1} a FULL OUTER JOIN ${p}_g$r b ON a.f = b.f)""".stripMargin
+    }
+    (feat +: rounds).mkString(",\n")
+  }
+
   /** Threshold sweep — the calibration table behind choosing a
     * [[gate]] cutoff: for every score bucket (width `1/resolution`),
     * the confusion counts of the rule "accept iff score ≥ bucket

@@ -94,4 +94,38 @@ class ClassifierSpec extends SparkSpecBase {
     val one = Classifier.thresholdSweep(withNulls, "score", "pos", 100).collect()
     assert(one.length === 1 && one.head.getLong(1) === 1L)
   }
+
+  test("perceptronTrain: learns a separable vocabulary; integer weights; bias at dim") {
+    // two disjoint vocabularies — linearly separable, so the batch
+    // perceptron must reach zero training error and the serving fold
+    // must reproduce the training decision for every doc
+    val pos = Seq("good clean prose text", "clean text good", "prose text prose")
+    val neg = Seq("junk spam noise", "spam junk", "noise noise spam junk")
+    val df = (pos.map((_, true)) ++ neg.map((_, false))).toDF("text", "is_good")
+    val w = Classifier.perceptronTrain(df, "text", col("is_good"), dim = 32, iters = 5)
+    assert(w.length === 33, "dense vector of dim+1 (bias at index dim)")
+    val scored = df.select(col("is_good"),
+        Classifier.perceptronScore(col("text"), w).as("s"))
+      .collect().map(r => (r.getBoolean(0), r.getLong(1)))
+    assert(scored.forall { case (y, s) => if (y) s > 0L else s <= 0L },
+      s"separable data must train to zero error, got ${scored.toSeq}")
+    // null text scores the bare bias
+    val nullScore = Seq(Tuple1(null: String)).toDF("text")
+      .select(Classifier.perceptronScore(col("text"), w)).head.getLong(0)
+    assert(nullScore === w(32))
+  }
+
+  test("perceptronTrain iteration 1 is the label-weighted count table (w0=0 -> all misclassified)") {
+    val df = Seq(("a a b", true), ("b c", false)).toDF("text", "y")
+    val w1 = Classifier.perceptronTrain(df, "text", col("y"), dim = 8, iters = 1)
+    def fid(t: String): Int = Seq(t).toDF("t")
+      .select(Classifier.featureId(col("t"), 8)).head.getInt(0)
+    val (fa, fb, fc) = (fid("a"), fid("b"), fid("c"))
+    assume(Set(fa, fb, fc).size === 3, "hash-collision-free at dim 8")
+    // y(+1)·{a:2, b:1} + y(−1)·{b:1, c:1}; bias = +1 − 1 = 0
+    assert(w1(fa) === 2L)
+    assert(w1(fb) === 0L, "b appears once on each side and cancels")
+    assert(w1(fc) === -1L)
+    assert(w1(8) === 0L, "bias accumulates Σy over the all-misclassified round")
+  }
 }
