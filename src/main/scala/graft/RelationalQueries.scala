@@ -1021,6 +1021,23 @@ object RelationalQueries {
       maxSpanSeconds = 3600L,
       tiebreakCol = "event_id")
 
+  /** Bounded + alternation CEP
+    * ([[graft.operators.Relational.matchPatternBounded]], round 16):
+    * `click (view|error){1,3} purchase` — the alternation set
+    * collapses to one run class before the RLE, and the length bound
+    * is a WHERE clause on the run frame; a maximal mixed view/error
+    * run longer than 3 yields NO match (greedy-contiguous: the 4th
+    * quantified event is an intruder between the bound and the
+    * `purchase` anchor). Oracle: the identical class-RLE +
+    * neighbor-run chain with the BETWEEN bound.
+    */
+  private def matchPatternBoundedQ(s: SparkSession, d: String): DataFrame =
+    Relational.matchPatternBounded(Tables.events(s, d),
+      "user_id", "ts", "event_type",
+      first = "click", plus = Seq("view", "error"), minLen = 1, maxLen = 3,
+      last = "purchase", maxSpanSeconds = 3600L,
+      tiebreakCol = "event_id")
+
   /** Time-series subsequence similarity
     * ([[graft.operators.TimeSeries.similarSubsequences]]): the 20
     * per-user event-value windows (length 8) most correlated with a
@@ -2101,6 +2118,52 @@ object RelationalQueries {
         |SELECT a.user_id, a.n_matches, a.first_start,
         |  f.nstart AS first_end, CAST(f.len AS BIGINT) AS first_plus_len
         |FROM mq_agg a JOIN mq_first f ON f.user_id = a.user_id AND f.rn = 1""".stripMargin)),
+    QueryDef("q_match_pattern_bounded", matchPatternBoundedQ, Some(
+      """WITH mb_brk AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type IN ('view', 'error')
+        |         THEN 'mb+' ELSE event_type END AS rk,
+        |    CASE WHEN lag(CASE WHEN event_type IN ('view', 'error')
+        |                       THEN 'mb+' ELSE event_type END) OVER w IS NULL
+        |              OR lag(CASE WHEN event_type IN ('view', 'error')
+        |                          THEN 'mb+' ELSE event_type END) OVER w
+        |                 <> CASE WHEN event_type IN ('view', 'error')
+        |                         THEN 'mb+' ELSE event_type END
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |mb_run AS (
+        |  SELECT user_id, ts, rk,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM mb_brk),
+        |mb_runs AS (
+        |  SELECT user_id, run, min(rk) AS label,
+        |    count(*) AS len, min(ts) AS first_ts, max(ts) AS last_ts
+        |  FROM mb_run GROUP BY user_id, run),
+        |mb_nb AS (
+        |  SELECT user_id, run, label, len,
+        |    lag(label) OVER w2 AS pl, lag(last_ts) OVER w2 AS pend,
+        |    lead(label) OVER w2 AS nl, lead(first_ts) OVER w2 AS nstart
+        |  FROM mb_runs
+        |  WINDOW w2 AS (PARTITION BY user_id ORDER BY run)),
+        |mb_hits AS (
+        |  SELECT user_id, run, len, pend, nstart FROM mb_nb
+        |  WHERE label = 'mb+' AND len BETWEEN 1 AND 3
+        |    AND pl = 'click' AND nl = 'purchase'
+        |    AND epoch_us(nstart) - epoch_us(pend)
+        |        <= CAST(3600 AS BIGINT) * 1000000),
+        |mb_agg AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_matches,
+        |    min(pend) AS first_start
+        |  FROM mb_hits GROUP BY user_id),
+        |mb_first AS (
+        |  SELECT user_id, nstart, len,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY run) AS rn
+        |  FROM mb_hits)
+        |SELECT a.user_id, a.n_matches, a.first_start,
+        |  f.nstart AS first_end, CAST(f.len AS BIGINT) AS first_plus_len
+        |FROM mb_agg a JOIN mb_first f ON f.user_id = a.user_id AND f.rn = 1""".stripMargin)),
     QueryDef("q_quantile_bins", quantileBinsQ, headline = true, oracle = Some(
       """WITH b AS (
         |  SELECT event_type,

@@ -819,6 +819,86 @@ object Relational {
       .withColumnRenamed("__k", keyCol)
   }
 
+  /** [[matchPatternPlus]] generalized to BOUNDED + ALTERNATION
+    * quantifiers — the `A (B|C){m,n} D` MATCH_RECOGNIZE shape
+    * (round 16). Same RLE + neighbor-run machinery, two deltas:
+    * the run key is the label CLASS (every member of the `plus`
+    * alternation set collapses to one sentinel class, so
+    * `B C B` is ONE quantified run; non-members keep their own label
+    * as key, so anchors still match by label — `first == last`
+    * patterns like `A B+ A` stay expressible), and the run-length
+    * bound is literally a WHERE clause on the run frame
+    * (`minLen ≤ len ≤ maxLen`). Greedy-contiguous reading: a maximal
+    * quantified run LONGER than `maxLen` yields NO match — the next
+    * event after `n` quantified events is another quantified event,
+    * not the `last` anchor, and contiguous semantics cannot skip it
+    * (the same intruder discipline as every matcher here). Anchors,
+    * span, output shape and the one-shuffle scale shape are
+    * [[matchPatternPlus]]'s exactly.
+    */
+  def matchPatternBounded(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      typeCol: String,
+      first: String,
+      plus: Seq[String],
+      minLen: Int,
+      maxLen: Int,
+      last: String,
+      maxSpanSeconds: Long,
+      tiebreakCol: String): DataFrame = {
+    require(plus.nonEmpty, "matchPatternBounded: empty alternation set")
+    require(minLen >= 1 && maxLen >= minLen,
+      "matchPatternBounded: need 1 <= minLen <= maxLen")
+    require(!plus.contains(first) && !plus.contains(last),
+      "matchPatternBounded: anchors must not be members of the " +
+        "quantified alternation (the run key could not separate them)")
+    // class sentinel: the NUL prefix keeps it outside any real label
+    val sentinel = "\u0000plus"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__k").orderBy(col("__ts"), col("__tie"))
+    val prevKey = lag(col("__rk"), 1).over(w)
+    val runId = sum(
+      when(prevKey.isNull || prevKey =!= col("__rk"), 1L).otherwise(0L))
+      .over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow))
+    val runs = events
+      .select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
+        col(typeCol).as("__t"), col(tiebreakCol).as("__tie"))
+      .withColumn("__rk",
+        when(col("__t").isin(plus: _*), lit(sentinel)).otherwise(col("__t")))
+      .withColumn("__run", runId)
+      .groupBy(col("__k"), col("__run"))
+      .agg(
+        min(col("__rk")).as("__label"), // constant within a run
+        count(lit(1)).as("__len"),
+        min(col("__ts")).as("__first_ts"),
+        max(col("__ts")).as("__last_ts"))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy("__k").orderBy(col("__run"))
+    val hits = runs
+      .withColumn("__pl", lag(col("__label"), 1).over(w2))
+      .withColumn("__pend", lag(col("__last_ts"), 1).over(w2))
+      .withColumn("__nl", lead(col("__label"), 1).over(w2))
+      .withColumn("__nstart", lead(col("__first_ts"), 1).over(w2))
+      .filter(col("__label") === sentinel &&
+        col("__len").between(minLen.toLong, maxLen.toLong) &&
+        col("__pl") === first && col("__nl") === last &&
+        unix_micros(col("__nstart").cast("timestamp")) -
+          unix_micros(col("__pend").cast("timestamp")) <=
+          maxSpanSeconds * 1000000L)
+    hits.groupBy(col("__k"))
+      .agg(
+        count(lit(1)).as("n_matches"),
+        min(col("__pend")).as("first_start"),
+        min_by(col("__nstart"), col("__run")).as("first_end"),
+        min_by(col("__len"), col("__run")).cast("long")
+          .as("first_plus_len"))
+      .withColumnRenamed("__k", keyCol)
+  }
+
   /** k-pass funnel for unbounded per-user histories: stage i is a
     * filtered min-aggregate joined to stage i-1's reach times (all
     * shuffles user-keyed, so the exchanges after the first reuse the

@@ -261,4 +261,60 @@ class FunnelSpec extends SparkSpecBase {
     assert(exchanges === 1,
       s"expected one hash exchange, got $exchanges:\n$plan")
   }
+
+  test("matchPatternBounded: alternation merges runs; bounds gate greedily; A B+ A expressible") {
+    def mpb(rows: Seq[(Long, Timestamp, String, Long)],
+        first: String = "a", plus: Seq[String] = Seq("b", "d"),
+        lo: Int = 1, hi: Int = 3, last: String = "c") =
+      Relational.matchPatternBounded(
+        rows.toDF("user_id", "ts", "event_type", "event_id"),
+        "user_id", "ts", "event_type", first, plus, lo, hi, last,
+        3600L, "event_id")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getTimestamp(2), r.getTimestamp(3), r.getLong(4))))
+        .toMap
+
+    // u1: a b d b c — the alternation set is ONE run of length 3
+    val u1 = Seq(
+      (1L, ts(1), "a", 1L), (1L, ts(2), "b", 2L), (1L, ts(3), "d", 3L),
+      (1L, ts(4), "b", 4L), (1L, ts(5), "c", 5L))
+    // u2: a b d b d c — run length 4 > hi: greedy-contiguous yields
+    // NO match (the 4th quantified event is an intruder to {1,3})
+    val u2 = Seq(
+      (2L, ts(1), "a", 6L), (2L, ts(2), "b", 7L), (2L, ts(3), "d", 8L),
+      (2L, ts(4), "b", 9L), (2L, ts(5), "d", 10L), (2L, ts(6), "c", 11L))
+    // u3: lo=2 — a single-b run is too short
+    val u3 = Seq(
+      (3L, ts(1), "a", 12L), (3L, ts(2), "b", 13L), (3L, ts(3), "c", 14L))
+    // u4: intruder x inside the quantified run still splits it
+    val u4 = Seq(
+      (4L, ts(1), "a", 15L), (4L, ts(2), "b", 16L), (4L, ts(3), "x", 17L),
+      (4L, ts(4), "d", 18L), (4L, ts(5), "c", 19L))
+    val got = mpb(u1 ++ u2 ++ u4)
+    assert(got.keySet === Set(1L))
+    assert(got(1L) === ((1L, ts(1), ts(5), 3L)))
+    assert(mpb(u3, lo = 2).isEmpty, "below minLen never matches")
+    assert(mpb(u3)(3L) === ((1L, ts(1), ts(3), 1L)))
+    // first == last stays expressible: a (b|d)+ a
+    val u5 = Seq(
+      (5L, ts(1), "a", 20L), (5L, ts(2), "b", 21L), (5L, ts(3), "d", 22L),
+      (5L, ts(4), "a", 23L))
+    assert(mpb(u5, last = "a")(5L) === ((1L, ts(1), ts(4), 2L)))
+    // anchors inside the alternation set are rejected loudly
+    assertThrows[IllegalArgumentException] {
+      mpb(u1, first = "b")
+    }
+  }
+
+  test("matchPatternBounded plan keeps the single-shuffle shape") {
+    val df = Relational.matchPatternBounded(
+      Tables.events(spark, "/root/testdata/sf0.001"),
+      "user_id", "ts", "event_type", "click", Seq("view", "error"), 1, 3,
+      "purchase", 3600L, "event_id")
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = "(?i)exchange hashpartitioning".r
+      .findAllIn(plan).size
+    assert(exchanges === 1,
+      s"expected one hash exchange, got $exchanges:\n$plan")
+  }
 }
