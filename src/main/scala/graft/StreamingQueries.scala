@@ -661,6 +661,17 @@ object StreamingQueries {
       }
       s.conf.set(key, old)
     }
+    dashboardUnion(s, barOut, profOut, lineOut,
+      evs.select("event_type", "ts", "value", "event_id").schema)
+  }
+
+  /** The dashboard trio's tagged-union read-back — shared by the
+    * recompute ([[streamDashboard]]) and incremental
+    * ([[streamDashboardInc]]) forms, which must be output-identical.
+    */
+  private def dashboardUnion(
+      s: SparkSession, barOut: String, profOut: String, lineOut: String,
+      lineSchema: org.apache.spark.sql.types.StructType): DataFrame = {
     val nullS = lit(null).cast("string")
     val nullD = lit(null).cast("double")
     val barF = s.read
@@ -678,7 +689,7 @@ object StreamingQueries {
         concat(col("c_name"), lit("|"), col("events_info")).as("val_str"),
         nullD.as("val_num"))
     val lineF = s.read
-      .schema(evs.select("event_type", "ts", "value", "event_id").schema)
+      .schema(lineSchema)
       .parquet(lineOut)
       .select(lit("line").as("surface"), col("event_id").as("k1"),
         col("event_type").as("k2"), nullS.as("val_str"),
@@ -686,9 +697,93 @@ object StreamingQueries {
     barF.union(profF).union(lineF)
   }
 
-  def defs: Seq[QueryDef] = Seq(
-    QueryDef("q_stream_dashboard", streamDashboard, Some(
-      """WITH sd_latest AS (
+  /** INCREMENTAL dashboard state ([[graft.streaming.AggStream]],
+    * round 16) — the [[streamDashboard]] trio with per-tick cost
+    * decoupled from history size: the bar surface maintains
+    * `(count, DECIMAL sum)` partials, the profile surface maintains
+    * latest-state partials ([[graft.streaming.AggStream
+    * .appendLatestPartials]] — latest-per-group is algebraic, so
+    * per-batch `max_by` partials re-merge exactly), and each tick
+    * serves the dashboards from those STATE TABLES (batch-sized
+    * aggregate + key-cardinality merge) instead of recomputing over
+    * all events. At 100× data the recompute form's per-tick cost
+    * grows with history; this form's grows with the tick's batch and
+    * the key cardinality — the shape that holds the reference's 1 s
+    * cadence. Output (and oracle) identical to [[streamDashboard]] —
+    * the equivalence IS the check.
+    */
+  private def streamDashboardInc(s: SparkSession, d: String): DataFrame = {
+    val evs = Tables.events(s, d)
+      .select("user_id", "event_type", "event_id", "ts", "value")
+    val cust = Tables.customer(s, d)
+      .select("c_custkey", "c_name", "c_mktsegment")
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    val barState = graft.streaming.Scratch.tmpDir("graft_dinc_bar_state")
+    val profState = graft.streaming.Scratch.tmpDir("graft_dinc_prof_state")
+    val barOut = graft.streaming.Scratch.tmpDir("graft_dinc_bar")
+    val profOut = graft.streaming.Scratch.tmpDir("graft_dinc_prof")
+    val lineOut = graft.streaming.Scratch.tmpDir("graft_dinc_line")
+    val replay = new graft.streaming.FileReplay(s, evs.schema)
+    replay.add(evs.filter(col("event_id") % 2 === 0))
+    s.conf.set(key, s.conf.get("spark.graft.streaming.shufflePartitions", "8"))
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      q = replay.stream.writeStream
+        .option("checkpointLocation", graft.streaming.Scratch.ckptDir())
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          val cached = b.persist()
+          try {
+            // tick cost 1: three batch-sized commits
+            graft.streaming.AggStream.appendPartials(
+              cached, id, barState, Seq("event_type"), "value")
+            graft.streaming.AggStream.appendLatestPartials(
+              cached, id, profState,
+              Seq("user_id", "event_type"), Seq("ts", "event_id"),
+              Seq("value"))
+            cached.select("event_type", "ts", "value", "event_id")
+              .write.mode("append").parquet(lineOut)
+            // tick cost 2: serve the dashboards from STATE, not history
+            graft.streaming.AggStream.serve(s, barState, Seq("event_type"))
+              .select(col("event_type"),
+                graft.functions.Det.round(
+                  col("sum_value").cast("double") / col("n"), 2)
+                  .as("avg_value"))
+              .write.mode("overwrite").parquet(barOut)
+            val latest = graft.streaming.AggStream.serveLatest(
+              s, profState,
+              Seq("user_id", "event_type"), Seq("ts", "event_id"),
+              Seq("value"))
+            val info = when(col("value").isNotNull,
+                concat(col("event_type"), lit(": "),
+                  col("value").cast("string")))
+              .otherwise(lit(""))
+            cust.join(latest, cust("c_custkey") === latest("user_id"),
+                "left_outer")
+              .withColumn("info", info)
+              .groupBy("c_custkey", "c_name", "c_mktsegment")
+              .agg(concat_ws("<br>", sort_array(collect_list(col("info"))))
+                .as("events_info"))
+              .write.mode("overwrite").parquet(profOut)
+            ()
+          } finally { cached.unpersist(); () }
+        }
+        .start()
+      q.processAllAvailable()
+      replay.add(evs.filter(col("event_id") % 2 =!= 0))
+      q.processAllAvailable()
+    } finally {
+      if (q != null) q.stop()
+      s.conf.set(key, old)
+    }
+    dashboardUnion(s, barOut, profOut, lineOut,
+      evs.select("event_type", "ts", "value", "event_id").schema)
+  }
+
+  /** The dashboard trio's oracle — shared verbatim by the recompute
+    * and incremental forms (output-identical is the contract). */
+  private val streamDashboardSql: String =
+    """WITH sd_latest AS (
         |  SELECT user_id, event_type, value FROM (
         |    SELECT *, row_number() OVER (
         |      PARTITION BY user_id, event_type
@@ -717,8 +812,13 @@ object StreamingQueries {
         |FROM sd_prof
         |UNION ALL
         |SELECT 'line', event_id, event_type, CAST(NULL AS VARCHAR), value
-        |FROM events""".stripMargin),
-      headline = true),
+        |FROM events""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_stream_dashboard", streamDashboard,
+      Some(streamDashboardSql), headline = true),
+    QueryDef("q_stream_dashboard_inc", streamDashboardInc,
+      Some(streamDashboardSql), headline = true),
     QueryDef("q_stream_noop_file", streamNoopFile, Some(
       "SELECT CAST(count(*) AS BIGINT) AS n_rows FROM events"),
       headline = true),

@@ -57,6 +57,53 @@ object AggStream {
       .agg(sum(col("cnt")).as("n"),
         sum(col("sum_partial")).as("sum_value"))
 
+  /** One micro-batch step of the LATEST-STATE sibling: per-group
+    * `max_by(payload, ord)` partial for `batch`, committed
+    * idempotently under `stateDir/batch_id=<id>`. Latest-per-group is
+    * algebraic too (max over the `(ordCols)` struct is commutative
+    * and associative), so partials re-merge exactly — the incremental
+    * form of [[graft.operators.Relational.latestPerGroup]], and the
+    * state table a live dashboard's profile surface should serve from
+    * instead of re-scanning history (round 16, St5 at scale: per-tick
+    * cost is one batch-sized aggregate + a key-cardinality state
+    * scan).
+    */
+  def appendLatestPartials(
+      batch: DataFrame,
+      batchId: Long,
+      stateDir: String,
+      groupCols: Seq[String],
+      ordCols: Seq[String],
+      payloadCols: Seq[String]): Unit = {
+    val all = ordCols ++ payloadCols
+    batch.groupBy(groupCols.map(col): _*)
+      .agg(max_by(struct(all.map(col): _*), struct(ordCols.map(col): _*))
+        .as("__l"))
+      .select(groupCols.map(col) ++ all.map(c => col(s"__l.$c")): _*)
+      .withColumn("batch_id", lit(batchId))
+      .write.partitionBy("batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(stateDir)
+  }
+
+  /** Serving path of [[appendLatestPartials]]: the exact
+    * latest-per-group table over ALL committed partials — one
+    * key-cardinality merge, never a history re-scan.
+    */
+  def serveLatest(
+      spark: SparkSession,
+      stateDir: String,
+      groupCols: Seq[String],
+      ordCols: Seq[String],
+      payloadCols: Seq[String]): DataFrame = {
+    val all = ordCols ++ payloadCols
+    spark.read.parquet(stateDir)
+      .groupBy(groupCols.map(col): _*)
+      .agg(max_by(struct(all.map(col): _*), struct(ordCols.map(col): _*))
+        .as("__l"))
+      .select(groupCols.map(col) ++ all.map(c => col(s"__l.$c")): _*)
+  }
+
   /** Streaming top-k serving: the exact leaderboard off the partials
     * table — merge ([[serve]]) then cut with
     * [[graft.operators.Relational.topK]] (TakeOrderedAndProject:

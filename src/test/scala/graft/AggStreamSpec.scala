@@ -78,4 +78,31 @@ class AggStreamSpec extends SparkSpecBase {
     // one partial row per (group, batch), regardless of batch row counts
     assert(spark.read.parquet(stateDir).count() === 6L)
   }
+
+  test("latest-state partials: per-batch max_by partials re-merge to the exact latest-per-group") {
+    val stateDir = java.nio.file.Files.createTempDirectory("agg_latest").toString
+    // batch 0 carries the NEWEST row of group a (ts 9); batch 1's later
+    // arrival for a is OLDER (ts 5) and must not displace it — the
+    // algebraic merge, not last-write-wins
+    val b0 = Seq(("a", 9L, 100L, 1.0), ("a", 2L, 101L, 2.0), ("b", 1L, 102L, 3.0))
+      .toDF("grp", "ts", "event_id", "v")
+    val b1 = Seq(("a", 5L, 103L, 4.0), ("b", 7L, 104L, 5.0), ("c", 1L, 105L, 6.0))
+      .toDF("grp", "ts", "event_id", "v")
+    AggStream.appendLatestPartials(b0, 0L, stateDir,
+      Seq("grp"), Seq("ts", "event_id"), Seq("v"))
+    AggStream.appendLatestPartials(b1, 1L, stateDir,
+      Seq("grp"), Seq("ts", "event_id"), Seq("v"))
+    def served = AggStream.serveLatest(spark, stateDir,
+        Seq("grp"), Seq("ts", "event_id"), Seq("v"))
+      .select("grp", "ts", "v")
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(served === Seq(("a", 9L, 1.0), ("b", 7L, 5.0), ("c", 1L, 6.0)))
+    // idempotent under batch replay (dynamic partition overwrite)
+    AggStream.appendLatestPartials(b1, 1L, stateDir,
+      Seq("grp"), Seq("ts", "event_id"), Seq("v"))
+    assert(served === Seq(("a", 9L, 1.0), ("b", 7L, 5.0), ("c", 1L, 6.0)))
+    // state is partials-sized: one row per (group, batch) — batch 0
+    // touched {a, b}, batch 1 touched {a, b, c}
+    assert(spark.read.parquet(stateDir).count() === 5L)
+  }
 }
