@@ -54,15 +54,48 @@ object ScaleProbeDedup {
       last.get
     }
 
-    // the composed chain, whole (the headline number; min-of-2 warm)
-    time("dedup_docs_full", reps = 2) {
+    // the composed chain, whole (the headline number; one pass per
+    // JVM — the protocol's min is across fresh JVMs, and a second
+    // in-JVM rep measured SLOWER at 5M: superseded localCheckpoint
+    // blocks from rep 1 pressure rep 2's heap)
+    time("dedup_docs_full") {
       Dedup.dropNearDuplicates(docs, "doc_id", "text")
         .select("doc_id", "lang", "source", "n_chars")
         .write.format("noop").mode("overwrite").save()
     }
 
-    // ---- stage split (each stage eats the previous cut) ----
     val dd = docs.select(col("doc_id"), col("text"))
+
+    // ---- UNGATED stage split: the q_dedup_docs decomposition ----
+    // (sigs/pairs over the FULL dup-heavy corpus — 1000-way cliques)
+    val (sigsU, starU) = time("ungated_sigs") {
+      Dedup.sigsWithStarDecisionCompact(
+        Dedup.compactSigsPlan(dd, "doc_id", "text"),
+        bands = 16, rows = 4, force = false,
+        cap = Dedup.defaultAutoStarPairsCap)
+    }
+    println(s"[probe] ungated_star=$starU")
+    val pairsU = time("ungated_pairs") {
+      Materialize(
+        if (starU) Dedup.starCandidatesFromBandedSigs(sigsU, 64, 0.5)
+        else Dedup.candidatesFromBandedSigs(sigsU, 64, 0.5))
+    }
+    println(s"[probe] ungated_pairs_n=${pairsU.count()}")
+    val compU = time("ungated_cc") {
+      Materialize(Dedup.connectedComponents(pairsU))
+    }
+    println(s"[probe] ungated_components_rows=${compU.count()}")
+    time("ungated_land") {
+      val losers = compU.filter(col("id") =!= col("component")).select(col("id"))
+      val out = graft.streaming.Scratch.tmpDir("probe_dedup_land_u")
+      docs.join(losers, docs("doc_id") === losers("id"), "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(out)
+    }
+    Materialize.release(pairsU); Materialize.release(compU)
+    System.gc()
+
+    // ---- GATED (curate-shaped) stage split ----
     val gated = time("stage_gate") {
       val pass = TextAnalysis.qualityGate(dd, "doc_id", "text")
         .filter(col("pass") === 1).select("doc_id")
