@@ -1077,6 +1077,96 @@ object TextQueries {
       seeds, "url", fetched, "surt", robots, "host", "body", "graftbot/1.0")
   }
 
+  /** THE WHOLE CRAWL LOOP IN ONE QUERY (round 16): sitemap seeds →
+    * frontier ([[graft.operators.Frontier.build]]: SURT fold, dedup,
+    * fetched-state anti-join, robots gate, `Crawl-delay` schedule) →
+    * CAPTURE-INDEX RESOLUTION (the index-first move: frontier SURTs
+    * equi-join the CDX fetch plan's SURT keys — a URL is fetched via
+    * its archived byte range, never a blind HTTP GET) → politely
+    * scheduled ranged fetch ([[graft.sources.Warc.fetchScheduled]])
+    * → extracted documents. Crawl discovery and crawl I/O, composed.
+    *
+    * Fixture shape (reusing the staged polite-fetch archive): seeds
+    * are each doc's own URL plus folding case+port variants
+    * (`%9==3`) and a shared hub URL (`%9==0`) that has NO capture —
+    * it must survive the frontier and then drop at the index join
+    * (its whole single-row host disappears, so per-host slot
+    * density — and with it the `fetch_seq == slot` politeness pin —
+    * holds for everyone else); `%6==0` seeds are already fetched;
+    * ids starting `1` are robots-disallowed on the four
+    * robots-publishing hosts (the fifth publishes none), with the
+    * versioned `graftbot/1.0` group line exercising the round-16
+    * group-value tokenization in composition. The planted `/bad/`
+    * dead-letter captures of the shared fixture are NEVER seeded, so
+    * the guard here is ZERO dead letters.
+    */
+  private def frontierFetchQ(s: SparkSession, d: String): DataFrame = {
+    val sess = s
+    import sess.implicits._
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val dir = stagedDir("graft_cdx_polite", d)(
+      muxWarcCdxGz(docs, _, multiHost = true, plantBad = true))
+    val k = (col("doc_id") % 5).cast("string")
+    val id = col("doc_id").cast("string")
+    val own = concat(lit("https://s"), k, lit(".graft.test/doc/"), id)
+    val variant = concat(lit("https://S"), k, lit(".GRAFT.test:443/doc/"), id)
+    val xml = concat(
+      lit("<urlset><url><loc>"), own, lit("</loc></url>"),
+      when(col("doc_id") % 9 === 3,
+        concat(lit("<url><loc>"), variant, lit("</loc></url>")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 9 === 0,
+        lit("<url><loc>https://shared.graft.test/hub</loc></url>"))
+        .otherwise(lit("")),
+      lit("</urlset>"))
+    val seeds = Tables.documents(s, d).select(
+      explode(graft.operators.Frontier.sitemapLocs(xml)).as("url"))
+    val fetchedState = Tables.documents(s, d)
+      .filter(col("doc_id") % 6 === 0)
+      .select(graft.operators.Urls.surt(own).as("surt"))
+    val robots = Seq(
+      ("s0.graft.test",
+        "User-agent: graftbot\nDisallow: /doc/1\nCrawl-delay: 0.5\n\n" +
+          "User-agent: *\nDisallow: /\n"),
+      ("s1.graft.test",
+        "User-agent: graftbot/1.0\nDisallow: /doc/1\nCrawl-delay: 1\n"),
+      ("s2.graft.test",
+        "User-agent: graftbot\nDisallow: /doc/1\nCrawl-delay: 1.5\n"),
+      ("s3.graft.test",
+        "User-agent: graftbot\nDisallow: /doc/1\nCrawl-delay: 2\n"))
+      .toDF("host", "body")
+    val frontier = graft.operators.Frontier.build(
+      seeds, "url", fetchedState, "surt", robots, "host", "body",
+      "graftbot/1.0")
+    val (cdx, _) = graft.sources.Cdx.readWithRejects(s, dir + "/*.cdx")
+    val plan = graft.sources.Cdx.fetchPlan(cdx)
+      .select(graft.operators.Urls.surt(col("url")).as("__psurt"),
+        col("warc_file"), col("offset"), col("length"))
+    val resolved = graft.operators.Materialize(
+      frontier.join(plan, frontier("surt") === plan("__psurt"))
+        .select("warc_file", "offset", "length", "host", "slot",
+          "not_before_s"))
+    try {
+      val (recs, rejects) =
+        graft.sources.Warc.fetchScheduled(s, resolved, baseDir = dir)
+      val guard = rejects.agg(count(lit(1)).as("__nrej"))
+        .filter(assert_true(col("__nrej") === 0L,
+          concat(lit("q_frontier_fetch: "), col("__nrej").cast("string"),
+            lit(" dead letters on frontier-resolved ranges"))).isNull)
+        .select(lit(1).as("__g"))
+      graft.sources.Warc.httpParts(
+          recs.filter(col("warc_type") === "response"))
+        .filter(col("http_status") === 200)
+        .join(guard)
+        .select(
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          col("host"), col("slot"), col("not_before_s"), col("fetch_seq"),
+          length(graft.operators.TextAnalysis.stripHtml(col("http_body")))
+            .cast("long").as("n_chars"))
+    } finally graft.operators.Materialize.release(resolved)
+  }
+
   /** robots.txt compliance decisions ([[graft.operators.Robots]]):
     * five hosts, four with deterministic robots bodies — hosts 0–2
     * carry a `graftbot` group (Disallow `/p<k>/`, longer literal
@@ -3658,6 +3748,34 @@ object TextQueries {
         |  CAST(row_number() OVER (PARTITION BY host ORDER BY surt) - 1
         |    AS DOUBLE) * coalesce(delay_s, 0.0) AS not_before_s
         |FROM cf_gated""".stripMargin), headline = true),
+    QueryDef("q_frontier_fetch", frontierFetchQ, Some(
+      s"""WITH ff_base AS (
+         |  SELECT doc_id, CAST(doc_id % 5 AS VARCHAR) AS k,
+         |    CAST(doc_id AS VARCHAR) AS i
+         |  FROM documents),
+         |ff_rows AS (
+         |  -- survives the frontier AND resolves against the index:
+         |  -- not already fetched, not robots-disallowed; the hub seed
+         |  -- has no capture and its single-row host drops whole
+         |  SELECT doc_id, k, i FROM ff_base
+         |  WHERE doc_id % 6 <> 0
+         |    AND NOT (k IN ('0', '1', '2', '3') AND i LIKE '1%')),
+         |ff_sched AS (
+         |  SELECT doc_id, 's' || k || '.graft.test' AS host,
+         |    CAST(row_number() OVER (PARTITION BY k ORDER BY i) - 1
+         |      AS BIGINT) AS slot,
+         |    CASE k WHEN '0' THEN 0.5 WHEN '1' THEN 1.0
+         |      WHEN '2' THEN 1.5 WHEN '3' THEN 2.0 ELSE NULL END AS delay_s
+         |  FROM ff_rows),
+         |ff_clean AS (
+         |  SELECT doc_id, ${duckStripHtml(s"($duckPageShell)")} AS clean
+         |  FROM documents)
+         |SELECT s.doc_id, s.host, s.slot,
+         |  CAST(s.slot AS DOUBLE) * coalesce(s.delay_s, 0.0) AS not_before_s,
+         |  s.slot AS fetch_seq,
+         |  CAST(length(c.clean) AS BIGINT) AS n_chars
+         |FROM ff_sched s JOIN ff_clean c ON c.doc_id = s.doc_id""".stripMargin),
+      headline = true),
     QueryDef("q_robots_sitemaps", robotsSitemapsQ, Some(
       """WITH rs AS (
         |  SELECT doc_id,
