@@ -66,65 +66,52 @@ object ScaleProbeDedup {
 
     val dd = docs.select(col("doc_id"), col("text"))
 
-    // ---- UNGATED stage split: the q_dedup_docs decomposition ----
-    // (sigs/pairs over the FULL dup-heavy corpus — 1000-way cliques)
-    val (sigsU, starU) = time("ungated_sigs") {
-      Dedup.sigsWithStarDecisionCompact(
-        Dedup.compactSigsPlan(dd, "doc_id", "text"),
-        bands = 16, rows = 4, force = false,
-        cap = Dedup.defaultAutoStarPairsCap)
+    /** The sigs → pairs → cc → land stage protocol, run once per
+      * input frame so the ungated (q_dedup_docs) and gated (curate
+      * shape) splits can never diverge in what they measure.
+      */
+    def runStages(input: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val (sigs, star) = time(s"${tag}_sigs") {
+        Dedup.sigsWithStarDecisionCompact(
+          Dedup.compactSigsPlan(input, "doc_id", "text"),
+          bands = 16, rows = 4, force = false,
+          cap = Dedup.defaultAutoStarPairsCap)
+      }
+      println(s"[probe] ${tag}_star=$star")
+      val pairs = time(s"${tag}_pairs") {
+        Materialize(
+          if (star) Dedup.starCandidatesFromBandedSigs(sigs, 64, 0.5)
+          else Dedup.candidatesFromBandedSigs(sigs, 64, 0.5))
+      }
+      println(s"[probe] ${tag}_pairs_n=${pairs.count()}")
+      val comp = time(s"${tag}_cc") {
+        Materialize(Dedup.connectedComponents(pairs))
+      }
+      println(s"[probe] ${tag}_components_rows=${comp.count()}")
+      time(s"${tag}_land") {
+        val losers = comp.filter(col("id") =!= col("component")).select(col("id"))
+        val out = graft.streaming.Scratch.tmpDir(s"probe_dedup_land_$tag")
+        docs.join(losers, docs("doc_id") === losers("id"), "left_anti")
+          .select("doc_id", "lang", "source", "n_chars")
+          .write.mode("overwrite").parquet(out)
+      }
+      Materialize.release(pairs); Materialize.release(comp)
+      System.gc()
     }
-    println(s"[probe] ungated_star=$starU")
-    val pairsU = time("ungated_pairs") {
-      Materialize(
-        if (starU) Dedup.starCandidatesFromBandedSigs(sigsU, 64, 0.5)
-        else Dedup.candidatesFromBandedSigs(sigsU, 64, 0.5))
-    }
-    println(s"[probe] ungated_pairs_n=${pairsU.count()}")
-    val compU = time("ungated_cc") {
-      Materialize(Dedup.connectedComponents(pairsU))
-    }
-    println(s"[probe] ungated_components_rows=${compU.count()}")
-    time("ungated_land") {
-      val losers = compU.filter(col("id") =!= col("component")).select(col("id"))
-      val out = graft.streaming.Scratch.tmpDir("probe_dedup_land_u")
-      docs.join(losers, docs("doc_id") === losers("id"), "left_anti")
-        .select("doc_id", "lang", "source", "n_chars")
-        .write.mode("overwrite").parquet(out)
-    }
-    Materialize.release(pairsU); Materialize.release(compU)
-    System.gc()
 
-    // ---- GATED (curate-shaped) stage split ----
+    // UNGATED: the q_dedup_docs decomposition (sigs/pairs over the
+    // FULL dup-heavy corpus — 1000-way cliques)
+    runStages(dd, "ungated")
+
+    // GATED (curate-shaped): the flagship family's order — the gate
+    // admits a fraction and everything downstream shrinks with it
     val gated = time("stage_gate") {
       val pass = TextAnalysis.qualityGate(dd, "doc_id", "text")
         .filter(col("pass") === 1).select("doc_id")
       Materialize(dd.join(pass, Seq("doc_id"), "left_semi"))
     }
-    val (sigs, starNow) = time("stage_sigs") {
-      Dedup.sigsWithStarDecisionCompact(
-        Dedup.compactSigsPlan(gated, "doc_id", "text"),
-        bands = 16, rows = 4, force = false,
-        cap = Dedup.defaultAutoStarPairsCap)
-    }
-    println(s"[probe] star_decision=$starNow")
-    val pairs = time("stage_pairs") {
-      Materialize(
-        if (starNow) Dedup.starCandidatesFromBandedSigs(sigs, 64, 0.5)
-        else Dedup.candidatesFromBandedSigs(sigs, 64, 0.5))
-    }
-    println(s"[probe] verified_pairs=${pairs.count()}")
-    val comp = time("stage_cc") {
-      Materialize(Dedup.connectedComponents(pairs))
-    }
-    println(s"[probe] components_rows=${comp.count()}")
-    time("stage_land") {
-      val losers = comp.filter(col("id") =!= col("component")).select(col("id"))
-      val out = graft.streaming.Scratch.tmpDir("probe_dedup_land")
-      docs.join(losers, docs("doc_id") === losers("id"), "left_anti")
-        .select("doc_id", "lang", "source", "n_chars")
-        .write.mode("overwrite").parquet(out)
-    }
+    runStages(gated, "gated")
+
     spark.stop()
     sys.exit(0)
   }

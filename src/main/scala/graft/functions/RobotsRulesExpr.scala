@@ -47,6 +47,11 @@ object RobotsRulesExpr {
     var crawlDelay: java.lang.Double = null
   }
 
+  // precompiled: this expression family's contract is no per-row
+  // regex compilation, and the delay parse runs once per Crawl-delay
+  // line of every row-evaluated body
+  private val DelayRe = java.util.regex.Pattern.compile("[0-9]+(\\.[0-9]+)?")
+
   /** The PRODUCT TOKEN of a crawler agent string per RFC 9309 §2.2.1:
     * the agent identifier up to (not including) the first `/` —
     * `graftbot/1.0 (+https://…)` → `graftbot` — lowercased for the
@@ -71,11 +76,15 @@ object RobotsRulesExpr {
     * wildcard group, kept verbatim; a value with NO leading
     * product-token octet (e.g. `1bot`) yields the empty string, which
     * [[selectGroup]] skips — an empty token is a prefix of everything
-    * and would otherwise bind like a second `*`.
+    * and would otherwise bind like a second `*`. Only the EXACT `*`
+    * value is the wildcard group: a malformed `*bot` tokenizes to the
+    * empty string and matches nothing (robots.cc extracts no token
+    * from it), never to a second wildcard that could out-tie the real
+    * one on file order.
     */
   def groupToken(value: String): String = {
     val v = value.trim.toLowerCase
-    if (v.startsWith("*")) "*"
+    if (v == "*") "*"
     else v.takeWhile(c => (c >= 'a' && c <= 'z') || c == '_' || c == '-')
   }
 
@@ -134,7 +143,7 @@ object RobotsRulesExpr {
             // nothing
             inAgentRun = false
             if (current != null && current.crawlDelay == null &&
-                value.matches("[0-9]+(\\.[0-9]+)?"))
+                DelayRe.matcher(value).matches())
               current.crawlDelay = java.lang.Double.valueOf(value)
           case _ => // Sitemap / unknown: close the agent run but
             // contribute nothing (Sitemap is GLOBAL, not per-group —

@@ -72,7 +72,7 @@ object Frontier {
     // host + path from the SURT key, not the kept raw URL: the min()
     // pick may be a case/port variant, and robots decisions must bind
     // to the canonical host
-    val path = regexp_extract(col("surt"), "\\)(.*)$", 1)
+    val path = Urls.pathFromSurt(col("surt"))
     val rb = robots.select(
       col(hostCol).as("__rb_host"),
       Robots.rulesFor(col(bodyCol), agent).as("__rb_rules"),

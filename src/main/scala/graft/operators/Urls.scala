@@ -80,6 +80,15 @@ object Urls {
   def hostFromSurt(surt: Column): Column =
     array_join(reverse(split(substring_index(surt, ")", 1), ",")), ".")
 
+  /** Path+query back out of a [[surt]] key: everything after the
+    * first `)` (lowercased, trailing-slash-stripped by the surt
+    * construction). The other half of the inverse, owned here with
+    * [[hostFromSurt]] so SURT-format knowledge never leaks into
+    * consumers.
+    */
+  def pathFromSurt(surt: Column): Column =
+    regexp_extract(surt, "\\)(.*)$", 1)
+
   /** Site key for per-domain policies: [[host]] with a leading
     * `www.` stripped. True eTLD+1 grouping needs the public-suffix
     * list (a data file, not an algorithm); the `www` fold covers the

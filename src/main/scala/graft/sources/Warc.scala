@@ -404,32 +404,12 @@ object Warc {
       .repartition(col("warc_file"))
       .sortWithinPartitions(col("warc_file"), col("offset"))
       .rdd.mapPartitions { it =>
-        var openFile: String = null
-        var in: org.apache.hadoop.fs.FSDataInputStream = null
-        def close(): Unit = { if (in != null) { in.close(); in = null } }
-        // backstop for short-circuiting consumers (limit/take/early
-        // join termination): the exhaust-then-close wrapper below
-        // never fires if the iterator is abandoned mid-way, and the
-        // handle would live until executor shutdown
-        Option(org.apache.spark.TaskContext.get())
-          .foreach(_.addTaskCompletionListener[Unit](_ => close()))
+        val fetcher = new RangeFetcher(bc.value.value, base, maxPayloadBytes)
         val out = it.flatMap { r =>
           val file = r.getString(0)
           val offset = r.getLong(1)
-          val length = r.getLong(2)
-          try {
-            if (file != openFile) {
-              close()
-              val hp = new org.apache.hadoop.fs.Path(base + file)
-              in = hp.getFileSystem(bc.value.value).open(hp)
-              openFile = file
-            }
-            require(length <= maxPayloadBytes.toLong + (1L << 20),
-              s"range $length bytes exceeds maxPayloadBytes=$maxPayloadBytes")
-            in.seek(offset)
-            val buf = new Array[Byte](length.toInt)
-            in.readFully(buf)
-            parseStream(new ByteArrayInputStream(buf), maxPayloadBytes).map {
+          fetcher.fetch(file, offset, r.getLong(2)) match {
+            case Right(parsed) => parsed.map {
               case Right(rec) => Row(
                 rec.warcType, rec.recordId, rec.targetUri, rec.warcDate,
                 rec.contentType, rec.contentLength, rec.payload, file,
@@ -438,21 +418,69 @@ object Warc {
                 null, null, null, null, null, null, null, file, offset,
                 reason)
             }
-          } catch {
-            case e: Exception =>
-              openFile = null; close()
+            case Left(reason) =>
               Iterator(Row(null, null, null, null, null, null, null, file,
-                offset, s"range fetch failed: ${e.getMessage}"))
+                offset, reason))
           }
         }
-        // exhaust-then-close: flatMap consumers pull lazily, so the
-        // stream must outlive the row iterator
-        new Iterator[Row] {
-          def hasNext: Boolean = { val h = out.hasNext; if (!h) close(); h }
-          def next(): Row = out.next()
-        }
+        fetcher.wrap(out)
       }
     splitUnified(spark, rows)
+  }
+
+  /** Per-partition ranged-read core shared by [[fetchRanged]] and
+    * [[fetchScheduled]] — the LRU-1 segment handle (re-open only on
+    * file change), the payload-size guard, the exact-range read and
+    * the failure-to-dead-letter discipline live HERE once; the two
+    * callers differ only in row ordering and provenance columns.
+    * Construction registers a task-completion close backstop
+    * (short-circuiting consumers — limit/take/early join termination
+    * — abandon the iterator mid-way and would otherwise hold the
+    * handle until executor shutdown); [[wrap]] adds the
+    * exhaust-then-close wrapper for the common full-drain case
+    * (flatMap consumers pull lazily, so the stream must outlive the
+    * row iterator).
+    */
+  private final class RangeFetcher(
+      conf: org.apache.hadoop.conf.Configuration,
+      base: String,
+      maxPayloadBytes: Int) {
+    private var openFile: String = null
+    private var in: org.apache.hadoop.fs.FSDataInputStream = null
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => close()))
+
+    def close(): Unit = { if (in != null) { in.close(); in = null } }
+
+    /** Read exactly `[offset, offset + length)` of `file` and parse
+      * the member(s) inside; `Left(reason)` on any failure, with the
+      * handle reset so the next range reopens cleanly.
+      */
+    def fetch(file: String, offset: Long, length: Long)
+        : Either[String, Iterator[Either[(Long, String), Parsed]]] =
+      try {
+        if (file != openFile) {
+          close()
+          val hp = new org.apache.hadoop.fs.Path(base + file)
+          in = hp.getFileSystem(conf).open(hp)
+          openFile = file
+        }
+        require(length <= maxPayloadBytes.toLong + (1L << 20),
+          s"range $length bytes exceeds maxPayloadBytes=$maxPayloadBytes")
+        in.seek(offset)
+        val buf = new Array[Byte](length.toInt)
+        in.readFully(buf)
+        Right(parseStream(new ByteArrayInputStream(buf), maxPayloadBytes))
+      } catch {
+        case e: Exception =>
+          openFile = null; close()
+          Left(s"range fetch failed: ${e.getMessage}")
+      }
+
+    def wrap(out: Iterator[Row]): Iterator[Row] = new Iterator[Row] {
+      def hasNext: Boolean = { val h = out.hasNext; if (!h) close(); h }
+      def next(): Row = out.next()
+    }
   }
 
   /** [[recordSchema]] plus the schedule provenance each politely
@@ -525,18 +553,13 @@ object Warc {
       .repartition(col("host"))
       .sortWithinPartitions(col("host"), col("slot"))
       .rdd.mapPartitions { it =>
-        var openFile: String = null
-        var in: org.apache.hadoop.fs.FSDataInputStream = null
-        def close(): Unit = { if (in != null) { in.close(); in = null } }
-        Option(org.apache.spark.TaskContext.get())
-          .foreach(_.addTaskCompletionListener[Unit](_ => close()))
+        val fetcher = new RangeFetcher(bc.value.value, base, maxPayloadBytes)
         var curHost: String = null
         var seq = -1L
         var anchorNanos = 0L
         val out = it.flatMap { r =>
           val file = r.getString(0)
           val offset = r.getLong(1)
-          val length = r.getLong(2)
           val host = r.getString(3)
           val slot = r.getLong(4)
           val nb = if (r.isNullAt(5)) 0.0 else r.getDouble(5)
@@ -552,19 +575,8 @@ object Warc {
               now = System.nanoTime()
             }
           }
-          try {
-            if (file != openFile) {
-              close()
-              val hp = new org.apache.hadoop.fs.Path(base + file)
-              in = hp.getFileSystem(bc.value.value).open(hp)
-              openFile = file
-            }
-            require(length <= maxPayloadBytes.toLong + (1L << 20),
-              s"range $length bytes exceeds maxPayloadBytes=$maxPayloadBytes")
-            in.seek(offset)
-            val buf = new Array[Byte](length.toInt)
-            in.readFully(buf)
-            parseStream(new ByteArrayInputStream(buf), maxPayloadBytes).map {
+          fetcher.fetch(file, offset, r.getLong(2)) match {
+            case Right(parsed) => parsed.map {
               case Right(rec) => Row(
                 rec.warcType, rec.recordId, rec.targetUri, rec.warcDate,
                 rec.contentType, rec.contentLength, rec.payload, file,
@@ -573,18 +585,12 @@ object Warc {
                 null, null, null, null, null, null, null, file,
                 host, slot, nb, seq, offset, reason)
             }
-          } catch {
-            case e: Exception =>
-              openFile = null; close()
+            case Left(reason) =>
               Iterator(Row(null, null, null, null, null, null, null, file,
-                host, slot, nb, seq, offset,
-                s"range fetch failed: ${e.getMessage}"))
+                host, slot, nb, seq, offset, reason))
           }
         }
-        new Iterator[Row] {
-          def hasNext: Boolean = { val h = out.hasNext; if (!h) close(); h }
-          def next(): Row = out.next()
-        }
+        fetcher.wrap(out)
       }
     val unified = graft.operators.Materialize(
       spark.createDataFrame(rows, scheduledUnifiedSchema))

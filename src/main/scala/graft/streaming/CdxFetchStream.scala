@@ -33,11 +33,13 @@ import org.apache.spark.sql.types._
   * Scale shape per batch: parse is column arithmetic; the anti-join
   * shuffles index METADATA only (one row per capture — payload bytes
   * never enter any shuffle); the in-batch dedup is the fetchPlan
-  * aggregate; the fetch is POLITENESS-SCHEDULED (round 16): the plan
-  * runs through [[graft.sources.Cdx.schedule]] and dereferences per
-  * host in slot order ([[graft.sources.Warc.fetchScheduled]] — one
-  * task per host, ascending `(warc_file, offset)` within it), so the
-  * loop now APPLIES the politeness it advertises. A batch of
+  * aggregate; the fetch is POLITENESS-SCHEDULED when host delays are
+  * supplied (round 16): the plan runs through
+  * [[graft.sources.Cdx.schedule]] and dereferences per host in slot
+  * order ([[graft.sources.Warc.fetchScheduled]] — one task per host,
+  * ascending `(warc_file, offset)` within it), so the loop APPLIES
+  * the politeness it advertises; with no declared delays it keeps
+  * the by-file I/O-optimal order. A batch of
   * already-seen digests costs one metadata join and zero I/O — the
   * bandwidth property that makes index-first ingestion worth it.
   */
@@ -60,18 +62,22 @@ object CdxFetchStream {
     }
 
   /** One micro-batch step: parse `lines`, plan the never-seen-before
-    * 200-status digests, SCHEDULE the plan politely ([[graft.sources
-    * .Cdx.schedule]]: per-host slots spaced by `hostDelays`' declared
-    * `Crawl-delay`s — hosts absent from it schedule at 0 spacing),
-    * fetch the ranges from `baseDir` in slot order per host
-    * ([[graft.sources.Warc.fetchScheduled]]), land the records under
-    * `recordsDir/batch_id=<id>` and the newly fetched digests under
-    * `stateDir/batch_id=<id>`. Returns the landed record count (the
-    * driver-side progress signal). Deterministic given batch contents
-    * + prior state; idempotent under replay of the same `batchId`.
-    * The landed schema is unchanged — schedule provenance columns are
-    * consumed by the fetcher's ordering and dropped before the
-    * manifest transaction.
+    * 200-status digests, and — when a `hostDelays` table is supplied
+    * — SCHEDULE the plan politely ([[graft.sources.Cdx.schedule]]:
+    * per-host slots spaced by the declared `Crawl-delay`s, hosts
+    * absent from the table at 0 spacing) and fetch in slot order per
+    * host ([[graft.sources.Warc.fetchScheduled]]). With NO delay
+    * table there is nothing to be polite about, and the batch keeps
+    * [[graft.sources.Warc.fetchRanged]]'s by-file ascending-offset
+    * order (one open per segment — the host-keyed order would reopen
+    * shared segments once per host run for zero benefit). Records
+    * land under `recordsDir/batch_id=<id>` and the newly fetched
+    * digests under `stateDir/batch_id=<id>`. Returns the landed
+    * record count (the driver-side progress signal). Deterministic
+    * given batch contents + prior state; idempotent under replay of
+    * the same `batchId`. The landed schema is identical on both
+    * paths — schedule provenance columns are consumed by the
+    * fetcher's ordering and dropped before the manifest transaction.
     */
   def fetchBatch(
       lines: DataFrame,
@@ -89,19 +95,27 @@ object CdxFetchStream {
       .select("digest")
     val fresh = records.filter(col("status") === 200)
       .join(seen, Seq("digest"), "left_anti")
-    val hosted = graft.sources.Cdx.fetchPlan(fresh)
-      .withColumn("host", graft.operators.Urls.host(col("url")))
-    val delayed = hostDelays match {
-      // the delay table is host-cardinality — broadcast by construction
-      case Some(dl) => hosted.join(broadcast(dl), Seq("host"), "left")
-      case None     => hosted.withColumn("delay_s", lit(null).cast("double"))
-    }
-    val plan = graft.operators.Materialize(
-      graft.sources.Cdx.schedule(delayed, "host", "delay_s",
-        orderCols = Seq("warc_file", "offset")))
+    val plan = graft.operators.Materialize(hostDelays match {
+      case Some(dl) =>
+        // the delay table is host-cardinality — broadcast by construction
+        graft.sources.Cdx.schedule(
+          graft.sources.Cdx.fetchPlan(fresh)
+            .withColumn("host", graft.operators.Urls.host(col("url")))
+            .join(broadcast(dl), Seq("host"), "left"),
+          "host", "delay_s", orderCols = Seq("warc_file", "offset"))
+      case None => graft.sources.Cdx.fetchPlan(fresh)
+    })
     try {
-      val (recs, _) = graft.sources.Warc.fetchScheduled(
-        spark, plan, baseDir, maxPayloadBytes, paceWallClock)
+      val (recs, _) = hostDelays match {
+        case Some(_) => graft.sources.Warc.fetchScheduled(
+          spark, plan, baseDir, maxPayloadBytes, paceWallClock)
+        // no declared delays — nothing to be polite ABOUT: keep
+        // fetchRanged's by-file ascending-offset order (one open per
+        // segment; the host-keyed order would reopen shared segments
+        // once per host run for zero politeness benefit)
+        case None =>
+          graft.sources.Warc.fetchRanged(spark, plan, baseDir, maxPayloadBytes)
+      }
       graft.sources.ManifestedSink.appendBatch(
         recs.select(graft.sources.Warc.recordSchema.fieldNames.map(col).toSeq: _*)
           .withColumn("batch_id", lit(batchId)),

@@ -112,5 +112,18 @@ class CdxSpec extends SparkSpecBase {
       1L, stateDir, recsDir, dir)
     assert(n1b === 1L)
     assert(landedUris() === afterOnce)
+    // with a Crawl-delay table the batch routes through the
+    // politeness-scheduled fetch path — same landed schema and rows
+    val stateDir2 = graft.streaming.Scratch.tmpDir("graft_cdxf_spec_st2")
+    val recsDir2 = graft.streaming.Scratch.tmpDir("graft_cdxf_spec_rc2")
+    val delays = Seq(("graft.test", 0.01)).toDF("host", "delay_s")
+    val nP = CdxFetchStream.fetchBatch(
+      Seq(line(1, 0), line(2, 1), line(3, 2)).toDF("line"),
+      0L, stateDir2, recsDir2, dir, hostDelays = Some(delays))
+    assert(nP === 3L)
+    assert(graft.sources.Warc.readRecords(spark, recsDir2)
+      .select("target_uri").as[String].collect().sorted.toSeq ===
+      Seq(1, 2, 3).map(i => s"https://graft.test/doc/$i"),
+      "the scheduled path lands the identical record set and schema")
   }
 }

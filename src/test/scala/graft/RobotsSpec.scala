@@ -87,6 +87,12 @@ class RobotsSpec extends SparkSpecBase {
     val junk = "User-agent: 1bot\nDisallow: /\n\nUser-agent: *\nDisallow: /w/\n"
     assert(allowed(junk, "graftbot", "/x") && !allowed(junk, "graftbot", "/w/x"),
       "an untokenizable group value must not become a wildcard")
+    // only the EXACT '*' is the wildcard: a malformed '*bot' group
+    // tokenizes to nothing and must not win the first-in-file tie
+    // over the real '*' group (robots.cc extracts no token from it)
+    val starish = "User-agent: *bot\nDisallow: /\n\nUser-agent: *\nAllow: /\n"
+    assert(allowed(starish, "graftbot", "/anything"),
+      "'*bot' must not bind as a second wildcard ahead of the real one")
   }
 
   test("longest-match rules: allow overrides shorter disallow; ties go to allow; no match allows") {
