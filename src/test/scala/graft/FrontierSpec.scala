@@ -67,4 +67,26 @@ class FrontierSpec extends SparkSpecBase {
       // row with its listing count; done (and its variant) anti-joined
       ("test,b)/hub", "https://b.test/hub", "b.test", 2L, 0L, 0.0)))
   }
+
+  test("build plan: robots join broadcasts; three hash exchanges (dedup, state anti-join, host window)") {
+    val seeds = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(concat(lit("https://s"), (col("doc_id") % 5).cast("string"),
+        lit(".graft.test/p/"), col("doc_id").cast("string")).as("url"))
+    val fetched = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") % 6 === 0)
+      .select(graft.operators.Urls.surt(
+        concat(lit("https://s"), (col("doc_id") % 5).cast("string"),
+          lit(".graft.test/p/"), col("doc_id").cast("string"))).as("surt"))
+    val robots = Seq(("s0.graft.test",
+      "User-agent: graftbot\nDisallow: /x/\nCrawl-delay: 1\n"))
+      .toDF("host", "body")
+    val plan = Frontier.build(seeds, "url", fetched, "surt",
+        robots, "host", "body", "graftbot/1.0")
+      .queryExecution.executedPlan.toString
+    assert("(?i)broadcast".r.findFirstIn(plan).isDefined,
+      s"the host-cardinality robots table must broadcast:\n$plan")
+    val exchanges = "(?i)exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 3,
+      s"dedup + state anti-join + host window = at most 3 hash exchanges, got $exchanges:\n$plan")
+  }
 }
