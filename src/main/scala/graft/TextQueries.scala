@@ -1550,6 +1550,31 @@ object TextQueries {
       .withColumn("kept", col("score") > 0L)
   }
 
+  /** MULTI-CLASS LangID, trained and served in-engine
+    * ([[Classifier.perceptronTrainOvr]], round 16): five one-vs-rest
+    * integer perceptrons learn the corpus's `lang` labels
+    * simultaneously (one map-only scoring pass + one gradient
+    * aggregate per iteration for ALL classes), then every document is
+    * classified by argmax score (ties → earlier class). The
+    * fastText-LID shape end to end, bit-exactly SQL-replayable.
+    */
+  private val langidClasses = Seq("de", "en", "es", "fr", "zh")
+
+  private def perceptronLangidQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text", "lang")
+    val w = Classifier.perceptronTrainOvr(
+      docs, "text", "lang", langidClasses, perceptronDim, perceptronIters)
+    docs
+      // staged ONCE: the argmax struct is a K-fold scoring pass, and
+      // CollapseProject keeps non-cheap multi-referenced aliases staged
+      .withColumn("__p", Classifier.perceptronPredictOvr(
+        col("text"), langidClasses, w))
+      .select(col("doc_id"),
+        col("__p.cls").as("lang_pred"),
+        col("__p.s").as("score"),
+        (col("__p.cls") === col("lang")).as("correct"))
+  }
+
   /** Shared oracle prelude for the perceptron pair: the labeled
     * token-list CTE + the unrolled training rounds. */
   private def perceptronOracleCtes: String =
@@ -4288,6 +4313,27 @@ object TextQueries {
          |  GROUP BY d.doc_id)
          |SELECT doc_id, CAST(s AS BIGINT) AS score, s > 0 AS kept
          |FROM pt_serve""".stripMargin)),
+    QueryDef("q_perceptron_langid", perceptronLangidQ, Some(
+      s"""WITH po_docs AS (
+         |  SELECT doc_id, lang,
+         |    ${TextAnalysis.tokensDuckSql("coalesce(text, '')")} AS toks
+         |  FROM documents),
+         |${Classifier.perceptronOvrDuckCtes(
+              langidClasses, perceptronDim, perceptronIters)},
+         |po_serve AS (
+         |  SELECT f.doc_id, k.ci, k.c, coalesce(sum(w.w * f.cnt), 0) AS s
+         |  FROM po_feat f CROSS JOIN po_cls k
+         |  LEFT JOIN po_w$perceptronIters w ON w.ci = k.ci AND w.f = f.f
+         |  GROUP BY 1, 2, 3),
+         |po_pred AS (
+         |  SELECT doc_id, c AS lang_pred, CAST(s AS BIGINT) AS score,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY s DESC, ci ASC) AS rn
+         |  FROM po_serve)
+         |SELECT p.doc_id, p.lang_pred, p.score,
+         |  p.lang_pred = d.lang AS correct
+         |FROM po_pred p JOIN documents d USING (doc_id)
+         |WHERE rn = 1""".stripMargin)),
     QueryDef("q_token_budget", tokenBudgetQ, Some {
       val toks = duckToks("text")
       s"""WITH t AS (

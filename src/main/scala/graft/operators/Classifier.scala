@@ -183,6 +183,142 @@ object Classifier {
       (acc, f) => acc + element_at(wLit, f + 1))
   }
 
+  /** ONE-VS-REST multi-class batch perceptron — K binary
+    * [[perceptronTrain]] models trained SIMULTANEOUSLY, the language-
+    * identification shape (fastText LID trains exactly this family):
+    * per iteration, ONE map-only pass scores every doc against all K
+    * weight vectors (they ride the plan as one K×(dim+1) nested
+    * array literal) and ONE hash aggregate collects the per-(class,
+    * feature) gradients over each class's misclassified docs — K
+    * models cost one extra explode factor, not K passes. Same
+    * all-integer arithmetic as the binary trainer, so the K
+    * trajectories replay bit-exactly in SQL
+    * ([[perceptronOvrDuckCtes]]).
+    *
+    * Returns the K weight vectors in `classes` order (each length
+    * `dim + 1`, bias last).
+    */
+  def perceptronTrainOvr(
+      df: DataFrame,
+      textCol: String,
+      labelCol: String,
+      classes: Seq[String],
+      dim: Int,
+      iters: Int): Seq[Array[Long]] = {
+    require(classes.nonEmpty, "perceptronTrainOvr: empty class list")
+    require(classes.distinct == classes, "perceptronTrainOvr: duplicate classes")
+    require(dim >= 1 && iters >= 1,
+      "perceptronTrainOvr: dim and iters must be positive")
+    val toks = TextAnalysis.tokens(coalesce(col(textCol), lit("")))
+    val data = Materialize(df.select(
+      col(labelCol).as("__lbl"),
+      transform(toks, t => featureId(t, dim)).as("__f")))
+    try {
+      val w = Array.fill(classes.size, dim + 1)(0L)
+      val clsArr = array(classes.map(lit): _*)
+      (1 to iters).foreach { _ =>
+        val wMatrix = array(w.map(row => array(row.toSeq.map(lit): _*)).toSeq: _*)
+        // per class: ±1 label, integer score, misclassified flag —
+        // __f is a MATERIALIZED column, so the K branches re-read a
+        // stored array rather than re-inlining a computed subtree
+        val scored = transform(clsArr, (c, ci) => {
+          val wRow = element_at(wMatrix, ci + 1)
+          val y = when(col("__lbl") === c, 1L).otherwise(-1L)
+          val s = aggregate(col("__f"), element_at(wRow, dim + 1),
+            (acc, f) => acc + element_at(wRow, f + 1))
+          struct(ci.as("ci"), y.as("y"), (y * s <= 0L).as("mis"))
+        })
+        val grad = data
+          .select(col("__f"),
+            explode(filter(scored, x => x.getField("mis"))).as("__m"))
+          .select(col("__m.ci").as("__ci"), col("__m.y").as("__y"),
+            explode(concat(col("__f"), array(lit(dim)))).as("__ff"))
+          .groupBy("__ci", "__ff")
+          .agg(sum(col("__y")).as("__g"))
+          .collect() // ≤ K·(dim+1) rows — still the codebook collect
+        grad.foreach(r => w(r.getInt(0))(r.getInt(1)) += r.getLong(2))
+      }
+      w.toSeq
+    } finally Materialize.release(data)
+  }
+
+  /** Argmax prediction under [[perceptronTrainOvr]] weights: the
+    * class with the highest integer score, ties to the EARLIER class
+    * in `classes` order — one map-only pass, deterministic.
+    */
+  def perceptronPredictOvr(
+      textCol: Column,
+      classes: Seq[String],
+      w: Seq[Array[Long]]): Column = {
+    require(w.size == classes.size, "one weight vector per class")
+    val dim = w.head.length - 1
+    val wMatrix = array(w.map(row => array(row.toSeq.map(lit): _*)): _*)
+    val clsArr = array(classes.map(lit): _*)
+    val feats = transform(TextAnalysis.tokens(coalesce(textCol, lit(""))),
+      t => featureId(t, dim))
+    val scored = transform(clsArr, (c, ci) => {
+      val wRow = element_at(wMatrix, ci + 1)
+      val s = aggregate(feats, element_at(wRow, dim + 1),
+        (acc, f) => acc + element_at(wRow, f + 1))
+      struct((-s).as("neg_s"), ci.as("ci"), c.as("cls"), s.as("s"))
+    })
+    // array_sort orders struct fields lexicographically: (−score asc,
+    // class index asc) = argmax with earlier-class ties
+    element_at(array_sort(scored), 1)
+  }
+
+  /** DuckDB CTE chain replaying [[perceptronTrainOvr]] — the
+    * [[perceptronDuckCtes]] rounds keyed by class. Expects
+    * `${prefix}_docs (doc_id, lang, toks)` upstream; emits
+    * `${prefix}_feat` (class-independent hashed counts + bias),
+    * `${prefix}_y` (per-(doc, class) ±1 labels from `classesSql`, a
+    * `(VALUES ...)` list), and `${prefix}_w1 … _w<iters>` keyed by
+    * `(c, f)`.
+    */
+  def perceptronOvrDuckCtes(
+      classes: Seq[String], dim: Int, iters: Int,
+      prefix: String = "po"): String = {
+    val p = prefix
+    val fid = featureIdDuckSql("u.t", dim)
+    val clsValues = classes.zipWithIndex
+      .map { case (c, i) => s"($i, '$c')" }.mkString(", ")
+    val head =
+      s"""${p}_cls(ci, c) AS (SELECT * FROM (VALUES $clsValues) v(ci, c)),
+         |${p}_feat AS (
+         |  SELECT doc_id, f, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT doc_id, $fid AS f FROM ${p}_docs, unnest(toks) AS u(t)
+         |    UNION ALL
+         |    SELECT doc_id, $dim FROM ${p}_docs) s
+         |  GROUP BY 1, 2),
+         |${p}_y AS (
+         |  SELECT d.doc_id, k.ci,
+         |    CASE WHEN d.lang = k.c THEN 1 ELSE -1 END AS y
+         |  FROM ${p}_docs d CROSS JOIN ${p}_cls k),
+         |${p}_w1 AS (
+         |  SELECT y.ci, f.f, sum(y.y * f.cnt) AS w
+         |  FROM ${p}_feat f JOIN ${p}_y y USING (doc_id)
+         |  GROUP BY 1, 2)""".stripMargin
+    val rounds = (2 to iters).map { r =>
+      s"""${p}_s$r AS (
+         |  SELECT y.doc_id, y.ci, any_value(y.y) AS y,
+         |    coalesce(sum(w.w * f.cnt), 0) AS s
+         |  FROM ${p}_y y JOIN ${p}_feat f USING (doc_id)
+         |  LEFT JOIN ${p}_w${r - 1} w ON w.ci = y.ci AND w.f = f.f
+         |  GROUP BY y.doc_id, y.ci),
+         |${p}_g$r AS (
+         |  SELECT s.ci, f.f, sum(s.y * f.cnt) AS gw
+         |  FROM ${p}_s$r s JOIN ${p}_feat f USING (doc_id)
+         |  WHERE s.y * s.s <= 0
+         |  GROUP BY 1, 2),
+         |${p}_w$r AS (
+         |  SELECT coalesce(a.ci, b.ci) AS ci, coalesce(a.f, b.f) AS f,
+         |    coalesce(a.w, 0) + coalesce(b.gw, 0) AS w
+         |  FROM ${p}_w${r - 1} a
+         |  FULL OUTER JOIN ${p}_g$r b ON a.ci = b.ci AND a.f = b.f)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n")
+  }
+
   /** DuckDB CTE chain replaying [[perceptronTrain]] step for step —
     * unrolled iterations, all-integer. Expects a `${prefix}_docs` CTE
     * upstream with `(doc_id, y, toks)` (`y` ±1, `toks` the token

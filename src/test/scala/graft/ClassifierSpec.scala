@@ -128,4 +128,36 @@ class ClassifierSpec extends SparkSpecBase {
     assert(w1(fc) === -1L)
     assert(w1(8) === 0L, "bias accumulates Σy over the all-misclassified round")
   }
+
+  test("perceptronTrainOvr: separable 3-class vocabularies classify exactly; 1-class OvR == binary") {
+    val docs = Seq(
+      ("uno dos tres uno", "es"), ("dos tres", "es"),
+      ("one two three", "en"), ("two two one", "en"),
+      ("eins zwei drei", "de"), ("drei zwei", "de"))
+      .toDF("text", "lang")
+    val classes = Seq("de", "en", "es")
+    val w = Classifier.perceptronTrainOvr(docs, "text", "lang", classes,
+      dim = 32, iters = 5)
+    assert(w.size === 3 && w.forall(_.length === 33))
+    val pred = Classifier.perceptronPredictOvr(col("text"), classes, w)
+    val got = docs.withColumn("__p", pred)
+      .select(col("lang"), col("__p.cls")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(got.forall { case (y, p) => y === p },
+      s"disjoint vocabularies must classify exactly, got ${got.toSeq}")
+    // one-class OvR trains the identical weight vector as the binary
+    // trainer with the same ±1 labeling
+    val ovr1 = Classifier.perceptronTrainOvr(docs, "text", "lang",
+      Seq("en"), dim = 16, iters = 3).head
+    val bin = Classifier.perceptronTrain(docs, "text",
+      col("lang") === "en", dim = 16, iters = 3)
+    assert(ovr1.toSeq === bin.toSeq)
+    // argmax ties resolve to the EARLIER class: all-zero weights tie
+    // every class at the bare bias
+    val zeros = classes.map(_ => Array.fill(33)(0L))
+    val tied = docs.limit(1)
+      .select(Classifier.perceptronPredictOvr(col("text"), classes, zeros)
+        .getField("cls")).head.getString(0)
+    assert(tied === "de")
+  }
 }
