@@ -698,13 +698,14 @@ object StreamingQueries {
   }
 
   /** INCREMENTAL dashboard state ([[graft.streaming.AggStream]],
-    * round 16) — the [[streamDashboard]] trio with per-tick cost
-    * decoupled from history size: the bar surface maintains
-    * `(count, DECIMAL sum)` partials, the profile surface maintains
-    * latest-state partials ([[graft.streaming.AggStream
-    * .appendLatestPartials]] — latest-per-group is algebraic, so
-    * per-batch `max_by` partials re-merge exactly), and each tick
-    * serves the dashboards from those STATE TABLES (batch-sized
+    * round 16; combined-state trim round 17) — the [[streamDashboard]]
+    * trio with per-tick cost decoupled from history size: ONE
+    * combined state table keyed `(user_id, event_type)` holds
+    * `(count, DECIMAL sum)` AND latest-state partials
+    * ([[graft.streaming.AggStream.appendCombinedPartials]] — both
+    * measure families are algebraic, and the coarser per-`event_type`
+    * bar surface re-merges exactly from the fine partials), and each
+    * tick serves the dashboards from that STATE TABLE (batch-sized
     * aggregate + key-cardinality merge) instead of recomputing over
     * all events. At 100× data the recompute form's per-tick cost
     * grows with history; this form's grows with the tick's batch and
@@ -719,8 +720,7 @@ object StreamingQueries {
       .select("c_custkey", "c_name", "c_mktsegment")
     val key = "spark.sql.shuffle.partitions"
     val old = s.conf.get(key)
-    val barState = graft.streaming.Scratch.tmpDir("graft_dinc_bar_state")
-    val profState = graft.streaming.Scratch.tmpDir("graft_dinc_prof_state")
+    val state = graft.streaming.Scratch.tmpDir("graft_dinc_state")
     val barOut = graft.streaming.Scratch.tmpDir("graft_dinc_bar")
     val profOut = graft.streaming.Scratch.tmpDir("graft_dinc_prof")
     val lineOut = graft.streaming.Scratch.tmpDir("graft_dinc_line")
@@ -734,24 +734,25 @@ object StreamingQueries {
         .foreachBatch { (b: DataFrame, id: Long) =>
           val cached = b.persist()
           try {
-            // tick cost 1: three batch-sized commits
-            graft.streaming.AggStream.appendPartials(
-              cached, id, barState, Seq("event_type"), "value")
-            graft.streaming.AggStream.appendLatestPartials(
-              cached, id, profState,
+            // tick cost 1: TWO batch-sized commits (round 17 — the
+            // bar and profile partials fold into ONE combined state
+            // table keyed by the fine (user_id, event_type) group;
+            // the coarser bar surface re-merges from it exactly)
+            graft.streaming.AggStream.appendCombinedPartials(
+              cached, id, state,
               Seq("user_id", "event_type"), Seq("ts", "event_id"),
-              Seq("value"))
+              "value")
             cached.select("event_type", "ts", "value", "event_id")
               .write.mode("append").parquet(lineOut)
             // tick cost 2: serve the dashboards from STATE, not history
-            graft.streaming.AggStream.serve(s, barState, Seq("event_type"))
+            graft.streaming.AggStream.serve(s, state, Seq("event_type"))
               .select(col("event_type"),
                 graft.functions.Det.round(
                   col("sum_value").cast("double") / col("n"), 2)
                   .as("avg_value"))
               .write.mode("overwrite").parquet(barOut)
             val latest = graft.streaming.AggStream.serveLatest(
-              s, profState,
+              s, state,
               Seq("user_id", "event_type"), Seq("ts", "event_id"),
               Seq("value"))
             val info = when(col("value").isNotNull,

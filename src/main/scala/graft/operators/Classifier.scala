@@ -245,6 +245,13 @@ object Classifier {
   /** Argmax prediction under [[perceptronTrainOvr]] weights: the
     * class with the highest integer score, ties to the EARLIER class
     * in `classes` order — one map-only pass, deterministic.
+    *
+    * Featurization (tokenize + hash) is staged as the single element
+    * of an outer array and the K-class scoring references the LAMBDA
+    * VARIABLE, which Catalyst binds once per row and never re-inlines
+    * — without this, the K score branches each re-evaluate the
+    * tokenize+hash subtree (the HOF re-inline trap the trainer avoids
+    * with its materialized `__f` column; round-16 advice).
     */
   def perceptronPredictOvr(
       textCol: Column,
@@ -256,15 +263,18 @@ object Classifier {
     val clsArr = array(classes.map(lit): _*)
     val feats = transform(TextAnalysis.tokens(coalesce(textCol, lit(""))),
       t => featureId(t, dim))
-    val scored = transform(clsArr, (c, ci) => {
-      val wRow = element_at(wMatrix, ci + 1)
-      val s = aggregate(feats, element_at(wRow, dim + 1),
-        (acc, f) => acc + element_at(wRow, f + 1))
-      struct((-s).as("neg_s"), ci.as("ci"), c.as("cls"), s.as("s"))
+    val best = transform(array(feats), ft => {
+      val scored = transform(clsArr, (c, ci) => {
+        val wRow = element_at(wMatrix, ci + 1)
+        val s = aggregate(ft, element_at(wRow, dim + 1),
+          (acc, f) => acc + element_at(wRow, f + 1))
+        struct((-s).as("neg_s"), ci.as("ci"), c.as("cls"), s.as("s"))
+      })
+      // array_sort orders struct fields lexicographically: (−score
+      // asc, class index asc) = argmax with earlier-class ties
+      element_at(array_sort(scored), 1)
     })
-    // array_sort orders struct fields lexicographically: (−score asc,
-    // class index asc) = argmax with earlier-class ties
-    element_at(array_sort(scored), 1)
+    element_at(best, 1)
   }
 
   /** DuckDB CTE chain replaying [[perceptronTrainOvr]] — the

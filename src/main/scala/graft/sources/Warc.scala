@@ -522,17 +522,44 @@ object Warc {
     * fetcher is HTTP-ranged against origins, where per-host seriality
     * is the whole point and there is no shared file to reopen.
     *
-    * `paceWallClock` additionally sleeps each fetch until
-    * `not_before_s` seconds after its host's FIRST fetch in the task
-    * (default off: archival replays and tests verify ORDER, which is
-    * the deterministic half of politeness; wall-clock spacing only
-    * matters against live origins).
+    * `paceWallClock` additionally sleeps each fetch until the LATER
+    * of (a) `not_before_s` seconds after its host's FIRST fetch in
+    * the task (the schedule's absolute deadline) and (b) the previous
+    * fetch's COMPLETION plus this row's scheduled inter-request gap
+    * (`not_before_s` delta) — so a fetch that overruns its slot
+    * re-anchors the pace and later requests never fire back-to-back,
+    * preserving `Crawl-delay`'s minimum-gap semantics against live
+    * origins (round-16 advice). Default off: archival replays and
+    * tests verify ORDER, which is the deterministic half of
+    * politeness; wall-clock spacing only matters against live
+    * origins.
     *
     * Dead letters are unaffected: an unparseable or unreadable range
     * rejects as `(file, pos, reason)` exactly like [[fetchRanged]],
     * and — the pin — still CONSUMES its fetch_seq, so later rows'
     * `fetch_seq == slot` equality survives failures mid-host.
     */
+  /** Wall-clock due time for a paced scheduled fetch: the LATER of
+    * the schedule's absolute deadline (`anchor + not_before`) and the
+    * previous fetch's completion plus this row's scheduled
+    * inter-request gap (`not_before` delta vs the previous row) — so
+    * an overrunning fetch re-anchors the pace and the minimum gap
+    * survives (round-16 advice). `lastDoneNanos == 0` means no prior
+    * fetch on this host (absolute deadline alone governs).
+    */
+  private[graft] def scheduledDueNanos(
+      anchorNanos: Long,
+      nb: Double,
+      prevNb: Double,
+      lastDoneNanos: Long): Long = {
+    val dueAbs = anchorNanos + (nb * 1e9).toLong
+    if (lastDoneNanos == 0L) dueAbs
+    else {
+      val gapNanos = (math.max(0.0, nb - prevNb) * 1e9).toLong
+      math.max(dueAbs, lastDoneNanos + gapNanos)
+    }
+  }
+
   def fetchScheduled(
       spark: SparkSession,
       plan: DataFrame,
@@ -557,6 +584,8 @@ object Warc {
         var curHost: String = null
         var seq = -1L
         var anchorNanos = 0L
+        var prevNb = 0.0
+        var lastDoneNanos = 0L
         val out = it.flatMap { r =>
           val file = r.getString(0)
           val offset = r.getLong(1)
@@ -565,17 +594,22 @@ object Warc {
           val nb = if (r.isNullAt(5)) 0.0 else r.getDouble(5)
           if (host != curHost) {
             curHost = host; seq = -1L; anchorNanos = System.nanoTime()
+            prevNb = 0.0; lastDoneNanos = 0L
           }
           seq += 1
           if (pace && nb > 0.0) {
-            val dueNanos = anchorNanos + (nb * 1e9).toLong
+            val dueNanos =
+              scheduledDueNanos(anchorNanos, nb, prevNb, lastDoneNanos)
             var now = System.nanoTime()
             while (now < dueNanos) {
               Thread.sleep(math.max(1L, (dueNanos - now) / 1000000L))
               now = System.nanoTime()
             }
           }
-          fetcher.fetch(file, offset, r.getLong(2)) match {
+          prevNb = nb
+          val fetched = fetcher.fetch(file, offset, r.getLong(2))
+          lastDoneNanos = System.nanoTime()
+          fetched match {
             case Right(parsed) => parsed.map {
               case Right(rec) => Row(
                 rec.warcType, rec.recordId, rec.targetUri, rec.warcDate,

@@ -17,15 +17,29 @@ import org.apache.spark.sql.types.DecimalType
   * never a history re-scan — and unlike the sketch path the answer is
   * EXACT, so the whole lifecycle is oracle-checkable.
   *
-  * Exactly-once: partials land under `batch_id=<id>` with dynamic
-  * partition overwrite — a replayed micro-batch overwrites its own
-  * partition (the [[NearDupGate]]/[[CdcStream]]/[[SketchStream]]
-  * idempotency discipline). A long-lived stream accrues one partition
-  * per batch; fold old partitions periodically by re-writing their
-  * merged partials as one coarser slice (the algebra makes the fold
-  * lossless), or run [[graft.sources.Compact]] per leaf.
+  * Exactly-once: partials land as a FULL OVERWRITE of the explicit
+  * partition path `stateDir/batch_id=<id>` — a replayed micro-batch
+  * overwrites exactly its own directory (the
+  * [[NearDupGate]]/[[CdcStream]]/[[SketchStream]] idempotency
+  * discipline), and — unlike `partitionBy` + dynamic overwrite, which
+  * writes NOTHING for an empty batch — a legally-empty micro-batch
+  * still commits a typed zero-row parquet shell, so the serving
+  * read's schema inference can never hit UNABLE_TO_INFER_SCHEMA on a
+  * quiet stream (the empty-sink trap; found by round-16 advice). A
+  * long-lived stream accrues one partition per batch; fold old
+  * partitions periodically by re-writing their merged partials as one
+  * coarser slice (the algebra makes the fold lossless), or run
+  * [[graft.sources.Compact]] per leaf.
   */
 object AggStream {
+
+  /** Idempotent partition commit: full overwrite of
+    * `stateDir/batch_id=<id>`. The df must NOT carry a `batch_id`
+    * column (partition discovery derives it from the dir name).
+    */
+  private def commitPartition(
+      df: DataFrame, stateDir: String, batchId: Long): Unit =
+    df.write.mode("overwrite").parquet(s"$stateDir/batch_id=$batchId")
 
   /** One micro-batch step: per-group `(cnt, sum_partial)` for
     * `batch`, committed idempotently under `stateDir/batch_id=<id>`.
@@ -36,13 +50,11 @@ object AggStream {
       stateDir: String,
       groupCols: Seq[String],
       valueCol: String): Unit =
-    batch.groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("cnt"),
-        sum(col(valueCol).cast(DecimalType(18, 2))).as("sum_partial"))
-      .withColumn("batch_id", lit(batchId))
-      .write.partitionBy("batch_id")
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite").parquet(stateDir)
+    commitPartition(
+      batch.groupBy(groupCols.map(col): _*)
+        .agg(count(lit(1)).as("cnt"),
+          sum(col(valueCol).cast(DecimalType(18, 2))).as("sum_partial")),
+      stateDir, batchId)
 
   /** Serving path: per-group exact `(n, sum_value)` over ALL
     * committed partials — scans only the partials table. DECIMAL
@@ -76,14 +88,46 @@ object AggStream {
       ordCols: Seq[String],
       payloadCols: Seq[String]): Unit = {
     val all = ordCols ++ payloadCols
-    batch.groupBy(groupCols.map(col): _*)
-      .agg(max_by(struct(all.map(col): _*), struct(ordCols.map(col): _*))
-        .as("__l"))
-      .select(groupCols.map(col) ++ all.map(c => col(s"__l.$c")): _*)
-      .withColumn("batch_id", lit(batchId))
-      .write.partitionBy("batch_id")
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite").parquet(stateDir)
+    commitPartition(
+      batch.groupBy(groupCols.map(col): _*)
+        .agg(max_by(struct(all.map(col): _*), struct(ordCols.map(col): _*))
+          .as("__l"))
+        .select(groupCols.map(col) ++ all.map(c => col(s"__l.$c")): _*),
+      stateDir, batchId)
+  }
+
+  /** COMBINED partials — one micro-batch aggregate maintaining BOTH
+    * measure families in one state table keyed by the FINE group
+    * (round-17 per-tick trim): per `groupCols` row it holds
+    * `(cnt, sum_partial)` AND the latest `(ordCols, payloadCols)`
+    * state. The algebra composes: a coarser dashboard surface (e.g.
+    * per-`event_type` averages) re-merges from the fine partials via
+    * [[serve]] with the coarser keys (sums of sums / counts of
+    * counts), and [[serveLatest]] over the same table yields exact
+    * latest-per-group — so the dashboard trio commits ONE partial
+    * write per tick where the split tables cost two batch-sized
+    * aggregates + two commit jobs. Requires `valueCol` to be both the
+    * summed measure and a payload of the latest state (the dashboard
+    * shape); callers with disjoint measures keep the split tables.
+    */
+  def appendCombinedPartials(
+      batch: DataFrame,
+      batchId: Long,
+      stateDir: String,
+      groupCols: Seq[String],
+      ordCols: Seq[String],
+      valueCol: String): Unit = {
+    val all = ordCols :+ valueCol
+    commitPartition(
+      batch.groupBy(groupCols.map(col): _*)
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col(valueCol).cast(DecimalType(18, 2))).as("sum_partial"),
+          max_by(struct(all.map(col): _*), struct(ordCols.map(col): _*))
+            .as("__l"))
+        .select(groupCols.map(col) ++ all.map(c => col(s"__l.$c"))
+          :+ col("cnt") :+ col("sum_partial"): _*),
+      stateDir, batchId)
   }
 
   /** Serving path of [[appendLatestPartials]]: the exact

@@ -105,4 +105,60 @@ class AggStreamSpec extends SparkSpecBase {
     // touched {a, b}, batch 1 touched {a, b, c}
     assert(spark.read.parquet(stateDir).count() === 5L)
   }
+
+  test("a legally-empty micro-batch still commits a typed zero-row shell — serve never hits UNABLE_TO_INFER_SCHEMA") {
+    val stateDir = java.nio.file.Files.createTempDirectory("agg_empty").toString
+    AggStream.appendPartials(
+      rows.toDF("grp", "v").limit(0), 0L, stateDir, Seq("grp"), "v")
+    assert(AggStream.serve(spark, stateDir, Seq("grp")).count() === 0L)
+    val latestDir = java.nio.file.Files.createTempDirectory("agg_empty_l").toString
+    AggStream.appendLatestPartials(
+      Seq(("a", 1L, 2L, 3.0)).toDF("grp", "ts", "event_id", "v").limit(0),
+      0L, latestDir, Seq("grp"), Seq("ts", "event_id"), Seq("v"))
+    assert(AggStream.serveLatest(spark, latestDir,
+      Seq("grp"), Seq("ts", "event_id"), Seq("v")).count() === 0L)
+  }
+
+  test("combined partials: one state table serves BOTH the coarse sum/count surface and the fine latest surface, exactly") {
+    val stateDir = java.nio.file.Files.createTempDirectory("agg_comb").toString
+    // fine group (u, t); coarse bar surface re-merges over t alone
+    val all = (1L to 4000L).map(i =>
+      (s"u${i % 7}", s"t${i % 3}", i, i * 10, (i % 40) + 0.25))
+    val (b0, b1) = all.splitAt(1500)
+    AggStream.appendCombinedPartials(b0.toDF("u", "t", "ts", "eid", "v"),
+      0L, stateDir, Seq("u", "t"), Seq("ts", "eid"), "v")
+    AggStream.appendCombinedPartials(b1.toDF("u", "t", "ts", "eid", "v"),
+      1L, stateDir, Seq("u", "t"), Seq("ts", "eid"), "v")
+    // coarse: serve over t equals the one-shot DECIMAL aggregate
+    val bar = AggStream.serve(spark, stateDir, Seq("t"))
+      .select(col("t"), col("n"), col("sum_value").cast("string"))
+      .as[(String, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val barDirect = all.toDF("u", "t", "ts", "eid", "v").groupBy("t")
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast(DecimalType(18, 2))).as("s"))
+      .select(col("t"), col("n"), col("s").cast("string"))
+      .as[(String, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(bar === barDirect)
+    // fine: latest-per-(u, t) equals the one-shot max_by
+    val latest = AggStream.serveLatest(spark, stateDir,
+        Seq("u", "t"), Seq("ts", "eid"), Seq("v"))
+      .select("u", "t", "ts", "v")
+      .as[(String, String, Long, Double)].collect().sorted.toSeq
+    val latestDirect = all.toDF("u", "t", "ts", "eid", "v")
+      .groupBy("u", "t")
+      .agg(max_by(struct(col("ts"), col("eid"), col("v")),
+        struct(col("ts"), col("eid"))).as("l"))
+      .select(col("u"), col("t"), col("l.ts"), col("l.v"))
+      .as[(String, String, Long, Double)].collect().sorted.toSeq
+    assert(latest === latestDirect)
+    // replay idempotence holds for the combined commit too
+    AggStream.appendCombinedPartials(b1.toDF("u", "t", "ts", "eid", "v"),
+      1L, stateDir, Seq("u", "t"), Seq("ts", "eid"), "v")
+    assert(AggStream.serve(spark, stateDir, Seq("t"))
+      .select(col("t"), col("n"), col("sum_value").cast("string"))
+      .as[(String, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap === barDirect)
+  }
 }

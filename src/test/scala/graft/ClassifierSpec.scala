@@ -160,4 +160,18 @@ class ClassifierSpec extends SparkSpecBase {
         .getField("cls")).head.getString(0)
     assert(tied === "de")
   }
+
+  test("perceptronPredictOvr featurizes ONCE — the K-class scoring binds a lambda variable, not K re-inlined tokenize subtrees") {
+    val docs = Seq(("one two", "en"), ("uno dos", "es"), ("eins zwei", "de"))
+      .toDF("text", "lang")
+    val classes = Seq("de", "en", "es")
+    val w = classes.map(_ => Array.fill(17)(1L))
+    val plan = docs
+      .select(Classifier.perceptronPredictOvr(col("text"), classes, w))
+      .queryExecution.optimizedPlan.toString
+    val md5Count = "md5\\(".r.findAllIn(plan).length
+    assert(md5Count === 1,
+      s"tokenize+hash must appear once in the plan (K=${classes.size} " +
+        s"classes would re-evaluate it per class); found $md5Count")
+  }
 }

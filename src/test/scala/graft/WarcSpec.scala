@@ -383,4 +383,23 @@ class WarcSpec extends SparkSpecBase {
     assert((System.nanoTime() - t0) / 1e9 >= 0.3,
       "paceWallClock must hold the slot-1 fetch until not_before_s")
   }
+
+  test("scheduledDueNanos: overrunning fetch re-anchors the pace (min inter-request gap survives)") {
+    val s = 1000000000L // 1 s in nanos
+    // on-schedule: previous fetch completed before the absolute
+    // deadline -> the absolute deadline governs
+    assert(Warc.scheduledDueNanos(0L, 2.0, 1.0, lastDoneNanos = s) === 2 * s)
+    // overrun: the slot-1 fetch finished at t=5s, past slot 2's
+    // absolute deadline (2s) -> due = completion + the 1 s gap, NOT
+    // back-to-back at the stale absolute deadline
+    assert(Warc.scheduledDueNanos(0L, 2.0, 1.0, lastDoneNanos = 5 * s)
+      === 6 * s)
+    // first fetch of a host: no prior completion, absolute only
+    assert(Warc.scheduledDueNanos(10 * s, 0.5, 0.0, lastDoneNanos = 0L)
+      === 10 * s + s / 2)
+    // non-increasing not_before (defensive): gap clamps at zero, due
+    // is never before the previous completion
+    assert(Warc.scheduledDueNanos(0L, 1.0, 3.0, lastDoneNanos = 5 * s)
+      === 5 * s)
+  }
 }
