@@ -1086,19 +1086,31 @@ object TextQueries {
     * scheduled ranged fetch ([[graft.sources.Warc.fetchScheduled]])
     * → extracted documents. Crawl discovery and crawl I/O, composed.
     *
-    * Fixture shape (reusing the staged polite-fetch archive): seeds
-    * are each doc's own URL plus folding case+port variants
-    * (`%9==3`) and a shared hub URL (`%9==0`) that has NO capture —
-    * it must survive the frontier and then drop at the index join
-    * (its whole single-row host disappears, so per-host slot
-    * density — and with it the `fetch_seq == slot` politeness pin —
-    * holds for everyone else); `%6==0` seeds are already fetched;
-    * ids starting `1` are robots-disallowed on the four
-    * robots-publishing hosts (the fifth publishes none), with the
-    * versioned `graftbot/1.0` group line exercising the round-16
-    * group-value tokenization in composition. The planted `/bad/`
-    * dead-letter captures of the shared fixture are NEVER seeded, so
-    * the guard here is ZERO dead letters.
+    * Fixture shape (reusing the staged polite-fetch archive), with a
+    * SITEMAP-INDEX LAYER in front since round 17
+    * ([[graft.operators.Frontier.expandSitemaps]], maxDepth = 2):
+    * each host publishes ONE primary index (`sitemap.xml`) listing
+    * per-doc segment sitemaps for `%9 ∉ {5, 7}` docs plus `loop.xml`
+    * (an index that lists the primary back — a CYCLE the seen-SURT
+    * discipline must fetch exactly once) and `deep1.xml`, an index
+    * chain `deep1 → {deep_ok (urlset of the host's %9==5 doc URLs),
+    * deep2 → deep_far (urlset of %9==7 doc URLs)}` — so `%9==5` docs
+    * are reachable ONLY at nested depth 2 (exactly the cap: they must
+    * appear) and `%9==7` docs only at depth 3 (beyond the cap: they
+    * must NOT, though their captures exist). Segment bodies for
+    * `%9 ∈ {5, 7}` docs sit in the body table UNREFERENCED — never
+    * fetched. Seeds from the expanded urlsets are each doc's own URL
+    * plus folding case+port variants (`%9==3`) and a shared hub URL
+    * (`%9==0`) that has NO capture — it must survive the frontier and
+    * then drop at the index join (its whole single-row host
+    * disappears, so per-host slot density — and with it the
+    * `fetch_seq == slot` politeness pin — holds for everyone else);
+    * `%6==0` seeds are already fetched; ids starting `1` are
+    * robots-disallowed on the four robots-publishing hosts (the fifth
+    * publishes none), with the versioned `graftbot/1.0` group line
+    * exercising the round-16 group-value tokenization in composition.
+    * The planted `/bad/` dead-letter captures of the shared fixture
+    * are NEVER seeded, so the guard here is ZERO dead letters.
     */
   private def frontierFetchQ(s: SparkSession, d: String): DataFrame = {
     val sess = s
@@ -1119,8 +1131,53 @@ object TextQueries {
         lit("<url><loc>https://shared.graft.test/hub</loc></url>"))
         .otherwise(lit("")),
       lit("</urlset>"))
-    val seeds = Tables.documents(s, d).select(
-      explode(graft.operators.Frontier.sitemapLocs(xml)).as("url"))
+    val nine = col("doc_id") % 9
+    val segs = Tables.documents(s, d).select(
+      concat(lit("https://s"), k, lit(".graft.test/sm/"), id,
+        lit(".xml")).as("sm_url"),
+      xml.as("sm_xml"))
+    val hosts = Tables.documents(s, d).select(k.as("kk")).distinct()
+    def sm(name: String): org.apache.spark.sql.Column =
+      concat(lit("https://s"), col("kk"), lit(s".graft.test/$name"))
+    def idxOf(names: String*): org.apache.spark.sql.Column = concat(
+      lit("<sitemapindex>") +:
+        names.map(n => concat(lit("<sitemap><loc>"), sm(n),
+          lit("</loc></sitemap>"))) :+
+        lit("</sitemapindex>"): _*)
+    // per-host aggregated bodies (sort_array keeps them deterministic)
+    def urlsetOf(pred: org.apache.spark.sql.Column): DataFrame = Tables.documents(s, d)
+      .filter(pred).groupBy(k.as("kk"))
+      .agg(concat_ws("", sort_array(collect_list(
+        concat(lit("<url><loc>"), own, lit("</loc></url>"))))).as("ls"))
+    val segLocs = Tables.documents(s, d)
+      .filter(nine =!= 5 && nine =!= 7).groupBy(k.as("kk"))
+      .agg(concat_ws("", sort_array(collect_list(
+        concat(lit("<sitemap><loc>https://s"), k, lit(".graft.test/sm/"),
+          id, lit(".xml</loc></sitemap>"))))).as("ls"))
+    def bodyFrame(name: String, body: org.apache.spark.sql.Column): DataFrame =
+      hosts.select(sm(name).as("sm_url"), body.as("sm_xml"))
+    def joined(agg: DataFrame) = hosts.join(agg, Seq("kk"), "left")
+      .select(col("kk"), coalesce(col("ls"), lit("")).as("ls"))
+    val primary = joined(segLocs).select(sm("sitemap.xml").as("sm_url"),
+      concat(lit("<sitemapindex>"), col("ls"),
+        lit("<sitemap><loc>"), sm("loop.xml"), lit("</loc></sitemap>"),
+        lit("<sitemap><loc>"), sm("deep1.xml"), lit("</loc></sitemap>"),
+        lit("</sitemapindex>")).as("sm_xml"))
+    val loop = bodyFrame("loop.xml", idxOf("sitemap.xml"))
+    val deep1 = bodyFrame("deep1.xml", idxOf("deep_ok.xml", "deep2.xml"))
+    val deep2 = bodyFrame("deep2.xml", idxOf("deep_far.xml"))
+    val deepOk = joined(urlsetOf(nine === 5))
+      .select(sm("deep_ok.xml").as("sm_url"),
+        concat(lit("<urlset>"), col("ls"), lit("</urlset>")).as("sm_xml"))
+    val deepFar = joined(urlsetOf(nine === 7))
+      .select(sm("deep_far.xml").as("sm_url"),
+        concat(lit("<urlset>"), col("ls"), lit("</urlset>")).as("sm_xml"))
+    val bodies = segs.union(primary).union(loop).union(deep1)
+      .union(deep2).union(deepOk).union(deepFar)
+    val roots = hosts.select(sm("sitemap.xml").as("url"))
+    val seeds = graft.operators.Frontier.expandSitemaps(
+      roots, "url", bodies, "sm_url", "sm_xml", maxDepth = 2)
+      .select("url")
     val fetchedState = Tables.documents(s, d)
       .filter(col("doc_id") % 6 === 0)
       .select(graft.operators.Urls.surt(own).as("surt"))
@@ -1165,6 +1222,89 @@ object TextQueries {
           length(graft.operators.TextAnalysis.stripHtml(col("http_body")))
             .cast("long").as("n_chars"))
     } finally graft.operators.Materialize.release(resolved)
+  }
+
+  /** STREAMING FRONTIER ([[graft.streaming.FrontierStream]], round
+    * 17): the crawl loop CYCLING inside one driven stream — seed URLs
+    * replay in two micro-batches; each batch anti-joins the
+    * persistent seen-SURT state (pre-seeded with the `%6==0` crawled
+    * set under `batch_id=-1`), robots-gates, schedules politely,
+    * resolves against the capture index, fetches in per-host slot
+    * order, and commits records + newly-scheduled SURTs — discovery
+    * in batch N is fetched IN batch N.
+    *
+    * The two ticks plant the verdict's failure modes: batch 1 RE-SENDS
+    * every `%4==0` even doc's URL (a cross-batch duplicate — the
+    * state anti-join must drop it or it lands twice AND shifts batch
+    * 1's slots), and the robots-disallowed ids-starting-`1` arrive
+    * ONLY mid-stream in batch 1 (gated on the four robots-publishing
+    * hosts; host s4 publishes none, so ITS `1…` ids must fetch — in
+    * batch 1). Output pins per-batch politeness layout (`slot`,
+    * `not_before_s`) and the `fetch_seq == slot` contract row by row.
+    */
+  private def streamFrontierQ(s: SparkSession, d: String): DataFrame = {
+    val sess = s
+    import sess.implicits._
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val dir = stagedDir("graft_cdx_polite", d)(
+      muxWarcCdxGz(docs, _, multiHost = true, plantBad = true))
+    val k = (col("doc_id") % 5).cast("string")
+    val id = col("doc_id").cast("string")
+    val own = concat(lit("https://s"), k, lit(".graft.test/doc/"), id)
+    val robots = Seq(
+      ("s0.graft.test",
+        "User-agent: graftbot\nDisallow: /doc/1\nCrawl-delay: 0.5\n\n" +
+          "User-agent: *\nDisallow: /\n"),
+      ("s1.graft.test",
+        "User-agent: graftbot/1.0\nDisallow: /doc/1\nCrawl-delay: 1\n"),
+      ("s2.graft.test",
+        "User-agent: graftbot\nDisallow: /doc/1\nCrawl-delay: 1.5\n"),
+      ("s3.graft.test",
+        "User-agent: graftbot\nDisallow: /doc/1\nCrawl-delay: 2\n"))
+      .toDF("host", "body")
+    val (cdx, _) = graft.sources.Cdx.readWithRejects(s, dir + "/*.cdx")
+    val plan = graft.operators.Materialize(graft.sources.Cdx.fetchPlan(cdx)
+      .select(graft.operators.Urls.surt(col("url")).as("__psurt"),
+        col("warc_file"), col("offset"), col("length")))
+    val stateDir = graft.streaming.Scratch.tmpDir("graft_sfr_state")
+    val recsDir = graft.streaming.Scratch.tmpDir("graft_sfr_recs")
+    graft.streaming.FrontierStream.seedSeen(
+      docs.filter(col("doc_id") % 6 === 0)
+        .select(graft.operators.Urls.surt(own).as("surt")),
+      "surt", stateDir)
+    val notOne = substring(id, 1, 1) =!= "1"
+    val tick1 = docs.filter(col("doc_id") % 2 === 0 && notOne)
+      .select(own.as("url"))
+    val tick2 = docs.filter(col("doc_id") % 2 =!= 0 || !notOne)
+      .select(own.as("url"))
+      .union(docs.filter(col("doc_id") % 4 === 0 && notOne)
+        .select(own.as("url"))) // cross-batch duplicates
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, s.conf.get("spark.graft.streaming.shufflePartitions", "8"))
+    val replay = new graft.streaming.FileReplay(s, tick1.schema)
+    replay.add(tick1)
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      q = graft.streaming.FrontierStream.stream(
+        replay.stream, "url", stateDir, recsDir,
+        robots, "host", "body", "graftbot/1.0", plan, dir,
+        graft.streaming.Scratch.ckptDir())
+      q.processAllAvailable()
+      replay.add(tick2)
+      q.processAllAvailable()
+    } finally {
+      if (q != null) q.stop()
+      s.conf.set(key, old)
+      graft.operators.Materialize.release(plan)
+    }
+    graft.streaming.FrontierStream.readFetched(s, recsDir)
+      .filter(col("warc_type") === "response")
+      .select(
+        regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+          .cast("long").as("doc_id"),
+        col("host"), col("batch_id"), col("slot"), col("not_before_s"),
+        col("fetch_seq"))
   }
 
   /** robots.txt compliance decisions ([[graft.operators.Robots]]):
@@ -1543,6 +1683,25 @@ object TextQueries {
     */
   private def perceptronGateQ(s: SparkSession, d: String): DataFrame = {
     val w = Classifier.perceptronTrain(
+      Tables.documents(s, d).select("text", "lang"),
+      "text", col("lang") === "en", perceptronDim, perceptronIters)
+    Tables.documents(s, d).select(col("doc_id"),
+        Classifier.perceptronScore(col("text"), w).as("score"))
+      .withColumn("kept", col("score") > 0L)
+  }
+
+  /** AVERAGED perceptron TRAIN → GATE
+    * ([[Classifier.perceptronTrainAvg]], round 17): identical
+    * training trajectory to [[perceptronGateQ]], but serving from the
+    * SUMMED per-iteration weight vectors — the Freund–Schapire
+    * averaged perceptron held in ℤ (the ×T scaling never leaves
+    * integers and cannot move sign or argmax). On non-separable data
+    * the final iteration is arbitrary; the average is the robust
+    * serve (spec-pinned on a planted non-separable corpus). The
+    * oracle replays training AND the trajectory sum in one statement.
+    */
+  private def perceptronAvgQ(s: SparkSession, d: String): DataFrame = {
+    val w = Classifier.perceptronTrainAvg(
       Tables.documents(s, d).select("text", "lang"),
       "text", col("lang") === "en", perceptronDim, perceptronIters)
     Tables.documents(s, d).select(col("doc_id"),
@@ -3779,11 +3938,16 @@ object TextQueries {
          |    CAST(doc_id AS VARCHAR) AS i
          |  FROM documents),
          |ff_rows AS (
-         |  -- survives the frontier AND resolves against the index:
-         |  -- not already fetched, not robots-disallowed; the hub seed
-         |  -- has no capture and its single-row host drops whole
+         |  -- survives the sitemap-index expansion (depth cap 2:
+         |  -- %9==7 docs are listed only by deep_far.xml at depth 3 —
+         |  -- never fetched; %9==5 docs ride deep_ok.xml at exactly
+         |  -- the cap) AND the frontier AND resolves against the
+         |  -- index: not already fetched, not robots-disallowed; the
+         |  -- hub seed has no capture and its single-row host drops
+         |  -- whole
          |  SELECT doc_id, k, i FROM ff_base
          |  WHERE doc_id % 6 <> 0
+         |    AND doc_id % 9 <> 7
          |    AND NOT (k IN ('0', '1', '2', '3') AND i LIKE '1%')),
          |ff_sched AS (
          |  SELECT doc_id, 's' || k || '.graft.test' AS host,
@@ -3801,6 +3965,33 @@ object TextQueries {
          |  CAST(length(c.clean) AS BIGINT) AS n_chars
          |FROM ff_sched s JOIN ff_clean c ON c.doc_id = s.doc_id""".stripMargin),
       headline = true),
+    QueryDef("q_stream_frontier", streamFrontierQ, Some(
+      """WITH sfr_base AS (
+        |  SELECT doc_id, CAST(doc_id % 5 AS VARCHAR) AS k,
+        |    CAST(doc_id AS VARCHAR) AS i
+        |  FROM documents),
+        |sfr_rows AS (
+        |  -- lands iff not pre-crawled (%6==0 seeded state) and not
+        |  -- robots-disallowed (ids starting 1 on the four publishing
+        |  -- hosts); batch = 0 when seeded in tick 1 (even, non-1),
+        |  -- else 1 — the tick-2 re-sends of %4==0 evens anti-join
+        |  -- against state and land NOWHERE twice
+        |  SELECT doc_id, k, i,
+        |    CASE WHEN doc_id % 2 = 0 AND i NOT LIKE '1%' THEN 0 ELSE 1 END AS b
+        |  FROM sfr_base
+        |  WHERE doc_id % 6 <> 0
+        |    AND NOT (k IN ('0', '1', '2', '3') AND i LIKE '1%'))
+        |SELECT doc_id, 's' || k || '.graft.test' AS host,
+        |  CAST(b AS BIGINT) AS batch_id,
+        |  CAST(row_number() OVER (PARTITION BY k, b ORDER BY i) - 1
+        |    AS BIGINT) AS slot,
+        |  CAST(row_number() OVER (PARTITION BY k, b ORDER BY i) - 1
+        |    AS DOUBLE) * CASE k WHEN '0' THEN 0.5 WHEN '1' THEN 1.0
+        |      WHEN '2' THEN 1.5 WHEN '3' THEN 2.0 ELSE 0.0 END
+        |    AS not_before_s,
+        |  CAST(row_number() OVER (PARTITION BY k, b ORDER BY i) - 1
+        |    AS BIGINT) AS fetch_seq
+        |FROM sfr_rows""".stripMargin), headline = true),
     QueryDef("q_robots_sitemaps", robotsSitemapsQ, Some(
       """WITH rs AS (
         |  SELECT doc_id,
@@ -4313,6 +4504,15 @@ object TextQueries {
          |  GROUP BY d.doc_id)
          |SELECT doc_id, CAST(s AS BIGINT) AS score, s > 0 AS kept
          |FROM pt_serve""".stripMargin)),
+    QueryDef("q_perceptron_avg", perceptronAvgQ, Some(
+      s"""WITH $perceptronOracleCtes,
+         |${Classifier.perceptronAvgDuckCte(perceptronIters)},
+         |pt_serve_avg AS (
+         |  SELECT d.doc_id, coalesce(sum(w.w * d.cnt), 0) AS s
+         |  FROM pt_feat d LEFT JOIN pt_wavg w USING (f)
+         |  GROUP BY d.doc_id)
+         |SELECT doc_id, CAST(s AS BIGINT) AS score, s > 0 AS kept
+         |FROM pt_serve_avg""".stripMargin)),
     QueryDef("q_perceptron_langid", perceptronLangidQ, Some(
       s"""WITH po_docs AS (
          |  SELECT doc_id, lang,

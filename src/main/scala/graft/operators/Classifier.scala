@@ -143,7 +143,42 @@ object Classifier {
       textCol: String,
       label: Column,
       dim: Int,
-      iters: Int): Array[Long] = {
+      iters: Int): Array[Long] =
+    trainBinary(df, textCol, label, dim, iters)._1
+
+  /** AVERAGED batch perceptron (round 17 — the round-16 verdict's
+    * robustness item): on NON-separable data (real LID/quality
+    * corpora) the plain perceptron's weights oscillate and the final
+    * iteration is arbitrary; the standard fix (Freund & Schapire
+    * 1999, "Large margin classification using the perceptron
+    * algorithm") serves the AVERAGE of the per-iteration weight
+    * vectors instead. Returned here as `Σ_{t=1..T} w_t` — the
+    * T-scaled average, which stays ALL-INTEGER (no ÷T float leaves
+    * ℤ) and serves identically: sign and argmax are invariant under
+    * a positive constant scaling, so [[perceptronScore]] > 0 and
+    * [[perceptronPredictOvr]] under the summed vector ARE the
+    * averaged classifier's decisions. Same training trajectory as
+    * [[perceptronTrain]] (bit-identical w_t sequence), so the SQL
+    * replay just sums the unrolled per-iteration weight CTEs
+    * ([[perceptronAvgDuckCte]]).
+    */
+  def perceptronTrainAvg(
+      df: DataFrame,
+      textCol: String,
+      label: Column,
+      dim: Int,
+      iters: Int): Array[Long] =
+    trainBinary(df, textCol, label, dim, iters)._2
+
+  /** The shared binary trainer: returns `(w_T, Σ_{t=1..T} w_t)` —
+    * final and summed-trajectory weights from ONE training run.
+    */
+  private def trainBinary(
+      df: DataFrame,
+      textCol: String,
+      label: Column,
+      dim: Int,
+      iters: Int): (Array[Long], Array[Long]) = {
     require(dim >= 1, "perceptronTrain: dim must be positive")
     require(iters >= 1, "perceptronTrain: iters must be positive")
     val toks = TextAnalysis.tokens(coalesce(col(textCol), lit("")))
@@ -152,6 +187,7 @@ object Classifier {
       transform(toks, t => featureId(t, dim)).as("__f")))
     try {
       val w = Array.fill(dim + 1)(0L)
+      val wSum = Array.fill(dim + 1)(0L)
       (1 to iters).foreach { _ =>
         val wLit = array(w.map(lit).toSeq: _*)
         val score = aggregate(col("__f"), lit(w(dim)),
@@ -164,8 +200,10 @@ object Classifier {
           .agg(sum(col("__y").cast("long")).as("__g"))
           .collect() // ≤ dim+1 rows — the bounded codebook collect
         grad.foreach(r => w(r.getInt(0)) += r.getLong(1))
+        var i = 0
+        while (i < wSum.length) { wSum(i) += w(i); i += 1 }
       }
-      w
+      (w, wSum)
     } finally Materialize.release(data)
   }
 
@@ -204,7 +242,32 @@ object Classifier {
       labelCol: String,
       classes: Seq[String],
       dim: Int,
-      iters: Int): Seq[Array[Long]] = {
+      iters: Int): Seq[Array[Long]] =
+    trainOvr(df, textCol, labelCol, classes, dim, iters)._1
+
+  /** AVERAGED one-vs-rest trainer — [[perceptronTrainAvg]]'s K-class
+    * sibling: the K summed-trajectory vectors `Σ_{t=1..T} w_t^(c)`
+    * from one [[perceptronTrainOvr]] run. All K classes share the
+    * same T, so the uniform ×T scaling cancels in the argmax and
+    * [[perceptronPredictOvr]] over these vectors IS the averaged
+    * multi-class decision.
+    */
+  def perceptronTrainOvrAvg(
+      df: DataFrame,
+      textCol: String,
+      labelCol: String,
+      classes: Seq[String],
+      dim: Int,
+      iters: Int): Seq[Array[Long]] =
+    trainOvr(df, textCol, labelCol, classes, dim, iters)._2
+
+  private def trainOvr(
+      df: DataFrame,
+      textCol: String,
+      labelCol: String,
+      classes: Seq[String],
+      dim: Int,
+      iters: Int): (Seq[Array[Long]], Seq[Array[Long]]) = {
     require(classes.nonEmpty, "perceptronTrainOvr: empty class list")
     require(classes.distinct == classes, "perceptronTrainOvr: duplicate classes")
     require(dim >= 1 && iters >= 1,
@@ -215,6 +278,7 @@ object Classifier {
       transform(toks, t => featureId(t, dim)).as("__f")))
     try {
       val w = Array.fill(classes.size, dim + 1)(0L)
+      val wSum = Array.fill(classes.size, dim + 1)(0L)
       val clsArr = array(classes.map(lit): _*)
       (1 to iters).foreach { _ =>
         val wMatrix = array(w.map(row => array(row.toSeq.map(lit): _*)).toSeq: _*)
@@ -237,8 +301,14 @@ object Classifier {
           .agg(sum(col("__y")).as("__g"))
           .collect() // ≤ K·(dim+1) rows — still the codebook collect
         grad.foreach(r => w(r.getInt(0))(r.getInt(1)) += r.getLong(2))
+        var c = 0
+        while (c < wSum.length) {
+          var i = 0
+          while (i < wSum(c).length) { wSum(c)(i) += w(c)(i); i += 1 }
+          c += 1
+        }
       }
-      w.toSeq
+      (w.toSeq, wSum.toSeq)
     } finally Materialize.release(data)
   }
 
@@ -369,6 +439,23 @@ object Classifier {
          |  FROM ${p}_w${r - 1} a FULL OUTER JOIN ${p}_g$r b ON a.f = b.f)""".stripMargin
     }
     (feat +: rounds).mkString(",\n")
+  }
+
+  /** DuckDB twin of [[perceptronTrainAvg]]'s summed-trajectory
+    * vector: one CTE summing the unrolled per-iteration weight tables
+    * `${prefix}_w1 … _w<iters>` of [[perceptronDuckCtes]] (which must
+    * appear upstream). Emits `${prefix}_wavg (f, w)` — sparse, like
+    * the per-iteration tables.
+    */
+  def perceptronAvgDuckCte(iters: Int, prefix: String = "pt"): String = {
+    val p = prefix
+    val union = (1 to iters)
+      .map(r => s"SELECT f, w FROM ${p}_w$r")
+      .mkString("\n    UNION ALL ")
+    s"""${p}_wavg AS (
+       |  SELECT f, sum(w) AS w FROM (
+       |    $union) u
+       |  GROUP BY f)""".stripMargin
   }
 
   /** Threshold sweep — the calibration table behind choosing a

@@ -161,6 +161,44 @@ class ClassifierSpec extends SparkSpecBase {
     assert(tied === "de")
   }
 
+  test("perceptronTrainAvg: summed trajectory equals the per-iteration sum; averaged beats final weights on a planted NON-separable corpus") {
+    // conflicting labels on identical texts — not linearly separable,
+    // so the batch perceptron's weights CYCLE: w1=(a:+1,b:-1),
+    // w2=(-1,+1), w3=(+2,-2), w4=(0,0), then repeat. The final
+    // iteration at T=4 is the all-zero vector (accuracy 5/10: every
+    // doc scores 0 -> classified negative), while the trajectory sum
+    // (2,-2) is the BEST linear rule (accuracy 6/10) — the
+    // Freund–Schapire averaging argument in its smallest instance.
+    val docs = (
+      Seq.fill(3)(("a", true)) ++ Seq.fill(2)(("a", false)) ++
+      Seq.fill(3)(("b", false)) ++ Seq.fill(2)(("b", true)))
+      .toDF("text", "y")
+    val dim = 8
+    def fid(t: String): Int = Seq(t).toDF("t")
+      .select(Classifier.featureId(col("t"), dim)).head.getInt(0)
+    assume(fid("a") !== fid("b"), "collision-free at dim 8")
+    val avg4 = Classifier.perceptronTrainAvg(docs, "text", col("y"), dim, 4)
+    // cross-check the accumulation: Σ_t w_t over four separate runs
+    val manual = (1 to 4)
+      .map(t => Classifier.perceptronTrain(docs, "text", col("y"), dim, t))
+      .transpose.map(_.sum).toArray
+    assert(avg4.toSeq === manual.toSeq)
+    def accuracy(w: Array[Long]): Int = docs
+      .select(col("y"), (Classifier.perceptronScore(col("text"), w) > 0L)
+        .as("p"))
+      .collect().count(r => r.getBoolean(0) === r.getBoolean(1))
+    val fin4 = Classifier.perceptronTrain(docs, "text", col("y"), dim, 4)
+    assert(fin4.forall(_ === 0L), "T=4 lands on the cycle's zero vector")
+    assert(accuracy(avg4) === 6)
+    assert(accuracy(avg4) > accuracy(fin4))
+    // OvR sibling: the 2-class averaged vectors are the binary summed
+    // trajectory and its mirror (labels y / not-y)
+    val ovrAvg = Classifier.perceptronTrainOvrAvg(
+      docs.withColumn("cls", when(col("y"), "t").otherwise("f")),
+      "text", "cls", Seq("t", "f"), dim, 4)
+    assert(ovrAvg.head.toSeq === avg4.toSeq)
+  }
+
   test("perceptronPredictOvr featurizes ONCE — the K-class scoring binds a lambda variable, not K re-inlined tokenize subtrees") {
     val docs = Seq(("one two", "en"), ("uno dos", "es"), ("eins zwei", "de"))
       .toDF("text", "lang")

@@ -89,4 +89,74 @@ class FrontierSpec extends SparkSpecBase {
     assert(exchanges <= 3,
       s"dedup + state anti-join + host window = at most 3 hash exchanges, got $exchanges:\n$plan")
   }
+
+  test("sitemapPageLocs/sitemapIndexLocs split by element; sitemapLocs stays flat") {
+    val mixedIndex =
+      "<?xml version=\"1.0\"?>\n<sitemapindex>\n" +
+        " <sitemap>\n  <loc> https://a.test/seg1.xml </loc>\n" +
+        "  <lastmod>2026-01-01</lastmod>\n </sitemap>\n" +
+        " <SITEMAP><LOC>https://a.test/seg2.xml</LOC></SITEMAP>\n" +
+        "</sitemapindex>"
+    val urlset =
+      "<urlset>\n <url>\n  <loc>https://a.test/p1</loc>\n" +
+        "  <priority>0.5</priority>\n </url>\n" +
+        " <url><loc>\nhttps://a.test/p2\n</loc></url>\n</urlset>"
+    val df = Seq((1, mixedIndex), (2, urlset)).toDF("id", "xml")
+    val byId = df.select(col("id"),
+        Frontier.sitemapPageLocs(col("xml")).as("p"),
+        Frontier.sitemapIndexLocs(col("xml")).as("s"),
+        Frontier.sitemapLocs(col("xml")).as("f"))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getSeq[String](1).toSeq, r.getSeq[String](2).toSeq,
+          r.getSeq[String](3).toSeq))).toMap
+    assert(byId(1)._1 === Seq.empty, "index body lists no pages")
+    assert(byId(1)._2 ===
+      Seq("https://a.test/seg1.xml", "https://a.test/seg2.xml"))
+    assert(byId(1)._3.size === 2, "flat form sees every loc")
+    assert(byId(2)._1 === Seq("https://a.test/p1", "https://a.test/p2"))
+    assert(byId(2)._2 === Seq.empty, "urlset body lists no sub-sitemaps")
+  }
+
+  test("expandSitemaps: index layers, cycle fetched once, dead link skipped, depth cap") {
+    // root index -> {segA (pages), loop (cycle back to root),
+    //                deep1 -> {segB (pages), deep2 -> segC (pages)},
+    //                ghost.xml (no body)}
+    def idx(locs: String*): String =
+      "<sitemapindex>" + locs.map(u =>
+        s"<sitemap><loc>$u</loc></sitemap>").mkString + "</sitemapindex>"
+    def pages(locs: String*): String =
+      "<urlset>" + locs.map(u => s"<url><loc>$u</loc></url>").mkString +
+        "</urlset>"
+    val bodies = Seq(
+      ("https://a.test/root.xml",
+        idx("https://a.test/segA.xml", "https://a.test/loop.xml",
+          "https://a.test/deep1.xml", "https://a.test/ghost.xml")),
+      ("https://a.test/segA.xml", pages("https://a.test/p1", "https://a.test/p2")),
+      ("https://a.test/loop.xml", idx("https://a.test/root.xml")),
+      ("https://a.test/deep1.xml",
+        idx("https://a.test/segB.xml", "https://a.test/deep2.xml")),
+      ("https://a.test/segB.xml", pages("https://a.test/p3")),
+      ("https://a.test/deep2.xml", idx("https://a.test/segC.xml")),
+      ("https://a.test/segC.xml", pages("https://a.test/p4")))
+      .toDF("sm_url", "xml")
+    val roots = Seq("https://a.test/root.xml").toDF("url")
+    def expand(d: Int): Seq[(String, Int)] =
+      Frontier.expandSitemaps(roots, "url", bodies, "sm_url", "xml", d)
+        .select("url", "depth").collect()
+        .map(r => (r.getString(0), r.getInt(1))).sorted.toSeq
+    // maxDepth 2: segA/loop/deep1 fetch at depth 1, segB/deep2 at 2;
+    // segC sits at depth 3 -> p4 must NOT appear; the root.xml cycle
+    // via loop.xml is seen-anti-joined (no page appears twice)
+    val d2 = expand(2)
+    assert(d2 === Seq(("https://a.test/p1", 1), ("https://a.test/p2", 1),
+      ("https://a.test/p3", 2)))
+    // maxDepth 3 reaches segC
+    assert(expand(3).map(_._1).contains("https://a.test/p4"))
+    // maxDepth 0 fetches only the root (an index: zero pages)
+    assert(expand(0) === Seq.empty)
+    // URL-variant spelling of a root folds to the same sitemap
+    val variantRoots = Seq("https://A.TEST:443/root.xml").toDF("url")
+    assert(Frontier.expandSitemaps(variantRoots, "url", bodies,
+      "sm_url", "xml", 2).count() === 3L)
+  }
 }
