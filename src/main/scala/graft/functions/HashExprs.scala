@@ -35,6 +35,39 @@ object HashExprs {
   def simhash64(hashes: Column): Column =
     Bridge.column(SimHash64Expr(Bridge.expression(hashes)))
 
+  /** Column API: fused tokenize + mod-p md5 token hashes of a STRING
+    * — one byte-level pass replacing
+    * `transform(tokens(text), tokenHashP)` (bit-identical output; a
+    * spec pins the parity). The composed form is the dedup map pass's
+    * dominant cost at corpus scale: `transform`/`filter` are
+    * higher-order functions, which Catalyst CANNOT codegen
+    * (CodegenFallback), so every token pays interpreted expression
+    * dispatch plus an md5 HEX-STRING materialization and a base-16
+    * string parse; here each token is one `MessageDigest.update` over
+    * its byte slice (whitespace is ASCII, so byte scanning is UTF-8
+    * safe) and the 60-bit prefix comes straight off the digest bytes.
+    */
+  def tokenHashesP(text: Column): Column =
+    Bridge.column(TokenHashesExpr(Bridge.expression(text), "modp"))
+
+  /** Column API: fused tokenize + full-width 64-bit md5 token hashes
+    * — the [[tokenHashesP]] treatment for
+    * `transform(tokens(text), tokenHash64)` (SimHash votes).
+    */
+  def tokenHashes64(text: Column): Column =
+    Bridge.column(TokenHashesExpr(Bridge.expression(text), "md5x64"))
+
+  /** Column API: fused tokenize + Spark-`xxhash64` token hashes —
+    * the [[tokenHashesP]] treatment for
+    * `transform(tokens(text), xxhash64(t))` (the n-gram Jaccard
+    * shingle feed). Per token this calls the repo's spec-pinned JVM
+    * model of Spark's xxhash64 ([[graft.operators.Xxh64Duck]]
+    * `.hashBytes`, seed 42) on the token's UTF-8 byte slice —
+    * bit-identical to the builtin on strings.
+    */
+  def tokenHashesXx(text: Column): Column =
+    Bridge.column(TokenHashesExpr(Bridge.expression(text), "xx64"))
+
   /** Column API: distinct k-gram shingle hashes from token hashes. */
   def shingleHashes(tokenHashes: Column, k: Int): Column =
     Bridge.column(ShingleHashExpr(Bridge.expression(tokenHashes), k))
@@ -124,10 +157,101 @@ object HashExprs {
   }
 }
 
+/** Fused whitespace-tokenize + per-token md5 hash of a string — the
+  * single-pass form of `transform(tokens(text), tokenHashP)` (modP)
+  * / `transform(tokens(text), tokenHash64)` (full width). Tokens are
+  * maximal runs of non-`\s` bytes (Java regex `\s` =
+  * `[ \t\n\x0B\f\r]`, all ASCII — multi-byte UTF-8 chars have the
+  * high bit set and can never read as whitespace, so the byte scan
+  * is exact); each token hashes as ONE `MessageDigest.update` over
+  * its slice of the string's UTF-8 bytes, no substring / hex-string
+  * / parse allocations. `modP`: the md5's first 15 hex digits (= the
+  * 60-bit big-endian prefix shifted right 4) mod p = 2^31-1,
+  * matching [[graft.operators.TextAnalysis.tokenHashP]] bit for bit;
+  * `md5x64`: the first 8 digest bytes as a big-endian signed long,
+  * matching `tokenHash64`; `xx64`: the repo's spec-pinned JVM model
+  * of Spark's `xxhash64` (seed 42) on the token bytes, matching the
+  * builtin. Parity is spec-pinned against all three composed forms.
+  */
+case class TokenHashesExpr(child: Expression, mode: String)
+    extends UnaryExpression {
+  require(TokenHashesExpr.Modes.contains(mode),
+    s"TokenHashesExpr: unknown mode '$mode'")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TokenHashesExpr.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], mode)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.TokenHashesExpr.compute($c, "$mode");""")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TokenHashesExpr {
+  final val P: Long = 2147483647L // 2^31 - 1
+  final val Modes: Set[String] = Set("modp", "md5x64", "xx64")
+
+  private val md = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  private def isWs(b: Byte): Boolean =
+    b == 0x20 || (b >= 0x09 && b <= 0x0D)
+
+  private def md5Prefix64(
+      digest: java.security.MessageDigest,
+      bytes: Array[Byte], start: Int, len: Int): Long = {
+    digest.reset()
+    digest.update(bytes, start, len)
+    val d = digest.digest()
+    var v = 0L
+    var j = 0
+    while (j < 8) { v = (v << 8) | (d(j) & 0xFFL); j += 1 }
+    v
+  }
+
+  def compute(
+      s: org.apache.spark.unsafe.types.UTF8String,
+      mode: String): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    // hoist the mode dispatch out of the per-token loop
+    val m = mode match {
+      case "modp" => 0; case "md5x64" => 1; case _ => 2
+    }
+    val digest = if (m == 2) null else md.get()
+    var out = new Array[Long](16) // primitive growth — no boxing
+    var cnt = 0
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(bytes(i))) i += 1
+      val start = i
+      while (i < n && !isWs(bytes(i))) i += 1
+      if (i > start) {
+        val v =
+          if (m == 0) (md5Prefix64(digest, bytes, start, i - start) >>> 4) % P
+          else if (m == 1) md5Prefix64(digest, bytes, start, i - start)
+          else graft.operators.Xxh64Duck.hashBytes(
+            java.util.Arrays.copyOfRange(bytes, start, i))
+        if (cnt == out.length) out = java.util.Arrays.copyOf(out, out.length * 2)
+        out(cnt) = v
+        cnt += 1
+      }
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, cnt))
+  }
+}
+
 /** `sig[j] = min_h (a_j·(h mod p) + b_j) mod p` over the input hash
   * array, p = 2^31-1 — one pass, codegen'd via a static helper (the
   * canonical pattern for loop-heavy expressions: generated code calls
   * [[MinHashSigExpr.compute]], keeping the generated method tiny).
+  * The inner-loop mod is the Mersenne-prime reduction (2^31 ≡ 1 mod
+  * p, so `x mod p` becomes two shift-adds + one conditional subtract
+  * — division-free; round 17, bit-identical by ℤ_p congruence).
   */
 case class MinHashSigExpr(child: Expression, seedA: Array[Long], seedB: Array[Long])
     extends UnaryExpression {
@@ -150,6 +274,18 @@ case class MinHashSigExpr(child: Expression, seedA: Array[Long], seedB: Array[Lo
 object MinHashSigExpr {
   final val P: Long = 2147483647L // 2^31 - 1
 
+  /** `x mod p` for `0 ≤ x < 2^63` via the Mersenne identity
+    * `2^31 ≡ 1 (mod p)`: fold the high bits down twice, then one
+    * conditional subtract (after the first fold the value is < 2^33,
+    * after the second ≤ p + 3 < 2p). Exactly `x % p` — congruence
+    * plus the final range check — with no division in the loop.
+    */
+  @inline private[graft] def modP(x: Long): Long = {
+    var v = (x & P) + (x >>> 31)
+    v = (v & P) + (v >>> 31)
+    if (v >= P) v - P else v
+  }
+
   def compute(hashes: ArrayData, seedA: Array[Long], seedB: Array[Long]): ArrayData = {
     val n = seedA.length
     val sig = new Array[Long](n)
@@ -160,7 +296,8 @@ object MinHashSigExpr {
       val h = java.lang.Math.floorMod(hashes.getLong(i), P)
       var j = 0
       while (j < n) {
-        val v = java.lang.Math.floorMod(seedA(j) * h + seedB(j), P)
+        // seedA, seedB, h all < p, so the operand is < p² + p < 2^62
+        val v = modP(seedA(j) * h + seedB(j))
         if (v < sig(j)) sig(j) = v
         j += 1
       }
@@ -329,19 +466,32 @@ object ShingleHashModExpr {
   final val B: Long = 16777619L  // FNV-32 prime, < p
 
   def compute(tokenHashes: ArrayData, k: Int): ArrayData = {
+    import MinHashSigExpr.modP
     val m = tokenHashes.numElements()
     if (m < k) {
       var h = 0L
       var i = 0
-      while (i < m) { h = (h * B + tokenHashes.getLong(i)) % P; i += 1 }
+      while (i < m) { h = modP(h * B + tokenHashes.getLong(i)); i += 1 }
       new GenericArrayData(Array(h))
     } else {
+      // rolling window (round 17): H_{i+1} = (H_i − t_i·B^{k−1})·B +
+      // t_{i+k} in ℤ_p — O(m) instead of O(m·k) window refolds, the
+      // SAME residues (ℤ_p congruence; Mersenne modP throughout).
+      // Operand bounds: h, tokens, bk all < p, so every product is
+      // < p² < 2^62 and every sum fits long.
+      var bk = 1L
+      var t = 0
+      while (t < k - 1) { bk = modP(bk * B); t += 1 }
       val out = new Array[Long](m - k + 1)
-      var i = 0
+      var h = 0L
+      var j = 0
+      while (j < k) { h = modP(h * B + tokenHashes.getLong(j)); j += 1 }
+      out(0) = h
+      var i = 1
       while (i + k <= m) {
-        var h = 0L
-        var j = i
-        while (j < i + k) { h = (h * B + tokenHashes.getLong(j)) % P; j += 1 }
+        var nh = h - modP(tokenHashes.getLong(i - 1) * bk)
+        if (nh < 0) nh += P
+        h = modP(nh * B + tokenHashes.getLong(i + k - 1))
         out(i) = h
         i += 1
       }

@@ -64,12 +64,20 @@ object Dedup {
     * minhash dedup chain from rows-only to hash-exact. The md5 swap
     * costs ~100 ns/token over xxhash64 — noise against the
     * O(n·|shingles|) lane loop that dominates the signature pass.
+    *
+    * Round 17 (the 5M probe said the dedup decade lives in THIS map
+    * pass — 136 s of 254): tokenize+hash runs in the fused native
+    * [[graft.functions.TokenHashesExpr]] — the composed
+    * `transform(tokens, tokenHashP)` pays interpreted HOF dispatch
+    * (higher-order functions are CodegenFallback) plus a hex-string
+    * materialization and base-16 parse PER TOKEN; the fused pass is
+    * one byte scan with one digest update per token. Bit-identical
+    * (spec-pinned parity), so every oracle is untouched.
     */
-  def minhashSignature(text: Column, k: Int, n: Int): Column = {
-    val tokenHashes = transform(TextAnalysis.tokens(text), t => TextAnalysis.tokenHashP(t))
+  def minhashSignature(text: Column, k: Int, n: Int): Column =
     graft.functions.HashExprs.minhashSig(
-      graft.functions.HashExprs.shingleHashesModP(tokenHashes, k), n)
-  }
+      graft.functions.HashExprs.shingleHashesModP(
+        graft.functions.HashExprs.tokenHashesP(text), k), n)
 
   /** Deterministic odd multipliers/offsets < 2^61-1 (splitmix64 on a
     * fixed seed, reduced mod p; `a` forced odd so it's invertible).
@@ -494,7 +502,7 @@ object Dedup {
     */
   def simhash64(text: Column): Column =
     graft.functions.HashExprs.simhash64(
-      transform(TextAnalysis.tokens(text), t => TextAnalysis.tokenHash64(t)))
+      graft.functions.HashExprs.tokenHashes64(text))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -957,12 +965,14 @@ object Dedup {
     // strings: the exploded (block, doc_id, shingle) relation and the
     // equi-join shuffle shrink to fixed-width rows. Hash collisions
     // would perturb the count with probability ~|shingles|²/2^64 —
-    // negligible against the exact-string form.
+    // negligible against the exact-string form. Token hashes ride the
+    // fused native pass (round 17 — `transform` is CodegenFallback;
+    // tokenHashesXx is the spec-pinned xxhash64 twin of the builtin).
     val base = docs.select(
       col(idCol).as("doc_id"),
       block.getOrElse(lit(0L)).cast("long").as("__blk"),
       graft.functions.HashExprs.shingleHashes(
-        transform(TextAnalysis.tokens(col(textCol)), t => xxhash64(t)), k).as("sh"))
+        graft.functions.HashExprs.tokenHashesXx(col(textCol)), k).as("sh"))
     val blocked = block match {
       case Some(_) => base.withColumn("blocks", array(col("__blk")))
       case None =>

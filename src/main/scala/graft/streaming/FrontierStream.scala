@@ -92,6 +92,13 @@ object FrontierStream {
     * index resolution → polite scheduled fetch → manifest landing +
     * state commit. Returns the number of frontier rows scheduled
     * (fetched or index-unresolved) this batch.
+    *
+    * `capturePlan` is the SURT-keyed capture index:
+    * `(__psurt, warc_file, offset, length)` — a
+    * [[graft.sources.Cdx.fetchPlan]] projection with
+    * `Urls.surt(url)` as `__psurt`. Pass it pre-[[graft.operators
+    * .Materialize]]d when driving many batches: it re-evaluates per
+    * batch otherwise.
     */
   def frontierBatch(
       seeds: DataFrame,
