@@ -1172,8 +1172,15 @@ object TextQueries {
     val deepFar = joined(urlsetOf(nine === 7))
       .select(sm("deep_far.xml").as("sm_url"),
         concat(lit("<urlset>"), col("ls"), lit("</urlset>")).as("sm_xml"))
-    val bodies = segs.union(primary).union(loop).union(deep1)
-      .union(deep2).union(deepOk).union(deepFar)
+    // the 7-branch body build (3 per-host aggregations) is FIXTURE,
+    // not engine — staged once per (key, sf) like the archive muxes,
+    // so warm runs read one parquet table
+    val bodiesDir = stagedDir("graft_sitemap_bodies", d) { out =>
+      segs.union(primary).union(loop).union(deep1)
+        .union(deep2).union(deepOk).union(deepFar)
+        .write.parquet(out + "/bodies")
+    }
+    val bodies = s.read.parquet(bodiesDir + "/bodies")
     val roots = hosts.select(sm("sitemap.xml").as("url"))
     val seeds = graft.operators.Frontier.expandSitemaps(
       roots, "url", bodies, "sm_url", "sm_xml", maxDepth = 2)

@@ -117,35 +117,45 @@ object Frontier {
     val superseded = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     superseded += byKey // consumed by the eager per-depth cuts below
     try {
-      var seen = Materialize(roots
+      // seen = the union of all layer cuts; kept as the LIST of cuts
+      // (anti-join each) instead of re-materializing a merged set per
+      // iteration — maxDepth bounds the chain at a handful of
+      // sitemap-cardinality anti-joins
+      val seenLayers = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      val rootLayer = Materialize(roots
         .select(Urls.surt(col(urlCol)).as("__sk"))
         .filter(col("__sk") =!= "").distinct())
-      superseded += seen
-      var layer = seen
+      superseded += rootLayer
+      seenLayers += rootLayer
+      var layer = rootLayer
       val pageLayers = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       var depth = 0
       var done = false
       while (!done) {
         val fetched = layer.join(byKey, Seq("__sk"))
-        // the result rides on these cuts — NOT released here; `local`
-        // mode keeps blocks for the session, `persist` mode callers
-        // release the returned frame's inputs via their own lifecycle
-        pageLayers += Materialize(fetched.select(
+        // page layers stay LAZY — nothing in the loop re-references
+        // them, so materializing would only add a job per depth; the
+        // returned union reads one layer-cut × body-cut join per
+        // depth (flat plan: both sides are Materialize leaves). In
+        // `persist` mode the finally-released cuts recompute through
+        // their RDD lineage if the caller consumes late — correct,
+        // just uncached.
+        pageLayers += fetched.select(
           explode(sitemapPageLocs(col("__xml"))).as("url"),
           col("__sk").as("from_surt"),
-          lit(depth).as("depth")))
+          lit(depth).as("depth"))
         if (depth == maxDepth) done = true
         else {
-          val next = Materialize(fetched
+          val candidates = fetched
             .select(explode(sitemapIndexLocs(col("__xml"))).as("__u"))
             .select(Urls.surt(col("__u")).as("__sk"))
             .filter(col("__sk") =!= "").distinct()
-            .join(seen, Seq("__sk"), "left_anti"))
+          val next = Materialize(seenLayers.foldLeft(candidates)(
+            (df, l) => df.join(l, Seq("__sk"), "left_anti")))
           superseded += next
           if (next.isEmpty) done = true
           else {
-            seen = Materialize(seen.union(next).distinct())
-            superseded += seen
+            seenLayers += next
             layer = next
             depth += 1
           }
