@@ -68,6 +68,19 @@ object HashExprs {
   def tokenHashesXx(text: Column): Column =
     Bridge.column(TokenHashesExpr(Bridge.expression(text), "xx64"))
 
+  /** Column API: fused tokenize + hashing-trick feature ids — the
+    * [[tokenHashesP]] treatment for
+    * `transform(tokens(text), Classifier.featureId(t, dim))` (the
+    * classifier featurize/serve feed: first 8 md5 hex digits = the
+    * digest's first 4 bytes unsigned, mod `dim`, as INT). A quality
+    * gate scans the WHOLE corpus through this per-token path, so it
+    * carries the same interpreted-HOF + hex-parse tax the signature
+    * pass did. NULL text stays null — callers keep their
+    * `coalesce(text, '')` so empty-token semantics are unchanged.
+    */
+  def tokenFeatureIds(text: Column, dim: Int): Column =
+    Bridge.column(TokenFeatureIdsExpr(Bridge.expression(text), dim))
+
   /** Column API: distinct k-gram shingle hashes from token hashes. */
   def shingleHashes(tokenHashes: Column, k: Int): Column =
     Bridge.column(ShingleHashExpr(Bridge.expression(tokenHashes), k))
@@ -238,6 +251,66 @@ object TokenHashesExpr {
             java.util.Arrays.copyOfRange(bytes, start, i))
         if (cnt == out.length) out = java.util.Arrays.copyOf(out, out.length * 2)
         out(cnt) = v
+        cnt += 1
+      }
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, cnt))
+  }
+}
+
+/** Fused whitespace-tokenize + hashing-trick feature ids — the
+  * [[TokenHashesExpr]] scanner finalized as
+  * `Classifier.featureId`: first 4 md5 digest bytes (= the first 8
+  * hex digits) as an unsigned 32-bit value, mod `dim`, emitted as
+  * INT. Bit-parity with the composed
+  * `transform(tokens(text), featureId(t, dim))` is spec-pinned.
+  */
+case class TokenFeatureIdsExpr(child: Expression, dim: Int)
+    extends UnaryExpression {
+  require(dim >= 1, "TokenFeatureIdsExpr: dim must be positive")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TokenFeatureIdsExpr.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TokenFeatureIdsExpr.compute($c, $dim);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TokenFeatureIdsExpr {
+  private val md = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  private def isWs(b: Byte): Boolean =
+    b == 0x20 || (b >= 0x09 && b <= 0x0D)
+
+  def compute(
+      s: org.apache.spark.unsafe.types.UTF8String, dim: Int): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val digest = md.get()
+    var out = new Array[Int](16)
+    var cnt = 0
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(bytes(i))) i += 1
+      val start = i
+      while (i < n && !isWs(bytes(i))) i += 1
+      if (i > start) {
+        digest.reset()
+        digest.update(bytes, start, i - start)
+        val d = digest.digest()
+        var v = 0L
+        var j = 0
+        while (j < 4) { v = (v << 8) | (d(j) & 0xFFL); j += 1 }
+        if (cnt == out.length) out = java.util.Arrays.copyOf(out, out.length * 2)
+        out(cnt) = (v % dim).toInt
         cnt += 1
       }
     }

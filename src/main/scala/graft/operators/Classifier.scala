@@ -56,11 +56,14 @@ object Classifier {
         "pass a different `out` (gate's staging column would otherwise " +
         "silently clobber it)")
     val wLit = array(weights.map(lit): _*)
-    val toks = TextAnalysis.tokens(coalesce(col(textCol), lit("")))
+    // fused featurize (round 17): identical ids, same sequential fold
+    // association over the same token order — bit-exact scores
+    val feats = graft.functions.HashExprs.tokenFeatureIds(
+      coalesce(col(textCol), lit("")), weights.length)
     val score = aggregate(
-      toks,
+      feats,
       lit(intercept),
-      (acc, t) => acc + element_at(wLit, featureId(t, weights.length) + 1))
+      (acc, f) => acc + element_at(wLit, f + 1))
     df.withColumn(out, graft.functions.Det.round(score, scale))
   }
 
@@ -181,10 +184,10 @@ object Classifier {
       iters: Int): (Array[Long], Array[Long]) = {
     require(dim >= 1, "perceptronTrain: dim must be positive")
     require(iters >= 1, "perceptronTrain: iters must be positive")
-    val toks = TextAnalysis.tokens(coalesce(col(textCol), lit("")))
     val data = Materialize(df.select(
       when(label, 1).otherwise(-1).cast("int").as("__y"),
-      transform(toks, t => featureId(t, dim)).as("__f")))
+      graft.functions.HashExprs.tokenFeatureIds(
+        coalesce(col(textCol), lit("")), dim).as("__f")))
     try {
       val w = Array.fill(dim + 1)(0L)
       val wSum = Array.fill(dim + 1)(0L)
@@ -215,8 +218,8 @@ object Classifier {
     val dim = w.length - 1
     val wLit = array(w.map(lit).toSeq: _*)
     aggregate(
-      transform(TextAnalysis.tokens(coalesce(textCol, lit(""))),
-        t => featureId(t, dim)),
+      graft.functions.HashExprs.tokenFeatureIds(
+        coalesce(textCol, lit("")), dim),
       lit(w(dim)),
       (acc, f) => acc + element_at(wLit, f + 1))
   }
@@ -272,10 +275,10 @@ object Classifier {
     require(classes.distinct == classes, "perceptronTrainOvr: duplicate classes")
     require(dim >= 1 && iters >= 1,
       "perceptronTrainOvr: dim and iters must be positive")
-    val toks = TextAnalysis.tokens(coalesce(col(textCol), lit("")))
     val data = Materialize(df.select(
       col(labelCol).as("__lbl"),
-      transform(toks, t => featureId(t, dim)).as("__f")))
+      graft.functions.HashExprs.tokenFeatureIds(
+        coalesce(col(textCol), lit("")), dim).as("__f")))
     try {
       val w = Array.fill(classes.size, dim + 1)(0L)
       val wSum = Array.fill(classes.size, dim + 1)(0L)
@@ -331,8 +334,8 @@ object Classifier {
     val dim = w.head.length - 1
     val wMatrix = array(w.map(row => array(row.toSeq.map(lit): _*)): _*)
     val clsArr = array(classes.map(lit): _*)
-    val feats = transform(TextAnalysis.tokens(coalesce(textCol, lit(""))),
-      t => featureId(t, dim))
+    val feats = graft.functions.HashExprs.tokenFeatureIds(
+      coalesce(textCol, lit("")), dim)
     val best = transform(array(feats), ft => {
       val scored = transform(clsArr, (c, ci) => {
         val wRow = element_at(wMatrix, ci + 1)

@@ -207,9 +207,9 @@ class ClassifierSpec extends SparkSpecBase {
     val plan = docs
       .select(Classifier.perceptronPredictOvr(col("text"), classes, w))
       .queryExecution.optimizedPlan.toString
-    val md5Count = "md5\\(".r.findAllIn(plan).length
-    assert(md5Count === 1,
+    val featCount = "(?i)tokenfeatureids".r.findAllIn(plan).length
+    assert(featCount === 1,
       s"tokenize+hash must appear once in the plan (K=${classes.size} " +
-        s"classes would re-evaluate it per class); found $md5Count")
+        s"classes would re-evaluate it per class); found $featCount")
   }
 }

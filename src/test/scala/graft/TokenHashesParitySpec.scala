@@ -63,6 +63,20 @@ class TokenHashesParitySpec extends SparkSpecBase {
     assert(mismatches === 0L)
   }
 
+  test("tokenFeatureIds ≡ transform(tokens, featureId) — bit-exact") {
+    val df = corpus.zipWithIndex.map(_.swap).toDF("i", "text")
+    for (dim <- Seq(1, 7, 64, 4096)) {
+      val mismatches = df.select(
+          HashExprs.tokenFeatureIds(coalesce(col("text"), lit("")), dim)
+            .as("fused"),
+          transform(TextAnalysis.tokens(coalesce(col("text"), lit(""))),
+            t => graft.operators.Classifier.featureId(t, dim)).as("composed"))
+        .filter(not(col("fused") === col("composed")))
+        .count()
+      assert(mismatches === 0L, s"dim=$dim")
+    }
+  }
+
   test("Mersenne modP ≡ floorMod at every boundary shape") {
     val p = MinHashSigExpr.P
     val probes = Seq(0L, 1L, p - 1, p, p + 1, 2 * p, 2 * p + 1,
