@@ -68,6 +68,20 @@ object HashExprs {
   def tokenHashesXx(text: Column): Column =
     Bridge.column(TokenHashesExpr(Bridge.expression(text), "xx64"))
 
+  /** Column API: LSH band keys from a signature array — the native
+    * form of `transform(sequence(0, bands-1), b =>
+    * struct(b, xxhash64(concat_ws(",", slice(sig, b·rows+1, rows)
+    * cast to string))))`. Bucket values are IDENTICAL (the same
+    * comma-joined decimal rendering hashed by the same spec-pinned
+    * xxhash64 model), with one generated-loop pass instead of an
+    * interpreted HOF chain and ~5 string allocations per band per
+    * row — and the compact-cut dedup path evaluates banding TWICE
+    * per doc (F2 probe fold + post-cut re-banding), so this is the
+    * signature stage's second hot term after tokenize+hash.
+    */
+  def lshBands(sig: Column, bands: Int, rows: Int): Column =
+    Bridge.column(LshBandsExpr(Bridge.expression(sig), bands, rows))
+
   /** Column API: fused tokenize + hashing-trick feature ids — the
     * [[tokenHashesP]] treatment for
     * `transform(tokens(text), Classifier.featureId(t, dim))` (the
@@ -255,6 +269,63 @@ object TokenHashesExpr {
       }
     }
     new GenericArrayData(java.util.Arrays.copyOf(out, cnt))
+  }
+}
+
+/** Native LSH banding: for band b of `bands`, bucket = xxhash64
+  * (seed 42, the spec-pinned [[graft.operators.Xxh64Duck]] model) of
+  * the band's `rows` signature lanes rendered as a comma-separated
+  * decimal string — exactly the composed
+  * `xxhash64(concat_ws(",", transform(slice(sig, b·rows+1, rows),
+  * cast to string)))`, including the short-final-band case (a slice
+  * past the array end joins only the lanes that exist; an empty
+  * slice hashes the empty string). Output
+  * `array<struct<band: int, bucket: long>>`.
+  */
+case class LshBandsExpr(child: Expression, bands: Int, rows: Int)
+    extends UnaryExpression {
+  require(bands >= 1 && rows >= 1, "LshBandsExpr: bands/rows must be positive")
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("band",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("bucket", LongType,
+        nullable = false))),
+    containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    LshBandsExpr.compute(input.asInstanceOf[ArrayData], bands, rows)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.LshBandsExpr.compute($c, $bands, $rows);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object LshBandsExpr {
+  def compute(sig: ArrayData, bands: Int, rows: Int): ArrayData = {
+    val m = sig.numElements()
+    val out = new Array[Any](bands)
+    val sb = new java.lang.StringBuilder(rows * 11)
+    var b = 0
+    while (b < bands) {
+      sb.setLength(0)
+      var i = b * rows
+      val end = math.min(i + rows, m)
+      while (i < end) {
+        if (sb.length > 0) sb.append(',')
+        sb.append(sig.getLong(i))
+        i += 1
+      }
+      val bytes = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out(b) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](b, graft.operators.Xxh64Duck.hashBytes(bytes)))
+      b += 1
+    }
+    new GenericArrayData(out)
   }
 }
 

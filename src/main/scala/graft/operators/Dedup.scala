@@ -98,15 +98,18 @@ object Dedup {
 
   /** LSH band keys from a minhash signature: `bands` hashes, each
     * over `rows = n/bands` consecutive signature entries. Docs
-    * sharing any band key are near-dup candidates.
+    * sharing any band key are near-dup candidates. Bucket =
+    * `xxhash64` of the band's lanes joined as a comma-separated
+    * decimal string — since round 17 computed by the native
+    * [[graft.functions.LshBandsExpr]] (the composed
+    * `transform(sequence, b => xxhash64(concat_ws(",", slice…)))`
+    * chain paid interpreted HOF dispatch plus 5 string allocations
+    * per band per row, TWICE per doc on the compact-cut path: once
+    * in the F2 probe fold and once in the post-cut re-banding);
+    * values bit-identical, parity spec-pinned.
     */
   def lshBands(sig: Column, bands: Int, rows: Int): Column =
-    transform(
-      sequence(lit(0), lit(bands - 1)),
-      b => struct(
-        b.as("band"),
-        xxhash64(concat_ws(",",
-          transform(slice(sig, b * lit(rows) + 1, lit(rows)), c => c.cast("string")))).as("bucket")))
+    graft.functions.HashExprs.lshBands(sig, bands, rows)
 
   /** Candidate near-dup pairs via MinHash LSH, verified with the
     * signature-estimated Jaccard. The explode produces `bands` rows

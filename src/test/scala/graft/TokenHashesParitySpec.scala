@@ -89,6 +89,36 @@ class TokenHashesParitySpec extends SparkSpecBase {
     }
   }
 
+  test("native lshBands ≡ composed sequence/slice/concat_ws/xxhash64 chain") {
+    def composed(sig: org.apache.spark.sql.Column, bands: Int, rows: Int) =
+      transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => struct(
+          b.as("band"),
+          xxhash64(concat_ws(",",
+            transform(slice(sig, b * lit(rows) + 1, lit(rows)),
+              c => c.cast("string")))).as("bucket")))
+    // real signatures plus crafted shapes: short final band, empty
+    // band, negative lanes, single-lane bands
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(graft.operators.Dedup.minhashSignature(col("text"), 3, 64)
+        .as("sig"))
+    val crafted = Seq(
+      Seq(1L, 2L, 3L, 4L, 5L),          // short final band at rows=2
+      Seq(-9L, Long.MinValue, 7L, 0L),  // negative / extreme lanes
+      Seq(42L),                          // most bands empty
+      Seq.empty[Long]).toDF("sig")
+    for ((df, bands, rows) <- Seq((real, 16, 4), (crafted, 3, 2),
+        (crafted, 4, 1))) {
+      val mismatches = df.select(
+          graft.operators.Dedup.lshBands(col("sig"), bands, rows).as("n"),
+          composed(col("sig"), bands, rows).as("c"))
+        .filter(not(col("n") === col("c")))
+        .count()
+      assert(mismatches === 0L, s"bands=$bands rows=$rows")
+    }
+  }
+
   test("rolling shingle hashes ≡ direct window refolds") {
     val p = ShingleHashModExpr.P
     val b = ShingleHashModExpr.B
