@@ -12,10 +12,13 @@ import graft.operators.{Bpe, Classifier, Dedup, Keywords, LmScore, Multimodal, P
   *
   * DuckDB oracles replicate every deterministic computation exactly
   * (same token split, same integer counts, same double expression
-  * order). xxhash64-based signatures (minhash/simhash/fingerprint)
-  * have no DuckDB twin — those get rows-only driver checks plus
-  * property specs in ScalaTest cross-validating against exact
-  * Jaccard.
+  * order) — INCLUDING the xxhash64-based signatures: since round 13
+  * [[graft.operators.Xxh64Duck]] emulates Spark's xxhash64 on DuckDB
+  * HUGEINTs (staged CTEs, one 64-bit wraparound op per stage), so
+  * `q_minhash_neardup`, `q_simhash_neardup`, `q_doc_fingerprint`,
+  * `q_video_neardup_hashed` and the rest of the signature family are
+  * hash-exact in CORRECTNESS, not rows-only. ScalaTest property specs
+  * additionally cross-validate the estimates against exact Jaccard.
   */
 object TextQueries {
 

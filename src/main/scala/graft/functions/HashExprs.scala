@@ -440,7 +440,10 @@ object MinHashSigExpr {
       val h = java.lang.Math.floorMod(hashes.getLong(i), P)
       var j = 0
       while (j < n) {
-        // seedA, seedB, h all < p, so the operand is < p² + p < 2^62
+        // seedA <= p (the |1 odd-force can land exactly on p when the
+        // raw draw is p-1 — a lane the generator regenerates away),
+        // seedB and h < p, so the operand is <= p² + p - 1 < 2^62 —
+        // inside modP's 2^63 domain either way
         val v = modP(seedA(j) * h + seedB(j))
         if (v < sig(j)) sig(j) = v
         j += 1

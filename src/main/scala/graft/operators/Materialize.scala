@@ -69,4 +69,30 @@ object Materialize {
     */
   def release(df: DataFrame): Unit =
     Option(backing.remove(df)).foreach(_.unpersist(false))
+
+  /** Drop the cached blocks behind a frame in EVERY mode — including
+    * a `local`-mode localCheckpoint, whose blocks are its only copy.
+    * The caller contract is therefore stronger than [[release]]'s:
+    * the frame (and anything derived from it) must NEVER be read
+    * again — a later action would find neither blocks nor lineage and
+    * fail. For batch-scoped cuts inside a continuously-cycling loop
+    * (the streaming foreachBatch bodies) this is the difference
+    * between bounded per-batch storage and accruing one dead frame's
+    * blocks per micro-batch for the JVM lifetime (r17 advice on
+    * [[graft.streaming.FrontierStream]]).
+    *
+    * Mechanics: persist-mode backing unpersists as in [[release]];
+    * any `LogicalRDD` leaf's RDD is unpersisted too — that is the
+    * localCheckpoint's block holder (`unpersist` on a never-persisted
+    * RDD, e.g. a reliable checkpoint's, is a no-op, so calling this
+    * on any Materialize output is mechanically safe).
+    */
+  def releaseHard(df: DataFrame): Unit = {
+    release(df)
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+  }
 }

@@ -544,19 +544,26 @@ object Warc {
     * previous fetch's completion plus this row's scheduled
     * inter-request gap (`not_before` delta vs the previous row) — so
     * an overrunning fetch re-anchors the pace and the minimum gap
-    * survives (round-16 advice). `lastDoneNanos == 0` means no prior
-    * fetch on this host (absolute deadline alone governs).
+    * survives (round-16 advice). `hasPrev` says whether a prior fetch
+    * completed on this host (absolute deadline alone governs
+    * otherwise) — an explicit flag, not a `lastDoneNanos == 0`
+    * sentinel: `System.nanoTime()` has an arbitrary origin and may
+    * legitimately be 0 or negative (r17 advice). Comparisons against
+    * the returned due time must be via subtraction
+    * (`now - due < 0`), the JDK's overflow-safe nanoTime idiom.
     */
   private[graft] def scheduledDueNanos(
       anchorNanos: Long,
       nb: Double,
       prevNb: Double,
-      lastDoneNanos: Long): Long = {
+      lastDoneNanos: Long,
+      hasPrev: Boolean = true): Long = {
     val dueAbs = anchorNanos + (nb * 1e9).toLong
-    if (lastDoneNanos == 0L) dueAbs
+    if (!hasPrev) dueAbs
     else {
       val gapNanos = (math.max(0.0, nb - prevNb) * 1e9).toLong
-      math.max(dueAbs, lastDoneNanos + gapNanos)
+      val paced = lastDoneNanos + gapNanos
+      if (dueAbs - paced >= 0L) dueAbs else paced
     }
   }
 
@@ -566,6 +573,26 @@ object Warc {
       baseDir: String = "",
       maxPayloadBytes: Int = 16 << 20,
       paceWallClock: Boolean = false): (DataFrame, DataFrame) = {
+    val (records, rejects, _) = fetchScheduledReleasable(
+      spark, plan, baseDir, maxPayloadBytes, paceWallClock)
+    (records, rejects)
+  }
+
+  /** [[fetchScheduled]] with a release handle for the internal
+    * Materialize cut (r17 advice): a continuously-cycling caller (the
+    * [[graft.streaming.FrontierStream]] loop) invokes the thunk once
+    * BOTH returned frames are fully consumed, so `local`-mode
+    * localCheckpoint blocks don't accrue one fetch frame per
+    * micro-batch for the JVM lifetime. After the thunk runs, neither
+    * frame (nor anything derived from them) may be read again —
+    * [[graft.operators.Materialize.releaseHard]]'s contract.
+    */
+  def fetchScheduledReleasable(
+      spark: SparkSession,
+      plan: DataFrame,
+      baseDir: String = "",
+      maxPayloadBytes: Int = 16 << 20,
+      paceWallClock: Boolean = false): (DataFrame, DataFrame, () => Unit) = {
     val hconf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val bc = spark.sparkContext.broadcast(hconf)
@@ -586,6 +613,7 @@ object Warc {
         var anchorNanos = 0L
         var prevNb = 0.0
         var lastDoneNanos = 0L
+        var hasPrev = false
         val out = it.flatMap { r =>
           val file = r.getString(0)
           val offset = r.getLong(1)
@@ -594,14 +622,15 @@ object Warc {
           val nb = if (r.isNullAt(5)) 0.0 else r.getDouble(5)
           if (host != curHost) {
             curHost = host; seq = -1L; anchorNanos = System.nanoTime()
-            prevNb = 0.0; lastDoneNanos = 0L
+            prevNb = 0.0; lastDoneNanos = 0L; hasPrev = false
           }
           seq += 1
           if (pace && nb > 0.0) {
-            val dueNanos =
-              scheduledDueNanos(anchorNanos, nb, prevNb, lastDoneNanos)
+            val dueNanos = scheduledDueNanos(
+              anchorNanos, nb, prevNb, lastDoneNanos, hasPrev)
+            // overflow-safe nanoTime comparison: subtract, test sign
             var now = System.nanoTime()
-            while (now < dueNanos) {
+            while (now - dueNanos < 0L) {
               Thread.sleep(math.max(1L, (dueNanos - now) / 1000000L))
               now = System.nanoTime()
             }
@@ -609,6 +638,7 @@ object Warc {
           prevNb = nb
           val fetched = fetcher.fetch(file, offset, r.getLong(2))
           lastDoneNanos = System.nanoTime()
+          hasPrev = true
           fetched match {
             case Right(parsed) => parsed.map {
               case Right(rec) => Row(
@@ -632,7 +662,7 @@ object Warc {
       .select(scheduledRecordSchema.fieldNames.map(col).toSeq: _*)
     val rejects = unified.filter(col("_reject_reason").isNotNull)
       .select(col("file"), col("pos"), col("_reject_reason").as("reason"))
-    (records, rejects)
+    (records, rejects, () => graft.operators.Materialize.releaseHard(unified))
   }
 
   private def splitUnified(

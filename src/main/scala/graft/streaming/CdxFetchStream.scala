@@ -116,20 +116,26 @@ object CdxFetchStream {
         case None =>
           graft.sources.Warc.fetchRanged(spark, plan, baseDir, maxPayloadBytes)
       }
-      graft.sources.ManifestedSink.appendBatch(
+      try graft.sources.ManifestedSink.appendBatch(
         recs.select(graft.sources.Warc.recordSchema.fieldNames.map(col).toSeq: _*)
           .withColumn("batch_id", lit(batchId)),
         recordsDir, graft.sources.Warc.manifestDir(recordsDir),
         cols = Seq("target_uri", "warc_type"),
         bloomCols = Seq("record_id"),
         batchId = batchId)
+      // the landing fully consumed the fetch output; releaseHard finds
+      // the fetch's internal Materialize cut through the derived
+      // frame's LogicalRDD leaf, so a cycling loop doesn't accrue one
+      // local-mode fetch frame per micro-batch (r17 advice)
+      finally graft.operators.Materialize.releaseHard(recs)
       plan.select(col("digest")).withColumn("batch_id", lit(batchId))
         .write.partitionBy("batch_id")
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite").parquet(stateDir)
       graft.sources.Warc.readRecords(spark, recordsDir)
         .filter(col("batch_id") === batchId).count()
-    } finally graft.operators.Materialize.release(plan)
+      // batch-scoped cut: the state write above was its last read
+    } finally graft.operators.Materialize.releaseHard(plan)
   }
 
   /** The streaming loop: watch a micro-batched line stream and run

@@ -126,9 +126,10 @@ object FrontierStream {
           frontier("surt") === capturePlan("__psurt"))
         .select("warc_file", "offset", "length", "host", "slot",
           "not_before_s")
-      val (recs, _) = graft.sources.Warc.fetchScheduled(
-        spark, resolved, baseDir, maxPayloadBytes, paceWallClock)
-      graft.sources.ManifestedSink.appendBatch(
+      val (recs, _, releaseFetch) = graft.sources.Warc
+        .fetchScheduledReleasable(
+          spark, resolved, baseDir, maxPayloadBytes, paceWallClock)
+      try graft.sources.ManifestedSink.appendBatch(
         recs.select(graft.sources.Warc.scheduledRecordSchema
             .fieldNames.map(col).toSeq: _*)
           .withColumn("batch_id", lit(batchId)),
@@ -136,12 +137,17 @@ object FrontierStream {
         cols = Seq("target_uri", "warc_type"),
         bloomCols = Seq("record_id"),
         batchId = batchId)
+      // the landing fully consumed the fetch cut; drop its blocks in
+      // EVERY Materialize mode (r17 advice: a cycling loop otherwise
+      // accrues one local-mode fetch frame per micro-batch)
+      finally releaseFetch()
       // scheduled-once state: the admitted frontier, resolved or not —
       // explicit-partition-path commit (idempotent, empty-safe)
       frontier.select("surt")
         .write.mode("overwrite").parquet(s"$stateDir/batch_id=$batchId")
       frontier.count()
-    } finally graft.operators.Materialize.release(frontier)
+      // hard release (batch-scoped): the count above is the last read
+    } finally graft.operators.Materialize.releaseHard(frontier)
   }
 
   /** The streaming loop: a micro-batched seed-URL stream cycling

@@ -117,6 +117,32 @@ class FrontierSpec extends SparkSpecBase {
     assert(byId(2)._2 === Seq.empty, "urlset body lists no sub-sitemaps")
   }
 
+  test("sitemap loc extractors tolerate attributes and comments (r17 advice); tag-name boundary holds") {
+    // generator-style slop: attributes on <url>/<sitemap>/<loc>, an
+    // XML comment between the tag and its loc — all XSD-order-valid
+    val sloppyUrlset =
+      "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n" +
+        " <url changefreq=\"daily\">\n  <!-- gen 2026-08-16 -->\n" +
+        "  <loc xml:space=\"preserve\">https://a.test/p1</loc>\n </url>\n" +
+        " <url><loc>https://a.test/p2</loc></url>\n</urlset>"
+    val sloppyIndex =
+      "<sitemapindex>\n <sitemap data-x=\"1\"><!-- c1 --><!-- c2 -->" +
+        "<loc>https://a.test/seg.xml</loc></sitemap>\n</sitemapindex>"
+    val df = Seq((1, sloppyUrlset), (2, sloppyIndex)).toDF("id", "xml")
+    val byId = df.select(col("id"),
+        Frontier.sitemapPageLocs(col("xml")).as("p"),
+        Frontier.sitemapIndexLocs(col("xml")).as("s"))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getSeq[String](1).toSeq, r.getSeq[String](2).toSeq))).toMap
+    assert(byId(1)._1 === Seq("https://a.test/p1", "https://a.test/p2"))
+    // <urlset …> must NOT read as a <url> entry: its own first <url>'s
+    // loc would then double-count; same for <sitemapindex> vs <sitemap>
+    assert(byId(1)._1.size === 2, "urlset open tag is not a url entry")
+    assert(byId(1)._2 === Seq.empty)
+    assert(byId(2)._2 === Seq("https://a.test/seg.xml"))
+    assert(byId(2)._1 === Seq.empty)
+  }
+
   test("expandSitemaps: index layers, cycle fetched once, dead link skipped, depth cap") {
     // root index -> {segA (pages), loop (cycle back to root),
     //                deep1 -> {segB (pages), deep2 -> segC (pages)},

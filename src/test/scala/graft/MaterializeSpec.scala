@@ -65,4 +65,49 @@ class MaterializeSpec extends SparkSpecBase {
     try assert(Materialize(docs).count() === 4L)
     finally spark.conf.unset(Materialize.ConfKey)
   }
+
+  /** Ids of the frame's LogicalRDD-leaf RDDs — the block holders
+    * releaseHard targets (id-keyed so concurrent suites' persistent
+    * RDDs can't race these assertions).
+    */
+  private def leafRddIds(df: org.apache.spark.sql.DataFrame): Seq[Int] =
+    df.queryExecution.analyzed.collectLeaves().collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }
+
+  private def persisted(id: Int): Boolean =
+    spark.sparkContext.getPersistentRDDs.contains(id)
+
+  test("releaseHard drops local-mode localCheckpoint blocks (cycling-loop discipline, r17 advice)") {
+    // local mode: soft release is deliberately a no-op (the blocks are
+    // the frame's only copy) — a continuously-cycling foreachBatch
+    // loop needs the HARD form once a batch-scoped cut is fully
+    // consumed, or it accrues one dead frame per micro-batch.
+    val cut = Materialize(docs)
+    val Seq(id) = leafRddIds(cut)
+    assert(cut.count() === 4L)
+    assert(persisted(id),
+      "a local-mode cut holds its checkpointed RDD's blocks")
+    Materialize.release(cut) // soft: must NOT touch local-mode blocks
+    assert(persisted(id))
+    assert(cut.count() === 4L, "frame still readable after soft release")
+    // hard release through a DERIVED frame: the LogicalRDD leaf is the
+    // block holder, so consumers (e.g. CdxFetchStream's landed-records
+    // projection) can release without the original handle
+    Materialize.releaseHard(cut.filter(col("doc_id") > 0L))
+    assert(!persisted(id),
+      "releaseHard must unpersist the localCheckpoint's blocks")
+  }
+
+  test("releaseHard on persist-mode frames = release (and is safe on plain frames)") {
+    spark.conf.set(Materialize.ConfKey, "persist")
+    try {
+      val cut = Materialize(docs)
+      Materialize.releaseHard(cut)
+      // persist mode keeps lineage: a late read recomputes, uncached
+      assert(cut.count() === 4L)
+    } finally spark.conf.unset(Materialize.ConfKey)
+    Materialize.releaseHard(docs) // no Materialize anywhere: no-op
+    assert(docs.count() === 4L)
+  }
 }

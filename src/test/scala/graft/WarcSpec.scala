@@ -394,9 +394,18 @@ class WarcSpec extends SparkSpecBase {
     // back-to-back at the stale absolute deadline
     assert(Warc.scheduledDueNanos(0L, 2.0, 1.0, lastDoneNanos = 5 * s)
       === 6 * s)
-    // first fetch of a host: no prior completion, absolute only
-    assert(Warc.scheduledDueNanos(10 * s, 0.5, 0.0, lastDoneNanos = 0L)
-      === 10 * s + s / 2)
+    // first fetch of a host: no prior completion (hasPrev = false —
+    // an explicit flag, not a 0L sentinel: nanoTime's origin is
+    // arbitrary and 0/negative are legitimate clock readings),
+    // absolute deadline alone
+    assert(Warc.scheduledDueNanos(10 * s, 0.5, 0.0, lastDoneNanos = 0L,
+      hasPrev = false) === 10 * s + s / 2)
+    // ... even when the anchor clock reads negative (nanoTime origin)
+    assert(Warc.scheduledDueNanos(-10 * s, 0.5, 0.0,
+      lastDoneNanos = -20 * s, hasPrev = false) === -10 * s + s / 2)
+    // a real prior completion AT clock reading 0 is paced, not reset
+    assert(Warc.scheduledDueNanos(-2 * s, 2.0, 1.0, lastDoneNanos = 0L)
+      === s)
     // non-increasing not_before (defensive): gap clamps at zero, due
     // is never before the previous completion
     assert(Warc.scheduledDueNanos(0L, 1.0, 3.0, lastDoneNanos = 5 * s)
