@@ -71,8 +71,8 @@ object ScaleProbeDedup {
       * shape) splits can never diverge in what they measure.
       */
     def runStages(input: org.apache.spark.sql.DataFrame, tag: String): Unit = {
-      val (sigs, star) = time(s"${tag}_sigs") {
-        Dedup.sigsWithStarDecisionCompact(
+      val (cut, star) = time(s"${tag}_sigs") {
+        Dedup.sigsWithStarDecisionCut(
           Dedup.compactSigsPlan(input, "doc_id", "text"),
           bands = 16, rows = 4, force = false,
           cap = Dedup.defaultAutoStarPairsCap)
@@ -80,8 +80,8 @@ object ScaleProbeDedup {
       println(s"[probe] ${tag}_star=$star")
       val pairs = time(s"${tag}_pairs") {
         Materialize(
-          if (star) Dedup.starCandidatesFromBandedSigs(sigs, 64, 0.5)
-          else Dedup.candidatesFromBandedSigs(sigs, 64, 0.5))
+          if (star) Dedup.starCandidatesFromCompact(cut, 16, 4, 64, 0.5)
+          else Dedup.candidatesFromCompact(cut, 16, 4, 64, 0.5))
       }
       println(s"[probe] ${tag}_pairs_n=${pairs.count()}")
       val comp = time(s"${tag}_cc") {

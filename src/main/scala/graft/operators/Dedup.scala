@@ -79,8 +79,13 @@ object Dedup {
       graft.functions.HashExprs.shingleHashesModP(
         graft.functions.HashExprs.tokenHashesP(text), k), n)
 
-  /** Deterministic odd multipliers/offsets < 2^61-1 (splitmix64 on a
-    * fixed seed, reduced mod p; `a` forced odd so it's invertible).
+  /** Deterministic odd multipliers/offsets (splitmix64 on a fixed
+    * seed, reduced mod p; `a` forced odd so it's invertible). The odd
+    * force can land exactly on p (raw draw p-1 → `|1` = p ≡ 0 mod p —
+    * a DEGENERATE lane whose signature would be the constant b): such
+    * a draw is skipped and redrawn (r17 advice). No lane among the
+    * first 4096 hits it, so the guard changes nothing for any n in
+    * use — it exists so a future n can't silently ship a dead lane.
     */
   private[graft] def minhashCoefs(n: Int): Seq[(Long, Long)] = {
     val p = 2147483647L
@@ -93,7 +98,11 @@ object Dedup {
       z = z ^ (z >>> 31)
       java.lang.Math.floorMod(z, p)
     }
-    Seq.fill(n)((next() | 1L, next()))
+    def nextOdd(): Long = {
+      val a = next() | 1L
+      if (a == p) nextOdd() else a
+    }
+    Seq.fill(n)((nextOdd(), next()))
   }
 
   /** LSH band keys from a minhash signature: `bands` hashes, each
@@ -125,9 +134,12 @@ object Dedup {
       k: Int = 3,
       n: Int = 64,
       bands: Int = 16,
-      threshold: Double = 0.5): DataFrame =
-    candidatesFromBandedSigs(
-      bandedSignatures(docs, idCol, textCol, k, n, bands), n, threshold)
+      threshold: Double = 0.5): DataFrame = {
+    require(n % bands == 0, s"signature length $n must divide into $bands bands")
+    candidatesFromCompact(
+      Materialize(compactSigsPlan(docs, idCol, textCol, k, n)),
+      bands, n / bands, n, threshold)
+  }
 
   /** Banded MinHash signatures — `bands` rows per doc of
     * `(doc_id, sig, band, bucket)`; the shared first pass of
@@ -188,7 +200,11 @@ object Dedup {
     * slice (every doc carries exactly one band-0 row, and all of a
     * doc's rows hold the identical sig), so this is a narrow FILTER
     * over the materialized frame, never a 24M-row dropDuplicates
-    * shuffle of 520-byte sig payloads.
+    * shuffle of 520-byte sig payloads. Banded-frame consumers only
+    * (the streaming gates, whose state IS banded); the batch path
+    * verifies straight off the compact cut ([[verifyPairsCompact]]) —
+    * when the banded frame is itself a re-band of a compact cut, this
+    * filter pays a full |docs|×bands explode to keep 1/bands of it.
     */
   private def sigPerDoc(sigs: DataFrame): DataFrame =
     sigs.filter(col("band") === 0).select(col("doc_id"), col("sig"))
@@ -201,8 +217,17 @@ object Dedup {
     * |docs|×bands sig copies.
     */
   private def verifyPairs(
-      pairs: DataFrame, sigs: DataFrame, n: Int, threshold: Double): DataFrame = {
-    val perDoc = sigPerDoc(sigs)
+      pairs: DataFrame, sigs: DataFrame, n: Int, threshold: Double): DataFrame =
+    verifyPairsCompact(pairs, sigPerDoc(sigs), n, threshold)
+
+  /** [[verifyPairs]] against a compact `(doc_id, sig)` frame —
+    * typically the materialized compact cut itself, so the sig
+    * lookups read checkpointed rows with NO re-banding pass in front
+    * (round 18: the banded-frame form re-derived |docs|×bands rows
+    * through [[bandExplode]] and filtered 15/16 of them away).
+    */
+  private[graft] def verifyPairsCompact(
+      pairs: DataFrame, perDoc: DataFrame, n: Int, threshold: Double): DataFrame =
     pairs
       .join(perDoc.select(col("doc_id").as("id_a"), col("sig").as("__sa")),
         Seq("id_a"))
@@ -211,7 +236,6 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         estJaccard(col("__sa"), col("__sb"), n).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
-  }
 
   /** LSH bucket self-join over [[bandedSignatures]] output: candidate
     * pairs sharing any (band, bucket), verified by estimated Jaccard.
@@ -384,6 +408,71 @@ object Dedup {
       .select(col("doc_id"), col("sig"),
         col("__b.band").as("band"), col("__b.bucket").as("bucket"))
 
+  /** [[bandExplode]] WITHOUT the signature passthrough —
+    * `(doc_id, band, bucket)`, the 28-byte pairing rows the candidate
+    * stage shuffles (round 18): the full explode carries each doc's
+    * ~520-byte sig array through every downstream projection until
+    * column pruning catches it, and the PAIRING side never needs it.
+    */
+  private[graft] def bandExplodeSlim(
+      compact: DataFrame, bands: Int, rows: Int): DataFrame =
+    compact
+      .select(col("doc_id"),
+        explode(lshBands(col("sig"), bands, rows)).as("__b"))
+      .select(col("doc_id"),
+        col("__b.band").as("band"), col("__b.bucket").as("bucket"))
+
+  /** [[candidatesFromBandedSigs]] fed by the COMPACT `(doc_id, sig)`
+    * cut (round 18 — the r17 verdict's candidate-pair-floor task):
+    * pairing runs over the sig-free [[bandExplodeSlim]] projection and
+    * verification joins the cut itself, so NO consumer re-derives the
+    * |docs|×bands banded frame from the cut just to filter most of it
+    * away (the banded-frame form paid one full re-band+explode for
+    * the [[sigPerDoc]] verify feed alone). Output identical.
+    */
+  private[graft] def candidatesFromCompact(
+      compact: DataFrame, bands: Int, rows: Int,
+      n: Int, threshold: Double): DataFrame = {
+    val slim = bandExplodeSlim(compact, bands, rows)
+    val a = slim.as("a")
+    val b = slim.as("b")
+    val pairs = a.join(b,
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    verifyPairsCompact(pairs, compact, n, threshold)
+  }
+
+  /** [[starCandidatesFromBandedSigs]] fed by the COMPACT cut — same
+    * reshape as [[candidatesFromCompact]], plus: SINGLETON buckets
+    * (the vast majority on a real corpus — every non-dup doc
+    * contributes `bands` of them) are dropped in the hub aggregate
+    * (`count > 1`) instead of joining back and dying on the
+    * `doc_id =!= hub_id` filter, so the hub table the pairing joins
+    * is occupied-buckets-only — small enough that AQE converts the
+    * member↔hub join to broadcast, which keeps each doc's `bands`
+    * copies of a pair in ONE partition where the pair `distinct`'s
+    * partial aggregate kills them map-side (the shuffled-join form
+    * scatters the copies across band partitions and ships them all).
+    * Semantics identical: a singleton bucket produces no pair either
+    * way.
+    */
+  private[graft] def starCandidatesFromCompact(
+      compact: DataFrame, bands: Int, rows: Int,
+      n: Int, threshold: Double): DataFrame = {
+    val slim = bandExplodeSlim(compact, bands, rows)
+    val hubs = slim.groupBy(col("band"), col("bucket"))
+      .agg(min(col("doc_id")).as("hub_id"), count(lit(1)).as("__c"))
+      .filter(col("__c") > 1).drop("__c")
+    val pairs = slim.join(hubs, Seq("band", "bucket"))
+      .filter(col("doc_id") =!= col("hub_id"))
+      .select(col("hub_id").as("id_a"), col("doc_id").as("id_b"))
+      .distinct()
+    verifyPairsCompact(pairs, compact, n, threshold)
+  }
+
   /** [[materializeSigsProbed]] over the COMPACT `(doc_id, sig)` plan:
     * the cut stores ONE row per doc instead of one per band — the
     * round-13 NearDupGate state insight applied to the batch path
@@ -447,12 +536,25 @@ object Dedup {
     */
   private[graft] def sigsWithStarDecisionCompact(
       compact: DataFrame, bands: Int, rows: Int,
+      force: Boolean, cap: Long): (DataFrame, Boolean) = {
+    val (cut, star) = sigsWithStarDecisionCut(compact, bands, rows, force, cap)
+    (bandExplode(cut, bands, rows), star)
+  }
+
+  /** [[sigsWithStarDecisionCompact]] returning the RAW compact cut
+    * (round 18): batch consumers hand it straight to
+    * [[candidatesFromCompact]]/[[starCandidatesFromCompact]], which
+    * re-band only the sig-free pairing projection and verify off the
+    * cut — the banded-frame form re-derived (and mostly discarded)
+    * the full |docs|×bands explode once per consumer.
+    */
+  private[graft] def sigsWithStarDecisionCut(
+      compact: DataFrame, bands: Int, rows: Int,
       force: Boolean, cap: Long): (DataFrame, Boolean) =
-    if (force || cap == Long.MaxValue)
-      (bandExplode(Materialize(compact), bands, rows), force)
+    if (force || cap == Long.MaxValue) (Materialize(compact), force)
     else {
       val (cut, est) = materializeCompactProbed(compact, bands, rows)
-      (bandExplode(cut, bands, rows), useStar(est, force = false, cap))
+      (cut, useStar(est, force = false, cap))
     }
 
   /** STAR-candidate variant of [[candidatesFromBandedSigs]] — the
@@ -828,12 +930,12 @@ object Dedup {
       threshold: Double = 0.5,
       star: Boolean = false,
       autoStarPairsCap: Long = defaultAutoStarPairsCap): DataFrame = {
-    val (sigs, starNow) = sigsWithStarDecisionCompact(
+    val (cut, starNow) = sigsWithStarDecisionCut(
       compactSigsPlan(docs, idCol, textCol, k, n), bands, n / bands,
       star, autoStarPairsCap)
     val pairs =
-      if (starNow) starCandidatesFromBandedSigs(sigs, n, threshold)
-      else candidatesFromBandedSigs(sigs, n, threshold)
+      if (starNow) starCandidatesFromCompact(cut, bands, n / bands, n, threshold)
+      else candidatesFromCompact(cut, bands, n / bands, n, threshold)
     val comp = connectedComponents(pairs)
     val losers = comp.filter(col("id") =!= col("component")).select(col("id"))
     docs.join(losers, docs(idCol) === losers("id"), "left_anti")
@@ -915,12 +1017,12 @@ object Dedup {
     // Same auto star switch as [[dropNearDuplicates]]: quality-ranked
     // keeper selection operates on components, and star preserves
     // clique connectivity — the contract trade is identical.
-    val (sigs, starNow) = sigsWithStarDecisionCompact(
+    val (cut, starNow) = sigsWithStarDecisionCut(
       compactSigsPlan(docs, idCol, textCol, k, n), bands, n / bands,
       force = false, autoStarPairsCap)
     val pairs =
-      if (starNow) starCandidatesFromBandedSigs(sigs, n, threshold)
-      else candidatesFromBandedSigs(sigs, n, threshold)
+      if (starNow) starCandidatesFromCompact(cut, bands, n / bands, n, threshold)
+      else candidatesFromCompact(cut, bands, n / bands, n, threshold)
     val comp = connectedComponents(pairs)
     // Score only the docs that sit in some duplicate component —
     // singletons never reach the aggregate (they keep themselves).

@@ -135,9 +135,10 @@ object NearDupGate {
     // (F2 occupancy probe as observe metrics — zero extra jobs per
     // micro-batch; Dedup.materializeSigsProbed) unless it's already
     // pinned by starIntra / a MaxValue cap.
-    val (sigs, starNow) = Dedup.sigsWithStarDecisionCompact(
+    val (cut, starNow) = Dedup.sigsWithStarDecisionCut(
       Dedup.compactSigsPlan(batch, idCol, textCol, k, n), bands, n / bands,
       starIntra, autoStarPairsCap)
+    val sigs = Dedup.bandExplode(cut, bands, n / bands)
     // A replayed batch must not match its own previously-committed
     // signatures: state is everything from strictly EARLIER batches.
     val state = bandState(
@@ -162,8 +163,9 @@ object NearDupGate {
       // — the 19× dup-heavy mitigation is now default behavior, not a
       // caller knob). The state match above is unchanged either way.
       intraPairs =
-        if (starNow) Dedup.starCandidatesFromBandedSigs(sigs, n, threshold)
-        else Dedup.candidatesFromBandedSigs(sigs, n, threshold),
+        if (starNow)
+          Dedup.starCandidatesFromCompact(cut, bands, n / bands, n, threshold)
+        else Dedup.candidatesFromCompact(cut, bands, n / bands, n, threshold),
       stateDir = stateDir,
       exact = exact)
   }

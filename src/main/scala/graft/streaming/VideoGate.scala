@@ -124,12 +124,16 @@ object VideoGate {
     val hs = when(size(col("frames")) === 0, array(lit(0L)))
       .otherwise(col("frames"))
     // star decision via the zero-extra-job F2 probe riding the
-    // banded-signature materialization (Dedup.sigsWithStarDecision)
-    val (sigs, starNow) = Dedup.sigsWithStarDecisionCompact(
+    // compact-signature materialization (Dedup.sigsWithStarDecisionCut);
+    // the banded frame the STATE match needs re-bands post-cut, while
+    // intra-batch candidates pair/verify straight off the cut (r18 —
+    // no full re-band just to filter 15/16 of it for the verify feed)
+    val (cut, starNow) = Dedup.sigsWithStarDecisionCut(
       energies
         .select(col(idCol).as("doc_id"),
           graft.functions.HashExprs.minhashSig(hs, n).as("sig")),
       bands, rows, starIntra, autoStarPairsCap)
+    val sigs = Dedup.bandExplode(cut, bands, rows)
     val state = NearDupGate.bandState(
       NearDupGate.readState(batch.sparkSession, stateDir)
         .filter(col("batch_id") < batchId),
@@ -143,8 +147,8 @@ object VideoGate {
         col("a.bucket") === col("s.bucket") &&
         Dedup.estJaccard(col("a.sig"), col("s.sig"), n) >= threshold,
       intraPairs =
-        if (starNow) Dedup.starCandidatesFromBandedSigs(sigs, n, threshold)
-        else Dedup.candidatesFromBandedSigs(sigs, n, threshold),
+        if (starNow) Dedup.starCandidatesFromCompact(cut, bands, rows, n, threshold)
+        else Dedup.candidatesFromCompact(cut, bands, rows, n, threshold),
       stateDir = stateDir,
       exact = exact)
   }
