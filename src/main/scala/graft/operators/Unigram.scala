@@ -1,0 +1,296 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM subword tokenizer (Kudo 2018, arXiv:1804.10959 — the
+  * SentencePiece trainer family), the second trainable tokenizer
+  * beside [[Bpe]] (round 18 — the r17 verdict's missing item 3).
+  *
+  * Scale split, identical to [[Bpe]]'s and 100 TB-honest:
+  *  - TRAINING reduces the corpus to a bounded weighted word
+  *    dictionary with one distributed aggregate (top `maxWords` by
+  *    frequency, deterministic tiebreak), then runs seed-candidate
+  *    collection, EM, and pruning on the driver over that dict —
+  *    O(dict·pieceLen²) per EM pass, seconds at the usual sizes, and
+  *    never touches raw text again.
+  *  - ENCODING is map-only: the committed vocab broadcasts inside a
+  *    native expression ([[graft.functions.UnigramEncodeExpr]]) that
+  *    Viterbi-segments each whitespace word.
+  *
+  * ENGINE-EXACT ENCODE, EM-ESTIMATED SCORES — the split the repo's
+  * integer discipline dictates: EM's forward-backward is inherently
+  * float (normalized likelihoods), so it runs ONCE on the driver
+  * (fixed iteration order — deterministic for a given dict) and
+  * COMMITS the vocab as integer scores `round(ln p · 10^6)`. From
+  * that point everything is ℤ-exact and cross-engine-replayable: the
+  * Viterbi objective is the single BIGINT key
+  *
+  *   dpkey(path) = Σ_pieces (1024·score(piece) − 1)
+  *
+  * i.e. lexicographic (max Σscore, then min token count) as one
+  * integer max — exact while token count < 1024 per word, and the
+  * count extracts as `floorMod(−dpkey, 1024)` in both engines (Spark
+  * and DuckDB compute the identical formula, so even a pathological
+  * ≥1024-char word wraps IDENTICALLY on both sides). Two paths with
+  * one dpkey have the same score sum AND count (1024·ΔS = Δn forces
+  * both zero), so counts are unique under ties without any further
+  * tiebreak; the token STRINGS tie-break leftmost-longest-piece
+  * ([[graft.functions.UnigramEncodeExpr]]), which only affects
+  * non-oracle consumers.
+  *
+  * Trainer divergences from the reference SentencePiece algorithm,
+  * stated: seeding is all substrings ≤ `maxPieceLen` of the dict
+  * (capped to `seedSize` by weighted frequency) instead of the
+  * suffix-array/ESA seeder; pruning keeps the top pieces by expected
+  * count instead of the per-piece likelihood-loss ranking; and there
+  * is no subword regularization / n-best sampling. Single-character
+  * coverage is kept unconditionally (every char seen in the dict
+  * stays in the vocab), so every word is always segmentable without
+  * the UNK path; UNK (an absent single char at encode time) scores
+  * the fixed [[Unigram.UnkScore]].
+  */
+object Unigram {
+
+  /** Fixed UNK score (scaled ln p ≈ −100): far below every trained
+    * piece, spliced identically into the Spark plan and the oracle.
+    */
+  val UnkScore: Long = -100000000L
+
+  /** Score scale: committed score = round(ln p · Scale). */
+  val Scale: Double = 1e6
+
+  /** Learn a unigram vocab from the corpus: `(piece, scaledScore)`,
+    * sorted (piece asc) for determinism. `vocabSize` bounds the final
+    * piece count (single chars always kept, even above the bound).
+    */
+  def trainVocab(
+      docs: DataFrame,
+      textCol: String,
+      vocabSize: Int,
+      maxPieceLen: Int = 4,
+      maxWords: Int = 50000,
+      emIters: Int = 2,
+      seedSize: Int = 0): Seq[(String, Long)] = {
+    val dict = docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w")) // deterministic dict cut
+      .limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    trainOnDict(dict.toSeq, vocabSize, maxPieceLen, emIters,
+      if (seedSize > 0) seedSize else 8 * vocabSize)
+  }
+
+  /** The driver-side learner over a bounded weighted dict (exposed
+    * for specs and for callers with a precomputed vocabulary).
+    */
+  def trainOnDict(
+      dict: Seq[(String, Long)],
+      vocabSize: Int,
+      maxPieceLen: Int,
+      emIters: Int,
+      seedSize: Int): Seq[(String, Long)] = {
+    require(vocabSize >= 1 && maxPieceLen >= 1 && emIters >= 0)
+    val words = dict.filter(_._1.nonEmpty)
+    // ---- seed: all substrings <= maxPieceLen, weighted by word freq
+    val cand = scala.collection.mutable.HashMap.empty[String, Long]
+    words.foreach { case (w, n) =>
+      var i = 0
+      while (i < w.length) {
+        var l = 1
+        while (l <= maxPieceLen && i + l <= w.length) {
+          val p = w.substring(i, i + l)
+          cand.update(p, cand.getOrElse(p, 0L) + n)
+          l += 1
+        }
+        i += 1
+      }
+    }
+    val singles = cand.keysIterator.filter(_.length == 1).toSet
+    val multisKept = cand.iterator.filter(_._1.length > 1).toSeq
+      .sortBy { case (p, n) => (-n, p) } // deterministic seed cut
+      .take(math.max(0, seedSize - singles.size))
+      .map(_._1)
+    // ---- EM + prune over the dict (driver; doubles, fixed order)
+    var pieces: Vector[String] = (singles ++ multisKept).toVector.sorted
+    var probs: Map[String, Double] = {
+      val tot = pieces.map(cand(_)).sum.toDouble
+      pieces.map(p => p -> cand(p) / tot).toMap
+    }
+    /** Expected piece counts over the dict under `probs` — one
+      * forward-backward per word (piece probabilities are the lattice
+      * edge weights; α/β in plain doubles, word lengths are bounded).
+      */
+    def eStep(): Map[String, Double] = {
+      val exp = scala.collection.mutable.HashMap.empty[String, Double]
+      words.foreach { case (w, n) =>
+        val L = w.length
+        val alpha = new Array[Double](L + 1)
+        val beta = new Array[Double](L + 1)
+        alpha(0) = 1.0
+        var j = 1
+        while (j <= L) {
+          var k = 1
+          var a = 0.0
+          while (k <= maxPieceLen && k <= j) {
+            val pc = probs.getOrElse(w.substring(j - k, j), 0.0)
+            if (pc > 0.0) a += alpha(j - k) * pc
+            k += 1
+          }
+          alpha(j) = a
+          j += 1
+        }
+        beta(L) = 1.0
+        j = L - 1
+        while (j >= 0) {
+          var k = 1
+          var b = 0.0
+          while (k <= maxPieceLen && j + k <= L) {
+            val pc = probs.getOrElse(w.substring(j, j + k), 0.0)
+            if (pc > 0.0) b += pc * beta(j + k)
+            k += 1
+          }
+          beta(j) = b
+          j -= 1
+        }
+        val z = alpha(L)
+        if (z > 0.0) {
+          var i = 0
+          while (i < L) {
+            var k = 1
+            while (k <= maxPieceLen && i + k <= L) {
+              val p = w.substring(i, i + k)
+              val pc = probs.getOrElse(p, 0.0)
+              if (pc > 0.0) {
+                val e = alpha(i) * pc * beta(i + k) / z * n
+                if (e > 0.0) exp.update(p, exp.getOrElse(p, 0.0) + e)
+              }
+              k += 1
+            }
+            i += 1
+          }
+        }
+      }
+      exp.toMap
+    }
+    var it = 0
+    while (it < emIters) {
+      val exp = eStep()
+      val tot = pieces.iterator.map(p => exp.getOrElse(p, 0.0)).sum
+      if (tot > 0.0)
+        probs = pieces.iterator
+          .map(p => p -> exp.getOrElse(p, 0.0) / tot).toMap
+      // prune (not after the final pass): keep singles + the best
+      // multis by expected count, shrinking toward vocabSize
+      if (it < emIters - 1) {
+        val singleSet = pieces.filter(_.length == 1)
+        val target = math.max(vocabSize,
+          singleSet.size + (pieces.size - singleSet.size) * 3 / 4)
+        val multis = pieces.filter(_.length > 1)
+          .sortBy(p => (-probs.getOrElse(p, 0.0), p))
+          .take(math.max(0, target - singleSet.size))
+        pieces = (singleSet ++ multis).sorted
+        val keep = pieces.toSet
+        val tot2 = probs.iterator.filter(kv => keep(kv._1)).map(_._2).sum
+        probs = pieces.iterator
+          .map(p => p -> probs.getOrElse(p, 0.0) / tot2).toMap
+      }
+      it += 1
+    }
+    // ---- final cut + integer commit
+    val singleSet = pieces.filter(_.length == 1)
+    val multis = pieces.filter(_.length > 1)
+      .sortBy(p => (-probs.getOrElse(p, 0.0), p))
+      .take(math.max(0, vocabSize - singleSet.size))
+    val kept = (singleSet ++ multis).sorted
+    val tot = kept.iterator.map(p => probs.getOrElse(p, 0.0)).sum
+    kept.map { p =>
+      val pr = if (tot > 0.0) probs.getOrElse(p, 0.0) / tot else 0.0
+      val s =
+        if (pr > 0.0) math.round(math.log(pr) * Scale)
+        else UnkScore
+      (p, s)
+    }
+  }
+
+  /** Viterbi subword tokens of `text` under the committed vocab:
+    * `array<string>`, map-only, codegen'd.
+    */
+  def encode(text: Column, vocab: Seq[(String, Long)],
+      maxPieceLen: Int = 4): Column =
+    graft.functions.UnigramEncodeExpr.encode(text, vocab, maxPieceLen)
+
+  /** True token count under the committed vocab. */
+  def tokenCount(text: Column, vocab: Seq[(String, Long)],
+      maxPieceLen: Int = 4): Column =
+    size(encode(text, vocab, maxPieceLen))
+
+  /** DuckDB replay of per-doc [[tokenCount]] under a COMMITTED vocab
+    * (the `q_bpe_tokens` oracle pattern): the Viterbi DP runs in SQL
+    * over each DISTINCT corpus word via a recursive CTE — iteration j
+    * computes dp at word position j, carrying the last `maxPieceLen`
+    * dp keys as a right-aligned LIST window in the row (no aggregates
+    * in the recursive term: the position max is an unrolled
+    * `greatest` over the window + per-length vocab lookups, and
+    * out-of-range window slots are NULLs `greatest` ignores). The
+    * token count extracts from the final dp key by the same
+    * `floorMod(−dpkey, 1024)` both engines share.
+    */
+  def unigramTokensDuckSql(
+      vocab: Seq[(String, Long)],
+      maxPieceLen: Int,
+      toksOf: String => String,
+      table: String = "documents",
+      idCol: String = "doc_id",
+      textCol: String = "text"): String = {
+    require(vocab.nonEmpty, "unigramTokensDuckSql: empty vocab")
+    def q(s: String) = "'" + s.replace("'", "''") + "'"
+    val values = vocab
+      .map { case (p, s) => s"(${q(p)}, CAST($s AS BIGINT))" }
+      .mkString(", ")
+    // window list is right-aligned length maxPieceLen: win[i] = dp at
+    // position j - (maxPieceLen - i); the new dp appends right. A
+    // piece of length k ending at position j is substr(w, j-k+1, k);
+    // whenever that start would underflow, the window slot it pairs
+    // with is one of the initial NULLs, which nulls the whole option
+    // (greatest ignores NULL options).
+    val opts = (1 to maxPieceLen).map { k =>
+      val slot = maxPieceLen - k + 1
+      val lookup =
+        s"(SELECT v.s FROM uni_v v WHERE v.p = substr(b.w, b.j - $k + 1, $k))"
+      val sc =
+        if (k == 1) s"coalesce($lookup, CAST($UnkScore AS BIGINT))"
+        else lookup
+      s"b.win[$slot] + 1024 * $sc - 1"
+    }.mkString(", ")
+    val initWin = ((1 until maxPieceLen).map(_ => "NULL") :+
+      "CAST(0 AS BIGINT)").mkString("[", ", ", "]")
+    val nextWin = ((2 to maxPieceLen).map(i => s"b.win[$i]") :+
+      s"greatest($opts)").mkString("[", ", ", "]")
+    s"""WITH RECURSIVE
+       |uni_v AS MATERIALIZED (
+       |  SELECT * FROM (VALUES $values) t(p, s)),
+       |uni_w AS MATERIALIZED (
+       |  SELECT DISTINCT u.w
+       |  FROM $table, unnest(${toksOf(textCol)}) AS u(w)),
+       |uni_it AS (
+       |  SELECT w, 1 AS j, $initWin AS win
+       |  FROM uni_w
+       |  UNION ALL
+       |  SELECT b.w, b.j + 1, $nextWin
+       |  FROM uni_it b WHERE b.j <= len(b.w)),
+       |uni_n AS (
+       |  SELECT w, ((-win[$maxPieceLen]) % 1024 + 1024) % 1024 AS n
+       |  FROM uni_it WHERE j = len(w) + 1),
+       |uni_doc AS (
+       |  SELECT d.$idCol, u.w
+       |  FROM $table d, unnest(${toksOf(s"d.$textCol")}) AS u(w)),
+       |uni_agg AS (
+       |  SELECT t.$idCol, sum(f.n) AS n
+       |  FROM uni_doc t JOIN uni_n f ON f.w = t.w
+       |  GROUP BY 1)
+       |SELECT d.$idCol, CAST(coalesce(a.n, 0) AS BIGINT) AS n_unigram_tokens
+       |FROM $table d LEFT JOIN uni_agg a USING ($idCol)""".stripMargin
+  }
+}

@@ -89,6 +89,65 @@ object Urls {
   def pathFromSurt(surt: Column): Column =
     regexp_extract(surt, "\\)(.*)$", 1)
 
+  /** RFC 3986 §5 relative-reference resolution, as pure column
+    * arithmetic (round 18 — the r17 verdict's link-discovery task:
+    * fetched pages' own `href`s re-entering the frontier need
+    * resolving against the page's base URI before the SURT fold).
+    * Returns the ABSOLUTE http(s) URL, or `''` for references a
+    * crawler never follows — the empty string is this module's
+    * established "not a crawlable URL" value ([[host]]/[[surt]]):
+    *
+    *  - absolute `http://`/`https://` refs pass through unchanged
+    *    (their own dot segments are preserved — archive indexes key
+    *    the spelling the author linked);
+    *  - non-http schemes (`mailto:`, `javascript:`, `data:`, `ftp:`)
+    *    → `''`;
+    *  - protocol-relative `//host/p` takes the base's scheme;
+    *  - root-relative `/p`, query-only `?q`, and relative paths merge
+    *    per §5.3, with §5.2.4 dot-segment removal ([[removeDotSegments]]);
+    *  - empty refs and fragment-only refs (`#sec` — same document)
+    *    → `''`; fragments on any ref are stripped first (§5.1: a
+    *    fragment never names a different resource);
+    *  - an unresolvable base (no `scheme://` head) → `''`.
+    */
+  def resolve(base: Column, ref: Column): Column = {
+    val r = regexp_replace(ref, "#.*", "")
+    val head = regexp_extract(base, HeadRe, 0)
+    val scheme = lower(regexp_extract(base, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    // base path WITHOUT query (§5.3 merge uses the path component)
+    val basePath = regexp_replace(
+      regexp_replace(regexp_replace(base, "#.*", ""), HeadRe, ""),
+      "\\?.*", "")
+    val baseDir = regexp_replace(basePath, "[^/]*$", "")
+    when(head === "" || r === "", lit(""))
+      .when(r.rlike("^(?i)https?://"), r)
+      .when(r.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*:"), lit(""))
+      .when(r.startsWith("//"), concat(scheme, lit(":"), r))
+      .when(r.startsWith("/"), concat(head, removeDotSegments(r)))
+      .when(r.startsWith("?"), concat(head,
+        when(basePath === "", lit("/")).otherwise(basePath), r))
+      .otherwise(concat(head, removeDotSegments(concat(
+        when(baseDir === "", lit("/")).otherwise(baseDir), r))))
+  }
+
+  /** RFC 3986 §5.2.4 dot-segment removal over a rooted path (always
+    * starts `/` at the [[resolve]] call sites). Column-arithmetic
+    * restatement of the stack algorithm: `/./` collapses (two global
+    * passes — adjacent occurrences overlap a single pass), then each
+    * pass removes one non-`..` segment followed by `/../` — DEPTH
+    * BOUND 8 per pass count (a 9-deep `../` chain keeps its residue;
+    * real-world hrefs exhaust at 2–3), then leading `/../` runs clamp
+    * at the root per the RFC.
+    */
+  private[graft] def removeDotSegments(p: Column): Column = {
+    val d1 = regexp_replace(regexp_replace(p, "/\\./", "/"), "/\\./", "/")
+    val d2 = regexp_replace(d1, "/\\.$", "/")
+    val up = "/(?!\\.\\.(?:/|$))[^/]+/\\.\\.(?:/|$)"
+    val folded = (1 to 8).foldLeft(d2)((c, _) => regexp_replace(c, up, "/"))
+    val clamped = regexp_replace(folded, "^(?:/\\.\\.)+(?:/|$)", "/")
+    when(clamped === "", lit("/")).otherwise(clamped)
+  }
+
   /** Site key for per-domain policies: [[host]] with a leading
     * `www.` stripped. True eTLD+1 grouping needs the public-suffix
     * list (a data file, not an algorithm); the `www` fold covers the

@@ -61,15 +61,37 @@ final class FileReplay(spark: SparkSession, schema: StructType) {
     * directory (see ATOMICITY note). Call `processAllAvailable()` on
     * the running query after each add.
     */
-  def add(df: DataFrame): Unit = {
+  def add(df: DataFrame): Unit = { addIfNonEmpty(df, always = true); () }
+
+  /** [[add]] that publishes ONLY when the staged batch has rows —
+    * the termination condition of self-feeding loops (round 18:
+    * [[FrontierStream]]'s link-discovery feedback adds each batch's
+    * discovered URLs back into its own source; an unconditional add
+    * of an empty frame would trigger an empty batch which adds an
+    * empty frame, forever). The emptiness check reads the STAGED
+    * parquet (row-count from footers — no second execution of the
+    * input plan); an unpublished stage is deleted. Returns whether
+    * the batch was published.
+    */
+  def addIfNonEmpty(df: DataFrame, always: Boolean = false): Boolean = {
     // Staged NEXT TO the source dir: Files.move with ATOMIC_MOVE
     // requires same-filesystem, and /tmp vs the source dir's mount
     // must not be assumed.
     val staging = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get(dir).getParent, "graft_replay_stage")
     df.write.mode("overwrite").parquet(staging.toString)
-    java.nio.file.Files.move(staging,
-      java.nio.file.Paths.get(dir).resolve(s"batch-${batchN.getAndIncrement()}"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val any = always ||
+      spark.read.parquet(staging.toString).head(1).nonEmpty
+    if (any)
+      java.nio.file.Files.move(staging,
+        java.nio.file.Paths.get(dir).resolve(s"batch-${batchN.getAndIncrement()}"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    else {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(staging).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.delete)
+    }
+    any
   }
 }

@@ -30,11 +30,16 @@ import org.apache.spark.sql.types._
   * fetch_seq`) kept — the `fetch_seq == slot` contract stays
   * auditable per batch.
   *
-  * SCHEDULED-ONCE semantics, declared: the state records every SURT
-  * the frontier ADMITTED (robots-allowed, not previously seen),
+  * SCHEDULED-RECENTLY semantics, declared (round 18 — was
+  * scheduled-ONCE through round 17): the state records every SURT the
+  * frontier ADMITTED (robots-allowed, not blocked by a live entry),
   * whether or not the capture index resolved it — a real crawler
   * attempts the fetch and records the attempt; an unresolved URL here
-  * is the 404 analog and does NOT re-enter the frontier. Robots-GATED
+  * is the 404 analog. An entry BLOCKS re-admission only while its
+  * batch-id age is within the caller's `recrawlAfterBatches` TTL
+  * (default `-1` = forever, the old scheduled-once behavior) and the
+  * seed doesn't declare a NEWER sitemap `<lastmod>` than the one
+  * recorded at scheduling time — see [[frontierBatch]]. Robots-GATED
   * URLs are NOT state: a later robots change (or a later batch with a
   * different rule set) may admit them.
   *
@@ -47,7 +52,8 @@ object FrontierStream {
 
   private val seenSchema: StructType = StructType(Seq(
     StructField("surt", StringType),
-    StructField("batch_id", LongType)))
+    StructField("batch_id", LongType),
+    StructField("lastmod", StringType)))
 
   /** Landed-records schema: the scheduled fetch's provenance columns
     * plus the landing batch id.
@@ -55,12 +61,24 @@ object FrontierStream {
   val fetchedSchema: StructType =
     graft.sources.Warc.scheduledRecordSchema.add("batch_id", LongType)
 
-  /** Seen-SURT state: `(surt, batch_id)`, empty before the first
-    * commit.
+  /** Seen-SURT state: `(surt, batch_id, lastmod)`, empty before the
+    * first commit. `lastmod` (round 18) is the sitemap-declared
+    * modification stamp the frontier saw WHEN IT SCHEDULED the URL
+    * (null when the seed carried none, and for every pre-round-18
+    * state file — the declared-schema read fills the missing column
+    * with nulls, so old state dirs stay consumable).
     */
   def readSeen(spark: SparkSession, stateDir: String): DataFrame =
-    try spark.read.parquet(stateDir)
-      .select(col("surt"), col("batch_id").cast("long"))
+    try spark.read
+      // schema declared, not inferred: pre-round-18 state files lack
+      // the lastmod column (null-filled under a declared schema), and
+      // `batch_id` is the partition-path column
+      .schema(StructType(Seq(
+        StructField("surt", StringType),
+        StructField("lastmod", StringType),
+        StructField("batch_id", LongType))))
+      .parquet(stateDir)
+      .select(col("surt"), col("batch_id").cast("long"), col("lastmod"))
     catch {
       case _: org.apache.spark.sql.AnalysisException => // no state yet
         spark.createDataFrame(
@@ -69,11 +87,15 @@ object FrontierStream {
 
   /** Pre-crawl state seeding: SURTs fetched before this stream
     * existed, committed under `batch_id=-1` (strictly earlier than
-    * every real batch).
+    * every real batch), with their lastmod when `lastmodCol` is given.
     */
-  def seedSeen(fetched: DataFrame, surtCol: String, stateDir: String): Unit =
-    fetched.select(col(surtCol).as("surt"))
+  def seedSeen(fetched: DataFrame, surtCol: String, stateDir: String,
+      lastmodCol: String = ""): Unit = {
+    val lm = if (lastmodCol.isEmpty) lit(null).cast(StringType)
+             else col(lastmodCol).cast(StringType)
+    fetched.select(col(surtCol).as("surt"), lm.as("lastmod"))
       .write.mode("overwrite").parquet(s"$stateDir/batch_id=-1")
+  }
 
   /** Committed view of the landed records (manifest truth — crash
     * orphans invisible), with the politeness provenance columns.
@@ -99,6 +121,34 @@ object FrontierStream {
     * `Urls.surt(url)` as `__psurt`. Pass it pre-[[graft.operators
     * .Materialize]]d when driving many batches: it re-evaluates per
     * batch otherwise.
+    *
+    * LINK DISCOVERY (round 18 — closes the fetch → extract → frontier
+    * cycle): with `discover` set, the batch's fetched HTTP-200
+    * `text/html` pages run [[graft.operators.Frontier
+    * .discoveredLinks]] (hrefs resolved absolute against each page's
+    * own URI) and the callback receives the `(url, src_url)` frame —
+    * [[stream]] feeds it back as the NEXT batch's seeds. The callback
+    * must CONSUME the frame before returning (it reads the batch's
+    * fetch cut, which is hard-released right after).
+    *
+    * RE-CRAWL FRESHNESS (round 18 — the scheduled-once state gains a
+    * re-admission policy; semantics now SCHEDULED-RECENTLY): a state
+    * entry blocks its SURT only while
+    *
+    *  - its batch-id age is within `recrawlAfterBatches` (a TTL in
+    *    batch ids; `-1` = forever, the pre-round-18 scheduled-once
+    *    behavior), AND
+    *  - the seed does not DECLARE itself newer: with `lastmodCol`
+    *    set (sitemap `<lastmod>` via [[graft.operators.Frontier
+    *    .sitemapPageEntries]]), a seed whose lastmod string-compares
+    *    GREATER than the one recorded when the SURT was last
+    *    scheduled re-admits early. Comparisons are string-order on
+    *    the W3C datetime forms (correct within one site's chosen
+    *    precision); a null on either side never re-admits — a crawler
+    *    with no freshness signal must not refetch-storm.
+    *
+    * A re-admitted SURT gets a new state entry at THIS batch (its
+    * latest entry is what future blocks compare against).
     */
   def frontierBatch(
       seeds: DataFrame,
@@ -113,14 +163,54 @@ object FrontierStream {
       capturePlan: DataFrame,
       baseDir: String,
       maxPayloadBytes: Int = 16 << 20,
-      paceWallClock: Boolean = false): Long = {
+      paceWallClock: Boolean = false,
+      discover: Option[DataFrame => Unit] = None,
+      recrawlAfterBatches: Long = -1L,
+      lastmodCol: String = ""): Long = {
     val spark = seeds.sparkSession
-    val seen = readSeen(spark, stateDir)
+    val state = readSeen(spark, stateDir)
       .filter(col("batch_id") < batchId)
-      .select("surt")
-    val frontier = graft.operators.Materialize(
-      graft.operators.Frontier.build(
-        seeds, urlCol, seen, "surt", robots, hostCol, bodyCol, agent))
+    val ttlLive =
+      if (recrawlAfterBatches < 0L) state
+      else state.filter(col("batch_id") >= batchId - recrawlAfterBatches)
+    // per-surt seed lastmod (max across listings — deterministic)
+    val seedLm =
+      if (lastmodCol.isEmpty) None
+      else Some(seeds
+        .select(graft.operators.Urls.surt(col(urlCol)).as("surt"),
+          col(lastmodCol).cast("string").as("__lm"))
+        .filter(col("surt") =!= "")
+        .groupBy("surt").agg(max(col("__lm")).as("__lm")))
+    val seen = seedLm match {
+      case None => ttlLive.select("surt")
+      case Some(lm) =>
+        // the LATEST live entry per surt carries the lastmod the
+        // freshness rule compares against (one entry per (surt,
+        // batch) by construction, so the struct max is exact)
+        ttlLive
+          .groupBy("surt")
+          .agg(max(struct(col("batch_id"), col("lastmod")))
+            .getField("lastmod").as("__slm"))
+          .join(lm, Seq("surt"), "left")
+          .filter(!(col("__lm").isNotNull && col("__slm").isNotNull &&
+            col("__lm") > col("__slm")))
+          .select("surt")
+    }
+    // the scheduled count rides the frontier materialization as an
+    // observe metric (round 18, the dashboard-inc micro-job
+    // discipline: a separate count() job per tick is pure overhead —
+    // CollectMetrics populates under localCheckpoint with no listener
+    // and no extra job); non-local Materialize modes run the cut
+    // through their own execution, so keep the exact count fallback
+    val built = graft.operators.Frontier.build(
+      seeds, urlCol, seen, "surt", robots, hostCol, bodyCol, agent)
+      .observe("graft_frontier_n", count(lit(1)).as("n"))
+    val frontier = graft.operators.Materialize(built)
+    def frontierCount(): Long = {
+      val mm = built.queryExecution.observedMetrics
+      if (mm.isEmpty) frontier.count()
+      else mm.values.head.getAs[Long]("n")
+    }
     try {
       val resolved = frontier.join(capturePlan,
           frontier("surt") === capturePlan("__psurt"))
@@ -129,29 +219,60 @@ object FrontierStream {
       val (recs, _, releaseFetch) = graft.sources.Warc
         .fetchScheduledReleasable(
           spark, resolved, baseDir, maxPayloadBytes, paceWallClock)
-      try graft.sources.ManifestedSink.appendBatch(
-        recs.select(graft.sources.Warc.scheduledRecordSchema
-            .fieldNames.map(col).toSeq: _*)
-          .withColumn("batch_id", lit(batchId)),
-        recordsDir, graft.sources.Warc.manifestDir(recordsDir),
-        cols = Seq("target_uri", "warc_type"),
-        bloomCols = Seq("record_id"),
-        batchId = batchId)
-      // the landing fully consumed the fetch cut; drop its blocks in
-      // EVERY Materialize mode (r17 advice: a cycling loop otherwise
-      // accrues one local-mode fetch frame per micro-batch)
+      try {
+        graft.sources.ManifestedSink.appendBatch(
+          recs.select(graft.sources.Warc.scheduledRecordSchema
+              .fieldNames.map(col).toSeq: _*)
+            .withColumn("batch_id", lit(batchId)),
+          recordsDir, graft.sources.Warc.manifestDir(recordsDir),
+          cols = Seq("target_uri", "warc_type"),
+          bloomCols = Seq("record_id"),
+          batchId = batchId)
+        discover.foreach { f =>
+          val pages = graft.sources.Warc.httpParts(
+              recs.filter(col("warc_type") === "response"))
+            .filter(col("http_status") === 200 &&
+              col("http_content_type").startsWith("text/html"))
+          f(graft.operators.Frontier.discoveredLinks(
+            pages, "target_uri", "http_body"))
+        }
+      }
+      // the landing (and discovery) fully consumed the fetch cut; drop
+      // its blocks in EVERY Materialize mode (r17 advice: a cycling
+      // loop otherwise accrues one local-mode fetch frame per batch)
       finally releaseFetch()
-      // scheduled-once state: the admitted frontier, resolved or not —
-      // explicit-partition-path commit (idempotent, empty-safe)
-      frontier.select("surt")
-        .write.mode("overwrite").parquet(s"$stateDir/batch_id=$batchId")
-      frontier.count()
-      // hard release (batch-scoped): the count above is the last read
+      // scheduled-recently state: the admitted frontier, resolved or
+      // not — explicit-partition-path commit (idempotent, empty-safe),
+      // carrying the seed lastmod the freshness rule will compare
+      val stateRows = seedLm match {
+        case None => frontier.select(col("surt"),
+          lit(null).cast(StringType).as("lastmod"))
+        case Some(lm) => frontier.select("surt")
+          .join(lm, Seq("surt"), "left")
+          .select(col("surt"), col("__lm").as("lastmod"))
+      }
+      stateRows.write.mode("overwrite").parquet(s"$stateDir/batch_id=$batchId")
+      frontierCount()
+      // hard release (batch-scoped): the state write was the last read
     } finally graft.operators.Materialize.releaseHard(frontier)
   }
 
   /** The streaming loop: a micro-batched seed-URL stream cycling
     * through [[frontierBatch]].
+    *
+    * `selfFeed` CLOSES THE CRAWL LOOP (round 18): pass the
+    * [[FileReplay]] whose `.stream` (projected to `urlCol`) is the
+    * `seeds` argument, and each batch's discovered links
+    * ([[frontierBatch]]'s `discover` hook) publish back into the
+    * replay source as the next micro-batch's seeds — fetch → extract
+    * → frontier, cycling until a batch discovers nothing new
+    * ([[FileReplay.addIfNonEmpty]] skips the empty publish, so the
+    * cascade terminates; the seen-SURT state guarantees it shrinks).
+    * One `processAllAvailable()` then drains the whole reachable
+    * closure: external seed batches are BFS depth 0, their pages'
+    * links land at depth 1, and a page's `batch_id` is its discovery
+    * depth. Robots-gated URLs never fetch, so they never expand;
+    * re-discoveries die in the state anti-join.
     */
   def stream(
       seeds: DataFrame,
@@ -165,13 +286,22 @@ object FrontierStream {
       capturePlan: DataFrame,
       baseDir: String,
       checkpointDir: String,
-      paceWallClock: Boolean = false): StreamingQuery =
+      paceWallClock: Boolean = false,
+      selfFeed: Option[FileReplay] = None,
+      recrawlAfterBatches: Long = -1L,
+      lastmodCol: String = ""): StreamingQuery =
     seeds.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (b: DataFrame, id: Long) =>
         frontierBatch(b, urlCol, id, stateDir, recordsDir,
           robots, hostCol, bodyCol, agent, capturePlan, baseDir,
-          paceWallClock = paceWallClock)
+          paceWallClock = paceWallClock,
+          discover = selfFeed.map(replay => (links: DataFrame) => {
+            replay.addIfNonEmpty(links.select(col("url").as(urlCol)))
+            ()
+          }),
+          recrawlAfterBatches = recrawlAfterBatches,
+          lastmodCol = lastmodCol)
         ()
       }
       .start()

@@ -25,6 +25,70 @@ class FrontierSpec extends SparkSpecBase {
       .select(Frontier.sitemapLocs(col("x"))).head.getSeq[String](0).isEmpty)
   }
 
+  test("Urls.resolve: RFC 3986 reference forms against a page base URI") {
+    val base = "https://s1.graft.test/a/b/page.html?x=1#top"
+    val cases = Seq(
+      // absolute http(s) pass through unchanged
+      ("https://other.test/p", "https://other.test/p"),
+      ("HTTP://other.test/p", "HTTP://other.test/p"),
+      // non-http schemes are not crawlable
+      ("mailto:x@y.test", ""),
+      ("javascript:void(0)", ""),
+      ("data:text/plain,hi", ""),
+      ("ftp://f.test/x", ""),
+      // protocol-relative takes the base scheme
+      ("//cdn.test/img", "https://cdn.test/img"),
+      // root-relative
+      ("/doc/7", "https://s1.graft.test/doc/7"),
+      // query-only replaces the base query, keeps the path
+      ("?y=2", "https://s1.graft.test/a/b/page.html?y=2"),
+      // relative merges against the base DIRECTORY (not the file)
+      ("other.html", "https://s1.graft.test/a/b/other.html"),
+      ("./other.html", "https://s1.graft.test/a/b/other.html"),
+      ("../up.html", "https://s1.graft.test/a/up.html"),
+      ("../../top.html", "https://s1.graft.test/top.html"),
+      // dot-segment underflow clamps at the root (RFC 5.2.4)
+      ("../../../over.html", "https://s1.graft.test/over.html"),
+      ("a/./b/../c", "https://s1.graft.test/a/b/a/c"),
+      // fragment-only and empty are the same document — dropped
+      ("#sec", ""),
+      ("", ""),
+      // a ref's own fragment strips before resolution
+      ("/doc/9#part", "https://s1.graft.test/doc/9"))
+    val got = cases.map(_._1).toDF("ref")
+      .select(col("ref"), Urls.resolve(lit(base), col("ref")).as("out"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (ref, want) =>
+      assert(got(ref) === want, s"resolve('$ref')") }
+    // unresolvable base (no scheme://) yields nothing
+    assert(Seq("x").toDF("r")
+      .select(Urls.resolve(lit("not-a-url"), lit("/p"))).head.getString(0)
+      === "")
+    // base with a bare authority (no path): relative merges at "/"
+    assert(Seq("x").toDF("r")
+      .select(Urls.resolve(lit("https://h.test"), lit("p.html")))
+      .head.getString(0) === "https://h.test/p.html")
+  }
+
+  test("discoveredLinks: hrefs resolve against each page's own URI; junk drops; occurrences kept") {
+    val pages = Seq(
+      ("https://s0.graft.test/doc/4",
+        "<html><body><a href=\"/doc/2\">a</a>" +
+          "<a href=\"../doc/9\">b</a>" +
+          "<a href=\"https://s3.graft.test/doc/7\">c</a>" +
+          "<a href=\"mailto:x@y\">d</a><a href=\"#top\">e</a>" +
+          "<a href=\"/doc/2\">dup</a></body></html>"),
+      ("https://s1.graft.test/doc/5", "<html><body>no links</body></html>"))
+      .toDF("url", "html")
+    val got = Frontier.discoveredLinks(pages, "url", "html")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got.sorted === Seq(
+      ("https://s0.graft.test/doc/2", "https://s0.graft.test/doc/4"),
+      ("https://s0.graft.test/doc/2", "https://s0.graft.test/doc/4"),
+      ("https://s0.graft.test/doc/9", "https://s0.graft.test/doc/4"),
+      ("https://s3.graft.test/doc/7", "https://s0.graft.test/doc/4")).sorted)
+  }
+
   test("hostFromSurt inverts surt's host fold") {
     val got = Seq("https://WWW.Sub.Example.ORG:443/P/q?x=1#f")
       .toDF("u")
@@ -115,6 +179,24 @@ class FrontierSpec extends SparkSpecBase {
     assert(byId(1)._3.size === 2, "flat form sees every loc")
     assert(byId(2)._1 === Seq("https://a.test/p1", "https://a.test/p2"))
     assert(byId(2)._2 === Seq.empty, "urlset body lists no sub-sitemaps")
+  }
+
+  test("sitemapPageEntries: loc + lastmod pairs; missing lastmod is null; unclosed/locless elements drop") {
+    val xml = "<urlset>" +
+      "<url><loc>https://a.test/1</loc><lastmod>2026-08-01</lastmod></url>" +
+      "<url changefreq=\"daily\"><loc> https://a.test/2 </loc></url>" +
+      "<url><lastmod>2026-08-02</lastmod></url>" + // locless: drops
+      "<url><loc>https://a.test/4</loc>" +
+      "<lastmod> 2026-08-03T10:00:00Z </lastmod></url>" +
+      "</urlset>"
+    val got = Seq(xml).toDF("x")
+      .select(explode(Frontier.sitemapPageEntries(col("x"))).as("e"))
+      .select(col("e.loc"), col("e.lastmod"))
+      .collect().map(r => (r.getString(0), Option(r.getString(1))))
+    assert(got.toSeq === Seq(
+      ("https://a.test/1", Some("2026-08-01")),
+      ("https://a.test/2", None),
+      ("https://a.test/4", Some("2026-08-03T10:00:00Z"))))
   }
 
   test("sitemap loc extractors tolerate attributes and comments (r17 advice); tag-name boundary holds") {
