@@ -689,18 +689,25 @@ object TextAnalysis {
     // every rule condition is NULL, the failed array filters empty and
     // pass flips to 1. Treat NULL as the empty document (fails length/
     // stopwords/token_len); the oracle coalesces identically.
+    //
+    // All five signals' integer counts come from ONE fused code-point
+    // scan ([[graft.functions.QualityCountsExpr]], round 18 — the 5M
+    // probe's gate stage paid interpreted HOF dispatch per token plus
+    // a match-materializing regex per doc in the composed form); the
+    // ratio + Det.round arithmetic stays in ordinary columns, so
+    // every downstream value and oracle is bit-identical.
     val txt = coalesce(col(textCol), lit(""))
-    val t = col("__toks")
-    val nTok = size(t)
+    val c = col("__qc")
+    val nTok = c.getField("n_tok")
     val awl = Det.round(
-      aggregate(transform(t, x => length(x)), lit(0), (acc, x) => acc + x)
-        .cast("double") / greatest(nTok, lit(1)), 4)
-    val pr = punctRatio(txt)
-    val sw = array(englishStopwords.map(lit): _*)
+      c.getField("tok_len_sum").cast("double") / greatest(nTok, lit(1)), 4)
+    val pr = Det.round(
+      c.getField("n_punct").cast("double") /
+        greatest(c.getField("n_chars"), lit(1)), 4)
     val sr = Det.round(
-      size(filter(t, x => array_contains(sw, x))).cast("double") /
-        greatest(nTok, lit(1)), 4)
-    val dtf = repeatFraction(t)
+      c.getField("n_stop").cast("double") / greatest(nTok, lit(1)), 4)
+    val dtf = Det.round(
+      c.getField("n_dup").cast("double") / greatest(nTok, lit(1)), 4)
     val rules: Seq[(String, Column)] = Seq(
       "length" -> (nTok < 10 || nTok > 5000),
       "punctuation" -> (pr > 0.2),
@@ -711,7 +718,8 @@ object TextAnalysis {
       array(rules.map { case (name, bad) =>
         when(bad, lit(name)).otherwise(lit(null).cast("string"))
       }: _*), x => x.isNotNull)
-    docs.withColumn("__toks", tokens(txt))
+    docs.withColumn("__qc",
+        graft.functions.QualityCountsExpr.counts(txt, englishStopwords))
       .select(col(idCol),
         concat_ws(",", failed).as("failed_rules"),
         when(size(failed) === 0, lit(1)).otherwise(lit(0)).as("pass"))
