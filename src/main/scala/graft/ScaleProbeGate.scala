@@ -34,6 +34,17 @@ object ScaleProbeGate {
       Materialize.releaseHard(gated)
       System.gc()
     }
+    // round-18 fused repetition suite (map-only after the fuse)
+    (1 to 2).foreach { rep =>
+      val t0 = System.nanoTime()
+      val agg = TextAnalysis.repetitionSignals(dd, "doc_id", "text")
+        .agg(sum(col("pass")).as("p"), sum(col("dup_line_ppm")).as("d"))
+        .collect()(0)
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[probe] repsig_rep$rep n=$nDocs $dt%.2f s " +
+        s"pass=${agg.getLong(0)} dups=${agg.getLong(1)}")
+      System.gc()
+    }
     spark.stop()
     sys.exit(0)
   }

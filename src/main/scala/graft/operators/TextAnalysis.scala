@@ -527,60 +527,24 @@ object TextAnalysis {
     */
   def repetitionSignals(
       docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // try_element_at + a floor-1 sequence bound: codegen evaluates
-    // BOTH when-branches (the CLAUDE.md ANSI element_at trap), so the
-    // discarded short-doc branch must be unable to throw — a negative
-    // sequence bound would auto-step DOWN through index 0 and ANSI
-    // element_at rejects it even guarded.
-    def grams(t: Column, n: Int): Column =
-      when(size(t) >= n,
-        transform(sequence(lit(1), greatest(size(t) - (n - 1), lit(1))), i =>
-          concat_ws(" ", (0 until n).map(o => try_element_at(t, i + o)): _*)))
-        .otherwise(array().cast("array<string>"))
-    def tagged(arr: Column, kind: String): Column =
-      transform(arr, u => struct(lit(kind).as("kind"), u.as("unit")))
-    // Array-LEVEL metrics (counts and char sums that need no
-    // occurrence information) stay MAP-SIDE — only the units whose
-    // per-value occurrence counts matter (lines for the dup metrics,
-    // n-grams for the top-coverage maxima) enter the shuffle. Tokens
-    // used to ride the explode purely to count themselves: a third of
-    // the shuffle rows for one `size()`.
-    val staged = docs.select(col(idCol), col(textCol))
-      .withColumn("__lines", lines(col(textCol)))
-      .withColumn("__toks", tokens(col(textCol)))
-    val mapSide = staged.select(col(idCol),
-      size(col("__lines")).cast("long").as("__nl"),
-      size(col("__toks")).cast("long").as("__nt"),
-      size(array_distinct(col("__lines"))).cast("long").as("__ndl"),
-      aggregate(col("__lines"), lit(0L),
-        (acc, x) => acc + length(x).cast("long")).as("__chars"))
-    val units = staged
-      .select(col(idCol), explode(concat(
-        tagged(col("__lines"), "L"),
-        tagged(grams(col("__toks"), 2), "2"),
-        tagged(grams(col("__toks"), 3), "3"))).as("u"))
-      .select(col(idCol), col("u.kind").as("kind"), col("u.unit").as("unit"))
-    val counts = units.groupBy(col(idCol), col("kind"), col("unit"))
-      .agg(count(lit(1)).as("c"))
-    def kindAgg(kind: String, e: Column): Column =
-      coalesce(max(when(col("kind") === kind, e)), lit(0L))
-    val rolled = counts.groupBy(col(idCol), col("kind"))
-      .agg(
-        // repeats-only: (c−1)·len per duplicated line value — the
-        // same convention as dup_line_ppm (scaladoc)
-        sum(when(col("c") > 1,
-            (col("c") - 1) * length(col("unit")).cast("long"))
-          .otherwise(lit(0L))).as("dupchars"),
-        max(col("c")).as("maxc"))
-      .groupBy(col(idCol))
-      .agg(
-        kindAgg("L", col("dupchars")).as("__dupchars"),
-        kindAgg("2", col("maxc")).as("__c2"),
-        kindAgg("3", col("maxc")).as("__c3"))
-    mapSide.join(rolled, Seq(idCol), "left")
-      .withColumn("__dupl", col("__nl") - col("__ndl"))
-      .select(col(idCol) +: Seq("__nl", "__nt", "__dupl", "__dupchars",
-        "__chars", "__c2", "__c3").map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+    // Round 18: all seven counts come from ONE fused code-point scan
+    // ([[graft.functions.RepetitionCountsExpr]]). Every signal here
+    // is PER-DOCUMENT, so the occurrence counting that justified the
+    // previous explode → two-level-aggregate → join shape (in-ARRAY
+    // counting is O(n²) per doc in column form) is O(n) hash-map work
+    // inside a native expression — the whole suite is now MAP-ONLY,
+    // deleting a shuffle that carried ~2 n-gram rows per corpus token
+    // (plan-pinned exchange-free in RepetitionSpec). The ppm
+    // arithmetic stays column-side: bit-identical values and oracles.
+    val c = col("__rc")
+    docs.select(col(idCol), col(textCol))
+      .withColumn("__rc",
+        graft.functions.RepetitionCountsExpr.counts(col(textCol)))
+      .select(col(idCol) +: Seq(
+        "n_lines" -> "__nl", "n_toks" -> "__nt", "n_dup_lines" -> "__dupl",
+        "dup_chars" -> "__dupchars", "chars" -> "__chars",
+        "c2" -> "__c2", "c3" -> "__c3").map { case (f, a) =>
+        coalesce(c.getField(f), lit(0L)).as(a) }: _*)
       .selectExpr(idCol,
         "__nl AS n_lines",
         "(__dupl * CAST(1000000 AS BIGINT)) div greatest(__nl, 1) AS dup_line_ppm",

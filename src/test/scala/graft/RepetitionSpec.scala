@@ -65,13 +65,63 @@ class RepetitionSpec extends SparkSpecBase {
     assert(pass === 0)
   }
 
-  test("plan: no in-array occurrence counting — the explode/aggregate shape") {
+  test("plan: MAP-ONLY — no explode, no exchange (the round-18 fused scan)") {
     val df = TextAnalysis.repetitionSignals(
       Seq((1L, "a b c\nd e f")).toDF("doc_id", "text"), "doc_id", "text")
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("Generate explode"), "units come from ONE explode")
+    // every signal is per-document; the fused RepetitionCountsExpr
+    // makes the whole suite one projection — a reappearing explode or
+    // exchange means someone reverted to the shuffle formulation
+    assert(!plan.contains("Generate explode"), "fused scan: no explode")
+    assert(!plan.contains("Exchange"), "fused scan: map-only, no shuffle")
     // the O(n²) shape would nest ArrayFilter inside ArrayTransform
     assert(!plan.contains("array_filter(array_transform"),
       "no quadratic in-array counting")
+  }
+
+  test("fused counts ≡ independent brute force on a whitespace/unicode zoo") {
+    // plain-Scala reimplementation — collections only, no shared code
+    def brute(text: String): (Long, Long, Long, Long, Long, Long, Long) = {
+      val rawLines = text.split("\n", -1)
+      val lines = rawLines.filter(_.exists(_ != ' '))
+      val nl = lines.length.toLong
+      val chars = lines.map(l => l.codePointCount(0, l.length).toLong).sum
+      val byLine = lines.groupBy(identity).view.mapValues(_.length)
+      val dupl = byLine.values.map(c => (c - 1).toLong).sum
+      val dupchars = byLine.collect { case (l, c) if c > 1 =>
+        (c - 1).toLong * l.codePointCount(0, l.length) }.sum
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+      val nt = toks.length.toLong
+      def maxc(n: Int): Long =
+        if (toks.length < n) 0L
+        else toks.sliding(n).map(_.mkString(" ")).toSeq
+          .groupBy(identity).values.map(_.length.toLong).max
+      (nl, nt, dupl, dupchars, chars, maxc(2), maxc(3))
+    }
+    val zoo = Seq(
+      "dup\nalpha beta gamma delta\ndup",
+      "", " ", "\n\n\n", "\t\n\t",           // tab-only lines are KEPT
+      "a b a b a b a b",
+      "x", "x y", "x y z",
+      "line one\nline one\nline one\nuniq",
+      "café 中文\ncafé 中文",                  // non-ASCII code points
+      "emoji 😀 x\nemoji 😀 x",                // supplementary
+      "a  b   c\n  a  b   c  ",               // multi-space (distinct lines)
+      "t1 t2 t3 t1 t2 t3 t1 t2")
+    val got = TextAnalysis.repetitionSignals(
+        zoo.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    zoo.zipWithIndex.foreach { case (t, i) =>
+      val (nl, nt, dupl, dupchars, chars, c2, c3) = brute(t)
+      val r = got(i.toLong)
+      def ppm(a: Long, b: Long, scale: Long) =
+        a * scale / math.max(b, 1L)
+      assert(r.getLong(1) === nl, s"n_lines doc $i")
+      assert(r.getLong(2) === ppm(dupl, nl, 1000000L), s"dup_line_ppm doc $i")
+      assert(r.getLong(3) === ppm(dupchars, chars, 1000000L), s"dup_char doc $i")
+      assert(r.getLong(4) === ppm(c2, nt, 2000000L), s"top2 doc $i")
+      assert(r.getLong(5) === ppm(c3, nt, 3000000L), s"top3 doc $i")
+    }
   }
 }
