@@ -239,6 +239,10 @@ object Dedup {
 
   /** LSH bucket self-join over [[bandedSignatures]] output: candidate
     * pairs sharing any (band, bucket), verified by estimated Jaccard.
+    * Since round 18 this is the REFERENCE form: every batch entry
+    * point routes through [[candidatesFromCompact]] (pairing off the
+    * compact cut, no banded re-derivation), and `StarRecallSpec` pins
+    * compact ≡ banded pair-set parity so the two stay in lockstep.
     *
     * Pairing runs over the NARROW `(doc_id, band, bucket)` projection
     * and signatures join back AFTER the pair `distinct` (round 15): a

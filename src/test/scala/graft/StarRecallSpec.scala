@@ -60,6 +60,18 @@ class StarRecallSpec extends SparkSpecBase {
     val star = Dedup.starCandidatesFromBandedSigs(sigs, 64, 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(star.subsetOf(all), "star pairs are verified bucket pairs")
+    // the round-18 COMPACT-cut candidate path (what every batch entry
+    // point runs) must produce the identical pair sets as these
+    // banded-frame reference forms — the parity that keeps the
+    // reference implementations honest
+    val cut = graft.operators.Materialize(
+      Dedup.compactSigsPlan(docs, "doc_id", "text"))
+    val allC = Dedup.candidatesFromCompact(cut, 16, 4, 64, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val starC = Dedup.starCandidatesFromCompact(cut, 16, 4, 64, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(allC === all, "compact all-pairs path ≡ banded reference")
+    assert(starC === star, "compact star path ≡ banded reference")
     // the planted truth: each (5000+p, 5100+p) pair is a real near-dup
     val planted = (0 until 40).map(p => (5000L + p, 5100L + p)).toSet
     val plantedFound = planted.intersect(all)
