@@ -837,6 +837,11 @@ object Warc {
       .withColumn("http_charset",
         regexp_extract(col("http_content_type"),
           "charset=\\s*\"?([a-z0-9_-]+)", 1))
+      // redirect target (3xx Location), raw as sent — resolution
+      // against the request URI is the consumer's job (round 18:
+      // the crawl loop follows redirects through Urls.resolve)
+      .withColumn("http_location",
+        regexp_extract(col("__env"), "(?mi)^location:\\s*([^\\r\\n]+)", 1))
       .withColumn("http_body",
         col("payload").substr(col("__sep") + lit(4), length(col("payload"))))
       .drop("__sep", "__env")

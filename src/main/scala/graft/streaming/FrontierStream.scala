@@ -229,12 +229,26 @@ object FrontierStream {
           bloomCols = Seq("record_id"),
           batchId = batchId)
         discover.foreach { f =>
-          val pages = graft.sources.Warc.httpParts(
-              recs.filter(col("warc_type") === "response"))
-            .filter(col("http_status") === 200 &&
-              col("http_content_type").startsWith("text/html"))
+          val parts = graft.sources.Warc.httpParts(
+            recs.filter(col("warc_type") === "response"))
+          val pages = parts.filter(col("http_status") === 200 &&
+            col("http_content_type").startsWith("text/html"))
+          // redirects re-enter the frontier too (round 18): a 3xx's
+          // Location — relative forms included, RFC 7231 §7.1.2 —
+          // resolves against the REQUEST URI exactly like an href;
+          // the seen-SURT state caps chains and loops the same way it
+          // caps link cycles (each hop is one batch, one state entry)
+          val redirects = parts
+            .filter(col("http_status").between(300, 399) &&
+              col("http_location") =!= "")
+            .select(
+              graft.operators.Urls.resolve(
+                col("target_uri").cast("string"),
+                col("http_location")).as("url"),
+              col("target_uri").cast("string").as("src_url"))
+            .filter(col("url") =!= "")
           f(graft.operators.Frontier.discoveredLinks(
-            pages, "target_uri", "http_body"))
+            pages, "target_uri", "http_body").union(redirects))
         }
       }
       // the landing (and discovery) fully consumed the fetch cut; drop

@@ -160,6 +160,56 @@ class FrontierStreamSpec extends SparkSpecBase {
       "gated URL is not scheduled-once state")
   }
 
+  /** 301 record whose Location (possibly relative) points at `to`. */
+  private def redirectRec(id: Int, to: String): Array[Byte] = {
+    val env = (s"HTTP/1.1 301 Moved Permanently\r\nLocation: $to\r\n" +
+      "Content-Length: 0\r\n\r\n").getBytes(StandardCharsets.US_ASCII)
+    Warc.renderRecord(
+      warcType = "response",
+      recordId = s"<urn:uuid:fsr-$id>",
+      targetUri = s"https://a.test/doc/$id",
+      warcDate = "2026-08-15T00:00:00Z",
+      contentType = "application/http; msgtype=response",
+      payload = env)
+  }
+
+  test("closed loop follows redirects: a 3xx Location (relative form) re-enters the frontier as the next hop") {
+    // 0 is a 301 -> relative "../doc/1"; 1 is a 301 -> absolute
+    // /doc/2 target spelled with a case variant host (SURT must fold
+    // it); 2 is a real HTML page with no links. Seeding 0 must land
+    // all three across three batches (batch_id = hop depth).
+    val d = graft.streaming.Scratch.tmpDir("graft_fsred_spec")
+    val recs0 = Seq(
+      redirectRec(0, "../doc/1"),
+      redirectRec(1, "https://A.test:443/doc/2"),
+      htmlRec(2, Seq.empty))
+    val (bytes, idx) = Warc.gzipMembersIndexed(recs0)
+    Files.write(Paths.get(d, "seg.warc.gz"), bytes)
+    val plan = (0 to 2).map { i =>
+      (s"https://a.test/doc/$i", "seg.warc.gz", idx(i)._1, idx(i)._2)
+    }.toDF("u", "warc_file", "offset", "length")
+      .select(graft.operators.Urls.surt(col("u")).as("__psurt"),
+        col("warc_file"), col("offset"), col("length"))
+    val state = graft.streaming.Scratch.tmpDir("graft_fsred_state")
+    val recsDir = graft.streaming.Scratch.tmpDir("graft_fsred_recs")
+    val replay = new graft.streaming.FileReplay(
+      spark, Seq.empty[String].toDF("url").schema)
+    replay.add(Seq("https://a.test/doc/0").toDF("url"))
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      q = FrontierStream.stream(replay.stream, "url", state, recsDir,
+        robots, "host", "body", "graftbot", plan, d,
+        graft.streaming.Scratch.ckptDir(), selfFeed = Some(replay))
+      q.processAllAvailable()
+    } finally if (q != null) q.stop()
+    val landed = FrontierStream.readFetched(spark, recsDir)
+      .select(regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+        .cast("long").as("doc_id"), col("batch_id"))
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(landed === Seq((0L, 0L), (1L, 1L), (2L, 2L)),
+      "each redirect hop lands exactly one batch later")
+  }
+
   test("re-crawl policy: TTL re-admits stale entries; a newer lastmod re-admits early; fresh entries block (r17 verdict task 3)") {
     val (d, plan) = fixture()
     val state = graft.streaming.Scratch.tmpDir("graft_fsrc_state")
