@@ -84,6 +84,17 @@ class QualityCountsParitySpec extends SparkSpecBase {
       "no rule fails this fixture")
   }
 
+  test("plan: qualityGate is map-only — one fused scan, no exchange, no HOF fallback") {
+    val df = TextAnalysis.qualityGate(
+      Seq((1L, "a b c")).toDF("doc_id", "text"), "doc_id", "text")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "gate must not shuffle")
+    assert(!plan.contains("Generate explode"), "gate must not explode")
+    // the composed form's per-token interpreted chains must be gone
+    assert(!plan.contains("array_contains"),
+      "stopword membership lives inside the fused scan now")
+  }
+
   test("null text fails the gate (coalesce semantics kept)") {
     val d = Seq[(Long, String)]((1L, null)).toDF("doc_id", "text")
     val g = TextAnalysis.qualityGate(d, "doc_id", "text").collect()(0)
