@@ -47,7 +47,7 @@ object Materialize {
     new java.util.WeakHashMap[DataFrame, DataFrame]())
 
   def apply(df: DataFrame): DataFrame =
-    mode(df) match {
+    track(mode(df) match {
       case "persist" =>
         val p = df.persist(StorageLevel.MEMORY_AND_DISK)
         p.count() // eager: the cut must run once, now, not per reference
@@ -59,7 +59,7 @@ object Materialize {
         wrapped
       case "reliable" => df.checkpoint()
       case _          => df.localCheckpoint()
-    }
+    })
 
   /** Drop the cached blocks behind a frame this loop iteration has
     * superseded. Only acts on `persist`-mode frames (a
@@ -94,5 +94,38 @@ object Materialize {
         l.rdd.unpersist(blocking = false)
       case _ => ()
     }
+  }
+
+  // cuts created on this thread inside a batchScope (foreachBatch
+  // bodies are single-threaded driver code, so thread-locality is the
+  // right capture boundary)
+  private val scopeCuts = new ThreadLocal[
+    scala.collection.mutable.ArrayBuffer[DataFrame]]()
+
+  /** BATCH-SCOPED materialization (round 18 — the general form of the
+    * r17 cycling-loop finding): run `build`, recording every cut it
+    * creates on this thread; after `use` consumes the result, HARD-
+    * release them all. This is how a continuously-cycling
+    * `foreachBatch` body keeps per-batch storage bounded when the
+    * cuts are created INSIDE operators it calls (the gate family
+    * materializes a signature cut and a keeper-resolution cut per
+    * micro-batch, both invisible to the caller) — without threading
+    * release handles through every operator signature.
+    *
+    * Contract: everything `build` materializes is batch-scoped — dead
+    * once `use` returns (the [[releaseHard]] contract). An operator
+    * whose cut must OUTLIVE the batch must not be called inside a
+    * scope. Cuts created by `use` itself are NOT tracked.
+    */
+  def batchScope[A](build: => A)(use: A => Unit): A = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    scopeCuts.set(buf)
+    val a = try build finally scopeCuts.remove()
+    try { use(a); a } finally buf.foreach(releaseHard)
+  }
+
+  private def track(df: DataFrame): DataFrame = {
+    Option(scopeCuts.get()).foreach(_ += df)
+    df
   }
 }

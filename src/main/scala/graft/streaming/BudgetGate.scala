@@ -125,11 +125,17 @@ object BudgetGate {
     rows.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (b: DataFrame, id: Long) =>
-        acceptBatch(b, id, groupCol, idCol, tokensCol, stateDir, budget)
-          .withColumn("batch_id", lit(id))
-          .write.partitionBy("batch_id")
-          .option("partitionOverwriteMode", "dynamic")
-          .mode("overwrite").parquet(acceptedDir)
+        // batch-scoped cut release (the `marked` window+join cut) —
+        // see NearDupGate.gate
+        graft.operators.Materialize.batchScope(
+          acceptBatch(b, id, groupCol, idCol, tokensCol, stateDir,
+            budget)) { accepted =>
+          accepted.withColumn("batch_id", lit(id))
+            .write.partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(acceptedDir)
+        }
+        ()
       }
       .start()
 }

@@ -122,11 +122,16 @@ object Hamming64Gate {
     rows.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (b: DataFrame, id: Long) =>
-        acceptBatch(b, id, idCol, sigCol, stateDir, maxHamming, exact)
-          .withColumn("batch_id", lit(id))
-          .write.partitionBy("batch_id")
-          .option("partitionOverwriteMode", "dynamic")
-          .mode("overwrite").parquet(acceptedDir)
+        // batch-scoped cut release — see NearDupGate.gate
+        graft.operators.Materialize.batchScope(
+          acceptBatch(b, id, idCol, sigCol, stateDir, maxHamming,
+            exact)) { accepted =>
+          accepted.withColumn("batch_id", lit(id))
+            .write.partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(acceptedDir)
+        }
+        ()
       }
       .start()
 }

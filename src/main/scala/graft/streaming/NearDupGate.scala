@@ -189,12 +189,18 @@ object NearDupGate {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (b: DataFrame, id: Long) =>
-        acceptBatch(b, id, idCol, textCol, stateDir, k, n, bands, threshold,
-            exact)
-          .withColumn("batch_id", lit(id))
-          .write.partitionBy("batch_id")
-          .option("partitionOverwriteMode", "dynamic")
-          .mode("overwrite").parquet(acceptedDir)
+        // batch-scoped cuts (the per-batch signature + keeper-
+        // resolution materializations) hard-release once the landing
+        // write consumed them — bounded storage on an endless stream
+        graft.operators.Materialize.batchScope(
+          acceptBatch(b, id, idCol, textCol, stateDir, k, n, bands,
+            threshold, exact)) { accepted =>
+          accepted.withColumn("batch_id", lit(id))
+            .write.partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(acceptedDir)
+        }
+        ()
       }
       .start()
 }

@@ -91,12 +91,17 @@ object StreamCurate {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (b: DataFrame, id: Long) =>
-        curateBatch(b, id, idCol, textCol, langCol, ndStateDir,
-            budgetStateDir, budgetPerLang, validPct, exact)
-          .withColumn("batch_id", lit(id))
-          .write.partitionBy("batch_id")
-          .option("partitionOverwriteMode", "dynamic")
-          .mode("overwrite").parquet(acceptedDir)
+        // batch-scoped cut release (near-dup sig/resolution + budget
+        // window cuts made inside curateBatch) — see NearDupGate.gate
+        graft.operators.Materialize.batchScope(
+          curateBatch(b, id, idCol, textCol, langCol, ndStateDir,
+            budgetStateDir, budgetPerLang, validPct, exact)) { out =>
+          out.withColumn("batch_id", lit(id))
+            .write.partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(acceptedDir)
+        }
+        ()
       }
       .start()
 }

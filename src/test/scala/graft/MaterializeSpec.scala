@@ -99,6 +99,29 @@ class MaterializeSpec extends SparkSpecBase {
       "releaseHard must unpersist the localCheckpoint's blocks")
   }
 
+  test("batchScope hard-releases every cut build creates — including cuts inside called operators") {
+    // the gate-family shape: the foreachBatch body calls an operator
+    // whose INTERNAL cuts it cannot see; batchScope captures them by
+    // thread and releases after the consuming write
+    var ids: Seq[Int] = Nil
+    val out = Materialize.batchScope {
+      val c1 = Materialize(docs)              // "signature cut"
+      val c2 = Materialize(c1.filter(col("doc_id") > 1L)) // "resolution cut"
+      ids = (leafRddIds(c1) ++ leafRddIds(c2))
+      c2.select("doc_id")
+    } { accepted =>
+      assert(accepted.count() === 3L) // the consuming "landing write"
+      assert(ids.forall(persisted), "cuts live through the consumer")
+    }
+    assert(ids.nonEmpty && ids.forall(id => !persisted(id)),
+      "all batch-scoped cuts released after the consumer ran")
+    // the returned frame is dead per the releaseHard contract; a cut
+    // made OUTSIDE any scope is untracked and stays readable
+    val free = Materialize(docs)
+    assert(free.count() === 4L)
+    assert(out != null)
+  }
+
   test("releaseHard on persist-mode frames = release (and is safe on plain frames)") {
     spark.conf.set(Materialize.ConfKey, "persist")
     try {
