@@ -5079,7 +5079,7 @@ object TextQueries {
         e => TextAnalysis.tokensDuckSql(e)))),
     QueryDef("q_bpe_roundtrip", bpeRoundtripQ, Some {
       val toks = duckToks("text")
-      s"SELECT doc_id, array_to_string($toks, ' ') AS decoded FROM documents"
+      s"SELECT doc_id, COALESCE(array_to_string($toks, ' '), '') AS decoded FROM documents"
     }),
     QueryDef("q_unigram_tokens", unigramTokensQ, Some(
       graft.operators.Unigram.unigramTokensDuckSql(
@@ -5088,7 +5088,7 @@ object TextQueries {
         e => TextAnalysis.tokensDuckSql(e)))),
     QueryDef("q_unigram_roundtrip", unigramRoundtripQ, Some {
       val toks = duckToks("text")
-      s"SELECT doc_id, array_to_string($toks, '') AS fused FROM documents"
+      s"SELECT doc_id, COALESCE(array_to_string($toks, ''), '') AS fused FROM documents"
     }),
     QueryDef("q_temperature_sample", temperatureSampleQ, Some(
       """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),

@@ -38,7 +38,10 @@ object UnigramEncodeExpr {
   def compute(text: UTF8String, scores: java.util.HashMap[String, java.lang.Long],
       maxLen: Int): ArrayData = {
     val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
-    val words = text.toString.trim.split("\\s+")
+    // No .trim: Java trim strips ALL chars <= 0x20, but the repo's tokens()
+    // convention strips only 0x20 — split + the w.nonEmpty guard below keeps
+    // the word list bit-identical to tokens() even with control-char edges.
+    val words = text.toString.split("\\s+")
     var wi = 0
     while (wi < words.length) {
       val w = words(wi)

@@ -115,12 +115,23 @@ object Materialize {
     * Contract: everything `build` materializes is batch-scoped — dead
     * once `use` returns (the [[releaseHard]] contract). An operator
     * whose cut must OUTLIVE the batch must not be called inside a
-    * scope. Cuts created by `use` itself are NOT tracked.
+    * scope. Cuts created by `use` itself are NOT tracked. A `build`
+    * that THROWS (fetch error, state-dir hiccup) still releases every
+    * cut it had materialized before failing — a retried micro-batch
+    * must not inherit stranded storage. Scopes nest: the outer
+    * scope's tracking buffer is saved and restored, so an inner scope
+    * never clobbers (or releases) the outer scope's cuts.
     */
   def batchScope[A](build: => A)(use: A => Unit): A = {
+    val outer = scopeCuts.get()
     val buf = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     scopeCuts.set(buf)
-    val a = try build finally scopeCuts.remove()
+    val a =
+      try build
+      catch { case t: Throwable => buf.foreach(releaseHard); throw t }
+      finally {
+        if (outer == null) scopeCuts.remove() else scopeCuts.set(outer)
+      }
     try { use(a); a } finally buf.foreach(releaseHard)
   }
 

@@ -80,8 +80,7 @@ final class FileReplay(spark: SparkSession, schema: StructType) {
     val staging = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get(dir).getParent, "graft_replay_stage")
     df.write.mode("overwrite").parquet(staging.toString)
-    val any = always ||
-      spark.read.parquet(staging.toString).head(1).nonEmpty
+    val any = always || stagedRowCount(staging) > 0L
     if (any)
       java.nio.file.Files.move(staging,
         java.nio.file.Paths.get(dir).resolve(s"batch-${batchN.getAndIncrement()}"),
@@ -93,5 +92,22 @@ final class FileReplay(spark: SparkSession, schema: StructType) {
         .foreach(java.nio.file.Files.delete)
     }
     any
+  }
+
+  // Footer-only row count of a staged batch directory: sums each
+  // parquet file's block row counts from its footer — pure driver
+  // IO, no Spark job, no second execution of the input plan (the
+  // self-feeding loop pays this once per tick).
+  private def stagedRowCount(staging: java.nio.file.Path): Long = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    val files = java.nio.file.Files.list(staging).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    files.map { p =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p.toUri), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
   }
 }

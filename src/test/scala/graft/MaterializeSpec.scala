@@ -122,6 +122,39 @@ class MaterializeSpec extends SparkSpecBase {
     assert(out != null)
   }
 
+  test("batchScope releases cuts when build throws, and nesting preserves the outer scope") {
+    // a failing micro-batch (fetch error, state-dir hiccup) must not
+    // strand the cuts build had already materialized — the retry
+    // would inherit them forever
+    var ids: Seq[Int] = Nil
+    intercept[RuntimeException] {
+      Materialize.batchScope {
+        val c = Materialize(docs)
+        ids = leafRddIds(c)
+        assert(ids.forall(persisted))
+        throw new RuntimeException("simulated batch failure")
+      } { (_: Any) => fail("use must not run when build throws") }
+    }
+    assert(ids.nonEmpty && ids.forall(id => !persisted(id)),
+      "cuts materialized before a build failure must be released")
+
+    // nesting: an inner scope must neither release nor orphan the
+    // outer scope's cuts
+    var outerIds: Seq[Int] = Nil
+    Materialize.batchScope {
+      val outer = Materialize(docs)
+      outerIds = leafRddIds(outer)
+      Materialize.batchScope {
+        Materialize(docs.filter(col("doc_id") > 2L)).count()
+      } { _ => () }
+      assert(outerIds.forall(persisted),
+        "inner scope must not release the outer scope's cuts")
+      outer.select("doc_id")
+    } { kept => assert(kept.count() === 4L) }
+    assert(outerIds.forall(id => !persisted(id)),
+      "outer scope still tracks (and releases) its cuts after a nested scope")
+  }
+
   test("releaseHard on persist-mode frames = release (and is safe on plain frames)") {
     spark.conf.set(Materialize.ConfKey, "persist")
     try {

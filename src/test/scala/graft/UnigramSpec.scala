@@ -76,6 +76,29 @@ class UnigramSpec extends SparkSpecBase {
     assert(got === Seq("ab", "z", "q", "a"))
   }
 
+  test("word split matches tokens() on control-char edges (only 0x20 is trimmed, r18 advice)") {
+    // Java String.trim strips ALL chars <= 0x20; the repo convention
+    // (tokens() = split(trim(text), "\\s+") with Spark trim = 0x20
+    // only) keeps control chars attached to their word. The fused
+    // encode must see the same word list, or token counts and the
+    // roundtrip diverge from the oracle on such docs.
+    val vocab = Seq(("f", -1000000L), ("o", -1100000L), ("x", -1200000L))
+    val ctl = 1.toChar.toString // U+0001: not regex whitespace, but <= 0x20
+    val texts = Seq(ctl + "fox the" + 2.toChar, "\tfox", " fox ", ctl, "",
+      s"  ${ctl}fox the$ctl  ")
+    val rows = texts.toDF("t")
+      .select(col("t"),
+        graft.operators.Unigram.encode(col("t"), vocab, 4).as("toks"),
+        graft.operators.TextAnalysis.tokens(col("t")).as("words"))
+      .collect()
+    rows.foreach { r =>
+      val fused = r.getSeq[String](1).mkString("")
+      val expected = r.getSeq[String](2).mkString("")
+      assert(fused === expected,
+        s"fused encode over '${r.getString(0)}' must concat to tokens()'s words")
+    }
+  }
+
   test("equal-dpkey paths cannot disagree on count (1024-quantum argument holds at the boundary)") {
     // two pieces scoring s and a composition scoring 2s + (1 extra
     // token) can never share a dpkey: 1024·ΔS = Δn forces ΔS = Δn = 0
