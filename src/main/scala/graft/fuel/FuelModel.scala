@@ -66,6 +66,15 @@ object FuelModel {
     StructField("location_latitude", StringType),
     StructField("location_longitude", StringType)))
 
+  /** S10 mixed cleaned topic: the union of both cleaned wire shapes
+    * (field sets are disjoint) — one consumer reads BOTH message
+    * kinds off one topic and the router dispatches by key presence
+    * (`DataIngesting.py:55-64`). A station message leaves the price
+    * fields null and vice versa.
+    */
+  val mixedWireSchema: StructType =
+    StructType(rawStationSchema.fields ++ rawPriceSchema.fields)
+
   /** Raw API envelope (`DataGathering.py:28-39`): nested arrays of
     * structs, `stations[i].location` nested. `from_json` + `inline`
     * replace `pd.json_normalize` (SURVEY §1.4).

@@ -96,6 +96,43 @@ object FuelPipeline {
     (prices, stations)
   }
 
+  /** S10 — the content-based-router variant of the ingest leg: ONE
+    * mixed cleaned topic (a dir of raw JSON wire lines standing in
+    * for the MQTT transport, like the other legs) consumed by a
+    * SINGLE streaming query that dispatches each record by key
+    * presence (`'code' in data` — reference `DataIngesting.py:55-64`)
+    * via [[Warehouse.routedSink]]. Three outcomes per record, all
+    * landed: station half, price half, dead letters (unparseable JSON
+    * from [[FuelCleaning.parseWire]] + parseable-but-unroutable rows
+    * from the router — the reference crashes on the former, §2.10
+    * bug 2). One source pass per micro-batch; the warehouse gets the
+    * same surrogate-id append discipline as the per-topic legs.
+    */
+  def startRouted(
+      spark: SparkSession,
+      mixedDir: String,
+      warehouseDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    spark.readStream
+      .text(mixedDir)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val split = FuelCleaning.parseWire(batch, "value", FuelModel.mixedWireSchema)
+        Warehouse.routedSink(
+          s"$warehouseDir/stations", s"$warehouseDir/prices",
+          deadPath = Some(s"$warehouseDir/dead_letters"))(
+          Warehouse.withSurrogateId(split.valid), batchId)
+        // parseWire keeps the unparseable original in _corrupt
+        Warehouse.append(
+          split.rejected.select(col("_corrupt").as("raw"), col("_reject_reason")),
+          s"$warehouseDir/dead_letters_raw")
+      }
+      .queryName("ingest_routed")
+      .option("checkpointLocation", s"$warehouseDir/_checkpoints/ingest_routed")
+      .trigger(Trigger.ProcessingTime(1000L))
+      .start()
+  }
+
   /** Wire and start the three streaming queries; returns them running. */
   def start(
       spark: SparkSession,

@@ -251,26 +251,42 @@ object Warehouse {
 
   /** S10 — content-based router: the reference dispatches each
     * message by key presence (`'code' in data`,
-    * `DataIngesting.py:55-64`). Set-oriented form: two filtered
-    * projections of one mixed frame — a single scan feeding two
-    * sinks, no per-record branching.
+    * `DataIngesting.py:55-64`). Set-oriented form: filtered
+    * projections of one mixed frame — no per-record branching.
+    * Records carrying NEITHER routing key are parseable but
+    * unroutable; they go to the third frame (dead letters), not
+    * silently to the floor — the reference would insert them as an
+    * all-null price row (§2.10-adjacent looseness this engine
+    * rejects).
     */
-  def route(mixed: DataFrame): (DataFrame, DataFrame) = {
+  def route(mixed: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val stations = mixed.filter(col("code").isNotNull)
     val prices = mixed.filter(col("code").isNull && col("stationcode").isNotNull)
-    (stations, prices)
+    val unroutable = mixed.filter(col("code").isNull && col("stationcode").isNull)
+    (stations, prices, unroutable)
   }
 
   /** Streaming ingest: one `foreachBatch` writing both routed halves
-    * — two sinks, one source pass per micro-batch (S9's streaming
-    * form with real batching instead of row-at-a-time inserts).
+    * plus the unroutable dead letters — three sinks, ONE source pass
+    * per micro-batch (the batch is pinned before the three filtered
+    * writes so the mixed-topic scan runs once, not per sink; S9's
+    * streaming form with real batching instead of row-at-a-time
+    * inserts).
     */
-  def routedSink(stationsPath: String, pricesPath: String)(
+  def routedSink(stationsPath: String, pricesPath: String,
+      deadPath: Option[String] = None)(
       batch: DataFrame, batchId: Long): Unit = {
-    val (stations, prices) = route(batch)
-    append(stations.drop("stationcode", "fueltype", "price", "lastupdated"), stationsPath)
-    append(prices.drop("brandid", "stationid", "brand", "code", "name",
-      "address", "location_latitude", "location_longitude"), pricesPath)
+    val pinned = batch.persist()
+    try {
+      val (stations, prices, unroutable) = route(pinned)
+      append(stations.drop("stationcode", "fueltype", "price", "lastupdated"),
+        stationsPath)
+      append(prices.drop("brandid", "stationid", "brand", "code", "name",
+        "address", "location_latitude", "location_longitude"), pricesPath)
+      deadPath.foreach { p =>
+        append(unroutable.withColumn("_reject_reason", lit("no routing key")), p)
+      }
+    } finally { pinned.unpersist(); () }
   }
 
   def readTable(spark: SparkSession, path: String): DataFrame =
