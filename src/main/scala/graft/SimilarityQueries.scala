@@ -50,6 +50,22 @@ object SimilarityQueries {
       k = 5, dim = 64, nBits = 8, probeHamming = 2)
   }
 
+  /** [[lshKnnQ]] through the OTHER standard recall lever
+    * ([[Similarity.lshKnnMultiTable]], round 19 — was spec-only): 4
+    * independent 8-bit hash tables, candidate = collision in ANY
+    * table, pairs dedup'd before exact scoring. Oracle: one
+    * [[Similarity.rhpBucketDuckCtes]] per table (same per-table
+    * seeds), per-table bucket equi-joins UNION'd (the set union IS
+    * the dedup), re-ranked by the [[duckCos]] twin.
+    */
+  private def lshKnnMultiQ(s: SparkSession, d: String): DataFrame = {
+    val em = Tables.embeddings(s, d)
+    Similarity.lshKnnMultiTable(
+      em.filter(col("vec_id") < 10), em,
+      "vec_id", "vec_id", "embedding", "embedding",
+      k = 5, dim = 64, nBits = 8, nTables = 4)
+  }
+
   /** Binary-signature ANN serving path ([[Similarity.binaryKnn]]):
     * 64-dim floats → one sign-bit BIGINT, Hamming-popcount shortlist
     * of 32, exact cosine re-rank to top-5. Same query shape as
@@ -528,6 +544,32 @@ object SimilarityQueries {
          |  SELECT *, CAST(row_number() OVER (
          |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
          |  FROM cand) t
+         |WHERE rank <= 5""".stripMargin
+    }),
+    QueryDef("q_lsh_knn_multi", lshKnnMultiQ, Some {
+      val tables = (0 until 4).map { t =>
+        Similarity.rhpBucketDuckCtes(64, 8, out = s"mt_bkt$t",
+          seed = 0x9E3779B97F4A7C15L * (t + 1), rhpName = s"mt_rhp$t")
+      }.mkString(",\n")
+      // UNION (not ALL): the pair-set union is lshKnnMultiTable's
+      // dropDuplicates before scoring
+      val unions = (0 until 4).map { t =>
+        s"SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id " +
+          s"FROM mt_bkt$t q JOIN mt_bkt$t c ON c.b0 = q.b0 " +
+          s"AND q.vec_id < 10 AND c.vec_id <> q.vec_id"
+      }.mkString(" UNION ")
+      s"""WITH $tables,
+         |mt_pairs AS ($unions),
+         |mt_scored AS (
+         |  SELECT p.query_id, p.neighbor_id,
+         |    floor((${duckCos("q.embedding", "c.embedding")}) * 1000000.0 + 0.5) / 1000000.0 AS sim
+         |  FROM mt_pairs p
+         |  JOIN embeddings q ON q.vec_id = p.query_id
+         |  JOIN embeddings c ON c.vec_id = p.neighbor_id)
+         |SELECT query_id, neighbor_id, sim, rank FROM (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+         |  FROM mt_scored) t
          |WHERE rank <= 5""".stripMargin
     }),
     QueryDef("q_binary_knn", binaryKnnQ, Some(

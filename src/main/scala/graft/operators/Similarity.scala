@@ -142,10 +142,11 @@ object Similarity {
     * bits). Emits `rhp(i, plane)` and `{out}(vec_id, embedding, b0)`
     * over the `embeddings` table.
     */
-  def rhpBucketDuckCtes(dim: Int, nBits: Int, out: String = "bkt"): String = {
-    val planesLit = rhpPlanes(dim, nBits)
+  def rhpBucketDuckCtes(dim: Int, nBits: Int, out: String = "bkt",
+      seed: Long = 0x243F6A8885A308D3L, rhpName: String = "rhp"): String = {
+    val planesLit = rhpPlanes(dim, nBits, seed)
       .map(_.mkString("[", ",", "]")).mkString("[", ", ", "]")
-    s"""rhp AS MATERIALIZED (
+    s"""$rhpName AS MATERIALIZED (
        |  SELECT CAST(u.i AS INTEGER) AS i, ($planesLit)[u.i + 1] AS plane
        |  FROM unnest(range($nBits)) AS u(i)),
        |$out AS MATERIALIZED (
@@ -153,7 +154,7 @@ object Similarity {
        |    CAST(sum(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        |        [e.embedding[k]::DOUBLE * CAST(r.plane[k] AS DOUBLE) for k in range(1, ${dim + 1})]),
        |        (a, x) -> a + x) >= 0 THEN (CAST(1 AS BIGINT) << r.i) ELSE 0 END) AS BIGINT) AS b0
-       |  FROM embeddings e CROSS JOIN rhp r
+       |  FROM embeddings e CROSS JOIN $rhpName r
        |  GROUP BY e.vec_id, e.embedding)""".stripMargin
   }
 
