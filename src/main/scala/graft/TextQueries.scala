@@ -817,7 +817,7 @@ object TextQueries {
       "<a href=\"#top\">f</a><a href=\"javascript:void(0)\">j</a>"
   }
 
-  private def muxWarcCdxGz(
+  private[graft] def muxWarcCdxGz(
       docs: org.apache.spark.sql.DataFrame, dir: String,
       multiHost: Boolean = false, plantBad: Boolean = false,
       plantLinks: Boolean = false): Unit = {
