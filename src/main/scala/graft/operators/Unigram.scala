@@ -71,7 +71,8 @@ object Unigram {
       maxPieceLen: Int = 4,
       maxWords: Int = 50000,
       emIters: Int = 2,
-      seedSize: Int = 0): Seq[(String, Long)] = {
+      seedSize: Int = 0,
+      maxDriverCells: Long = DefaultMaxDriverCells): Seq[(String, Long)] = {
     val dict = docs
       .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
@@ -79,8 +80,21 @@ object Unigram {
       .limit(maxWords)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     trainOnDict(dict.toSeq, vocabSize, maxPieceLen, emIters,
-      if (seedSize > 0) seedSize else 8 * vocabSize)
+      if (seedSize > 0) seedSize else 8 * vocabSize, maxDriverCells)
   }
+
+  /** Driver-workload cap for [[trainOnDict]] in SUBSTRING CELLS —
+    * `Σ_words len·min(len, maxPieceLen)`, the unit every trainer
+    * phase is linear in (seeding updates, per-EM-pass lattice edges).
+    * Default 1<<27 ≈ 134M cells ≈ 3–4 driver-minutes / ~4–6 GB
+    * transient heap (measured, `graft.ScaleProbeUnigram`: 100k
+    * words·len8 = 5.5M cells → 16 s/1.6 GB peak; 1M words·len8 =
+    * 58M cells → 94 s/3.2 GB peak — linear). The
+    * [[Dedup.connectedComponents]] driver-cap pattern: a LOUD bound
+    * on silent driver work, overridable by a caller who has sized
+    * the driver for it.
+    */
+  val DefaultMaxDriverCells: Long = 1L << 27
 
   /** The driver-side learner over a bounded weighted dict (exposed
     * for specs and for callers with a precomputed vocabulary).
@@ -90,9 +104,18 @@ object Unigram {
       vocabSize: Int,
       maxPieceLen: Int,
       emIters: Int,
-      seedSize: Int): Seq[(String, Long)] = {
+      seedSize: Int,
+      maxDriverCells: Long = DefaultMaxDriverCells): Seq[(String, Long)] = {
     require(vocabSize >= 1 && maxPieceLen >= 1 && emIters >= 0)
     val words = dict.filter(_._1.nonEmpty)
+    val cells = words.iterator.map { case (w, _) =>
+      w.length.toLong * math.min(w.length, maxPieceLen) }.sum
+    require(cells <= maxDriverCells,
+      s"unigram trainer: dict workload $cells substring cells exceeds " +
+        s"maxDriverCells=$maxDriverCells (~${maxDriverCells >> 20}M cells " +
+        "≈ minutes of driver EM and GBs of transient heap — measured " +
+        "58M cells = 94 s / 3.2 GB peak). Lower maxWords/maxPieceLen, " +
+        "or raise maxDriverCells on a driver sized for it.")
     // ---- seed: all substrings <= maxPieceLen, weighted by word freq
     val cand = scala.collection.mutable.HashMap.empty[String, Long]
     words.foreach { case (w, n) =>

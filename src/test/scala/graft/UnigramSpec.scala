@@ -113,6 +113,24 @@ class UnigramSpec extends SparkSpecBase {
     assert(got === Seq("xx"))
   }
 
+  test("driver-workload guard: an over-cap dict refuses loudly; the override admits it (r18 verdict task 4)") {
+    // cells = Σ len·min(len, maxPieceLen); this dict is 5·25 = 125
+    val bigDict = Seq(("abcde", 10L), ("fghij", 9L), ("klmno", 8L),
+      ("pqrst", 7L), ("uvwxy", 6L))
+    val e = intercept[IllegalArgumentException] {
+      Unigram.trainOnDict(bigDict, vocabSize = 30, maxPieceLen = 8,
+        emIters = 1, seedSize = 60, maxDriverCells = 100L)
+    }
+    assert(e.getMessage.contains("unigram trainer"),
+      "the guard must say WHAT refused, not just 'requirement failed'")
+    assert(e.getMessage.contains("maxDriverCells"))
+    // same dict passes with the cap raised — and under the default cap
+    val v = Unigram.trainOnDict(bigDict, vocabSize = 30, maxPieceLen = 8,
+      emIters = 1, seedSize = 60, maxDriverCells = 200L)
+    assert(v.nonEmpty)
+    assert(Unigram.trainOnDict(bigDict, 30, 8, 1, 60).nonEmpty)
+  }
+
   test("trainVocab end-to-end over a frame + committed-vocab sanity") {
     val docs = Seq((1L, "spark spark stream stream streaming"),
       (2L, "spark streams")).toDF("doc_id", "text")
