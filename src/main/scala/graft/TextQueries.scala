@@ -480,9 +480,7 @@ object TextQueries {
           regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
             .cast("long").as("doc_id"),
           col("text")))
-    val pass = TextAnalysis.qualityGate(extracted, "doc_id", "text")
-      .filter(col("pass") === 1).select("doc_id")
-    val gated = extracted.join(pass, Seq("doc_id"), "left_semi")
+    val gated = TextAnalysis.qualityKeep(extracted, "text")
     Dedup.dropNearDuplicates(gated, "doc_id", "text")
       .select(col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
@@ -522,9 +520,7 @@ object TextQueries {
     val allowed = graft.operators.Robots.filterAllowed(
         extracted, "target_uri", robots, "host", "body", "graftbot/1.0")
       .select("doc_id", "text")
-    val pass = TextAnalysis.qualityGate(allowed, "doc_id", "text")
-      .filter(col("pass") === 1).select("doc_id")
-    val gated = allowed.join(pass, Seq("doc_id"), "left_semi")
+    val gated = TextAnalysis.qualityKeep(allowed, "text")
     Dedup.dropNearDuplicates(gated, "doc_id", "text")
       .select(col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
@@ -563,9 +559,7 @@ object TextQueries {
         regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
           .cast("long").as("doc_id"),
         TextAnalysis.mainContent(col("http_body")).as("text")))
-    val pass = TextAnalysis.qualityGate(extracted, "doc_id", "text")
-      .filter(col("pass") === 1).select("doc_id")
-    val gated = extracted.join(pass, Seq("doc_id"), "left_semi")
+    val gated = TextAnalysis.qualityKeep(extracted, "text")
     Dedup.dropNearDuplicates(gated, "doc_id", "text")
       .select(col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
@@ -617,9 +611,7 @@ object TextQueries {
       regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
         .cast("long").as("doc_id"),
       col("payload").as("text"))
-    val pass = TextAnalysis.qualityGate(parsed, "doc_id", "text")
-      .filter(col("pass") === 1).select("doc_id")
-    val gated = parsed.join(pass, Seq("doc_id"), "left_semi")
+    val gated = TextAnalysis.qualityKeep(parsed, "text")
     Dedup.dropNearDuplicates(gated, "doc_id", "text")
       .select(col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),

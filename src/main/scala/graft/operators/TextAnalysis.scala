@@ -648,20 +648,12 @@ object TextAnalysis {
     * 0/1 so the cross-engine hash never depends on array/bool
     * encodings.
     */
-  def qualityGate(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // NULL text must FAIL the gate, not sail through it: un-coalesced,
-    // every rule condition is NULL, the failed array filters empty and
-    // pass flips to 1. Treat NULL as the empty document (fails length/
-    // stopwords/token_len); the oracle coalesces identically.
-    //
-    // All five signals' integer counts come from ONE fused code-point
-    // scan ([[graft.functions.QualityCountsExpr]], round 18 — the 5M
-    // probe's gate stage paid interpreted HOF dispatch per token plus
-    // a match-materializing regex per doc in the composed form); the
-    // ratio + Det.round arithmetic stays in ordinary columns, so
-    // every downstream value and oracle is bit-identical.
-    val txt = coalesce(col(textCol), lit(""))
-    val c = col("__qc")
+  /** Failed-rule names as an array Column over a fused-count struct —
+    * shared by [[qualityGate]] (reporting form, over the staged
+    * `__qc` column) and [[qualityKeep]] (filtering form, over a
+    * lambda variable) so both gate IDENTICALLY.
+    */
+  private def gateFailedRulesOver(c: Column): Column = {
     val nTok = c.getField("n_tok")
     val awl = Det.round(
       c.getField("tok_len_sum").cast("double") / greatest(nTok, lit(1)), 4)
@@ -678,16 +670,55 @@ object TextAnalysis {
       "repetition" -> (dtf > 0.3),
       "stopwords" -> (sr < 0.05),
       "token_len" -> (awl < 2.0 || awl > 12.0))
-    val failed = filter(
+    filter(
       array(rules.map { case (name, bad) =>
         when(bad, lit(name)).otherwise(lit(null).cast("string"))
       }: _*), x => x.isNotNull)
+  }
+
+  def qualityGate(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // NULL text must FAIL the gate, not sail through it: un-coalesced,
+    // every rule condition is NULL, the failed array filters empty and
+    // pass flips to 1. Treat NULL as the empty document (fails length/
+    // stopwords/token_len); the oracle coalesces identically.
+    //
+    // All five signals' integer counts come from ONE fused code-point
+    // scan ([[graft.functions.QualityCountsExpr]], round 18 — the 5M
+    // probe's gate stage paid interpreted HOF dispatch per token plus
+    // a match-materializing regex per doc in the composed form); the
+    // ratio + Det.round arithmetic stays in ordinary columns, so
+    // every downstream value and oracle is bit-identical.
+    val txt = coalesce(col(textCol), lit(""))
+    val failed = gateFailedRulesOver(col("__qc"))
     docs.withColumn("__qc",
         graft.functions.QualityCountsExpr.counts(txt, englishStopwords))
       .select(col(idCol),
         concat_ws(",", failed).as("failed_rules"),
         when(size(failed) === 0, lit(1)).otherwise(lit(0)).as("pass"))
   }
+
+  /** The gate as a FILTER: `docs` rows (all columns) whose text
+    * passes — semantically `docs ⋉ (qualityGate pass=1)` but MAP-ONLY
+    * (round 19): the gate is per-row, so joining the verdict back by
+    * id only re-buys rows the scan already held. At the 5M probe the
+    * semi-join shuffled five million full-text rows to keep 430k —
+    * ~22 s of join for a 2.8 s scan. Keeper sets are identical by
+    * construction, so every curate-family oracle is unchanged.
+    *
+    * The predicate stages the fused-count struct as the single
+    * element of an `exists(array(...), qc => ...)` lambda — the
+    * CLAUDE.md in-expression staging pattern: a plain
+    * `withColumn("__qc", …).filter(pred(__qc))` collapses and
+    * re-inlines the count scan once PER `__qc` REFERENCE inside
+    * FilterExec (no subexpression elimination there — measured 12.3 s
+    * vs the 2.5 s single-scan floor at 5M docs); lambda variables are
+    * never re-inlined, so the scan runs exactly once per row.
+    */
+  def qualityKeep(docs: DataFrame, textCol: String): DataFrame =
+    docs.filter(exists(
+      array(graft.functions.QualityCountsExpr.counts(
+        coalesce(col(textCol), lit("")), englishStopwords)),
+      qc => size(gateFailedRulesOver(qc)) === 0))
 
   /** Intra-document line dedup: drop every line that repeats an
     * earlier line (the boilerplate-nav / repeated-footer scrub),

@@ -57,9 +57,7 @@ object StreamCurate {
       exact: Boolean = false): DataFrame = {
     require(validPct >= 1 && validPct <= 99,
       "StreamCurate: validPct must be in [1, 99]")
-    val pass = TextAnalysis.qualityGate(batch, idCol, textCol)
-      .filter(col("pass") === 1).select(col(idCol))
-    val gated = batch.join(pass, Seq(idCol), "left_semi")
+    val gated = TextAnalysis.qualityKeep(batch, textCol) // map-only, no join-back (r19)
     val kept = NearDupGate.acceptBatch(gated, batchId, idCol, textCol,
       ndStateDir, exact = exact)
     val withTokens = kept.select(col(idCol), col(langCol),

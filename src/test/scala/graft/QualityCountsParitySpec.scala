@@ -100,4 +100,28 @@ class QualityCountsParitySpec extends SparkSpecBase {
     val g = TextAnalysis.qualityGate(d, "doc_id", "text").collect()(0)
     assert(g.getInt(2) === 0 && g.getString(1).contains("length"))
   }
+
+  test("qualityKeep == gate-verdict semi-join (r19 join-back deletion), incl. null text; plan is map-only") {
+    val docs = Seq[(Long, String)](
+      (1L, "the quick brown fox jumps over a lazy dog and then it sleeps well"),
+      (2L, "x y"), // fails length
+      (3L, null),  // null must drop, not sail
+      (4L, "the of and a in to is was it for on as are" +
+        " with his they i at be this have from or one had by word")
+    ).toDF("doc_id", "text")
+    val viaJoin = docs.join(
+      TextAnalysis.qualityGate(docs, "doc_id", "text")
+        .filter(col("pass") === 1).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val viaKeep = TextAnalysis.qualityKeep(docs, "text")
+    assert(viaKeep.columns.toSeq === docs.columns.toSeq,
+      "qualityKeep must return the caller's frame shape untouched")
+    val a = viaJoin.select("doc_id").as[Long].collect().sorted.toSeq
+    val b = viaKeep.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a === b, s"keeper sets diverge: join=$a keep=$b")
+    // the point of the form: no exchange anywhere — at 5M docs the
+    // semi-join shuffled the full-text corpus (22 s) for a 2.8 s scan
+    val plan = viaKeep.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "qualityKeep must not shuffle")
+  }
 }
