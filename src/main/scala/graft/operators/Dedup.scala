@@ -196,6 +196,38 @@ object Dedup {
       size(filter(zip_with(a, b, (x, y) => x === y), x => x))
         .cast("double") / n, 4)
 
+  /** Driver replica of the [[estJaccard]] ≥ threshold verification
+    * over two COLLECTED signature arrays — bit-identical to the
+    * Column form: the lane-match fraction m/n is binary-exact for
+    * power-of-two n, and Spark's `round(double, 4)` evaluates as
+    * `BigDecimal.valueOf(x).setScale(4, HALF_UP).doubleValue`,
+    * replayed here verbatim (parity pinned over the full m ∈ [0, n]
+    * lattice in SigGateDriverResolveSpec). Feeds the streaming gates'
+    * driver-resolve fast path.
+    */
+  private[graft] def estJaccardPassDriver(
+      n: Int, threshold: Double): (Any, Any) => Boolean = (a, b) => {
+    val sa = a.asInstanceOf[scala.collection.Seq[Any]]
+    val sb = b.asInstanceOf[scala.collection.Seq[Any]]
+    var m = 0
+    var i = 0
+    while (i < n) {
+      if (sa(i) == sb(i)) m += 1
+      i += 1
+    }
+    java.math.BigDecimal.valueOf(m.toDouble / n)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue >= threshold
+  }
+
+  /** Driver replica of [[hamming64]] ≤ maxHamming — trivially
+    * bit-identical (`bit_count(a xor b)` IS `Long.bitCount`).
+    */
+  private[graft] def hamming64PassDriver(
+      maxHamming: Int): (Any, Any) => Boolean = (a, b) =>
+    java.lang.Long.bitCount(
+      a.asInstanceOf[Number].longValue ^
+        b.asInstanceOf[Number].longValue) <= maxHamming
+
   /** One signature row per doc out of a banded frame — the band-0
     * slice (every doc carries exactly one band-0 row, and all of a
     * doc's rows hold the identical sig), so this is a narrow FILTER
@@ -351,8 +383,26 @@ object Dedup {
     * aggregate over the cut frame — correctness-neutral, one extra
     * job, logged.
     */
+  /** The pair-estimate thunk the probed materializations return —
+    * still a plain `() => Long` (the estimated intra-bucket pair
+    * count) for every existing consumer, but additionally exposing
+    * the probe's row-count lane (`bandRows` = banded rows seen =
+    * docs × bands) so batch-size-aware consumers (the
+    * [[graft.streaming.SigGate]] driver-resolve fast path) can bound
+    * a driver collect with ZERO extra jobs. Both reads are metric
+    * lookups in `local` Materialize mode; the non-local fallback
+    * memoizes so the exact aggregate runs at most once per thunk.
+    */
+  private[graft] final class SigEst(
+      pairsThunk: () => Long, rowsThunk: () => Long) extends (() => Long) {
+    private lazy val p = pairsThunk()
+    private lazy val r = rowsThunk()
+    def apply(): Long = p
+    def bandRows(): Long = r
+  }
+
   private[graft] def materializeSigsProbed(
-      banded: DataFrame): (DataFrame, () => Long) = {
+      banded: DataFrame): (DataFrame, SigEst) = {
     val staged = banded.withColumn("__f2h",
       xxhash64(col("band"), col("bucket")))
     val metrics = count(lit(1)).as("n") +: (0 until f2Lanes).map { i =>
@@ -363,25 +413,33 @@ object Dedup {
     // Observation listener to leak one-per-micro-batch
     val observed = staged.observe("graft_f2_probe", metrics.head, metrics.tail: _*)
     val cut = Materialize(observed).drop("__f2h")
-    val est = () => {
+    def metricRow() = {
       val mm = observed.queryExecution.observedMetrics
-      if (mm.isEmpty) {
-        org.slf4j.LoggerFactory.getLogger("graft.Dedup").warn(
-          "sigs occupancy probe: observed metrics unavailable for this " +
-            "materialization strategy — falling back to the exact aggregate")
-        estIntraPairs(cut)
-      } else {
-        val row = mm.values.head
-        val n = row.getAs[Long]("n")
-        if (n == 0L) 0L
-        else {
-          val f2 = (0 until f2Lanes).map { i =>
-            val s = row.getAs[Long](s"s$i"); s.toDouble * s
-          }.sum / f2Lanes
-          math.max(0L, ((f2 - n) / 2).toLong)
-        }
-      }
+      if (mm.isEmpty) None else Some(mm.values.head)
     }
+    def fallbackWarn(): Unit =
+      org.slf4j.LoggerFactory.getLogger("graft.Dedup").warn(
+        "sigs occupancy probe: observed metrics unavailable for this " +
+          "materialization strategy — falling back to the exact aggregate")
+    val est = new SigEst(
+      () => metricRow() match {
+        case None =>
+          fallbackWarn()
+          estIntraPairs(cut)
+        case Some(row) =>
+          val n = row.getAs[Long]("n")
+          if (n == 0L) 0L
+          else {
+            val f2 = (0 until f2Lanes).map { i =>
+              val s = row.getAs[Long](s"s$i"); s.toDouble * s
+            }.sum / f2Lanes
+            math.max(0L, ((f2 - n) / 2).toLong)
+          }
+      },
+      () => metricRow() match {
+        case None => cut.count() // non-local modes: one exact job
+        case Some(row) => row.getAs[Long]("n")
+      })
     (cut, est)
   }
 
@@ -489,7 +547,7 @@ object Dedup {
     * consumers re-band post-cut via [[bandExplode]].
     */
   private[graft] def materializeCompactProbed(
-      compact: DataFrame, bands: Int, rows: Int): (DataFrame, () => Long) = {
+      compact: DataFrame, bands: Int, rows: Int): (DataFrame, SigEst) = {
     val staged = compact.withColumn("__f2hs",
       transform(lshBands(col("sig"), bands, rows),
         b => xxhash64(b.getField("band"), b.getField("bucket"))))
@@ -508,28 +566,35 @@ object Dedup {
     val observed = staged.observe("graft_f2_probe", metrics.head, metrics.tail: _*)
     val cutPlan = observed.drop("__f2hs")
     val cut = Materialize(cutPlan)
-    val est = () => {
+    def metricRow() = {
       val mm = cutPlan.queryExecution.observedMetrics
-      if (mm.isEmpty) {
-        org.slf4j.LoggerFactory.getLogger("graft.Dedup").warn(
-          "sigs occupancy probe: observed metrics unavailable for this " +
-            "materialization strategy — falling back to the exact aggregate")
-        estIntraPairs(bandExplode(cut, bands, rows))
-      } else {
-        val row = mm.values.head
-        if (row.isNullAt(row.fieldIndex("n"))) 0L // empty input: sum = null
-        else {
-          val n = row.getAs[Long]("n")
-          if (n == 0L) 0L
-          else {
-            val f2 = (0 until f2Lanes).map { i =>
-              val s = row.getAs[Long](s"s$i"); s.toDouble * s
-            }.sum / f2Lanes
-            math.max(0L, ((f2 - n) / 2).toLong)
-          }
-        }
-      }
+      if (mm.isEmpty) None else Some(mm.values.head)
     }
+    val est = new SigEst(
+      () => metricRow() match {
+        case None =>
+          org.slf4j.LoggerFactory.getLogger("graft.Dedup").warn(
+            "sigs occupancy probe: observed metrics unavailable for this " +
+              "materialization strategy — falling back to the exact aggregate")
+          estIntraPairs(bandExplode(cut, bands, rows))
+        case Some(row) =>
+          if (row.isNullAt(row.fieldIndex("n"))) 0L // empty input: sum = null
+          else {
+            val n = row.getAs[Long]("n")
+            if (n == 0L) 0L
+            else {
+              val f2 = (0 until f2Lanes).map { i =>
+                val s = row.getAs[Long](s"s$i"); s.toDouble * s
+              }.sum / f2Lanes
+              math.max(0L, ((f2 - n) / 2).toLong)
+            }
+          }
+      },
+      () => metricRow() match {
+        case None => cut.count() * bands // non-local modes: one exact job
+        case Some(row) =>
+          if (row.isNullAt(row.fieldIndex("n"))) 0L else row.getAs[Long]("n")
+      })
     (cut, est)
   }
 
@@ -554,12 +619,83 @@ object Dedup {
     */
   private[graft] def sigsWithStarDecisionCut(
       compact: DataFrame, bands: Int, rows: Int,
-      force: Boolean, cap: Long): (DataFrame, Boolean) =
-    if (force || cap == Long.MaxValue) (Materialize(compact), force)
-    else {
+      force: Boolean, cap: Long): (DataFrame, Boolean) = {
+    val (cut, star, _) = sigsWithStarDecisionCutEst(compact, bands, rows, force, cap)
+    (cut, star)
+  }
+
+  /** [[sigsWithStarDecisionCut]] additionally returning the probe's
+    * [[SigEst]] thunk when one rode the materialization — the
+    * streaming gates reuse the SAME zero-job estimate to size their
+    * driver-resolve fast path
+    * ([[graft.streaming.SigGate.acceptBatch]]). FORCED-star callers
+    * get a count-only observe instead of the F2 lanes (the star
+    * decision needs no estimate, but the gate still wants a batch
+    * size; star candidates are bounded by the banded row count, so
+    * the SigEst reports bandRows for both lanes — a conservative
+    * upper bound on star pairs). `cap = Long.MaxValue` keeps the
+    * probe-free contract: None.
+    */
+  private[graft] def sigsWithStarDecisionCutEst(
+      compact: DataFrame, bands: Int, rows: Int,
+      force: Boolean, cap: Long): (DataFrame, Boolean, Option[SigEst]) =
+    if (cap == Long.MaxValue) (Materialize(compact), force, None)
+    else if (force) {
+      val (cut, est) = materializeCountProbed(compact, bands)
+      (cut, true, Some(est))
+    } else {
       val (cut, est) = materializeCompactProbed(compact, bands, rows)
-      (cut, useStar(est, force = false, cap))
+      (cut, useStar(est, force = false, cap), Some(est))
     }
+
+  /** [[sigsWithStarDecision]]'s Est twin over the BANDED plan — same
+    * contract as [[sigsWithStarDecisionCutEst]].
+    */
+  private[graft] def sigsWithStarDecisionEst(
+      plan: DataFrame, force: Boolean, cap: Long): (DataFrame, Boolean, Option[SigEst]) =
+    if (cap == Long.MaxValue) (Materialize(plan), force, None)
+    else if (force) {
+      val (sigs, est) = materializeBandedCountProbed(plan)
+      (sigs, true, Some(est))
+    } else {
+      val (sigs, est) = materializeSigsProbed(plan)
+      (sigs, useStar(est, force = false, cap), Some(est))
+    }
+
+  /** Count-only observe riding a COMPACT materialization (the
+    * forced-star arm of [[sigsWithStarDecisionCutEst]]): one
+    * `count(1)` metric, no F2 lanes; the [[SigEst]] reports
+    * docs × bands for both pairs and bandRows.
+    */
+  private def materializeCountProbed(
+      compact: DataFrame, bands: Int): (DataFrame, SigEst) = {
+    val observed = compact.observe("graft_n_probe", count(lit(1)).as("n"))
+    val cut = Materialize(observed)
+    def bandRows() = {
+      val mm = observed.queryExecution.observedMetrics
+      if (mm.isEmpty) cut.count() * bands
+      else mm.values.head.getAs[Long]("n") * bands
+    }
+    val est = new SigEst(() => bandRows(), () => bandRows())
+    (cut, est)
+  }
+
+  /** Count-only observe riding a BANDED materialization (the
+    * forced-star arm of [[sigsWithStarDecisionEst]]): the row count
+    * IS bandRows.
+    */
+  private def materializeBandedCountProbed(
+      banded: DataFrame): (DataFrame, SigEst) = {
+    val observed = banded.observe("graft_n_probe", count(lit(1)).as("n"))
+    val cut = Materialize(observed)
+    def bandRows() = {
+      val mm = observed.queryExecution.observedMetrics
+      if (mm.isEmpty) cut.count()
+      else mm.values.head.getAs[Long]("n")
+    }
+    val est = new SigEst(() => bandRows(), () => bandRows())
+    (cut, est)
+  }
 
   /** STAR-candidate variant of [[candidatesFromBandedSigs]] — the
     * dup-heavy-corpus mitigation (round 12): a k-member duplicate
@@ -797,7 +933,10 @@ object Dedup {
       .select(endpoint("id_a").as("src"), endpoint("id_b").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull))
     val driverable = integral || idType == StringType
-    if (driverable && p.count() <= driverMaxEdges) return driverComponents(p, idType)
+    if (driverable) {
+      val edgeCount = p.count()
+      if (edgeCount <= driverMaxEdges) return driverComponents(p, idType, edgeCount)
+    }
     val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
     var labels = Materialize(edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id")))
@@ -863,13 +1002,25 @@ object Dedup {
     * contract. Works for any orderable id type (long fast path for
     * integral ids, generic ordering otherwise). Input is the
     * materialized (src, dst) pair frame, pre-bounded by the caller
-    * and streamed in partition-by-partition (`toLocalIterator`) so
+    * and, past [[collectMaxEdges]], streamed in
+    * partition-by-partition (`toLocalIterator`) so
     * the union-find map is the only edge-proportional driver
     * allocation. Output is a local relation (sorted by id for
     * determinism) that downstream anti-joins broadcast.
     */
+  // Above this edge count the driver path streams partitions via
+  // toLocalIterator (no collected row array next to the union-find
+  // map); at or below it a single collect() is bounded (~15 MB of
+  // boxed rows at the cap) and saves one Spark JOB PER PARTITION —
+  // toLocalIterator schedules each partition as its own job, which
+  // at the streaming replay harness's 8 shuffle partitions was ~8
+  // scheduler round-trips per micro-batch for a handful of edges
+  // (round 19; the gates call this every batch).
+  private val collectMaxEdges: Long = 1L << 17
+
   private def driverComponents(
-      p: DataFrame, idType: org.apache.spark.sql.types.DataType): DataFrame = {
+      p: DataFrame, idType: org.apache.spark.sql.types.DataType,
+      edgeCount: Long): DataFrame = {
     import org.apache.spark.sql.types._
     import scala.jdk.CollectionConverters._
     val spark = p.sparkSession
@@ -892,7 +1043,10 @@ object Dedup {
       while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
       r
     }
-    p.toLocalIterator().asScala.foreach { row =>
+    val edgeIter =
+      if (edgeCount <= collectMaxEdges) p.collect().iterator
+      else p.toLocalIterator().asScala
+    edgeIter.foreach { row =>
       val a = row.get(0); val b = row.get(1)
       parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
       val ra = find(a); val rb = find(b)

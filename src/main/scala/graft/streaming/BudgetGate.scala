@@ -43,7 +43,15 @@ object BudgetGate {
     StructField("batch_id", LongType)))
 
   def readState(spark: SparkSession, stateDir: String): DataFrame =
-    try spark.read.parquet(stateDir)
+    // schema declared, not inferred — drops the per-micro-batch
+    // footer-sampling round-trip (round 19; the NearDupGate.readState
+    // rationale)
+    try spark.read
+      .schema(StructType(Seq(
+        StructField("grp", StringType),
+        StructField("spent_delta", LongType),
+        StructField("batch_id", LongType))))
+      .parquet(stateDir)
       .select(col("grp"), col("spent_delta"), col("batch_id").cast("long"))
     catch {
       case _: org.apache.spark.sql.AnalysisException => // no state yet

@@ -53,7 +53,10 @@ object CdxFetchStream {
     * first commit.
     */
   def readState(spark: SparkSession, stateDir: String): DataFrame =
-    try spark.read.parquet(stateDir)
+    // schema declared, not inferred — drops the per-micro-batch
+    // footer-sampling round-trip (round 19; the NearDupGate.readState
+    // rationale)
+    try spark.read.schema(digestSchema).parquet(stateDir)
       .select(col("digest"), col("batch_id").cast("long"))
     catch {
       case _: org.apache.spark.sql.AnalysisException => // no state yet

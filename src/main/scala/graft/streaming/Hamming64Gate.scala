@@ -41,12 +41,20 @@ object Hamming64Gate {
     */
   def readState(spark: SparkSession, stateDir: String): DataFrame =
     try {
-      val raw = spark.read.parquet(stateDir)
-      // Unconditional (doc_id, batch_id) dedupe — no-op for compact
-      // state, required for legacy/mixed layouts (see
-      // [[NearDupGate.readState]]: footer sampling makes a
-      // column-presence gate unreliable on mixed stateDirs).
-      raw.select(col("doc_id"), col("sig"), col("keeper"),
+      // Schema declared, not inferred — see [[NearDupGate.readState]]
+      // (round 19: drops the per-micro-batch footer-sampling
+      // round-trip; a missing keeper column null-fills and coalesces
+      // to doc_id). Unconditional (doc_id, batch_id) dedupe — no-op
+      // for compact state, required for legacy/mixed banded layouts.
+      spark.read
+        .schema(StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("sig", LongType),
+          StructField("keeper", LongType),
+          StructField("batch_id", LongType))))
+        .parquet(stateDir)
+        .select(col("doc_id"), col("sig"),
+          coalesce(col("keeper"), col("doc_id")).as("keeper"),
           col("batch_id").cast("long"))
         .dropDuplicates("doc_id", "batch_id")
     } catch {
@@ -75,7 +83,7 @@ object Hamming64Gate {
     val spark = batch.sparkSession
     // star decision via the zero-extra-job F2 probe riding the
     // banded-signature materialization (Dedup.sigsWithStarDecision)
-    val (sigs, starNow) = Dedup.sigsWithStarDecision(
+    val (sigs, starNow, probe) = Dedup.sigsWithStarDecisionEst(
       Dedup.band64Cols(
         batch.select(col(idCol).cast("long").as("doc_id"),
           col(sigCol).cast("long").as("sig")),
@@ -99,7 +107,10 @@ object Hamming64Gate {
         if (starNow) Dedup.starHamming64PairsFromBanded(sigs, maxHamming)
         else Dedup.hamming64PairsFromBanded(sigs, maxHamming),
       stateDir = stateDir,
-      exact = exact)
+      exact = exact,
+      probe = probe,
+      driverVerify = Some(Dedup.hamming64PassDriver(maxHamming)),
+      starPairs = starNow)
   }
 
   /** The streaming gate: accepted rows land in

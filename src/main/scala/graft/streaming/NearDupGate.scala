@@ -80,18 +80,27 @@ object NearDupGate {
     */
   def readState(spark: SparkSession, stateDir: String): DataFrame =
     try {
-      val raw = spark.read.parquet(stateDir)
-      val keeper =
-        if (raw.columns.contains("keeper")) col("keeper") else col("doc_id")
-      // Dedupe UNCONDITIONALLY on (doc_id, batch_id): a no-op for
-      // compact state, and correct for legacy banded layouts AND for
-      // a stateDir that mixes both across batch partitions — column
-      // presence there depends on which parquet footer Spark samples
-      // (no mergeSchema), so gating the collapse on a "band" column
-      // would leave ×bands duplicate legacy rows when a compact
-      // footer wins the sample.
-      raw.select(col("doc_id"), col("sig"),
-          keeper.as("keeper"), col("batch_id").cast("long"))
+      // Schema DECLARED, not inferred (round 19): inference samples a
+      // parquet footer per read — one extra driver round-trip every
+      // micro-batch — and on a mixed legacy/compact stateDir the
+      // sampled footer decided which columns existed (the round-13
+      // trap the dropDuplicates below guards). Declared, a pre-keeper
+      // legacy file simply null-fills `keeper` and the coalesce
+      // restores the old `keeper = doc_id` default uniformly; legacy
+      // banded layouts' extra band/bucket columns are projected away
+      // by the declared schema, and their per-band row copies
+      // collapse in the UNCONDITIONAL (doc_id, batch_id) dedupe (a
+      // no-op for compact state).
+      spark.read
+        .schema(StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("sig", ArrayType(LongType)),
+          StructField("keeper", LongType),
+          StructField("batch_id", LongType))))
+        .parquet(stateDir)
+        .select(col("doc_id"), col("sig"),
+          coalesce(col("keeper"), col("doc_id")).as("keeper"),
+          col("batch_id").cast("long"))
         .dropDuplicates("doc_id", "batch_id")
     } catch {
       case _: org.apache.spark.sql.AnalysisException => // no state yet
@@ -135,7 +144,7 @@ object NearDupGate {
     // (F2 occupancy probe as observe metrics — zero extra jobs per
     // micro-batch; Dedup.materializeSigsProbed) unless it's already
     // pinned by starIntra / a MaxValue cap.
-    val (cut, starNow) = Dedup.sigsWithStarDecisionCut(
+    val (cut, starNow, probe) = Dedup.sigsWithStarDecisionCutEst(
       Dedup.compactSigsPlan(batch, idCol, textCol, k, n), bands, n / bands,
       starIntra, autoStarPairsCap)
     val sigs = Dedup.bandExplode(cut, bands, n / bands)
@@ -167,7 +176,11 @@ object NearDupGate {
           Dedup.starCandidatesFromCompact(cut, bands, n / bands, n, threshold)
         else Dedup.candidatesFromCompact(cut, bands, n / bands, n, threshold),
       stateDir = stateDir,
-      exact = exact)
+      exact = exact,
+      probe = probe,
+      compact = Some(cut),
+      driverVerify = Some(Dedup.estJaccardPassDriver(n, threshold)),
+      starPairs = starNow)
   }
 
   /** The streaming gate: accepted docs land in

@@ -128,7 +128,7 @@ object VideoGate {
     // the banded frame the STATE match needs re-bands post-cut, while
     // intra-batch candidates pair/verify straight off the cut (r18 —
     // no full re-band just to filter 15/16 of it for the verify feed)
-    val (cut, starNow) = Dedup.sigsWithStarDecisionCut(
+    val (cut, starNow, probe) = Dedup.sigsWithStarDecisionCutEst(
       energies
         .select(col(idCol).as("doc_id"),
           graft.functions.HashExprs.minhashSig(hs, n).as("sig")),
@@ -150,6 +150,10 @@ object VideoGate {
         if (starNow) Dedup.starCandidatesFromCompact(cut, bands, rows, n, threshold)
         else Dedup.candidatesFromCompact(cut, bands, rows, n, threshold),
       stateDir = stateDir,
-      exact = exact)
+      exact = exact,
+      probe = probe,
+      compact = Some(cut),
+      driverVerify = Some(Dedup.estJaccardPassDriver(n, threshold)),
+      starPairs = starNow)
   }
 }
