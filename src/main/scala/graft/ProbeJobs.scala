@@ -1,0 +1,64 @@
+package graft
+
+/** Generic per-job profiler (round 19, dev probe): runs named queries
+  * through the noop sink with a SparkListener recording every job's
+  * wall-clock and call site, then prints the per-job breakdown of the
+  * LAST (warm) run. Attributes a replay query's fixed cost to its
+  * micro-jobs — the measurement the per-tick job-count trims are
+  * driven by.
+  *
+  * `runMain graft.ProbeJobs <sfDir> <query> [query...]`
+  */
+object ProbeJobs {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val names = args.drop(1).toSeq
+    val spark = GraftSession.get()
+    val jobs = new java.util.concurrent.ConcurrentHashMap[
+      Int, (Long, String)]() // id -> (startNs, site)
+    val done = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Int, Double, String)]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val site = Option(j.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description"))
+              .orElse(Option(p.getProperty("callSite.short"))))
+            .getOrElse("?")
+          jobs.put(j.jobId, (System.nanoTime(), site)); ()
+        }
+        override def onJobEnd(
+            j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          Option(jobs.remove(j.jobId)).foreach { case (t0, site) =>
+            done.add((j.jobId, (System.nanoTime() - t0) / 1e9, site))
+          }
+          ()
+        }
+      })
+    names.foreach { n =>
+      (1 to 3).foreach { rep =>
+        done.clear()
+        val t0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        val wall = (System.nanoTime() - t0) / 1e9
+        spark.catalog.listTables().collect()
+          .map(_.name).filter(_.startsWith("graft_stream_snap_"))
+          .foreach(spark.catalog.dropTempView)
+        // drain listener events before reading (listenerBus is
+        // private[spark]; a short sleep suffices for a dev probe)
+        Thread.sleep(300)
+        import scala.jdk.CollectionConverters._
+        val all = done.asScala.toSeq.sortBy(_._1)
+        println(f"[probe] $n rep$rep wall ${wall}%.3f s jobs=${all.size} " +
+          f"jobSum=${all.map(_._2).sum}%.3f s")
+        if (rep == 3) all.foreach { case (id, s, site) =>
+          println(f"[probe]   job$id%-5d ${s}%7.3f s  $site")
+        }
+      }
+    }
+    spark.stop()
+    sys.exit(0)
+  }
+}

@@ -202,10 +202,20 @@ object FrontierStream {
     // CollectMetrics populates under localCheckpoint with no listener
     // and no extra job); non-local Materialize modes run the cut
     // through their own execution, so keep the exact count fallback
+    // job labels (guide-style setJobDescription): the replay's ~16
+    // micro-jobs per tick were unattributable in the UI/profilers —
+    // every one inherited the stream-start call site
+    val sc = spark.sparkContext
+    def labeled[A](tag: String)(f: => A): A = {
+      sc.setJobDescription(s"frontierBatch[$batchId]: $tag")
+      try f finally sc.setJobDescription(null)
+    }
     val built = graft.operators.Frontier.build(
       seeds, urlCol, seen, "surt", robots, hostCol, bodyCol, agent)
       .observe("graft_frontier_n", count(lit(1)).as("n"))
-    val frontier = graft.operators.Materialize(built)
+    val frontier = labeled("frontier cut") {
+      graft.operators.Materialize(built)
+    }
     def frontierCount(): Long = {
       val mm = built.queryExecution.observedMetrics
       if (mm.isEmpty) frontier.count()
@@ -216,18 +226,19 @@ object FrontierStream {
           frontier("surt") === capturePlan("__psurt"))
         .select("warc_file", "offset", "length", "host", "slot",
           "not_before_s")
-      val (recs, _, releaseFetch) = graft.sources.Warc
-        .fetchScheduledReleasable(
+      val (recs, _, releaseFetch) = labeled("fetch cut") {
+        graft.sources.Warc.fetchScheduledReleasable(
           spark, resolved, baseDir, maxPayloadBytes, paceWallClock)
+      }
       try {
-        graft.sources.ManifestedSink.appendBatch(
+        labeled("manifest landing") { graft.sources.ManifestedSink.appendBatch(
           recs.select(graft.sources.Warc.scheduledRecordSchema
               .fieldNames.map(col).toSeq: _*)
             .withColumn("batch_id", lit(batchId)),
           recordsDir, graft.sources.Warc.manifestDir(recordsDir),
           cols = Seq("target_uri", "warc_type"),
           bloomCols = Seq("record_id"),
-          batchId = batchId)
+          batchId = batchId) }
         discover.foreach { f =>
           val parts = graft.sources.Warc.httpParts(
             recs.filter(col("warc_type") === "response"))
@@ -247,8 +258,10 @@ object FrontierStream {
                 col("http_location")).as("url"),
               col("target_uri").cast("string").as("src_url"))
             .filter(col("url") =!= "")
-          f(graft.operators.Frontier.discoveredLinks(
-            pages, "target_uri", "http_body").union(redirects))
+          labeled("link discovery") {
+            f(graft.operators.Frontier.discoveredLinks(
+              pages, "target_uri", "http_body").union(redirects))
+          }
         }
       }
       // the landing (and discovery) fully consumed the fetch cut; drop
@@ -265,7 +278,17 @@ object FrontierStream {
           .join(lm, Seq("surt"), "left")
           .select(col("surt"), col("__lm").as("lastmod"))
       }
-      stateRows.write.mode("overwrite").parquet(s"$stateDir/batch_id=$batchId")
+      // One file per batch (the BudgetGate state discipline): readSeen
+      // merges every batch's files forever, so per-shuffle-partition
+      // near-empty shards compound the state dir's file count — and
+      // each extra file is a commit-protocol rename on the state FS
+      // per tick. SURT keys are ~9 B/row parquet-compressed (the
+      // round-19 crawl-loop probe: 3.8 MB at the 100× point), so one
+      // file per batch stays well inside the healthy size band.
+      labeled("state commit") {
+        stateRows.coalesce(1)
+          .write.mode("overwrite").parquet(s"$stateDir/batch_id=$batchId")
+      }
       frontierCount()
       // hard release (batch-scoped): the state write was the last read
     } finally graft.operators.Materialize.releaseHard(frontier)

@@ -388,7 +388,13 @@ private[graft] object SigGate {
         compactDf.join(broadcast(rejectedDf),
             compactDf("doc_id") === rejectedDf("id"), "left_anti")
           .withColumn("keeper", col("doc_id"))
-    writeState(stateOut, batchId, stateDir)
+    // driver-resolved batches are small by the cap that routed them
+    // here: commit ONE state file per batch instead of a near-empty
+    // shard per shuffle partition (readState merges every batch's
+    // files forever, and each extra file is a commit-protocol rename
+    // per tick). The distributed path keeps default partitioning —
+    // its batches can be arbitrarily large.
+    writeState(stateOut.coalesce(1), batchId, stateDir)
     Some(accepted)
   }
 
