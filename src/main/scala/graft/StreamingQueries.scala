@@ -530,7 +530,9 @@ object StreamingQueries {
       replay.add(evs.filter(col("event_id") % 2 =!= 0))
       q.processAllAvailable()
     } finally q.stop()
-    graft.streaming.AggStream.serve(s, stateDir, Seq("event_type"))
+    graft.streaming.AggStream.serve(s, stateDir, Seq("event_type"),
+        schema = Some(graft.streaming.AggStream.partialsStateSchema(
+          evs.schema, Seq("event_type"))))
       .select(col("event_type"), col("n").cast("long").as("n"),
         col("sum_value").cast("double").as("sum_value"))
   }
@@ -726,6 +728,9 @@ object StreamingQueries {
     val lineOut = graft.streaming.Scratch.tmpDir("graft_dinc_line")
     val replay = new graft.streaming.FileReplay(s, evs.schema)
     replay.add(evs.filter(col("event_id") % 2 === 0))
+    // declared serve schema: skips two footer inferences per tick
+    val stateSchema = graft.streaming.AggStream.combinedStateSchema(
+      evs.schema, Seq("user_id", "event_type"), Seq("ts", "event_id"), "value")
     s.conf.set(key, s.conf.get("spark.graft.streaming.shufflePartitions", "8"))
     var q: org.apache.spark.sql.streaming.StreamingQuery = null
     try {
@@ -745,7 +750,8 @@ object StreamingQueries {
             cached.select("event_type", "ts", "value", "event_id")
               .write.mode("append").parquet(lineOut)
             // tick cost 2: serve the dashboards from STATE, not history
-            graft.streaming.AggStream.serve(s, state, Seq("event_type"))
+            graft.streaming.AggStream.serve(s, state, Seq("event_type"),
+              schema = Some(stateSchema))
               .select(col("event_type"),
                 graft.functions.Det.round(
                   col("sum_value").cast("double") / col("n"), 2)
@@ -754,7 +760,7 @@ object StreamingQueries {
             val latest = graft.streaming.AggStream.serveLatest(
               s, state,
               Seq("user_id", "event_type"), Seq("ts", "event_id"),
-              Seq("value"))
+              Seq("value"), schema = Some(stateSchema))
             val info = when(col("value").isNotNull,
                 concat(col("event_type"), lit(": "),
                   col("value").cast("string")))

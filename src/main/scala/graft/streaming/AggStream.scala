@@ -59,15 +59,56 @@ object AggStream {
   /** Serving path: per-group exact `(n, sum_value)` over ALL
     * committed partials — scans only the partials table. DECIMAL
     * throughout the merge; callers cast/round at the edge.
+    *
+    * `schema`: the state table's schema when the caller knows it
+    * (see [[partialsStateSchema]]/[[combinedStateSchema]]) — skips
+    * the per-serve parquet footer inference, one driver round-trip
+    * per dashboard tick (round 19; the declared-state-schema
+    * discipline of the gate readers).
     */
   def serve(
       spark: SparkSession,
       stateDir: String,
-      groupCols: Seq[String]): DataFrame =
-    spark.read.parquet(stateDir)
+      groupCols: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val reader = schema.fold(spark.read)(s => spark.read.schema(s))
+    reader.parquet(stateDir)
       .groupBy(groupCols.map(col): _*)
       .agg(sum(col("cnt")).as("n"),
         sum(col("sum_partial")).as("sum_value"))
+  }
+
+  /** The state-table schema [[appendPartials]] commits, derived from
+    * the batch schema — thread into [[serve]] to skip per-serve
+    * footer inference. Includes the `batch_id` partition column.
+    */
+  def partialsStateSchema(
+      batchSchema: org.apache.spark.sql.types.StructType,
+      groupCols: Seq[String]): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(
+      groupCols.map(c => batchSchema(c).copy(nullable = true)) ++ Seq(
+        StructField("cnt", LongType),
+        StructField("sum_partial", DecimalType(28, 2)),
+        StructField("batch_id", LongType)))
+  }
+
+  /** The state-table schema [[appendCombinedPartials]] commits —
+    * thread into [[serve]]/[[serveLatest]] over a combined table.
+    */
+  def combinedStateSchema(
+      batchSchema: org.apache.spark.sql.types.StructType,
+      groupCols: Seq[String],
+      ordCols: Seq[String],
+      valueCol: String): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(
+      (groupCols ++ ordCols :+ valueCol)
+        .map(c => batchSchema(c).copy(nullable = true)) ++ Seq(
+        StructField("cnt", LongType),
+        StructField("sum_partial", DecimalType(28, 2)),
+        StructField("batch_id", LongType)))
+  }
 
   /** One micro-batch step of the LATEST-STATE sibling: per-group
     * `max_by(payload, ord)` partial for `batch`, committed
@@ -139,9 +180,11 @@ object AggStream {
       stateDir: String,
       groupCols: Seq[String],
       ordCols: Seq[String],
-      payloadCols: Seq[String]): DataFrame = {
+      payloadCols: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     val all = ordCols ++ payloadCols
-    spark.read.parquet(stateDir)
+    val reader = schema.fold(spark.read)(s => spark.read.schema(s))
+    reader.parquet(stateDir)
       .groupBy(groupCols.map(col): _*)
       .agg(max_by(struct(all.map(col): _*), struct(ordCols.map(col): _*))
         .as("__l"))
