@@ -128,6 +128,44 @@ object Manifest {
     withEmptyFiles(spark, stats, files.getOrElse(listedFiles(spark, dir)))
   }
 
+  /** [[buildWithBlooms]] for an EXPLICIT file list, returned as
+    * COLLECTED rows `(schema, rows)` instead of a DataFrame — the
+    * [[ManifestedSink]] per-batch stats pass (round 20). The
+    * DataFrame form executes the stats aggregate TWICE per batch:
+    * once inside [[withEmptyFiles]]'s covered-file collect and again
+    * when the manifest rewrite plan runs; here the aggregate runs
+    * exactly once and the zero-row-shell padding happens on the
+    * already-collected rows (file-count-sized, the same bound every
+    * manifest consult carries).
+    */
+  private[sources] def buildWithBloomsRows(
+      spark: SparkSession,
+      cols: Seq[String],
+      bloomCols: Seq[String],
+      expectedPerFile: Long,
+      fpp: Double,
+      files: Seq[String]): (org.apache.spark.sql.types.StructType, Seq[org.apache.spark.sql.Row]) = {
+    require(bloomCols.nonEmpty, "buildWithBlooms needs at least one bloom column")
+    val numBits = graft.operators.BloomJoin.optimalNumBits(expectedPerFile, fpp)
+    def fileBloom(c: String): Column = Bridge.column(new BloomFilterAggregate(
+      Bridge.expression(when(col(c).isNotNull, xxhash64(col(c)))),
+      Literal(expectedPerFile), Literal(numBits)).toAggregateExpression())
+    val stats = spark.read.parquet(files: _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        (cols.flatMap(c =>
+          Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
+          bloomCols.map(c => fileBloom(c).as(s"bloom_$c"))): _*)
+    val rows = stats.collect().toSeq
+    val covered = rows.map(r => normalize(r.getString(0))).toSet
+    val shells = files.filterNot(f => covered(normalize(f))).map { f =>
+      org.apache.spark.sql.Row.fromSeq(
+        f +: 0L +: Seq.fill(stats.schema.length - 2)(null))
+    }
+    (stats.schema, rows ++ shells)
+  }
+
   /** Read only the files that can contain `col = value` for every
     * entry of `eqs`: zone admission (when `min_/max_` columns exist
     * in the manifest) AND bloom admission (when a `bloom_` column

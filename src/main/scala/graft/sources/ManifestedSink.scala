@@ -41,6 +41,63 @@ object ManifestedSink {
   private def fsOf(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
 
+  // ---- driver-side survivor-manifest cache (round 20) ----
+  // appendBatch used to re-read and re-collect the live manifest every
+  // micro-batch: one parquet footer inference + one collect job per
+  // tick, plus a manifest REWRITE plan that re-read the live parquet —
+  // per-tick driver latency the crawl-loop decomposition measured as
+  // the suite's biggest unattacked cost (round-19 verdict item 1).
+  // The cache keeps the collected manifest rows between ticks, keyed
+  // by manifest dir. CRASH-SAFE INVALIDATION: every use is guarded by
+  // a fingerprint of the live manifest dir's (name, mtime, length)
+  // listing — one fs listing, no Spark job — and manifest publishes
+  // write uniquely-named part files, so ANY out-of-band rewrite
+  // (another process, a crash-recovered stage promotion, a test
+  // poking at the dir) misses the fingerprint and falls back to the
+  // parquet read. The cache is only ever WRITTEN after a successful
+  // publish, from the exact rows just published.
+  private final case class CachedManifest(
+      fingerprint: Set[(String, Long, Long)],
+      schema: org.apache.spark.sql.types.StructType,
+      rows: Seq[org.apache.spark.sql.Row],
+      bytes: Long)
+
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, CachedManifest]()
+
+  // Bloom blobs dominate row size (~120 KB/file at default sizing), so
+  // the cache is BYTE-capped, not row-capped: past the cap the entry
+  // is dropped and every tick re-reads from parquet (the pre-round-20
+  // behavior) rather than browning out the driver.
+  private val cacheMaxBytesKey = "spark.graft.manifest.cacheMaxBytes"
+  private val defaultCacheMaxBytes = 256L << 20
+
+  private def manifestFingerprint(
+      fs: FileSystem, manifestDir: String): Set[(String, Long, Long)] = {
+    val p = new Path(manifestDir)
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      .map(s => (s.getPath.getName, s.getModificationTime, s.getLen)).toSet
+  }
+
+  private def rowBytes(r: org.apache.spark.sql.Row): Long = {
+    var b = 64L
+    var i = 0
+    while (i < r.length) {
+      r.get(i) match {
+        case a: Array[Byte] => b += a.length
+        case s: String => b += 2L * s.length
+        case _ => b += 16L
+      }
+      i += 1
+    }
+    b
+  }
+
+  /** Test/ops hook: drop every cached manifest (a fresh JVM state). */
+  private[graft] def invalidateManifestCache(): Unit = manifestCache.clear()
+
   private def dataFiles(fs: FileSystem, dir: Path): Set[String] =
     if (!fs.exists(dir)) Set.empty
     else fs.listStatus(dir).toSeq
@@ -67,6 +124,15 @@ object ManifestedSink {
 
   /** Append one micro-batch under the manifest transaction (the
     * foreachBatch body; idempotent per `batchId`).
+    *
+    * Per-tick cost since round 20: ONE fs listing validates the
+    * driver-cached manifest rows (cache miss → one parquet read +
+    * collect, the old cost), one stats job over the NEW files only
+    * (collected once — the DataFrame form executed it twice), and a
+    * LOCAL-RELATION manifest rewrite (the old rewrite plan re-read
+    * the live manifest parquet every batch). Semantics unchanged:
+    * recovery, idempotent replay, and the staged-publish rename are
+    * byte-for-byte the same transaction.
     */
   def appendBatch(
       batch: DataFrame,
@@ -80,17 +146,32 @@ object ManifestedSink {
     val spark = batch.sparkSession
     val fs = fsOf(spark, dir)
     val dirPath = new Path(dir)
+    val mfs = fsOf(spark, manifestDir)
 
     // ---- recovery: the manifest is the truth ----
     // survivors = committed batches other than this one; everything
     // else in the directory (uncommitted orphans from a crash before
     // manifest publish, or a previous complete attempt of THIS batch
     // whose checkpoint commit never landed) is swept before re-apply
-    val prior = readManifest(spark, manifestDir)
-    val survivors = prior.map(_.filter(col("batch_id") =!= batchId))
-    val survivorFiles = survivors.map(
-      _.select("file").collect().map(r =>
-        new Path(r.getString(0)).toUri.getPath).toSet).getOrElse(Set.empty)
+    val prior: Option[(org.apache.spark.sql.types.StructType,
+        Seq[org.apache.spark.sql.Row])] =
+      Option(manifestCache.get(manifestDir))
+        .filter(_.fingerprint == manifestFingerprint(mfs, manifestDir)) match {
+        case Some(c) => Some((c.schema, c.rows))
+        case None =>
+          manifestCache.remove(manifestDir)
+          readManifest(spark, manifestDir).map(m => (m.schema, m.collect().toSeq))
+      }
+    val survivors = prior.map { case (sch, rows) =>
+      val bi = sch.fieldIndex("batch_id")
+      // null-batch_id rows drop exactly as the old `=!= batchId`
+      // Column filter dropped them
+      (sch, rows.filter(r => !r.isNullAt(bi) && r.getLong(bi) != batchId))
+    }
+    val survivorFiles = survivors.map { case (sch, rows) =>
+      val fi = sch.fieldIndex("file")
+      rows.map(r => new Path(r.getString(fi)).toUri.getPath).toSet
+    }.getOrElse(Set.empty[String])
     (dataFiles(fs, dirPath) -- survivorFiles).foreach { f =>
       fs.delete(new Path(f), false)
     }
@@ -100,27 +181,50 @@ object ManifestedSink {
     val newFiles = (dataFiles(fs, dirPath) -- survivorFiles).toSeq.sorted
     val stats =
       if (newFiles.isEmpty) None
-      else Some(Manifest.buildWithBlooms(
-          spark, dir, cols, bloomCols, expectedPerFile, fpp,
-          files = Some(newFiles))
-        .withColumn("batch_id", lit(batchId)))
+      else {
+        val (sch, rows) = Manifest.buildWithBloomsRows(
+          spark, cols, bloomCols, expectedPerFile, fpp, newFiles)
+        Some((sch.add(org.apache.spark.sql.types.StructField(
+            "batch_id", org.apache.spark.sql.types.LongType, nullable = false)),
+          rows.map(r => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ batchId))))
+      }
 
     // ---- publish: staged write + rename (crash-safe) ----
     val next = (survivors, stats) match {
-      case (Some(s), Some(n)) => s.unionByName(n)
+      case (Some((ss, sr)), Some((ns, nr))) =>
+        // unionByName on local rows: align the new rows to the
+        // survivor schema's field order (same field set whenever the
+        // live manifest was written by this sink with these columns)
+        require(ss.fieldNames.toSet == ns.fieldNames.toSet,
+          s"manifest column drift at $manifestDir: live manifest has " +
+            s"[${ss.fieldNames.mkString(",")}], this batch builds " +
+            s"[${ns.fieldNames.mkString(",")}] — rebuild the manifest " +
+            "before appending with changed cols/bloomCols")
+        val idx = ss.fieldNames.map(ns.fieldIndex).toSeq
+        (ss, sr ++ nr.map(r => org.apache.spark.sql.Row.fromSeq(idx.map(r.get))))
       case (Some(s), None)    => s
       case (None, Some(n))    => n
       case (None, None)       => return
     }
-    val mfs = fsOf(spark, manifestDir)
     val live = new Path(manifestDir)
     val stage = new Path(manifestDir + ".stage")
     if (mfs.exists(stage)) mfs.delete(stage, true)
-    // the stage write executes the plan while the live manifest it
-    // reads still exists; only then is live swapped out
-    next.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    // local-relation write: the rows are already on the driver, so
+    // the stage write never re-reads the live manifest
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(next._2.asJava, next._1)
+      .coalesce(1).write.mode("overwrite").parquet(stage.toString)
     if (mfs.exists(live)) mfs.delete(live, true)
     mfs.rename(stage, live)
+    // cache the just-published truth for the next tick (byte-capped)
+    val maxBytes = spark.conf.getOption(cacheMaxBytesKey).map(_.toLong)
+      .getOrElse(defaultCacheMaxBytes)
+    val bytes = next._2.iterator.map(rowBytes).sum
+    if (bytes <= maxBytes)
+      manifestCache.put(manifestDir, CachedManifest(
+        manifestFingerprint(mfs, manifestDir), next._1, next._2, bytes))
+    else manifestCache.remove(manifestDir)
+    ()
   }
 
   /** Snapshot-as-of read: the table as it stood after `maxBatchId`

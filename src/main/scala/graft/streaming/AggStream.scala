@@ -33,6 +33,18 @@ import org.apache.spark.sql.types.DecimalType
   */
 object AggStream {
 
+  /** The summed measure's input cast type and its Spark sum-widened
+    * partial type (+10 precision — Spark's DECIMAL sum widening),
+    * shared by the appendPartials/appendCombinedPartials casts AND
+    * the declared state schemas so writer and declared reader can
+    * never drift (round-19 advice: a hardcoded DECIMAL(28,2) schema
+    * next to a DECIMAL(18,2) cast fails at scan time if either side
+    * ever changes alone).
+    */
+  private[graft] val partialInputDecimal = DecimalType(18, 2)
+  private[graft] val partialSumDecimal =
+    DecimalType(partialInputDecimal.precision + 10, partialInputDecimal.scale)
+
   /** Idempotent partition commit: full overwrite of
     * `stateDir/batch_id=<id>`. The df must NOT carry a `batch_id`
     * column (partition discovery derives it from the dir name).
@@ -53,7 +65,7 @@ object AggStream {
     commitPartition(
       batch.groupBy(groupCols.map(col): _*)
         .agg(count(lit(1)).as("cnt"),
-          sum(col(valueCol).cast(DecimalType(18, 2))).as("sum_partial")),
+          sum(col(valueCol).cast(partialInputDecimal)).as("sum_partial")),
       stateDir, batchId)
 
   /** Serving path: per-group exact `(n, sum_value)` over ALL
@@ -89,7 +101,7 @@ object AggStream {
     StructType(
       groupCols.map(c => batchSchema(c).copy(nullable = true)) ++ Seq(
         StructField("cnt", LongType),
-        StructField("sum_partial", DecimalType(28, 2)),
+        StructField("sum_partial", partialSumDecimal),
         StructField("batch_id", LongType)))
   }
 
@@ -106,7 +118,7 @@ object AggStream {
       (groupCols ++ ordCols :+ valueCol)
         .map(c => batchSchema(c).copy(nullable = true)) ++ Seq(
         StructField("cnt", LongType),
-        StructField("sum_partial", DecimalType(28, 2)),
+        StructField("sum_partial", partialSumDecimal),
         StructField("batch_id", LongType)))
   }
 
@@ -163,7 +175,7 @@ object AggStream {
       batch.groupBy(groupCols.map(col): _*)
         .agg(
           count(lit(1)).as("cnt"),
-          sum(col(valueCol).cast(DecimalType(18, 2))).as("sum_partial"),
+          sum(col(valueCol).cast(partialInputDecimal)).as("sum_partial"),
           max_by(struct(all.map(col): _*), struct(ordCols.map(col): _*))
             .as("__l"))
         .select(groupCols.map(col) ++ all.map(c => col(s"__l.$c"))

@@ -42,7 +42,10 @@ import org.apache.spark.sql.types.StructType
 final class FileReplay(spark: SparkSession, schema: StructType) {
   // Exit-swept ([[Scratch.register]]): the staged batches are
   // corpus-sized and used to outlive the process (round-13 ADVICE).
-  val dir: String = Scratch.tmpDir("graft_replay_src")
+  // On tmpfs since round 20 ([[Scratch.replayDir]] — staging writes,
+  // publish renames and busy-poll listings are harness latency, not
+  // engine cost; `spark.graft.replay.onDisk=true` opts out).
+  val dir: String = Scratch.replayDir(spark)
 
   /** The streaming frame to build the query on. Nullability is
     * relaxed on every field: parquet round-trips drop nullability
@@ -77,8 +80,8 @@ final class FileReplay(spark: SparkSession, schema: StructType) {
     // Staged NEXT TO the source dir: Files.move with ATOMIC_MOVE
     // requires same-filesystem, and /tmp vs the source dir's mount
     // must not be assumed.
-    val staging = java.nio.file.Files.createTempDirectory(
-      java.nio.file.Paths.get(dir).getParent, "graft_replay_stage")
+    val staging = Scratch.register(java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(dir).getParent, "graft_replay_stage"))
     df.write.mode("overwrite").parquet(staging.toString)
     val any = always || stagedRowCount(staging) > 0L
     if (any)

@@ -180,7 +180,12 @@ object NearDupGate {
       probe = probe,
       compact = Some(cut),
       driverVerify = Some(Dedup.estJaccardPassDriver(n, threshold)),
-      starPairs = starNow)
+      starPairs = starNow,
+      // per-doc banding for the driver fast path's collect: the SAME
+      // lshBands expression bandExplode exploded, so buckets match
+      // bit-for-bit while each 64-lane sig ships once, not ×bands
+      compactBanded = Some(cut.select(col("doc_id"), col("sig"),
+        Dedup.lshBands(col("sig"), bands, n / bands).as("__bb"))))
   }
 
   /** The streaming gate: accepted docs land in

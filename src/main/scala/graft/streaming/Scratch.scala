@@ -65,8 +65,34 @@ object Scratch {
   /** A fresh checkpoint directory on tmpfs when available. */
   def ckptDir(prefix: String = "graft_ckpt"): String =
     register(
-      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
+      if (shmUsable)
         java.nio.file.Files.createTempDirectory(shm, prefix)
       else
         java.nio.file.Files.createTempDirectory(prefix)).toString
+
+  private def shmUsable: Boolean =
+    java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)
+
+  /** A fresh exit-swept REPLAY-SOURCE directory (round 20 — the
+    * round-19 verdict's crawl-loop item): tmpfs when available, so
+    * the [[FileReplay]] harness's per-tick staging write + atomic
+    * publish rename + the running query's busy-poll source listings
+    * stop paying disk fsync latency that the ENGINE under measurement
+    * never causes (production streams read Kafka/object-store sources
+    * in place; the staged feed exists only to drive replays). This is
+    * harness INPUT, not engine state — state tables, accepted outputs
+    * and checkpointed cuts stay disk-backed per the data-placement
+    * policy above. Opt out (corpus-scale probes on a small-/dev/shm
+    * box) with `spark.graft.replay.onDisk=true`.
+    */
+  def replayDir(spark: org.apache.spark.sql.SparkSession,
+      prefix: String = "graft_replay_src"): String = {
+    val onDisk = spark.conf.getOption("spark.graft.replay.onDisk")
+      .exists(_.toBoolean)
+    register(
+      if (!onDisk && shmUsable)
+        java.nio.file.Files.createTempDirectory(shm, prefix)
+      else
+        java.nio.file.Files.createTempDirectory(prefix)).toString
+  }
 }

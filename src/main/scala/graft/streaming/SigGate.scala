@@ -80,6 +80,13 @@ private[graft] object SigGate {
   private val defaultPairsCap = 1L << 18
   private val defaultBandRowsCap = 1L << 22
 
+  /** Spec hook: batches resolved on the driver this JVM — parity
+    * tests assert the fast path actually ENGAGED, so a silently
+    * declining route can never make driver-vs-distributed comparisons
+    * vacuous (round-19 advice).
+    */
+  private[graft] val driverResolved = new java.util.concurrent.atomic.AtomicLong
+
   /** One micro-batch acceptance step over pre-banded signatures.
     *
     * @param bandedSigs this batch's `(doc_id, sig, band, bucket)`
@@ -107,6 +114,21 @@ private[graft] object SigGate {
     * @param starPairs  whether `intraPairs` is the hub-star form (the
     *                   driver replica generates hub candidates per
     *                   bucket instead of all pairs)
+    * @param compactBanded the PER-DOC banded projection
+    *                   `(doc_id, sig, __bb array<struct<band,bucket>>)`
+    *                   when the caller can build one off its compact
+    *                   cut (round 20 — the round-19 advice's
+    *                   byte-bound): the driver fast path then collects
+    *                   each doc's signature ONCE instead of ×bands
+    *                   copies through the exploded banded frame — for
+    *                   64-lane array signatures that is ~16× fewer
+    *                   collected bytes, which is what actually bounds
+    *                   driver heap (bandRowsCap bounds ROWS). The
+    *                   `__bb` values must be the same banding
+    *                   expression `bandedSigs` exploded, so the
+    *                   candidate set is identical by construction.
+    *                   Scalar-signature gates (40-byte banded rows)
+    *                   can keep None
     * @return the accepted subset of `batch`; commits this batch's
     *         signature rows (accepted-only, or all keeper-tagged when
     *         `exact`) under `stateDir/batch_id=batchId`
@@ -124,7 +146,8 @@ private[graft] object SigGate {
       probe: Option[Dedup.SigEst] = None,
       compact: Option[DataFrame] = None,
       driverVerify: Option[(Any, Any) => Boolean] = None,
-      starPairs: Boolean = false): DataFrame = {
+      starPairs: Boolean = false,
+      compactBanded: Option[DataFrame] = None): DataFrame = {
     val spark = batch.sparkSession
     val compactDf = compact.getOrElse(
       bandedSigs.select(col("doc_id"), col("sig")).dropDuplicates("doc_id"))
@@ -149,7 +172,8 @@ private[graft] object SigGate {
       if (small)
         acceptBatchDriver(batch, batchId, idCol, bandedSigs, state, matchCond,
           stateDir, exact, compactDf, idType, driverVerify.get, starPairs,
-          hardPairsCap = math.max(pairsCap * 4, 1L << 20))
+          hardPairsCap = math.max(pairsCap * 4, 1L << 20),
+          compactBanded = compactBanded)
       else None
     driverResult.getOrElse(
       acceptBatchDistributed(batch, batchId, idCol, bandedSigs, state,
@@ -248,30 +272,81 @@ private[graft] object SigGate {
       idType: org.apache.spark.sql.types.DataType,
       verify: (Any, Any) => Boolean,
       starPairs: Boolean,
-      hardPairsCap: Long): Option[DataFrame] = {
+      hardPairsCap: Long,
+      compactBanded: Option[DataFrame]): Option[DataFrame] = {
     import org.apache.spark.sql.types._
     import scala.jdk.CollectionConverters._
     val spark = batch.sparkSession
     val ord: Ordering[Any] = idType match {
-      case StringType => Ordering.String.on[Any](_.asInstanceOf[String])
+      // UTF-8 byte order, unsigned — UTF8String.compareTo's binary
+      // order, which is what the distributed min()/min_by hub/root
+      // selection uses; java.lang.String's UTF-16 order diverges for
+      // supplementary characters (round-19 advice)
+      case StringType => new Ordering[Any] {
+        def compare(a: Any, b: Any): Int = {
+          val ba = a.asInstanceOf[String]
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val bb = b.asInstanceOf[String]
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          var i = 0
+          val n = math.min(ba.length, bb.length)
+          while (i < n) {
+            val d = (ba(i) & 0xFF) - (bb(i) & 0xFF)
+            if (d != 0) return d
+            i += 1
+          }
+          ba.length - bb.length
+        }
+      }
       case _ => Ordering.Long.on[Any](_.asInstanceOf[Number].longValue)
     }
-    // job 1: the banded rows (collect size bounded by the probe's
-    // bandRows lane that routed us here)
-    val bandRows = bandedSigs
-      .select(col("doc_id"), col("sig"), col("band"), col("bucket"))
-      .collect()
-    // bucket groups — the exact (band, bucket) values the distributed
-    // self-join would equi-join on, so the candidate set is identical
-    // by construction (collisions included)
+    // job 1: the batch's signatures + band/bucket values. Preferred
+    // form: the caller's per-doc compactBanded projection — each sig
+    // collects ONCE with its banding array (÷bands bytes vs the
+    // exploded frame; the byte bound behind bandRowsCap's row bound).
+    // Fallback: the exploded banded rows (scalar-sig gates). Either
+    // way the (band, bucket) values are the exact values the
+    // distributed self-join would equi-join on, so the candidate set
+    // is identical by construction (collisions included).
     val docSig = scala.collection.mutable.HashMap.empty[Any, Any]
     val groups = scala.collection.mutable.HashMap
       .empty[(Any, Any), scala.collection.mutable.ArrayBuffer[Any]]
-    bandRows.foreach { row =>
-      val id = row.get(0)
-      docSig.update(id, row.get(1))
-      groups.getOrElseUpdate((row.get(2), row.get(3)),
-        scala.collection.mutable.ArrayBuffer.empty[Any]) += id
+    var sawNullId = false
+    compactBanded match {
+      case Some(cb) =>
+        cb.collect().foreach { row =>
+          val id = row.get(0)
+          if (id == null) sawNullId = true
+          else {
+            docSig.update(id, row.get(1))
+            row.getSeq[org.apache.spark.sql.Row](2).foreach { b =>
+              groups.getOrElseUpdate((b.get(0), b.get(1)),
+                scala.collection.mutable.ArrayBuffer.empty[Any]) += id
+            }
+          }
+        }
+      case None =>
+        bandedSigs
+          .select(col("doc_id"), col("sig"), col("band"), col("bucket"))
+          .collect().foreach { row =>
+            val id = row.get(0)
+            if (id == null) sawNullId = true
+            else {
+              docSig.update(id, row.get(1))
+              groups.getOrElseUpdate((row.get(2), row.get(3)),
+                scala.collection.mutable.ArrayBuffer.empty[Any]) += id
+            }
+          }
+    }
+    if (sawNullId) {
+      // a null id NPEs local min/union-find, and the distributed path
+      // defines null semantics through join predicates (nulls never
+      // pair, exact-mode state drops them) — route out-of-contract
+      // batches there instead of replicating null algebra here
+      org.slf4j.LoggerFactory.getLogger("graft.SigGate").warn(
+        "driver-resolve: null doc_id in batch — falling back to the " +
+          "distributed resolution for this batch")
+      return None
     }
     val cand = scala.collection.mutable.HashSet.empty[(Any, Any)]
     var overflow = false
@@ -395,6 +470,7 @@ private[graft] object SigGate {
     // per tick). The distributed path keeps default partitioning —
     // its batches can be arbitrarily large.
     writeState(stateOut.coalesce(1), batchId, stateDir)
+    driverResolved.incrementAndGet()
     Some(accepted)
   }
 

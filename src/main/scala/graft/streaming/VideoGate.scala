@@ -154,6 +154,10 @@ object VideoGate {
       probe = probe,
       compact = Some(cut),
       driverVerify = Some(Dedup.estJaccardPassDriver(n, threshold)),
-      starPairs = starNow)
+      starPairs = starNow,
+      // sig-once-per-doc collect for the driver fast path — see
+      // NearDupGate.acceptBatch
+      compactBanded = Some(cut.select(col("doc_id"), col("sig"),
+        Dedup.lshBands(col("sig"), bands, rows).as("__bb"))))
   }
 }

@@ -111,6 +111,63 @@ class ManifestedSinkSpec extends SparkSpecBase {
     assert(none.columns.contains("k"))
   }
 
+  test("out-of-band manifest rewrite invalidates the driver cache (fingerprint guard)") {
+    val dir = tmp("msink_data"); val mdir = tmp("msink_meta")
+    ManifestedSink.appendBatch(batchDf(0, 32), dir, mdir, Seq("k"), Seq("k"), 0L)
+    // snapshot the batch-0 manifest, append batch 1 (cache now holds
+    // batches {0,1}), then restore the snapshot — simulating another
+    // process rolling the manifest back out-of-band
+    val snap = tmp("msink_snap")
+    val fs = new org.apache.hadoop.fs.Path(mdir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new org.apache.hadoop.fs.Path(mdir),
+      fs, new org.apache.hadoop.fs.Path(snap, "m"), false, true,
+      spark.sessionState.newHadoopConf())
+    ManifestedSink.appendBatch(batchDf(32, 64), dir, mdir, Seq("k"), Seq("k"), 1L)
+    fs.delete(new org.apache.hadoop.fs.Path(mdir), true)
+    fs.rename(new org.apache.hadoop.fs.Path(snap, "m"),
+      new org.apache.hadoop.fs.Path(mdir))
+    // the manifest (truth) now says only batch 0 committed — batch 1's
+    // files are orphans and MUST be swept by the next append; a stale
+    // cache would have kept cataloging them
+    ManifestedSink.appendBatch(batchDf(64, 96), dir, mdir, Seq("k"), Seq("k"), 2L)
+    val rows = spark.read.parquet(dir).select("k").as[Long].collect().toSet
+    assert(rows === ((0L until 32L) ++ (64L until 96L)).toSet,
+      "restored manifest must win over the in-JVM cache")
+    val m = ManifestedSink.readManifest(spark, mdir).get
+    assert(m.agg(sum("n_rows")).head.getLong(0) === 64L)
+  }
+
+  test("the cached and freshly-read manifest publish identical rows") {
+    val dir = tmp("msink_data"); val mdir = tmp("msink_meta")
+    ManifestedSink.appendBatch(batchDf(0, 32).repartition(2, col("k")),
+      dir, mdir, Seq("k"), Seq("k"), 0L)
+    ManifestedSink.appendBatch(batchDf(32, 64).repartition(2, col("k")),
+      dir, mdir, Seq("k"), Seq("k"), 1L) // cache-hit publish
+    val viaCache = ManifestedSink.readManifest(spark, mdir).get
+      .select("file", "n_rows", "min_k", "max_k", "batch_id")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    // same sequence with the cache wiped before every append
+    val dir2 = tmp("msink_data2"); val mdir2 = tmp("msink_meta2")
+    ManifestedSink.invalidateManifestCache()
+    ManifestedSink.appendBatch(batchDf(0, 32).repartition(2, col("k")),
+      dir2, mdir2, Seq("k"), Seq("k"), 0L)
+    ManifestedSink.invalidateManifestCache()
+    ManifestedSink.appendBatch(batchDf(32, 64).repartition(2, col("k")),
+      dir2, mdir2, Seq("k"), Seq("k"), 1L)
+    val viaDisk = ManifestedSink.readManifest(spark, mdir2).get
+      .select("file", "n_rows", "min_k", "max_k", "batch_id")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    def stripDir(s: Set[(String, Long, Long, Long, Long)]) =
+      s.map { case (f, n, lo, hi, b) =>
+        (f.substring(f.lastIndexOf('/') + 1).replaceAll("part-\\d+-[-0-9a-f]+", "part"),
+          n, lo, hi, b) }
+    assert(viaCache.size === viaDisk.size)
+    assert(stripDir(viaCache).map(t => (t._2, t._3, t._4, t._5))
+      === stripDir(viaDisk).map(t => (t._2, t._3, t._4, t._5)))
+  }
+
   test("real writeStream drive: the sink body commits per micro-batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val dir = tmp("msink_data"); val mdir = tmp("msink_meta")

@@ -44,6 +44,7 @@ class SigGateDriverResolveSpec extends SparkSpecBase {
       : (Seq[Set[Long]], Set[(Long, Long, Long)]) = {
     val prev = spark.conf.getOption(pairsCapKey)
     if (forceDistributed) spark.conf.set(pairsCapKey, "0")
+    val engagedBefore = graft.streaming.SigGate.driverResolved.get()
     try {
       val state = tmp("sgdr_state")
       val accepted = batches.zipWithIndex.map { case (b, id) =>
@@ -54,6 +55,15 @@ class SigGateDriverResolveSpec extends SparkSpecBase {
       val stateRows = NearDupGate.readState(spark, state)
         .select(col("doc_id"), col("keeper"), col("batch_id"))
         .as[(Long, Long, Long)].collect().toSet
+      // the comparison must never be distributed-vs-distributed
+      // vacuity: assert the routing actually went where forced
+      // (round-19 advice)
+      val engaged = graft.streaming.SigGate.driverResolved.get() - engagedBefore
+      if (forceDistributed)
+        assert(engaged === 0L, "forced-distributed run routed to the driver")
+      else
+        assert(engaged === batches.size.toLong,
+          s"fast path must engage on every batch (engaged $engaged)")
       (accepted, stateRows)
     } finally {
       prev match {
@@ -73,6 +83,34 @@ class SigGateDriverResolveSpec extends SparkSpecBase {
       // parity over empty rejected sets would prove nothing
       assert(accD.flatten.toSet.size < batches.map(_.count()).sum)
     }
+
+  test("a null doc_id declines the driver path and matches the distributed semantics") {
+    def run(forceDistributed: Boolean): (Set[Long], Long) = {
+      val prev = spark.conf.getOption(pairsCapKey)
+      if (forceDistributed) spark.conf.set(pairsCapKey, "0")
+      val engagedBefore = graft.streaming.SigGate.driverResolved.get()
+      try {
+        val state = tmp("sgdr_null")
+        val b = Seq(Some(10L) -> baseA, Some(11L) -> baseA,
+            Option.empty[Long] -> baseA, Some(20L) -> baseB)
+          .toDF("doc_id", "text")
+        val acc = NearDupGate.acceptBatch(b, 0L, "doc_id", "text", state)
+          .select("doc_id").filter(col("doc_id").isNotNull)
+          .as[Long].collect().toSet
+        (acc, graft.streaming.SigGate.driverResolved.get() - engagedBefore)
+      } finally {
+        prev match {
+          case Some(v) => spark.conf.set(pairsCapKey, v)
+          case None => spark.conf.unset(pairsCapKey)
+        }
+      }
+    }
+    val (accD, engaged) = run(forceDistributed = false)
+    val (accX, _) = run(forceDistributed = true)
+    assert(engaged === 0L, "null ids must fall back to the distributed path")
+    assert(accD === accX)
+    assert(accD === Set(10L, 20L))
+  }
 
   test("estJaccardPassDriver ≡ the Column form over the full lane-match lattice") {
     // every possible match count m ∈ [0, 64] — includes the HALF_UP
