@@ -140,6 +140,23 @@ object Frontier {
     * dedup counts them); duplicate listings of one page within one
     * body are file-order duplicates and also preserved.
     */
+  // Driver-layer cap for [[expandSitemaps]] (round 20 — the round-19
+  // verdict's item 4): sitemap LAYERS are sitemap-cardinality
+  // (thousands of rows per million pages — the operator scaladoc), so
+  // the per-depth frontier fits on the driver by domain shape; the
+  // cap bounds the collect anyway (take cap+1, overflow → the
+  // unchanged distributed loop from scratch) and 0 disables the
+  // driver form outright (parity specs force the distributed path
+  // this way).
+  private val sitemapDriverCapKey = "spark.graft.frontier.sitemapDriverCap"
+  private val defaultSitemapDriverCap = 1L << 20
+
+  /** Spec hook: driver-layer expansions this JVM — parity tests
+    * assert the fast path engaged (the SigGate counter discipline).
+    */
+  private[graft] val sitemapDriverExpanded =
+    new java.util.concurrent.atomic.AtomicLong
+
   def expandSitemaps(
       roots: DataFrame,
       urlCol: String,
@@ -148,10 +165,117 @@ object Frontier {
       xmlCol: String,
       maxDepth: Int): DataFrame = {
     require(maxDepth >= 0, "expandSitemaps: maxDepth must be >= 0")
+    val spark = roots.sparkSession
     val byKey = Materialize(bodies
       .select(Urls.surt(col(bodyUrlCol)).as("__sk"), col(xmlCol).as("__xml"))
       .filter(col("__sk") =!= "")
       .groupBy("__sk").agg(min(col("__xml")).as("__xml")))
+    val cap = spark.conf.getOption(sitemapDriverCapKey)
+      .map(_.toLong).getOrElse(defaultSitemapDriverCap)
+    val driven =
+      if (cap > 0)
+        expandSitemapsDriver(roots, urlCol, byKey, maxDepth,
+          math.min(cap, (Int.MaxValue - 2).toLong))
+      else None
+    driven.getOrElse {
+      if (cap > 0)
+        org.slf4j.LoggerFactory.getLogger("graft.Frontier").warn(
+          "expandSitemaps: a sitemap layer overran " +
+            s"$sitemapDriverCapKey=$cap — re-running the distributed " +
+            "expansion (raise the cap if sitemap frontiers really are " +
+            "this large)")
+      expandSitemapsDistributed(roots, urlCol, byKey, maxDepth)
+    }
+  }
+
+  /** The DRIVER-LAYER expansion (round 20): each depth's sitemap
+    * frontier — a set of SURT strings — is collected (one bounded
+    * take per depth, values Spark-computed) and the seen-set
+    * anti-join, the emptiness check, and the layer bookkeeping run
+    * locally; each page layer then joins the body cut against a
+    * BROADCAST local relation of its layer. That deletes the
+    * per-depth Materialize localCheckpoints, the anti-join chains,
+    * and the layer-cut releases — expansion costs ONE bounded job
+    * per depth over sitemap-cardinality rows. Output rows (url,
+    * from_surt, depth) are identical: the layer sets are the same
+    * distinct SURT values the distributed anti-joins would produce,
+    * and the page extraction is the same byKey join.
+    */
+  private def expandSitemapsDriver(
+      roots: DataFrame,
+      urlCol: String,
+      byKey: DataFrame,
+      maxDepth: Int,
+      cap: Long): Option[DataFrame] = {
+    val spark = roots.sparkSession
+    import scala.jdk.CollectionConverters._
+    def takeLayer(df: DataFrame): Option[Seq[String]] = {
+      val rows = df.limit(cap.toInt + 1).collect()
+      if (rows.length > cap) None
+      else Some(rows.toSeq.map(_.getString(0)))
+    }
+    def layerDf(surts: Seq[String]): DataFrame =
+      spark.createDataFrame(
+        surts.map(s => org.apache.spark.sql.Row(s)).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(
+            "__sk", org.apache.spark.sql.types.StringType, nullable = false))))
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    val rootLayer = takeLayer(roots
+      .select(Urls.surt(col(urlCol)).as("__sk"))
+      .filter(col("__sk") =!= "").distinct()) match {
+      case None => return None
+      case Some(l) => l
+    }
+    seen ++= rootLayer
+    var layer = rootLayer
+    val pageLayers = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var depth = 0
+    var done = false
+    while (!done) {
+      val fetched = byKey.join(broadcast(layerDf(layer)), Seq("__sk"))
+      // page layers stay LAZY, exactly as in the distributed form —
+      // the returned union reads one broadcast-join per depth off the
+      // body cut
+      pageLayers += fetched.select(
+        explode(sitemapPageLocs(col("__xml"))).as("url"),
+        col("__sk").as("from_surt"),
+        lit(depth).as("depth"))
+      if (depth == maxDepth) done = true
+      else {
+        val candidates = takeLayer(fetched
+          .select(explode(sitemapIndexLocs(col("__xml"))).as("__u"))
+          .select(Urls.surt(col("__u")).as("__sk"))
+          .filter(col("__sk") =!= "").distinct()) match {
+          case None => return None
+          case Some(c) => c
+        }
+        val next = candidates.filterNot(seen)
+        if (next.isEmpty) done = true
+        else {
+          seen ++= next
+          layer = next
+          depth += 1
+        }
+      }
+    }
+    sitemapDriverExpanded.incrementAndGet()
+    // same release discipline as the distributed form: soft-release
+    // the body cut (no-op in local mode; in persist mode the lazy
+    // page layers recompute through lineage if consumed late)
+    Materialize.release(byKey)
+    Some(pageLayers.reduce(_ union _))
+  }
+
+  /** The distributed expansion (the pre-round-20 form, unchanged):
+    * per-depth Materialize layer cuts, seen-layer anti-join chains,
+    * observe-metric emptiness probes.
+    */
+  private def expandSitemapsDistributed(
+      roots: DataFrame,
+      urlCol: String,
+      byKey: DataFrame,
+      maxDepth: Int): DataFrame = {
     val superseded = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     superseded += byKey // consumed by the eager per-depth cuts below
     try {

@@ -42,6 +42,97 @@ class AggStreamSpec extends SparkSpecBase {
     assert(served === direct) // exact, DECIMAL-string compare
   }
 
+  test("folding compaction: serve identical to unfolded, partitions bounded, replay + sweep crash-safe") {
+    val key = "spark.graft.streaming.partialsCompactEvery"
+    val prev = spark.conf.getOption(key)
+    def dirs(stateDir: String) =
+      new java.io.File(stateDir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+        .map(_.getName).toSet
+    def servedOf(stateDir: String) =
+      AggStream.serve(spark, stateDir, Seq("grp"))
+        .select(col("grp"), col("n"), col("sum_value").cast("string"))
+        .as[(String, Long, String)].collect().toSet
+    val batches = rows.grouped(600).toSeq // 10 batches
+    try {
+      // unfolded reference + folded run advance in lockstep so the
+      // serve can be compared INSIDE every fold-to-sweep window too
+      // (marker pruning must hide the not-yet-swept history)
+      val plain = java.nio.file.Files.createTempDirectory("agg_plain").toString
+      val folded = java.nio.file.Files.createTempDirectory("agg_fold").toString
+      val foldsBefore = AggStream.foldsPerformed.get()
+      batches.zipWithIndex.foreach { case (b, i) =>
+        spark.conf.set(key, "0")
+        AggStream.appendPartials(b.toDF("grp", "v"), i.toLong, plain, Seq("grp"), "v")
+        spark.conf.set(key, "3")
+        AggStream.appendPartials(b.toDF("grp", "v"), i.toLong, folded, Seq("grp"), "v")
+        assert(servedOf(folded) === servedOf(plain), s"divergence after batch $i")
+      }
+      assert(dirs(plain).size === 10)
+      val reference = servedOf(plain)
+      assert(AggStream.foldsPerformed.get() - foldsBefore >= 2L,
+        "folds must engage on a 10-batch stream at compactEvery=3")
+      assert(servedOf(folded) === reference)
+      assert(dirs(folded).size <= 5,
+        s"partition count must stay bounded, got ${dirs(folded)}")
+
+      // crash-replay of the LAST batch (idempotent overwrite): the
+      // fold/plain decision and the served totals must not change
+      AggStream.appendPartials(batches.last.toDF("grp", "v"), 9L, folded,
+        Seq("grp"), "v")
+      assert(servedOf(folded) === reference)
+
+      // next batch sweeps folded-away dirs and keeps serving exactly
+      AggStream.appendPartials(
+        Seq(("g0", 1.25)).toDF("grp", "v"), 10L, folded, Seq("grp"), "v")
+      AggStream.appendPartials(
+        Seq(("g0", 1.25)).toDF("grp", "v"), 10L, plain, Seq("grp"), "v")
+      assert(servedOf(folded) === servedOf(plain))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("folding compaction: combined table serves both surfaces exactly through folds") {
+    val key = "spark.graft.streaming.partialsCompactEvery"
+    val prev = spark.conf.getOption(key)
+    val evs = (1L to 900L).map(i =>
+      (s"u${i % 7}", s"t${i % 3}", i, (i % 50) + 0.25))
+    def append(stateDir: String)(b: Seq[(String, String, Long, Double)], id: Long) =
+      AggStream.appendCombinedPartials(
+        b.toDF("user", "etype", "eid", "v"), id, stateDir,
+        Seq("user", "etype"), Seq("eid"), "v")
+    def surfaces(stateDir: String) = {
+      val bar = AggStream.serve(spark, stateDir, Seq("etype"))
+        .select(col("etype"), col("n"), col("sum_value").cast("string"))
+        .as[(String, Long, String)].collect().toSet
+      val latest = AggStream.serveLatest(spark, stateDir,
+          Seq("user", "etype"), Seq("eid"), Seq("v"))
+        .select(col("user"), col("etype"), col("eid"), col("v"))
+        .as[(String, String, Long, Double)].collect().toSet
+      (bar, latest)
+    }
+    try {
+      spark.conf.set(key, "0")
+      val plain = java.nio.file.Files.createTempDirectory("aggc_plain").toString
+      evs.grouped(150).zipWithIndex.foreach { case (b, i) =>
+        append(plain)(b, i.toLong) }
+      spark.conf.set(key, "2")
+      val folded = java.nio.file.Files.createTempDirectory("aggc_fold").toString
+      evs.grouped(150).zipWithIndex.foreach { case (b, i) =>
+        append(folded)(b, i.toLong) }
+      assert(surfaces(folded) === surfaces(plain))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("serveTopK: exact leaderboard off the partials, ranked by merged sum") {
     val stateDir = java.nio.file.Files.createTempDirectory("agg_topk").toString
     AggStream.appendPartials(rows.take(3000).toDF("grp", "v"), 0L,

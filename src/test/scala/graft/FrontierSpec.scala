@@ -267,4 +267,56 @@ class FrontierSpec extends SparkSpecBase {
     assert(Frontier.expandSitemaps(variantRoots, "url", bodies,
       "sm_url", "xml", 2).count() === 3L)
   }
+
+  test("expandSitemaps: driver-layer form ≡ forced-distributed, and it engages") {
+    def idx(locs: String*): String =
+      "<sitemapindex>" + locs.map(u =>
+        s"<sitemap><loc>$u</loc></sitemap>").mkString + "</sitemapindex>"
+    def pages(locs: String*): String =
+      "<urlset>" + locs.map(u => s"<url><loc>$u</loc></url>").mkString +
+        "</urlset>"
+    val bodies = Seq(
+      ("https://a.test/root.xml",
+        idx("https://a.test/segA.xml", "https://a.test/loop.xml",
+          "https://a.test/deep1.xml", "https://a.test/ghost.xml")),
+      ("https://a.test/segA.xml",
+        pages("https://a.test/p1", "https://a.test/p2")),
+      ("https://a.test/loop.xml", idx("https://a.test/root.xml")),
+      ("https://a.test/deep1.xml",
+        idx("https://a.test/segB.xml", "https://a.test/deep2.xml")),
+      ("https://a.test/segB.xml", pages("https://a.test/p3")),
+      ("https://a.test/deep2.xml", idx("https://a.test/segC.xml")),
+      ("https://a.test/segC.xml", pages("https://a.test/p4")))
+      .toDF("sm_url", "xml")
+    val roots = Seq("https://a.test/root.xml").toDF("url")
+    val capKey = "spark.graft.frontier.sitemapDriverCap"
+    def run(forceDistributed: Boolean, depth: Int): Seq[(String, String, Int)] = {
+      val prev = spark.conf.getOption(capKey)
+      if (forceDistributed) spark.conf.set(capKey, "0")
+      val before = Frontier.sitemapDriverExpanded.get()
+      try {
+        val out = Frontier
+          .expandSitemaps(roots, "url", bodies, "sm_url", "xml", depth)
+          .collect()
+          .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+          .sorted.toSeq
+        val engaged = Frontier.sitemapDriverExpanded.get() - before
+        if (forceDistributed) assert(engaged === 0L)
+        else assert(engaged === 1L, "the driver-layer form must engage")
+        out
+      } finally {
+        prev match {
+          case Some(v) => spark.conf.set(capKey, v)
+          case None => spark.conf.unset(capKey)
+        }
+      }
+    }
+    for (depth <- Seq(0, 2, 3, 5))
+      assert(run(forceDistributed = false, depth)
+        === run(forceDistributed = true, depth), s"divergence at depth $depth")
+    // empty roots: both forms return a typed empty frame
+    val none = Seq.empty[String].toDF("url")
+    assert(Frontier.expandSitemaps(none, "url", bodies, "sm_url", "xml", 2)
+      .count() === 0L)
+  }
 }
