@@ -16,6 +16,8 @@ object ProbeJobs {
     val spark = GraftSession.get()
     val jobs = new java.util.concurrent.ConcurrentHashMap[
       Int, (Long, String)]() // id -> (startNs, site)
+    val starts = new java.util.concurrent.ConcurrentHashMap[
+      Integer, java.lang.Long]() // id -> startNs (kept after job end)
     val done = new java.util.concurrent.ConcurrentLinkedQueue[
       (Int, Double, String)]()
     spark.sparkContext.addSparkListener(
@@ -26,7 +28,9 @@ object ProbeJobs {
             .flatMap(p => Option(p.getProperty("spark.job.description"))
               .orElse(Option(p.getProperty("callSite.short"))))
             .getOrElse("?")
-          jobs.put(j.jobId, (System.nanoTime(), site)); ()
+          val t = System.nanoTime()
+          jobs.put(j.jobId, (t, site))
+          starts.put(j.jobId, t); ()
         }
         override def onJobEnd(
             j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
@@ -39,6 +43,7 @@ object ProbeJobs {
     names.foreach { n =>
       (1 to 3).foreach { rep =>
         done.clear()
+        starts.clear()
         val t0 = System.nanoTime()
         SparkEntry.queries(n)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
@@ -53,8 +58,18 @@ object ProbeJobs {
         val all = done.asScala.toSeq.sortBy(_._1)
         println(f"[probe] $n rep$rep wall ${wall}%.3f s jobs=${all.size} " +
           f"jobSum=${all.map(_._2).sum}%.3f s")
-        if (rep == 3) all.foreach { case (id, s, site) =>
-          println(f"[probe]   job$id%-5d ${s}%7.3f s  $site")
+        if (rep == 3) {
+          // gap attribution (round 20): the driver time BETWEEN jobs
+          // (planning, fs ops, checkpoint commits) is charged to the
+          // job that follows it — the between-job cost the job-count
+          // trims attack is otherwise invisible in per-job durations
+          var prevEnd = t0
+          all.foreach { case (id, s, site) =>
+            val st = starts.getOrDefault(id, prevEnd)
+            val gap = math.max(0L, st - prevEnd) / 1e9
+            prevEnd = math.max(prevEnd, st + (s * 1e9).toLong)
+            println(f"[probe]   job$id%-5d ${s}%7.3f s  gap ${gap}%6.3f s  $site")
+          }
         }
       }
     }

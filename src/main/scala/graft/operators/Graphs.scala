@@ -151,7 +151,41 @@ object Graphs {
 
     val init = (lit(1).cast(RankType) / lit(n)).cast(RankType)
     val base = (oneMinusD / lit(n)).cast(RankType)
-    var ranks = Materialize(nodes.withColumn("rank", init))
+    // Dangling mass rides each ranks materialization as an observe
+    // metric (round 20 — the materializeSigsProbed zero-pass trick):
+    // the per-iteration `ranks ⋉ no-out-edge` aggregate was a separate
+    // driver collect JOB (plus its planning) every iteration, ~1/3 of
+    // the query's job count. The rank column's arithmetic is UNTOUCHED
+    // — the extra left join only flags out-degree presence for the
+    // metric, and the collected BigDecimal (scale 18, same value)
+    // feeds the same value-typed literal, so the DECIMAL trajectory —
+    // and the DuckDB twin — stay bit-identical. Non-local Materialize
+    // modes fall back to the exact aggregate (metrics don't cross a
+    // persist+count execution).
+    def rankCutProbed(planned: DataFrame): (DataFrame, () => java.math.BigDecimal) = {
+      val flagged = planned
+        .join(outDeg.select(col("node"), col("out_deg").as("__od")),
+          Seq("node"), "left_outer")
+        .observe("graft_pr_dangling",
+          sum(when(col("__od").isNull, col("rank"))).as("m"))
+        .select(col("node"), col("rank"))
+      val cut = Materialize(flagged)
+      val thunk = () => {
+        val mm = flagged.queryExecution.observedMetrics
+        if (mm.isEmpty) {
+          // exact fallback: the pre-round-20 aggregate, one job
+          cut.join(outDeg.select(col("node")), Seq("node"), "left_anti")
+            .agg(coalesce(sum(col("rank")), lit(0).cast(RankType))
+              .cast(RankType).as("m"))
+            .head.getDecimal(0)
+        } else {
+          val m = mm.values.head.getAs[java.math.BigDecimal]("m")
+          if (m == null) java.math.BigDecimal.ZERO.setScale(18) else m
+        }
+      }
+      (cut, thunk)
+    }
+    var (ranks, danglingOf) = rankCutProbed(nodes.withColumn("rank", init))
     var i = 0
     while (i < iterations) {
       val contribs = linked
@@ -160,19 +194,20 @@ object Graphs {
           (col("rank") / col("out_deg")).cast(RankType).as("contrib"))
         .groupBy("node")
         .agg(sum(col("contrib")).cast(RankType).as("inbound"))
-      // dangling mass: rank held by nodes with no out-edges
-      val dangling = ranks.join(outDeg.select(col("node")), Seq("node"), "left_anti")
-        .agg(coalesce(sum(col("rank")), lit(0).cast(RankType)).cast(RankType).as("m"))
-        .head.getDecimal(0)
+      // dangling mass: rank held by nodes with no out-edges — read off
+      // the PREVIOUS cut's observe metric, zero extra jobs
+      val dangling = danglingOf()
       val redistributed = (d * lit(dangling).cast(RankType) / lit(n))
         .cast(RankType)
       val prev = ranks
-      ranks = Materialize(nodes
+      val (nextRanks, nextDangling) = rankCutProbed(nodes
         .join(contribs, Seq("node"), "left_outer")
         .select(col("node"),
           (base
             + (d * coalesce(col("inbound"), lit(0).cast(RankType))).cast(RankType)
             + redistributed).cast(RankType).as("rank")))
+      ranks = nextRanks
+      danglingOf = nextDangling
       Materialize.release(prev)
       i += 1
     }
