@@ -99,6 +99,25 @@ class ProfileSpec extends SparkSpecBase {
     }
   }
 
+  test("approxBounded: Expand-free plan; exact n_distinct; flags hold") {
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+    val cols = Seq("o_custkey", "o_orderstatus", "o_totalprice")
+    val bounded = Profile.approxBounded(orders, cols)
+    val plan = bounded.queryExecution.executedPlan.toString
+    // round 20: the multi-distinct Expand (N× row amplification) is
+    // gone — one HLL pass + one pruned single-distinct agg per column
+    assert(!plan.contains("Expand"), plan.take(600))
+    val rows = bounded.collect().map(r => r.getString(0) -> r).toMap
+    val exact = Profile.exact(orders, cols)
+      .collect().map(r => r.getString(0) -> r).toMap
+    cols.foreach { c =>
+      assert(rows(c).getLong(1) === exact(c).getLong(3),
+        s"$c n_distinct must stay the exact count")
+      assert(rows(c).getBoolean(2), s"$c estimate drifted past 15%")
+    }
+    assert(rows.size === cols.size)
+  }
+
   test("histogramDrift: identical samples read zero; a shift shows up as TV distance") {
     val a = (1 to 1000).map(i => (i % 100).toDouble).toDF("v")
     val same = Profile.histogramDrift(a, a, "v", 0.0, 100.0, 10)
